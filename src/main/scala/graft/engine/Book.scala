@@ -1,0 +1,146 @@
+package graft.engine
+
+import java.util.concurrent.{ConcurrentLinkedQueue, Executors}
+import scala.collection.mutable
+import scala.concurrent.duration.Duration
+import scala.concurrent.{Await, ExecutionContext, Future}
+import scala.jdk.CollectionConverters._
+import scala.util.{Failure, Success, Try}
+
+/** The dataflow DSL (SURVEY.md §1.1, §3.1): a Book of priority-ordered
+  * Chapters run serially; each Chapter runs its Loaders first (in
+  * parallel — loaders may dynamically add Pages, the reference's
+  * discover-then-fan-out idiom, `lib/chapter.js:82-84`), then its Pages
+  * with bounded parallelism (`threads`, `lib/chapter.js:124`).
+  *
+  * Pages are driver-side closures over DataFrames: driver concurrency
+  * here is orchestration only — the actual data parallelism lives in
+  * Spark's scheduler, so `threads` bounds concurrent *jobs*, not tasks.
+  * Failure is fail-fast with {chapter, page} context
+  * (`lib/book.js:280-287,314-331`).
+  */
+final class Book(val name: String, val options: BookOptions = BookOptions()) {
+  private val chapters = mutable.ArrayBuffer.empty[Chapter]
+  private val listeners = mutable.ArrayBuffer.empty[StateEvent => Unit]
+  val data: mutable.Map[String, Any] = mutable.Map.empty // book.data scratch (lib/book.js:40)
+
+  def addChapter(priority: Int, chapterName: String, threads: Int = 1): Chapter = {
+    val c = new Chapter(this, priority, chapterName, threads)
+    chapters += c
+    c
+  }
+
+  def onState(f: StateEvent => Unit): Unit = listeners += f
+
+  private[engine] def emit(state: String, name: String, durationMs: Long = 0L,
+      extra: Map[String, String] = Map.empty): Unit = {
+    val ev = StateEvent(state, System.currentTimeMillis(), name, durationMs / 1000.0, extra)
+    listeners.foreach(_(ev))
+  }
+
+  /** `--chapters "1,4"` / `"100-300"` selection (`lib/book.js:16-38`). */
+  private[engine] def selected(priority: Int): Boolean = options.chapterSelection match {
+    case None => true
+    case Some(sel) => sel.split(",").map(_.trim).exists {
+      case s if s.contains("-") =>
+        val Array(lo, hi) = s.split("-", 2).map(_.trim.toInt)
+        priority >= lo && priority <= hi
+      case s => Try(s.toInt).toOption.contains(priority)
+    }
+  }
+
+  /** Serial chapters, fail-fast; single-instance pid lock around the
+    * whole run (`lib/book.js:84-101,227-333`).
+    */
+  def run(): Unit = {
+    val lock = options.pidDir.map(d => PidLock.acquire(d, name))
+    val t0 = System.currentTimeMillis()
+    emit("book:start", name)
+    try {
+      chapters.sortBy(_.priority).foreach { c =>
+        if (selected(c.priority)) c.run()
+      }
+      emit("book:end", name, System.currentTimeMillis() - t0)
+    } catch {
+      case e: BookError =>
+        emit("book:error", name, System.currentTimeMillis() - t0,
+          Map("error" -> e.getMessage, "chapter" -> e.chapter, "page" -> e.page))
+        throw e
+    } finally lock.foreach(_.release())
+  }
+}
+
+final case class BookOptions(
+    chapterSelection: Option[String] = None, // --chapters
+    getAllLimit: Option[Long] = None,        // global row cap (lib/book.js:74)
+    pidDir: Option[String] = None)
+
+final case class StateEvent(state: String, timeMs: Long, name: String,
+    durationSec: Double, data: Map[String, String])
+
+final class BookError(val chapter: String, val page: String, cause: Throwable)
+  extends RuntimeException(s"chapter=$chapter page=$page: ${cause.getMessage}", cause)
+
+final class Chapter(book: Book, val priority: Int, val name: String, threads: Int) {
+  private val loaders = mutable.ArrayBuffer.empty[(String, () => Unit)]
+  // Pages may be added concurrently by loaders (lib/chapter.js:82-84).
+  private val pages = new ConcurrentLinkedQueue[(String, () => Unit)]()
+
+  def addLoader(loaderName: String)(f: => Unit): Unit = loaders += (loaderName -> (() => f))
+  def addPage(pageName: String)(f: => Unit): Unit = pages.add(pageName -> (() => f))
+
+  private[engine] def run(): Unit = {
+    val t0 = System.currentTimeMillis()
+    book.emit("chapter:start", name)
+    // Loaders run in parallel BEFORE pages materialize (lib/chapter.js:41-77).
+    runBounded(loaders.toSeq, loaders.size.max(1), "loader")
+    // Pages with bounded parallelism (async.parallelLimit, lib/chapter.js:124).
+    runBounded(pages.asScala.toSeq, threads.max(1), "page")
+    book.emit("chapter:end", name, System.currentTimeMillis() - t0)
+  }
+
+  private def runBounded(jobs: Seq[(String, () => Unit)], bound: Int, kind: String): Unit = {
+    if (jobs.isEmpty) return
+    val pool = Executors.newFixedThreadPool(math.min(bound, jobs.size))
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val futures = jobs.map { case (jobName, f) =>
+        Future {
+          val t = System.currentTimeMillis()
+          book.emit(s"$kind:start", jobName)
+          try { f(); book.emit(s"$kind:end", jobName, System.currentTimeMillis() - t) }
+          catch { case e: Throwable => throw new BookError(name, jobName, e) }
+        }
+      }
+      Await.result(Future.sequence(futures), Duration.Inf)
+    } catch {
+      case e: BookError => throw e
+      case e: Throwable => e.getCause match {
+        case be: BookError => throw be
+        case _ => throw new BookError(name, "?", e)
+      }
+    } finally pool.shutdown()
+  }
+}
+
+/** Single-instance lock (`ensurePid`, `lib/book.js:84-101`): throws if
+  * a live pid holds the lock; stale pids (dead process) are stolen.
+  */
+final class PidLock private (path: java.nio.file.Path) {
+  def release(): Unit = java.nio.file.Files.deleteIfExists(path)
+}
+object PidLock {
+  def acquire(dir: String, name: String): PidLock = {
+    val d = java.nio.file.Paths.get(dir)
+    java.nio.file.Files.createDirectories(d)
+    val p = d.resolve(s"$name.pid")
+    if (java.nio.file.Files.exists(p)) {
+      val old = new String(java.nio.file.Files.readAllBytes(p)).trim
+      val alive = Try(ProcessHandle.of(old.toLong).map(_.isAlive).orElse(false)).getOrElse(false)
+      if (alive) throw new IllegalStateException(s"pid $old already running book $name")
+      java.nio.file.Files.delete(p)
+    }
+    java.nio.file.Files.write(p, ProcessHandle.current().pid().toString.getBytes)
+    new PidLock(p)
+  }
+}

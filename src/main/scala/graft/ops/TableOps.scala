@@ -1,0 +1,107 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.sources.ParquetTable
+import graft.types.{GraftType, SchemaLattice}
+
+/** Composite table operators (SURVEY.md §2.9) over [[ParquetTable]].
+  * Each mirrors an observable reference behavior, re-expressed as
+  * declarative DataFrame transforms so Catalyst plans them.
+  */
+object TableOps {
+
+  /** A3 `getMax(table, col)` (`mysql.js:193-216`): the incremental
+    * watermark. Driver-side scalar by design — the one sanctioned
+    * `collect`. Returns None on missing table or all-null column
+    * (reference returns null).
+    */
+  def getMax(t: ParquetTable, column: String): Option[Any] = {
+    if (!t.exists) return None
+    val row = t.read.agg(max(col(column))).head()
+    if (row.isNullAt(0)) None else Some(row.get(0))
+  }
+
+  /** O1/S9 `insertData` with merge-on-duplicates (`mysql.js:258-393`):
+    * auto-create if missing, schema-reconcile (add + widen), then
+    * upsert keyed on `key`. The reference's byte-budget batching
+    * dissolves into Spark partitioning.
+    */
+  def insertData(t: ParquetTable, data: DataFrame, key: String = "id",
+      mergeOnDuplicates: Boolean = true, orderBy: Seq[String] = Nil): Unit = {
+    if (!t.exists) {
+      t.overwrite(if (mergeOnDuplicates) data.dropDuplicates(key) else data,
+        distKey = Some(key))
+      return
+    }
+    val dest = t.read
+    val destReconciled = reconcileTo(dest, data.schema)
+    val srcReconciled = reconcileTo(data, destReconciled.schema)
+    val merged =
+      if (mergeOnDuplicates) Upsert(destReconciled, srcReconciled, Seq(key), orderBy)
+      else destReconciled.unionByName(srcReconciled, allowMissingColumns = true)
+    t.overwrite(merged, distKey = Some(key))
+  }
+
+  /** O2 `mergeTables` (`mysql.js:547-599`): fullMerge (dest missing →
+    * copy) vs incremental (schema-evolve + upsert).
+    */
+  def mergeTables(source: ParquetTable, dest: ParquetTable, key: String = "id",
+      fullMerge: Boolean = false, orderBy: Seq[String] = Nil): Unit = {
+    val src = source.read
+    if (fullMerge || !dest.exists) dest.overwrite(src, distKey = Some(key))
+    else insertData(dest, src, key, mergeOnDuplicates = true, orderBy)
+  }
+
+  /** O3 incremental extract (`books/etl/chapters/extract+load/
+    * extract.js:14-39`): dest watermark → `>=` filtered source scan
+    * (overlap re-reads the boundary row; idempotent because the upsert
+    * dedups on key) → upsert. The filter reaches the source scan as a
+    * pushed predicate.
+    */
+  def incrementalExtract(sourceDf: DataFrame, dest: ParquetTable,
+      tsCol: String, key: String = "id"): Long = {
+    val filtered = getMax(dest, tsCol) match {
+      case Some(wm) => sourceDf.filter(col(tsCol) >= lit(wm))
+      case None     => sourceDf
+    }
+    insertData(dest, filtered, key, mergeOnDuplicates = true, orderBy = Seq(tsCol))
+    filtered.count()
+  }
+
+  /** O4 `copyTableSchema` / CREATE TABLE LIKE (`mysql.js:601-605`). */
+  def schemaClone(spark: SparkSession, source: ParquetTable, dest: ParquetTable): Unit = {
+    val empty = spark.createDataFrame(
+      spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], source.read.schema)
+    dest.overwrite(empty)
+  }
+
+  /** O5 `addColumn` (`mysql.js:471-530`): type inferred from provided
+    * sample values via the lattice; existing rows get NULL.
+    */
+  def addColumn(t: ParquetTable, name: String, sampleValues: Seq[Any]): Unit = {
+    val gt = sampleValues.foldLeft(GraftType.Unknown: GraftType)(
+      (acc, v) => GraftType.widen(acc, GraftType.infer(v)))
+    t.overwrite(t.read.withColumn(name, lit(null).cast(gt.toSpark)))
+  }
+
+  /** O5 `alterColumn` (`mysql.js:532-545`): the reference's
+    * add-tmp/copy/drop/rename dance collapses to a cast-and-rewrite.
+    */
+  def alterColumn(t: ParquetTable, name: String, to: DataType): Unit =
+    t.overwrite(t.read.withColumn(name, col(name).cast(to)))
+
+  /** Align `df` to cover `target`'s columns: add missing as typed
+    * NULLs, widen clashing types via the lattice (reference
+    * auto-add-column + widening, `mysql.js:299-358`).
+    */
+  def reconcileTo(df: DataFrame, target: StructType): DataFrame = {
+    val r = SchemaLattice.reconcile(df.schema, target)
+    val widened = r.widens.foldLeft(df) { case (d, (c, dt)) =>
+      d.withColumn(c, col(c).cast(dt))
+    }
+    r.adds.foldLeft(widened)((d, f) =>
+      d.withColumn(f.name, lit(null).cast(f.dataType)))
+  }
+}

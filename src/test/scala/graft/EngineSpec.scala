@@ -1,0 +1,121 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.ConcurrentLinkedQueue
+import scala.jdk.CollectionConverters._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.engine._
+
+/** Orchestration-core behaviors, mirroring test/lib/book.js and
+  * test/lib/chapter.js of the reference.
+  */
+class EngineSpec extends AnyFunSuite {
+
+  private def record(): (ConcurrentLinkedQueue[String], String => Unit) = {
+    val q = new ConcurrentLinkedQueue[String]()
+    (q, (s: String) => q.add(s))
+  }
+
+  test("chapters run in priority order (book.js:104-117)") {
+    val (log, add) = record()
+    val b = new Book("t")
+    b.addChapter(300, "third").addPage("p3")(add("3"))
+    b.addChapter(100, "first").addPage("p1")(add("1"))
+    b.addChapter(200, "second").addPage("p2")(add("2"))
+    b.run()
+    assert(log.asScala.toSeq == Seq("1", "2", "3"))
+  }
+
+  test("--chapters list and range selection (book.js:119-145)") {
+    def runWith(sel: String): Seq[String] = {
+      val (log, add) = record()
+      val b = new Book("t", BookOptions(chapterSelection = Some(sel)))
+      b.addChapter(1, "c1").addPage("p")(add("1"))
+      b.addChapter(2, "c2").addPage("p")(add("2"))
+      b.addChapter(3, "c3").addPage("p")(add("3"))
+      b.run()
+      log.asScala.toSeq
+    }
+    assert(runWith("1,3") == Seq("1", "3"))
+    assert(runWith("2-3") == Seq("2", "3"))
+  }
+
+  test("loaders run before pages and may add pages (chapter.js:7-24,82-84)") {
+    val (log, add) = record()
+    val b = new Book("t")
+    val c = b.addChapter(1, "c", threads = 2)
+    c.addLoader("discover") {
+      add("loader")
+      // dynamic fan-out: one page per discovered unit (extract.js:32-39)
+      c.addPage("dyn1")(add("dyn1"))
+      c.addPage("dyn2")(add("dyn2"))
+    }
+    b.run()
+    val seq = log.asScala.toSeq
+    assert(seq.head == "loader")
+    assert(seq.toSet == Set("loader", "dyn1", "dyn2"))
+  }
+
+  test("pages run concurrently up to threads (chapter.js:26-70)") {
+    val b = new Book("t")
+    val c = b.addChapter(1, "c", threads = 4)
+    val t0 = System.currentTimeMillis()
+    (1 to 4).foreach(i => c.addPage(s"p$i")(Thread.sleep(300)))
+    b.run()
+    val wall = System.currentTimeMillis() - t0
+    assert(wall < 1000, s"4x300ms pages at threads=4 took ${wall}ms — not parallel")
+  }
+
+  test("serial when threads=1") {
+    val b = new Book("t")
+    val c = b.addChapter(1, "c", threads = 1)
+    val t0 = System.currentTimeMillis()
+    (1 to 3).foreach(i => c.addPage(s"p$i")(Thread.sleep(150)))
+    b.run()
+    assert(System.currentTimeMillis() - t0 >= 450)
+  }
+
+  test("failure carries {chapter, page} context and halts (book.js:45-71,314-331)") {
+    val (log, add) = record()
+    val b = new Book("t")
+    b.addChapter(1, "boom").addPage("bad")(throw new RuntimeException("nope"))
+    b.addChapter(2, "after").addPage("never")(add("never"))
+    val e = intercept[BookError](b.run())
+    assert(e.chapter == "boom")
+    assert(e.page == "bad")
+    assert(!log.asScala.toSeq.contains("never")) // halted at failing chapter
+  }
+
+  test("state events stream in lifecycle order (book.js:234-310)") {
+    val events = new ConcurrentLinkedQueue[String]()
+    val b = new Book("t")
+    b.onState(e => events.add(e.state))
+    b.addChapter(1, "c").addPage("p")(())
+    b.run()
+    val s = events.asScala.toSeq
+    assert(s.head == "book:start")
+    assert(s.last == "book:end")
+    assert(s.containsSlice(Seq("chapter:start", "page:start", "page:end", "chapter:end")))
+  }
+
+  test("pid lock: second live acquire throws, stale pid stolen (book.js:84-101)") {
+    val dir = Files.createTempDirectory("pids").toString
+    val l1 = PidLock.acquire(dir, "b")
+    intercept[IllegalStateException](PidLock.acquire(dir, "b"))
+    l1.release()
+    // stale pid (dead process id) is stolen
+    Files.write(java.nio.file.Paths.get(dir, "b.pid"), "999999999".getBytes)
+    PidLock.acquire(dir, "b").release()
+  }
+
+  test("audit sink captures book:end exactly once (etl.js:128-134)") {
+    import TestSpark._
+    val b = new Book("etl")
+    val sink = new AuditSink(spark).attach(b)
+    b.addChapter(1, "c").addPage("p")(())
+    b.run()
+    val df = sink.toDf
+    assert(df.filter(df("state") === "book:end").count() == 1)
+    assert(df.columns.toSeq == Seq("state", "time", "name", "duration", "data"))
+  }
+}

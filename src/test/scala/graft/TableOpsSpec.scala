@@ -1,0 +1,143 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalatest.funsuite.AnyFunSuite
+import graft.ops.{TableOps, Upsert}
+import graft.sources.ParquetTable
+
+/** Upsert/merge/incremental semantics — goldens mirroring the reference
+  * integration behaviors (test/connections/mysql.js:250-458).
+  */
+class TableOpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def tmpTable(name: String): ParquetTable =
+    ParquetTable(spark, Files.createTempDirectory("graft").resolve(name).toString)
+
+  private def users(rows: (Long, String, Long)*): DataFrame =
+    rows.toSeq.toDF("id", "email", "counter")
+
+  test("insertData auto-creates table from data (mysql.js:281-287)") {
+    val t = tmpTable("users")
+    assert(!t.exists)
+    TableOps.insertData(t, users((1, "evan@example.com", 5)))
+    assert(t.exists)
+    assert(t.read.count() == 1)
+  }
+
+  test("upsert-on-duplicate updates in place (mysql.js:250-264)") {
+    val t = tmpTable("users")
+    TableOps.insertData(t, users((1, "evan@example.com", 5), (2, "pablo@example.com", 1)))
+    TableOps.insertData(t, users((1, "evan@example.com", 99)))
+    val got = t.read.orderBy("id").collect()
+    assert(got.length == 2)
+    assert(got(0).getAs[Long]("counter") == 99)
+    assert(got(1).getAs[Long]("counter") == 1)
+  }
+
+  test("mergeOnDuplicates=false appends, duplicates surface (mysql.js:266-291)") {
+    val t = tmpTable("users")
+    TableOps.insertData(t, users((1, "a@x.com", 1)), mergeOnDuplicates = false)
+    TableOps.insertData(t, users((1, "a@x.com", 2)), mergeOnDuplicates = false)
+    assert(t.read.count() == 2) // duplicate keys persist — caller's contract
+  }
+
+  test("auto-add-column on insert with unseen key (mysql.js:293-311)") {
+    val t = tmpTable("users")
+    TableOps.insertData(t, users((1, "a@x.com", 1)))
+    val withAdmin = Seq((2L, "b@x.com", 3L, true)).toDF("id", "email", "counter", "admin")
+    TableOps.insertData(t, withAdmin)
+    val got = t.read
+    assert(got.columns.contains("admin"))
+    val row1 = got.filter($"id" === 1).head()
+    assert(row1.isNullAt(row1.fieldIndex("admin"))) // old rows NULL
+  }
+
+  test("type widening long→double on insert (mysql.js:412-414)") {
+    val t = tmpTable("m")
+    TableOps.insertData(t, Seq((1L, 5L)).toDF("id", "v"))
+    TableOps.insertData(t, Seq((2L, 2.5)).toDF("id", "v"))
+    assert(t.read.schema("v").dataType == DoubleType)
+    assert(t.read.filter($"id" === 1).head().getDouble(1) == 5.0)
+  }
+
+  test("upsert keeps latest by orderBy column (redshift.js:400-413)") {
+    val dest = Seq((1L, "old", 1L)).toDF("id", "v", "updated_at")
+    val src = Seq((1L, "mid", 2L), (1L, "new", 3L)).toDF("id", "v", "updated_at")
+    val got = Upsert(dest, src, Seq("id"), orderBy = Seq("updated_at")).collect()
+    assert(got.length == 1)
+    assert(got(0).getAs[String]("v") == "new")
+  }
+
+  test("upsert is idempotent (re-apply same batch)") {
+    val dest = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
+    val src = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
+    val once = Upsert(dest, src, Seq("id"))
+    val twice = Upsert(once, src, Seq("id"))
+    assert(once.orderBy("id").collect().toSeq == twice.orderBy("id").collect().toSeq)
+  }
+
+  test("mergeTables fullMerge replaces dest (mysql.js:560-570)") {
+    val s = tmpTable("src"); val d = tmpTable("dst")
+    TableOps.insertData(s, users((1, "a@x.com", 1)))
+    TableOps.insertData(d, users((9, "z@x.com", 9)))
+    TableOps.mergeTables(s, d, fullMerge = true)
+    assert(d.read.collect().map(_.getLong(0)).toSeq == Seq(1))
+  }
+
+  test("incrementalExtract: watermark filter + idempotent upsert (extract.js:14-39)") {
+    val d = tmpTable("dest")
+    val all = Seq((1L, "a", 10L), (2L, "b", 20L), (3L, "c", 30L)).toDF("id", "v", "updatedAt")
+    // first run: no watermark → full extract
+    TableOps.incrementalExtract(all, d, "updatedAt")
+    assert(d.read.count() == 3)
+    // second run: boundary row re-read (>=), no duplicates
+    val n = TableOps.incrementalExtract(all, d, "updatedAt")
+    assert(n == 1) // only the boundary row matches >= max
+    assert(d.read.count() == 3)
+    // new + updated rows flow in
+    val next = Seq((3L, "C2", 40L), (4L, "d", 50L)).toDF("id", "v", "updatedAt")
+    TableOps.incrementalExtract(next, d, "updatedAt")
+    val got = d.read.orderBy("id").collect()
+    assert(got.length == 4)
+    assert(got(2).getAs[String]("v") == "C2")
+  }
+
+  test("schemaClone creates empty same-schema table (mysql.js:601-605)") {
+    val s = tmpTable("src"); val d = tmpTable("dst")
+    TableOps.insertData(s, users((1, "a@x.com", 1)))
+    TableOps.schemaClone(spark, s, d)
+    assert(d.read.count() == 0)
+    assert(d.read.schema == s.read.schema)
+  }
+
+  test("addColumn infers type from samples; alterColumn casts (mysql.js:471-545)") {
+    val t = tmpTable("t")
+    TableOps.insertData(t, users((1, "a@x.com", 1)))
+    TableOps.addColumn(t, "score", Seq(1.5, 2.5))
+    assert(t.read.schema("score").dataType == DoubleType)
+    TableOps.alterColumn(t, "counter", StringType)
+    assert(t.read.schema("counter").dataType == StringType)
+  }
+
+  test("getMax watermark (mysql.js:193-216)") {
+    val t = tmpTable("t")
+    assert(TableOps.getMax(t, "counter").isEmpty) // missing table → null
+    TableOps.insertData(t, users((1, "a@x.com", 5), (2, "b@x.com", 3)))
+    assert(TableOps.getMax(t, "counter").contains(5L))
+  }
+
+  test("overwrite is staged: no __staging left behind, data swapped") {
+    val t = tmpTable("t")
+    TableOps.insertData(t, users((1, "a@x.com", 1)))
+    t.overwrite(users((2, "b@x.com", 2)), distKey = Some("id"), sortKey = Some("counter"))
+    assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(2))
+    val parent = new java.io.File(t.path).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains("__staging")))
+    assert(!parent.listFiles().exists(_.getName.contains("__old")))
+  }
+}
