@@ -51,6 +51,7 @@ def main(sf_dir, out_dir):
         try:
             cur = con.execute(sql)
             ocols = [d[0] for d in cur.description]
+            otypes = {d[0]: str(d[1]) for d in cur.description}
             orows = cur.fetchall()
             files = sorted(glob.glob(f"{out_dir}/{name}/*.parquet"))
             if not files:
@@ -61,11 +62,20 @@ def main(sf_dir, out_dir):
                 "SELECT * FROM read_parquet([" +
                 ",".join(f"'{f}'" for f in files) + "])")
             scols = [d[0] for d in scur.description]
+            stypes = {d[0]: str(d[1]) for d in scur.description}
             srows = scur.fetchall()
             oc, orws = canon(ocols, orows)
             sc, srws = canon(scols, srows)
+            # The driver's hash is TYPE-sensitive (DECIMAL(28,2) vs
+            # DECIMAL(38,2) is a fail even with identical values) — so
+            # this local gate must compare result types too.
             if oc != sc:
                 print(f"FAIL {name}: columns differ oracle={oc} spark={sc}")
+                n_fail += 1
+            elif otypes != stypes:
+                diff = {c: (otypes[c], stypes[c]) for c in otypes
+                        if otypes[c] != stypes.get(c)}
+                print(f"FAIL {name}: types differ (oracle, spark) = {diff}")
                 n_fail += 1
             elif orws != srws:
                 print(f"FAIL {name}: rows differ (oracle {len(orws)} vs spark {len(srws)})")
