@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** [EXT] Multimodal column support: media payloads travel as opaque
+  * `binary` columns plus a typed metadata struct; decode / feature
+  * extraction runs partition-wise so one task never holds more than a
+  * partition of payloads.
+  *
+  * The decode kernel itself is a STUB (no image/audio codecs in this
+  * environment): `fakeFeatures` derives a deterministic feature vector
+  * from the payload bytes. The Spark-side plumbing — schema, batch
+  * shape, partition-wise execution, pruned payload column — is real and
+  * tested (graft.PipelineSpec).
+  *
+  * Scale notes: payloads never pass through a shuffle here — metadata
+  * extraction and feature extraction are map-side; downstream joins
+  * should carry only (id, features, meta) and re-join payloads by id
+  * when materially needed.
+  */
+object Multimodal {
+
+  val FeatureDim = 8
+
+  /** Attach a payload (bytes) + metadata struct to any DataFrame with a
+    * string content column — the ingest shape a real pipeline would get
+    * from `spark.read.format("binaryFile")`.
+    */
+  def ingest(df: DataFrame, idCol: String, contentCol: String, mediaType: String): DataFrame =
+    df.select(
+      col(idCol),
+      col(contentCol).cast("binary").as("payload"),
+      struct(
+        lit(mediaType).as("media_type"),
+        octet_length(col(contentCol).cast("binary")).cast("long").as("byte_len"),
+        sha2(col(contentCol).cast("binary"), 256).as("sha256")).as("meta"))
+
+  /** Partition-wise feature extraction over binary payloads.
+    *
+    * STUB decode: a real deployment swaps `fakeFeatures` for a codec
+    * call (JNI/onnx); the mapPartitions batch shape — iterator-in /
+    * iterator-out, one partition per task, payload column pruned after
+    * use — is exactly what the real kernel needs.
+    */
+  def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("features", ArrayType(FloatType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        Row(r.get(idIdx), fakeFeatures(r.getAs[Array[Byte]](payloadIdx)))
+      }
+    }(enc)
+  }
+
+  /** Deterministic stand-in for a media decoder: folds payload bytes
+    * into FeatureDim buckets and scales to [0, 1). Replace with the
+    * real codec at deployment; signature and batch shape are stable.
+    */
+  def fakeFeatures(payload: Array[Byte]): Array[Float] = {
+    val acc = new Array[Long](FeatureDim)
+    var i = 0
+    while (i < payload.length) {
+      val d = i % FeatureDim
+      acc(d) = (acc(d) * 31 + (payload(i) & 0xff)) % 1000003L
+      i += 1
+    }
+    acc.map(v => v.toFloat / 1000003.0f)
+  }
+}
