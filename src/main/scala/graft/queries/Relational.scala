@@ -8,12 +8,17 @@ import graft.sources.Tables
 
 /** Relational operator coverage (SURVEY.md §2.2–§2.8).
   *
-  * Numeric-stability convention for oracle hash parity: per-row math is
-  * done in `double` (IEEE-identical in Spark and DuckDB), then cast to
-  * `decimal(18,2)` BEFORE aggregation so sums are exact and
+  * Numeric-stability convention for oracle hash parity: inputs are cast
+  * to `decimal(18,2)` BEFORE aggregation so sums are exact and
   * order-insensitive — a distributed sum of doubles is not reproducible
-  * across partitionings, a decimal sum is. Timestamps are emitted as
-  * formatted strings to sidestep ns/us precision differences.
+  * across partitionings, a decimal sum is — and the FINAL result is cast
+  * to `double`, because the driver's compare represents DECIMAL outputs
+  * asymmetrically between the DuckDB oracle and the Spark parquet
+  * (empirically: in r01/r02 every decimal-output query hash-failed at
+  * every precision tried, every non-decimal query passed), while an
+  * exact decimal casts to the identical IEEE double in both engines.
+  * Timestamps are emitted as formatted strings to sidestep ns/us
+  * precision differences.
   */
 object Relational {
   private val TsFmt = "yyyy-MM-dd HH:mm:ss"
@@ -30,25 +35,27 @@ object Relational {
         .filter($"l_shipdate" <= lit(java.sql.Timestamp.valueOf("1998-09-01 00:00:00")))
         .groupBy($"l_returnflag", $"l_linestatus")
         .agg(
-          // Result types pinned to DECIMAL(38,x) on BOTH sides: Spark's
-          // sum(decimal(18,2)) is decimal(28,2) while DuckDB's is
-          // decimal(38,2) — values identical, and the driver's hash is
-          // type-sensitive, so the output type must be pinned explicitly.
-          sum($"l_quantity".cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_qty"),
-          sum($"l_extendedprice".cast("decimal(18,2)")).cast("decimal(38,2)").as("sum_base_price"),
+          // Sums accumulate in DECIMAL (exact, order-insensitive across
+          // partitionings) but the OUTPUT is DOUBLE: decimal outputs are
+          // represented asymmetrically by the driver's oracle compare
+          // (every decimal-output query hash-failed in r01/r02 at any
+          // precision, every non-decimal one passed), while an exact
+          // decimal casts to the identical IEEE double in both engines.
+          sum($"l_quantity".cast("decimal(18,2)")).cast("double").as("sum_qty"),
+          sum($"l_extendedprice".cast("decimal(18,2)")).cast("double").as("sum_base_price"),
           // pure-decimal arithmetic: double→decimal casts of *raw* input
           // values agree across engines; casts of *derived* doubles do
           // not (shortest-repr vs exact-binary rounding), so never cast
           // a computed double.
           sum(($"l_extendedprice".cast("decimal(18,2)") *
             (lit(java.math.BigDecimal.ONE).cast("decimal(3,2)") - $"l_discount".cast("decimal(4,2)")))
-            .cast("decimal(24,4)")).cast("decimal(38,4)").as("sum_disc_price"),
+            .cast("decimal(24,4)")).cast("double").as("sum_disc_price"),
           count(lit(1)).as("count_order"))
     },
     Some("""SELECT l_returnflag, l_linestatus,
-      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_qty,
-      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS sum_base_price,
-      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))) AS DECIMAL(38,4)) AS sum_disc_price,
+      CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      CAST(sum(CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS DECIMAL(24,4))) AS DOUBLE) AS sum_disc_price,
       count(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-01 00:00:00'
@@ -90,11 +97,11 @@ object Relational {
         .groupBy($"n_name", $"c_mktsegment")
         .agg(
           count(lit(1)).as("n_orders"),
-          sum($"o_totalprice".cast("decimal(18,2)")).cast("decimal(38,2)").as("total_price"))
+          sum($"o_totalprice".cast("decimal(18,2)")).cast("double").as("total_price"))
     },
     Some("""SELECT n_name, c_mktsegment,
       count(*) AS n_orders,
-      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_price
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price
       FROM customer JOIN orders ON c_custkey = o_custkey
       JOIN nation ON c_nationkey = n_nationkey
       GROUP BY n_name, c_mktsegment"""))
@@ -116,12 +123,11 @@ object Relational {
         .select(
           $"c_custkey", $"c_name", $"c_mktsegment",
           coalesce($"cnt", lit(0L)).as("total_orders"),
-          coalesce($"spent", lit(BigDecimal(0)).cast("decimal(38,2)"))
-            .cast("decimal(38,2)").as("total_spent"))
+          coalesce($"spent".cast("double"), lit(0.0)).as("total_spent"))
     },
     Some("""SELECT c_custkey, c_name, c_mktsegment,
       coalesce(cnt, 0) AS total_orders,
-      CAST(coalesce(spent, CAST(0 AS DECIMAL(38,2))) AS DECIMAL(38,2)) AS total_spent
+      coalesce(CAST(spent AS DOUBLE), 0.0) AS total_spent
       FROM customer LEFT JOIN (
         SELECT o_custkey, count(*) AS cnt, sum(CAST(o_totalprice AS DECIMAL(18,2))) AS spent
         FROM orders GROUP BY o_custkey) agg
@@ -284,22 +290,21 @@ object Relational {
       import s.implicits._
       val w = Window.partitionBy($"o_custkey").orderBy($"o_orderdate".asc, $"o_orderkey".asc)
       Tables.orders(s, dir)
-        // row_number is INTEGER in Spark, BIGINT in DuckDB; running
-        // decimal window sums widen differently — pin both (type-
-        // sensitive driver hash).
         .withColumn("order_seq", row_number().over(w).cast("long"))
         .withColumn("prev_price", lag($"o_totalprice", 1).over(w))
+        // running sum accumulates in decimal (exact), output as double
+        // (decimal outputs hash-fail in the driver compare — see q1).
         .withColumn("running_spend",
           sum($"o_totalprice".cast("decimal(18,2)"))
             .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
-            .cast("decimal(38,2)"))
+            .cast("double"))
         .select($"o_orderkey", $"o_custkey", $"order_seq", $"prev_price", $"running_spend")
     },
     Some("""SELECT o_orderkey, o_custkey,
       CAST(row_number() OVER w AS BIGINT) AS order_seq,
       lag(o_totalprice, 1) OVER w AS prev_price,
       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) OVER (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DECIMAL(38,2)) AS running_spend
+          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_spend
       FROM orders
       WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)"""))
 
@@ -363,11 +368,11 @@ object Relational {
       Tables.events(s, dir)
         .groupBy(date_format(date_trunc("hour", $"ts"), TsFmt).as("hour_start"), $"event_type")
         .agg(count(lit(1)).as("n_events"),
-          sum($"value".cast("decimal(18,2)")).cast("decimal(38,2)").as("total_value"))
+          sum($"value".cast("decimal(18,2)")).cast("double").as("total_value"))
     },
     Some("""SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour_start,
       event_type, count(*) AS n_events,
-      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(38,2)) AS total_value
+      CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2"""))
 
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8,
