@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 import graft.functions.VectorKernels._
 
@@ -14,10 +14,25 @@ import graft.functions.VectorKernels._
   *    map-side, shuffle only on the bucket key, verify cosine exactly
   *    within buckets. Bucket width (`dims`) trades recall for bucket
   *    size; never an all-pairs crossJoin.
-  *  - an IVF variant is `Similarity.ivfTopK` — coarse-quantize to the
-  *    nearest centroid map-side, then search only the probe cell.
+  *  - `ivfTopK` coarse-quantizes every row to its nearest centroid
+  *    entirely map-side (centroids are folded into the plan as a
+  *    literal array — the IVF contract is that the centroid set is
+  *    small), so cell assignment adds NO shuffle and no per-row window.
+  *
+  * NaN discipline: a zero-norm vector would make cosine() 0/0 = NaN,
+  * and NaN sorts ABOVE every real value in Spark's descending order —
+  * degenerate vectors would win every top-k. All rankings here compute
+  * cosine as `safeCosine`, which nulls out zero-norm rows; Spark sorts
+  * NULL last on `desc`, DuckDB matches with `NULLS LAST`.
   */
 object Similarity {
+
+  /** Cosine, null (not NaN) when either side has zero norm. */
+  private def safeCosine(a: Column, b: Column): Column = {
+    val na = l2norm(a)
+    val nb = l2norm(b)
+    when(na > 0 && nb > 0, dot(a, b) / (na * nb))
+  }
 
   /** Exact brute-force cosine top-k against one query vector (the
     * baseline every ANN variant is measured against).
@@ -26,9 +41,10 @@ object Similarity {
     */
   def topK(df: DataFrame, idCol: String, vecCol: String, query: DataFrame, k: Int): DataFrame =
     df.crossJoin(broadcast(query))
-      .withColumn("cos", cosine(col(vecCol), col("qvec")))
+      .withColumn("cos", safeCosine(col(vecCol), col("qvec")))
       .orderBy(col("cos").desc, col(idCol).asc)
       .limit(k)
+      .drop("qvec")
 
   /** LSH-bucketed near-duplicate pairs: vectors agreeing on the first
     * `dims` sign bits, with their exact cosine.
@@ -40,43 +56,54 @@ object Similarity {
       .select(
         col(s"x.$idCol").as("vec_a"),
         col(s"y.$idCol").as("vec_b"),
-        cosine(col(s"x.$vecCol"), col(s"y.$vecCol")).as("cos"))
+        safeCosine(col(s"x.$vecCol"), col(s"y.$vecCol")).as("cos"))
   }
 
   /** IVF-style top-k: assign every vector to its nearest centroid
-    * map-side (broadcast centroids), then search only the query's cell.
-    * Centroids are caller-provided (e.g. a sampled k-means or a label
-    * partition) — a single-row `query` is probed against `nProbe`
-    * nearest cells.
+    * map-side, then search only the query's `nProbe` nearest cells.
     *
-    * @param centroids DataFrame(cell_id, cvec: array<float/double>)
+    * The centroid set is collected to the driver once and folded into
+    * the plan as an `array<struct<cell_id,cvec>>` literal — the same
+    * smallness contract a broadcast join would assume, but with zero
+    * shuffle and zero per-row window: each row computes its argmax
+    * cell inside WholeStageCodegen via `array_max` over a
+    * `struct(ccos, -cell_id)` (struct ordering = field order, so ties
+    * go to the smallest cell_id).
+    *
+    * @param centroids DataFrame(cell_id: long, cvec: array<float/double>)
+    * @param query     single-row DataFrame with an array column `qvec`
     */
   def ivfTopK(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, query: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {
-    // nearest-cell assignment: argmax cosine over broadcast centroids,
-    // computed map-side per row (no shuffle).
-    def assign(in: DataFrame, vec: String): DataFrame =
-      in.crossJoin(broadcast(centroids))
-        .withColumn("ccos", cosine(col(vec), col("cvec")))
-        .withColumn("rk", row_number().over(
-          org.apache.spark.sql.expressions.Window
-            .partitionBy(col(idCol)).orderBy(col("ccos").desc, col("cell_id").asc)))
-        .filter(col("rk") === 1)
-        .drop("ccos", "rk", "cvec")
+    val cents = centroids.select(col("cell_id").cast("long"), col("cvec")).collect()
+    val cellArr = array(cents.map { r =>
+      struct(
+        lit(r.getLong(0)).as("cell_id"),
+        array(r.getSeq[Any](1).map(v => lit(v).cast("double")): _*).as("cvec"))
+    }: _*)
 
-    val assigned = assign(df, vecCol)
+    def nearestCell(vec: Column): Column = {
+      val best = array_max(transform(cellArr, c =>
+        struct(
+          coalesce(safeCosine(vec, c.getField("cvec")), lit(Double.NegativeInfinity)).as("ccos"),
+          (-c.getField("cell_id")).as("neg"))))
+      -best.getField("neg")
+    }
+
+    val assigned = df.withColumn("cell_id", nearestCell(col(vecCol)))
     val probeCells = query
       .crossJoin(broadcast(centroids))
-      .withColumn("ccos", cosine(col("qvec"), col("cvec")))
-      .orderBy(col("ccos").desc, col("cell_id").asc)
+      .withColumn("ccos", safeCosine(col("qvec"), col("cvec")))
+      .orderBy(col("ccos").desc_nulls_last, col("cell_id").asc)
       .limit(nProbe)
-      .select(col("cell_id"))
+      .select(col("cell_id").cast("long").as("cell_id"))
     assigned
       .join(broadcast(probeCells), Seq("cell_id"))
       .crossJoin(broadcast(query))
-      .withColumn("cos", cosine(col(vecCol), col("qvec")))
-      .orderBy(col("cos").desc, col(idCol).asc)
+      .withColumn("cos", safeCosine(col(vecCol), col("qvec")))
+      .orderBy(col("cos").desc_nulls_last, col(idCol).asc)
       .limit(k)
+      .drop("qvec")
   }
 }

@@ -1,0 +1,285 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+import graft.functions.TextKernels
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+/** [EXT] LLM-data-pipeline operator queries over the `documents` and
+  * `embeddings` tables (SURVEY.md §7.1 step 6; north-star extension
+  * beyond the reference surface): dedup (exact, MinHash+LSH, SimHash,
+  * n-gram Jaccard, embedding-cosine), similarity search (brute-force
+  * top-k, LSH buckets, IVF cells), text analysis (token stats,
+  * language heuristic, quality score, fingerprint) and multimodal
+  * column plumbing.
+  *
+  * Every query here has a DuckDB oracle that reimplements the operator
+  * deterministically in SQL (list lambdas + md5), EXCEPT the
+  * mapPartitions feature-extraction stub whose oracle replays the same
+  * byte fold over the text's characters (valid because the corpus is
+  * ASCII — the Spark side hashes UTF-8 payload bytes).
+  *
+  * Cross-engine determinism rules used throughout:
+  *  - the only hash primitive is md5 (byte-identical everywhere);
+  *    hex-to-int via the first 15 hex chars → non-negative 60-bit long;
+  *  - array folds are left folds over storage order on both sides
+  *    (Spark `aggregate` ↔ DuckDB `list_reduce` with a prepended init);
+  *  - integer sums are exact; double math uses identical expression
+  *    trees so IEEE results are bit-equal;
+  *  - NULL (never NaN) for degenerate cosine inputs, with explicit
+  *    NULLS LAST in oracle ORDER BY to match Spark's `desc`.
+  */
+object PipelinePack {
+
+  // ---- shared DuckDB SQL fragments (oracle side) --------------------
+
+  /** DuckDB: whitespace tokens of `text`. */
+  private val T = "string_split(text, ' ')"
+
+  /** DuckDB: non-negative 60-bit hash of a string expression. */
+  private def sqlHex60(s: String): String =
+    s"('0x' || substr(md5($s), 1, 15))::BIGINT"
+
+  /** DuckDB: distinct 3-word shingles over tokens (mirrors
+    * TextKernels.wordShingles: short docs yield one truncated shingle).
+    */
+  private val sqlShingles: String =
+    s"list_distinct(list_transform(range(1, greatest(len($T) - 2, 1) + 1), " +
+      s"i -> array_to_string(($T)[i:i+2], ' ')))"
+
+  /** DuckDB: left-fold dot product of two list expressions, cast to
+    * double element-wise first (mirrors VectorKernels.dot).
+    */
+  private def sqlDot(a: String, b: String): String =
+    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
+      s"i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE)), (acc, x) -> acc + x)"
+
+  /** DuckDB: null-safe cosine (mirrors Similarity.safeCosine). */
+  private def sqlCos(a: String, b: String): String =
+    s"(CASE WHEN sqrt(${sqlDot(a, a)}) > 0 AND sqrt(${sqlDot(b, b)}) > 0 " +
+      s"THEN ${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})) END)"
+
+  // ---- dedup family -------------------------------------------------
+
+  /** Exact content dedup by 128-bit hash (Dedup.exact): uniform hash
+    * keys → one skew-free shuffle at any scale.
+    */
+  private val q17 = QueryDef(
+    "q17_dedup_exact",
+    (s, dir) => Dedup.exact(Tables.documents(s, dir), "doc_id", "text"),
+    Some("""SELECT md5(text) AS content_hash, min(doc_id) AS keep_id,
+      count(*) AS n_copies
+      FROM documents GROUP BY md5(text)"""))
+
+  /** MinHash + LSH banding candidate pairs (Dedup.minhashCandidatePairs):
+    * signatures map-side, shuffle only on (band_idx, band_key) — never
+    * an all-pairs product.
+    */
+  private val q18 = QueryDef(
+    "q18_lsh_candidates",
+    (s, dir) => Dedup.minhashCandidatePairs(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 4),
+    Some(s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
+      sig AS (SELECT doc_id, list_transform(range(0, 16),
+        h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS sig FROM sh),
+      bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '')) AS bk
+        FROM sig CROSS JOIN range(0, 4) AS t(b))
+      SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id"""))
+
+  /** Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle
+    * (Dedup.jaccardPairs): inverted-index self-join on the shingle.
+    */
+  private val q19 = QueryDef(
+    "q19_jaccard_pairs",
+    (s, dir) => Dedup.jaccardPairs(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleWords = 3, threshold = 0.2),
+    Some(s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
+      inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
+      SELECT doc_a, doc_b, jaccard FROM (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          count(*)::DOUBLE / (min(x.n) + min(y.n) - count(*)) AS jaccard
+        FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      WHERE jaccard >= 0.2"""))
+
+  /** 60-bit SimHash per document (Dedup.simhashes) — near-dup docs
+    * differ in few bits; entirely map-side.
+    */
+  private val q20 = QueryDef(
+    "q20_simhash",
+    (s, dir) => Dedup.simhashes(Tables.documents(s, dir), "doc_id", "text"),
+    Some {
+      val hs = s"list_transform($T, t -> ${sqlHex60("t")})"
+      val bits = (0 until 60).map { b =>
+        s"(CASE WHEN list_sum(list_transform(hs, h -> ((h >> $b) % 2) * 2 - 1)) > 0 " +
+          s"THEN ${1L << b} ELSE 0 END)"
+      }.mkString(" + ")
+      s"SELECT doc_id, ($bits)::BIGINT AS simhash FROM (SELECT doc_id, $hs AS hs FROM documents)"
+    })
+
+  /** Embedding-cosine near-dup pairs via sign-bucket LSH
+    * (Similarity.bucketNearDup): bucket map-side, exact cosine within
+    * buckets only.
+    */
+  private val q21 = QueryDef(
+    "q21_vec_neardup",
+    (s, dir) => Similarity.bucketNearDup(
+      Tables.embeddings(s, dir), "vec_id", "embedding", dims = 6),
+    Some {
+      val bk = "array_to_string(list_transform(embedding[1:6], " +
+        "x -> CASE WHEN x >= 0 THEN '1' ELSE '0' END), '')"
+      s"""WITH b AS (SELECT vec_id, embedding, $bk AS bk FROM embeddings)
+      SELECT x.vec_id AS vec_a, y.vec_id AS vec_b,
+        ${sqlCos("x.embedding", "y.embedding")} AS cos
+      FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id"""
+    })
+
+  // ---- similarity search --------------------------------------------
+
+  /** Exact brute-force cosine top-k (Similarity.topK): broadcast query
+    * vector, one scan, TakeOrderedAndProject — the ANN baseline.
+    */
+  private val q22 = QueryDef(
+    "q22_ann_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val query = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.topK(e, "vec_id", "embedding", query, k = 10)
+        .select(col("vec_id"), col("label"), col("cos"))
+    },
+    Some(s"""WITH q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0)
+      SELECT vec_id, label, ${sqlCos("embedding", "qvec")} AS cos
+      FROM embeddings CROSS JOIN q
+      ORDER BY cos DESC NULLS LAST, vec_id ASC LIMIT 10"""))
+
+  /** IVF top-k (Similarity.ivfTopK): nearest-centroid assignment fully
+    * map-side (centroid literal array, no shuffle), probe 2 cells.
+    * Centroids here are the first 8 vectors — deterministic, so the
+    * oracle can reproduce the assignment exactly.
+    */
+  private val q23 = QueryDef(
+    "q23_ivf_topk",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+      val query = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+      Similarity.ivfTopK(e, "vec_id", "embedding", cents, query, k = 10, nProbe = 2)
+        .select(col("vec_id"), col("label"), col("cos"))
+    },
+    Some(s"""WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      q AS (SELECT embedding AS qvec FROM embeddings WHERE vec_id = 0),
+      asg AS (SELECT vec_id, embedding, label, cell_id FROM (
+        SELECT e.vec_id, e.embedding, e.label, c.cell_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY coalesce(${sqlCos("e.embedding", "c.cvec")}, '-infinity'::DOUBLE) DESC,
+              c.cell_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+      probe AS (SELECT cell_id FROM (
+        SELECT c.cell_id, ${sqlCos("q.qvec", "c.cvec")} AS ccos FROM cents c CROSS JOIN q)
+        ORDER BY ccos DESC NULLS LAST, cell_id ASC LIMIT 2)
+      SELECT vec_id, label, ${sqlCos("embedding", "qvec")} AS cos
+      FROM asg JOIN probe USING (cell_id) CROSS JOIN q
+      ORDER BY cos DESC NULLS LAST, vec_id ASC LIMIT 10"""))
+
+  // ---- text analysis ------------------------------------------------
+
+  private val Stops = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
+
+  /** Token stats + quality score + n-gram-heuristic language ID —
+    * all map-side codegen'd builtins.
+    */
+  private val q24 = QueryDef(
+    "q24_text_stats",
+    (s, dir) => {
+      val toks = TextKernels.tokens(col("text"))
+      val stopRatio = TextKernels.stopwordRatio(toks, Stops)
+      val mbRatio = TextKernels.multibyteRatio(toks)
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        // single-space-joined corpus: token chars = chars - separators
+        ((length(col("text")) - (size(toks) - 1)).cast("double") / size(toks))
+          .as("avg_token_len"),
+        stopRatio.as("stop_ratio"),
+        mbRatio.as("mb_ratio"),
+        (least(lit(1.0), size(toks).cast("double") / lit(100.0)) * (lit(1.0) - mbRatio))
+          .as("quality_score"),
+        when(mbRatio > 0.3, lit("zh"))
+          .when(stopRatio >= 0.08, lit("en"))
+          .otherwise(lit("other")).as("lang_guess"))
+    },
+    Some {
+      val stopsList = Stops.map(w => s"'$w'").mkString("[", ", ", "]")
+      val stopR = s"(len(list_filter($T, t -> list_contains($stopsList, t)))::DOUBLE / len($T))"
+      val mbR = s"(len(list_filter($T, t -> strlen(t) > length(t)))::DOUBLE / len($T))"
+      s"""SELECT doc_id,
+        len($T)::BIGINT AS n_tokens,
+        (length(text) - (len($T) - 1))::DOUBLE / len($T) AS avg_token_len,
+        $stopR AS stop_ratio,
+        $mbR AS mb_ratio,
+        least(1.0, len($T)::DOUBLE / 100.0) * (1.0 - $mbR) AS quality_score,
+        CASE WHEN $mbR > 0.3 THEN 'zh'
+             WHEN $stopR >= 0.08 THEN 'en'
+             ELSE 'other' END AS lang_guess
+      FROM documents"""
+    })
+
+  /** Rolling polynomial fingerprint over the token stream
+    * (Dedup.fingerprints) — a genuine left fold, mirrored by DuckDB
+    * list_reduce with a prepended zero init.
+    */
+  private val q25 = QueryDef(
+    "q25_fingerprint",
+    (s, dir) => Dedup.fingerprints(Tables.documents(s, dir), "doc_id", "text"),
+    Some(s"""SELECT doc_id,
+      list_reduce(list_prepend(0::BIGINT,
+        list_transform($T, t -> ${sqlHex60("t")} % 1000000007)),
+        (acc, x) -> (acc * 1000003 + x) % 1000000007) AS fingerprint
+      FROM documents"""))
+
+  // ---- multimodal ----------------------------------------------------
+
+  /** Multimodal ingest metadata (Multimodal.ingest): payload travels as
+    * opaque binary; typed metadata (length, sha256) extracted map-side.
+    */
+  private val q26 = QueryDef(
+    "q26_multimodal_meta",
+    (s, dir) => Multimodal.ingest(Tables.documents(s, dir), "doc_id", "text", "text/plain")
+      .select(
+        col("doc_id"),
+        col("meta.media_type").as("media_type"),
+        col("meta.byte_len").as("byte_len"),
+        col("meta.sha256").as("sha256")),
+    Some("""SELECT doc_id, 'text/plain' AS media_type,
+      strlen(text)::BIGINT AS byte_len, sha256(text) AS sha256
+      FROM documents"""))
+
+  /** Partition-wise feature extraction over binary payloads
+    * (Multimodal.extractFeatures — deterministic stand-in decoder).
+    * The oracle replays the same per-byte fold over characters, valid
+    * because the corpus is ASCII (1 char = 1 UTF-8 byte); the Spark
+    * side operates on real payload bytes.
+    */
+  private val q27 = QueryDef(
+    "q27_multimodal_features",
+    (s, dir) => Multimodal.extractFeatures(
+      Multimodal.ingest(Tables.documents(s, dir), "doc_id", "text", "text/plain"),
+      "doc_id"),
+    Some {
+      val dims = (0 until Multimodal.FeatureDim).map { d =>
+        s"(list_reduce(list_prepend(0::BIGINT, " +
+          s"list_transform(list_filter(range(1, strlen(text) + 1), i -> (i - 1) % 8 = $d), " +
+          s"i -> ord(substr(text, i, 1)))), " +
+          s"(acc, x) -> (acc * 31 + x) % 1000003)::FLOAT / 1000003.0::FLOAT)::FLOAT"
+      }.mkString(", ")
+      s"SELECT doc_id, [$dims] AS features FROM documents"
+    })
+
+  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+}

@@ -1,0 +1,196 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.TextKernels
+import graft.ops.{Dedup, Multimodal, Similarity}
+
+/** Semantics tests for the [EXT] LLM-data-pipeline operators on small
+  * constructed inputs (the DuckDB oracle checks the same operators at
+  * sf0.01 via PipelinePack; here we pin the behavioral contracts).
+  */
+class PipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def docs(rows: (Long, String)*): DataFrame =
+    rows.toDF("doc_id", "text")
+
+  // ---- exact dedup --------------------------------------------------
+
+  test("Dedup.exact collapses identical content to min id with copy count") {
+    val d = docs(1L -> "a b c", 2L -> "a b c", 3L -> "x y z")
+    val out = Dedup.exact(d, "doc_id", "text")
+      .orderBy("keep_id").collect()
+    assert(out.length === 2)
+    assert(out(0).getAs[Long]("keep_id") === 1L)
+    assert(out(0).getAs[Long]("n_copies") === 2L)
+    assert(out(1).getAs[Long]("keep_id") === 3L)
+    assert(out(1).getAs[Long]("n_copies") === 1L)
+  }
+
+  // ---- minhash LSH --------------------------------------------------
+
+  test("minhashCandidatePairs pairs identical docs, not disjoint ones") {
+    val same = "the quick brown fox jumps over the lazy dog again and again"
+    val other = "completely different words nothing shared here at all ever once"
+    val d = docs(1L -> same, 2L -> same, 3L -> other)
+    val pairs = Dedup.minhashCandidatePairs(d, "doc_id", "text").collect()
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("minhash signature is identical for identical shingle sets") {
+    val d = docs(1L -> "a b c d e", 2L -> "a b c d e")
+    val sigs = d.select(
+      TextKernels.minhashSig(
+        TextKernels.wordShingles(TextKernels.tokens(col("text")), 3), 16).as("sig"))
+      .collect().map(_.getSeq[String](0))
+    assert(sigs(0) === sigs(1))
+  }
+
+  // ---- jaccard ------------------------------------------------------
+
+  test("jaccardPairs computes exact shingle jaccard") {
+    // doc1 shingles {a b c, b c d}; doc2 shingles {a b c, b c x}
+    // jaccard = 1 / 3
+    val d = docs(1L -> "a b c d", 2L -> "a b c x")
+    val out = Dedup.jaccardPairs(d, "doc_id", "text", threshold = 0.0).collect()
+    assert(out.length === 1)
+    assert(math.abs(out(0).getAs[Double]("jaccard") - 1.0 / 3.0) < 1e-12)
+  }
+
+  test("jaccardPairs threshold filters below-threshold pairs") {
+    val d = docs(1L -> "a b c d", 2L -> "a b c x")
+    assert(Dedup.jaccardPairs(d, "doc_id", "text", threshold = 0.5).count() === 0)
+  }
+
+  // ---- simhash / fingerprint ---------------------------------------
+
+  test("simhash is equal for identical docs, differs for unrelated docs") {
+    val d = docs(1L -> "a b c d e f", 2L -> "a b c d e f",
+      3L -> "q r s t u v w x y z zz qq rr ss")
+    val out = Dedup.simhashes(d, "doc_id", "text")
+      .orderBy("doc_id").collect().map(_.getAs[Long]("simhash"))
+    assert(out(0) === out(1))
+    assert(out(0) !== out(2))
+    assert(out.forall(h => h >= 0 && h < (1L << 60)))
+  }
+
+  test("rollingFingerprint matches a sequential reimplementation") {
+    val text = "alpha beta gamma"
+    val out = Dedup.fingerprints(docs(1L -> text), "doc_id", "text")
+      .head.getAs[Long]("fingerprint")
+    val P = 1000000007L
+    def hex60(s: String): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      java.lang.Long.parseLong(md.take(15), 16)
+    }
+    val expected = text.split(" ").foldLeft(0L)((acc, t) => (acc * 1000003L + hex60(t) % P) % P)
+    assert(out === expected)
+  }
+
+  // ---- similarity search -------------------------------------------
+
+  private def vecs(rows: (Long, Seq[Float])*): DataFrame =
+    rows.toDF("vec_id", "embedding")
+
+  test("topK ranks the query vector itself first with cosine 1") {
+    val d = vecs(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f),
+      3L -> Seq(0f, 1f, 0f), 4L -> Seq(-1f, 0f, 0f))
+    val q = vecs(1L -> Seq(1f, 0f, 0f)).select(col("embedding").as("qvec"))
+    val out = Similarity.topK(d, "vec_id", "embedding", q, k = 2).collect()
+    assert(out(0).getAs[Long]("vec_id") === 1L)
+    assert(math.abs(out(0).getAs[Double]("cos") - 1.0) < 1e-12)
+    assert(out(1).getAs[Long]("vec_id") === 2L)
+  }
+
+  test("topK: zero-norm vectors get NULL cosine and never rank (no NaN)") {
+    val d = vecs(1L -> Seq(0f, 0f, 0f), 2L -> Seq(1f, 0f, 0f), 3L -> Seq(0f, 1f, 0f))
+    val q = vecs(9L -> Seq(1f, 0f, 0f)).select(col("embedding").as("qvec"))
+    val out = Similarity.topK(d, "vec_id", "embedding", q, k = 3).collect()
+    assert(out.map(_.getAs[Long]("vec_id")).toSeq === Seq(2L, 3L, 1L))
+    assert(out(2).isNullAt(out(2).fieldIndex("cos")), "zero vector must be NULL, not NaN")
+  }
+
+  test("bucketNearDup only pairs within a sign bucket") {
+    val d = vecs(
+      1L -> Seq(1f, 1f, 1f), 2L -> Seq(2f, 3f, 4f),   // same sign bucket
+      3L -> Seq(-1f, 1f, 1f))                          // different bucket
+    val out = Similarity.bucketNearDup(d, "vec_id", "embedding", dims = 3).collect()
+    assert(out.map(r => (r.getLong(0), r.getLong(1))).toSet === Set((1L, 2L)))
+  }
+
+  test("ivfTopK with full probe equals brute-force topK") {
+    val d = vecs((0L to 19L).map(i =>
+      i -> Seq(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat, (i % 3).toFloat)): _*)
+    val cents = vecs(0L -> Seq(1f, 0f, 0f), 1L -> Seq(-1f, 0f, 1f))
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val q = vecs(99L -> Seq(1f, 0.2f, 0f)).select(col("embedding").as("qvec"))
+    val brute = Similarity.topK(d, "vec_id", "embedding", q, k = 5)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    val ivf = Similarity.ivfTopK(d, "vec_id", "embedding", cents, q, k = 5, nProbe = 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq
+    assert(ivf === brute, "probing ALL cells must recover the exact top-k")
+  }
+
+  test("ivfTopK cell assignment plan has no shuffle and no window") {
+    val d = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f))
+    val cents = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val q = vecs(9L -> Seq(1f, 0f)).select(col("embedding").as("qvec"))
+    val plan = Similarity.ivfTopK(d, "vec_id", "embedding", cents, q, k = 2, nProbe = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "assignment must not use a per-row window")
+  }
+
+  // ---- text kernels -------------------------------------------------
+
+  test("wordShingles: short docs yield one truncated shingle") {
+    val out = docs(1L -> "a b").select(
+      TextKernels.wordShingles(TextKernels.tokens(col("text")), 3).as("s"))
+      .head.getSeq[String](0)
+    assert(out === Seq("a b"))
+  }
+
+  test("stopword and multibyte ratios") {
+    val d = docs(1L -> "the fox é the")
+    val r = d.select(
+      TextKernels.stopwordRatio(TextKernels.tokens(col("text")), Seq("the")).as("sr"),
+      TextKernels.multibyteRatio(TextKernels.tokens(col("text"))).as("mr")).head
+    assert(math.abs(r.getDouble(0) - 0.5) < 1e-12)
+    assert(math.abs(r.getDouble(1) - 0.25) < 1e-12)
+  }
+
+  // ---- multimodal ---------------------------------------------------
+
+  test("ingest produces binary payload + typed metadata") {
+    val out = Multimodal.ingest(docs(1L -> "hello"), "doc_id", "text", "text/plain")
+    assert(out.schema("payload").dataType.typeName === "binary")
+    val r = out.head
+    val meta = r.getStruct(r.fieldIndex("meta"))
+    assert(meta.getAs[String]("media_type") === "text/plain")
+    assert(meta.getAs[Long]("byte_len") === 5L)
+    assert(meta.getAs[String]("sha256") ===
+      "2cf24dba5fb0a30e26e83b2ac5b9e29e1b161e5c1fa7425e73043362938b9824")
+  }
+
+  test("extractFeatures: FeatureDim floats, equal to fakeFeatures of the bytes") {
+    val in = Multimodal.ingest(docs(7L -> "hello world"), "doc_id", "text", "x")
+    val out = Multimodal.extractFeatures(in, "doc_id").head
+    assert(out.getLong(0) === 7L)
+    val feats = out.getSeq[Float](1)
+    assert(feats.length === Multimodal.FeatureDim)
+    assert(feats === Multimodal.fakeFeatures("hello world".getBytes("UTF-8")).toSeq)
+  }
+
+  test("extractFeatures is deterministic across runs") {
+    val in = Multimodal.ingest(docs(1L -> "abc", 2L -> "xyz"), "doc_id", "text", "x")
+    val a = Multimodal.extractFeatures(in, "doc_id").orderBy("doc_id").collect().toSeq
+    val b = Multimodal.extractFeatures(in, "doc_id").orderBy("doc_id").collect().toSeq
+    assert(a === b)
+  }
+}
