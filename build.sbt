@@ -11,6 +11,12 @@ libraryDependencies ++= Seq(
 )
 Test / fork := true
 run / fork := true
+// Pass forked-process stdout through UNPREFIXED: the driver parses the
+// one-line bench/verify JSON from stdout, and sbt's default logger
+// prefix ("[info] ") breaks its json parse (BENCH_r01/r02 "parsed":
+// null). Also drop the trailing "[success]" line for the same reason.
+run / outputStrategy := Some(OutputStrategy.StdoutOutput)
+Global / showSuccess := false
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

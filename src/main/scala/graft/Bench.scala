@@ -1,5 +1,24 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Driver-run benchmark: every SparkEntry query on
+  * SPARK_GRAFT_SF_DIR, one JSON result line on stdout.
+  *
+  * Methodology:
+  *  - a full untimed warm-up pass first (JIT, codegen cache, parquet
+  *    footers, broadcast build) so the first timed query is not
+  *    charged the session cold-start;
+  *  - the timed sink is the `noop` write format — it executes the
+  *    whole plan and materializes every output column (a `count()`
+  *    would let Catalyst prune all projection work);
+  *  - queries run in sorted name order so per-query trends are
+  *    comparable across rounds.
+  *
+  * The JSON line is printed bare on stdout (build.sbt routes forked
+  * output through StdoutOutput so sbt adds no [info] prefix) and also
+  * written to SPARK_GRAFT_BENCH_OUT if set, so the driver can parse it
+  * either way.
+  */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
@@ -10,16 +29,28 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val names = SparkEntry.queries.keys.toSeq.sorted
+    def run(name: String): Unit =
+      SparkEntry.queries(name)(spark, sfDir)
+        .write.mode("overwrite").format("noop").save()
+
+    names.foreach { n => try run(n) catch { case _: Throwable => () } } // warm-up
+    val results = names.map { name =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try run(name) catch { case _: Throwable => () }
       name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
-    spark.stop()
+    val total = results.map(_._2).sum
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+    }
+    spark.stop() // stop BEFORE printing so no stray log line follows the JSON
+    println(line)
   }
 }

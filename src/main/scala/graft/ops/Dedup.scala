@@ -30,36 +30,69 @@ object Dedup {
 
   /** MinHash + LSH banding candidate pairs: docs sharing ANY band key.
     * numHashes = bands * rowsPerBand signature entries.
+    *
+    * Signatures are computed ONCE (a self-join would recompute the
+    * whole minhash pipeline on both sides): explode band keys, group
+    * by (band_idx, band_key), expand each bucket's sorted id list into
+    * its i<j pairs. Bucket size bounds the expansion; buckets larger
+    * than `maxBucket` are degenerate bands (near-constant content) and
+    * are dropped — at corpus scale such a bucket would emit
+    * O(bucket²) pairs and is never what dedup wants.
     */
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4): DataFrame = {
-    val sig = df.select(
+      shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    // two-step so the md5 pass over shingles runs ONCE per row; the k
+    // permutations then read the materialized hash array (CollapseProject
+    // keeps non-cheap lambda expressions from being re-inlined per use).
+    val hashed = df.select(
       col(idCol),
-      minhashSig(wordShingles(tokens(col(textCol)), shingleWords), bands * rowsPerBand).as("sig"))
+      shingleHashes(wordShingles(tokens(col(textCol)), shingleWords)).as("sh30"))
+    val sig = hashed.select(
+      col(idCol),
+      minhashSigFromHashes(col("sh30"), bands * rowsPerBand).as("sig"))
     val bandRows = sig
       .select(col(idCol), posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
-    bandRows.as("x")
-      .join(bandRows.as("y"),
-        col("x.band_idx") === col("y.band_idx") &&
-          col("x.band_key") === col("y.band_key") &&
-          col(s"x.$idCol") < col(s"y.$idCol"))
-      .select(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
+    val buckets = bandRows
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(sort_array(collect_list(col(idCol))).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucket))
+    buckets
+      .select(explode(flatten(transform(col("ids"), (x, i) =>
+        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
 
   /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle,
-    * via inverted-index self-join; emits pairs with jaccard ≥ threshold.
+    * emitted when jaccard ≥ threshold.
+    *
+    * Shape: ONE pass builds the inverted index (shingle → sorted
+    * [(id, setSize)]), each posting list expands to its i<j pairs, and
+    * a pair-count gives the intersection — no self-join, so the
+    * shingle pipeline is computed once and the only shuffles are the
+    * index groupBy and the pair groupBy. Posting-list length is the
+    * doc frequency of a shingle; the quadratic expansion on hot
+    * shingles is inherent to exact sharing-a-shingle semantics (use
+    * `minhashCandidatePairs` as the pre-filter at corpus scale).
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sh = df.select(col(idCol), wordShingles(tokens(col(textCol)), shingleWords).as("s"))
-    val inv = sh.select(col(idCol), size(col("s")).as("n"), explode(col("s")).as("g"))
-    inv.as("x")
-      .join(inv.as("y"), col("x.g") === col("y.g") && col(s"x.$idCol") < col(s"y.$idCol"))
-      .groupBy(col(s"x.$idCol").as("doc_a"), col(s"y.$idCol").as("doc_b"))
-      .agg(count(lit(1)).as("inter"), min(col("x.n")).as("na"), min(col("y.n")).as("nb"))
+    val inv = sh.select(struct(col(idCol).as("i"), size(col("s")).as("n")).as("d"),
+      explode(col("s")).as("g"))
+    val pairs = inv.groupBy(col("g"))
+      .agg(sort_array(collect_list(col("d"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(flatten(transform(col("ds"), (x, i) =>
+        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    pairs
+      .groupBy(col("p.a.i").as("doc_a"), col("p.b.i").as("doc_b"))
+      .agg(count(lit(1)).as("inter"), first(col("p.a.n")).as("na"), first(col("p.b.n")).as("nb"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)

@@ -83,11 +83,17 @@ object PipelinePack {
       shingleWords = 3, bands = 4, rowsPerBand = 4),
     Some(s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
       sig AS (SELECT doc_id, list_transform(range(0, 16),
-        h -> list_min(list_transform(s, x -> md5(h::VARCHAR || '|' || x)))) AS sig FROM sh),
-      bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '')) AS bk
-        FROM sig CROSS JOIN range(0, 4) AS t(b))
+        h -> list_min(list_transform(
+          list_transform(s, x -> ${sqlHex60("x")} % 1073741789),
+          v -> (((h * 2654435761) % 1073741789 + 1) * v
+                + (h * 40503 + 12345) % 1073741789) % 1073741789))) AS sig FROM sh),
+      bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bk
+        FROM sig CROSS JOIN range(0, 4) AS t(b)),
+      sz AS (SELECT b, bk, count(*) AS c FROM bands GROUP BY b, bk)
       SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
-      FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id"""))
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+      JOIN sz ON sz.b = x.b AND sz.bk = x.bk
+      WHERE sz.c <= 10000"""))
 
   /** Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle
     * (Dedup.jaccardPairs): inverted-index self-join on the shingle.

@@ -46,8 +46,9 @@ class PipelineSpec extends AnyFunSuite {
     val sigs = d.select(
       TextKernels.minhashSig(
         TextKernels.wordShingles(TextKernels.tokens(col("text")), 3), 16).as("sig"))
-      .collect().map(_.getSeq[String](0))
+      .collect().map(_.getSeq[Long](0))
     assert(sigs(0) === sigs(1))
+    assert(sigs(0).forall(v => v >= 0 && v < TextKernels.MinhashP))
   }
 
   // ---- jaccard ------------------------------------------------------
