@@ -14,15 +14,16 @@ import org.apache.spark.sql.types.StructType
   * 1000-executor cluster scans ranges concurrently instead of a serial
   * chunk loop.
   *
-  * NOTE: no database service exists in this offline container, so this
-  * class is compile-verified only; the FileConnection carries the
-  * tested operator semantics (both delegate upserts to the same
-  * [[graft.ops.Upsert]] core).
+  * Tested against embedded Derby (graft.JdbcConnectionSpec) — reads,
+  * partitioned reads, append, keyed merge, and full-replace all
+  * exercise a real JDBC endpoint in-process.
   */
 final class JdbcConnection(spark: SparkSession, val name: String,
     opts: Map[String, String]) extends Connection {
   private val url = opts("url")
-  private val common = opts.view.filterKeys(k => k != "url" && k != "getAllLimit").toMap
+  private val NonJdbcOpts = Set("url", "getAllLimit", "tablesQuery",
+    "partitionColumn", "numPartitions")
+  private val common = opts.view.filterKeys(k => !NonJdbcOpts.contains(k)).toMap
   private val getAllLimit = opts.get("getAllLimit").map(_.toLong)
 
   private def reader = spark.read.format("jdbc").option("url", url).options(common)
@@ -32,8 +33,11 @@ final class JdbcConnection(spark: SparkSession, val name: String,
       case Some(pc) =>
         // Partitioned range scan replacing the reference's LIMIT-offset
         // recursion (mysql.js:232-256).
+        // quote the column: Spark's JDBC writer creates case-preserved
+        // quoted identifiers, so unquoted references may not resolve
+        // (e.g. Derby upper-cases them).
         val bounds = reader.option("dbtable",
-          s"(SELECT min($pc) lo, max($pc) hi FROM $table) b").load().head()
+          s"""(SELECT min("$pc") lo, max("$pc") hi FROM $table) b""").load().head()
         reader.option("dbtable", table)
           .option("partitionColumn", pc)
           .option("lowerBound", bounds.get(0).toString)
@@ -42,14 +46,20 @@ final class JdbcConnection(spark: SparkSession, val name: String,
           .load()
       case None => reader.option("dbtable", table).load()
     }
-    getAllLimit.fold(base)(n => base.limit(n.toInt))
+    // caps beyond Int.MaxValue are "unlimited" (the reference default
+    // is Infinity, lib/book.js:74) — .limit(int) must not wrap.
+    getAllLimit.filter(_ <= Int.MaxValue).fold(base)(n => base.limit(n.toInt))
   }
 
   override def query(sql: String): DataFrame =
     reader.option("dbtable", s"($sql) q").load()
 
+  /** Catalog query is dialect-specific (information_schema by default;
+    * Derby/others override via opts("tablesQuery")).
+    */
   override def listTables: Seq[String] =
-    query("SELECT table_name FROM information_schema.tables")
+    query(opts.getOrElse("tablesQuery",
+      "SELECT table_name FROM information_schema.tables"))
       .collect().map(_.getString(0)).toSeq.sorted
 
   override def describe(table: String): StructType = getAll(table).schema
@@ -59,20 +69,46 @@ final class JdbcConnection(spark: SparkSession, val name: String,
     if (row.isNullAt(0)) None else Some(row.get(0))
   }
 
-  /** JDBC sinks get endpoint transactions; merge semantics require the
-    * endpoint's own upsert (the reference pushes `ON DUPLICATE KEY
-    * UPDATE` / `MERGE INTO` SQL) — Spark's JDBC writer only appends or
-    * overwrites, so insertData stages an append and documents that
-    * keyed merge belongs to [[FileConnection]]-backed tables.
+  private def tableExists(table: String): Boolean =
+    try { reader.option("dbtable", table).load().schema; true }
+    catch { case _: Exception => false }
+
+  private def write(data: DataFrame, table: String, mode: SaveMode): Unit =
+    data.write.format("jdbc").option("url", url).options(common)
+      .option("dbtable", table).mode(mode).save()
+
+  /** S9/O1 with real merge semantics (the reference pushes
+    * `ON DUPLICATE KEY UPDATE` / `MERGE INTO`, mysql.js:369-377,
+    * snowflake.js:347-397): Spark's JDBC writer has no keyed merge, so
+    * merge = read dest → [[graft.ops.Upsert]] → overwrite-with-truncate
+    * writeback. That round-trips the destination table through the
+    * cluster — correct, transactional at the endpoint, and fine for the
+    * dimension-table sizes JDBC endpoints hold; a 100 TB fact table
+    * belongs on a FileConnection where upsert rewrites only affected
+    * partitions.
     */
   override def insertData(table: String, data: DataFrame, key: String,
       mergeOnDuplicates: Boolean): Unit =
-    data.write.format("jdbc").option("url", url).options(common)
-      .option("dbtable", table).mode(SaveMode.Append).save()
+    if (mergeOnDuplicates && tableExists(table)) {
+      val merged = graft.ops.Upsert(reader.option("dbtable", table).load(), data, Seq(key))
+      // truncate keeps the table + endpoint DDL; localCheckpoint cuts
+      // the lineage so the overwrite does not scan the table it is
+      // truncating (classic JDBC read-modify-write hazard).
+      write(merged.localCheckpoint(eager = true), table,
+        SaveMode.Overwrite)
+    } else {
+      write(data, table, SaveMode.Append)
+    }
 
+  /** O2: fullMerge drops and replaces (mysql.js:567-570); incremental
+    * merges on the key (mysql.js:572-591).
+    */
   override def mergeTables(sourceTable: String, destTable: String, key: String,
       fullMerge: Boolean): Unit =
-    insertData(destTable, getAll(sourceTable), key, mergeOnDuplicates = !fullMerge)
+    if (fullMerge)
+      write(getAll(sourceTable), destTable, SaveMode.Overwrite)
+    else
+      insertData(destTable, getAll(sourceTable), key, mergeOnDuplicates = true)
 
   override def dump(table: String, path: String, fmt: String): Unit = {
     val w = getAll(table).write.mode("overwrite")
