@@ -27,12 +27,34 @@ object TableOps {
     * auto-create if missing, schema-reconcile (add + widen), then
     * upsert keyed on `key`. The reference's byte-budget batching
     * dissolves into Spark partitioning.
+    *
+    * On a bucketed [[ParquetTable]], a schema-preserving merge batch
+    * takes the partition-scoped path: read ONLY the buckets the batch
+    * touches, upsert, rewrite ONLY those buckets (dynamic partition
+    * overwrite). A 1 GB batch over a 100 TB table then rewrites
+    * ~batch-coverage of the table instead of all of it. Batches that
+    * evolve the schema (new/widened columns) fall back to the full
+    * rewrite — evolution must reach every partition.
     */
   def insertData(t: ParquetTable, data: DataFrame, key: String = "id",
       mergeOnDuplicates: Boolean = true, orderBy: Seq[String] = Nil): Unit = {
     if (!t.exists) {
       t.overwrite(if (mergeOnDuplicates) data.dropDuplicates(key) else data,
         distKey = Some(key))
+      return
+    }
+    // partition-scoped only when the merge key IS the bucket key —
+    // otherwise a key collision could live in an unread bucket.
+    val schemaStable = t.isBucketed && key == t.bucketKey &&
+      SchemaLattice.reconcile(t.read.schema, data.schema).isNoop
+    if (schemaStable && mergeOnDuplicates) {
+      // affected-bucket ids: bounded by the bucket count, so this
+      // collect is a small driver-side scalar like getMax.
+      val affected = data.select(t.bucketExpr.as("b")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val destAffected = t.readBuckets(affected)
+      val srcReconciled = reconcileTo(data, destAffected.schema)
+      t.overwriteBuckets(Upsert(destAffected, srcReconciled, Seq(key), orderBy))
       return
     }
     val dest = t.read
