@@ -57,7 +57,9 @@ final class ConnectionRegistry(spark: SparkSession) {
       "file" -> ((n, opts) => new FileConnection(spark, n,
         opts.getOrElse("path", "."), opts.getOrElse("format", "parquet"),
         opts.get("getAllLimit").map(_.toLong))),
-      "jdbc" -> ((n, opts) => new JdbcConnection(spark, n, opts)))
+      "jdbc" -> ((n, opts) => new JdbcConnection(spark, n, opts)),
+      "search" -> ((n, opts) => new SearchConnection(spark, n,
+        opts.getOrElse("path", "."), opts.get("getAllLimit").map(_.toLong))))
   private val instances = mutable.Map.empty[String, Connection]
 
   /** User-local connection types shadow built-ins (lib/book.js:176-184). */

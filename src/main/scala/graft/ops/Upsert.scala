@@ -44,6 +44,28 @@ object Upsert {
   def append(dest: DataFrame, src: DataFrame): DataFrame =
     align(dest, src).unionByName(align(src, dest))
 
+  /** FIELD-level document merge — the Elasticsearch `update` contract
+    * (elasticsearch.js:30-66; golden: an update carrying only
+    * {id, happy} must preserve the doc's other fields,
+    * test/connections/elasticsearch.js:97-142): on key match, columns
+    * PRESENT in the source batch overwrite, columns absent from the
+    * batch keep their destination values; unmatched source docs are
+    * created. One full-outer join on the key — same shuffle budget as
+    * the row-level upsert.
+    */
+  def fieldMerge(dest: DataFrame, src: DataFrame, key: String): DataFrame = {
+    val srcCols = src.columns.toSet - key
+    val d = align(dest, src).alias("d")
+    val s = src.dropDuplicates(key).withColumn("__present", lit(1)).alias("s")
+    val outCols = d.columns.filter(_ != key).map { c =>
+      (if (srcCols.contains(c))
+        when(col("s.__present").isNotNull, col(s"s.$c")).otherwise(col(s"d.$c"))
+      else col(s"d.$c")).as(c)
+    }
+    d.join(s, Seq(key), "full_outer")
+      .select((col(key) +: outCols.toSeq): _*)
+  }
+
   /** Schema reconciliation (reference auto-add-column,
     * mysql.js:299-317): add columns present in `other` but missing
     * here, as typed NULLs, so unionByName sees identical schemas.

@@ -375,6 +375,43 @@ object Relational {
       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
       FROM events GROUP BY 1, 2"""))
 
+  /** F4 epoch seconds ↔ timestamp (reference `resp.created_at * 1000`,
+    * README.md:504): unix_timestamp → from_unixtime round trip.
+    */
+  private val q28 = QueryDef(
+    "q28_epoch_roundtrip",
+    (s, dir) => {
+      import s.implicits._
+      Tables.events(s, dir).select(
+        $"event_id",
+        unix_timestamp($"ts").as("epoch_s"),
+        from_unixtime(unix_timestamp($"ts")).as("ts_str"))
+    },
+    // floor, not a bare ::BIGINT: DuckDB epoch() yields fractional
+    // seconds and its cast ROUNDS, while Spark unix_timestamp truncates.
+    Some("""SELECT event_id, CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s,
+      strftime(to_timestamp(CAST(floor(epoch(ts)) AS BIGINT)), '%Y-%m-%d %H:%M:%S') AS ts_str
+      FROM events"""))
+
+  /** F10 full recursive JSON/struct flatten (reference `objectFlatten`,
+    * lib/utils.js:133-156): nested structs → dotted-path columns via
+    * [[graft.functions.StructFlatten]].
+    */
+  private val q29 = QueryDef(
+    "q29_struct_flatten",
+    (s, dir) => {
+      import s.implicits._
+      val nested = Tables.orders(s, dir).select(
+        $"o_orderkey",
+        struct(
+          struct($"o_custkey".as("cust"), $"o_totalprice".as("price")).as("ids"),
+          $"o_orderstatus".as("status")).as("ctx"))
+      graft.functions.StructFlatten.flatten(nested)
+    },
+    Some("""SELECT o_orderkey, o_custkey AS "ctx.ids.cust",
+      o_totalprice AS "ctx.ids.price", o_orderstatus AS "ctx.status"
+      FROM orders"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8,
-    q9, q10, q11, q12, q13, q14, q15, q16)
+    q9, q10, q11, q12, q13, q14, q15, q16, q28, q29)
 }
