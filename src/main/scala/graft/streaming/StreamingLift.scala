@@ -1,0 +1,83 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
+import org.apache.spark.sql.types.StructType
+
+import graft.ops.TableOps
+import graft.sources.ParquetTable
+
+/** [EXT] Structured Streaming lift of the batch-incremental protocol
+  * (SURVEY.md §2.8): the reference's watermark → filtered scan →
+  * upsert loop (books/etl/chapters/extract+load/extract.js:14-39)
+  * becomes `readStream` + event-time watermark + `foreachBatch` into
+  * the SAME upsert core batch mode uses — one code path for both
+  * execution modes.
+  *
+  * Scale notes: file-stream sources track processed files in the
+  * checkpoint (exactly-once per file); dedup state is bounded by the
+  * watermark delay (`dropDuplicatesWithinWatermark` evicts keys older
+  * than the watermark); each micro-batch upsert rewrites only affected
+  * buckets when `dest` is bucketed.
+  */
+object StreamingLift {
+
+  /** Incremental upsert stream: watch `srcPath` for new files, merge
+    * each micro-batch into `dest` keyed on `key` (within-batch
+    * keep-latest by `tsCol`, then src-wins merge — the q8/A4
+    * semantics). Re-delivery of a key is an UPDATE here, so no
+    * cross-batch key dedup: that belongs to [[dedupStream]], whose
+    * state would drop later updates as duplicates.
+    */
+  def upsertStream(spark: SparkSession, srcPath: String, schema: StructType,
+      dest: ParquetTable, key: String, tsCol: String,
+      checkpoint: String, availableNow: Boolean = true): StreamingQuery = {
+    val stream = spark.readStream.schema(schema).parquet(srcPath)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        TableOps.insertData(dest, batch, key, mergeOnDuplicates = true,
+          orderBy = Seq(tsCol))
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Exactly-once-per-key event stream (streaming A4): emit the FIRST
+    * arrival of each key, drop re-deliveries while the key is within
+    * the watermark; state evicts as the watermark passes. This is the
+    * dropDuplicatesWithinWatermark lift of the batch dedup — use it
+    * for at-least-once sources, not for update streams.
+    */
+  def dedupStream(spark: SparkSession, srcPath: String, schema: StructType,
+      key: String, tsCol: String, watermarkDelay: String = "1 hour"): DataFrame =
+    spark.readStream.schema(schema).parquet(srcPath)
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark(key)
+
+  /** Tumbling-window aggregation over an event stream — the streaming
+    * form of q16 (same logical plan shape per micro-batch); watermark
+    * bounds window state.
+    */
+  def tumblingCounts(stream: DataFrame, tsCol: String, keyCol: String,
+      valueCol: String, width: String = "1 hour",
+      watermarkDelay: String = "1 hour"): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), width), col(keyCol))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col(valueCol)).as("total_value"))
+      .select(col("window.start").as("window_start"), col(keyCol),
+        col("n_events"), col("total_value"))
+
+  /** Session windows (gap-based) per key — new capability beyond the
+    * reference, built on the session_window builtin; state eviction by
+    * watermark.
+    */
+  def sessionCounts(stream: DataFrame, tsCol: String, keyCol: String,
+      gap: String = "30 minutes", watermarkDelay: String = "1 hour"): DataFrame =
+    stream.withWatermark(tsCol, watermarkDelay)
+      .groupBy(session_window(col(tsCol), gap), col(keyCol))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"), col(keyCol), col("n_events"))
+}

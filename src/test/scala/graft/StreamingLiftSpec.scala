@@ -1,0 +1,134 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.streaming.Trigger
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.ParquetTable
+import graft.streaming.StreamingLift
+
+/** End-to-end micro-batch runs of the [EXT] streaming lift (W2):
+  * file-stream → watermark → dedup-within-watermark → foreachBatch
+  * upsert, with semantics matching the batch q8 keep-latest dedup.
+  */
+class StreamingLiftSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def ts(s: String): Timestamp = Timestamp.valueOf(s)
+
+  private def events(rows: Seq[(Long, Timestamp, String)]): DataFrame =
+    rows.toDF("user_id", "ts", "v")
+
+  test("upsertStream merges micro-batches into the destination (q8 semantics)") {
+    val srcDir = Files.createTempDirectory("graft-stream-src").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    val dest = ParquetTable(spark,
+      Files.createTempDirectory("graft-stream-dst").resolve("t").toString)
+    val schema = events(Nil).schema
+
+    // batch 1: two users, one duplicate key (later ts must win)
+    events(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "old"),
+      (1L, ts("2024-01-01 10:05:00"), "newer"),
+      (2L, ts("2024-01-01 10:01:00"), "b")))
+      .write.parquet(srcDir + "/f1")
+
+    val q1 = StreamingLift.upsertStream(spark, srcDir + "/*", schema, dest,
+      key = "user_id", tsCol = "ts", checkpoint = ckpt)
+    q1.awaitTermination(60000)
+    val after1 = dest.read.orderBy("user_id").as[(Long, Timestamp, String)].collect()
+    assert(after1.map(_._1).toSeq === Seq(1L, 2L))
+    assert(after1(0)._3 === "newer", "within-batch dedup keeps latest ts")
+
+    // batch 2 (new files, restarted query from the same checkpoint):
+    // update user 1, add user 3 — checkpoint must skip f1
+    events(Seq(
+      (1L, ts("2024-01-01 11:00:00"), "updated"),
+      (3L, ts("2024-01-01 11:02:00"), "c")))
+      .write.parquet(srcDir + "/f2")
+
+    val q2 = StreamingLift.upsertStream(spark, srcDir + "/*", schema, dest,
+      key = "user_id", tsCol = "ts", checkpoint = ckpt)
+    q2.awaitTermination(60000)
+    val after2 = dest.read.orderBy("user_id").as[(Long, Timestamp, String)].collect()
+    assert(after2.map(_._1).toSeq === Seq(1L, 2L, 3L))
+    assert(after2(0)._3 === "updated", "upsert replaces on key collision")
+    assert(after2(1)._3 === "b", "untouched keys survive")
+  }
+
+  test("tumblingCounts: closed windows emit aggregated counts") {
+    val srcDir = Files.createTempDirectory("graft-tumble").toString
+    val data = events(Seq(
+      (1L, ts("2024-01-01 10:10:00"), "a"),
+      (2L, ts("2024-01-01 10:20:00"), "a"),
+      (3L, ts("2024-01-01 11:10:00"), "b")))
+      .withColumn("value", org.apache.spark.sql.functions.lit(1.5))
+    data.write.parquet(srcDir + "/f1")
+
+    val stream = spark.readStream.schema(data.schema).parquet(srcDir + "/*")
+    val ckpt = Files.createTempDirectory("graft-tumble-ckpt").toString
+    // update mode: append only emits windows closed by a LATER batch's
+    // watermark — a single AvailableNow batch would emit nothing.
+    val q = StreamingLift.tumblingCounts(stream, "ts", "v", "value")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("tumble_out").start()
+    q.awaitTermination(60000)
+    val rows = spark.table("tumble_out").collect()
+    assert(rows.exists(r => r.getAs[String]("v") == "a" && r.getAs[Long]("n_events") == 2L))
+  }
+
+  test("sessionCounts groups gap-separated activity into sessions") {
+    val srcDir = Files.createTempDirectory("graft-sess").toString
+    val data = events(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "u1"),
+      (1L, ts("2024-01-01 10:10:00"), "u1"),   // same session (gap 30m)
+      (1L, ts("2024-01-01 12:00:00"), "u1")))  // new session
+    data.write.parquet(srcDir + "/f1")
+
+    val stream = spark.readStream.schema(data.schema).parquet(srcDir + "/*")
+    val ckpt = Files.createTempDirectory("graft-sess-ckpt").toString
+    // session windows support append/complete, not update
+    val q = StreamingLift.sessionCounts(stream, "ts", "v")
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("sess_out").start()
+    q.awaitTermination(60000)
+    val rows = spark.table("sess_out").collect()
+    assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
+  }
+
+  test("dedupStream drops cross-batch re-deliveries within the watermark") {
+    val srcDir = Files.createTempDirectory("graft-dedup").toString
+    val schema = events(Nil).schema
+    events(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "first"),
+      (1L, ts("2024-01-01 10:01:00"), "dup-within-batch"),
+      (2L, ts("2024-01-01 10:02:00"), "other")))
+      .write.parquet(srcDir + "/f1")
+    // memory sinks cannot recover a checkpoint, so keep ONE live query
+    // and feed it two micro-batches.
+    val q = StreamingLift.dedupStream(spark, srcDir + "/*", schema, "user_id", "ts")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-dedup-ckpt").toString)
+      .format("memory").queryName("dedup_out").start()
+    q.processAllAvailable()
+    // re-delivery of key 1 in a later batch, still within the watermark
+    events(Seq((1L, ts("2024-01-01 10:03:00"), "dup-across-batch")))
+      .write.parquet(srcDir + "/f2")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dedup_out").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[String]("v"))).sorted.toSeq
+    // within a batch the surviving row is arbitrary (processing order,
+    // not event time); the contract is ONE emission per key and the
+    // cross-batch re-delivery dropped.
+    assert(got.map(_._1) === Seq(1L, 2L), "exactly one emission per key")
+    assert(!got.exists(_._2 == "dup-across-batch"), "later re-delivery must be dropped")
+  }
+}
