@@ -34,12 +34,21 @@ final class FileConnection(spark: SparkSession, val name: String,
       case "json" => spark.read.json(pathOf(tableName))
       case other => spark.read.format(other).load(pathOf(tableName))
     }
-    // --getAllLimit global row cap (lib/book.js:74, mysql.js:248-252)
-    getAllLimit.fold(df)(n => df.limit(n.toInt))
+    // --getAllLimit global row cap (lib/book.js:74, mysql.js:248-252);
+    // caps beyond Int.MaxValue mean unlimited (reference default is
+    // Infinity) — .limit(int) must not wrap.
+    getAllLimit.filter(_ <= Int.MaxValue).fold(df)(n => df.limit(n.toInt))
   }
 
+  /** S6 passthrough. Registers only the tables the SQL references (a
+    * word-boundary scan over the catalog) — registering everything
+    * costs a directory listing plus N schema reads per query.
+    */
   override def query(sql: String): DataFrame = {
-    listTables.foreach(t => getAll(t).createOrReplaceTempView(t))
+    val referenced = listTables.filter(t =>
+      ("""\b""" + java.util.regex.Pattern.quote(t) + """\b""").r
+        .findFirstIn(sql).isDefined)
+    referenced.foreach(t => getAll(t).createOrReplaceTempView(t))
     spark.sql(sql)
   }
 

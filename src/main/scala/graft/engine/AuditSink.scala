@@ -21,10 +21,7 @@ final class AuditSink(spark: SparkSession) {
     import spark.implicits._
     val rows = events.asScala.toSeq.map { e =>
       (e.state, new java.sql.Timestamp(e.timeMs), e.name, e.durationSec,
-        if (e.data.isEmpty) "{}"
-        else e.data.toSeq.sorted.map { case (k, v) =>
-          s""""$k":"${v.replace("\\", "\\\\").replace("\"", "\\\"")}"""" }
-          .mkString("{", ",", "}"))
+        graft.util.Json.obj(e.data.toSeq.sorted))
     }
     rows.toDF("state", "time", "name", "duration", "data")
   }

@@ -130,17 +130,29 @@ final class PidLock private (path: java.nio.file.Path) {
   def release(): Unit = java.nio.file.Files.deleteIfExists(path)
 }
 object PidLock {
+  /** Atomic-create (CREATE_NEW) instead of exists-then-write: two
+    * simultaneous starts race the exists check, but only one can win
+    * the atomic create; the loser re-examines the owner and either
+    * throws (alive) or steals the stale file and retries.
+    */
+  @annotation.tailrec
   def acquire(dir: String, name: String): PidLock = {
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
     val p = d.resolve(s"$name.pid")
-    if (java.nio.file.Files.exists(p)) {
+    val won =
+      try {
+        java.nio.file.Files.write(p, ProcessHandle.current().pid().toString.getBytes,
+          java.nio.file.StandardOpenOption.CREATE_NEW)
+        true
+      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+    if (won) new PidLock(p)
+    else {
       val old = new String(java.nio.file.Files.readAllBytes(p)).trim
       val alive = Try(ProcessHandle.of(old.toLong).map(_.isAlive).orElse(false)).getOrElse(false)
       if (alive) throw new IllegalStateException(s"pid $old already running book $name")
-      java.nio.file.Files.delete(p)
+      java.nio.file.Files.deleteIfExists(p)
+      acquire(dir, name)
     }
-    java.nio.file.Files.write(p, ProcessHandle.current().pid().toString.getBytes)
-    new PidLock(p)
   }
 }

@@ -412,6 +412,50 @@ object Relational {
       o_totalprice AS "ctx.ids.price", o_orderstatus AS "ctx.status"
       FROM orders"""))
 
+  /** T2 global row cap (--getAllLimit, lib/book.js:74) exercised
+    * through the FileConnection source path; the capped row SET is
+    * arbitrary, so the oracle checks the deterministic count.
+    */
+  private val q30 = QueryDef(
+    "q30_row_cap",
+    (s, dir) => {
+      val capped = new graft.connections.FileConnection(s, "cap", dir,
+        getAllLimit = Some(500L))
+      capped.getAll("orders").agg(count(lit(1)).as("n_rows"))
+    },
+    Some("""SELECT count(*) AS n_rows FROM (SELECT * FROM orders LIMIT 500) t"""))
+
+  /** P4/P5 sanitize pack: control-char scrub + truncation cap,
+    * zero-date → NULL, boolean → 0/1, reserved-word rename
+    * (redshift.js:71-104, 63-69; snowflake.js:505-516).
+    */
+  private val q31 = QueryDef(
+    "q31_sanitize",
+    (s, dir) => {
+      import s.implicits._
+      import graft.functions.Sanitize
+      val dirty = Tables.orders(s, dir).select(
+        $"o_orderkey",
+        concat($"o_orderpriority", lit("\u0007x")).as("prio_dirty"),
+        when($"o_orderkey" % 2 === 0, lit("0000-00-00 00:00:00"))
+          .otherwise($"o_orderstatus").as("status_dirty"),
+        ($"o_orderkey" % 2 === 0).as("even_flag"),
+        $"o_orderstatus".as("tag")) // Redshift reserved word
+      Sanitize.renameReserved(dirty.select(
+        $"o_orderkey",
+        Sanitize.sanitizeString($"prio_dirty").as("prio_clean"),
+        Sanitize.zeroDateToNull($"status_dirty").as("status_clean"),
+        Sanitize.boolToInt($"even_flag").as("even_int"),
+        $"tag"))
+    },
+    Some("""SELECT o_orderkey,
+      substr(regexp_replace(o_orderpriority || chr(7) || 'x',
+        '[\x00-\x08\x0B\x0C\x0E-\x1F]', '', 'g'), 1, 65535) AS prio_clean,
+      CASE WHEN o_orderkey % 2 = 0 THEN NULL ELSE o_orderstatus END AS status_clean,
+      CASE WHEN o_orderkey % 2 = 0 THEN 1 ELSE 0 END AS even_int,
+      o_orderstatus AS tag_
+      FROM orders"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8,
-    q9, q10, q11, q12, q13, q14, q15, q16, q28, q29)
+    q9, q10, q11, q12, q13, q14, q15, q16, q28, q29, q30, q31)
 }
