@@ -12,12 +12,13 @@ import graft.functions.TextKernels._
   * Scale notes (100 TB):
   *  - `exact` shuffles once on a 128-bit content hash — uniformly
   *    distributed, so no skew; AQE coalesces the post-agg partitions.
-  *  - `minhashCandidatePairs` computes signatures map-side, then
-  *    shuffles only (band_idx, band_key) pairs; bucket sizes are the
-  *    only join blow-up risk, controlled by band count / rows-per-band
-  *    (more rows per band → higher precision → smaller buckets).
-  *  - `jaccardPairs` is an inverted-index self-join on the shingle —
-  *    the standard Spark near-dup verifier; never an all-pairs product.
+  *  - `minhashCandidatePairs` computes signatures map-side (compiled
+  *    kernel, one pass), then shuffles only (band_idx, band_key) rows;
+  *    bucket sizes are the only blow-up risk, controlled by band count
+  *    / rows-per-band and capped by `maxBucket`.
+  *  - `jaccardPairs` groups an inverted index by shingle and expands
+  *    posting lists — the standard Spark near-dup verifier; never an
+  *    all-pairs product.
   */
 object Dedup {
 
@@ -43,15 +44,12 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
-    // two-step so the md5 pass over shingles runs ONCE per row; the k
-    // permutations then read the materialized hash array (CollapseProject
-    // keeps non-cheap lambda expressions from being re-inlined per use).
-    val hashed = df.select(
+    // compiled single-pass signature kernel (graft.functions.Kernels):
+    // tokenize → shingle → hash → k permutations in one static call
+    // inside WholeStageCodegen, bit-identical to the Column form.
+    val sig = df.select(
       col(idCol),
-      shingleHashes(wordShingles(tokens(col(textCol)), shingleWords)).as("sh30"))
-    val sig = hashed.select(
-      col(idCol),
-      minhashSigFromHashes(col("sh30"), bands * rowsPerBand).as("sig"))
+      graft.functions.Kernels.minhashSigOf(col(textCol), bands * rowsPerBand, shingleWords).as("sig"))
     val bandRows = sig
       .select(col(idCol), posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
     val buckets = bandRows
@@ -81,7 +79,8 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sh = df.select(col(idCol), wordShingles(tokens(col(textCol)), shingleWords).as("s"))
+    val sh = df.select(col(idCol),
+      graft.functions.Kernels.wordShinglesOf(col(textCol), shingleWords).as("s"))
     val inv = sh.select(struct(col(idCol).as("i"), size(col("s")).as("n")).as("d"),
       explode(col("s")).as("g"))
     val pairs = inv.groupBy(col("g"))
@@ -104,12 +103,13 @@ object Dedup {
     * idea as minhash).
     */
   def simhashes(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), tokenHashes(tokens(col(textCol))).as("hs"))
-      .select(col(idCol), simhash60(col("hs")).as("simhash"))
+    df.select(col(idCol),
+      graft.functions.Kernels.simhash60Of(col(textCol)).as("simhash"))
 
   /** Rolling polynomial fingerprint per document (cheap pre-filter:
     * equal fingerprints → verify with `jaccardPairs`).
     */
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
-    df.select(col(idCol), rollingFingerprint(tokens(col(textCol))).as("fingerprint"))
+    df.select(col(idCol),
+      graft.functions.Kernels.fingerprintOf(col(textCol)).as("fingerprint"))
 }

@@ -27,12 +27,12 @@ import graft.functions.VectorKernels._
   */
 object Similarity {
 
-  /** Cosine, null (not NaN) when either side has zero norm. */
-  private def safeCosine(a: Column, b: Column): Column = {
-    val na = l2norm(a)
-    val nb = l2norm(b)
-    when(na > 0 && nb > 0, dot(a, b) / (na * nb))
-  }
+  /** Cosine, null (not NaN) when either side has zero norm — the
+    * compiled kernel (graft.functions.Kernels.cosine), bit-identical
+    * to the zip_with/aggregate Column form but one codegen'd loop.
+    */
+  private def safeCosine(a: Column, b: Column): Column =
+    graft.functions.Kernels.cosineOf(a, b)
 
   /** Exact brute-force cosine top-k against one query vector (the
     * baseline every ANN variant is measured against).

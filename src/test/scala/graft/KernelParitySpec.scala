@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{Kernels, TextKernels, VectorKernels}
+
+/** The compiled StaticInvoke kernels must be BIT-IDENTICAL to their
+  * Column-expression counterparts (that is what keeps the DuckDB
+  * oracles valid after the hot paths switched to Kernels).
+  */
+class KernelParitySpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+
+  test("minhash signature parity on the corpus") {
+    val mismatch = docs.select(
+      Kernels.minhashSigOf(col("text"), 16, 3).as("fast"),
+      TextKernels.minhashSig(
+        TextKernels.wordShingles(TextKernels.tokens(col("text")), 3), 16).as("slow"))
+      .filter(not(col("fast") === col("slow"))).count()
+    assert(mismatch === 0)
+  }
+
+  test("simhash parity on the corpus") {
+    val mismatch = docs.select(
+      Kernels.simhash60Of(col("text")).as("fast"),
+      TextKernels.simhash60(
+        TextKernels.tokenHashes(TextKernels.tokens(col("text")))).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(mismatch === 0)
+  }
+
+  test("fingerprint parity on the corpus") {
+    val mismatch = docs.select(
+      Kernels.fingerprintOf(col("text")).as("fast"),
+      TextKernels.rollingFingerprint(TextKernels.tokens(col("text"))).as("slow"))
+      .filter(col("fast") =!= col("slow")).count()
+    assert(mismatch === 0)
+  }
+
+  test("minhash parity on edge cases (short docs, repeated words, empty)") {
+    val edge = Seq("a", "a b", "x x x x x x", "", "one two three four five")
+      .toDF("text")
+    val mismatch = edge.select(
+      Kernels.minhashSigOf(col("text"), 8, 3).as("fast"),
+      TextKernels.minhashSig(
+        TextKernels.wordShingles(TextKernels.tokens(col("text")), 3), 8).as("slow"))
+      .filter(not(col("fast") === col("slow"))).count()
+    assert(mismatch === 0)
+  }
+
+  test("wordShingles parity on corpus + edge cases (order included)") {
+    val edge = Seq("a", "a b", "x x x x x x", "one two three four five").toDF("text")
+    for (d <- Seq(docs, edge)) {
+      val mismatch = d.select(
+        Kernels.wordShinglesOf(col("text"), 3).as("fast"),
+        TextKernels.wordShingles(TextKernels.tokens(col("text")), 3).as("slow"))
+        .filter(not(col("fast") === col("slow"))).count()
+      assert(mismatch === 0)
+    }
+  }
+
+  test("cosine parity on embeddings, bit-exact") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val q = e.filter(col("vec_id") === 0).select(col("embedding").as("qvec"))
+    val na = VectorKernels.l2norm(col("embedding"))
+    val nb = VectorKernels.l2norm(col("qvec"))
+    val slow = when(na > 0 && nb > 0,
+      VectorKernels.dot(col("embedding"), col("qvec")) / (na * nb))
+    val mismatch = e.crossJoin(q)
+      .select(Kernels.cosineOf(col("embedding"), col("qvec")).as("fast"), slow.as("slow"))
+      .filter(col("fast") =!= col("slow")).count()  // bit-exact equality
+    assert(mismatch === 0)
+  }
+
+  test("cosine: zero-norm and length-mismatch give NULL") {
+    val df = Seq(
+      (Seq(0f, 0f), Seq(1f, 2f)),
+      (Seq(1f, 2f), Seq(1f)),
+      (Seq(3f, 4f), Seq(3f, 4f))).toDF("a", "b")
+    val got = df.select(Kernels.cosineOf(col("a"), col("b")).as("c")).collect()
+    assert(got(0).isNullAt(0))
+    assert(got(1).isNullAt(0))
+    assert(math.abs(got(2).getDouble(0) - 1.0) < 1e-15)
+  }
+
+  test("kernel plan stays inside WholeStageCodegen (no interpreted HOFs)") {
+    val plan = docs.select(Kernels.simhash60Of(col("text")))
+      .queryExecution.executedPlan.toString
+    // "*(n)" marks a WholeStageCodegen span in the rendered plan
+    assert(plan.contains("*(1) Project [static_invoke"), plan)
+  }
+}
