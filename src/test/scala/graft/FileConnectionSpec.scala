@@ -53,6 +53,30 @@ class FileConnectionSpec extends AnyFunSuite {
     assert(c3.getAll("users").count() === 3, "a >2^31 cap must not wrap to a tiny limit")
   }
 
+  test("S14 staged fetch: recursive listing + fetch + read-back") {
+    import graft.connections.StagedFetch
+    val remote = Files.createTempDirectory("graft-remote")
+    Files.createDirectories(remote.resolve("sub/deep"))
+    Files.writeString(remote.resolve("a.csv"), "id,v\n1,x\n")
+    Files.writeString(remote.resolve("sub/deep/b.csv"), "id,v\n2,y\n")
+    val listed = StagedFetch.listFiles(spark, remote.toString)
+    assert(listed.size === 2)
+    assert(listed.exists(_.endsWith("sub/deep/b.csv")), "walk must recurse")
+
+    val staging = Files.createTempDirectory("graft-staging").toString
+    val local = StagedFetch.fetch(spark, listed.find(_.endsWith("b.csv")).get, staging)
+    val df = spark.read.option("header", "true").csv(local)
+    assert(df.count() === 1)
+    assert(df.head().getString(1) === "y")
+  }
+
+  test("S5 row cursor yields every row, consumer-paced") {
+    import graft.connections.StagedFetch
+    val c = freshConn()
+    val rows = StagedFetch.rowCursor(c.getAll("users").orderBy("id")).toSeq
+    assert(rows.map(_.getLong(0)) === Seq(1L, 2L, 3L))
+  }
+
   test("audit sink emits valid JSON for control-char payloads (F11)") {
     val sink = new AuditSink(spark)
     val book = new Book("b")
