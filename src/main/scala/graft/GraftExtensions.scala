@@ -1,0 +1,59 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.types._
+
+import graft.functions.Kernels
+
+/** SQL surface for the [EXT] kernels, registered through the standard
+  * `SparkSessionExtensions` hook:
+  *
+  * {{{
+  *   spark.sql.extensions=graft.GraftExtensions
+  *   SELECT graft_simhash60(text), graft_minhash(text, 16, 3) FROM docs
+  * }}}
+  *
+  * For an already-running session (extensions bind at SparkContext
+  * creation), `GraftExtensions.register(spark)` installs the same
+  * functions as temp functions.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit =
+    GraftExtensions.descriptions.foreach { case (name, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(Kernels.getClass.getName, name), builder))
+    }
+}
+
+object GraftExtensions {
+
+  private def invoke(dt: DataType, fn: String, args: Seq[Expression],
+      in: Seq[DataType]): Expression =
+    StaticInvoke(Kernels.getClass, dt, fn, args, in)
+
+  private[graft] val descriptions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "graft_minhash" -> ((es: Seq[Expression]) =>
+      invoke(ArrayType(LongType, containsNull = false), "minhashSig", es,
+        Seq(StringType, IntegerType, IntegerType))),
+    "graft_shingles" -> ((es: Seq[Expression]) =>
+      invoke(ArrayType(StringType, containsNull = false), "wordShingles", es,
+        Seq(StringType, IntegerType))),
+    "graft_simhash60" -> ((es: Seq[Expression]) =>
+      invoke(LongType, "simhash60", es, Seq(StringType))),
+    "graft_fingerprint" -> ((es: Seq[Expression]) =>
+      invoke(LongType, "fingerprint", es, Seq(StringType))),
+    "graft_cosine" -> ((es: Seq[Expression]) =>
+      invoke(DoubleType, "cosine",
+        es.map(e => Cast(e, ArrayType(DoubleType))),
+        Seq(ArrayType(DoubleType), ArrayType(DoubleType)))))
+
+  /** Install into a live session as temp functions. */
+  def register(spark: SparkSession): Unit =
+    descriptions.foreach { case (name, builder) =>
+      org.apache.spark.sql.graft.expr.registerTempFunction(spark, name, builder)
+    }
+}

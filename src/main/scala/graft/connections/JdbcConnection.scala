@@ -42,7 +42,9 @@ final class JdbcConnection(spark: SparkSession, val name: String,
           .option("partitionColumn", pc)
           .option("lowerBound", bounds.get(0).toString)
           .option("upperBound", bounds.get(1).toString)
-          .option("numPartitions", opts.getOrElse("numPartitions", "32"))
+          // default read parallelism follows the cluster, not a constant
+          .option("numPartitions", opts.getOrElse("numPartitions",
+            spark.sparkContext.defaultParallelism.toString))
           .load()
       case None => reader.option("dbtable", table).load()
     }

@@ -87,6 +87,26 @@ class KernelParitySpec extends AnyFunSuite {
     assert(math.abs(got(2).getDouble(0) - 1.0) < 1e-15)
   }
 
+  test("kernels are SQL-callable after GraftExtensions.register") {
+    GraftExtensions.register(spark)
+    docs.createOrReplaceTempView("docs_sql")
+    val viaSql = spark.sql(
+      """SELECT graft_simhash60(text) AS sh, graft_fingerprint(text) AS fp,
+                graft_minhash(text, 8, 3) AS mh, graft_shingles(text, 3) AS sg
+         FROM docs_sql""")
+    val viaCol = docs.select(
+      Kernels.simhash60Of(col("text")).as("sh"),
+      Kernels.fingerprintOf(col("text")).as("fp"),
+      Kernels.minhashSigOf(col("text"), 8, 3).as("mh"),
+      Kernels.wordShinglesOf(col("text"), 3).as("sg"))
+    assert(viaSql.exceptAll(viaCol).count() === 0)
+    assert(viaCol.exceptAll(viaSql).count() === 0)
+
+    val cos = spark.sql(
+      "SELECT graft_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS c").head().getDouble(0)
+    assert(math.abs(cos - 1.0) < 1e-15)
+  }
+
   test("kernel plan stays inside WholeStageCodegen (no interpreted HOFs)") {
     val plan = docs.select(Kernels.simhash60Of(col("text")))
       .queryExecution.executedPlan.toString
