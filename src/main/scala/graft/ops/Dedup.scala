@@ -98,6 +98,38 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Keep-one-per-near-dup-cluster: connected components over a
+    * candidate-pair edge list by iterative min-label propagation, to
+    * fixpoint. Every doc maps to the minimum id reachable from it
+    * (singletons map to themselves) — the survivor its cluster keeps.
+    *
+    * Scale notes: iterations = cluster diameter (near-dup clusters are
+    * shallow); per-iteration lineage is cut with localCheckpoint so
+    * the plan does not grow exponentially; each iteration is one
+    * broadcast-able join + groupBy on the edge list (edges ≪ corpus).
+    * For adversarial billion-edge graphs swap in the large-star/
+    * small-star variant — same fixpoint, fewer rounds.
+    */
+  def nearDupSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+    val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
+      .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
+      .localCheckpoint(true)
+    var labels = docs.select(col(idCol).as("node"), col(idCol).as("label"))
+      .localCheckpoint(true)
+    var changed = 1L
+    while (changed > 0) {
+      val neighborMin = edges.join(labels, col("v") === col("node"))
+        .groupBy(col("u")).agg(min(col("label")).as("nlabel"))
+      val updated = labels.join(neighborMin, col("node") === col("u"), "left")
+        .select(col("node"), col("label"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newlabel"))
+        .localCheckpoint(true)
+      changed = updated.filter(col("newlabel") < col("label")).count()
+      labels = updated.select(col("node"), col("newlabel").as("label"))
+    }
+    labels.select(col("node").as(idCol), col("label").as("keep_id"))
+  }
+
   /** 60-bit SimHash per document (near-dup docs differ in few bits;
     * pair generation would bucket on a simhash prefix — same banding
     * idea as minhash).

@@ -144,6 +144,40 @@ object PipelinePack {
       FROM b x JOIN b y ON x.bk = y.bk AND x.vec_id < y.vec_id"""
     })
 
+  /** End-to-end near-dup dedup: LSH candidate pairs → connected
+    * components → keep-one survivor per cluster (Dedup.nearDupSurvivors;
+    * singletons keep themselves). The oracle replays the same
+    * reachability with a recursive CTE over the q18 pair set.
+    */
+  private val q32 = QueryDef(
+    "q32_neardup_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleWords = 3, bands = 4, rowsPerBand = 4)
+      Dedup.nearDupSurvivors(docs, pairs, "doc_id")
+    },
+    Some(s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
+      sig AS (SELECT doc_id, list_transform(range(0, 16),
+        h -> list_min(list_transform(
+          list_transform(s, x -> ${sqlHex60("x")} % 1073741789),
+          v -> (((h * 2654435761) % 1073741789 + 1) * v
+                + (h * 40503 + 12345) % 1073741789) % 1073741789))) AS sig FROM sh),
+      bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bk
+        FROM sig CROSS JOIN range(0, 4) AS t(b)),
+      pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      r AS (WITH RECURSIVE rr(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT rr.u, e.v FROM rr JOIN edges e ON rr.v = e.u)
+        SELECT * FROM rr)
+      SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS keep_id
+      FROM documents d LEFT JOIN r ON r.u = d.doc_id
+      GROUP BY d.doc_id"""))
+
   // ---- similarity search --------------------------------------------
 
   /** Exact brute-force cosine top-k (Similarity.topK): broadcast query
@@ -287,5 +321,6 @@ object PipelinePack {
       s"SELECT doc_id, [$dims] AS features FROM documents"
     })
 
-  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24, q25, q26, q27)
+  val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
+    q25, q26, q27, q32)
 }

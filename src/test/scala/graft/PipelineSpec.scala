@@ -93,6 +93,15 @@ class PipelineSpec extends AnyFunSuite {
     assert(out === expected)
   }
 
+  test("nearDupSurvivors: chained pairs collapse to one survivor") {
+    val d = docs(1L -> "x", 2L -> "x", 3L -> "x", 4L -> "y", 9L -> "z")
+    val pairs = Seq((2L, 3L), (1L, 2L)).toDF("doc_a", "doc_b") // chain 1-2-3
+    val out = Dedup.nearDupSurvivors(d, pairs, "doc_id")
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.toSeq === Seq(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 9L -> 9L),
+      "transitive cluster keeps min id; singletons keep themselves")
+  }
+
   // ---- similarity search -------------------------------------------
 
   private def vecs(rows: (Long, Seq[Float])*): DataFrame =
