@@ -107,6 +107,29 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Distinct 60-bit hashes of the n-word shingles (full hex60, no
+    * modulus): the inverted-index key for jaccard — 8-byte longs
+    * shuffle ~3× lighter than shingle strings, and the oracle applies
+    * the identical hash so collision behavior (negligible at 2^60)
+    * matches exactly.
+    */
+  def shingleHashes60(text: UTF8String, shingleWords: Int): ArrayData = {
+    val toks = tokenize(text)
+    val nShingles = math.max(toks.length - shingleWords + 1, 1)
+    val seen = new java.util.LinkedHashSet[String](nShingles * 2)
+    var i = 0
+    while (i < nShingles) {
+      val end = math.min(i + shingleWords, toks.length)
+      seen.add(toks.slice(i, end).mkString(" "))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = hex60(it.next().getBytes("UTF-8")); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def simhash60(text: UTF8String): Long = {
     val toks = tokenize(text)
     val sums = new Array[Int](60)
@@ -175,6 +198,12 @@ object Kernels {
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(numHashes)),
         expr(org.apache.spark.sql.functions.lit(shingleWords))),
       Seq(StringType, IntegerType, IntegerType)))
+
+  def shingleHashes60Of(text: Column, shingleWords: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, ArrayType(LongType, containsNull = false), "shingleHashes60",
+      Seq(expr(text), expr(org.apache.spark.sql.functions.lit(shingleWords))),
+      Seq(StringType, IntegerType)))
 
   def wordShinglesOf(text: Column, shingleWords: Int): Column =
     exprBridge.column(StaticInvoke(

@@ -79,8 +79,10 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // invert on 60-bit shingle HASHES, not strings: 8-byte shuffle
+    // keys; the oracle hashes identically so semantics are unchanged.
     val sh = df.select(col(idCol),
-      graft.functions.Kernels.wordShinglesOf(col(textCol), shingleWords).as("s"))
+      graft.functions.Kernels.shingleHashes60Of(col(textCol), shingleWords).as("s"))
     val inv = sh.select(struct(col(idCol).as("i"), size(col("s")).as("n")).as("d"),
       explode(col("s")).as("g"))
     val pairs = inv.groupBy(col("g"))

@@ -103,7 +103,8 @@ object PipelinePack {
     (s, dir) => Dedup.jaccardPairs(
       Tables.documents(s, dir), "doc_id", "text",
       shingleWords = 3, threshold = 0.2),
-    Some(s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
+    Some(s"""WITH sh AS (SELECT doc_id,
+        list_transform($sqlShingles, sg -> ${sqlHex60("sg")}) AS s FROM documents),
       inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
