@@ -69,6 +69,34 @@ object StreamingLift {
       .select(col("window.start").as("window_start"), col(keyCol),
         col("n_events"), col("total_value"))
 
+  /** Per-key custom state across micro-batches
+    * (`KeyValueGroupedDataset.mapGroupsWithState`): running event
+    * count + latest event time per key, surviving restarts through
+    * the checkpoint. The idiom for state no built-in aggregation
+    * expresses; state size is bounded by the key cardinality (pair
+    * with a timeout for unbounded key spaces).
+    */
+  def runningCounts(stream: DataFrame, keyCol: String, tsCol: String): DataFrame = {
+    val spark = stream.sparkSession
+    import spark.implicits._
+    stream
+      .select(col(keyCol).cast("string"), col(tsCol).cast("timestamp"))
+      .as[(String, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .mapGroupsWithState[(Long, Long), (String, Long, java.sql.Timestamp)](
+        org.apache.spark.sql.streaming.GroupStateTimeout.NoTimeout) {
+        case (key, events, state) =>
+          var (cnt, lastMs) = state.getOption.getOrElse((0L, 0L))
+          events.foreach { e =>
+            cnt += 1
+            if (e._2.getTime > lastMs) lastMs = e._2.getTime
+          }
+          state.update((cnt, lastMs))
+          (key, cnt, new java.sql.Timestamp(lastMs))
+      }
+      .toDF(keyCol, "n_events", "last_ts")
+  }
+
   /** Session windows (gap-based) per key — new capability beyond the
     * reference, built on the session_window builtin; state eviction by
     * watermark.

@@ -103,6 +103,33 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("runningCounts: mapGroupsWithState accumulates across micro-batches") {
+    val srcDir = Files.createTempDirectory("graft-state").toString
+    val schema = events(Nil).schema
+    events(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "u1"),
+      (1L, ts("2024-01-01 10:05:00"), "u1"),
+      (2L, ts("2024-01-01 10:01:00"), "u2"))).write.parquet(srcDir + "/f1")
+
+    val stream = spark.readStream.schema(schema).parquet(srcDir + "/*")
+    val q = StreamingLift.runningCounts(stream, "v", "ts")
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", Files.createTempDirectory("graft-state-ckpt").toString)
+      .format("memory").queryName("state_out").start()
+    q.processAllAvailable()
+    events(Seq((1L, ts("2024-01-01 11:00:00"), "u1"))).write.parquet(srcDir + "/f2")
+    q.processAllAvailable()
+    q.stop()
+
+    // memory sink in update mode appends each update; the LAST row per
+    // key is the current state
+    val last = spark.table("state_out").collect()
+      .map(r => (r.getAs[String]("v"), r.getAs[Long]("n_events")))
+      .groupBy(_._1).map { case (k, vs) => k -> vs.map(_._2).max }
+    assert(last("u1") === 3L, "state must accumulate across batches")
+    assert(last("u2") === 1L)
+  }
+
   test("dedupStream drops cross-batch re-deliveries within the watermark") {
     val srcDir = Files.createTempDirectory("graft-dedup").toString
     val schema = events(Nil).schema
