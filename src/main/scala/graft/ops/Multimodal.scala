@@ -58,6 +58,24 @@ object Multimodal {
     }(enc)
   }
 
+  /** Frame sampling over binary payloads: split each payload into
+    * fixed-size byte frames, one output row per frame — the shape a
+    * video/audio pipeline needs before per-frame decoding (which would
+    * run as `extractFeatures` over the frame column). Pure map-side:
+    * slicing + explode, no shuffle; payload bytes never leave the
+    * task that read them.
+    */
+  def frames(df: DataFrame, idCol: String, frameBytes: Int): DataFrame = {
+    val nFrames = greatest(
+      ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("int"),
+      lit(1))
+    df.select(
+      col(idCol),
+      posexplode(transform(sequence(lit(0), nFrames - 1),
+        i => col("payload").substr(i * frameBytes + 1, lit(frameBytes))))
+        .as(Seq("frame_idx", "frame")))
+  }
+
   /** Deterministic stand-in for a media decoder: folds payload bytes
     * into FeatureDim buckets and scales to [0, 1). Replace with the
     * real codec at deployment; signature and batch shape are stable.

@@ -322,6 +322,28 @@ object PipelinePack {
       s"SELECT doc_id, [$dims] AS features FROM documents"
     })
 
+  /** Frame sampling (Multimodal.frames): payload → fixed-size byte
+    * frames, one row each, verified via per-frame length + md5. The
+    * oracle slices the TEXT (the corpus is ASCII, 1 char = 1 byte);
+    * the Spark side slices the actual binary payload.
+    */
+  private val q33 = QueryDef(
+    "q33_frame_sample",
+    (s, dir) => Multimodal.frames(
+      Multimodal.ingest(Tables.documents(s, dir), "doc_id", "text", "text/plain"),
+      "doc_id", frameBytes = 64)
+      .select(
+        col("doc_id"), col("frame_idx").cast("long").as("frame_idx"),
+        octet_length(col("frame")).cast("long").as("frame_len"),
+        md5(col("frame")).as("frame_md5")),
+    Some("""SELECT doc_id,
+      unnest(range(0, greatest((strlen(text) + 63) // 64, 1))) AS frame_idx,
+      unnest(list_transform(range(0, greatest((strlen(text) + 63) // 64, 1)),
+        i -> strlen(substring(text, i * 64 + 1, 64))))::BIGINT AS frame_len,
+      unnest(list_transform(range(0, greatest((strlen(text) + 63) // 64, 1)),
+        i -> md5(substring(text, i * 64 + 1, 64)))) AS frame_md5
+      FROM documents"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q32)
+    q25, q26, q27, q32, q33)
 }

@@ -197,6 +197,17 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats === Multimodal.fakeFeatures("hello world".getBytes("UTF-8")).toSeq)
   }
 
+  test("frames splits payload into fixed-size byte frames") {
+    val in = Multimodal.ingest(docs(1L -> ("a" * 10)), "doc_id", "text", "x")
+    val out = Multimodal.frames(in, "doc_id", frameBytes = 4)
+      .orderBy("frame_idx").collect()
+    assert(out.length === 3)
+    assert(out.map(_.getAs[Array[Byte]]("frame").length).toSeq === Seq(4, 4, 2))
+    assert(new String(out(2).getAs[Array[Byte]]("frame"), "UTF-8") === "aa")
+    val plan = Multimodal.frames(in, "doc_id", 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "frame sampling must be map-side only")
+  }
+
   test("extractFeatures is deterministic across runs") {
     val in = Multimodal.ingest(docs(1L -> "abc", 2L -> "xyz"), "doc_id", "text", "x")
     val a = Multimodal.extractFeatures(in, "doc_id").orderBy("doc_id").collect().toSeq
