@@ -116,7 +116,12 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint(true)
-    var labels = docs.select(col(idCol).as("node"), col(idCol).as("label"))
+    // iterate ONLY over edge-touched nodes — dup clusters are a tiny
+    // fraction of a corpus, so the fixpoint loop never scans the full
+    // table; untouched docs trivially keep themselves (map-side union
+    // at the end).
+    var labels = edges.select(col("u").as("node")).distinct()
+      .withColumn("label", col("node"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
@@ -129,7 +134,11 @@ object Dedup {
       changed = updated.filter(col("newlabel") < col("label")).count()
       labels = updated.select(col("node"), col("newlabel").as("label"))
     }
-    labels.select(col("node").as(idCol), col("label").as("keep_id"))
+    val clustered = labels.select(col("node").as(idCol), col("label").as("keep_id"))
+    val singletons = docs.select(col(idCol))
+      .join(clustered.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("keep_id", col(idCol))
+    clustered.unionByName(singletons)
   }
 
   /** 60-bit SimHash per document (near-dup docs differ in few bits;
