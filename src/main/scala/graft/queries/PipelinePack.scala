@@ -344,6 +344,55 @@ object PipelinePack {
         i -> md5(substring(text, i * 64 + 1, 64)))) AS frame_md5
       FROM documents"""))
 
+  /** The full curation pipeline as one composed query: near-dup
+    * keep-one (LSH → connected components) ∘ quality gate ∘ token
+    * stats — what a training-data run executes per corpus shard.
+    * Demonstrates that the operator layer composes without
+    * materialization between stages.
+    */
+  private val q34 = QueryDef(
+    "q34_curation",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleWords = 3, bands = 4, rowsPerBand = 4)
+      val survivors = Dedup.nearDupSurvivors(docs, pairs, "doc_id")
+        .filter(col("keep_id") === col("doc_id")).select(col("doc_id"))
+      val toks = TextKernels.tokens(col("text"))
+      val mbRatio = TextKernels.multibyteRatio(toks)
+      val quality = least(lit(1.0), size(toks).cast("double") / lit(100.0)) * (lit(1.0) - mbRatio)
+      docs.join(survivors, Seq("doc_id"))
+        .select(col("doc_id"), size(toks).cast("long").as("n_tokens"),
+          quality.as("quality_score"))
+        .filter(col("quality_score") >= 0.2)
+    },
+    Some {
+      val mbR = s"(len(list_filter($T, t -> strlen(t) > length(t)))::DOUBLE / len($T))"
+      val quality = s"least(1.0, len($T)::DOUBLE / 100.0) * (1.0 - $mbR)"
+      s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
+      sig AS (SELECT doc_id, list_transform(range(0, 16),
+        h -> list_min(list_transform(
+          list_transform(s, x -> ${sqlHex60("x")} % 1073741789),
+          v -> (((h * 2654435761) % 1073741789 + 1) * v
+                + (h * 40503 + 12345) % 1073741789) % 1073741789))) AS sig FROM sh),
+      bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bk
+        FROM sig CROSS JOIN range(0, 4) AS t(b)),
+      pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id),
+      edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+        UNION SELECT doc_b, doc_a FROM pairs),
+      r AS (WITH RECURSIVE rr(u, v) AS (
+          SELECT u, v FROM edges
+          UNION
+          SELECT rr.u, e.v FROM rr JOIN edges e ON rr.v = e.u)
+        SELECT * FROM rr),
+      surv AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS keep_id
+        FROM documents d LEFT JOIN r ON r.u = d.doc_id GROUP BY d.doc_id)
+      SELECT d.doc_id, len($T)::BIGINT AS n_tokens, $quality AS quality_score
+      FROM documents d JOIN surv s ON d.doc_id = s.doc_id
+      WHERE s.keep_id = d.doc_id AND $quality >= 0.2"""
+    })
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q32, q33)
+    q25, q26, q27, q32, q33, q34)
 }
