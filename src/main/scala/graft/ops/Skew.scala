@@ -1,0 +1,66 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Skew-mitigation operators: two-phase salted aggregation and an
+  * as-of join built from window functions.
+  *
+  * Salting (SURVEY §2.4 / the 100 TB brief): a hot group key sends
+  * all its rows to one reducer. Phase 1 aggregates on
+  * (key, salt = pmod(hash(whole row), S)) — S-way fan-out of every hot
+  * key — phase 2 merges the S partials per key. Correct for any
+  * decomposable aggregate; results are identical to the unsalted
+  * groupBy (the oracle IS the plain GROUP BY).
+  */
+object Skew {
+
+  /** Salted sum+count per key. `salt` = fan-out per key (set ≈ the
+    * cluster's reducer count over the hot key's row share).
+    */
+  def saltedSumCount(df: DataFrame, keyCols: Seq[String], valueCol: Column,
+      salt: Int = 16): DataFrame = {
+    val keys = keyCols.map(col)
+    val partial = df
+      .withColumn("__salt", pmod(hash(df.columns.map(col): _*), lit(salt)))
+      .groupBy((keys :+ col("__salt")): _*)
+      .agg(sum(valueCol).as("__psum"), count(lit(1)).as("__pcnt"))
+    partial.groupBy(keys: _*)
+      .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("n_rows"))
+  }
+
+  /** As-of join: for each left row, the single latest right row with
+    * `rightTs <= leftTs` on the same key (NULLs when none) — the
+    * time-series enrich Spark has no built-in for (SURVEY §2.3 note).
+    *
+    * Shape: union both sides tagged, ONE window pass per key ordered
+    * by (ts, side) with `last(ignoreNulls)` carrying right-side values
+    * forward, then keep left rows. One shuffle on the key — no range
+    * self-join, no per-row subquery; skewed keys fall to AQE like any
+    * single-key window.
+    *
+    * Right side must be unique per (key, ts) — pre-dedupe it
+    * (`dropDuplicates`/keep-latest) or ties make the carried row
+    * ambiguous.
+    */
+  def asOfJoin(left: DataFrame, right: DataFrame, leftKey: String, rightKey: String,
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val l = left.withColumn("__side", lit(1))
+      .withColumn("__k", col(leftKey)).withColumn("__ts", col(leftTs))
+    val r = right.select(
+      (Seq(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side")) ++
+        rightVals.map(c => col(c).as(s"__r_$c"))): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // right rows (side 0) sort before left rows at equal ts, so an
+    // exactly-at-ts right row IS visible to the left row.
+    val w = Window.partitionBy(col("__k"))
+      .orderBy(col("__ts").asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val carried = rightVals.foldLeft(unioned) { (d, c) =>
+      d.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
+    }
+    carried.filter(col("__side") === 1)
+      .drop((Seq("__side", "__k", "__ts") ++ rightVals.map(c => s"__r_$c")): _*)
+  }
+}

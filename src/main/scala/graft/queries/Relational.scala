@@ -456,6 +456,55 @@ object Relational {
       o_orderstatus AS tag_
       FROM orders"""))
 
+  /** [EXT] salted two-phase aggregation (skew mitigation): identical
+    * results to the plain GROUP BY — which is exactly what the oracle
+    * runs. Values accumulate in decimal so the salted partial order
+    * cannot perturb a float sum.
+    */
+  private val q35 = QueryDef(
+    "q35_salted_agg",
+    (s, dir) => {
+      import s.implicits._
+      graft.ops.Skew.saltedSumCount(
+        Tables.orders(s, dir), Seq("o_custkey"),
+        $"o_totalprice".cast("decimal(18,2)"), salt = 16)
+        .select($"o_custkey", $"sum_value".cast("double").as("sum_value"), $"n_rows")
+    },
+    Some("""SELECT o_custkey,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+      count(*) AS n_rows
+      FROM orders GROUP BY o_custkey"""))
+
+  /** [EXT] as-of join: each event enriched with the latest order of
+    * the same customer at-or-before the event time (union + one window
+    * pass — no range self-join). DuckDB's native ASOF JOIN is the
+    * oracle. Right side deduped per (key, ts) by max orderkey so the
+    * tie-break is deterministic on both engines.
+    */
+  private val q36 = QueryDef(
+    "q36_asof_join",
+    (s, dir) => {
+      import s.implicits._
+      val ev = Tables.events(s, dir)
+        .select($"event_id", $"user_id", $"ts".cast("timestamp_ntz").as("ts"))
+      val r = Tables.orders(s, dir)
+        .groupBy($"o_custkey", $"o_orderdate")
+        .agg(max($"o_orderkey").as("o_orderkey"),
+          max_by($"o_totalprice", $"o_orderkey").as("o_totalprice"))
+      graft.ops.Skew.asOfJoin(ev, r, "user_id", "o_custkey", "ts", "o_orderdate",
+        Seq("o_orderkey", "o_totalprice"))
+        .select($"event_id", $"user_id", date_format($"ts", TsFmt).as("event_ts"),
+          $"asof_o_orderkey", $"asof_o_totalprice")
+    },
+    Some("""WITH r AS (
+        SELECT o_custkey, o_orderdate, max(o_orderkey) AS o_orderkey,
+               arg_max(o_totalprice, o_orderkey) AS o_totalprice
+        FROM orders GROUP BY o_custkey, o_orderdate)
+      SELECT e.event_id, e.user_id, strftime(e.ts, '%Y-%m-%d %H:%M:%S') AS event_ts,
+        r.o_orderkey AS asof_o_orderkey, r.o_totalprice AS asof_o_totalprice
+      FROM events e ASOF LEFT JOIN r
+        ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8,
-    q9, q10, q11, q12, q13, q14, q15, q16, q28, q29, q30, q31)
+    q9, q10, q11, q12, q13, q14, q15, q16, q28, q29, q30, q31, q35, q36)
 }

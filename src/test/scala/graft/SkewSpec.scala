@@ -1,0 +1,63 @@
+package graft
+
+import java.sql.Timestamp
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.Skew
+
+/** Semantics of the skew-mitigation operators: salted aggregation must
+  * equal the plain groupBy exactly; the as-of join must pick the
+  * latest right row at-or-before each left timestamp.
+  */
+class SkewSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("saltedSumCount equals plain groupBy on a skewed key") {
+    // one hot key with 10k rows, a few cold keys
+    val rows = (1 to 10000).map(i => (1L, BigDecimal(i % 7))) ++
+      (1 to 50).map(i => (2L + i % 3, BigDecimal(i)))
+    val df = rows.toDF("k", "v").withColumn("v", col("v").cast("decimal(18,2)"))
+    val salted = Skew.saltedSumCount(df, Seq("k"), col("v"), salt = 8)
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString, r.getLong(2)))
+    val plain = df.groupBy("k").agg(sum("v").as("s"), count(lit(1)).as("n"))
+      .orderBy("k").collect().map(r => (r.getLong(0), r.getDecimal(1).toPlainString, r.getLong(2)))
+    assert(salted.toSeq === plain.toSeq)
+  }
+
+  test("asOfJoin picks latest at-or-before; NULL when none") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq(
+      (1L, 10L, t("2024-01-01 12:00:00")),  // between r1 and r2 → r1
+      (2L, 10L, t("2024-01-01 10:00:00")),  // exactly at r1 → r1
+      (3L, 10L, t("2024-01-01 09:59:59")),  // before any → NULL
+      (4L, 20L, t("2024-01-01 12:00:00")))  // key with no right rows → NULL
+      .toDF("event_id", "k", "ts")
+    val right = Seq(
+      (10L, t("2024-01-01 10:00:00"), 100L),
+      (10L, t("2024-01-01 13:00:00"), 200L))
+      .toDF("k", "rts", "o")
+    val out = Skew.asOfJoin(left, right, "k", "k", "ts", "rts", Seq("o"))
+      .orderBy("event_id").collect()
+    def asof(i: Int): Option[Long] = {
+      val r = out(i)
+      if (r.isNullAt(r.fieldIndex("asof_o"))) None else Some(r.getAs[Long]("asof_o"))
+    }
+    assert(asof(0) === Some(100L))
+    assert(asof(1) === Some(100L), "right row exactly AT left ts must be visible")
+    assert(asof(2) === None)
+    assert(asof(3) === None)
+  }
+
+  test("asOfJoin single shuffle on the key (no range self-join)") {
+    val left = Seq((1L, 10L, Timestamp.valueOf("2024-01-01 12:00:00")))
+      .toDF("event_id", "k", "ts")
+    val right = Seq((10L, Timestamp.valueOf("2024-01-01 10:00:00"), 1L))
+      .toDF("k", "rts", "o")
+    val plan = Skew.asOfJoin(left, right, "k", "k", "ts", "rts", Seq("o"))
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Join"), "asof must not plan a join")
+    assert(plan.contains("Window"), "asof is one window pass")
+  }
+}
