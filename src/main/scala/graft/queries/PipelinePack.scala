@@ -393,6 +393,52 @@ object PipelinePack {
       WHERE s.keep_id = d.doc_id AND $quality >= 0.2"""
     })
 
+  /** [EXT] Banded range join (RangeJoin.pointInInterval): orders
+    * priced into overlapping per-nation price bands — a hash equi-join
+    * on the band + residual filter, never a nested-loop product. The
+    * oracle is the plain inequality join.
+    */
+  private val q37 = QueryDef(
+    "q37_range_join",
+    (s, dir) => {
+      val intervals = Tables.nation(s, dir).select(
+        col("n_name"),
+        (col("n_nationkey") * 20000.0).as("lo"),
+        (col("n_nationkey") * 20000.0 + 60000.0).as("hi"))
+      val joined = graft.ops.RangeJoin.pointInInterval(
+        Tables.orders(s, dir), intervals, "o_totalprice", "lo", "hi",
+        bandWidth = 25000.0)
+      joined.groupBy(col("n_name"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+    },
+    Some("""SELECT n_name, count(*) AS n_orders,
+      CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM orders JOIN (
+        SELECT n_name, n_nationkey * 20000.0 AS lo,
+               n_nationkey * 20000.0 + 60000.0 AS hi FROM nation) i
+      ON o_totalprice >= lo AND o_totalprice < hi
+      GROUP BY n_name"""))
+
+  /** [EXT] Deterministic hash split (train/test assignment): the split
+    * decision is a pure function of the id through the SAME hex60 the
+    * oracle computes — reproducible across engines, runs, and
+    * partitionings, unlike randomSplit.
+    */
+  private val q38 = QueryDef(
+    "q38_hash_split",
+    (s, dir) => {
+      val bucket = pmod(TextKernels.hex60(col("doc_id").cast("string")), lit(100L))
+      Tables.documents(s, dir)
+        .withColumn("split", when(bucket < 80, lit("train")).otherwise(lit("test")))
+        .groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars"))
+    },
+    Some(s"""SELECT CASE WHEN ${sqlHex60("doc_id::VARCHAR")} % 100 < 80
+        THEN 'train' ELSE 'test' END AS split,
+      count(*) AS n_docs, sum(n_chars) AS total_chars
+      FROM documents GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q32, q33, q34)
+    q25, q26, q27, q32, q33, q34, q37, q38)
 }

@@ -50,6 +50,21 @@ class SkewSpec extends AnyFunSuite {
     assert(asof(3) === None)
   }
 
+  test("RangeJoin matches naive inequality join incl. band boundaries") {
+    import graft.ops.RangeJoin
+    val points = Seq(0.0, 9.999, 10.0, 25.0, 49.999, 50.0, 99.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("pid", "v")
+    val intervals = Seq(("a", 0.0, 10.0), ("b", 10.0, 50.0), ("c", 25.0, 99.5),
+      ("empty", 200.0, 201.0)).toDF("label", "lo", "hi")
+    val banded = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi", bandWidth = 10.0)
+      .select("pid", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val naive = points.join(intervals, col("v") >= col("lo") && col("v") < col("hi"))
+      .select("pid", "label").collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(banded === naive)
+    assert(naive.contains(2L -> "b") && !naive.contains(2L -> "a"),
+      "hi must stay exclusive at band boundaries")
+  }
+
   test("asOfJoin single shuffle on the key (no range self-join)") {
     val left = Seq((1L, 10L, Timestamp.valueOf("2024-01-01 12:00:00")))
       .toDF("event_id", "k", "ts")
