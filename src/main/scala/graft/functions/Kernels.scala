@@ -163,6 +163,65 @@ object Kernels {
     acc
   }
 
+  // ---- pair-expansion kernels ---------------------------------------
+
+  /** All i<j pairs of a bucket's ids, ordered pairs of the ascending id
+    * sort — compiled replacement for the interpreted
+    * transform-of-transforms expansion (the output array is the same
+    * O(n²/2) size either way; bucket caps bound n upstream).
+    */
+  def sortedPairs(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val a = ids.toLongArray()
+    java.util.Arrays.sort(a)
+    val out = new Array[AnyRef](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a(i), a(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Pair expansion carrying a per-id payload (jaccard set sizes):
+    * `ids` and `ns` are the aligned collect_list outputs of one
+    * groupBy; pairs are emitted in ascending-id order as flattened
+    * (a, na, b, nb) structs. Ids within a bucket are distinct (one
+    * entry per doc), so sorting by id alone is total.
+    */
+  def sortedPairsWithSizes(ids: ArrayData, ns: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    val id = ids.toLongArray()
+    val sz = ns.toIntArray()
+    // indirect sort by id, carrying the payload
+    val idx = (0 until n).toArray.map(Integer.valueOf)
+    java.util.Arrays.sort(idx, (x: Integer, y: Integer) =>
+      java.lang.Long.compare(id(x), id(y)))
+    val out = new Array[AnyRef](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      val pi = idx(i)
+      var j = i + 1
+      while (j < n) {
+        val pj = idx(j)
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](id(pi), sz(pi), id(pj), sz(pj)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- vector kernel ------------------------------------------------
 
   /** Null-safe cosine over two double arrays: left-fold sums in array
@@ -218,6 +277,27 @@ object Kernels {
   def fingerprintOf(text: Column): Column =
     exprBridge.column(StaticInvoke(
       Kernels.getClass, LongType, "fingerprint", Seq(expr(text)), Seq(StringType)))
+
+  /** i<j id pairs of a bucket, ascending-id order. */
+  def sortedPairsOf(ids: Column): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass,
+      ArrayType(StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false))), containsNull = false),
+      "sortedPairs", Seq(expr(ids)), Seq(ArrayType(LongType))))
+
+  /** i<j id pairs with aligned per-id set sizes, ascending-id order. */
+  def sortedPairsWithSizesOf(ids: Column, ns: Column): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass,
+      ArrayType(StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("na", IntegerType, nullable = false),
+        StructField("b", LongType, nullable = false),
+        StructField("nb", IntegerType, nullable = false))), containsNull = false),
+      "sortedPairsWithSizes", Seq(expr(ids), expr(ns)),
+      Seq(ArrayType(LongType), ArrayType(IntegerType))))
 
   /** Null-safe cosine; inputs cast to array<double> (exact widening)
     * so one kernel serves float and double embeddings.

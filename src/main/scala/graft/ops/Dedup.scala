@@ -29,6 +29,7 @@ object Dedup {
     df.groupBy(md5(col(contentCol)).as("content_hash"))
       .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
 
+
   /** MinHash + LSH banding candidate pairs: docs sharing ANY band key.
     * numHashes = bands * rowsPerBand signature entries.
     *
@@ -51,15 +52,17 @@ object Dedup {
       col(idCol),
       graft.functions.Kernels.minhashSigOf(col(textCol), bands * rowsPerBand, shingleWords).as("sig"))
     val bandRows = sig
-      .select(col(idCol), posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
+      .select(col(idCol).cast("long").as(idCol),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
+    // size-capped collect (bounded aggregation buffers even on a
+    // degenerate bucket), then compiled pair expansion (ascending-id
+    // i<j pairs).
     val buckets = bandRows
       .groupBy(col("band_idx"), col("band_key"))
-      .agg(sort_array(collect_list(col(idCol))).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucket))
+      .agg(graft.functions.CappedCollect.cappedLongList(col(idCol), maxBucket).as("cl"))
+      .filter(col("cl.n").between(2, maxBucket))
     buckets
-      .select(explode(flatten(transform(col("ids"), (x, i) =>
-        transform(slice(col("ids"), i + lit(2), size(col("ids"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(explode(graft.functions.Kernels.sortedPairsOf(col("cl.ids"))).as("p"))
       .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"))
       .distinct()
   }
@@ -78,22 +81,28 @@ object Dedup {
     */
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
-      shingleWords: Int = 3, threshold: Double = 0.5): DataFrame = {
+      shingleWords: Int = 3, threshold: Double = 0.5,
+      maxDf: Int = 10000): DataFrame = {
     // invert on 60-bit shingle HASHES, not strings: 8-byte shuffle
     // keys; the oracle hashes identically so semantics are unchanged.
-    val sh = df.select(col(idCol),
+    val sh = df.select(col(idCol).cast("long").as(idCol),
       graft.functions.Kernels.shingleHashes60Of(col(textCol), shingleWords).as("s"))
-    val inv = sh.select(struct(col(idCol).as("i"), size(col("s")).as("n")).as("d"),
+    val inv = sh.select(col(idCol).as("i"), size(col("s")).as("n"),
       explode(col("s")).as("g"))
-    val pairs = inv.groupBy(col("g"))
-      .agg(sort_array(collect_list(col("d"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(flatten(transform(col("ds"), (x, i) =>
-        transform(slice(col("ds"), i + lit(2), size(col("ds"))),
-          y => struct(x.as("a"), y.as("b")))))).as("p"))
+    // shingles hotter than maxDf are dropped (a df>maxDf shingle is
+    // boilerplate that contributes ~nothing to jaccard but O(df²)
+    // pairs); the capped collect keeps the buffer bounded either way.
+    val lists = inv
+      .groupBy(col("g"))
+      .agg(graft.functions.CappedCollect.cappedPairList(col("i"), col("n"), maxDf).as("cl"))
+      .filter(col("cl.n").between(2, maxDf))
+    val pairs = lists.select(
+      explode(graft.functions.Kernels.sortedPairsWithSizesOf(col("cl.ids"), col("cl.ns"))).as("p"))
     pairs
-      .groupBy(col("p.a.i").as("doc_a"), col("p.b.i").as("doc_b"))
-      .agg(count(lit(1)).as("inter"), first(col("p.a.n")).as("na"), first(col("p.b.n")).as("nb"))
+      // na/nb are functions of the id, so they can ride as group keys
+      .groupBy(col("p.a").as("doc_a"), col("p.na").as("na"),
+        col("p.b").as("doc_b"), col("p.nb").as("nb"))
+      .agg(count(lit(1)).as("inter"))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)

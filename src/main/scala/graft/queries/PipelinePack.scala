@@ -96,16 +96,19 @@ object PipelinePack {
       WHERE sz.c <= 10000"""))
 
   /** Exact n-gram Jaccard over candidate pairs sharing ≥1 shingle
-    * (Dedup.jaccardPairs): inverted-index self-join on the shingle.
+    * (Dedup.jaccardPairs): inverted-index self-join on the shingle,
+    * with shingles hotter than maxDf=10000 dropped on both sides.
     */
   private val q19 = QueryDef(
     "q19_jaccard_pairs",
     (s, dir) => Dedup.jaccardPairs(
       Tables.documents(s, dir), "doc_id", "text",
-      shingleWords = 3, threshold = 0.2),
+      shingleWords = 3, threshold = 0.2, maxDf = 10000),
     Some(s"""WITH sh AS (SELECT doc_id,
         list_transform($sqlShingles, sg -> ${sqlHex60("sg")}) AS s FROM documents),
-      inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
+      inv0 AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      sz AS (SELECT g, count(*) AS c FROM inv0 GROUP BY g),
+      inv AS (SELECT inv0.* FROM inv0 JOIN sz USING (g) WHERE sz.c <= 10000)
       SELECT doc_a, doc_b, jaccard FROM (
         SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
           count(*)::DOUBLE / (min(x.n) + min(y.n) - count(*)) AS jaccard

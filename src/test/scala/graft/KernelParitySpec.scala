@@ -87,6 +87,29 @@ class KernelParitySpec extends AnyFunSuite {
     assert(math.abs(got(2).getDouble(0) - 1.0) < 1e-15)
   }
 
+  test("sortedPairs parity with the interpreted transform expansion") {
+    val buckets = Seq(Seq(5L, 1L, 3L), Seq(2L, 9L), Seq(7L), Seq.empty[Long],
+      Seq(4L, 8L, 2L, 6L, 0L)).toDF("ids")
+    // reference: sort, then nested-transform i<j expansion
+    val slow = buckets.select(explode(flatten(transform(
+      sort_array(col("ids")), (x, i) =>
+        transform(slice(sort_array(col("ids")), i + lit(2), size(col("ids"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val fast = buckets.select(explode(Kernels.sortedPairsOf(col("ids"))).as("p"))
+      .select(col("p.a"), col("p.b")).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(fast.sorted.toSeq === slow.sorted.toSeq)
+    assert(fast.length === 3 + 1 + 0 + 0 + 10)
+  }
+
+  test("sortedPairsWithSizes sorts jointly by id and keeps payload aligned") {
+    val df = Seq((Seq(30L, 10L, 20L), Seq(3, 1, 2))).toDF("ids", "ns")
+    val rows = df.select(explode(Kernels.sortedPairsWithSizesOf(col("ids"), col("ns"))).as("p"))
+      .select(col("p.a"), col("p.na"), col("p.b"), col("p.nb"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getInt(3)))
+    assert(rows.toSeq === Seq((10L, 1, 20L, 2), (10L, 1, 30L, 3), (20L, 2, 30L, 3)))
+  }
+
   test("kernels are SQL-callable after GraftExtensions.register") {
     GraftExtensions.register(spark)
     docs.createOrReplaceTempView("docs_sql")
