@@ -10,7 +10,7 @@ import graft.queries._
   * both sides — the compare sorts columns by name before hashing).
   */
 object SparkEntry {
-  private def packs: Seq[QueryDef] = Relational.all ++ PipelinePack.all
+  private def packs: Seq[QueryDef] = Relational.all ++ PipelinePack.all ++ AnalyticsPack.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

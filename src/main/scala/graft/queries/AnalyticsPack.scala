@@ -1,0 +1,177 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import graft.QueryDef
+import graft.sources.Tables
+
+/** [EXT] Pipeline-analytics operators a training-data run leans on
+  * beyond the relational core: sessionization, hierarchical rollups,
+  * exact quantiles, pivots, blocked fuzzy matching, ordered list
+  * aggregation, deterministic argmax, and sketches.
+  *
+  * Cross-engine rules (same as the other packs): sums accumulate in
+  * decimal(18,2) and output double; timestamps compare as microsecond
+  * longs (exact integers), never float seconds; every window has a
+  * unique tie-break so the total order is engine-portable. Sketch
+  * estimates (q46) are implementation-defined per engine, so that
+  * query ships rows-only (no oracle SQL) by design.
+  */
+object AnalyticsPack {
+
+  /** Gap-based sessionization of the events stream (ops.Sessionize):
+    * one shuffle on user_id, one window pass; 30-minute gap.
+    */
+  private val q39 = QueryDef(
+    "q39_sessionize",
+    (s, dir) => graft.ops.Sessionize.profile(
+      Tables.events(s, dir), "user_id", "ts", "event_id",
+      maxGapUs = 1800L * 1000000L),
+    Some("""WITH se AS (
+        SELECT user_id,
+          sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_seq,
+          ts FROM (
+            SELECT user_id, event_id, ts,
+              epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events)),
+      per AS (SELECT user_id, session_seq, count(*) AS n,
+          max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
+        FROM se GROUP BY user_id, session_seq)
+      SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+        max(n) AS max_session_events, max(dur_us) AS max_session_dur_us
+      FROM per GROUP BY user_id"""))
+
+  /** Hierarchical ROLLUP over (returnflag, linestatus): Spark's
+    * `rollup` = one pass expanding grouping sets, partial-aggregated
+    * map-side like any hash aggregate.
+    */
+  private val q40 = QueryDef(
+    "q40_rollup",
+    (s, dir) => Tables.lineitem(s, dir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n_rows"), col("sum_qty")),
+    Some("""SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        coalesce(l_linestatus, 'ALL') AS status,
+        count(*) AS n_rows,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)"""))
+
+  /** Exact interpolated quantiles per group: Spark `percentile` and
+    * DuckDB `quantile_cont` share the (n-1)·p lower+frac·(upper−lower)
+    * definition over doubles, so results are bit-comparable.
+    */
+  private val q41 = QueryDef(
+    "q41_quantiles",
+    (s, dir) => Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(expr("percentile(o_totalprice, array(0.25D, 0.5D, 0.75D, 0.9D))").as("qs"))
+      .select(col("o_orderpriority"),
+        col("qs")(0).as("p25"), col("qs")(1).as("p50"),
+        col("qs")(2).as("p75"), col("qs")(3).as("p90")),
+    Some("""SELECT o_orderpriority,
+        quantile_cont(o_totalprice, 0.25) AS p25,
+        quantile_cont(o_totalprice, 0.50) AS p50,
+        quantile_cont(o_totalprice, 0.75) AS p75,
+        quantile_cont(o_totalprice, 0.90) AS p90
+      FROM orders GROUP BY o_orderpriority"""))
+
+  /** Pivot order counts by status into columns — Spark `pivot` with
+    * explicit values (no extra distinct-values pass, plan stays one
+    * hash aggregate).
+    */
+  private val q42 = QueryDef(
+    "q42_pivot",
+    (s, dir) => Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .pivot("o_orderstatus", Seq("F", "O", "P"))
+      .agg(count(lit(1)))
+      .select(col("o_orderpriority"),
+        coalesce(col("F"), lit(0L)).as("n_f"),
+        coalesce(col("O"), lit(0L)).as("n_o"),
+        coalesce(col("P"), lit(0L)).as("n_p")),
+    Some("""SELECT o_orderpriority,
+        count(*) FILTER (WHERE o_orderstatus = 'F') AS n_f,
+        count(*) FILTER (WHERE o_orderstatus = 'O') AS n_o,
+        count(*) FILTER (WHERE o_orderstatus = 'P') AS n_p
+      FROM orders GROUP BY o_orderpriority"""))
+
+  /** Blocked fuzzy match on part names (ops.FuzzyJoin): equi-join on
+    * (brand, size) blocks, codegen'd levenshtein inside the block only.
+    */
+  private val q43 = QueryDef(
+    "q43_fuzzy_join",
+    (s, dir) => graft.ops.FuzzyJoin.blockedLevenshtein(
+      Tables.part(s, dir), "p_partkey", "p_name",
+      blockCols = Seq("p_brand", "p_size"), maxDist = 24)
+      .select(col("p_brand"), col("p_size").cast("long").as("p_size"),
+        col("id_a"), col("id_b"), col("dist").cast("long").as("dist")),
+    Some("""SELECT a.p_brand, a.p_size::BIGINT AS p_size,
+        a.p_partkey AS id_a, b.p_partkey AS id_b,
+        levenshtein(a.p_name, b.p_name)::BIGINT AS dist
+      FROM part a JOIN part b
+        ON a.p_brand = b.p_brand AND a.p_size = b.p_size
+       AND a.p_partkey < b.p_partkey
+      WHERE levenshtein(a.p_name, b.p_name) <= 24"""))
+
+  /** Ordered list aggregation: nations per region as a sorted CSV —
+    * collect_set + array_sort makes the list order engine-independent.
+    */
+  private val q44 = QueryDef(
+    "q44_list_agg",
+    (s, dir) => Tables.nation(s, dir)
+      .join(broadcast(Tables.region(s, dir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"))
+      .agg(concat_ws(",", array_sort(collect_set(col("n_name")))).as("nations"),
+        count_distinct(col("n_name")).as("n_nations")),
+    Some("""SELECT r_name,
+        array_to_string(list_sort(list(DISTINCT n_name)), ',') AS nations,
+        count(DISTINCT n_name) AS n_nations
+      FROM nation JOIN region ON n_regionkey = r_regionkey
+      GROUP BY r_name"""))
+
+  /** Deterministic argmax per group: max over a (value, key, payload)
+    * struct gives a total lexicographic order — no ties, no
+    * first()-style nondeterminism, one hash aggregate.
+    */
+  private val q45 = QueryDef(
+    "q45_argmax",
+    (s, dir) => Tables.supplier(s, dir)
+      .join(broadcast(Tables.nation(s, dir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name"))
+      .agg(max(struct(col("s_acctbal"), col("s_suppkey"), col("s_name"))).as("m"))
+      .select(col("n_name"), col("m.s_name").as("top_supplier"),
+        col("m.s_acctbal").as("top_acctbal")),
+    Some("""SELECT n_name, s_name AS top_supplier, s_acctbal AS top_acctbal
+      FROM (SELECT n_name, s_name, s_acctbal,
+          row_number() OVER (PARTITION BY n_name
+            ORDER BY s_acctbal DESC, s_suppkey DESC) AS rk
+        FROM supplier JOIN nation ON s_nationkey = n_nationkey)
+      WHERE rk = 1"""))
+
+  /** Sketches: HyperLogLog distinct counts + approximate quantiles per
+    * group. Estimates are engine-specific by nature, so this entry is
+    * rows-only (no oracle SQL) — the ScalaTest spec pins the estimates
+    * against exact values within the configured error instead.
+    */
+  private val q46 = QueryDef(
+    "q46_sketches",
+    (s, dir) => Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"),
+        expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 10000)").as("ap"))
+      .select(col("o_orderpriority"), col("approx_customers"),
+        col("ap")(0).as("approx_p50"), col("ap")(1).as("approx_p90")),
+    None)
+
+  val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46)
+}

@@ -1,0 +1,111 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.CappedCollect
+import graft.ops.{FuzzyJoin, Sessionize}
+
+/** Semantics tests for the [EXT] analytics operators (the DuckDB
+  * oracle checks the SQL-expressible ones at sf0.01 via AnalyticsPack;
+  * here we pin behavioral contracts and the sketch error bounds that
+  * have no oracle).
+  */
+class AnalyticsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---- sessionization -----------------------------------------------
+
+  private def ev(rows: (Long, Long, Long)*) = // (user, ts_us, event_id)
+    rows.toDF("user_id", "us", "event_id")
+      .withColumn("ts", timestamp_micros(col("us")))
+
+  test("Sessionize.assignSessions splits on gaps strictly above the max") {
+    val gap = 60L * 1000000L
+    val d = ev(
+      (1L, 0L, 1L), (1L, gap, 2L),          // exactly the gap: same session
+      (1L, 2 * gap + 1, 3L),                // gap+1 past previous: new session
+      (2L, 0L, 4L))
+    val out = Sessionize.assignSessions(d, "user_id", "ts", "event_id", gap)
+      .select("event_id", "session_seq").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out === Map(1L -> 1L, 2L -> 1L, 3L -> 2L, 4L -> 1L))
+  }
+
+  test("Sessionize.profile aggregates per-key session stats") {
+    val gap = 10L * 1000000L
+    val d = ev(
+      (1L, 0L, 1L), (1L, 5000000L, 2L),     // session 1: 2 events, 5s
+      (1L, 100000000L, 3L),                 // session 2: 1 event
+      (2L, 0L, 4L))
+    val out = Sessionize.profile(d, "user_id", "ts", "event_id", gap)
+      .orderBy("user_id").collect()
+    assert(out(0).getAs[Long]("n_sessions") === 2L)
+    assert(out(0).getAs[Long]("n_events") === 3L)
+    assert(out(0).getAs[Long]("max_session_events") === 2L)
+    assert(out(0).getAs[Long]("max_session_dur_us") === 5000000L)
+    assert(out(1).getAs[Long]("n_sessions") === 1L)
+  }
+
+  // ---- blocked fuzzy join -------------------------------------------
+
+  test("FuzzyJoin.blockedLevenshtein compares within blocks only") {
+    val d = Seq(
+      (1L, "A", "kitten"), (2L, "A", "sitten"), (3L, "A", "zzzzzzzzzz"),
+      (4L, "B", "kitten")) // same text as id 1 but another block
+      .toDF("id", "blk", "name")
+    val out = FuzzyJoin.blockedLevenshtein(d, "id", "name", Seq("blk"), maxDist = 3)
+      .select("id_a", "id_b", "dist").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+    // only (1,2) qualifies: same block, distance 1; id 3 is too far,
+    // id 4 is in another block despite identical text
+    assert(out.toSeq === Seq((1L, 2L, 1)))
+  }
+
+  // ---- capped collect ------------------------------------------------
+
+  test("CappedCollect matches collect_list-then-filter semantics") {
+    val d = (1 to 100).map(i => (i % 7, i.toLong)).toDF("k", "v")
+    val cap = 10
+    val capped = d.groupBy(col("k"))
+      .agg(CappedCollect.cappedLongList(col("v"), cap).as("cl"))
+      .filter(col("cl.n").between(2, cap))
+    val reference = d.groupBy(col("k"))
+      .agg(sort_array(collect_list(col("v"))).as("ids"))
+      .filter(size(col("ids")).between(2, cap))
+    // every group here is under the cap, so contents must be complete
+    val a = capped.select(col("k"), sort_array(col("cl.ids")).as("ids"))
+      .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    val b = reference.collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+    assert(a === b)
+  }
+
+  test("CappedCollect keeps the exact count past the cap") {
+    val d = (1 to 1000).map(i => (1, i.toLong)).toDF("k", "v")
+    val row = d.groupBy(col("k"))
+      .agg(CappedCollect.cappedLongList(col("v"), 5).as("cl"))
+      .select(col("cl.n"), size(col("cl.ids"))).head()
+    assert(row.getLong(0) === 1000L)     // exact group size survives
+    assert(row.getInt(1) <= 6)           // buffer stayed bounded
+  }
+
+  // ---- sketches (q46 has no oracle; pin error bounds here) -----------
+
+  test("sketch estimates stay within error bounds of exact values") {
+    val orders = spark.read.parquet(s"$sf/orders.parquet")
+    val exact = orders.groupBy(col("o_orderpriority"))
+      .agg(count_distinct(col("o_custkey")).as("nd"),
+        expr("percentile(o_totalprice, 0.5D)").as("p50"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2))).toMap
+    val approx = SparkEntry.queries("q46_sketches")(spark, sf)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2))).toMap
+    assert(approx.keySet === exact.keySet)
+    for ((k, (nd, p50)) <- exact) {
+      val (and, ap50) = approx(k)
+      assert(math.abs(and - nd).toDouble / nd <= 0.05, s"$k distinct: $and vs $nd")
+      assert(math.abs(ap50 - p50) / p50 <= 0.05, s"$k p50: $ap50 vs $p50")
+    }
+  }
+}
