@@ -173,5 +173,29 @@ object AnalyticsPack {
         col("ap")(0).as("approx_p50"), col("ap")(1).as("approx_p90")),
     None)
 
-  val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46)
+  /** BPE-ish subword token counting: regex units (letter runs, digit
+    * runs, single punctuation) approximate a byte-pair tokenizer's
+    * pre-tokenization — the standard cheap token estimator for corpus
+    * sizing. The pattern uses only character classes + alternation, the
+    * regex subset where Java and RE2-family engines agree exactly.
+    */
+  private val q47 = QueryDef(
+    "q47_token_count",
+    (s, dir) => {
+      val units = regexp_extract_all(col("text"), lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))
+      val words = regexp_extract_all(col("text"), lit("[a-zA-Z]+"), lit(0))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(units).cast("long").as("n_units"),
+        size(words).cast("long").as("n_words"),
+        (col("n_chars").cast("double") / size(units)).as("chars_per_unit"))
+    },
+    Some("""SELECT doc_id,
+        len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT AS n_units,
+        len(regexp_extract_all(text, '[a-zA-Z]+'))::BIGINT AS n_words,
+        n_chars::DOUBLE / len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+          AS chars_per_unit
+      FROM documents"""))
+
+  val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46, q47)
 }
