@@ -197,5 +197,34 @@ object AnalyticsPack {
           AS chars_per_unit
       FROM documents"""))
 
-  val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46, q47)
+  /** Single-pass table profiler (ops.Profile) over orders: one scan
+    * computes every column's null/distinct/min/max stats, then the
+    * wide row explodes into per-column rows map-side. Min/max route by
+    * type (numerics+timestamps as double, strings as strings) — never
+    * stringified numerics, whose formatting is engine-specific.
+    */
+  private val q48 = QueryDef(
+    "q48_profile",
+    (s, dir) => graft.ops.Profile.table(Tables.orders(s, dir)),
+    Some {
+      val num = Seq("o_orderkey" -> "o_orderkey", "o_custkey" -> "o_custkey",
+        "o_totalprice" -> "o_totalprice", "o_orderdate" -> "epoch_us(o_orderdate)")
+      val str = Seq("o_orderstatus", "o_orderpriority")
+      val parts =
+        num.map { case (n, e) =>
+          s"""SELECT '$n' AS col_name, count(*) AS n_rows,
+            count(*) FILTER (WHERE $n IS NULL) AS n_nulls,
+            count(DISTINCT $n) AS n_distinct,
+            min($e)::DOUBLE AS min_num, max($e)::DOUBLE AS max_num,
+            NULL::VARCHAR AS min_str, NULL::VARCHAR AS max_str FROM orders"""
+        } ++
+        str.map { n =>
+          s"""SELECT '$n', count(*), count(*) FILTER (WHERE $n IS NULL),
+            count(DISTINCT $n), NULL::DOUBLE, NULL::DOUBLE,
+            min($n), max($n) FROM orders"""
+        }
+      parts.mkString(" UNION ALL ")
+    })
+
+  val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
 }

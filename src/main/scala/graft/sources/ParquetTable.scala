@@ -114,4 +114,57 @@ final case class ParquetTable(spark: SparkSession, path: String,
   }
 
   def drop(): Unit = { val p = new Path(path); if (fs.exists(p)) fs.delete(p, true) }
+
+  /** Total bytes of the table's data files. */
+  def sizeBytes: Long =
+    fs.getContentSummary(new Path(path)).getLength
+
+  /** Compact the small-file tail: rewrite the table into
+    * ceil(size / targetFileBytes) files (per bucket for bucketed
+    * layouts). Incremental appends and per-batch upserts accrete
+    * small files; at scan time each file costs a footer read and a
+    * task, so a 100 TB table drowning in KB-files wastes the cluster
+    * on scheduling. Data is unchanged — only layout; the flat path
+    * reuses the staged atomic swap.
+    *
+    * Bucketed tables coalesce WITHIN each bucket (repartition on
+    * (__bucket, random-ish row spread) keeps partition pruning
+    * intact); flat tables round-robin into the target count.
+    */
+  def compact(targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(exists, s"$path does not exist")
+    if (isBucketed) {
+      // partition-scoped: rewrite ONLY buckets whose file count exceeds
+      // what their size warrants; untouched buckets keep their files.
+      val toCompact = bucketIds.filter { b =>
+        val dir = new Path(s"$path/__bucket=$b")
+        val files = fs.listStatus(dir).filter(f => f.getPath.getName.endsWith(".parquet"))
+        val want = math.max(1, math.ceil(
+          files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
+        files.length > want
+      }
+      if (toCompact.nonEmpty) {
+        readBuckets(toCompact)
+          .withColumn("__bucket", bucketExpr)
+          .repartition(math.max(1, toCompact.length), col("__bucket"))
+          .write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("__bucket")
+          .parquet(path)
+      }
+    } else {
+      val nFiles = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
+      overwrite(read.repartition(nFiles))
+    }
+  }
+
+  /** Bucket ids present on disk. */
+  def bucketIds: Seq[Int] = {
+    require(isBucketed, s"$path is not a bucketed table")
+    fs.listStatus(new Path(path)).toSeq
+      .map(_.getPath.getName)
+      .filter(_.startsWith("__bucket="))
+      .map(_.stripPrefix("__bucket=").toInt)
+      .sorted
+  }
 }

@@ -90,6 +90,70 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(row.getInt(1) <= 6)           // buffer stayed bounded
   }
 
+  // ---- profiler ------------------------------------------------------
+
+  test("Profile.table computes per-column stats in one pass") {
+    val d = Seq((1L, "a", 2.5), (2L, "b", -1.0), (3L, null, 2.5))
+      .toDF("id", "s", "x")
+    val p = graft.ops.Profile.table(d).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet === Set("id", "s", "x"))
+    assert(p("s").getAs[Long]("n_nulls") === 1L)
+    assert(p("s").getAs[Long]("n_distinct") === 2L)
+    assert(p("s").getAs[String]("max_str") === "b")
+    assert(p("x").getAs[Double]("min_num") === -1.0)
+    assert(p("x").getAs[Long]("n_distinct") === 2L)
+    assert(p("id").getAs[Double]("max_num") === 3.0)
+    assert(p.values.forall(_.getAs[Long]("n_rows") == 3L))
+  }
+
+  // ---- compaction ----------------------------------------------------
+
+  test("compact merges the small-file tail on a flat table") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact")
+      .resolve("t").toString
+    val t = graft.sources.ParquetTable(spark, dir)
+    // 12 appends of 1 row each → 12+ files
+    (1 to 12).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
+    def files = new java.io.File(dir).listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files >= 12)
+    val before = t.read.collect().map(_.toSeq).toSet
+    t.compact(targetFileBytes = 1024L * 1024 * 128)
+    assert(files === 1)
+    assert(t.read.collect().map(_.toSeq).toSet === before)
+  }
+
+  test("compact on a bucketed table touches only fragmented buckets") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-b")
+      .resolve("t").toString
+    val t = graft.sources.ParquetTable(spark, dir, buckets = 4, bucketKey = "id")
+    // co-locate each bucket's rows in one task so every bucket dir
+    // starts with exactly one file (and is therefore already compact)
+    t.append((1L to 40L).map(i => i -> s"v$i").toDF("id", "v")
+      .repartition(4, t.bucketExpr))
+    // fragment ONE bucket with single-row appends for a key in it
+    val frag = (1 to 8).map(_ => 1L -> "x")
+    frag.foreach(r => t.append(Seq(r).toDF("id", "v")))
+    val fragBucket = t.bucketIds.maxBy { b =>
+      new java.io.File(s"$dir/__bucket=$b").listFiles()
+        .count(_.getName.endsWith(".parquet"))
+    }
+    def bucketState(b: Int) = new java.io.File(s"$dir/__bucket=$b").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.length)).toSet
+    val untouchedBefore = t.bucketIds.filterNot(_ == fragBucket)
+      .map(b => b -> bucketState(b)).toMap
+    val before = t.read.collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    t.compact(targetFileBytes = 1024L * 1024 * 128)
+    // fragmented bucket now has 1 file; untouched buckets byte-identical
+    assert(bucketState(fragBucket).size === 1)
+    for ((b, st) <- untouchedBefore) assert(bucketState(b) === st, s"bucket $b changed")
+    val after = t.read.collect().map(_.toSeq)
+      .groupBy(identity).view.mapValues(_.length).toMap
+    assert(after === before)
+  }
+
   // ---- sketches (q46 has no oracle; pin error bounds here) -----------
 
   test("sketch estimates stay within error bounds of exact values") {
