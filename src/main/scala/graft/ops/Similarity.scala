@@ -73,25 +73,58 @@ object Similarity {
     * @param centroids DataFrame(cell_id: long, cvec: array<float/double>)
     * @param query     single-row DataFrame with an array column `qvec`
     */
-  def ivfTopK(
-      df: DataFrame, idCol: String, vecCol: String,
-      centroids: DataFrame, query: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {
+  /** Adds `cell_id`: each row's nearest centroid by cosine, computed
+    * entirely map-side (centroids fold into the plan as a literal
+    * array — the small-set contract of IVF/k-means), ties to the
+    * smallest cell_id. No shuffle, no per-row window.
+    *
+    * @param centroids DataFrame(cell_id: long, cvec: array<float/double>)
+    */
+  def assignCells(df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
     val cents = centroids.select(col("cell_id").cast("long"), col("cvec")).collect()
     val cellArr = array(cents.map { r =>
       struct(
         lit(r.getLong(0)).as("cell_id"),
         array(r.getSeq[Any](1).map(v => lit(v).cast("double")): _*).as("cvec"))
     }: _*)
+    val best = array_max(transform(cellArr, c =>
+      struct(
+        coalesce(safeCosine(col(vecCol), c.getField("cvec")), lit(Double.NegativeInfinity)).as("ccos"),
+        (-c.getField("cell_id")).as("neg"))))
+    df.withColumn("cell_id", -best.getField("neg"))
+  }
 
-    def nearestCell(vec: Column): Column = {
-      val best = array_max(transform(cellArr, c =>
-        struct(
-          coalesce(safeCosine(vec, c.getField("cvec")), lit(Double.NegativeInfinity)).as("ccos"),
-          (-c.getField("cell_id")).as("neg"))))
-      -best.getField("neg")
-    }
+  /** One Lloyd (k-means) iteration: assign map-side, then recompute
+    * per-cell per-dimension means — the clustering step a curation
+    * pipeline runs to bucket a corpus by topic.
+    *
+    * Shape: assignment adds no shuffle (literal centroids); the only
+    * shuffle is the (cell_id, dim) mean aggregation, partial map-side.
+    * Sums are exact: values floor-quantize to `scale`-scaled longs
+    * (order-insensitive integer addition across any partitioning), and
+    * the mean divides once at the end — so the step is deterministic
+    * and engine-portable, unlike a float sum whose value depends on
+    * partition order.
+    *
+    * Output: (cell_id, dim, n_members, mean) — the new centroid matrix
+    * in per-dimension rows.
+    */
+  def kmeansStep(
+      df: DataFrame, vecCol: String, centroids: DataFrame,
+      scale: Long = 1000000L): DataFrame =
+    assignCells(df, vecCol, centroids)
+      .select(col("cell_id"),
+        posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "v")))
+      .groupBy(col("cell_id"), col("dim").cast("long").as("dim"))
+      .agg(count(lit(1)).as("n_members"),
+        sum(floor(col("v") * scale).cast("long")).as("sum_q"))
+      .withColumn("mean", (col("sum_q").cast("double") / scale) / col("n_members"))
+      .drop("sum_q")
 
-    val assigned = df.withColumn("cell_id", nearestCell(col(vecCol)))
+  def ivfTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, query: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {
+    val assigned = assignCells(df, vecCol, centroids)
     val probeCells = query
       .crossJoin(broadcast(centroids))
       .withColumn("ccos", safeCosine(col("qvec"), col("cvec")))

@@ -226,5 +226,70 @@ object AnalyticsPack {
       parts.mkString(" UNION ALL ")
     })
 
-  val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46, q47, q48)
+  /** One k-means Lloyd iteration over the embeddings corpus
+    * (Similarity.kmeansStep): map-side assignment to 8 literal
+    * centroids, one (cell, dim) aggregation with exact quantized sums.
+    * The oracle replays the assignment with a per-row argmax window
+    * and zips parallel unnests for the dimension explode.
+    */
+  private val q49 = QueryDef(
+    "q49_kmeans_step",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+      graft.ops.Similarity.kmeansStep(e, "embedding", cents)
+    },
+    Some(s"""WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      asg AS (SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY coalesce(${OracleSql.cos("e.embedding", "c.cvec")}, '-infinity'::DOUBLE) DESC,
+              c.cell_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+      ex AS (SELECT cell_id,
+          unnest(range(0, len(embedding))) AS dim,
+          unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+        FROM asg)
+      SELECT cell_id, dim, count(*) AS n_members,
+        (sum(floor(v * 1000000)::BIGINT)::DOUBLE / 1000000) / count(*) AS mean
+      FROM ex GROUP BY cell_id, dim"""))
+
+  /** Analytic window frames: 3-row moving sum/avg of a customer's
+    * order history plus lag diff, percent_rank and ntile — every
+    * window shares one (custkey) shuffle and a (date, key)-tie-broken
+    * total order, so frame contents are partitioning-independent.
+    */
+  private val q50 = QueryDef(
+    "q50_window_frames",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_orderdate"), col("o_orderkey"))
+      val frame = w.rowsBetween(-2, Window.currentRow)
+      val price = col("o_totalprice").cast("decimal(18,2)")
+      Tables.orders(s, dir).select(
+        col("o_custkey"), col("o_orderkey"),
+        sum(price).over(frame).cast("double").as("moving_sum3"),
+        (price - lag(price, 1).over(w)).cast("double").as("delta_prev"),
+        percent_rank().over(w).as("pct_rank"),
+        ntile(4).over(w).cast("long").as("quartile"))
+    },
+    Some("""SELECT o_custkey, o_orderkey,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2)))
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey
+                ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS DOUBLE) AS moving_sum3,
+        CAST(CAST(o_totalprice AS DECIMAL(18,2)) -
+          lag(CAST(o_totalprice AS DECIMAL(18,2)), 1)
+          OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS DOUBLE)
+          AS delta_prev,
+        percent_rank() OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey) AS pct_rank,
+        ntile(4) OVER (PARTITION BY o_custkey
+          ORDER BY o_orderdate, o_orderkey)::BIGINT AS quartile
+      FROM orders"""))
+
+  val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
+    q47, q48, q49, q50)
 }

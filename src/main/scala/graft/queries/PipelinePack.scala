@@ -34,12 +34,8 @@ object PipelinePack {
 
   // ---- shared DuckDB SQL fragments (oracle side) --------------------
 
-  /** DuckDB: whitespace tokens of `text`. */
-  private val T = "string_split(text, ' ')"
-
-  /** DuckDB: non-negative 60-bit hash of a string expression. */
-  private def sqlHex60(s: String): String =
-    s"('0x' || substr(md5($s), 1, 15))::BIGINT"
+  private val T = OracleSql.T
+  private def sqlHex60(s: String): String = OracleSql.hex60(s)
 
   /** DuckDB: distinct 3-word shingles over tokens (mirrors
     * TextKernels.wordShingles: short docs yield one truncated shingle).
@@ -48,17 +44,7 @@ object PipelinePack {
     s"list_distinct(list_transform(range(1, greatest(len($T) - 2, 1) + 1), " +
       s"i -> array_to_string(($T)[i:i+2], ' ')))"
 
-  /** DuckDB: left-fold dot product of two list expressions, cast to
-    * double element-wise first (mirrors VectorKernels.dot).
-    */
-  private def sqlDot(a: String, b: String): String =
-    s"list_reduce(list_prepend(0.0::DOUBLE, list_transform(range(1, len($a) + 1), " +
-      s"i -> ($a)[i]::DOUBLE * ($b)[i]::DOUBLE)), (acc, x) -> acc + x)"
-
-  /** DuckDB: null-safe cosine (mirrors Similarity.safeCosine). */
-  private def sqlCos(a: String, b: String): String =
-    s"(CASE WHEN sqrt(${sqlDot(a, a)}) > 0 AND sqrt(${sqlDot(b, b)}) > 0 " +
-      s"THEN ${sqlDot(a, b)} / (sqrt(${sqlDot(a, a)}) * sqrt(${sqlDot(b, b)})) END)"
+  private def sqlCos(a: String, b: String): String = OracleSql.cos(a, b)
 
   // ---- dedup family -------------------------------------------------
 
