@@ -29,6 +29,28 @@ object Skew {
       .agg(sum(col("__psum")).as("sum_value"), sum(col("__pcnt")).as("n_rows"))
   }
 
+  /** Salted (replicated) equi-join for a skewed key: each fact row
+    * gets a deterministic salt, the dimension side is replicated once
+    * per salt value, and the join runs on (key, salt) — a hot key's
+    * rows spread over `salt` reducers instead of one. Results are
+    * identical to the plain join (the oracle IS the plain join).
+    *
+    * Use when AQE's skew-split cannot help: skew inside an aggregation
+    * feeding the join, or a key so hot one split still exceeds memory.
+    * Cost: `salt`× replication of the right side — keep the right side
+    * the small one. The salt is `pmod(hash(all left columns), salt)`,
+    * not rand(): deterministic across retries and partitionings (a
+    * failed task re-derives the same salt, so no duplicate/lost rows
+    * under speculative execution).
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, salt: Int = 16): DataFrame = {
+    val l = left.withColumn("__salt", pmod(hash(left.columns.map(col): _*), lit(salt)))
+    val r = right.withColumn("__salt", explode(array((0 until salt).map(lit): _*)))
+    l.join(r, l("__salt") === r("__salt") && col(leftKey) === col(rightKey))
+      .drop("__salt")
+  }
+
   /** As-of join: for each left row, the single latest right row with
     * `rightTs <= leftTs` on the same key (NULLs when none) — the
     * time-series enrich Spark has no built-in for (SURVEY §2.3 note).

@@ -505,6 +505,24 @@ object Relational {
       FROM events e ASOF LEFT JOIN r
         ON e.user_id = r.o_custkey AND e.ts >= r.o_orderdate"""))
 
+  /** [EXT] salted (replicated-dimension) equi-join: identical result
+    * set to the plain join — which is exactly what the oracle runs —
+    * while a hot custkey spreads over the salt fan-out. Deterministic
+    * salt (hash, not rand) keeps retries exactly-once.
+    */
+  private val q51 = QueryDef(
+    "q51_salted_join",
+    (s, dir) => {
+      import s.implicits._
+      graft.ops.Skew.saltedJoin(
+        Tables.orders(s, dir),
+        Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment"),
+        "o_custkey", "c_custkey", salt = 8)
+        .select($"o_orderkey", $"o_custkey", $"c_mktsegment", $"o_totalprice")
+    },
+    Some("""SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
+      FROM orders JOIN customer ON o_custkey = c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8,
-    q9, q10, q11, q12, q13, q14, q15, q16, q28, q29, q30, q31, q35, q36)
+    q9, q10, q11, q12, q13, q14, q15, q16, q28, q29, q30, q31, q35, q36, q51)
 }

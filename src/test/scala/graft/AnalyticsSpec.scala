@@ -63,6 +63,23 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 1)))
   }
 
+  // ---- salted join ---------------------------------------------------
+
+  test("saltedJoin matches the plain join on skewed data") {
+    // 90% of fact rows share one hot key
+    val fact = (1 to 200).map(i => (if (i <= 180) 1L else i.toLong, i))
+      .toDF("k", "payload")
+    val dim = Seq((1L, "hot"), (190L, "cold")).toDF("dk", "name")
+    val salted = graft.ops.Skew.saltedJoin(fact, dim, "k", "dk", salt = 4)
+      .select("k", "payload", "name").collect().map(_.toSeq).sorted(
+        Ordering.by((s: Seq[Any]) => s.mkString("|")))
+    val plain = fact.join(dim, col("k") === col("dk"))
+      .select("k", "payload", "name").collect().map(_.toSeq).sorted(
+        Ordering.by((s: Seq[Any]) => s.mkString("|")))
+    assert(salted.toSeq === plain.toSeq)
+    assert(salted.length === 181)
+  }
+
   // ---- capped collect ------------------------------------------------
 
   test("CappedCollect matches collect_list-then-filter semantics") {
