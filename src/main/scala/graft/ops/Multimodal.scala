@@ -76,6 +76,46 @@ object Multimodal {
         .as(Seq("frame_idx", "frame")))
   }
 
+  /** Resize (downsample) binary payloads by average-pooling windows of
+    * `factor` bytes — the deterministic stand-in for an image/audio
+    * resample (a real deployment swaps the pooling loop for the codec's
+    * scaler; the partition-wise batch shape, pruned columns, and output
+    * schema are what it would use). Integer window mean (floor) keeps
+    * the result exact and engine-portable. Map-side only — payloads
+    * never shuffle.
+    *
+    * Output: (idCol, resized: array<long>) — one pooled value per
+    * window, ceil(len/factor) windows, empty payloads give an empty
+    * array.
+    */
+  def resize(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+    require(factor > 0, "factor must be positive")
+    val outSchema = StructType(Seq(
+      StructField(idCol, df.schema(idCol).dataType),
+      StructField("resized", ArrayType(LongType, containsNull = false))))
+    val enc = org.apache.spark.sql.Encoders.row(outSchema)
+    val idIdx = df.schema.fieldIndex(idCol)
+    val payloadIdx = df.schema.fieldIndex("payload")
+    df.mapPartitions { rows =>
+      rows.map { r =>
+        val p = r.getAs[Array[Byte]](payloadIdx)
+        val n = (p.length + factor - 1) / factor
+        val out = new Array[Long](n)
+        var w = 0
+        while (w < n) {
+          val start = w * factor
+          val end = math.min(start + factor, p.length)
+          var s = 0
+          var i = start
+          while (i < end) { s += p(i) & 0xff; i += 1 }
+          out(w) = (s / (end - start)).toLong
+          w += 1
+        }
+        Row(r.get(idIdx), out)
+      }
+    }(enc)
+  }
+
   /** Deterministic stand-in for a media decoder: folds payload bytes
     * into FeatureDim buckets and scales to [0, 1). Replace with the
     * real codec at deployment; signature and batch shape are stable.

@@ -428,6 +428,27 @@ object PipelinePack {
       count(*) AS n_docs, sum(n_chars) AS total_chars
       FROM documents GROUP BY 1"""))
 
+  /** Payload resize via average pooling (Multimodal.resize — the
+    * deterministic resample stand-in). The oracle pools ords over the
+    * text (ASCII ⇒ chars are the payload bytes) with the same integer
+    * floor mean.
+    */
+  private val q52 = QueryDef(
+    "q52_resize",
+    (s, dir) => Multimodal.resize(
+      Multimodal.ingest(Tables.documents(s, dir), "doc_id", "text", "text/plain"),
+      "doc_id", factor = 16)
+      .select(col("doc_id"), size(col("resized")).cast("long").as("n_out"),
+        col("resized")),
+    Some("""SELECT doc_id, len(r)::BIGINT AS n_out, r AS resized FROM (
+      SELECT doc_id, list_transform(range(0, (strlen(text) + 15) // 16),
+        w -> (list_reduce(list_prepend(0,
+            list_transform(range(w * 16 + 1, least((w + 1) * 16, strlen(text)) + 1),
+              i -> ord(substr(text, i, 1)))),
+            (a, x) -> a + x))
+          // (least((w + 1) * 16, strlen(text)) - w * 16)) AS r
+      FROM documents)"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q32, q33, q34, q37, q38)
+    q25, q26, q27, q32, q33, q34, q37, q38, q52)
 }

@@ -208,6 +208,16 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Exchange"), "frame sampling must be map-side only")
   }
 
+  test("resize average-pools byte windows with integer floor means") {
+    // bytes 0..9 (chars \x00..\x09 would not survive text; use digits)
+    val in = Multimodal.ingest(docs(1L -> "0123456789"), "doc_id", "text", "x")
+    val out = Multimodal.resize(in, "doc_id", factor = 4).head
+    // ords 48..57: (48+49+50+51)/4=49, (52..55)/4=53, (56+57)/2=56
+    assert(out.getSeq[Long](1) === Seq(49L, 53L, 56L))
+    val plan = Multimodal.resize(in, "doc_id", 4).queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), "resize must be map-side only")
+  }
+
   test("extractFeatures is deterministic across runs") {
     val in = Multimodal.ingest(docs(1L -> "abc", 2L -> "xyz"), "doc_id", "text", "x")
     val a = Multimodal.extractFeatures(in, "doc_id").orderBy("doc_id").collect().toSeq
