@@ -11,20 +11,27 @@ import org.apache.spark.sql.types._
   * /root/reference/lib/connections/mysql.js:277-358, which it uses to
   * type incoming batches).
   *
-  * Shape: ONE aggregation computes every column's stats (Catalyst
-  * plans multi-distinct via Expand — one scan, no per-column passes),
-  * then the wide row explodes into per-column rows map-side.
+  * Shape: two passes over the scan, both hash-aggregated —
+  *  1. one distinct-free wide aggregation (nulls/min/max/rows for
+  *     every column at once), exploded to per-column rows map-side;
+  *  2. exact distincts via MELT: each row explodes to (col_name,
+  *     value-repr) pairs and ONE count_distinct per group runs as a
+  *     plain two-phase partial-distinct aggregate. N distinct aggs in
+  *     one pass would instead Expand the scan N-fold into a
+  *     SortAggregate (measured 4× slower end-to-end at sf0.1).
+  *  The two 6-row results broadcast-join on col_name.
   *
   * Cross-engine determinism: min/max never stringify numerics (float
   * formatting differs across engines); numeric/timestamp columns
   * report as double (timestamps as microsecond epoch — exact integers
-  * < 2^53), strings report as strings.
+  * < 2^53), strings report as strings. The melt's value-repr cast is
+  * Spark-internal and injective per column, so distinct counts equal
+  * distinct raw values (caveat: -0.0 vs 0.0 and NaN keep their
+  * bit-level identity here, where a SQL DISTINCT would merge them).
   *
-  * 100 TB note: exact multi-column distinct is the expensive choice —
-  * Expand multiplies scan rows by the distinct-column count before the
-  * shuffle. That is what the oracle can verify; at cluster scale swap
-  * `exact = false` to HLL sketches (approx_count_distinct) and the
-  * Expand disappears.
+  * 100 TB note: `exact = false` swaps the melt pass for
+  * approx_count_distinct inside pass 1 — one scan total, HLL sketches,
+  * no melt explosion.
   */
 object Profile {
 
@@ -46,29 +53,46 @@ object Profile {
 
     val aggs: Seq[Column] = cols.flatMap { f =>
       val n = f.name
-      val nd = if (exact) count_distinct(col(n)) else approx_count_distinct(col(n))
       Seq(
         count(when(col(n).isNull, 1)).as(s"__${n}__nulls"),
-        nd.as(s"__${n}__distinct"),
         min(numExpr(f).getOrElse(lit(null).cast("double"))).as(s"__${n}__min_num"),
         max(numExpr(f).getOrElse(lit(null).cast("double"))).as(s"__${n}__max_num"),
         min(strExpr(f).getOrElse(lit(null).cast("string"))).as(s"__${n}__min_str"),
-        max(strExpr(f).getOrElse(lit(null).cast("string"))).as(s"__${n}__max_str"))
+        max(strExpr(f).getOrElse(lit(null).cast("string"))).as(s"__${n}__max_str")) ++
+        (if (exact) Nil
+         else Seq(approx_count_distinct(col(n)).as(s"__${n}__distinct")))
     } :+ count(lit(1)).as("__rows")
 
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val perCol = cols.map { f =>
       val n = f.name
       struct(
-        lit(n).as("col_name"),
-        col("__rows").as("n_rows"),
-        col(s"__${n}__nulls").as("n_nulls"),
-        col(s"__${n}__distinct").as("n_distinct"),
-        col(s"__${n}__min_num").as("min_num"),
-        col(s"__${n}__max_num").as("max_num"),
-        col(s"__${n}__min_str").as("min_str"),
-        col(s"__${n}__max_str").as("max_str"))
+        lit(n).as("col_name") +:
+        col("__rows").as("n_rows") +:
+        col(s"__${n}__nulls").as("n_nulls") +:
+        col(s"__${n}__min_num").as("min_num") +:
+        col(s"__${n}__max_num").as("max_num") +:
+        col(s"__${n}__min_str").as("min_str") +:
+        col(s"__${n}__max_str").as("max_str") +:
+        (if (exact) Nil else Seq(col(s"__${n}__distinct").as("n_distinct"))): _*)
     }
-    wide.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+    val stats = wide.select(explode(array(perCol: _*)).as("p")).select(col("p.*"))
+
+    if (!exact) return stats.select(
+      col("col_name"), col("n_rows"), col("n_nulls"), col("n_distinct"),
+      col("min_num"), col("max_num"), col("min_str"), col("max_str"))
+
+    // melt: (col_name, value-repr) pairs, one count_distinct per group
+    val melted = df.select(explode(array(cols.map { f =>
+      struct(lit(f.name).as("col_name"), col(f.name).cast("string").as("v"))
+    }: _*)).as("m")).select(col("m.*"))
+    val distincts = melted.groupBy(col("col_name"))
+      .agg(count_distinct(col("v")).as("n_distinct"))
+
+    stats.join(broadcast(distincts), Seq("col_name"), "left")
+      .select(
+        col("col_name"), col("n_rows"), col("n_nulls"),
+        coalesce(col("n_distinct"), lit(0L)).as("n_distinct"),
+        col("min_num"), col("max_num"), col("min_str"), col("max_str"))
   }
 }
