@@ -22,11 +22,13 @@ import graft.functions.Kernels
   * functions as temp functions.
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(ext: SparkSessionExtensions): Unit =
+  override def apply(ext: SparkSessionExtensions): Unit = {
     GraftExtensions.descriptions.foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(Kernels.getClass.getName, name), builder))
     }
+    ext.injectOptimizerRule(_ => graft.plans.EditDistancePrefilter)
+  }
 }
 
 object GraftExtensions {
@@ -51,9 +53,13 @@ object GraftExtensions {
         es.map(e => Cast(e, ArrayType(DoubleType))),
         Seq(ArrayType(DoubleType), ArrayType(DoubleType)))))
 
-  /** Install into a live session as temp functions. */
-  def register(spark: SparkSession): Unit =
+  /** Install into a live session: temp functions + optimizer rule. */
+  def register(spark: SparkSession): Unit = {
     descriptions.foreach { case (name, builder) =>
       org.apache.spark.sql.graft.expr.registerTempFunction(spark, name, builder)
     }
+    if (!spark.experimental.extraOptimizations.contains(graft.plans.EditDistancePrefilter))
+      spark.experimental.extraOptimizations =
+        spark.experimental.extraOptimizations :+ graft.plans.EditDistancePrefilter
+  }
 }

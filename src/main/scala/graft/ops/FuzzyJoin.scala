@@ -31,6 +31,11 @@ object FuzzyJoin {
       (blockCols.map(col) :+ col(idCol).as("id_b")) :+ col(textCol).as("__tb"): _*)
     left.join(right, blockCols)
       .filter(col("id_a") < col("id_b"))
+      // length bound first: |len(a)-len(b)| <= maxDist is necessary for
+      // the edit distance, O(1) vs O(|a|·|b|) — short-circuits most
+      // pairs before levenshtein (same rewrite EditDistancePrefilter
+      // applies to raw SQL predicates)
+      .filter(abs(length(col("__ta")) - length(col("__tb"))) <= maxDist)
       .withColumn("dist", levenshtein(col("__ta"), col("__tb")))
       .filter(col("dist") <= maxDist)
       .select(blockCols.map(col) :+ col("id_a") :+ col("id_b") :+ col("dist"): _*)

@@ -63,6 +63,26 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out.toSeq === Seq((1L, 2L, 1)))
   }
 
+  // ---- edit-distance prefilter rule ----------------------------------
+
+  test("EditDistancePrefilter plants the length bound and keeps results") {
+    GraftExtensions.register(spark)
+    val d = Seq((1L, "kitten"), (2L, "sitten"), (3L, "abcdefghijklmno"))
+      .toDF("id", "s")
+    d.createOrReplaceTempView("edp_t")
+    val q = "SELECT a.id AS ia, b.id AS ib FROM edp_t a JOIN edp_t b " +
+      "ON a.id < b.id WHERE levenshtein(a.s, b.s) <= 2"
+    val df = spark.sql(q)
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(optimized.contains("abs(") && optimized.contains("length("),
+      s"length bound missing from optimized plan:\n$optimized")
+    // semantics preserved: only (kitten, sitten) is within distance 2
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq === Seq((1L, 2L)))
+    // idempotent under re-optimization (rule must reach a fixpoint)
+    assert("abs\\(".r.findAllIn(
+      spark.sql(q).queryExecution.optimizedPlan.toString).length === 1)
+  }
+
   // ---- salted join ---------------------------------------------------
 
   test("saltedJoin matches the plain join on skewed data") {
