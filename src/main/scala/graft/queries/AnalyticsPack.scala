@@ -290,6 +290,22 @@ object AnalyticsPack {
           ORDER BY o_orderdate, o_orderkey)::BIGINT AS quartile
       FROM orders"""))
 
+  /** Deterministic stratified sample (ops.Sample): first 50 orders per
+    * priority in md5-hash order — balanced, unbiased, and a pure
+    * function of the data (reproducible across engines and
+    * partitionings, unlike RNG sampling).
+    */
+  private val q53 = QueryDef(
+    "q53_stratified_sample",
+    (s, dir) => graft.ops.Sample.stratifiedByHash(
+      Tables.orders(s, dir), Seq("o_orderpriority"), "o_orderkey", n = 50)
+      .select(col("o_orderkey"), col("o_orderpriority"), col("o_totalprice")),
+    Some(s"""SELECT o_orderkey, o_orderpriority, o_totalprice FROM (
+        SELECT o_orderkey, o_orderpriority, o_totalprice,
+          row_number() OVER (PARTITION BY o_orderpriority
+            ORDER BY ${OracleSql.hex60("o_orderkey::VARCHAR")} ASC, o_orderkey ASC) AS rk
+        FROM orders) WHERE rk <= 50"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50)
+    q47, q48, q49, q50, q53)
 }
