@@ -109,6 +109,40 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
+  /** Incremental near-dup candidates: pairs (batch doc, corpus doc)
+    * sharing an LSH band key — the daily-ingest path. The corpus is
+    * NEVER compared against itself (that work happened when each prior
+    * batch arrived), so the cost scales with |batch| + the touched
+    * band buckets, not |corpus|²; at deployment the corpus band table
+    * is precomputed and stored bucketed on (band_idx, band_key) so
+    * this join prunes to the batch's buckets.
+    *
+    * Output: (batch_id, corpus_id) candidate pairs; verify with
+    * `jaccardPairs`-style exact scoring or treat band agreement as the
+    * dedup signal (same trade as q18 vs q19).
+    */
+  def incrementalCandidates(
+      corpus: DataFrame, batch: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    def bandRows(df: DataFrame) = df.select(
+      col(idCol).cast("long").as(idCol),
+      graft.functions.Kernels.minhashSigOf(col(textCol), bands * rowsPerBand, shingleWords).as("sig"))
+      .select(col(idCol),
+        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
+    // bounded collects on BOTH sides; bucket-size caps apply per side
+    def buckets(df: DataFrame, out: String) = bandRows(df)
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(graft.functions.CappedCollect.cappedLongList(col(idCol), maxBucket).as("cl"))
+      .filter(col("cl.n") <= maxBucket)
+      .select(col("band_idx"), col("band_key"), col("cl.ids").as(out))
+    buckets(batch, "batch_ids")
+      .join(buckets(corpus, "corpus_ids"), Seq("band_idx", "band_key"))
+      .select(explode(col("batch_ids")).as("batch_id"), col("corpus_ids"))
+      .select(col("batch_id"), explode(col("corpus_ids")).as("corpus_id"))
+      .distinct()
+  }
+
   /** Keep-one-per-near-dup-cluster: connected components over a
     * candidate-pair edge list by iterative min-label propagation, to
     * fixpoint. Every doc maps to the minimum id reachable from it

@@ -449,6 +449,32 @@ object PipelinePack {
           // (least((w + 1) * 16, strlen(text)) - w * 16)) AS r
       FROM documents)"""))
 
+  /** Incremental near-dup (Dedup.incrementalCandidates): docs with
+    * doc_id % 10 = 0 play the arriving batch, the rest the standing
+    * corpus — candidates are batch×corpus band agreements only, never
+    * corpus×corpus. The oracle replays both band tables and joins them.
+    */
+  private val q54 = QueryDef(
+    "q54_incremental_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      Dedup.incrementalCandidates(
+        docs.filter(col("doc_id") % 10 =!= 0),
+        docs.filter(col("doc_id") % 10 === 0),
+        "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 4)
+    },
+    Some(s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
+      sig AS (SELECT doc_id, list_transform(range(0, 16),
+        h -> list_min(list_transform(
+          list_transform(s, x -> ${sqlHex60("x")} % 1073741789),
+          v -> (((h * 2654435761) % 1073741789 + 1) * v
+                + (h * 40503 + 12345) % 1073741789) % 1073741789))) AS sig FROM sh),
+      bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bk
+        FROM sig CROSS JOIN range(0, 4) AS t(b))
+      SELECT DISTINCT x.doc_id AS batch_id, y.doc_id AS corpus_id
+      FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk
+      WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q32, q33, q34, q37, q38, q52)
+    q25, q26, q27, q32, q33, q34, q37, q38, q52, q54)
 }

@@ -103,6 +103,42 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(rows.map(_.getAs[Long]("n_events")).sorted.toSeq === Seq(1L, 2L))
   }
 
+  test("streaming session_window agrees with batch Sessionize on real events") {
+    import org.apache.spark.sql.functions._
+    // same gap rule, two surfaces: batch ops.Sessionize (lag + running
+    // sum) vs Structured Streaming session_window. Boundary note: an
+    // event EXACTLY gap after its predecessor joins the session in
+    // batch (gap > threshold opens) but opens a new window in
+    // session_window (strict merge t2 < t1+gap); the real events data
+    // has no exact-1800s gaps, so counts must match bit-for-bit.
+    val src = spark.read.parquet(s"$sf/events.parquet")
+      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+      .filter(col("user_id") < 20)
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
+    val srcDir = Files.createTempDirectory("graft-sess-parity").toString
+    src.write.parquet(srcDir + "/f1")
+
+    val batch = graft.ops.Sessionize.profile(src, "user_id", "ts", "event_id",
+      maxGapUs = 1800L * 1000000L)
+      .select(col("user_id"), col("n_sessions")).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    val stream = spark.readStream.schema(src.schema).parquet(srcDir + "/*")
+    val ckpt = Files.createTempDirectory("graft-sess-parity-ckpt").toString
+    val q = StreamingLift.sessionCounts(stream, "ts", "user_id", gap = "30 minutes")
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(Trigger.AvailableNow())
+      .format("memory").queryName("sess_parity_out").start()
+    q.awaitTermination(120000)
+    val streaming = spark.table("sess_parity_out")
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_sessions"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+
+    assert(streaming === batch)
+    assert(batch.nonEmpty)
+  }
+
   test("runningCounts: mapGroupsWithState accumulates across micro-batches") {
     val srcDir = Files.createTempDirectory("graft-state").toString
     val schema = events(Nil).schema
