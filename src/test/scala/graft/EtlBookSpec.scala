@@ -91,4 +91,58 @@ class EtlBookSpec extends AnyFunSuite {
     assert(auditDf.filter($"state" === "book:end").count() == 1)
     assert(auditDf.filter($"state" === "page:end").count() >= 4)
   }
+
+  test("curation book: ingest → near-dup dedup → quality gate as chapters") {
+    import graft.functions.TextKernels
+    import graft.ops.Dedup
+
+    val destRoot = Files.createTempDirectory("curation_dest").toString
+    val registry = new ConnectionRegistry(spark)
+    val source = registry.build("file", "source", Map("path" -> sf)).asInstanceOf[FileConnection]
+    val dest = registry.build("file", "dest", Map("path" -> destRoot)).asInstanceOf[FileConnection]
+
+    val book = new Book("curation")
+    val audit = new AuditSink(spark).attach(book)
+
+    val ingest = book.addChapter(100, "ingest")
+    ingest.addPage("documents") {
+      TableOps.insertData(dest.table("documents"), source.getAll("documents"), "doc_id")
+    }
+
+    val dedup = book.addChapter(200, "dedup")
+    dedup.addPage("near_dup_keep_one") {
+      val docs = dest.getAll("documents")
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleWords = 3, bands = 4, rowsPerBand = 4)
+      val keep = Dedup.nearDupSurvivors(docs, pairs, "doc_id")
+        .filter($"keep_id" === $"doc_id").select($"doc_id")
+      dest.table("documents").overwrite(docs.join(keep, Seq("doc_id")))
+    }
+
+    val curate = book.addChapter(300, "curate")
+    curate.addPage("quality_gate") {
+      val docs = dest.getAll("documents")
+      val toks = TextKernels.tokens($"text")
+      val quality = least(lit(1.0), size(toks).cast("double") / 100.0)
+      dest.table("curated").overwrite(
+        docs.select($"doc_id", size(toks).cast("long").as("n_tokens"),
+            quality.as("quality_score"))
+          .filter($"quality_score" >= 0.2))
+    }
+
+    book.run()
+    audit.flush(dest.table("empujar"))
+
+    val nSource = source.getAll("documents").count()
+    val nDeduped = dest.getAll("documents").count()
+    val nCurated = dest.getAll("curated").count()
+    assert(nDeduped < nSource, "planted near-dups must collapse")
+    assert(nCurated <= nDeduped && nCurated > 0)
+    // chapters ran in priority order: dedup before curate
+    val auditDf = dest.getAll("empujar")
+    assert(auditDf.filter($"state" === "book:end").count() == 1)
+    val ends = auditDf.filter($"state" === "chapter:end")
+      .orderBy($"time").select($"name").collect().map(_.getString(0)).toSeq
+    assert(ends === Seq("ingest", "dedup", "curate"))
+  }
 }
