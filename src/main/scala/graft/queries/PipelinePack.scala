@@ -475,6 +475,51 @@ object PipelinePack {
       FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk
       WHERE x.doc_id % 10 = 0 AND y.doc_id % 10 <> 0"""))
 
+  /** Vocabulary induction: top-100 tokens by corpus frequency — the
+    * explode is map-side, the count partial-aggregates before its
+    * shuffle, and the top-k is TakeOrderedAndProject (per-partition
+    * heaps, k rows to the driver — no global sort at any corpus size).
+    */
+  private val q55 = QueryDef(
+    "q55_vocab",
+    (s, dir) => Tables.documents(s, dir)
+      .select(explode(TextKernels.tokens(col("text"))).as("token"))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"))
+      .orderBy(col("freq").desc, col("token").asc)
+      .limit(100),
+    Some(s"""SELECT token, freq FROM (
+        SELECT token, count(*) AS freq FROM (
+          SELECT unnest($T) AS token FROM documents)
+        GROUP BY token)
+      ORDER BY freq DESC, token ASC LIMIT 100"""))
+
+  /** Bigram statistics: top-100 adjacent token pairs — the pair list
+    * builds map-side from the token array (zip with its own tail), so
+    * the only shuffled rows are (bigram, partial count).
+    */
+  private val q56 = QueryDef(
+    "q56_bigrams",
+    (s, dir) => {
+      val toks = TextKernels.tokens(col("text"))
+      val bigrams = zip_with(
+        slice(toks, lit(1), greatest(size(toks) - 1, lit(0))),
+        slice(toks, lit(2), greatest(size(toks) - 1, lit(0))),
+        (a, b) => concat(a, lit(" "), b))
+      Tables.documents(s, dir)
+        .select(explode(bigrams).as("bigram"))
+        .groupBy(col("bigram"))
+        .agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("bigram").asc)
+        .limit(100)
+    },
+    Some(s"""SELECT bigram, freq FROM (
+        SELECT bigram, count(*) AS freq FROM (
+          SELECT unnest(list_transform(range(1, greatest(len($T), 1)),
+            i -> ($T)[i] || ' ' || ($T)[i + 1])) AS bigram FROM documents)
+        GROUP BY bigram)
+      ORDER BY freq DESC, bigram ASC LIMIT 100"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q32, q33, q34, q37, q38, q52, q54)
+    q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56)
 }
