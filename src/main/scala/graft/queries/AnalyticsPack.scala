@@ -18,6 +18,8 @@ import graft.sources.Tables
   */
 object AnalyticsPack {
 
+  private val T = OracleSql.T
+
   /** Gap-based sessionization of the events stream (ops.Sessionize):
     * one shuffle on user_id, one window pass; 30-minute gap.
     */
@@ -306,6 +308,67 @@ object AnalyticsPack {
             ORDER BY ${OracleSql.hex60("o_orderkey::VARCHAR")} ASC, o_orderkey ASC) AS rk
         FROM orders) WHERE rk <= 50"""))
 
+  /** Train/test contamination check (decontamination): deterministic
+    * hash split (q38's rule), then NEAR-dup collisions across the
+    * split boundary via the minhash band join
+    * (Dedup.incrementalCandidates) — test docs whose near-duplicate
+    * also sits in train leak evaluation data into training. Exact
+    * contamination is the degenerate case (identical text ⇒ identical
+    * bands), so this subsumes an md5 join.
+    */
+  private val q57 = QueryDef(
+    "q57_contamination",
+    (s, dir) => {
+      val bucket = pmod(graft.functions.TextKernels.hex60(col("doc_id").cast("string")), lit(100L))
+      val docs = Tables.documents(s, dir)
+        .withColumn("split", when(bucket < 80, lit("train")).otherwise(lit("test")))
+      graft.ops.Dedup.incrementalCandidates(
+        docs.filter(col("split") === "train"),
+        docs.filter(col("split") === "test"),
+        "doc_id", "text", shingleWords = 3, bands = 4, rowsPerBand = 4)
+        .groupBy(col("batch_id").as("test_id"))
+        .agg(count(lit(1)).as("n_train_neardups"), min(col("corpus_id")).as("first_train_id"))
+    },
+    Some(s"""WITH d AS (SELECT doc_id, text,
+        CASE WHEN ${OracleSql.hex60("doc_id::VARCHAR")} % 100 < 80
+          THEN 'train' ELSE 'test' END AS split FROM documents),
+      sh AS (SELECT doc_id, split,
+        list_distinct(list_transform(range(1, greatest(len($T) - 2, 1) + 1),
+          i -> array_to_string(($T)[i:i+2], ' '))) AS s FROM d),
+      sig AS (SELECT doc_id, split, list_transform(range(0, 16),
+        h -> list_min(list_transform(
+          list_transform(s, x -> ${OracleSql.hex60("x")} % 1073741789),
+          v -> (((h * 2654435761) % 1073741789 + 1) * v
+                + (h * 40503 + 12345) % 1073741789) % 1073741789))) AS sig FROM sh),
+      bands AS (SELECT doc_id, split, b,
+          md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bk
+        FROM sig CROSS JOIN range(0, 4) AS t(b)),
+      pairs AS (SELECT DISTINCT x.doc_id AS test_id, y.doc_id AS train_id
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk
+        WHERE x.split = 'test' AND y.split = 'train')
+      SELECT test_id, count(*) AS n_train_neardups, min(train_id) AS first_train_id
+      FROM pairs GROUP BY test_id"""))
+
+  /** Repetition quality signal: the share of repeated tokens per doc
+    * (1 - distinct/total) — entirely map-side, the standard cheap
+    * boilerplate detector alongside q24's stopword/length ratios.
+    */
+  private val q58 = QueryDef(
+    "q58_repetition",
+    (s, dir) => {
+      val toks = graft.functions.TextKernels.tokens(col("text"))
+      Tables.documents(s, dir).select(
+        col("doc_id"),
+        size(toks).cast("long").as("n_tokens"),
+        size(array_distinct(toks)).cast("long").as("n_distinct_tokens"),
+        (lit(1.0) - size(array_distinct(toks)).cast("double") / size(toks))
+          .as("repetition_ratio"))
+    },
+    Some(s"""SELECT doc_id, len($T)::BIGINT AS n_tokens,
+        len(list_distinct($T))::BIGINT AS n_distinct_tokens,
+        1.0 - len(list_distinct($T))::DOUBLE / len($T) AS repetition_ratio
+      FROM documents"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q53)
+    q47, q48, q49, q50, q53, q57, q58)
 }

@@ -118,6 +118,29 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("CappedCollect equals collect_list-then-filter across random workloads") {
+    val rnd = new scala.util.Random(42) // seeded: deterministic test
+    for (trial <- 1 to 5) {
+      val cap = 1 + rnd.nextInt(20)
+      val nKeys = 1 + rnd.nextInt(10)
+      // zipf-ish: low keys get many rows, so some groups exceed the cap
+      val data = (1 to 500).map { _ =>
+        val k = rnd.nextInt(nKeys * nKeys) % nKeys
+        (k, rnd.nextLong())
+      }.toDF("k", "v").repartition(7) // multiple partitions exercise merge()
+      val capped = data.groupBy(col("k"))
+        .agg(CappedCollect.cappedLongList(col("v"), cap).as("cl"))
+        .filter(col("cl.n").between(2, cap))
+        .select(col("k"), sort_array(col("cl.ids")).as("ids"))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      val reference = data.groupBy(col("k"))
+        .agg(sort_array(collect_list(col("v"))).as("ids"))
+        .filter(size(col("ids")).between(2, cap))
+        .collect().map(r => r.getInt(0) -> r.getSeq[Long](1)).toMap
+      assert(capped === reference, s"trial $trial cap=$cap nKeys=$nKeys")
+    }
+  }
+
   test("CappedCollect keeps the exact count past the cap") {
     val d = (1 to 1000).map(i => (1, i.toLong)).toDF("k", "v")
     val row = d.groupBy(col("k"))
