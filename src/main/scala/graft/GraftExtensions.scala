@@ -46,6 +46,14 @@ object GraftExtensions {
         Seq(StringType, IntegerType))),
     "graft_simhash60" -> ((es: Seq[Expression]) =>
       invoke(LongType, "simhash60", es, Seq(StringType))),
+    "graft_shingle_hashes" -> ((es: Seq[Expression]) =>
+      invoke(ArrayType(LongType, containsNull = false), "shingleHashes60", es,
+        Seq(StringType, IntegerType))),
+    "graft_pairs" -> ((es: Seq[Expression]) =>
+      invoke(ArrayType(StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false))), containsNull = false),
+        "sortedPairs", es, Seq(ArrayType(LongType)))),
     "graft_fingerprint" -> ((es: Seq[Expression]) =>
       invoke(LongType, "fingerprint", es, Seq(StringType))),
     "graft_cosine" -> ((es: Seq[Expression]) =>

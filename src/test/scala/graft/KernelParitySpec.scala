@@ -1,5 +1,6 @@
 package graft
 
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -128,6 +129,14 @@ class KernelParitySpec extends AnyFunSuite {
     val cos = spark.sql(
       "SELECT graft_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS c").head().getDouble(0)
     assert(math.abs(cos - 1.0) < 1e-15)
+
+    val pairs = spark.sql(
+      "SELECT graft_pairs(array(3L, 1L, 2L)) AS p").head().getSeq[Row](0)
+    assert(pairs.map(r => (r.getLong(0), r.getLong(1))) ===
+      Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val shHashes = spark.sql(
+      "SELECT graft_shingle_hashes(text, 3) AS h FROM docs_sql LIMIT 1").count()
+    assert(shHashes === 1)
   }
 
   test("kernel plan stays inside WholeStageCodegen (no interpreted HOFs)") {
