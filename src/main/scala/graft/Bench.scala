@@ -47,7 +47,11 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // n_queries/mean_query_sec contextualize the total across rounds:
+    // the suite grew from 16 queries (r1) to 58, so totals are not
+    // comparable round-over-round but per-query means are.
+    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
+      s""""mean_query_sec":${total / results.size},"queries":$qs,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
     }
