@@ -224,6 +224,23 @@ object Kernels {
 
   // ---- vector kernel ------------------------------------------------
 
+  /** L2-normalize a double array (null for zero-norm inputs): after
+    * normalization cosine reduces to a plain dot product, the standard
+    * ANN preprocessing step.
+    */
+  def l2normalize(a: ArrayData): ArrayData = {
+    val n = a.numElements()
+    var ss = 0.0
+    var i = 0
+    while (i < n) { val x = a.getDouble(i); ss += x * x; i += 1 }
+    if (ss <= 0) return null
+    val norm = math.sqrt(ss)
+    val out = new Array[Double](n)
+    i = 0
+    while (i < n) { out(i) = a.getDouble(i) / norm; i += 1 }
+    new GenericArrayData(out)
+  }
+
   /** Null-safe cosine over two double arrays: left-fold sums in array
     * order (same accumulation order as the zip_with/aggregate form),
     * null when either norm is zero or lengths differ.
@@ -298,6 +315,13 @@ object Kernels {
         StructField("nb", IntegerType, nullable = false))), containsNull = false),
       "sortedPairsWithSizes", Seq(expr(ids), expr(ns)),
       Seq(ArrayType(LongType), ArrayType(IntegerType))))
+
+  /** L2-normalized copy of a vector; null for zero-norm inputs. */
+  def l2normalizeOf(a: Column): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, ArrayType(DoubleType, containsNull = false), "l2normalize",
+      Seq(expr(a.cast("array<double>"))), Seq(ArrayType(DoubleType)),
+      returnNullable = true))
 
   /** Null-safe cosine; inputs cast to array<double> (exact widening)
     * so one kernel serves float and double embeddings.

@@ -121,6 +121,48 @@ object Similarity {
       .withColumn("mean", (col("sum_q").cast("double") / scale) / col("n_members"))
       .drop("sum_q")
 
+  /** Full Lloyd's k-means to `iters` iterations (or until assignments
+    * stop changing): repeated [[kmeansStep]] with the tiny (k × dims)
+    * centroid matrix collected to the driver between rounds — the one
+    * sanctioned driver materialization (same smallness contract as the
+    * IVF centroid fold). Data-side work per iteration is one map-side
+    * assignment + one aggregation; the corpus never re-shuffles on a
+    * changing key.
+    *
+    * Returns (centroids, assignments): the final per-dimension centroid
+    * rows and each row's cell.
+    */
+  def kmeans(
+      df: DataFrame, idCol: String, vecCol: String,
+      initialCentroids: DataFrame, iters: Int = 10,
+      scale: Long = 1000000L): (DataFrame, DataFrame) = {
+    var cents = initialCentroids.select(col("cell_id").cast("long"),
+        col("cvec").cast("array<double>").as("cvec"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Double](1))
+    val spark = df.sparkSession
+    import spark.implicits._
+    var done = false
+    var i = 0
+    while (i < iters && !done) {
+      val centsDf = cents.toSeq.toDF("cell_id", "cvec")
+      val next = kmeansStep(df, vecCol, centsDf, scale)
+        .collect()
+        .groupBy(_.getLong(0))
+        .map { case (cell, rows) =>
+          cell -> rows.sortBy(_.getLong(1)).map(_.getDouble(3)).toSeq
+        }
+        .toArray.sortBy(_._1)
+      done = next.toSeq == cents.toSeq
+      cents = next
+      i += 1
+    }
+    val centsDf = cents.toSeq.toDF("cell_id", "cvec")
+    val perDim = centsDf.select(col("cell_id"),
+      posexplode(col("cvec")).as(Seq("dim", "mean")))
+      .select(col("cell_id"), col("dim").cast("long").as("dim"), col("mean"))
+    (perDim, assignCells(df, vecCol, centsDf).select(col(idCol), col("cell_id")))
+  }
+
   def ivfTopK(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, query: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {

@@ -214,6 +214,39 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  // ---- k-means loop --------------------------------------------------
+
+  test("kmeans converges on separable synthetic clusters") {
+    // two tight clusters around orthogonal directions
+    val vecs = (
+      (1 to 20).map(i => (i.toLong, Seq(1.0, 0.0, 0.01 * i))) ++
+      (21 to 40).map(i => (i.toLong, Seq(0.0, 1.0, 0.01 * (i - 20))))
+    ).toDF("vec_id", "embedding")
+    val init = Seq((0L, Seq(0.9, 0.1, 0.0)), (1L, Seq(0.1, 0.9, 0.0)))
+      .toDF("cell_id", "cvec")
+    val (cents, assign) = graft.ops.Similarity.kmeans(
+      vecs, "vec_id", "embedding", init, iters = 10)
+    val byCell = assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert((1L to 20L).map(byCell).toSet.size === 1, "cluster 1 is pure")
+    assert((21L to 40L).map(byCell).toSet.size === 1, "cluster 2 is pure")
+    assert(byCell(1L) !== byCell(21L), "clusters are distinct")
+    // centroid dominant dimensions match the generating directions
+    val c = cents.collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val cell1 = byCell(1L); val cell2 = byCell(21L)
+    assert(c((cell1, 0L)) > 0.9 && c((cell1, 1L)) < 0.1)
+    assert(c((cell2, 1L)) > 0.9 && c((cell2, 0L)) < 0.1)
+  }
+
+  test("l2normalize kernel: unit norm, null on zero vectors") {
+    import graft.functions.Kernels
+    val d = Seq((1L, Seq(3.0f, 4.0f)), (2L, Seq(0.0f, 0.0f)))
+      .toDF("id", "v")
+      .select(col("id"), Kernels.l2normalizeOf(col("v")).as("n"))
+    val rows = d.orderBy("id").collect()
+    assert(rows(0).getSeq[Double](1) === Seq(0.6, 0.8))
+    assert(rows(1).isNullAt(1))
+  }
+
   // ---- sketches (q46 has no oracle; pin error bounds here) -----------
 
   test("sketch estimates stay within error bounds of exact values") {
