@@ -32,4 +32,24 @@ object Sample {
       .filter(col("__rk") <= n)
       .drop("__rk")
   }
+
+  /** Mixture (per-class rate) sampling: keep a row when its id hash
+    * lands under the class's rate — the data-mixing knob (upsample
+    * high-quality sources, downsample boilerplate ones) as a pure
+    * function of the data. Entirely map-side: no shuffle, no RNG, the
+    * same row keeps/drops identically on every engine, run, and
+    * partitioning. Rates are in [0, 1]; classes absent from the map
+    * use `defaultRate`.
+    */
+  def mixtureByHash(
+      df: DataFrame, classCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val M = 1000000L
+    val bucket = pmod(TextKernels.hex60(col(idCol).cast("string")), lit(M))
+    val threshold = rates.foldLeft(lit((defaultRate * M).toLong)) {
+      case (acc, (cls, rate)) =>
+        when(col(classCol) === cls, lit((rate * M).toLong)).otherwise(acc)
+    }
+    df.filter(bucket < threshold)
+  }
 }

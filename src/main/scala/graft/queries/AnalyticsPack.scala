@@ -369,6 +369,49 @@ object AnalyticsPack {
         1.0 - len(list_distinct($T))::DOUBLE / len($T) AS repetition_ratio
       FROM documents"""))
 
+  /** Mixture sampling (ops.Sample.mixtureByHash): per-language keep
+    * rates applied as a pure hash function of the id — the data-mixing
+    * step of a corpus build, verified by per-language counts of the
+    * surviving sample.
+    */
+  private val q59 = QueryDef(
+    "q59_mixture_sample",
+    (s, dir) => graft.ops.Sample.mixtureByHash(
+      Tables.documents(s, dir), "lang", "doc_id",
+      rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.1))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")),
+    Some(s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+      FROM documents
+      WHERE ${OracleSql.hex60("doc_id::VARCHAR")} % 1000000 <
+        CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
+          WHEN 'fr' THEN 500000 WHEN 'es' THEN 250000
+          WHEN 'zh' THEN 100000 ELSE 1000000 END
+      GROUP BY lang"""))
+
+  /** Corpus report: per-source doc counts, volume, language spread and
+    * mean token length — the summary table a corpus build publishes.
+    * Mean = exact integer sums divided once at the end (no float
+    * accumulation order).
+    */
+  private val q60 = QueryDef(
+    "q60_corpus_report",
+    (s, dir) => {
+      val toks = graft.functions.TextKernels.tokens(col("text"))
+      Tables.documents(s, dir)
+        .select(col("source"), col("lang"), col("n_chars"),
+          size(toks).cast("long").as("n_toks"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("n_chars")).as("total_chars"),
+          count_distinct(col("lang")).as("n_langs"),
+          (sum(col("n_toks")).cast("double") / count(lit(1))).as("mean_tokens"))
+    },
+    Some(s"""SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+        count(DISTINCT lang) AS n_langs,
+        sum(len($T))::DOUBLE / count(*) AS mean_tokens
+      FROM documents GROUP BY source"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q53, q57, q58)
+    q47, q48, q49, q50, q53, q57, q58, q59, q60)
 }
