@@ -412,6 +412,21 @@ object AnalyticsPack {
         sum(len($T))::DOUBLE / count(*) AS mean_tokens
       FROM documents GROUP BY source"""))
 
+  /** Fixed-width histogram of order values: floor bucketing is exact
+    * double math with identical expression trees on both engines (no
+    * width_bucket dialect dependence), one hash aggregate.
+    */
+  private val q61 = QueryDef(
+    "q61_histogram",
+    (s, dir) => Tables.orders(s, dir)
+      .groupBy(floor(col("o_totalprice") / 25000.0).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("bucket_total")),
+    Some("""SELECT floor(o_totalprice / 25000.0)::BIGINT AS bucket,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
+      FROM orders GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q53, q57, q58, q59, q60)
+    q47, q48, q49, q50, q53, q57, q58, q59, q60, q61)
 }
