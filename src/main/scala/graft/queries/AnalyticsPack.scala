@@ -427,6 +427,40 @@ object AnalyticsPack {
         CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS bucket_total
       FROM orders GROUP BY 1"""))
 
+  /** IQR outlier detection per group: exact quartiles (the q41
+    * machinery), Tukey fences at 1.5×IQR, outliers counted against a
+    * broadcast of the 5-row bounds table. Bounds are derived doubles
+    * but both engines build them from bit-identical quantiles with the
+    * same expression tree, so the comparison is exact.
+    */
+  private val q62 = QueryDef(
+    "q62_outliers",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val bounds = orders.groupBy(col("o_orderpriority"))
+        .agg(expr("percentile(o_totalprice, array(0.25D, 0.75D))").as("qs"))
+        .select(col("o_orderpriority"),
+          (col("qs")(0) - (col("qs")(2 - 1) - col("qs")(0)) * 1.5).as("lo"),
+          (col("qs")(1) + (col("qs")(1) - col("qs")(0)) * 1.5).as("hi"))
+      orders.join(broadcast(bounds), Seq("o_orderpriority"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n_orders"),
+          count(when(col("o_totalprice") < col("lo") ||
+            col("o_totalprice") > col("hi"), 1)).as("n_outliers"),
+          min(col("lo")).as("lo"), max(col("hi")).as("hi"))
+    },
+    Some("""WITH b AS (SELECT o_orderpriority,
+        quantile_cont(o_totalprice, 0.25) AS q1,
+        quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY o_orderpriority),
+      f AS (SELECT o_orderpriority, q1 - (q3 - q1) * 1.5 AS lo,
+        q3 + (q3 - q1) * 1.5 AS hi FROM b)
+      SELECT o_orderpriority, count(*) AS n_orders,
+        count(*) FILTER (WHERE o_totalprice < lo OR o_totalprice > hi) AS n_outliers,
+        min(lo) AS lo, max(hi) AS hi
+      FROM orders JOIN f USING (o_orderpriority)
+      GROUP BY o_orderpriority"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q53, q57, q58, q59, q60, q61)
+    q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62)
 }
