@@ -41,7 +41,7 @@ object AnalyticsPack {
       per AS (SELECT user_id, session_seq, count(*) AS n,
           max(epoch_us(ts)) - min(epoch_us(ts)) AS dur_us
         FROM se GROUP BY user_id, session_seq)
-      SELECT user_id, count(*) AS n_sessions, sum(n) AS n_events,
+      SELECT user_id, count(*) AS n_sessions, sum(n)::BIGINT AS n_events,
         max(n) AS max_session_events, max(dur_us) AS max_session_dur_us
       FROM per GROUP BY user_id"""))
 
@@ -160,20 +160,43 @@ object AnalyticsPack {
       WHERE rk = 1"""))
 
   /** Sketches: HyperLogLog distinct counts + approximate quantiles per
-    * group. Estimates are engine-specific by nature, so this entry is
-    * rows-only (no oracle SQL) — the ScalaTest spec pins the estimates
-    * against exact values within the configured error instead.
+    * group. Raw estimates are engine-specific by nature, so the
+    * oracle-checked output carries (a) the exact values — comparable
+    * cross-engine like q41 — and (b) booleans asserting each estimate
+    * landed within a generous error bound of the exact value computed
+    * in the SAME plan (HLL rsd 0.01 and percentile accuracy 10000 are
+    * both far inside 5%); the oracle emits the exact columns plus
+    * literal TRUE, so any out-of-bound sketch flips a boolean and
+    * fails the hash. The ScalaTest spec pins the tighter configured
+    * error bounds on the raw estimates.
     */
   private val q46 = QueryDef(
     "q46_sketches",
     (s, dir) => Tables.orders(s, dir)
       .groupBy(col("o_orderpriority"))
       .agg(
-        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("approx_customers"),
-        expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 10000)").as("ap"))
-      .select(col("o_orderpriority"), col("approx_customers"),
-        col("ap")(0).as("approx_p50"), col("ap")(1).as("approx_p90")),
-    None)
+        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("est_customers"),
+        count_distinct(col("o_custkey")).as("exact_customers"),
+        expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 10000)").as("ap"),
+        expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("ep"))
+      .select(
+        col("o_orderpriority"),
+        col("exact_customers"),
+        col("ep")(0).as("exact_p50"),
+        col("ep")(1).as("exact_p90"),
+        (abs(col("est_customers") - col("exact_customers")).cast("double") /
+          col("exact_customers") <= 0.05).as("hll_within_5pct"),
+        (abs(col("ap")(0) - col("ep")(0)) / col("ep")(0) <= 0.05)
+          .as("p50_within_5pct"),
+        (abs(col("ap")(1) - col("ep")(1)) / col("ep")(1) <= 0.05)
+          .as("p90_within_5pct")),
+    Some("""SELECT o_orderpriority,
+        count(DISTINCT o_custkey) AS exact_customers,
+        quantile_cont(o_totalprice, 0.5) AS exact_p50,
+        quantile_cont(o_totalprice, 0.9) AS exact_p90,
+        TRUE AS hll_within_5pct, TRUE AS p50_within_5pct,
+        TRUE AS p90_within_5pct
+      FROM orders GROUP BY o_orderpriority"""))
 
   /** BPE-ish subword token counting: regex units (letter runs, digit
     * runs, single punctuation) approximate a byte-pair tokenizer's
@@ -381,7 +404,7 @@ object AnalyticsPack {
       rates = Map("en" -> 1.0, "de" -> 0.5, "fr" -> 0.5, "es" -> 0.25, "zh" -> 0.1))
       .groupBy(col("lang"))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_chars")).as("total_chars")),
-    Some(s"""SELECT lang, count(*) AS n_docs, sum(n_chars) AS total_chars
+    Some(s"""SELECT lang, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
       FROM documents
       WHERE ${OracleSql.hex60("doc_id::VARCHAR")} % 1000000 <
         CASE lang WHEN 'en' THEN 1000000 WHEN 'de' THEN 500000
@@ -407,7 +430,7 @@ object AnalyticsPack {
           count_distinct(col("lang")).as("n_langs"),
           (sum(col("n_toks")).cast("double") / count(lit(1))).as("mean_tokens"))
     },
-    Some(s"""SELECT source, count(*) AS n_docs, sum(n_chars) AS total_chars,
+    Some(s"""SELECT source, count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars,
         count(DISTINCT lang) AS n_langs,
         sum(len($T))::DOUBLE / count(*) AS mean_tokens
       FROM documents GROUP BY source"""))

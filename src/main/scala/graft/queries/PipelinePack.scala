@@ -294,13 +294,19 @@ object PipelinePack {
     * (Multimodal.extractFeatures — deterministic stand-in decoder).
     * The oracle replays the same per-byte fold over characters, valid
     * because the corpus is ASCII (1 char = 1 UTF-8 byte); the Spark
-    * side operates on real payload bytes.
+    * side operates on real payload bytes. Output is exploded to
+    * (doc_id, dim, value) rows — the q49 pattern — because array-typed
+    * result columns are un-sortable/un-hashable for the driver's
+    * checker; float→double widening is exact on both engines.
     */
   private val q27 = QueryDef(
     "q27_multimodal_features",
     (s, dir) => Multimodal.extractFeatures(
       Multimodal.ingest(Tables.documents(s, dir), "doc_id", "text", "text/plain"),
-      "doc_id"),
+      "doc_id")
+      .select(col("doc_id"), posexplode(col("features")).as(Seq("dim", "value")))
+      .select(col("doc_id"), col("dim").cast("long").as("dim"),
+        col("value").cast("double").as("value")),
     Some {
       val dims = (0 until Multimodal.FeatureDim).map { d =>
         s"(list_reduce(list_prepend(0::BIGINT, " +
@@ -308,7 +314,10 @@ object PipelinePack {
           s"i -> ord(substr(text, i, 1)))), " +
           s"(acc, x) -> (acc * 31 + x) % 1000003)::FLOAT / 1000003.0::FLOAT)::FLOAT"
       }.mkString(", ")
-      s"SELECT doc_id, [$dims] AS features FROM documents"
+      s"""SELECT doc_id,
+        unnest(range(0, ${Multimodal.FeatureDim})) AS dim,
+        unnest(list_transform([$dims], x -> x::DOUBLE)) AS value
+      FROM documents"""
     })
 
   /** Frame sampling (Multimodal.frames): payload → fixed-size byte
@@ -425,13 +434,16 @@ object PipelinePack {
     },
     Some(s"""SELECT CASE WHEN ${sqlHex60("doc_id::VARCHAR")} % 100 < 80
         THEN 'train' ELSE 'test' END AS split,
-      count(*) AS n_docs, sum(n_chars) AS total_chars
+      count(*) AS n_docs, sum(n_chars)::BIGINT AS total_chars
       FROM documents GROUP BY 1"""))
 
   /** Payload resize via average pooling (Multimodal.resize — the
     * deterministic resample stand-in). The oracle pools ords over the
     * text (ASCII ⇒ chars are the payload bytes) with the same integer
-    * floor mean.
+    * floor mean. The pooled array is verified through an md5 digest of
+    * its comma-joined values (the q33 pattern) because array-typed
+    * result columns are un-sortable/un-hashable for the driver's
+    * checker; integer→string rendering is identical on both engines.
     */
   private val q52 = QueryDef(
     "q52_resize",
@@ -439,8 +451,10 @@ object PipelinePack {
       Multimodal.ingest(Tables.documents(s, dir), "doc_id", "text", "text/plain"),
       "doc_id", factor = 16)
       .select(col("doc_id"), size(col("resized")).cast("long").as("n_out"),
-        col("resized")),
-    Some("""SELECT doc_id, len(r)::BIGINT AS n_out, r AS resized FROM (
+        md5(concat_ws(",", transform(col("resized"), _.cast("string"))))
+          .as("resized_md5")),
+    Some("""SELECT doc_id, len(r)::BIGINT AS n_out,
+      md5(array_to_string(r, ',')) AS resized_md5 FROM (
       SELECT doc_id, list_transform(range(0, (strlen(text) + 15) // 16),
         w -> (list_reduce(list_prepend(0,
             list_transform(range(w * 16 + 1, least((w + 1) * 16, strlen(text)) + 1),

@@ -69,12 +69,20 @@ def main(sf_dir, out_dir):
                    ",".join(f"'{f}'" for f in files) + "])")
             stypes = {r[0]: r[1] for r in
                       con.execute(f"DESCRIBE SELECT * FROM {src}").fetchall()}
+            # DECIMAL: driver materializes decimals asymmetrically
+            # (r1/r2). HUGEINT: DuckDB sum(BIGINT) widens to HUGEINT,
+            # which the driver's pandas fetch stringifies as float64
+            # (r3: q38/q39/q59/q60) — cast oracle sums to ::BIGINT.
+            # LIST/array outputs break the driver's pandas sort_values
+            # (r3: q27/q52 "unhashable numpy.ndarray") — explode to
+            # per-element rows or digest with md5(array_to_string()).
             dec = {c: t for c, t in {**otypes, **stypes}.items()
-                   if "DECIMAL" in t}
+                   if "DECIMAL" in t or "HUGEINT" in t or "[]" in t}
             if dec:
-                print(f"FAIL {name}: DECIMAL output column(s) {dec} — "
-                      "driver hash cannot match these; cast final result "
-                      "to DOUBLE on both sides")
+                print(f"FAIL {name}: banned output column type(s) {dec} — "
+                      "driver hash cannot match these; cast DECIMAL to "
+                      "DOUBLE, HUGEINT sums to ::BIGINT, and reshape "
+                      "arrays to per-element rows or an md5 digest")
                 n_fail += 1
                 continue
             cur = con.execute(sql)
