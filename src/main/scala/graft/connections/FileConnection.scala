@@ -28,7 +28,9 @@ final class FileConnection(spark: SparkSession, val name: String,
 
   override def getAll(tableName: String): DataFrame = {
     val df = format match {
-      case "parquet" => spark.read.parquet(pathOf(tableName))
+      // resolve through the table's live version dir (versioned-pointer
+      // layout); single-file / legacy paths resolve to themselves
+      case "parquet" => spark.read.parquet(table(tableName).dataDir)
       case "csv" => spark.read.option("header", "true").option("inferSchema", "true")
         .csv(pathOf(tableName))
       case "json" => spark.read.json(pathOf(tableName))

@@ -263,6 +263,52 @@ object Kernels {
     if (sa > 0 && sb > 0) dot / (sa * sb) else null
   }
 
+  // ---- media kernels (deterministic codec stand-ins) ----------------
+
+  /** Deterministic feature extraction from a binary payload: fold bytes
+    * into `dim` buckets (per-bucket rolling hash mod 1000003) scaled to
+    * [0, 1) — the stand-in for a real media decoder (no codecs in this
+    * environment). The StaticInvoke shape keeps extraction inside
+    * WholeStageCodegen with the payload column prunable — exactly what
+    * a JVM-side codec call would want too; only a JNI/ONNX boundary
+    * that needs batched handoff justifies falling back to
+    * mapPartitions.
+    */
+  def mediaFeatures(payload: Array[Byte], dim: Int): ArrayData = {
+    val acc = new Array[Long](dim)
+    var i = 0
+    while (i < payload.length) {
+      val d = i % dim
+      acc(d) = (acc(d) * 31 + (payload(i) & 0xff)) % 1000003L
+      i += 1
+    }
+    val out = new Array[Float](dim)
+    var j = 0
+    while (j < dim) { out(j) = acc(j).toFloat / 1000003.0f; j += 1 }
+    new GenericArrayData(out)
+  }
+
+  /** Average-pool windows of `factor` payload bytes with integer floor
+    * means — the deterministic resample stand-in behind
+    * Multimodal.resize. ceil(len/factor) windows; empty payloads give
+    * an empty array.
+    */
+  def poolBytes(payload: Array[Byte], factor: Int): ArrayData = {
+    val n = (payload.length + factor - 1) / factor
+    val out = new Array[Long](n)
+    var w = 0
+    while (w < n) {
+      val start = w * factor
+      val end = math.min(start + factor, payload.length)
+      var s = 0
+      var i = start
+      while (i < end) { s += payload(i) & 0xff; i += 1 }
+      out(w) = (s / (end - start)).toLong
+      w += 1
+    }
+    new GenericArrayData(out)
+  }
+
   // ---- Column wrappers ----------------------------------------------
 
   private def expr(c: Column) = exprBridge.expression(c)
@@ -322,6 +368,20 @@ object Kernels {
       Kernels.getClass, ArrayType(DoubleType, containsNull = false), "l2normalize",
       Seq(expr(a.cast("array<double>"))), Seq(ArrayType(DoubleType)),
       returnNullable = true))
+
+  /** Media feature vector straight from a binary payload column. */
+  def mediaFeaturesOf(payload: Column, dim: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, ArrayType(FloatType, containsNull = false), "mediaFeatures",
+      Seq(expr(payload), expr(org.apache.spark.sql.functions.lit(dim))),
+      Seq(BinaryType, IntegerType)))
+
+  /** Average-pooled (floor-mean) windows of a binary payload column. */
+  def poolBytesOf(payload: Column, factor: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, ArrayType(LongType, containsNull = false), "poolBytes",
+      Seq(expr(payload), expr(org.apache.spark.sql.functions.lit(factor))),
+      Seq(BinaryType, IntegerType)))
 
   /** Null-safe cosine; inputs cast to array<double> (exact widening)
     * so one kernel serves float and double embeddings.

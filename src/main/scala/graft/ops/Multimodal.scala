@@ -1,19 +1,24 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types._
+
+import graft.functions.Kernels
 
 /** [EXT] Multimodal column support: media payloads travel as opaque
   * `binary` columns plus a typed metadata struct; decode / feature
-  * extraction runs partition-wise so one task never holds more than a
+  * extraction is map-side only, so one task never holds more than a
   * partition of payloads.
   *
   * The decode kernel itself is a STUB (no image/audio codecs in this
-  * environment): `fakeFeatures` derives a deterministic feature vector
-  * from the payload bytes. The Spark-side plumbing — schema, batch
-  * shape, partition-wise execution, pruned payload column — is real and
-  * tested (graft.PipelineSpec).
+  * environment): [[Kernels.mediaFeatures]]/[[Kernels.poolBytes]] derive
+  * deterministic outputs from the payload bytes. The Spark-side
+  * plumbing — schema, compiled StaticInvoke call inside
+  * WholeStageCodegen, payload column pruning — is real and tested
+  * (graft.PipelineSpec, graft.KernelParitySpec); a real deployment
+  * swaps the kernel body for a codec call. Only a JNI/ONNX boundary
+  * that needs batched handoff would justify mapPartitions instead —
+  * that breaks codegen and column pruning (DeserializeToObject).
   *
   * Scale notes: payloads never pass through a shuffle here — metadata
   * extraction and feature extraction are map-side; downstream joins
@@ -37,26 +42,14 @@ object Multimodal {
         octet_length(col(contentCol).cast("binary")).cast("long").as("byte_len"),
         sha2(col(contentCol).cast("binary"), 256).as("sha256")).as("meta"))
 
-  /** Partition-wise feature extraction over binary payloads.
-    *
-    * STUB decode: a real deployment swaps `fakeFeatures` for a codec
-    * call (JNI/onnx); the mapPartitions batch shape — iterator-in /
-    * iterator-out, one partition per task, payload column pruned after
-    * use — is exactly what the real kernel needs.
+  /** Feature extraction over binary payloads — a compiled StaticInvoke
+    * kernel ([[Kernels.mediaFeatures]], the STUB decoder) projected
+    * map-side: stays inside WholeStageCodegen and the scan reads only
+    * (idCol, payload).
     */
-  def extractFeatures(df: DataFrame, idCol: String): DataFrame = {
-    val outSchema = StructType(Seq(
-      StructField(idCol, df.schema(idCol).dataType),
-      StructField("features", ArrayType(FloatType, containsNull = false))))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val idIdx = df.schema.fieldIndex(idCol)
-    val payloadIdx = df.schema.fieldIndex("payload")
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        Row(r.get(idIdx), fakeFeatures(r.getAs[Array[Byte]](payloadIdx)))
-      }
-    }(enc)
-  }
+  def extractFeatures(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol),
+      Kernels.mediaFeaturesOf(col("payload"), FeatureDim).as("features"))
 
   /** Frame sampling over binary payloads: split each payload into
     * fixed-size byte frames, one output row per frame — the shape a
@@ -86,48 +79,19 @@ object Multimodal {
     *
     * Output: (idCol, resized: array<long>) — one pooled value per
     * window, ceil(len/factor) windows, empty payloads give an empty
-    * array.
+    * array. Compiled StaticInvoke kernel ([[Kernels.poolBytes]]),
+    * map-side, codegen'd, payload column pruned.
     */
   def resize(df: DataFrame, idCol: String, factor: Int): DataFrame = {
     require(factor > 0, "factor must be positive")
-    val outSchema = StructType(Seq(
-      StructField(idCol, df.schema(idCol).dataType),
-      StructField("resized", ArrayType(LongType, containsNull = false))))
-    val enc = org.apache.spark.sql.Encoders.row(outSchema)
-    val idIdx = df.schema.fieldIndex(idCol)
-    val payloadIdx = df.schema.fieldIndex("payload")
-    df.mapPartitions { rows =>
-      rows.map { r =>
-        val p = r.getAs[Array[Byte]](payloadIdx)
-        val n = (p.length + factor - 1) / factor
-        val out = new Array[Long](n)
-        var w = 0
-        while (w < n) {
-          val start = w * factor
-          val end = math.min(start + factor, p.length)
-          var s = 0
-          var i = start
-          while (i < end) { s += p(i) & 0xff; i += 1 }
-          out(w) = (s / (end - start)).toLong
-          w += 1
-        }
-        Row(r.get(idIdx), out)
-      }
-    }(enc)
+    df.select(col(idCol), Kernels.poolBytesOf(col("payload"), factor).as("resized"))
   }
 
-  /** Deterministic stand-in for a media decoder: folds payload bytes
-    * into FeatureDim buckets and scales to [0, 1). Replace with the
-    * real codec at deployment; signature and batch shape are stable.
+  /** Deterministic stand-in for a media decoder — delegates to the
+    * [[Kernels.mediaFeatures]] kernel so the local-JVM and plan-side
+    * paths share one implementation. Replace the kernel body with the
+    * real codec at deployment; this signature stays stable.
     */
-  def fakeFeatures(payload: Array[Byte]): Array[Float] = {
-    val acc = new Array[Long](FeatureDim)
-    var i = 0
-    while (i < payload.length) {
-      val d = i % FeatureDim
-      acc(d) = (acc(d) * 31 + (payload(i) & 0xff)) % 1000003L
-      i += 1
-    }
-    acc.map(v => v.toFloat / 1000003.0f)
-  }
+  def fakeFeatures(payload: Array[Byte]): Array[Float] =
+    Kernels.mediaFeatures(payload, FeatureDim).toFloatArray()
 }

@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
   *
   * Two layouts:
   *
-  *  - flat (buckets = 0): mutation is copy-on-write with a staged
-  *    directory swap — write to `<path>__staging`, rename over live.
+  *  - flat (buckets = 0): full replace is copy-on-write into a fresh
+  *    version directory, published by the `_CURRENT` pointer (below).
   *  - hash-bucketed (buckets = n): rows are partitioned into
   *    `__bucket = pmod(hash(key), n)` parquet partitions, so an
   *    incremental upsert reads ONLY the buckets its batch touches
@@ -19,18 +19,58 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
   *    1 GB batch over a 100 TB table rewrites ~1/n of the table, not
   *    all of it (round-1 verdict scale-killer #1).
   *
+  * '''Commit protocol''' (object-store safe): `overwrite` never
+  * renames the table. It writes the new contents to a fresh
+  * `<path>/v-NNNNNNNN/` directory, then atomically publishes by
+  * PUTting the version name into the small `<path>/_CURRENT` pointer
+  * file (single-object PUT is atomic on S3-class stores — the same
+  * publish primitive as Iceberg's version-hint file), then
+  * garbage-collects superseded versions. A crash before publish
+  * leaves readers on the old version (the orphan directory is GC'd by
+  * the next overwrite); a crash after publish only delays GC. On an
+  * object store a directory rename is an O(data) copy and non-atomic,
+  * so the staged-swap idiom silently breaks exactly when the table
+  * gets big — this layout does no table-level rename at all. Tables
+  * created by `append` alone use the plain un-versioned layout until
+  * their first `overwrite` migrates them.
+  *
   * The reference gets atomicity from endpoint transactions
   * (`mysql.js:124-156`, `redshift.js:397-424`); with bare parquet the
-  * flat path stages+swaps (atomic rename on HDFS-like stores), and the
-  * bucketed path relies on the parquet committer's per-partition
-  * commit — a crash mid-job can leave a mix of old/new PARTITIONS (not
-  * torn files). Both inherit the reference's single-writer model (pid
-  * lock, `lib/book.js:84-101` — see [[graft.engine.PidLock]]).
+  * pointer flip replaces them for full swaps, and the bucketed
+  * incremental path relies on the committer's per-partition commit —
+  * a crash mid-job can leave a mix of old/new PARTITIONS (not torn
+  * files). Task-level commit safety inside a single write job is the
+  * cluster committer's concern (S3A magic committer or equivalent),
+  * configured per deployment, orthogonal to this table layout. Both
+  * layouts inherit the reference's single-writer model (pid lock,
+  * `lib/book.js:84-101` — see [[graft.engine.PidLock]]).
   */
 final case class ParquetTable(spark: SparkSession, path: String,
     buckets: Int = 0, bucketKey: String = "id") {
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs = new Path(path).getFileSystem(hconf)
+
+  private val Current = "_CURRENT"
+  private def pointer = new Path(path, Current)
+
+  /** Published version directory name, None for un-versioned layouts
+    * (append-created tables that were never overwritten).
+    */
+  private def currentVersion: Option[String] =
+    if (!fs.exists(pointer)) None
+    else {
+      val in = fs.open(pointer)
+      try {
+        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        if (s.isEmpty) None else Some(s)
+      } finally in.close()
+    }
+
+  /** Directory holding the live data files: the published version for
+    * versioned tables, the table root for un-versioned layouts.
+    */
+  def dataDir: String =
+    currentVersion.map(v => s"$path/$v").getOrElse(path)
 
   def isBucketed: Boolean = buckets > 0
 
@@ -44,29 +84,32 @@ final case class ParquetTable(spark: SparkSession, path: String,
 
   /** Table contents, logical schema (no layout columns). */
   def read: DataFrame =
-    if (isBucketed) readRaw.drop("__bucket") else spark.read.parquet(path)
+    if (isBucketed) readRaw.drop("__bucket") else spark.read.parquet(dataDir)
 
   /** Bucketed read keeping the `__bucket` partition column so filters
     * on it prune partitions. mergeSchema heals per-partition schema
     * drift after evolution (missing columns read as NULL).
     */
-  def readRaw: DataFrame =
+  def readRaw: DataFrame = {
+    val d = dataDir
     if (isBucketed)
       spark.read.option("mergeSchema", "true")
-        .option("basePath", path).parquet(path)
-    else spark.read.parquet(path)
+        .option("basePath", d).parquet(d)
+    else spark.read.parquet(d)
+  }
 
   /** Only the named buckets — a partition-pruned scan. */
   def readBuckets(ids: Seq[Int]): DataFrame =
     readRaw.filter(col("__bucket").isin(ids.map(Integer.valueOf): _*)).drop("__bucket")
 
   /** Atomic full replace (reference fullMerge drop/recreate/copy,
-    * `mysql.js:567-570`). `distKey`/`sortKey` emulate the Redshift
-    * distkey/sortkey physical-layout policy (`redshift.js:340-350`):
-    * repartition on the key so co-keyed joins avoid a shuffle, sort
-    * within partitions so parquet min/max row-group stats prune scans.
-    * Bucketed tables additionally partition the directory by
-    * `__bucket`.
+    * `mysql.js:567-570`) via the versioned-pointer commit (see class
+    * doc): write `v-N+1`, flip `_CURRENT`, GC. `distKey`/`sortKey`
+    * emulate the Redshift distkey/sortkey physical-layout policy
+    * (`redshift.js:340-350`): repartition on the key so co-keyed joins
+    * avoid a shuffle, sort within partitions so parquet min/max
+    * row-group stats prune scans. Bucketed tables additionally
+    * partition the directory by `__bucket`.
     */
   def overwrite(df: DataFrame, distKey: Option[String] = None,
       sortKey: Option[String] = None): Unit = {
@@ -76,23 +119,42 @@ final case class ParquetTable(spark: SparkSession, path: String,
       case (None, Some(s))    => df.sortWithinPartitions(col(s))
       case _                  => df
     }
-    val staging = new Path(path + "__staging")
-    val live = new Path(path)
-    if (fs.exists(staging)) fs.delete(staging, true)
+    val next = "v-%08d".format(
+      currentVersion.map(_.stripPrefix("v-").toInt + 1).getOrElse(0))
+    val target = new Path(path, next)
+    if (fs.exists(target)) fs.delete(target, true) // crash leftover
     val w = (if (isBucketed) laidOut.withColumn("__bucket", bucketExpr)
              else laidOut).write.mode("overwrite")
-    (if (isBucketed) w.partitionBy("__bucket") else w).parquet(staging.toString)
-    val old = new Path(path + "__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(staging, live)
-    if (fs.exists(old)) fs.delete(old, true)
+    (if (isBucketed) w.partitionBy("__bucket") else w).parquet(target.toString)
+    publish(next)
+    gc(keep = next)
   }
+
+  /** Atomically publish a version: single small-object PUT, the only
+    * non-idempotent step of the commit.
+    */
+  private def publish(version: String): Unit = {
+    val out = fs.create(pointer, true)
+    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
+  }
+
+  /** Remove everything under the table root except the pointer and the
+    * live version: superseded versions, crashed un-published writes,
+    * and pre-versioning legacy data files (first overwrite migrates
+    * an append-created table into the versioned layout).
+    */
+  private def gc(keep: String): Unit =
+    fs.listStatus(new Path(path)).foreach { st =>
+      val n = st.getPath.getName
+      if (n != Current && n != keep) fs.delete(st.getPath, true)
+    }
 
   /** Rewrite ONLY the buckets present in `df` (dynamic partition
     * overwrite); untouched bucket directories are never read or
     * written. `df` must carry the complete new contents of every
-    * bucket it touches.
+    * bucket it touches. In-place within the live version directory —
+    * atomicity here is per-partition (committer-level), by design.
     */
   def overwriteBuckets(df: DataFrame): Unit = {
     require(isBucketed, s"$path is not a bucketed table")
@@ -100,24 +162,27 @@ final case class ParquetTable(spark: SparkSession, path: String,
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket")
-      .parquet(path)
+      .parquet(dataDir)
   }
 
   /** Plain append (reference `mergeOnDuplicates=false` insert path,
     * `mysql.js:369-377`). Not staged — parquet append is file-additive
-    * and each task commits atomically.
+    * and each task commits atomically. Appends land in the live
+    * version directory (or the table root for un-versioned layouts).
     */
   def append(df: DataFrame): Unit = {
     val w = (if (isBucketed) df.withColumn("__bucket", bucketExpr) else df)
       .write.mode("append")
-    (if (isBucketed) w.partitionBy("__bucket") else w).parquet(path)
+    (if (isBucketed) w.partitionBy("__bucket") else w).parquet(dataDir)
   }
 
   def drop(): Unit = { val p = new Path(path); if (fs.exists(p)) fs.delete(p, true) }
 
-  /** Total bytes of the table's data files. */
+  /** Total bytes of the table's LIVE data files (superseded versions
+    * awaiting GC excluded).
+    */
   def sizeBytes: Long =
-    fs.getContentSummary(new Path(path)).getLength
+    fs.getContentSummary(new Path(dataDir)).getLength
 
   /** Compact the small-file tail: rewrite the table into
     * ceil(size / targetFileBytes) files (per bucket for bucketed
@@ -137,20 +202,16 @@ final case class ParquetTable(spark: SparkSession, path: String,
       // partition-scoped: rewrite ONLY buckets whose file count exceeds
       // what their size warrants; untouched buckets keep their files.
       val toCompact = bucketIds.filter { b =>
-        val dir = new Path(s"$path/__bucket=$b")
+        val dir = new Path(s"$dataDir/__bucket=$b")
         val files = fs.listStatus(dir).filter(f => f.getPath.getName.endsWith(".parquet"))
         val want = math.max(1, math.ceil(
           files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
         files.length > want
       }
       if (toCompact.nonEmpty) {
-        readBuckets(toCompact)
-          .withColumn("__bucket", bucketExpr)
-          .repartition(math.max(1, toCompact.length), col("__bucket"))
-          .write.mode("overwrite")
-          .option("partitionOverwriteMode", "dynamic")
-          .partitionBy("__bucket")
-          .parquet(path)
+        overwriteBuckets(
+          readBuckets(toCompact)
+            .repartition(math.max(1, toCompact.length), bucketExpr))
       }
     } else {
       val nFiles = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
@@ -161,7 +222,7 @@ final case class ParquetTable(spark: SparkSession, path: String,
   /** Bucket ids present on disk. */
   def bucketIds: Seq[Int] = {
     require(isBucketed, s"$path is not a bucketed table")
-    fs.listStatus(new Path(path)).toSeq
+    fs.listStatus(new Path(dataDir)).toSeq
       .map(_.getPath.getName)
       .filter(_.startsWith("__bucket="))
       .map(_.stripPrefix("__bucket=").toInt)

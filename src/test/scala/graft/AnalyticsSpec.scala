@@ -175,7 +175,7 @@ class AnalyticsSpec extends AnyFunSuite {
     val t = graft.sources.ParquetTable(spark, dir)
     // 12 appends of 1 row each → 12+ files
     (1 to 12).foreach(i => t.append(Seq((i.toLong, s"v$i")).toDF("id", "v")))
-    def files = new java.io.File(dir).listFiles()
+    def files = new java.io.File(t.dataDir).listFiles()
       .count(_.getName.endsWith(".parquet"))
     assert(files >= 12)
     val before = t.read.collect().map(_.toSeq).toSet

@@ -23,7 +23,7 @@ class BucketedTableSpec extends AnyFunSuite {
 
   /** (bucket dir → sorted file list with sizes+mtimes) fingerprint. */
   private def state(t: ParquetTable): Map[String, Seq[(String, Long, Long)]] = {
-    val base = new java.io.File(t.path)
+    val base = new java.io.File(t.dataDir)
     base.listFiles().filter(f => f.isDirectory && f.getName.startsWith("__bucket="))
       .map { d =>
         d.getName -> d.listFiles().filter(_.getName.endsWith(".parquet")).toSeq

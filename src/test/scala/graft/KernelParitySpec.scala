@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.functions.{Kernels, TextKernels, VectorKernels}
+import graft.ops.Multimodal
 
 /** The compiled StaticInvoke kernels must be BIT-IDENTICAL to their
   * Column-expression counterparts (that is what keeps the DuckDB
@@ -137,6 +138,40 @@ class KernelParitySpec extends AnyFunSuite {
     val shHashes = spark.sql(
       "SELECT graft_shingle_hashes(text, 3) AS h FROM docs_sql LIMIT 1").count()
     assert(shHashes === 1)
+  }
+
+  test("media kernels match an independent byte-loop reference") {
+    def refFeatures(p: Array[Byte], dim: Int): Seq[Float] = {
+      val acc = new Array[Long](dim)
+      for (i <- p.indices) acc(i % dim) = (acc(i % dim) * 31 + (p(i) & 0xff)) % 1000003L
+      acc.toSeq.map(_.toFloat / 1000003.0f)
+    }
+    def refPool(p: Array[Byte], f: Int): Seq[Long] =
+      p.grouped(f).map(w => (w.map(_ & 0xff).sum / w.length).toLong).toSeq
+    val df = Seq("hello world", "", "0123456789", "a" * 257).toDF("text")
+      .select(col("text").cast("binary").as("payload"))
+    val got = df.select(
+      Kernels.mediaFeaturesOf(col("payload"), 8).as("f"),
+      Kernels.poolBytesOf(col("payload"), 4).as("p"),
+      col("payload")).collect()
+    for (r <- got) {
+      val p = r.getAs[Array[Byte]]("payload")
+      assert(r.getSeq[Float](0) === refFeatures(p, 8))
+      assert(r.getSeq[Long](1) === refPool(p, 4))
+      assert(Multimodal.fakeFeatures(p).toSeq === refFeatures(p, Multimodal.FeatureDim))
+    }
+  }
+
+  test("multimodal feature/resize plans are codegen'd (no DeserializeToObject)") {
+    val in = Multimodal.ingest(
+      docs.select(col("doc_id"), col("text")), "doc_id", "text", "x")
+    for (df <- Seq(
+        Multimodal.extractFeatures(in, "doc_id"),
+        Multimodal.resize(in, "doc_id", 16))) {
+      val plan = df.queryExecution.executedPlan.toString
+      assert(!plan.contains("DeserializeToObject"), plan)
+      assert(plan.contains("static_invoke"), plan)
+    }
   }
 
   test("kernel plan stays inside WholeStageCodegen (no interpreted HOFs)") {

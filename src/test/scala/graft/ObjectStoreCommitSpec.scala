@@ -1,0 +1,94 @@
+package graft
+
+import java.io.IOException
+import java.net.URI
+import java.nio.file.Files
+
+import org.apache.hadoop.fs.{Path, RawLocalFileSystem}
+import org.apache.spark.sql.DataFrame
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.TableOps
+import graft.sources.ParquetTable
+
+/** Simulates an S3-class object store with NO usable rename: any
+  * table-level rename (staging swaps, publish-by-rename) throws.
+  * Renames under the write job's internal staging dirs (`_temporary`,
+  * `.spark-staging-`) are allowed — on a real cluster those belong to
+  * the committer layer (S3A magic committer / EMRFS), configured per
+  * deployment and orthogonal to the TABLE layout under test here.
+  */
+class RenamelessFileSystem extends RawLocalFileSystem {
+  override def getScheme: String = "renameless"
+  override def getUri: URI = URI.create("renameless:///")
+  override def rename(src: Path, dst: Path): Boolean = {
+    val s = src.toString
+    if (s.contains("_temporary") || s.contains(".spark-staging"))
+      super.rename(src, dst)
+    else throw new IOException(s"object store has no rename: $src -> $dst")
+  }
+}
+
+/** The versioned-pointer commit must work on a store where directory
+  * rename is unavailable (round-3 verdict #3: the old staged
+  * rename-swap silently broke there).
+  */
+class ObjectStoreCommitSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private lazy val scheme: String = {
+    spark.sparkContext.hadoopConfiguration
+      .set("fs.renameless.impl", classOf[RenamelessFileSystem].getName)
+    "renameless"
+  }
+
+  private def tmpTable(buckets: Int = 0): ParquetTable = {
+    val dir = Files.createTempDirectory("graft-oss").resolve("t").toString
+    ParquetTable(spark, s"$scheme://$dir", buckets = buckets, bucketKey = "id")
+  }
+
+  private def rows(r: (Long, String)*): DataFrame = r.toDF("id", "v")
+
+  test("flat overwrite commits without any table-level rename") {
+    val t = tmpTable()
+    t.overwrite(rows(1L -> "a", 2L -> "b"))
+    assert(t.read.as[(Long, String)].collect().sorted.toSeq ===
+      Seq(1L -> "a", 2L -> "b"))
+    t.overwrite(rows(3L -> "c"))
+    assert(t.read.as[(Long, String)].collect().toSeq === Seq(3L -> "c"))
+    assert(t.dataDir.endsWith("v-00000001"), t.dataDir)
+  }
+
+  test("upsert flow (create + merge) works end-to-end on the store") {
+    val t = tmpTable()
+    TableOps.insertData(t, rows(1L -> "a", 2L -> "b"))
+    TableOps.insertData(t, rows(2L -> "B", 3L -> "c"))
+    assert(t.read.as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("bucketed incremental upsert works on the store") {
+    val t = tmpTable(buckets = 4)
+    TableOps.insertData(t, rows((1L to 16L).map(i => i -> s"v$i"): _*))
+    TableOps.insertData(t, rows(7L -> "UPDATED"))
+    val got = t.read.as[(Long, String)].collect().toMap
+    assert(got.size === 16 && got(7L) === "UPDATED" && got(8L) === "v8")
+  }
+
+  test("crash leftovers and legacy files are GC'd by the next commit") {
+    val t = tmpTable()
+    // legacy layout: append-created table, data at the root
+    t.append(rows(1L -> "old"))
+    assert(t.read.count() === 1)
+    // plant a crashed un-published version write
+    val fs = new Path(t.path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(t.path, "v-00000099"))
+    // first overwrite migrates to versioned layout and cleans both
+    t.overwrite(rows(2L -> "new"))
+    assert(t.read.as[(Long, String)].collect().toSeq === Seq(2L -> "new"))
+    val names = fs.listStatus(new Path(t.path)).map(_.getPath.getName).toSet
+    assert(names === Set("_CURRENT", "v-00000000"), names)
+  }
+}

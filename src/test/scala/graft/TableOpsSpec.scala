@@ -131,13 +131,15 @@ class TableOpsSpec extends AnyFunSuite {
     assert(TableOps.getMax(t, "counter").contains(5L))
   }
 
-  test("overwrite is staged: no __staging left behind, data swapped") {
+  test("overwrite publishes one live version and GCs the rest") {
     val t = tmpTable("t")
     TableOps.insertData(t, users((1, "a@x.com", 1)))
     t.overwrite(users((2, "b@x.com", 2)), distKey = Some("id"), sortKey = Some("counter"))
     assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(2))
-    val parent = new java.io.File(t.path).getParentFile
-    assert(!parent.listFiles().exists(_.getName.contains("__staging")))
-    assert(!parent.listFiles().exists(_.getName.contains("__old")))
+    val root = new java.io.File(t.path).listFiles().map(_.getName).toSeq
+    assert(root.contains("_CURRENT"), root)
+    assert(root.count(_.startsWith("v-")) === 1, root)
+    assert(!root.exists(n => n.contains("__staging") || n.contains("__old")), root)
+    assert(t.dataDir.endsWith("v-00000001"), t.dataDir)
   }
 }
