@@ -169,16 +169,30 @@ object AnalyticsPack {
     * literal TRUE, so any out-of-bound sketch flips a boolean and
     * fails the hash. The ScalaTest spec pins the tighter configured
     * error bounds on the raw estimates.
+    *
+    * Plan shape: the exact distinct count runs as its OWN two-level
+    * aggregation (distinct pairs, then count) broadcast-joined back on
+    * the tiny group key. Mixing count_distinct into the sketch
+    * aggregation triggers Catalyst's distinct-rewrite Expand, which
+    * rebuilds the percentile/HLL TypedImperative buffers once per
+    * (group × custkey) instead of per group — measured 10× slower at
+    * sf0.1 and quadratically worse with cardinality.
     */
   private val q46 = QueryDef(
     "q46_sketches",
-    (s, dir) => Tables.orders(s, dir)
-      .groupBy(col("o_orderpriority"))
-      .agg(
-        approx_count_distinct(col("o_custkey"), rsd = 0.01).as("est_customers"),
-        count_distinct(col("o_custkey")).as("exact_customers"),
-        expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 10000)").as("ap"),
-        expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("ep"))
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val sketches = o.groupBy(col("o_orderpriority"))
+        .agg(
+          approx_count_distinct(col("o_custkey"), rsd = 0.01).as("est_customers"),
+          expr("approx_percentile(o_totalprice, array(0.5D, 0.9D), 10000)").as("ap"),
+          expr("percentile(o_totalprice, array(0.5D, 0.9D))").as("ep"))
+      val exactDistinct = o.select(col("o_orderpriority"), col("o_custkey"))
+        .distinct()
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("exact_customers"))
+      sketches.join(broadcast(exactDistinct), Seq("o_orderpriority"))
+    }
       .select(
         col("o_orderpriority"),
         col("exact_customers"),
