@@ -148,21 +148,41 @@ object Dedup {
     * fixpoint. Every doc maps to the minimum id reachable from it
     * (singletons map to themselves) — the survivor its cluster keeps.
     *
-    * Scale notes: iterations = cluster diameter (near-dup clusters are
-    * shallow); per-iteration lineage is cut with localCheckpoint so
-    * the plan does not grow exponentially; each iteration is one
-    * broadcast-able join + groupBy on the edge list (edges ≪ corpus).
-    * For adversarial billion-edge graphs swap in the large-star/
-    * small-star variant — same fixpoint, fewer rounds.
+    * Scale notes: iterations = cluster diameter with the default
+    * `"propagate"` algorithm (near-dup clusters are shallow);
+    * per-iteration lineage is cut with localCheckpoint so the plan
+    * does not grow exponentially; each iteration is one broadcast-able
+    * join + groupBy on the edge list (edges ≪ corpus). For adversarial
+    * graphs (long chains, billion-edge components) pass
+    * `algorithm = "star"` — the large-star/small-star alternation
+    * converges in O(log²) rounds regardless of diameter.
     */
-  def nearDupSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String): DataFrame = {
+  def nearDupSurvivors(docs: DataFrame, pairs: DataFrame, idCol: String,
+      algorithm: String = "propagate"): DataFrame = {
+    val clustered = (algorithm match {
+      case "star"      => starContract(pairs)
+      case "propagate" => propagateLabels(pairs)
+      case other => throw new IllegalArgumentException(
+        s"unknown algorithm '$other' (expected propagate|star)")
+    }).select(col("node").as(idCol), col("label").as("keep_id"))
+    // untouched docs trivially keep themselves (map-side union); with
+    // "star" the cluster minima also land here — they keep themselves
+    // too, so the output is identical across algorithms.
+    val singletons = docs.select(col(idCol))
+      .join(clustered.select(col(idCol)), Seq(idCol), "left_anti")
+      .withColumn("keep_id", col(idCol))
+    clustered.unionByName(singletons)
+  }
+
+  /** Min-label propagation over edge-touched nodes, to fixpoint.
+    * Rounds = cluster diameter. Iterates ONLY over edge-touched
+    * nodes — dup clusters are a tiny fraction of a corpus, so the
+    * loop never scans the full table.
+    */
+  private def propagateLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint(true)
-    // iterate ONLY over edge-touched nodes — dup clusters are a tiny
-    // fraction of a corpus, so the fixpoint loop never scans the full
-    // table; untouched docs trivially keep themselves (map-side union
-    // at the end).
     var labels = edges.select(col("u").as("node")).distinct()
       .withColumn("label", col("node"))
       .localCheckpoint(true)
@@ -177,11 +197,57 @@ object Dedup {
       changed = updated.filter(col("newlabel") < col("label")).count()
       labels = updated.select(col("node"), col("newlabel").as("label"))
     }
-    val clustered = labels.select(col("node").as(idCol), col("label").as("keep_id"))
-    val singletons = docs.select(col(idCol))
-      .join(clustered.select(col(idCol)), Seq(idCol), "left_anti")
-      .withColumn("keep_id", col(idCol))
-    clustered.unionByName(singletons)
+    labels.select(col("node"), col("label"))
+  }
+
+  /** Large-star/small-star alternation (the MapReduce connected-
+    * components algorithm of Kiveris et al., "Connected Components in
+    * MapReduce and Beyond", SoCC'14 — public algorithm): same
+    * min-label result as [[propagateLabels]] but O(log²) rounds
+    * independent of component diameter, so a million-node chain
+    * finishes in ~20 rounds instead of a million. Each round is two
+    * groupBy+join passes over the (shrinking) edge list.
+    *
+    * At convergence every component is a star centered on its minimum
+    * node: the directed edge set IS the (node → label) map; centers
+    * appear only as labels and fall through to the singleton path.
+    */
+  private def starContract(pairs: DataFrame): DataFrame = {
+    def canonical(e: DataFrame): DataFrame = e
+      .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+      .filter(col("u") =!= col("v")).distinct()
+    // edge-set fingerprint for the convergence test: one agg per side
+    // instead of two exceptAll shuffles. bit_xor is order-independent
+    // and overflow-free (ANSI-safe); edges are distinct so no
+    // self-cancellation.
+    def sig(e: DataFrame) = e
+      .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
+    var edges = canonical(
+      pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
+      .localCheckpoint(true)
+    var done = edges.isEmpty
+    while (!done) {
+      // large-star: every node attaches its strictly-larger neighbors
+      // to the minimum of its closed neighborhood
+      val sym = edges.unionByName(edges.select(col("v").as("u"), col("u").as("v")))
+      val mins = sym.groupBy(col("u"))
+        .agg(least(min(col("v")), first(col("u"))).as("m"))
+      val ls = sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v")).distinct()
+      // small-star: every node attaches itself and its smaller
+      // neighbors to the minimum of its smaller neighborhood
+      val mins2 = ls.groupBy(col("u")).agg(min(col("v")).as("m"))
+      val ss = canonical(ls.join(mins2, "u")
+        .select(explode(array(
+          struct(col("v").as("u"), col("m").as("v")),
+          struct(col("u").as("u"), col("m").as("v")))).as("e"))
+        .select(col("e.u").as("u"), col("e.v").as("v")))
+        .localCheckpoint(true)
+      done = sig(ss) == sig(edges)
+      edges = ss
+    }
+    edges.select(col("u").as("node"), col("v").as("label"))
   }
 
   /** 60-bit SimHash per document (near-dup docs differ in few bits;

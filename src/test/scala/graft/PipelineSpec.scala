@@ -102,6 +102,32 @@ class PipelineSpec extends AnyFunSuite {
       "transitive cluster keeps min id; singletons keep themselves")
   }
 
+  test("star contraction matches propagation on chains and random graphs") {
+    // a long chain is the adversarial diameter case for propagation;
+    // star contraction must converge in O(log²) rounds and still
+    // yield min-id labels
+    val n = 40L
+    val chainDocs = docs((1L to n).map(i => i -> "x"): _*)
+    val chainPairs = (1L until n).map(i => (i, i + 1)).toDF("doc_a", "doc_b")
+    val star = Dedup.nearDupSurvivors(chainDocs, chainPairs, "doc_id",
+      algorithm = "star").collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(star === (1L to n).map(_ -> 1L).toMap)
+    // seeded pseudo-random graphs: both algorithms must agree exactly
+    val rnd = new scala.util.Random(42)
+    for (_ <- 1 to 3) {
+      val edges = Seq.fill(40)(
+        (rnd.nextInt(50).toLong + 1, rnd.nextInt(50).toLong + 1))
+        .filter(e => e._1 != e._2)
+      val rd = docs((1L to 50L).map(i => i -> "x"): _*)
+      val pe = edges.toDF("doc_a", "doc_b")
+      val a = Dedup.nearDupSurvivors(rd, pe, "doc_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toMap
+      val b = Dedup.nearDupSurvivors(rd, pe, "doc_id", algorithm = "star")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+      assert(a === b)
+    }
+  }
+
   // ---- similarity search -------------------------------------------
 
   private def vecs(rows: (Long, Seq[Float])*): DataFrame =
