@@ -42,8 +42,44 @@ trait Connection {
   def mergeTables(sourceTable: String, destTable: String, key: String = "id",
       fullMerge: Boolean = false): Unit
 
-  /** S15 `dump` (mysql.js:607-660): snapshot export. */
-  def dump(table: String, path: String, format: String = "parquet"): Unit
+  /** S15 `dump` (mysql.js:607-660): snapshot export. Returns the
+    * summary the reference logs after a dump — row count plus the
+    * humanized on-disk size (F12, `filesize(stats.size)` at
+    * mysql.js:655).
+    */
+  def dump(table: String, path: String, format: String = "parquet"): DumpSummary
+}
+
+/** What `dump` reports: where it wrote, how many rows, how many bytes
+  * (raw and humanized, F12).
+  */
+final case class DumpSummary(path: String, rows: Long, bytes: Long) {
+  def sizeHuman: String = graft.util.Format.humanBytes(bytes)
+}
+
+/** Shared S15 write path: export, then report (rows, bytes, human) —
+  * the reference's post-dump progress line (`mysql.js:655`). The
+  * parquet row count is footer metadata, not a data scan.
+  */
+object Connections {
+  def dumpTo(spark: SparkSession, df: DataFrame, path: String,
+      fmt: String): DumpSummary = {
+    val w = df.write.mode("overwrite")
+    fmt match {
+      case "csv"  => w.option("header", "true").csv(path)
+      case "json" => w.json(path)
+      case _      => w.parquet(path)
+    }
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bytes = fs.getContentSummary(p).getLength
+    val rows = (fmt match {
+      case "csv"  => spark.read.option("header", "true").csv(path)
+      case "json" => spark.read.json(path)
+      case _      => spark.read.parquet(path)
+    }).count()
+    DumpSummary(path, rows, bytes)
+  }
 }
 
 /** Registry resolving connections by `type` string with user-local

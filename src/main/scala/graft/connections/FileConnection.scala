@@ -80,12 +80,6 @@ final class FileConnection(spark: SparkSession, val name: String,
       fullMerge: Boolean): Unit =
     TableOps.mergeTables(table(sourceTable), table(destTable), key, fullMerge)
 
-  override def dump(tableName: String, path: String, fmt: String): Unit = {
-    val w = getAll(tableName).write.mode("overwrite")
-    fmt match {
-      case "csv" => w.option("header", "true").csv(path)
-      case "json" => w.json(path)
-      case _ => w.parquet(path)
-    }
-  }
+  override def dump(tableName: String, path: String, fmt: String): DumpSummary =
+    Connections.dumpTo(spark, getAll(tableName), path, fmt)
 }

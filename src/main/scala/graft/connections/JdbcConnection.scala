@@ -112,12 +112,6 @@ final class JdbcConnection(spark: SparkSession, val name: String,
     else
       insertData(destTable, getAll(sourceTable), key, mergeOnDuplicates = true)
 
-  override def dump(table: String, path: String, fmt: String): Unit = {
-    val w = getAll(table).write.mode("overwrite")
-    fmt match {
-      case "csv" => w.option("header", "true").csv(path)
-      case "json" => w.json(path)
-      case _ => w.parquet(path)
-    }
-  }
+  override def dump(table: String, path: String, fmt: String): DumpSummary =
+    Connections.dumpTo(spark, getAll(table), path, fmt)
 }

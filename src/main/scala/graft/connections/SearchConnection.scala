@@ -110,14 +110,8 @@ final class SearchConnection(spark: SparkSession, val name: String,
     if (fullMerge) writeStaged(destIndex, getAll(sourceIndex))
     else insertData(destIndex, getAll(sourceIndex), key, mergeOnDuplicates = true)
 
-  override def dump(index: String, path: String, fmt: String): Unit = {
-    val w = getAll(index).write.mode("overwrite")
-    fmt match {
-      case "csv"  => w.option("header", "true").csv(path)
-      case "json" => w.json(path)
-      case _      => w.parquet(path)
-    }
-  }
+  override def dump(index: String, path: String, fmt: String): DumpSummary =
+    Connections.dumpTo(spark, getAll(index), path, fmt)
 
   /** Staged JSON rewrite with atomic swap (same protocol as
     * [[graft.sources.ParquetTable.overwrite]]). Timestamps serialize

@@ -25,6 +25,32 @@ class FileConnectionSpec extends AnyFunSuite {
     c
   }
 
+  test("F12 humanBytes: base-2 steps, trimmed decimals") {
+    import graft.util.Format.humanBytes
+    assert(humanBytes(0L) === "0 B")
+    assert(humanBytes(500L) === "500 B")
+    assert(humanBytes(1024L) === "1 KB")
+    assert(humanBytes(1536L) === "1.5 KB")
+    assert(humanBytes(265318L) === "259.1 KB")
+    assert(humanBytes(1048576L) === "1 MB")
+    assert(humanBytes(123456789L) === "117.74 MB")
+    assert(humanBytes(1099511627776L) === "1 TB")
+    intercept[IllegalArgumentException](humanBytes(-1L))
+  }
+
+  test("S15 dump reports rows + humanized size for each format") {
+    val c = freshConn()
+    for (fmt <- Seq("parquet", "csv", "json")) {
+      val out = Files.createTempDirectory("graft-dump").resolve(fmt).toString
+      val s = c.dump("users", out, fmt)
+      assert(s.rows === 3L, fmt)
+      assert(s.bytes > 0L, fmt)
+      assert(s.path === out)
+      assert(s.sizeHuman.endsWith(" B") || s.sizeHuman.endsWith(" KB"), s.sizeHuman)
+      assert(graft.util.Format.humanBytes(s.bytes) === s.sizeHuman)
+    }
+  }
+
   test("S6 query passthrough joins registered tables") {
     val c = freshConn()
     val got = c.query(
