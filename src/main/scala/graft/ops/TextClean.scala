@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** [EXT] PII scrubbing and sequence chunking — the text-cleaning and
+  * packing steps of a training-data pipeline (SURVEY.md §7.1 step 6).
+  * Both are pure Column transforms: map-side, codegen'd, no shuffle;
+  * at 100 TB they pipeline inside the scan stage.
+  */
+object TextClean {
+
+  /** Conservative patterns restricted to constructs with identical
+    * semantics in Java regex (Spark) and RE2 (DuckDB oracle):
+    * character classes, bounded repetition, alternation — no
+    * lookaround, no backreferences.
+    */
+  val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val UrlRe = "https?://[^ ]+"
+  val LongDigitsRe = "[0-9]{9,}"
+
+  /** Redact emails, then URLs, then long digit runs (account/phone
+    * ids). Order matters and is part of the contract: an email's
+    * digits or a URL's path must not be half-redacted by the later
+    * passes, so each pass runs on the previous pass's output.
+    */
+  def scrub(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        UrlRe, "<URL>"),
+      LongDigitsRe, "<ID>")
+
+  /** Per-category redaction counts, evaluated on the same
+    * progressively-scrubbed text states as [[scrub]].
+    */
+  def redactionCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterUrl = regexp_replace(afterEmail, UrlRe, "<URL>")
+    (size(regexp_extract_all(text, lit(EmailRe), lit(0))).cast("long"),
+      size(regexp_extract_all(afterEmail, lit(UrlRe), lit(0))).cast("long"),
+      size(regexp_extract_all(afterUrl, lit(LongDigitsRe), lit(0))).cast("long"))
+  }
+
+  /** Fixed-window token chunking with stride (sequence packing for
+    * training): chunks start every `stride` tokens and carry up to
+    * `window` tokens, so consecutive chunks overlap by
+    * `window - stride`. Every doc yields ≥1 chunk; the tail chunk may
+    * be short. Output: (idCol, chunk_idx, n_tokens, chunk_text).
+    *
+    * Shape: the token array materializes ONCE per doc in the
+    * generator's child projection; the per-chunk work after the
+    * explode is a slice of that attribute — no re-tokenization per
+    * window (the interpreted-HOF re-evaluation trap).
+    */
+  def tokenChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, window: Int, stride: Int): org.apache.spark.sql.DataFrame = {
+    require(window > 0 && stride > 0 && stride <= window,
+      s"need 0 < stride <= window, got window=$window stride=$stride")
+    df.select(col(idCol), graft.functions.TextKernels.tokens(col(textCol)).as("toks"))
+      .select(col(idCol), col("toks"),
+        explode(sequence(lit(0),
+          greatest(ceil(size(col("toks")).cast("double") / stride).cast("int") - 1,
+            lit(0)))).as("chunk_idx"))
+      .select(col(idCol), col("chunk_idx").cast("long").as("chunk_idx"),
+        slice(col("toks"), col("chunk_idx").cast("int") * stride + 1, lit(window))
+          .as("chunk_toks"))
+      .select(col(idCol), col("chunk_idx"),
+        size(col("chunk_toks")).cast("long").as("n_tokens"),
+        concat_ws(" ", col("chunk_toks")).as("chunk_text"))
+  }
+}

@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
 import graft.functions.TextKernels
-import graft.ops.{Dedup, Multimodal, Similarity}
+import graft.ops.{Dedup, Multimodal, Similarity, TextClean}
 
 /** [EXT] LLM-data-pipeline operator queries over the `documents` and
   * `embeddings` tables (SURVEY.md §7.1 step 6; north-star extension
@@ -534,6 +534,64 @@ object PipelinePack {
         GROUP BY bigram)
       ORDER BY freq DESC, bigram ASC LIMIT 100"""))
 
+  /** PII scrubbing (TextClean.scrub): email → URL → long-digit-run
+    * redaction, map-side regexp passes inside codegen. The corpus has
+    * no planted PII, so both sides append the SAME deterministic
+    * synthetic email/URL/id tail per doc and then scrub it — the
+    * oracle verifies the redaction logic (counts per category + md5 of
+    * the scrubbed text), not the corpus. Patterns are restricted to
+    * the Java-regex ∩ RE2 common subset (classes, bounded repetition —
+    * no lookaround), so both engines match identically.
+    */
+  private val q63 = QueryDef(
+    "q63_pii_scrub",
+    (s, dir) => {
+      val withPii = Tables.documents(s, dir).withColumn("t",
+        concat(col("text"),
+          lit(" contact user"), col("doc_id"),
+          lit("@mail.example.com or http://ex.com/u/"), col("doc_id"),
+          lit(" ref "), ((col("doc_id") + 1) * lit(111111111L)).cast("string")))
+      val (ne, nu, ni) = TextClean.redactionCounts(col("t"))
+      withPii.select(col("doc_id"),
+        ne.as("n_emails"), nu.as("n_urls"), ni.as("n_ids"),
+        md5(TextClean.scrub(col("t"))).as("scrubbed_md5"))
+    },
+    Some("""WITH p AS (SELECT doc_id,
+        text || ' contact user' || doc_id::VARCHAR
+             || '@mail.example.com or http://ex.com/u/' || doc_id::VARCHAR
+             || ' ref ' || ((doc_id + 1) * 111111111)::VARCHAR AS t
+        FROM documents),
+      s1 AS (SELECT doc_id, t, regexp_replace(t,
+        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM p),
+      s2 AS (SELECT doc_id, t, t1, regexp_replace(t1,
+        'https?://[^ ]+', '<URL>', 'g') AS t2 FROM s1)
+      SELECT doc_id,
+        len(regexp_extract_all(t,
+          '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+        len(regexp_extract_all(t1, 'https?://[^ ]+'))::BIGINT AS n_urls,
+        len(regexp_extract_all(t2, '[0-9]{9,}'))::BIGINT AS n_ids,
+        md5(regexp_replace(t2, '[0-9]{9,}', '<ID>', 'g')) AS scrubbed_md5
+      FROM s2"""))
+
+  /** Sequence chunking for training (TextClean.tokenChunks): windows
+    * of 64 tokens starting every 48 (16-token overlap), tail chunk
+    * short, every doc ≥1 chunk. The token array materializes once per
+    * doc before the generator; per-chunk work is an O(window) slice —
+    * map-side only, no shuffle at any corpus size.
+    */
+  private val q64 = QueryDef(
+    "q64_chunking",
+    (s, dir) => graft.ops.TextClean.tokenChunks(
+      Tables.documents(s, dir), "doc_id", "text", window = 64, stride = 48),
+    Some(s"""WITH t AS (SELECT doc_id, $T AS toks FROM documents),
+      w AS (SELECT doc_id, toks,
+        unnest(range(0, greatest(cast(ceil(len(toks)::DOUBLE / 48) AS BIGINT), 1)))
+          AS chunk_idx FROM t)
+      SELECT doc_id, chunk_idx,
+        len(toks[chunk_idx*48+1 : chunk_idx*48+64])::BIGINT AS n_tokens,
+        array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text
+      FROM w"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56)
+    q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64)
 }

@@ -128,6 +128,35 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("PII scrub redacts emails, urls, and long digit runs in order") {
+    import graft.ops.TextClean
+    val d = docs(1L -> "mail a.b+c@ex-site.org see https://x.io/p?q=12345678901 acct 987654321 ok 12345678")
+    val r = {
+      val (ne, nu, ni) = TextClean.redactionCounts(col("text"))
+      d.select(TextClean.scrub(col("text")).as("s"), ne, nu, ni).head
+    }
+    assert(r.getString(0) ===
+      "mail <EMAIL> see <URL> acct <ID> ok 12345678",
+      "8-digit run stays; email digits and url digits are not double-redacted")
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((1L, 1L, 1L)))
+  }
+
+  test("tokenChunks: stride windows with overlap, short tail, min one chunk") {
+    import graft.ops.TextClean
+    val words = (1 to 10).map(i => s"w$i").mkString(" ")
+    val out = TextClean.tokenChunks(docs(1L -> words, 2L -> "solo"), "doc_id",
+      "text", window = 4, stride = 3)
+      .orderBy("doc_id", "chunk_idx").collect()
+    val c1 = out.filter(_.getLong(0) == 1L)
+    // starts 0,3,6,9 → windows of 4,4,4,1 tokens
+    assert(c1.map(_.getLong(2)).toSeq === Seq(4L, 4L, 4L, 1L))
+    assert(c1(0).getString(3) === "w1 w2 w3 w4")
+    assert(c1(1).getString(3) === "w4 w5 w6 w7", "overlap of window-stride=1")
+    assert(c1(3).getString(3) === "w10")
+    val c2 = out.filter(_.getLong(0) == 2L)
+    assert(c2.length === 1 && c2(0).getString(3) === "solo")
+  }
+
   // ---- similarity search -------------------------------------------
 
   private def vecs(rows: (Long, Seq[Float])*): DataFrame =
