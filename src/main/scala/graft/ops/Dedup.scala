@@ -183,8 +183,10 @@ object Dedup {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
       .localCheckpoint(true)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .withColumn("label", col("node"))
+    // seed with the 1-hop minimum (what round one would compute from
+    // identity labels) — same fixpoint, one fewer join round
+    var labels = edges.groupBy(col("u").as("node"))
+      .agg(least(min(col("v")), first(col("u"))).as("label"))
       .localCheckpoint(true)
     var changed = 1L
     while (changed > 0) {
