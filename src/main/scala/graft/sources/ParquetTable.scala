@@ -80,7 +80,20 @@ final case class ParquetTable(spark: SparkSession, path: String,
   def bucketExpr: org.apache.spark.sql.Column =
     pmod(hash(col(bucketKey)), lit(buckets))
 
-  def exists: Boolean = fs.exists(new Path(path))
+  /** True when the table has PUBLISHED data: a live version pointer,
+    * or (un-versioned layouts) actual data files at the root. A
+    * crashed never-published overwrite leaves only an unreferenced
+    * `v-*` dir — that table reads as absent, and the next write
+    * recreates it cleanly (the GC sweeps the orphan).
+    */
+  def exists: Boolean = {
+    val p = new Path(path)
+    fs.exists(p) && (currentVersion.isDefined ||
+      fs.listStatus(p).exists { st =>
+        val n = st.getPath.getName
+        n.startsWith("__bucket=") || n.endsWith(".parquet")
+      })
+  }
 
   /** Table contents, logical schema (no layout columns). */
   def read: DataFrame =

@@ -76,6 +76,17 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     assert(got.size === 16 && got(7L) === "UPDATED" && got(8L) === "v8")
   }
 
+  test("a crashed never-published write reads as absent and recovers") {
+    val t = tmpTable()
+    val fs = new Path(t.path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(new Path(t.path, "v-00000000")) // crash before publish
+    assert(!t.exists, "unpublished version dir must not count as data")
+    assert(TableOps.getMax(t, "v").isEmpty)
+    TableOps.insertData(t, rows(1L -> "a")) // recreates via overwrite
+    assert(t.exists && t.read.count() === 1)
+  }
+
   test("crash leftovers and legacy files are GC'd by the next commit") {
     val t = tmpTable()
     // legacy layout: append-created table, data at the root
