@@ -59,7 +59,13 @@ object GraftExtensions {
     "graft_cosine" -> ((es: Seq[Expression]) =>
       invoke(DoubleType, "cosine",
         es.map(e => Cast(e, ArrayType(DoubleType))),
-        Seq(ArrayType(DoubleType), ArrayType(DoubleType)))))
+        Seq(ArrayType(DoubleType), ArrayType(DoubleType)))),
+    "graft_media_features" -> ((es: Seq[Expression]) =>
+      invoke(ArrayType(FloatType, containsNull = false), "mediaFeatures", es,
+        Seq(BinaryType, IntegerType))),
+    "graft_pool_bytes" -> ((es: Seq[Expression]) =>
+      invoke(ArrayType(LongType, containsNull = false), "poolBytes", es,
+        Seq(BinaryType, IntegerType))))
 
   /** Install into a live session: temp functions + optimizer rule. */
   def register(spark: SparkSession): Unit = {

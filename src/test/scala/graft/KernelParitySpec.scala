@@ -138,6 +138,13 @@ class KernelParitySpec extends AnyFunSuite {
     val shHashes = spark.sql(
       "SELECT graft_shingle_hashes(text, 3) AS h FROM docs_sql LIMIT 1").count()
     assert(shHashes === 1)
+
+    val media = spark.sql(
+      """SELECT graft_media_features(cast('abc' AS binary), 8) AS f,
+                graft_pool_bytes(cast('0123456789' AS binary), 4) AS p""").head()
+    assert(media.getSeq[Float](0) ===
+      Multimodal.fakeFeatures("abc".getBytes("UTF-8")).toSeq)
+    assert(media.getSeq[Long](1) === Seq(49L, 53L, 56L))
   }
 
   test("media kernels match an independent byte-loop reference") {
