@@ -25,9 +25,13 @@ import org.apache.spark.sql.functions.{col, hash, lit, pmod}
   * PUTting the version name into the small `<path>/_CURRENT` pointer
   * file (single-object PUT is atomic on S3-class stores — the same
   * publish primitive as Iceberg's version-hint file), then
-  * garbage-collects superseded versions. A crash before publish
-  * leaves readers on the old version (the orphan directory is GC'd by
-  * the next overwrite); a crash after publish only delays GC. On an
+  * garbage-collects superseded versions — retaining the one
+  * immediately-prior snapshot so in-flight readers that resolved the
+  * old version directory before the flip finish against intact files
+  * (the snapshot-retention window; versions older than that go at
+  * once). A crash before publish leaves readers on the old version
+  * (the orphan directory is GC'd by the next overwrite); a crash
+  * after publish only delays GC. On an
   * object store a directory rename is an O(data) copy and non-atomic,
   * so the staged-swap idiom silently breaks exactly when the table
   * gets big — this layout does no table-level rename at all. Tables
@@ -132,15 +136,20 @@ final case class ParquetTable(spark: SparkSession, path: String,
       case (None, Some(s))    => df.sortWithinPartitions(col(s))
       case _                  => df
     }
+    val prior = currentVersion
     val next = "v-%08d".format(
-      currentVersion.map(_.stripPrefix("v-").toInt + 1).getOrElse(0))
+      prior.map(_.stripPrefix("v-").toInt + 1).getOrElse(0))
     val target = new Path(path, next)
     if (fs.exists(target)) fs.delete(target, true) // crash leftover
     val w = (if (isBucketed) laidOut.withColumn("__bucket", bucketExpr)
              else laidOut).write.mode("overwrite")
     (if (isBucketed) w.partitionBy("__bucket") else w).parquet(target.toString)
     publish(next)
-    gc(keep = next)
+    // retain the just-superseded snapshot: a reader that resolved the
+    // old dataDir before the pointer flip keeps valid files under its
+    // feet (bounded at one prior version — the snapshot-retention
+    // window; older versions and orphans go now)
+    gc(keep = Set(next) ++ prior)
   }
 
   /** Atomically publish a version: single small-object PUT, the only
@@ -153,14 +162,15 @@ final case class ParquetTable(spark: SparkSession, path: String,
   }
 
   /** Remove everything under the table root except the pointer and the
-    * live version: superseded versions, crashed un-published writes,
-    * and pre-versioning legacy data files (first overwrite migrates
-    * an append-created table into the versioned layout).
+    * versions in `keep` (live + retained prior snapshot): older
+    * versions, crashed un-published writes, and pre-versioning legacy
+    * data files (first overwrite migrates an append-created table into
+    * the versioned layout).
     */
-  private def gc(keep: String): Unit =
+  private def gc(keep: Set[String]): Unit =
     fs.listStatus(new Path(path)).foreach { st =>
       val n = st.getPath.getName
-      if (n != Current && n != keep) fs.delete(st.getPath, true)
+      if (n != Current && !keep.contains(n)) fs.delete(st.getPath, true)
     }
 
   /** Rewrite ONLY the buckets present in `df` (dynamic partition

@@ -131,15 +131,21 @@ class TableOpsSpec extends AnyFunSuite {
     assert(TableOps.getMax(t, "counter").contains(5L))
   }
 
-  test("overwrite publishes one live version and GCs the rest") {
+  test("overwrite publishes atomically, retains one prior snapshot") {
     val t = tmpTable("t")
     TableOps.insertData(t, users((1, "a@x.com", 1)))
     t.overwrite(users((2, "b@x.com", 2)), distKey = Some("id"), sortKey = Some("counter"))
     assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(2))
-    val root = new java.io.File(t.path).listFiles().map(_.getName).toSeq
+    def root = new java.io.File(t.path).listFiles().map(_.getName).toSeq
     assert(root.contains("_CURRENT"), root)
-    assert(root.count(_.startsWith("v-")) === 1, root)
-    assert(!root.exists(n => n.contains("__staging") || n.contains("__old")), root)
+    // live v-1 plus the retained v-0 snapshot for in-flight readers
+    assert(root.filter(_.startsWith("v-")).sorted ===
+      Seq("v-00000000", "v-00000001"), root)
     assert(t.dataDir.endsWith("v-00000001"), t.dataDir)
+    // a third version evicts the oldest — retention stays bounded at 2
+    t.overwrite(users((3, "c@x.com", 3)))
+    assert(root.filter(_.startsWith("v-")).sorted ===
+      Seq("v-00000001", "v-00000002"), root)
+    assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(3))
   }
 }
