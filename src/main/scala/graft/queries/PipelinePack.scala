@@ -15,10 +15,10 @@ import graft.ops.{Dedup, Multimodal, Similarity, TextClean}
   * column plumbing.
   *
   * Every query here has a DuckDB oracle that reimplements the operator
-  * deterministically in SQL (list lambdas + md5), EXCEPT the
-  * mapPartitions feature-extraction stub whose oracle replays the same
-  * byte fold over the text's characters (valid because the corpus is
-  * ASCII — the Spark side hashes UTF-8 payload bytes).
+  * deterministically in SQL (list lambdas + md5); the feature-
+  * extraction stub kernel's oracle replays the same byte fold over the
+  * text's characters (valid because the corpus is ASCII — the Spark
+  * side hashes UTF-8 payload bytes).
   *
   * Cross-engine determinism rules used throughout:
   *  - the only hash primitive is md5 (byte-identical everywhere);
