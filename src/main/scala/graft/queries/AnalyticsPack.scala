@@ -498,6 +498,30 @@ object AnalyticsPack {
       FROM orders JOIN f USING (o_orderpriority)
       GROUP BY o_orderpriority"""))
 
+  /** Bloom-prefiltered join (ops/BloomJoin): the selective dim side
+    * (one p_size) builds a bloom over its keys, the fact scan drops
+    * non-candidate rows map-side BEFORE any join/shuffle, and the join
+    * then removes the bloom's false positives — so the result is
+    * bit-identical to the plain join the oracle runs. At 100 TB this
+    * is the difference between shuffling the whole fact table and
+    * shuffling ~the matching fraction.
+    */
+  private val q65 = QueryDef(
+    "q65_bloom_join",
+    (s, dir) => {
+      val hotParts = Tables.part(s, dir).filter(col("p_size") === 50)
+      graft.ops.BloomJoin.innerWithBloom(
+        Tables.lineitem(s, dir), hotParts, "l_partkey", "p_partkey",
+        expectedItems = 100000L)
+        .groupBy(col("p_brand"))
+        .agg(count(lit(1)).as("n_items"),
+          sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+    },
+    Some("""SELECT p_brand, count(*) AS n_items,
+        CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE p_size = 50 GROUP BY p_brand"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62)
+    q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65)
 }

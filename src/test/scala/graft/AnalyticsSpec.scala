@@ -15,6 +15,26 @@ class AnalyticsSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("BloomJoin prefilter keeps all matches, result equals plain join") {
+    import graft.ops.BloomJoin
+    val fact = (1L to 2000L).map(i => (i, s"f$i")).toDF("fk", "fv")
+    val dim = Seq(5L, 10L, 1999L, 7777L).map(k => (k, s"d$k")).toDF("dk", "dv")
+    val plain = fact.join(dim, col("fk") === col("dk"))
+      .select("fk", "fv", "dv").collect().map(_.toSeq).toSet
+    val bloomed = BloomJoin.innerWithBloom(fact, dim, "fk", "dk", 100L)
+      .select("fk", "fv", "dv").collect().map(_.toSeq).toSet
+    assert(bloomed === plain)
+    // the prefilter itself must be selective (few false positives) and
+    // must never drop a true match
+    val kept = BloomJoin.prefilter(fact, dim, "fk", "dk", 100L).collect()
+    val keptKeys = kept.map(_.getLong(0)).toSet
+    assert(Set(5L, 10L, 1999L).subsetOf(keptKeys))
+    assert(kept.length < 200, s"bloom should cut ~90%+, kept ${kept.length}")
+    // empty build side → no rows survive the prefilter
+    assert(BloomJoin.prefilter(fact, dim.filter(col("dk") < 0), "fk", "dk", 100L)
+      .count() === 0L)
+  }
+
   // ---- sessionization -----------------------------------------------
 
   private def ev(rows: (Long, Long, Long)*) = // (user, ts_us, event_id)
