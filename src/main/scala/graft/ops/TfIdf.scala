@@ -1,0 +1,46 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextKernels
+
+/** [EXT] TF-IDF keyword extraction per document — corpus-level inverse
+  * document frequency joined back to per-doc term frequencies, top-k
+  * terms per doc.
+  *
+  * The idf is the RATIONAL form `(N + 1) / (df + 1)` rather than its
+  * logarithm: ranking is unchanged (log is monotone), and +, *, / are
+  * correctly-rounded IEEE ops that produce bit-identical doubles on
+  * any engine, while `ln` is libm-implementation-specific — the same
+  * determinism rule the oracle suite applies everywhere.
+  *
+  * Scale shape: tf is one (doc, term) aggregation; df reuses tf (one
+  * more term aggregation); N rides as a broadcast 1-row aggregate (no
+  * driver action); the tf⋈df term join is a plain equi-join AQE can
+  * broadcast when the vocabulary is small; the final top-k is a
+  * per-doc window rank — the standard 2-shuffle + join + window plan,
+  * nothing quadratic anywhere.
+  */
+object TfIdf {
+
+  def topTerms(docs: DataFrame, idCol: String, textCol: String,
+      k: Int = 5): DataFrame = {
+    val tf = docs
+      .select(col(idCol), explode(TextKernels.tokens(col(textCol))).as("term"))
+      .groupBy(col(idCol), col("term"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).cast("double").as("n"))
+    val scored = tf.join(dfreq, "term")
+      .crossJoin(broadcast(n))
+      .withColumn("score", col("tf") * ((col("n") + 1) / (col("df") + 1)))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("term").asc)
+    scored
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= k)
+      .select(col(idCol), col("term"), col("tf"), col("score"))
+  }
+}

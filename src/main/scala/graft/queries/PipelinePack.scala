@@ -592,6 +592,28 @@ object PipelinePack {
         array_to_string(toks[chunk_idx*48+1 : chunk_idx*48+64], ' ') AS chunk_text
       FROM w"""))
 
+  /** TF-IDF top-5 keywords per doc (ops/TfIdf): rational idf
+    * `(N+1)/(df+1)` — monotone-equivalent to the log form and
+    * bit-exact cross-engine (IEEE +,*,/ are correctly rounded; `ln`
+    * is libm-specific). Deterministic tie-break on term.
+    */
+  private val q66 = QueryDef(
+    "q66_tfidf",
+    (s, dir) => graft.ops.TfIdf.topTerms(
+      Tables.documents(s, dir), "doc_id", "text", k = 5),
+    Some(s"""WITH tf AS (SELECT doc_id, token AS term, count(*) AS tf
+        FROM (SELECT doc_id, unnest($T) AS token FROM documents)
+        GROUP BY doc_id, token),
+      df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
+      n AS (SELECT count(*)::DOUBLE AS n FROM documents),
+      scored AS (SELECT tf.doc_id, tf.term, tf.tf,
+          tf.tf * ((n.n + 1) / (df.df + 1)) AS score
+        FROM tf JOIN df USING (term) CROSS JOIN n),
+      ranked AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term ASC) AS rk FROM scored)
+      SELECT doc_id, term, tf, score FROM ranked WHERE rk <= 5"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
-    q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64)
+    q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
+    q66)
 }

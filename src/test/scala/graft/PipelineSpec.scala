@@ -157,6 +157,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(c2.length === 1 && c2(0).getString(3) === "solo")
   }
 
+  test("TfIdf ranks rare terms above common ones, k-bounded") {
+    import graft.ops.TfIdf
+    val d = docs(
+      1L -> "common rare rare",
+      2L -> "common unique",
+      3L -> "common common common")
+    val out = TfIdf.topTerms(d, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "term").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    // doc 1: rare tf=2 df=1 → score 4; common tf=1 df=3 → score 1
+    val d1 = out.filter(_._1 == 1L).map(t => (t._2, t._3)).toSeq
+    assert(d1.toSet === Set("rare" -> 2L, "common" -> 1L))
+    val top1 = TfIdf.topTerms(d, "doc_id", "text", k = 1)
+      .filter(col("doc_id") === 1L).head.getString(1)
+    assert(top1 === "rare")
+    assert(out.count(_._1 == 3L) === 1, "doc 3 has one distinct term")
+  }
+
   // ---- similarity search -------------------------------------------
 
   private def vecs(rows: (Long, Seq[Float])*): DataFrame =
