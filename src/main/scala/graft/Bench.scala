@@ -42,7 +42,8 @@ object Bench {
     // JVM and log every pass to stderr — separates plan-cost drift
     // from local[n] scheduling noise (SCALE.md "bench noise floor").
     // The reported JSON (stdout contract: ONE line) is the last pass.
-    val runs = sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt
+    val runs = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt).getOrElse(1).max(1)
     val passes = (1 to runs).map { p =>
       val r = names.map { name =>
         val t0 = System.nanoTime()

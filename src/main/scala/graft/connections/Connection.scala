@@ -58,8 +58,13 @@ final case class DumpSummary(path: String, rows: Long, bytes: Long) {
 }
 
 /** Shared S15 write path: export, then report (rows, bytes, human) —
-  * the reference's post-dump progress line (`mysql.js:655`). The
-  * parquet row count is footer metadata, not a data scan.
+  * the reference's post-dump progress line (`mysql.js:655`).
+  *
+  * Row counting: parquet counts come from the written footers (pure
+  * metadata). Text formats count the SOURCE plan instead — a
+  * count-back read of CSV would split quoted embedded newlines into
+  * phantom records, and reading back an empty JSON dump fails schema
+  * inference; neither can happen against the source.
   */
 object Connections {
   def dumpTo(spark: SparkSession, df: DataFrame, path: String,
@@ -73,11 +78,10 @@ object Connections {
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
-    val rows = (fmt match {
-      case "csv"  => spark.read.option("header", "true").csv(path)
-      case "json" => spark.read.json(path)
-      case _      => spark.read.parquet(path)
-    }).count()
+    val rows = fmt match {
+      case "csv" | "json" => df.count()
+      case _              => spark.read.parquet(path).count()
+    }
     DumpSummary(path, rows, bytes)
   }
 }

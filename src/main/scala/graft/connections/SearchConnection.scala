@@ -36,7 +36,8 @@ final class SearchConnection(spark: SparkSession, val name: String,
   private def pathOf(index: String) = s"$basePath/$index"
 
   private def indexExists(index: String): Boolean =
-    fs.exists(new Path(pathOf(index)))
+    graft.sources.VersionedLayout.hasPublishedData(fs, pathOf(index),
+      _.startsWith("part-"))
 
   /** ISO-date re-typing: cast each string column to timestamp iff all
     * its non-null values look ISO-8601 (one boolean per string column,
@@ -54,7 +55,8 @@ final class SearchConnection(spark: SparkSession, val name: String,
   }
 
   override def getAll(index: String): DataFrame = {
-    val base = retypeDates(spark.read.json(pathOf(index)))
+    val base = retypeDates(spark.read.json(
+      graft.sources.VersionedLayout.dataDir(fs, pathOf(index))))
     getAllLimit.filter(_ <= Int.MaxValue).fold(base)(n => base.limit(n.toInt))
   }
 
@@ -113,21 +115,23 @@ final class SearchConnection(spark: SparkSession, val name: String,
   override def dump(index: String, path: String, fmt: String): DumpSummary =
     Connections.dumpTo(spark, getAll(index), path, fmt)
 
-  /** Staged JSON rewrite with atomic swap (same protocol as
-    * [[graft.sources.ParquetTable.overwrite]]). Timestamps serialize
-    * back to ISO-8601 so a re-read re-types them identically.
+  /** JSON index rewrite through the shared versioned-pointer commit
+    * ([[graft.sources.VersionedLayout]] — the same object-store-safe
+    * protocol as [[graft.sources.ParquetTable.overwrite]]; no
+    * directory renames). Timestamps serialize back to ISO-8601 so a
+    * re-read re-types them identically.
     */
   private def writeStaged(index: String, df: DataFrame): Unit = {
-    val live = new Path(pathOf(index))
-    val staging = new Path(pathOf(index) + "__staging")
-    if (fs.exists(staging)) fs.delete(staging, true)
+    val root = pathOf(index)
+    val V = graft.sources.VersionedLayout
+    val prior = V.currentVersion(fs, root)
+    val next = V.nextVersion(prior)
+    val target = new Path(root, next)
+    if (fs.exists(target)) fs.delete(target, true) // crash leftover
     df.write.mode("overwrite")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSX")
-      .json(staging.toString)
-    val old = new Path(pathOf(index) + "__old")
-    if (fs.exists(old)) fs.delete(old, true)
-    if (fs.exists(live)) fs.rename(live, old)
-    fs.rename(staging, live)
-    if (fs.exists(old)) fs.delete(old, true)
+      .json(target.toString)
+    V.publish(fs, root, next)
+    V.gc(fs, root, keep = Set(next) ++ prior)
   }
 }

@@ -275,6 +275,7 @@ object Kernels {
     * mapPartitions.
     */
   def mediaFeatures(payload: Array[Byte], dim: Int): ArrayData = {
+    require(dim > 0, s"feature dim must be positive, got $dim")
     val acc = new Array[Long](dim)
     var i = 0
     while (i < payload.length) {
@@ -294,6 +295,7 @@ object Kernels {
     * an empty array.
     */
   def poolBytes(payload: Array[Byte], factor: Int): ArrayData = {
+    require(factor > 0, s"pooling factor must be positive, got $factor")
     val n = (payload.length + factor - 1) / factor
     val out = new Array[Long](n)
     var w = 0

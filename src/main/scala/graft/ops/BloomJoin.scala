@@ -53,10 +53,12 @@ object BloomJoin {
 
   /** Inner equi-join with the probe side bloom-prefiltered. Result is
     * bit-identical to `fact.join(dim, factKey === dimKey)` — the join
-    * removes bloom false positives.
+    * removes bloom false positives. DataFrame-qualified key refs, so
+    * same-named keys on both sides stay unambiguous.
     */
   def innerWithBloom(fact: DataFrame, dim: DataFrame, factKey: String,
-      dimKey: String, expectedItems: Long = 1000000L): DataFrame =
-    prefilter(fact, dim, factKey, dimKey, expectedItems)
-      .join(dim, col(factKey) === col(dimKey))
+      dimKey: String, expectedItems: Long = 1000000L): DataFrame = {
+    val pre = prefilter(fact, dim, factKey, dimKey, expectedItems)
+    pre.join(dim, pre(factKey) === dim(dimKey))
+  }
 }

@@ -228,6 +228,7 @@ object Dedup {
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
       .localCheckpoint(true)
     var done = edges.isEmpty
+    var prevSig = if (done) null else sig(edges) // carried: one sig job per round
     while (!done) {
       // large-star: every node attaches its strictly-larger neighbors
       // to the minimum of its closed neighborhood
@@ -246,7 +247,9 @@ object Dedup {
           struct(col("u").as("u"), col("m").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v")))
         .localCheckpoint(true)
-      done = sig(ss) == sig(edges)
+      val ssSig = sig(ss)
+      done = ssSig == prevSig
+      prevSig = ssSig
       edges = ss
     }
     edges.select(col("u").as("node"), col("v").as("label"))

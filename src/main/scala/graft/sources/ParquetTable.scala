@@ -54,27 +54,18 @@ final case class ParquetTable(spark: SparkSession, path: String,
   private val hconf = spark.sparkContext.hadoopConfiguration
   private def fs = new Path(path).getFileSystem(hconf)
 
-  private val Current = "_CURRENT"
-  private def pointer = new Path(path, Current)
-
   /** Published version directory name, None for un-versioned layouts
-    * (append-created tables that were never overwritten).
+    * (append-created tables that were never overwritten). See
+    * [[VersionedLayout.currentVersion]] for the mid-publish-window
+    * retry/fallback semantics.
     */
   private def currentVersion: Option[String] =
-    if (!fs.exists(pointer)) None
-    else {
-      val in = fs.open(pointer)
-      try {
-        val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
-        if (s.isEmpty) None else Some(s)
-      } finally in.close()
-    }
+    VersionedLayout.currentVersion(fs, path)
 
   /** Directory holding the live data files: the published version for
     * versioned tables, the table root for un-versioned layouts.
     */
-  def dataDir: String =
-    currentVersion.map(v => s"$path/$v").getOrElse(path)
+  def dataDir: String = VersionedLayout.dataDir(fs, path)
 
   def isBucketed: Boolean = buckets > 0
 
@@ -90,14 +81,9 @@ final case class ParquetTable(spark: SparkSession, path: String,
     * `v-*` dir — that table reads as absent, and the next write
     * recreates it cleanly (the GC sweeps the orphan).
     */
-  def exists: Boolean = {
-    val p = new Path(path)
-    fs.exists(p) && (currentVersion.isDefined ||
-      fs.listStatus(p).exists { st =>
-        val n = st.getPath.getName
-        n.startsWith("__bucket=") || n.endsWith(".parquet")
-      })
-  }
+  def exists: Boolean =
+    VersionedLayout.hasPublishedData(fs, path,
+      n => n.startsWith("__bucket=") || n.endsWith(".parquet"))
 
   /** Table contents, logical schema (no layout columns). */
   def read: DataFrame =
@@ -137,41 +123,19 @@ final case class ParquetTable(spark: SparkSession, path: String,
       case _                  => df
     }
     val prior = currentVersion
-    val next = "v-%08d".format(
-      prior.map(_.stripPrefix("v-").toInt + 1).getOrElse(0))
+    val next = VersionedLayout.nextVersion(prior)
     val target = new Path(path, next)
     if (fs.exists(target)) fs.delete(target, true) // crash leftover
     val w = (if (isBucketed) laidOut.withColumn("__bucket", bucketExpr)
              else laidOut).write.mode("overwrite")
     (if (isBucketed) w.partitionBy("__bucket") else w).parquet(target.toString)
-    publish(next)
+    VersionedLayout.publish(fs, path, next)
     // retain the just-superseded snapshot: a reader that resolved the
     // old dataDir before the pointer flip keeps valid files under its
     // feet (bounded at one prior version — the snapshot-retention
     // window; older versions and orphans go now)
-    gc(keep = Set(next) ++ prior)
+    VersionedLayout.gc(fs, path, keep = Set(next) ++ prior)
   }
-
-  /** Atomically publish a version: single small-object PUT, the only
-    * non-idempotent step of the commit.
-    */
-  private def publish(version: String): Unit = {
-    val out = fs.create(pointer, true)
-    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
-  }
-
-  /** Remove everything under the table root except the pointer and the
-    * versions in `keep` (live + retained prior snapshot): older
-    * versions, crashed un-published writes, and pre-versioning legacy
-    * data files (first overwrite migrates an append-created table into
-    * the versioned layout).
-    */
-  private def gc(keep: Set[String]): Unit =
-    fs.listStatus(new Path(path)).foreach { st =>
-      val n = st.getPath.getName
-      if (n != Current && !keep.contains(n)) fs.delete(st.getPath, true)
-    }
 
   /** Rewrite ONLY the buckets present in `df` (dynamic partition
     * overwrite); untouched bucket directories are never read or
@@ -224,8 +188,9 @@ final case class ParquetTable(spark: SparkSession, path: String,
     if (isBucketed) {
       // partition-scoped: rewrite ONLY buckets whose file count exceeds
       // what their size warrants; untouched buckets keep their files.
+      val d = dataDir // resolve the pointer once, not once per bucket
       val toCompact = bucketIds.filter { b =>
-        val dir = new Path(s"$dataDir/__bucket=$b")
+        val dir = new Path(s"$d/__bucket=$b")
         val files = fs.listStatus(dir).filter(f => f.getPath.getName.endsWith(".parquet"))
         val want = math.max(1, math.ceil(
           files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)

@@ -87,6 +87,19 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     assert(t.exists && t.read.count() === 1)
   }
 
+  test("search-index sink commits without table-level renames too") {
+    import graft.connections.SearchConnection
+    val root = Files.createTempDirectory("graft-oss-idx").toString
+    val c = new SearchConnection(spark, "es", s"$scheme://$root")
+    c.insertData("docs", Seq((1L, "a"), (2L, "b")).toDF("id", "v"),
+      key = "id", mergeOnDuplicates = true)
+    c.insertData("docs", Seq((2L, "B"), (3L, "c")).toDF("id", "v"),
+      key = "id", mergeOnDuplicates = true)
+    val got = c.getAll("docs").collect()
+      .map(r => (r.getAs[Long]("id"), r.getAs[String]("v"))).toMap
+    assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
   test("crash leftovers and legacy files are GC'd by the next commit") {
     val t = tmpTable()
     // legacy layout: append-created table, data at the root
