@@ -522,6 +522,33 @@ object AnalyticsPack {
       FROM lineitem JOIN part ON l_partkey = p_partkey
       WHERE p_size = 50 GROUP BY p_brand"""))
 
+  /** SCD type-2 dimension build (ops/Scd2): per-user event_type
+    * validity intervals from the event stream — consecutive identical
+    * states compress, each change opens an interval the next change
+    * closes. Timestamps compare as epoch-microsecond longs (exact on
+    * both engines); (ts, event_id) gives a total order.
+    */
+  private val q67 = QueryDef(
+    "q67_scd2",
+    (s, dir) => graft.ops.Scd2.fromChanges(
+      Tables.events(s, dir), "user_id", "ts", Seq("event_type"), "event_id")
+      .select(col("user_id"), col("event_type"),
+        unix_micros(col("effective_from")).as("from_us"),
+        unix_micros(col("effective_to")).as("to_us"),
+        col("is_current")),
+    Some("""WITH ordered AS (SELECT user_id, event_type, ts, event_id,
+        lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+          AS prev_type
+        FROM events),
+      changes AS (SELECT user_id, event_type, ts, event_id FROM ordered
+        WHERE prev_type IS NULL OR prev_type <> event_type)
+      SELECT user_id, event_type, epoch_us(ts) AS from_us,
+        epoch_us(lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))
+          AS to_us,
+        (lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL)
+          AS is_current
+      FROM changes"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65)
+    q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67)
 }

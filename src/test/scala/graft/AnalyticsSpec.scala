@@ -35,6 +35,27 @@ class AnalyticsSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("Scd2 compresses runs and chains validity intervals") {
+    import graft.ops.Scd2
+    val d = Seq(
+      (1L, 100L, 1L, "free"), (1L, 200L, 2L, "free"), // run compresses
+      (1L, 300L, 3L, "pro"), (1L, 400L, 4L, "free"),  // re-entry reopens
+      (2L, 150L, 5L, "pro"))
+      .toDF("uid", "us", "eid", "plan")
+      .withColumn("ts", timestamp_micros(col("us")))
+    val out = Scd2.fromChanges(d, "uid", "ts", Seq("plan"), "eid")
+      .select(col("uid"), col("plan"), unix_micros(col("effective_from")).as("f"),
+        unix_micros(col("effective_to")).as("t"), col("is_current"))
+      .orderBy("uid", "f").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        if (r.isNullAt(3)) -1L else r.getLong(3), r.getBoolean(4)))
+    assert(out.toSeq === Seq(
+      (1L, "free", 100L, 300L, false),
+      (1L, "pro", 300L, 400L, false),
+      (1L, "free", 400L, -1L, true),
+      (2L, "pro", 150L, -1L, true)))
+  }
+
   // ---- sessionization -----------------------------------------------
 
   private def ev(rows: (Long, Long, Long)*) = // (user, ts_us, event_id)
