@@ -82,6 +82,47 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(rows.exists(r => r.getAs[String]("v") == "a" && r.getAs[Long]("n_events") == 2L))
   }
 
+  test("append mode drops data later than the watermark") {
+    import org.apache.spark.sql.functions.lit
+    val srcDir = Files.createTempDirectory("graft-late").toString
+    val ckpt = Files.createTempDirectory("graft-late-ckpt").toString
+    def mk(rows: Seq[(Long, Timestamp, String)]) =
+      events(rows).withColumn("value", lit(1.0))
+    val schema = mk(Nil).schema
+
+    // run 1: an on-time event in the 10:00 window plus a 13:00 event
+    // that advances the watermark (delay 1h) to 12:00 at run end
+    mk(Seq(
+      (1L, ts("2024-01-01 10:10:00"), "a"),
+      (2L, ts("2024-01-01 13:00:00"), "b")))
+      .write.parquet(srcDir + "/f1")
+    // memory sink cannot recover a checkpoint; a parquet sink can, and
+    // append mode only ever adds rows to it
+    val outDir = Files.createTempDirectory("graft-late-out").toString
+    def run() = {
+      val stream = spark.readStream.schema(schema).parquet(srcDir + "/*")
+      val q = StreamingLift.tumblingCounts(stream, "ts", "v", "value")
+        .writeStream.outputMode("append")
+        .option("checkpointLocation", ckpt)
+        .trigger(Trigger.AvailableNow())
+        .format("parquet").option("path", outDir).start()
+      q.awaitTermination(60000)
+      spark.read.parquet(outDir).collect()
+    }
+    run()
+
+    // run 2: a LATE event for the already-closing 10:00 window (10:20
+    // < watermark 12:00) must be dropped; the window then emits with
+    // only the on-time row counted
+    mk(Seq((1L, ts("2024-01-01 10:20:00"), "a")))
+      .write.parquet(srcDir + "/f2")
+    val out = run()
+    val win10 = out.filter(r => r.getAs[String]("v") == "a")
+    assert(win10.nonEmpty, "watermark passing 11:00 must flush the window")
+    assert(win10.map(_.getAs[Long]("n_events")).sum === 1L,
+      "the late 10:20 event must not be counted")
+  }
+
   test("sessionCounts groups gap-separated activity into sessions") {
     val srcDir = Files.createTempDirectory("graft-sess").toString
     val data = events(Seq(
