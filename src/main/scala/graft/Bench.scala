@@ -57,14 +57,22 @@ object Bench {
     }
     val results = passes.last
 
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+    // Times are rounded to milliseconds, locale-independently. This is
+    // a SIZE contract, not cosmetics: the driver parses the JSON out
+    // of a bounded tail-capture of stdout, and at 67 queries the
+    // full-precision doubles pushed the one-line JSON past that window
+    // (round 4 recorded `parsed: null` with the line's head cut off).
+    // ~1 ms of false precision is far below the local[n] noise floor.
+    def ms(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + ms(v) }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
     // n_queries/mean_query_sec contextualize the total across rounds:
-    // the suite grew from 16 queries (r1) to 58, so totals are not
+    // the suite grew from 16 queries (r1) to 67, so totals are not
     // comparable round-over-round but per-query means are.
-    val line = s"""{"metric":"total","value":$total,"unit":"sec","n_queries":${results.size},""" +
-      s""""mean_query_sec":${total / results.size},"queries":$qs,"sf":"$sfDir"}"""
+    val line = s"""{"metric":"total","value":${ms(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""mean_query_sec":${ms(total / results.size)},"queries":$qs,"sf":"$sfDir"}"""
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
     }

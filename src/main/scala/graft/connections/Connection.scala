@@ -60,28 +60,31 @@ final case class DumpSummary(path: String, rows: Long, bytes: Long) {
 /** Shared S15 write path: export, then report (rows, bytes, human) —
   * the reference's post-dump progress line (`mysql.js:655`).
   *
-  * Row counting: parquet counts come from the written footers (pure
-  * metadata). Text formats count the SOURCE plan instead — a
+  * Row counting rides the write job itself via `Dataset.observe` (a
+  * `CollectMetrics` node over the rows actually written), NOT a second
+  * pass: re-executing the source plan after the files land would
+  * re-read a possibly-mutated source (a JDBC table receiving writes)
+  * and report a count that differs from the dumped snapshot, and a
   * count-back read of CSV would split quoted embedded newlines into
-  * phantom records, and reading back an empty JSON dump fails schema
-  * inference; neither can happen against the source.
+  * phantom records. One pass, one snapshot, one number.
   */
 object Connections {
   def dumpTo(spark: SparkSession, df: DataFrame, path: String,
       fmt: String): DumpSummary = {
-    val w = df.write.mode("overwrite")
+    val obs = new org.apache.spark.sql.Observation()
+    val observed = df.observe(obs,
+      org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("rows"))
+    val w = observed.write.mode("overwrite")
     fmt match {
       case "csv"  => w.option("header", "true").csv(path)
       case "json" => w.json(path)
       case _      => w.parquet(path)
     }
+    val rows = obs.get("rows").asInstanceOf[Long]
     val p = new org.apache.hadoop.fs.Path(path)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val bytes = fs.getContentSummary(p).getLength
-    val rows = fmt match {
-      case "csv" | "json" => df.count()
-      case _              => spark.read.parquet(path).count()
-    }
     DumpSummary(path, rows, bytes)
   }
 }

@@ -218,10 +218,15 @@ object Dedup {
     def canonical(e: DataFrame): DataFrame = e
       .select(greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
       .filter(col("u") =!= col("v")).distinct()
-    // edge-set fingerprint for the convergence test: one agg per side
-    // instead of two exceptAll shuffles. bit_xor is order-independent
-    // and overflow-free (ANSI-safe); edges are distinct so no
-    // self-cancellation.
+    // edge-set fingerprint for the convergence FAST PATH: one agg per
+    // side instead of two exceptAll shuffles. bit_xor is
+    // order-independent and overflow-free (ANSI-safe); edges are
+    // distinct so no self-cancellation. A fingerprint match alone is
+    // not proof (a ~2^-64 collision between different edge sets would
+    // end the loop early and emit wrong cluster labels — silent data
+    // loss in a dedup pipeline), so a match is CONFIRMED by one
+    // exceptAll set-compare; it runs once, at convergence, and both
+    // sides are distinct with equal counts so one direction suffices.
     def sig(e: DataFrame) = e
       .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
     var edges = canonical(
@@ -248,7 +253,7 @@ object Dedup {
         .select(col("e.u").as("u"), col("e.v").as("v")))
         .localCheckpoint(true)
       val ssSig = sig(ss)
-      done = ssSig == prevSig
+      done = ssSig == prevSig && ss.exceptAll(edges).isEmpty
       prevSig = ssSig
       edges = ss
     }

@@ -80,18 +80,57 @@ object Similarity {
     *
     * @param centroids DataFrame(cell_id: long, cvec: array<float/double>)
     */
-  def assignCells(df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame = {
+  def assignCells(df: DataFrame, vecCol: String, centroids: DataFrame): DataFrame =
+    df.withColumn("cell_id", -bestCell(vecCol, centroids).getField("neg"))
+
+  /** The map-side argmax core shared by [[assignCells]] and
+    * [[clusterRepresentatives]]: a `struct(ccos, -cell_id)` maximum
+    * over the literal centroid array (struct ordering = field order,
+    * so ties go to the smallest cell_id; zero-norm cosines coalesce to
+    * -Infinity, below every real cosine).
+    */
+  private def bestCell(vecCol: String, centroids: DataFrame): Column = {
     val cents = centroids.select(col("cell_id").cast("long"), col("cvec")).collect()
     val cellArr = array(cents.map { r =>
       struct(
         lit(r.getLong(0)).as("cell_id"),
         array(r.getSeq[Any](1).map(v => lit(v).cast("double")): _*).as("cvec"))
     }: _*)
-    val best = array_max(transform(cellArr, c =>
+    array_max(transform(cellArr, c =>
       struct(
         coalesce(safeCosine(col(vecCol), c.getField("cvec")), lit(Double.NegativeInfinity)).as("ccos"),
         (-c.getField("cell_id")).as("neg"))))
-    df.withColumn("cell_id", -best.getField("neg"))
+  }
+
+  /** [EXT] Semantic dedup representative selection: one surviving row
+    * per semantic cluster — every vector is assigned its nearest
+    * centroid map-side (same literal-fold argmax as [[assignCells]]),
+    * and the member most similar to its own centroid survives (ties to
+    * the smallest id). The keep-closest-to-centroid policy is the
+    * cluster-level analogue of MinHash dedup's keep-one-per-bucket.
+    *
+    * Shape at scale: the groupBy carries only (cell_id, cos, id) — 3
+    * scalars, never the vectors — and a `max(struct(...))` aggregate
+    * is partial map-side, so even with k ≪ partitions (each cell a hot
+    * key) every partition pre-reduces to ≤ k rows before the shuffle.
+    *
+    * Output: (cell_id, idCol, cos, n_members); cos is null for a
+    * zero-norm representative (only possible when the whole cell is
+    * degenerate).
+    */
+  def clusterRepresentatives(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val best = bestCell(vecCol, centroids)
+    df.select(col(idCol), best.getField("ccos").as("ccos"),
+        (-best.getField("neg")).as("cell_id"))
+      .groupBy(col("cell_id"))
+      .agg(
+        max(struct(col("ccos"), (-col(idCol)).cast("long").as("neg"))).as("b"),
+        count(lit(1)).as("n_members"))
+      .select(col("cell_id"), (-col("b.neg")).as(idCol),
+        when(col("b.ccos") === lit(Double.NegativeInfinity), lit(null).cast("double"))
+          .otherwise(col("b.ccos")).as("cos"),
+        col("n_members"))
   }
 
   /** One Lloyd (k-means) iteration: assign map-side, then recompute

@@ -549,6 +549,30 @@ object AnalyticsPack {
           AS is_current
       FROM changes"""))
 
+  /** Ordered conversion funnel (ops.Funnel): view → click → purchase,
+    * each stage strictly after the user's earliest completion of the
+    * prior one. One shuffle on user_id; the chained stage minimums are
+    * whole-partition window expressions on that single exchange.
+    */
+  private val q68 = QueryDef(
+    "q68_funnel",
+    (s, dir) => graft.ops.Funnel.counts(
+      Tables.events(s, dir), "user_id", "ts", "event_type",
+      Seq("view", "click", "purchase")),
+    Some("""WITH s0 AS (SELECT user_id, ts, event_type,
+        min(CASE WHEN event_type = 'view' THEN ts END)
+          OVER (PARTITION BY user_id) AS t0 FROM events),
+      s1 AS (SELECT *, min(CASE WHEN event_type = 'click' AND ts > t0 THEN ts END)
+          OVER (PARTITION BY user_id) AS t1 FROM s0),
+      s2 AS (SELECT *, min(CASE WHEN event_type = 'purchase' AND ts > t1 THEN ts END)
+          OVER (PARTITION BY user_id) AS t2 FROM s1),
+      per AS (SELECT user_id, max(t0) AS t0, max(t1) AS t1, max(t2) AS t2
+        FROM s2 GROUP BY user_id),
+      c AS (SELECT count(t0) AS c0, count(t1) AS c1, count(t2) AS c2 FROM per)
+      SELECT 0::BIGINT AS stage_idx, 'view' AS stage, c0 AS n_users FROM c
+      UNION ALL SELECT 1::BIGINT, 'click', c1 FROM c
+      UNION ALL SELECT 2::BIGINT, 'purchase', c2 FROM c"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67)
+    q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68)
 }

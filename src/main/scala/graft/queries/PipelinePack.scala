@@ -217,6 +217,39 @@ object PipelinePack {
       FROM asg JOIN probe USING (cell_id) CROSS JOIN q
       ORDER BY cos DESC NULLS LAST, vec_id ASC LIMIT 10"""))
 
+  /** Semantic dedup (Similarity.clusterRepresentatives): map-side
+    * nearest-centroid assignment (literal fold, no shuffle), then one
+    * partial-aggregated max(struct) per cell keeps the member closest
+    * to its own centroid. Centroids = the first 8 vectors, so the
+    * oracle reproduces the assignment exactly (the q23 contract).
+    */
+  private val q69 = QueryDef(
+    "q69_semantic_dedup",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+      Similarity.clusterRepresentatives(e, "vec_id", "embedding", cents)
+    },
+    Some(s"""WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      asg AS (SELECT vec_id, cell_id, ccos FROM (
+        SELECT e.vec_id, c.cell_id,
+          coalesce(${sqlCos("e.embedding", "c.cvec")}, '-infinity'::DOUBLE) AS ccos,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY coalesce(${sqlCos("e.embedding", "c.cvec")}, '-infinity'::DOUBLE) DESC,
+              c.cell_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+      rep AS (SELECT cell_id, vec_id, ccos,
+          row_number() OVER (PARTITION BY cell_id
+            ORDER BY ccos DESC, vec_id ASC) AS rk,
+          count(*) OVER (PARTITION BY cell_id) AS n_members
+        FROM asg)
+      SELECT cell_id, vec_id,
+        CASE WHEN ccos = '-infinity'::DOUBLE THEN NULL ELSE ccos END AS cos,
+        n_members
+      FROM rep WHERE rk = 1"""))
+
   // ---- text analysis ------------------------------------------------
 
   private val Stops = Seq("the", "a", "of", "to", "and", "in", "is", "on", "for", "with")
@@ -615,5 +648,5 @@ object PipelinePack {
 
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
-    q66)
+    q66, q69)
 }

@@ -87,18 +87,39 @@ final case class ParquetTable(spark: SparkSession, path: String,
 
   /** Table contents, logical schema (no layout columns). */
   def read: DataFrame =
-    if (isBucketed) readRaw.drop("__bucket") else spark.read.parquet(dataDir)
+    if (isBucketed) readRaw.drop("__bucket") else readRaw
 
   /** Bucketed read keeping the `__bucket` partition column so filters
     * on it prune partitions. mergeSchema heals per-partition schema
     * drift after evolution (missing columns read as NULL).
+    *
+    * Legacy (never-overwritten) layouts list the root's immediate data
+    * entries explicitly instead of scanning the directory: during the
+    * table's FIRST `overwrite` (or after a crash-before-publish) the
+    * root transiently also holds the unpublished `v-*` directory, and
+    * a whole-root scan would either fail partition discovery
+    * ("conflicting directory structures" — leaf files at mixed
+    * depths) or leak the partial new version into the read. Explicit
+    * listing keeps lock-free readers on the old data, which is the
+    * commit protocol's contract.
     */
-  def readRaw: DataFrame = {
-    val d = dataDir
-    if (isBucketed)
-      spark.read.option("mergeSchema", "true")
-        .option("basePath", d).parquet(d)
-    else spark.read.parquet(d)
+  def readRaw: DataFrame = currentVersion match {
+    case Some(v) =>
+      val d = s"$path/$v"
+      if (isBucketed)
+        spark.read.option("mergeSchema", "true")
+          .option("basePath", d).parquet(d)
+      else spark.read.parquet(d)
+    case None =>
+      val entries = fs.listStatus(new Path(path)).toSeq.map(_.getPath)
+      if (isBucketed) {
+        val bucketDirs = entries.filter(_.getName.startsWith("__bucket="))
+        spark.read.option("mergeSchema", "true")
+          .option("basePath", path).parquet(bucketDirs.map(_.toString): _*)
+      } else {
+        val files = entries.filter(_.getName.endsWith(".parquet"))
+        spark.read.parquet(files.map(_.toString): _*)
+      }
   }
 
   /** Only the named buckets — a partition-pruned scan. */
@@ -166,10 +187,19 @@ final case class ParquetTable(spark: SparkSession, path: String,
   def drop(): Unit = { val p = new Path(path); if (fs.exists(p)) fs.delete(p, true) }
 
   /** Total bytes of the table's LIVE data files (superseded versions
-    * awaiting GC excluded).
+    * awaiting GC — and, for legacy layouts, a mid-write `v-*`
+    * directory — excluded).
     */
-  def sizeBytes: Long =
-    fs.getContentSummary(new Path(dataDir)).getLength
+  def sizeBytes: Long = currentVersion match {
+    case Some(v) => fs.getContentSummary(new Path(s"$path/$v")).getLength
+    case None =>
+      fs.listStatus(new Path(path)).toSeq
+        .filter { st =>
+          val n = st.getPath.getName
+          n.startsWith("__bucket=") || n.endsWith(".parquet")
+        }
+        .map(st => fs.getContentSummary(st.getPath).getLength).sum
+  }
 
   /** Compact the small-file tail: rewrite the table into
     * ceil(size / targetFileBytes) files (per bucket for bucketed

@@ -24,14 +24,17 @@ object VersionedLayout {
 
   /** Published version name. The overwrite-PUT of the pointer is
     * atomic on S3-class stores but truncate-then-write on HDFS/posix,
-    * so an existing-but-empty pointer marks the mid-publish window:
-    * retried briefly, then healed from the newest fully-committed
-    * (`_SUCCESS`-bearing) version — under single-writer that is the
-    * version being published. An absent pointer means the
-    * un-versioned legacy layout (no fallback: unpublished versions
-    * must stay invisible).
+    * so an existing-but-empty OR partially-written pointer (a torn
+    * read like "v-000" passes a bare nonEmpty check but names no
+    * directory) marks the mid-publish window: content is validated
+    * against the `v-NNNNNNNN` shape, retried briefly, then healed
+    * from the newest fully-committed (`_SUCCESS`-bearing) version —
+    * under single-writer that is the version being published. An
+    * absent pointer means the un-versioned legacy layout (no
+    * fallback: unpublished versions must stay invisible).
     */
   def currentVersion(fs: FileSystem, root: String): Option[String] = {
+    def wellFormed(s: String): Boolean = s.matches("v-\\d{8}")
     def readPointer(): Option[String] =
       if (!fs.exists(pointer(root))) None
       else {
@@ -41,13 +44,13 @@ object VersionedLayout {
       }
     readPointer() match {
       case None => None
-      case Some(s) if s.nonEmpty => Some(s)
+      case Some(s) if wellFormed(s) => Some(s)
       case Some(_) =>
         var attempt = 0
         var v: Option[String] = None
         while (attempt < 3 && v.isEmpty) {
           Thread.sleep(25L << attempt)
-          v = readPointer().filter(_.nonEmpty)
+          v = readPointer().filter(wellFormed)
           attempt += 1
         }
         v.orElse {

@@ -13,10 +13,15 @@ object Format {
     var v = bytes.toDouble
     var u = 0
     while (v >= 1024.0 && u < units.length - 1) { v /= 1024.0; u += 1 }
-    val s =
-      if (u == 0) bytes.toString
-      else BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
-        .underlying.stripTrailingZeros.toPlainString
-    s"$s ${units(u)}"
+    if (u == 0) s"$bytes ${units(0)}"
+    else {
+      // values just under a boundary can ROUND to 1024 (1048571 B is
+      // 1023.995 KB); roll over to the next unit instead of "1024 KB"
+      var r = BigDecimal(v).setScale(2, BigDecimal.RoundingMode.HALF_UP)
+      if (r >= 1024 && u < units.length - 1) {
+        r = (r / 1024).setScale(2, BigDecimal.RoundingMode.HALF_UP); u += 1
+      }
+      s"${r.underlying.stripTrailingZeros.toPlainString} ${units(u)}"
+    }
   }
 }

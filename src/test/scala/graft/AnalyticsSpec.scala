@@ -306,4 +306,42 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(ap50 - p50) / p50 <= 0.05, s"$k p50: $ap50 vs $p50")
     }
   }
+
+  test("Funnel requires strict temporal order through the stages") {
+    import graft.ops.Funnel
+    import java.sql.Timestamp
+    def t(s: Int) = new Timestamp(1700000000000L + s * 1000L)
+    val events = Seq(
+      // u1 full funnel in order
+      (1L, t(0), "view"), (1L, t(1), "click"), (1L, t(2), "purchase"),
+      // u2 clicked BEFORE viewing: click doesn't count, purchase can't
+      (2L, t(0), "click"), (2L, t(1), "view"), (2L, t(2), "purchase"),
+      // u3 view only
+      (3L, t(0), "view"),
+      // u4 never viewed: no stage counts
+      (4L, t(0), "purchase"), (4L, t(1), "click"),
+      // u5 same-timestamp click is NOT strictly after the view
+      (5L, t(0), "view"), (5L, t(0), "click")
+    ).toDF("user_id", "ts", "event_type")
+    val out = Funnel.counts(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .collect().map(r => r.getString(1) -> r.getLong(2)).toMap
+    assert(out === Map("view" -> 4L, "click" -> 1L, "purchase" -> 1L))
+  }
+
+  test("Funnel plans all stages on a single exchange") {
+    import graft.ops.Funnel
+    import java.sql.Timestamp
+    val events = Seq((1L, new Timestamp(0L), "view"))
+      .toDF("user_id", "ts", "event_type")
+    val plan = Funnel.stageTimes(events, "user_id", "ts", "event_type",
+        Seq("view", "click", "purchase"))
+      .queryExecution.executedPlan.toString
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges === 1, s"stage chain must reuse one shuffle:\n$plan")
+    // all three Window nodes share one grouping sort on user_id — the
+    // sort count must not grow with the stage count
+    val sorts = "\\+- Sort ".r.findAllIn(plan).length
+    assert(sorts === 1, s"stage chain must reuse one grouping sort:\n$plan")
+  }
 }

@@ -33,6 +33,8 @@ class FileConnectionSpec extends AnyFunSuite {
     assert(humanBytes(1536L) === "1.5 KB")
     assert(humanBytes(265318L) === "259.1 KB")
     assert(humanBytes(1048576L) === "1 MB")
+    assert(humanBytes(1048571L) === "1 MB") // 1023.995 KB rounds ACROSS the boundary
+    assert(humanBytes(1048570L) === "1023.99 KB") // just below the rollover
     assert(humanBytes(123456789L) === "117.74 MB")
     assert(humanBytes(1099511627776L) === "1 TB")
     intercept[IllegalArgumentException](humanBytes(-1L))

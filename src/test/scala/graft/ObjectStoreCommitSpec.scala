@@ -100,6 +100,39 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
   }
 
+  test("legacy reader stays on old data while a first overwrite is mid-write") {
+    val t = tmpTable()
+    t.append(rows(1L -> "old", 2L -> "old2")) // legacy layout: data at root
+    // simulate the first overwrite mid-write (or crashed before
+    // publish): a real, file-bearing v-* dir nested under the root
+    rows(9L -> "partial").write.parquet(s"${t.path}/v-00000000")
+    // a lock-free reader must neither fail partition discovery on the
+    // mixed-depth layout nor see the unpublished files
+    assert(t.read.as[(Long, String)].collect().toMap ===
+      Map(1L -> "old", 2L -> "old2"))
+    assert(t.sizeBytes > 0L) // and size excludes the partial version
+    val fs = new Path(t.path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val partialBytes = fs.getContentSummary(
+      new Path(t.path, "v-00000000")).getLength
+    assert(t.sizeBytes ===
+      fs.getContentSummary(new Path(t.path)).getLength - partialBytes)
+  }
+
+  test("a torn pointer read heals to the committed version") {
+    val t = tmpTable()
+    t.overwrite(rows(1L -> "a"))
+    val fs = new Path(t.path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // truncate-then-write stores can expose a partial pointer: content
+    // that is nonEmpty but names no version directory
+    val out = fs.create(new Path(t.path, "_CURRENT"), true)
+    out.write("v-000".getBytes("UTF-8")); out.close()
+    // reader routes through retry-then-heal (newest _SUCCESS version)
+    assert(t.read.as[(Long, String)].collect().toSeq === Seq(1L -> "a"))
+    assert(t.dataDir.endsWith("v-00000000"), t.dataDir)
+  }
+
   test("crash leftovers and legacy files are GC'd by the next commit") {
     val t = tmpTable()
     // legacy layout: append-created table, data at the root

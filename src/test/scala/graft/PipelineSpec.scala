@@ -230,6 +230,45 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "assignment must not use a per-row window")
   }
 
+  test("clusterRepresentatives keeps the member closest to its centroid") {
+    val d = vecs(
+      1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f),  // cell 0; 1 is exact
+      3L -> Seq(0f, 1f, 0f), 4L -> Seq(0.1f, 0.9f, 0f),  // cell 1; 3 is exact
+      5L -> Seq(0f, 0f, 0f))                              // zero-norm straggler
+    val cents = vecs(0L -> Seq(1f, 0f, 0f), 1L -> Seq(0f, 1f, 0f))
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val out = Similarity.clusterRepresentatives(d, "vec_id", "embedding", cents)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(0L).getAs[Long]("vec_id") === 1L)
+    assert(out(1L).getAs[Long]("vec_id") === 3L)
+    assert(math.abs(out(0L).getAs[Double]("cos") - 1.0) < 1e-12)
+    // the zero-norm row lands in the tie-break cell (0) but can never
+    // outrank a real cosine; counts include it
+    assert(out(0L).getAs[Long]("n_members") === 3L)
+    assert(out(1L).getAs[Long]("n_members") === 2L)
+  }
+
+  test("clusterRepresentatives: all-degenerate cell surfaces null cos") {
+    val d = vecs(7L -> Seq(0f, 0f), 8L -> Seq(0f, 0f))
+    val cents = vecs(0L -> Seq(1f, 0f)).select(
+      col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val out = Similarity.clusterRepresentatives(d, "vec_id", "embedding", cents).head
+    assert(out.getAs[Long]("vec_id") === 7L, "ties break to the smallest id")
+    assert(out.isNullAt(out.fieldIndex("cos")), "degenerate cell must be NULL, not -Inf")
+  }
+
+  test("clusterRepresentatives pre-reduces before the shuffle (partial agg)") {
+    val d = vecs((1L to 50L).map(i => i -> Seq(i.toFloat, 1f)): _*)
+    val cents = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val plan = Similarity.clusterRepresentatives(d, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    // hot cells are safe only because each partition reduces to <= k
+    // rows map-side: the plan must show a two-phase hash aggregate
+    assert(plan.contains("partial_"), s"expected map-side partial aggregation:\n$plan")
+    assert(!plan.contains("Window"), "representative pick must not be a window")
+  }
+
   // ---- text kernels -------------------------------------------------
 
   test("wordShingles: short docs yield one truncated shingle") {
