@@ -108,4 +108,58 @@ object StreamingLift {
       .agg(count(lit(1)).as("n_events"))
       .select(col("session_window.start").as("session_start"),
         col("session_window.end").as("session_end"), col(keyCol), col("n_events"))
+
+  /** Closed-session stream (`flatMapGroupsWithState` + event-time
+    * timeout): the streaming form of q39's gap sessionize, emitting
+    * each session EXACTLY ONCE, at close. Per key the state is one
+    * open session (start, end, n) — three longs. An event more than
+    * `gapMs` after the open session's end closes it inline (emitted in
+    * that micro-batch); the event-time timeout closes a session when
+    * the WATERMARK passes its end + gap, so the last session a key
+    * ever produces still closes without waiting for another event.
+    *
+    * This is the idiom for custom state the `session_window` builtin
+    * can't express (emit-on-close-only with incremental accumulation);
+    * state evicts at close, so resident state is one tuple per
+    * currently-active key.
+    */
+  def closedSessions(stream: DataFrame, keyCol: String, tsCol: String,
+      gapMs: Long = 1800000L, watermarkDelay: String = "1 hour"): DataFrame = {
+    import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+    val spark = stream.sparkSession
+    import spark.implicits._
+    def fn(key: Long, events: Iterator[(Long, java.sql.Timestamp)],
+        state: GroupState[(Long, Long, Long)]): Iterator[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)] =
+      if (state.hasTimedOut) {
+        val (s0, e0, n0) = state.get
+        state.remove()
+        Iterator((key, new java.sql.Timestamp(s0), new java.sql.Timestamp(e0), n0))
+      } else {
+        val closed = scala.collection.mutable.ArrayBuffer
+          .empty[(Long, java.sql.Timestamp, java.sql.Timestamp, Long)]
+        var st = state.getOption.getOrElse((0L, 0L, 0L))
+        for (t <- events.map(_._2.getTime).toArray.sorted) {
+          val (s0, e0, n0) = st
+          if (n0 == 0L) st = (t, t, 1L)
+          else if (t - e0 <= gapMs) st = (s0, math.max(e0, t), n0 + 1)
+          else {
+            closed += ((key, new java.sql.Timestamp(s0), new java.sql.Timestamp(e0), n0))
+            st = (t, t, 1L)
+          }
+        }
+        state.update(st)
+        // the timeout must sit strictly ahead of the current watermark
+        state.setTimeoutTimestamp(
+          math.max(st._2 + gapMs, state.getCurrentWatermarkMs() + 1))
+        closed.iterator
+      }
+    stream
+      .select(col(keyCol).cast("long").as(keyCol), col(tsCol).cast("timestamp").as(tsCol))
+      .withWatermark(tsCol, watermarkDelay)
+      .as[(Long, java.sql.Timestamp)]
+      .groupByKey(_._1)
+      .flatMapGroupsWithState[(Long, Long, Long), (Long, java.sql.Timestamp, java.sql.Timestamp, Long)](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
+      .toDF(keyCol, "session_start", "session_end", "n_events")
+  }
 }

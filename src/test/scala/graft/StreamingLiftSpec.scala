@@ -207,6 +207,44 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(last("u2") === 1L)
   }
 
+  test("closedSessions: flatMapGroupsWithState emits each session exactly once") {
+    val srcDir = Files.createTempDirectory("graft-close").toString
+    val schema = events(Nil).schema
+    // batch 1: user 1 has two events in one session; user 2 one event
+    events(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "a"),
+      (1L, ts("2024-01-01 10:05:00"), "b"),
+      (2L, ts("2024-01-01 10:02:00"), "c"))).write.parquet(srcDir + "/f1")
+    val stream = spark.readStream.schema(schema).parquet(srcDir + "/*")
+    val q = StreamingLift.closedSessions(stream, "user_id", "ts",
+        gapMs = 1800000L, watermarkDelay = "0 seconds")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-close-ckpt").toString)
+      .format("memory").queryName("close_out").start()
+    q.processAllAvailable()
+    assert(spark.table("close_out").isEmpty, "open sessions must not emit")
+    // batch 2: an over-gap event for user 1 closes their session INLINE
+    // and advances the watermark to 12:00
+    events(Seq((1L, ts("2024-01-01 12:00:00"), "d"))).write.parquet(srcDir + "/f2")
+    q.processAllAvailable()
+    // batch 3: an unrelated event advances the watermark to 14:00 —
+    // draining all batches times out user 2's idle session (end + gap
+    // = 10:32) AND user 1's 12:00 singleton (12:30); only user 3's
+    // fresh session (timeout 14:30) stays open and unemitted
+    events(Seq((3L, ts("2024-01-01 14:00:00"), "e"))).write.parquet(srcDir + "/f3")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("close_out").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events"))).sortBy(x => (x._1, x._2)).toSeq
+    assert(got === Seq(
+      (1L, "2024-01-01 10:00:00.0", "2024-01-01 10:05:00.0", 2L),
+      (1L, "2024-01-01 12:00:00.0", "2024-01-01 12:00:00.0", 1L),
+      (2L, "2024-01-01 10:02:00.0", "2024-01-01 10:02:00.0", 1L)))
+  }
+
   test("dedupStream drops cross-batch re-deliveries within the watermark") {
     val srcDir = Files.createTempDirectory("graft-dedup").toString
     val schema = events(Nil).schema
