@@ -1,0 +1,77 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Distributed sweep-line: a GLOBAL running sum over ordered
+  * event points (+1/-1 interval endpoints, ledger deltas, watermark
+  * advances) without ever sorting the whole dataset in one partition.
+  *
+  * The naive Spark form — `sum(d) over (order by t)` with no
+  * partitioning — funnels every row through a single task, the classic
+  * scale killer for prefix sums. This implements the two-phase
+  * textbook alternative with plain Column expressions:
+  *
+  *   1. pre-aggregate deltas per distinct `t` (ties collapse, so ROWS
+  *      and RANGE frames agree from here on);
+  *   2. range-bucket `t` into `buckets` fixed-width cells (bounds are
+  *      two driver scalars — the same sanctioned class as watermark
+  *      reads) and run the prefix sum WITHIN each bucket, a shuffle
+  *      that spreads the sort across the cluster;
+  *   3. reduce each bucket to its total (`buckets` rows), prefix-sum
+  *      those on a single tiny partition, and broadcast the per-bucket
+  *      offsets back.
+  *
+  * `running(t) = bucket_offset(bucket(t)) + within_bucket_prefix(t)`
+  * is exact regardless of where the bucket boundaries fall. Integer
+  * deltas make the sum engine-portable (no float accumulation order).
+  *
+  * Skew: fixed-width cells assume event times are roughly uniform; a
+  * hot cell degrades toward the single-partition sort only for its own
+  * rows. At cluster scale AQE skew-split handles the residual; exact
+  * quantile boundaries would be the deliberate upgrade.
+  */
+object Sweep {
+
+  /** Adds `running`: the global prefix sum of `dCol` in `tCol` order
+    * (ties pre-collapsed, so `running` at t covers ALL deltas ≤ t).
+    * Output has one row per distinct `tCol` value: (t, d, running).
+    */
+  def runningSum(points: DataFrame, tCol: String, dCol: String,
+      buckets: Int = 1024): DataFrame = {
+    val byT = points.groupBy(col(tCol).cast("long").as("t"))
+      .agg(sum(col(dCol).cast("long")).as("d"))
+    val bounds = byT.agg(min(col("t")), max(col("t"))).head()
+    if (bounds.isNullAt(0)) return byT.withColumn("running", lit(0L))
+    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val width = math.max(1L, (hi - lo) / buckets + 1)
+    val cell = ((col("t") - lit(lo)) / lit(width)).cast("long")
+    val within = Window.partitionBy(col("cell")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val perCell = byT.withColumn("cell", cell)
+      .withColumn("within", sum(col("d")).over(within))
+    // bucket totals: ≤ `buckets` rows — the single-partition window is
+    // over this tiny frame, never the data
+    val offsets = perCell.groupBy(col("cell")).agg(sum(col("d")).as("cell_total"))
+      .withColumn("offset",
+        coalesce(sum(col("cell_total")).over(
+          Window.orderBy(col("cell"))
+            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("cell"), col("offset"))
+    perCell.join(broadcast(offsets), Seq("cell"))
+      .select(col("t"), col("d"), (col("offset") + col("within")).as("running"))
+  }
+
+  /** Peak of the running sum and the earliest `t` reaching it — e.g.
+    * peak concurrent intervals for (+1 at start, -1 past end) points.
+    * Returns ONE row: (peak, at_t).
+    */
+  def peak(points: DataFrame, tCol: String, dCol: String,
+      buckets: Int = 1024): DataFrame = {
+    val run = runningSum(points, tCol, dCol, buckets)
+    run.agg(max(col("running")).as("peak"))
+      .join(run, col("running") === col("peak"))
+      .agg(min(col("peak")).as("peak"), min(col("t")).as("at_t"))
+  }
+}

@@ -573,6 +573,206 @@ object AnalyticsPack {
       UNION ALL SELECT 1::BIGINT, 'click', c1 FROM c
       UNION ALL SELECT 2::BIGINT, 'purchase', c2 FROM c"""))
 
+  /** Calendar-spine gap fill: daily order counts per priority with
+    * missing days zero-filled — the resample step reporting pipelines
+    * need before charting/regression. The spine (span-days ×
+    * priorities) is derived IN-PLAN from two 1-row aggs, and the fact
+    * side is pre-aggregated to at most |spine| rows before the join,
+    * so the outer join is broadcast-tiny no matter how large the raw
+    * table is. Days compare as integer day indexes (µs div 86400e6) —
+    * no date-normalization asymmetry.
+    */
+  private val q70 = QueryDef(
+    "q70_gap_fill",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      // o_orderdate is TIMESTAMP_NTZ; the UTC session cast is exact
+      val dayIdx = expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+      val daily = orders
+        .groupBy(col("o_orderpriority").as("priority"), dayIdx.as("day_idx"))
+        .agg(count(lit(1)).as("n_orders"),
+          sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("day_total"))
+      val days = orders.agg(min(dayIdx).as("lo"), max(dayIdx).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day_idx"))
+      val spine = orders.select(col("o_orderpriority").as("priority"))
+        .distinct().crossJoin(days)
+      spine.join(broadcast(daily), Seq("priority", "day_idx"), "left")
+        .select(col("priority"), col("day_idx"),
+          coalesce(col("n_orders"), lit(0L)).as("n_orders"),
+          coalesce(col("day_total"), lit(0.0)).as("day_total"))
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority AS priority,
+          epoch_us(o_orderdate) // 86400000000 AS day_idx,
+          count(*) AS n_orders,
+          CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS day_total
+        FROM orders GROUP BY 1, 2),
+      span AS (SELECT min(epoch_us(o_orderdate) // 86400000000) AS lo,
+          max(epoch_us(o_orderdate) // 86400000000) AS hi FROM orders),
+      days AS (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM span),
+      prios AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+      spine AS (SELECT priority, day_idx FROM prios CROSS JOIN days)
+      SELECT priority, day_idx,
+        COALESCE(n_orders, 0)::BIGINT AS n_orders,
+        COALESCE(day_total, 0.0) AS day_total
+      FROM spine LEFT JOIN daily USING (priority, day_idx)"""))
+
+  /** CUBE over (priority, order year): all four grouping-set levels in
+    * ONE pass — Catalyst expands the sets and partial-aggregates
+    * map-side exactly like a plain hash aggregate, so the cost is the
+    * set count, not extra scans. `grouping_id()` disambiguates real
+    * NULLs from subtotal rows (both engines put the leftmost grouping
+    * column in the most significant bit).
+    */
+  private val q71 = QueryDef(
+    "q71_cube",
+    (s, dir) => Tables.orders(s, dir)
+      .withColumn("yr", year(col("o_orderdate")).cast("long"))
+      .cube(col("o_orderpriority"), col("yr"))
+      .agg(grouping_id().cast("long").as("gid"),
+        count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("total"))
+      .select(col("gid"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        coalesce(col("yr"), lit(-1L)).as("yr"),
+        col("n_orders"), col("total")),
+    Some("""SELECT GROUPING(o_orderpriority, yr)::BIGINT AS gid,
+        COALESCE(o_orderpriority, 'ALL') AS priority,
+        COALESCE(yr, -1)::BIGINT AS yr,
+        count(*) AS n_orders,
+        CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      FROM (SELECT o_orderpriority, year(o_orderdate)::BIGINT AS yr,
+        o_totalprice FROM orders)
+      GROUP BY CUBE (o_orderpriority, yr)"""))
+
+  /** Peak concurrent sessions (ops.Sweep): sessions become ±1 endpoint
+    * events and a DISTRIBUTED two-phase prefix sum finds the global
+    * maximum — the naive `sum over (order by t)` form would funnel
+    * every endpoint through one task; Sweep buckets the sort and
+    * single-partitions only the ~1k bucket totals. Inclusive
+    * intervals: the -1 lands one µs past the session end.
+    */
+  private val q72 = QueryDef(
+    "q72_peak_concurrency",
+    (s, dir) => {
+      val us = unix_micros(col("ts"))
+      val sessions = graft.ops.Sessionize.assignSessions(
+        Tables.events(s, dir), "user_id", "ts", "event_id",
+        maxGapUs = 1800L * 1000000L)
+        .groupBy(col("user_id"), col("session_seq"))
+        .agg(min(us).as("start_us"), max(us).as("end_us"))
+      val points = sessions.select(explode(array(
+          struct(col("start_us").as("t"), lit(1L).as("d")),
+          struct((col("end_us") + 1L).as("t"), lit(-1L).as("d")))).as("p"))
+        .select(col("p.t").as("t"), col("p.d").as("d"))
+      graft.ops.Sweep.peak(points, "t", "d")
+        .select(col("peak").as("peak_sessions"), col("at_t").as("at_us"))
+    },
+    Some("""WITH se AS (
+        SELECT user_id,
+          sum(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+            OVER (PARTITION BY user_id ORDER BY ts, event_id
+                  ROWS UNBOUNDED PRECEDING) AS session_seq,
+          ts FROM (
+            SELECT user_id, event_id, ts,
+              epoch_us(ts) - lag(epoch_us(ts)) OVER
+                (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+            FROM events)),
+      sess AS (SELECT user_id, session_seq,
+          min(epoch_us(ts)) AS start_us, max(epoch_us(ts)) AS end_us
+        FROM se GROUP BY user_id, session_seq),
+      pts AS (SELECT start_us AS t, 1 AS d FROM sess
+        UNION ALL SELECT end_us + 1, -1 FROM sess),
+      byt AS (SELECT t, sum(d)::BIGINT AS d FROM pts GROUP BY t),
+      run AS (SELECT t, (sum(d) OVER (ORDER BY t))::BIGINT AS running FROM byt)
+      SELECT max(running)::BIGINT AS peak_sessions,
+        (SELECT min(t) FROM run WHERE running = (SELECT max(running) FROM run))
+          AS at_us
+      FROM run"""))
+
+  /** One PageRank-style message-passing step over the supplier→part
+    * bipartite graph induced by lineitem: each supplier splits a fixed
+    * integer mass across its distinct parts, parts sum what they
+    * receive. INTEGER mass (floor-divided) keeps the reduction exact
+    * under any accumulation order — the float version would be
+    * engine- and partitioning-dependent. Two shuffles (distinct,
+    * final sum); out-degree rides the distinct's partitioning as an
+    * unordered whole-partition window.
+    */
+  private val q73 = QueryDef(
+    "q73_pagerank_step",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val edges = Tables.lineitem(s, dir)
+        .select(col("l_suppkey"), col("l_partkey")).distinct()
+      edges
+        .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("l_suppkey"))))
+        .withColumn("contrib", expr("1000000000000 div outdeg"))
+        .groupBy(col("l_partkey").as("part_key"))
+        .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_src"))
+    },
+    Some("""WITH e AS (SELECT DISTINCT l_suppkey, l_partkey FROM lineitem),
+      d AS (SELECT l_partkey,
+          count(*) OVER (PARTITION BY l_suppkey) AS outdeg FROM e)
+      SELECT l_partkey AS part_key,
+        sum(1000000000000 // outdeg)::BIGINT AS score,
+        count(*) AS n_src
+      FROM d GROUP BY 1"""))
+
+  /** Percentile-threshold quality gate: per-language p25 of document
+    * length, then keep-counts against the broadcast 2-column
+    * threshold table — the shape of "drop the bottom quartile" corpus
+    * filters. Thresholds are interpolated doubles but both engines
+    * derive them from identical sorted longs with the same linear
+    * interpolation, so the gate compares exactly (q62's contract).
+    */
+  private val q74 = QueryDef(
+    "q74_quality_gate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val th = docs.groupBy(col("lang"))
+        .agg(expr("percentile(n_chars, 0.25D)").as("p25_chars"))
+      docs.join(broadcast(th), Seq("lang"))
+        .groupBy(col("lang"))
+        .agg(count(lit(1)).as("n_docs"),
+          count(when(col("n_chars") >= col("p25_chars"), 1)).as("n_kept"),
+          min(col("p25_chars")).as("p25_chars"))
+    },
+    Some("""WITH th AS (SELECT lang, quantile_cont(n_chars, 0.25) AS p25_chars
+        FROM documents GROUP BY lang)
+      SELECT lang, count(*) AS n_docs,
+        count(*) FILTER (WHERE n_chars >= p25_chars) AS n_kept,
+        min(p25_chars) AS p25_chars
+      FROM documents JOIN th USING (lang)
+      GROUP BY lang"""))
+
+  /** Event-transition matrix (first-order Markov counts): per user,
+    * each event pairs with its successor in (ts, event_id) order; the
+    * count per (from, to) is the bigram model product analytics and
+    * next-event prediction both start from. One shuffle on user_id
+    * shared by the window and pre-reduced before the tiny final agg.
+    */
+  private val q75 = QueryDef(
+    "q75_transitions",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("to_type", lead(col("event_type"), 1).over(w))
+        .filter(col("to_type").isNotNull)
+        .groupBy(col("event_type").as("from_type"), col("to_type"))
+        .agg(count(lit(1)).as("n_pairs"))
+    },
+    Some("""WITH nx AS (SELECT event_type AS from_type,
+          lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            AS to_type
+        FROM events)
+      SELECT from_type, to_type, count(*) AS n_pairs
+      FROM nx WHERE to_type IS NOT NULL
+      GROUP BY from_type, to_type"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
-    q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68)
+    q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
+    q70, q71, q72, q73, q74, q75)
 }
