@@ -162,4 +162,29 @@ object StreamingLift {
         OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(fn)
       .toDF(keyCol, "session_start", "session_end", "n_events")
   }
+
+  /** Stream-stream interval join: each left event pairs with right
+    * events of the same key whose time falls in
+    * `[left.ts, left.ts + horizon]` — attribution (impression→click),
+    * request→response stitching. BOTH inputs carry watermarks and the
+    * join condition carries the time bound, which is what lets the
+    * state store evict: a buffered right row can only match left rows
+    * within the horizon, so rows older than `watermark - horizon` drop.
+    * Without the range condition Spark must buffer both sides forever —
+    * the unbounded-state trap this wrapper exists to make unreachable.
+    *
+    * Inner join by default; `leftOuter = true` additionally emits
+    * unmatched left rows (with nulls) once the watermark proves no
+    * match can arrive.
+    */
+  def intervalJoin(left: DataFrame, right: DataFrame, keyCol: String,
+      leftTs: String, rightTs: String, horizon: String = "10 minutes",
+      watermarkDelay: String = "1 hour", leftOuter: Boolean = false): DataFrame = {
+    val l = left.withWatermark(leftTs, watermarkDelay).alias("l")
+    val r = right.withWatermark(rightTs, watermarkDelay).alias("r")
+    val cond = col(s"l.$keyCol") === col(s"r.$keyCol") &&
+      col(s"r.$rightTs") >= col(s"l.$leftTs") &&
+      col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $horizon")
+    l.join(r, cond, if (leftOuter) "leftOuter" else "inner")
+  }
 }

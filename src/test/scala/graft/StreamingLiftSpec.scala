@@ -245,6 +245,39 @@ class StreamingLiftSpec extends AnyFunSuite {
       (2L, "2024-01-01 10:02:00.0", "2024-01-01 10:02:00.0", 1L)))
   }
 
+  test("intervalJoin matches right events within the horizon only") {
+    val impDir = Files.createTempDirectory("graft-ij-imp").toString
+    val clkDir = Files.createTempDirectory("graft-ij-clk").toString
+    val schema = events(Nil).schema
+    // impressions (left) and clicks (right) on the same schema
+    events(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "imp_a"),
+      (2L, ts("2024-01-01 10:00:00"), "imp_b"),
+      (3L, ts("2024-01-01 10:00:00"), "imp_c"))).write.parquet(impDir + "/f1")
+    events(Seq(
+      (1L, ts("2024-01-01 10:04:00"), "clk_in"),      // within 10 min
+      (2L, ts("2024-01-01 10:20:00"), "clk_late"),    // past the horizon
+      (1L, ts("2024-01-01 09:59:00"), "clk_before"))) // before the impression
+      .write.parquet(clkDir + "/f1")
+    val imp = spark.readStream.schema(schema).parquet(impDir + "/*")
+      .toDF("user_id", "imp_ts", "imp_v")
+    val clk = spark.readStream.schema(schema).parquet(clkDir + "/*")
+      .toDF("user_id", "clk_ts", "clk_v")
+    val joined = StreamingLift.intervalJoin(imp, clk, "user_id",
+        "imp_ts", "clk_ts", horizon = "10 minutes")
+      .select($"l.user_id", $"imp_v", $"clk_v")
+    val q = joined.writeStream.outputMode("append")
+      .option("checkpointLocation",
+        Files.createTempDirectory("graft-ij-ckpt").toString)
+      .format("memory").queryName("ij_out").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ij_out").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    assert(got === Set((1L, "imp_a", "clk_in")),
+      "only the in-horizon, same-key click joins")
+  }
+
   test("dedupStream drops cross-batch re-deliveries within the watermark") {
     val srcDir = Files.createTempDirectory("graft-dedup").toString
     val schema = events(Nil).schema
