@@ -68,10 +68,11 @@ object Sweep {
     * Returns ONE row: (peak, at_t).
     */
   def peak(points: DataFrame, tCol: String, dCol: String,
-      buckets: Int = 1024): DataFrame = {
-    val run = runningSum(points, tCol, dCol, buckets)
-    run.agg(max(col("running")).as("peak"))
-      .join(run, col("running") === col("peak"))
-      .agg(min(col("peak")).as("peak"), min(col("t")).as("at_t"))
-  }
+      buckets: Int = 1024): DataFrame =
+    // one struct-max pass: lexicographic (running desc, t asc via the
+    // negation) — no max-then-self-join, so the sweep lineage appears
+    // once in the plan instead of twice
+    runningSum(points, tCol, dCol, buckets)
+      .agg(max(struct(col("running"), (-col("t")).as("neg_t"))).as("s"))
+      .select(col("s.running").as("peak"), (-col("s.neg_t")).as("at_t"))
 }
