@@ -52,4 +52,45 @@ object Sample {
     }
     df.filter(bucket < threshold)
   }
+
+  /** Weight-proportional systematic sampling: lay every row's integer
+    * weight end-to-end along a line in `idCol` order, then take the
+    * rows covering the `k` evenly spaced points `step, 2·step, …`
+    * (`step = totalWeight div k`). Classic PPS sampling — a row's
+    * selection probability is proportional to its weight, heavy rows
+    * can be hit more than once (`n_hits`) — and, like the other
+    * samplers here, a pure INTEGER function of the data: no RNG, no
+    * floats, reproducible on any engine or partitioning.
+    *
+    * The cumulative weight is the global prefix sum, computed
+    * distributed via [[Sweep.runningSum]] (never a one-partition
+    * sort); the total and step derive in-plan from a 1-row aggregate
+    * broadcast. Row i is hit once per multiple of `step` inside
+    * `(cum_i - w_i, cum_i]`, i.e.
+    * `min(cum_i div step, k) - min((cum_i - w_i) div step, k)`.
+    *
+    * Rows with non-positive weight are excluded (zero-weight rows can
+    * never be hit; the guard also keeps the prefix sum monotone).
+    */
+  def weightedSystematic(
+      df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k must be positive: $k")
+    val pos = df.filter(col(weightCol) > 0)
+      .select(col(idCol).cast("long"), col(weightCol).cast("long"))
+    // total weight as a driver scalar (the sanctioned watermark-read
+    // class, like Sweep's own bounds) — folding `step` to a literal
+    // keeps the sweep lineage out of a second in-plan aggregate
+    val total = pos.agg(sum(col(weightCol)).cast("long")).head() match {
+      case r if r.isNullAt(0) => 0L
+      case r => r.getLong(0)
+    }
+    val step = math.max(total / k, 1L)
+    Sweep.runningSum(pos, idCol, weightCol)
+      .select(col("t").as(idCol), col("d").as("w"), col("running"))
+      .withColumn("n_hits",
+        least(expr(s"running div ${step}L"), lit(k.toLong)) -
+          least(expr(s"(running - w) div ${step}L"), lit(k.toLong)))
+      .filter(col("n_hits") > 0)
+      .select(col(idCol), col("w"), col("n_hits"))
+  }
 }

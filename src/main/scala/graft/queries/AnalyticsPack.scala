@@ -772,7 +772,64 @@ object AnalyticsPack {
       FROM nx WHERE to_type IS NOT NULL
       GROUP BY from_type, to_type"""))
 
+  /** Weight-proportional systematic sample (ops.Sample
+    * .weightedSystematic): k evenly spaced points along the cumulative
+    * n_chars line — PPS sampling as a pure integer function of the
+    * data (no RNG), with the global prefix sum computed DISTRIBUTED
+    * via ops.Sweep rather than a one-partition sort.
+    */
+  private val q76 = QueryDef(
+    "q76_weighted_sample",
+    (s, dir) => graft.ops.Sample.weightedSystematic(
+      Tables.documents(s, dir), "doc_id", "n_chars", k = 50),
+    Some("""WITH pos AS (SELECT doc_id, n_chars AS w FROM documents
+        WHERE n_chars > 0),
+      cum AS (SELECT doc_id, w,
+          (sum(w) OVER (ORDER BY doc_id))::BIGINT AS running FROM pos),
+      st AS (SELECT greatest(max(running) // 50, 1) AS step FROM cum)
+      SELECT doc_id, w,
+        least(running // step, 50) - least((running - w) // step, 50)
+          AS n_hits
+      FROM cum CROSS JOIN st
+      WHERE least(running // step, 50) - least((running - w) // step, 50) > 0"""))
+
+  /** Distribution drift between two deterministic halves of the event
+    * stream (event_id parity — the train/serve split shape): per-type
+    * counts plus the total-variation numerator
+    * |n_a·N_b − n_b·N_a| kept INTEGER (cross-multiplied instead of
+    * divided), so the drift ranking is exact under any accumulation
+    * order. Safe in long arithmetic up to ~3e9 rows per split; past
+    * that, lift the products to decimal(38,0).
+    */
+  private val q77 = QueryDef(
+    "q77_drift",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      // totals as an unpartitioned window over the per-type counts —
+      // a single-partition pass over ~|event types| rows, which keeps
+      // the counts lineage (and the events scan) out of the plan twice
+      val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      Tables.events(s, dir)
+        .groupBy(col("event_type"))
+        .agg(count(when(pmod(col("event_id"), lit(2)) === 0, 1)).as("n_a"),
+          count(when(pmod(col("event_id"), lit(2)) === 1, 1)).as("n_b"))
+        .withColumn("tot_a", sum(col("n_a")).over(w))
+        .withColumn("tot_b", sum(col("n_b")).over(w))
+        .select(col("event_type"), col("n_a"), col("n_b"),
+          abs(col("n_a") * col("tot_b") - col("n_b") * col("tot_a"))
+            .as("tv_num"))
+    },
+    Some("""WITH c AS (SELECT event_type,
+          count(*) FILTER (WHERE event_id % 2 = 0) AS n_a,
+          count(*) FILTER (WHERE event_id % 2 = 1) AS n_b
+        FROM events GROUP BY 1),
+      t AS (SELECT sum(n_a)::BIGINT AS tot_a, sum(n_b)::BIGINT AS tot_b
+        FROM c)
+      SELECT event_type, n_a, n_b,
+        abs(n_a * tot_b - n_b * tot_a)::BIGINT AS tv_num
+      FROM c CROSS JOIN t"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
-    q70, q71, q72, q73, q74, q75)
+    q70, q71, q72, q73, q74, q75, q76, q77)
 }

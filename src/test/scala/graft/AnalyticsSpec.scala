@@ -381,6 +381,34 @@ class AnalyticsSpec extends AnyFunSuite {
       .count() === 0L)
   }
 
+  test("weightedSystematic: k hits, weight-proportional, integer-exact") {
+    import graft.ops.Sample
+    val rng = new scala.util.Random(11)
+    val rows = (1L to 300L).map(i => (i, 1L + rng.nextInt(100)))
+    val df = rows.toDF("id", "w")
+    val got = Sample.weightedSystematic(df, "id", "w", k = 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    // exactly k hits land (total >= k·step by construction)
+    assert(got.map(_._3).sum === 20L)
+    // every hit count matches the brute-force point-in-interval count
+    val cum = rows.scanLeft((0L, 0L, 0L)) { case ((_, _, c), (id, w)) =>
+      (id, w, c + w) }.drop(1)
+    val step = math.max(cum.last._3 / 20, 1L)
+    val expect = cum.map { case (id, w, c) =>
+      (id, (1L to 20L).count(m => m * step > c - w && m * step <= c).toLong)
+    }.filter(_._2 > 0).toMap
+    assert(got.map(t => t._1 -> t._3).toMap === expect)
+    // a row heavier than step gets multiple hits
+    val heavy = Sample.weightedSystematic(
+      Seq((1L, 1000L), (2L, 10L)).toDF("id", "w"), "id", "w", k = 4).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(heavy(1L) >= 3L, s"heavy row must absorb most points: $heavy")
+    // zero/negative weights are never selected
+    assert(Sample.weightedSystematic(
+      Seq((1L, 0L), (2L, 5L)).toDF("id", "w"), "id", "w", k = 2)
+      .collect().map(_.getLong(0)).toSet === Set(2L))
+  }
+
   test("Sweep never plans a whole-data single-partition sort") {
     import graft.ops.Sweep
     val pts = (1L to 100L).map(t => (t, 1L)).toDF("t", "d")
