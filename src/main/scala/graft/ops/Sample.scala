@@ -80,12 +80,19 @@ object Sample {
     // total weight as a driver scalar (the sanctioned watermark-read
     // class, like Sweep's own bounds) — folding `step` to a literal
     // keeps the sweep lineage out of a second in-plan aggregate
-    val total = pos.agg(sum(col(weightCol)).cast("long")).head() match {
-      case r if r.isNullAt(0) => 0L
-      case r => r.getLong(0)
-    }
+    // total and the sweep's bucket bounds in ONE cheap scalar job over
+    // the raw columns, so the sweep's bounds pass never re-executes
+    // the (potentially expensive) weight lineage
+    val scalars = df.agg(
+      sum(when(col(weightCol) > 0, col(weightCol)).cast("long")),
+      min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    if (scalars.isNullAt(0))
+      return pos.select(col(idCol), col(weightCol).as("w"), lit(0L).as("n_hits"))
+        .limit(0)
+    val total = scalars.getLong(0)
     val step = math.max(total / k, 1L)
-    Sweep.runningSum(pos, idCol, weightCol)
+    Sweep.runningSum(pos, idCol, weightCol,
+        bounds = Some((scalars.getLong(1), scalars.getLong(2))))
       .select(col("t").as(idCol), col("d").as("w"), col("running"))
       .withColumn("n_hits",
         least(expr(s"running div ${step}L"), lit(k.toLong)) -

@@ -37,14 +37,22 @@ object Sweep {
   /** Adds `running`: the global prefix sum of `dCol` in `tCol` order
     * (ties pre-collapsed, so `running` at t covers ALL deltas ≤ t).
     * Output has one row per distinct `tCol` value: (t, d, running).
+    *
+    * `bounds`: optional covering (lo, hi) range for `tCol`. The result
+    * is EXACT for any bounds — cells are just group keys — only load
+    * balance depends on them; pass bounds read off a cheap raw-column
+    * scan when `points` itself is expensive lineage, so the bounds job
+    * does not execute that lineage a second time.
     */
   def runningSum(points: DataFrame, tCol: String, dCol: String,
-      buckets: Int = 1024): DataFrame = {
+      buckets: Int = 1024, bounds: Option[(Long, Long)] = None): DataFrame = {
     val byT = points.groupBy(col(tCol).cast("long").as("t"))
       .agg(sum(col(dCol).cast("long")).as("d"))
-    val bounds = byT.agg(min(col("t")), max(col("t"))).head()
-    if (bounds.isNullAt(0)) return byT.withColumn("running", lit(0L))
-    val (lo, hi) = (bounds.getLong(0), bounds.getLong(1))
+    val (lo, hi) = bounds.getOrElse {
+      val b = byT.agg(min(col("t")), max(col("t"))).head()
+      if (b.isNullAt(0)) return byT.withColumn("running", lit(0L))
+      (b.getLong(0), b.getLong(1))
+    }
     val width = math.max(1L, (hi - lo) / buckets + 1)
     val cell = ((col("t") - lit(lo)) / lit(width)).cast("long")
     val within = Window.partitionBy(col("cell")).orderBy(col("t"))
@@ -68,11 +76,11 @@ object Sweep {
     * Returns ONE row: (peak, at_t).
     */
   def peak(points: DataFrame, tCol: String, dCol: String,
-      buckets: Int = 1024): DataFrame =
+      buckets: Int = 1024, bounds: Option[(Long, Long)] = None): DataFrame =
     // one struct-max pass: lexicographic (running desc, t asc via the
     // negation) — no max-then-self-join, so the sweep lineage appears
     // once in the plan instead of twice
-    runningSum(points, tCol, dCol, buckets)
+    runningSum(points, tCol, dCol, buckets, bounds)
       .agg(max(struct(col("running"), (-col("t")).as("neg_t"))).as("s"))
       .select(col("s.running").as("peak"), (-col("s.neg_t")).as("at_t"))
 }

@@ -69,4 +69,37 @@ object TextClean {
         size(col("chunk_toks")).cast("long").as("n_tokens"),
         concat_ws(" ", col("chunk_toks")).as("chunk_text"))
   }
+
+  /** Concat-and-chunk packing offsets — the pretraining batch-prep
+    * step: documents are laid end-to-end in `idCol` order and the
+    * token stream is cut into fixed `budget`-token training windows;
+    * each document learns its global token offset and which windows it
+    * lands in (documents straddle window boundaries by design — the
+    * standard pack-then-chunk scheme, no padding waste).
+    *
+    * The global offset is a prefix sum over token counts, computed
+    * DISTRIBUTED via [[Sweep.runningSum]] — no single-partition sort —
+    * and everything is integer, so shard assignment is reproducible on
+    * any engine or partitioning. Zero-token documents are dropped
+    * (they occupy no window).
+    *
+    * Output: (id, n_tok, offset, first_chunk, last_chunk, n_chunks).
+    */
+  def packIntoChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      nTokCol: String, budget: Long): org.apache.spark.sql.DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    // bucket bounds from the raw id column — token counts (regex over
+    // every document) must not run twice just to size the sweep cells
+    val b = df.agg(min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
+    val bounds = if (b.isNullAt(0)) None else Some((b.getLong(0), b.getLong(1)))
+    Sweep.runningSum(
+        df.filter(col(nTokCol) > 0)
+          .select(col(idCol).cast("long"), col(nTokCol).cast("long")),
+        idCol, nTokCol, bounds = bounds)
+      .select(col("t").as(idCol), col("d").as("n_tok"),
+        (col("running") - col("d")).as("offset"),
+        expr(s"(running - d) div ${budget}L").as("first_chunk"),
+        expr(s"(running - 1) div ${budget}L").as("last_chunk"))
+      .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1L)
+  }
 }

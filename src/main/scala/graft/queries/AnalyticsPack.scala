@@ -665,7 +665,11 @@ object AnalyticsPack {
           struct(col("start_us").as("t"), lit(1L).as("d")),
           struct((col("end_us") + 1L).as("t"), lit(-1L).as("d")))).as("p"))
         .select(col("p.t").as("t"), col("p.d").as("d"))
-      graft.ops.Sweep.peak(points, "t", "d")
+      // sweep-cell bounds from the RAW scan (endpoints ⊆ [min ts,
+      // max ts + 1]) so the bounds job does not sessionize twice
+      val b = Tables.events(s, dir).agg(min(us), max(us) + 1L).head()
+      graft.ops.Sweep.peak(points, "t", "d",
+          bounds = Some((b.getLong(0), b.getLong(1))))
         .select(col("peak").as("peak_sessions"), col("at_t").as("at_us"))
     },
     Some("""WITH se AS (
@@ -829,7 +833,35 @@ object AnalyticsPack {
         abs(n_a * tot_b - n_b * tot_a)::BIGINT AS tv_num
       FROM c CROSS JOIN t"""))
 
+  /** Concat-and-chunk packing offsets (ops.TextClean.packIntoChunks):
+    * documents laid end-to-end in doc_id order, cut into 512-token
+    * training windows; each doc's global offset and window span, all
+    * integer, prefix-summed via the distributed sweep. Token counts
+    * are the q47 unit regex, identical on both engines.
+    */
+  private val q78 = QueryDef(
+    "q78_packing",
+    (s, dir) => {
+      val toks = Tables.documents(s, dir).select(col("doc_id"),
+        size(regexp_extract_all(col("text"),
+          lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"), lit(0))).cast("long").as("n_tok"))
+      graft.ops.TextClean.packIntoChunks(toks, "doc_id", "n_tok", budget = 512L)
+    },
+    Some("""WITH toks AS (SELECT doc_id,
+          len(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))::BIGINT
+            AS n_tok
+        FROM documents),
+      cum AS (SELECT doc_id, n_tok,
+          (sum(n_tok) OVER (ORDER BY doc_id))::BIGINT AS running
+        FROM toks WHERE n_tok > 0)
+      SELECT doc_id, n_tok,
+        running - n_tok AS offset,
+        (running - n_tok) // 512 AS first_chunk,
+        (running - 1) // 512 AS last_chunk,
+        (running - 1) // 512 - (running - n_tok) // 512 + 1 AS n_chunks
+      FROM cum"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
-    q70, q71, q72, q73, q74, q75, q76, q77)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78)
 }

@@ -409,6 +409,23 @@ class AnalyticsSpec extends AnyFunSuite {
       .collect().map(_.getLong(0)).toSet === Set(2L))
   }
 
+  test("packIntoChunks: contiguous offsets, boundary-straddling spans") {
+    import graft.ops.TextClean
+    val toks = Seq((1L, 100L), (2L, 500L), (3L, 12L), (4L, 600L), (5L, 0L))
+      .toDF("doc_id", "n_tok")
+    val got = TextClean.packIntoChunks(toks, "doc_id", "n_tok", budget = 256L)
+      .orderBy("doc_id").collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(got === Seq(
+      (1L, 0L, 0L, 0L, 1L),     // fits in window 0
+      (2L, 100L, 0L, 2L, 3L),   // straddles 0..2
+      (3L, 600L, 2L, 2L, 1L),   // rides along in window 2
+      (4L, 612L, 2L, 4L, 3L)))  // zero-token doc 5 dropped
+    // offsets are contiguous: each doc starts where the previous ended
+    val byId = got.map(t => t._1 -> t._2).toMap
+    assert(byId(2L) === 100L && byId(3L) === 600L && byId(4L) === 612L)
+  }
+
   test("Sweep never plans a whole-data single-partition sort") {
     import graft.ops.Sweep
     val pts = (1L to 100L).map(t => (t, 1L)).toDF("t", "d")
