@@ -861,7 +861,41 @@ object AnalyticsPack {
         (running - 1) // 512 - (running - n_tok) // 512 + 1 AS n_chunks
       FROM cum"""))
 
+  /** Equi-depth histogram of order totals: 9 interior decile
+    * boundaries from one exact-percentile aggregation (both engines
+    * interpolate the same sorted doubles — the q62 contract), then a
+    * map-side bucket assignment by counting boundaries ≤ value
+    * against the broadcast 1-row boundary array. Equal-population
+    * buckets are what range-partitioners and BI axes want; the
+    * fixed-width q61 is the cheap cousin.
+    */
+  private val q80 = QueryDef(
+    "q80_equidepth",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val bs = orders.agg(expr(
+        "percentile(o_totalprice, array(0.1D,0.2D,0.3D,0.4D,0.5D,0.6D,0.7D,0.8D,0.9D))")
+        .as("bs"))
+      orders.crossJoin(broadcast(bs))
+        .select(size(filter(col("bs"),
+          b => b <= col("o_totalprice"))).cast("long").as("bucket"),
+          col("o_totalprice"))
+        .groupBy(col("bucket"))
+        .agg(count(lit(1)).as("n_orders"),
+          min(col("o_totalprice")).as("lo"), max(col("o_totalprice")).as("hi"))
+    },
+    Some("""WITH b AS (SELECT [quantile_cont(o_totalprice, 0.1),
+          quantile_cont(o_totalprice, 0.2), quantile_cont(o_totalprice, 0.3),
+          quantile_cont(o_totalprice, 0.4), quantile_cont(o_totalprice, 0.5),
+          quantile_cont(o_totalprice, 0.6), quantile_cont(o_totalprice, 0.7),
+          quantile_cont(o_totalprice, 0.8), quantile_cont(o_totalprice, 0.9)]
+          AS bs FROM orders)
+      SELECT len(list_filter(bs, x -> x <= o_totalprice))::BIGINT AS bucket,
+        count(*) AS n_orders, min(o_totalprice) AS lo, max(o_totalprice) AS hi
+      FROM orders CROSS JOIN b
+      GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q80)
 }

@@ -646,7 +646,41 @@ object PipelinePack {
           ORDER BY score DESC, term ASC) AS rk FROM scored)
       SELECT doc_id, term, tf, score FROM ranked WHERE rk <= 5"""))
 
+  /** Out-of-vocabulary rate per document against the corpus top-50
+    * vocabulary (the q55 induction, kept deterministic by the
+    * (freq desc, token asc) total order). The vocab is a broadcast
+    * ~50-row table, the probe is a map-side left join on the exploded
+    * token stream, and the per-doc rollup pre-reduces on doc_id — the
+    * tokenizer-coverage health check run before committing to a
+    * tokenizer at corpus scale.
+    */
+  private val q79 = QueryDef(
+    "q79_oov_rate",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val vocab = docs.select(explode(TextKernels.tokens(col("text"))).as("token"))
+        .groupBy(col("token")).agg(count(lit(1)).as("freq"))
+        .orderBy(col("freq").desc, col("token").asc).limit(50)
+        .select(col("token"), lit(1).as("in_vocab"))
+      docs.select(col("doc_id"), explode(TextKernels.tokens(col("text"))).as("token"))
+        .join(broadcast(vocab), Seq("token"), "left")
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_tok"),
+          count(when(col("in_vocab").isNull, 1)).as("n_oov"))
+        .withColumn("oov_rate", col("n_oov").cast("double") / col("n_tok"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($T) AS token FROM documents),
+      vocab AS (SELECT token FROM (
+          SELECT token, count(*) AS freq FROM tok GROUP BY token)
+        ORDER BY freq DESC, token ASC LIMIT 50),
+      j AS (SELECT t.doc_id, v.token AS vtok
+        FROM tok t LEFT JOIN vocab v ON t.token = v.token)
+      SELECT doc_id, count(*) AS n_tok,
+        count(*) FILTER (WHERE vtok IS NULL) AS n_oov,
+        count(*) FILTER (WHERE vtok IS NULL)::DOUBLE / count(*) AS oov_rate
+      FROM j GROUP BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
-    q66, q69)
+    q66, q69, q79)
 }
