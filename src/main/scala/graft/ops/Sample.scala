@@ -71,6 +71,10 @@ object Sample {
     *
     * Rows with non-positive weight are excluded (zero-weight rows can
     * never be hit; the guard also keeps the prefix sum monotone).
+    *
+    * `idCol` must be UNIQUE (it is the position on the line): duplicate
+    * ids collapse into one combined-weight row in the prefix sum —
+    * dedup or synthesize a unique id first.
     */
   def weightedSystematic(
       df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {

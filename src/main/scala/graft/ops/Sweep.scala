@@ -46,7 +46,12 @@ object Sweep {
     */
   def runningSum(points: DataFrame, tCol: String, dCol: String,
       buckets: Int = 1024, bounds: Option[(Long, Long)] = None): DataFrame = {
-    val byT = points.groupBy(col(tCol).cast("long").as("t"))
+    // null t has no position on the line and null d no contribution —
+    // drop both up front (a null-t group would otherwise leak into the
+    // cell offsets while the offset join silently dropped its row)
+    val byT = points
+      .filter(col(tCol).isNotNull && col(dCol).isNotNull)
+      .groupBy(col(tCol).cast("long").as("t"))
       .agg(sum(col(dCol).cast("long")).as("d"))
     val (lo, hi) = bounds.getOrElse {
       val b = byT.agg(min(col("t")), max(col("t"))).head()

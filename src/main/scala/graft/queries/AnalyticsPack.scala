@@ -668,8 +668,9 @@ object AnalyticsPack {
       // sweep-cell bounds from the RAW scan (endpoints ⊆ [min ts,
       // max ts + 1]) so the bounds job does not sessionize twice
       val b = Tables.events(s, dir).agg(min(us), max(us) + 1L).head()
-      graft.ops.Sweep.peak(points, "t", "d",
-          bounds = Some((b.getLong(0), b.getLong(1))))
+      val bounds = if (b.isNullAt(0)) None // empty table: let Sweep handle it
+        else Some((b.getLong(0), b.getLong(1)))
+      graft.ops.Sweep.peak(points, "t", "d", bounds = bounds)
         .select(col("peak").as("peak_sessions"), col("at_t").as("at_us"))
     },
     Some("""WITH se AS (
@@ -699,9 +700,10 @@ object AnalyticsPack {
     * integer mass across its distinct parts, parts sum what they
     * receive. INTEGER mass (floor-divided) keeps the reduction exact
     * under any accumulation order — the float version would be
-    * engine- and partitioning-dependent. Two shuffles (distinct,
-    * final sum); out-degree rides the distinct's partitioning as an
-    * unordered whole-partition window.
+    * engine- and partitioning-dependent. Three exchanges — distinct on
+    * (src, dst), a re-partition on src for the out-degree window
+    * (hashpartitioning(src, dst) cannot satisfy partitionBy(src)), and
+    * the final sum on dst — each carrying only the slim edge list.
     */
   private val q73 = QueryDef(
     "q73_pagerank_step",
@@ -815,8 +817,10 @@ object AnalyticsPack {
       val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
       Tables.events(s, dir)
         .groupBy(col("event_type"))
-        .agg(count(when(pmod(col("event_id"), lit(2)) === 0, 1)).as("n_a"),
-          count(when(pmod(col("event_id"), lit(2)) === 1, 1)).as("n_b"))
+        // % (remainder), not pmod: DuckDB's % is remainder, and the
+        // two must classify any future negative id identically
+        .agg(count(when(col("event_id") % 2 === 0, 1)).as("n_a"),
+          count(when(col("event_id") % 2 === 1, 1)).as("n_b"))
         .withColumn("tot_a", sum(col("n_a")).over(w))
         .withColumn("tot_b", sum(col("n_b")).over(w))
         .select(col("event_type"), col("n_a"), col("n_b"),

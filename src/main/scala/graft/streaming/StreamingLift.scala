@@ -141,11 +141,21 @@ object StreamingLift {
         for (t <- events.map(_._2.getTime).toArray.sorted) {
           val (s0, e0, n0) = st
           if (n0 == 0L) st = (t, t, 1L)
-          else if (t - e0 <= gapMs) st = (s0, math.max(e0, t), n0 + 1)
-          else {
+          else if (t >= s0 - gapMs && t - e0 <= gapMs)
+            // in-gap arrival, possibly LATE (cross-batch out-of-order):
+            // extend the session on whichever side it lands
+            st = (math.min(s0, t), math.max(e0, t), n0 + 1)
+          else if (t > e0 + gapMs) {
             closed += ((key, new java.sql.Timestamp(s0), new java.sql.Timestamp(e0), n0))
             st = (t, t, 1L)
-          }
+          } else
+            // a late event more than gapMs BEFORE the open session:
+            // batch sessionize would put it in an earlier session. That
+            // session's window has passed, so emit it as its own closed
+            // singleton; late peers arriving in LATER batches can no
+            // longer coalesce with it (documented divergence from the
+            // batch form, bounded by the watermark delay).
+            closed += ((key, new java.sql.Timestamp(t), new java.sql.Timestamp(t), 1L))
         }
         state.update(st)
         // the timeout must sit strictly ahead of the current watermark

@@ -379,6 +379,11 @@ class AnalyticsSpec extends AnyFunSuite {
     assert((one.getLong(0), one.getLong(1)) === (1L, 42L))
     assert(Sweep.runningSum(Seq.empty[(Long, Long)].toDF("t", "d"), "t", "d")
       .count() === 0L)
+    // null t / null d rows are dropped, never folded into offsets
+    val withNulls = Seq((Some(1L), Some(1L)), (None, Some(5L)),
+      (Some(2L), Some(1L)), (Some(3L), None)).toDF("t", "d")
+    assert(Sweep.runningSum(withNulls, "t", "d").collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toSet === Set((1L, 1L), (2L, 2L)))
   }
 
   test("weightedSystematic: k hits, weight-proportional, integer-exact") {

@@ -245,6 +245,41 @@ class StreamingLiftSpec extends AnyFunSuite {
       (2L, "2024-01-01 10:02:00.0", "2024-01-01 10:02:00.0", 1L)))
   }
 
+  test("closedSessions: late cross-batch events extend or emit, never corrupt") {
+    val srcDir = Files.createTempDirectory("graft-late").toString
+    val schema = events(Nil).schema
+    events(Seq((1L, ts("2024-01-01 12:00:00"), "a"))).write.parquet(srcDir + "/f1")
+    val stream = spark.readStream.schema(schema).parquet(srcDir + "/*")
+    val q = StreamingLift.closedSessions(stream, "user_id", "ts",
+        gapMs = 1800000L, watermarkDelay = "2 hours")
+      .writeStream.outputMode("append")
+      .option("checkpointLocation", Files.createTempDirectory("graft-late-ckpt").toString)
+      .format("memory").queryName("late_out").start()
+    q.processAllAvailable()
+    // batch 2, both LATE but above the 10:00 watermark (12:00 - 2h;
+    // anything older is dropped by Spark's late-row filter before the
+    // state function ever sees it): 11:50 is in-gap before the open
+    // session's start → extends it backward; 10:30 is beyond the gap
+    // in the past → its own closed singleton
+    events(Seq(
+      (1L, ts("2024-01-01 11:50:00"), "b"),
+      (1L, ts("2024-01-01 10:30:00"), "c"))).write.parquet(srcDir + "/f2")
+    q.processAllAvailable()
+    // batch 3: unrelated user advances the watermark to 14:00, timing
+    // out user 1's open session (end 12:00 + gap = 12:30)
+    events(Seq((2L, ts("2024-01-01 16:00:00"), "d"))).write.parquet(srcDir + "/f3")
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("late_out").collect()
+      .map(r => (r.getAs[Long]("user_id"),
+        r.getAs[Timestamp]("session_start").toString,
+        r.getAs[Timestamp]("session_end").toString,
+        r.getAs[Long]("n_events"))).sortBy(x => (x._1, x._2)).toSeq
+    assert(got === Seq(
+      (1L, "2024-01-01 10:30:00.0", "2024-01-01 10:30:00.0", 1L),
+      (1L, "2024-01-01 11:50:00.0", "2024-01-01 12:00:00.0", 2L)))
+  }
+
   test("intervalJoin matches right events within the horizon only") {
     val impDir = Files.createTempDirectory("graft-ij-imp").toString
     val clkDir = Files.createTempDirectory("graft-ij-clk").toString
