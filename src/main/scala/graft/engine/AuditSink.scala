@@ -33,4 +33,39 @@ final class AuditSink(spark: SparkSession) {
     table.append(toDf)
     events.clear()
   }
+
+  /** Mirror Structured Streaming progress into the SAME audit shape
+    * the batch books emit (the reference logs per-chapter progress the
+    * same way, `lib/book.js:250-258`): one `streamProgress` event per
+    * micro-batch with rows/sec and row counts, and a
+    * `streamTerminated` event on stop/failure. Returns the listener so
+    * callers can detach with `spark.streams.removeListener`.
+    *
+    * Events are driver-side metadata (one per micro-batch, not per
+    * row) — the audit path adds zero work to executors.
+    */
+  def attachStreams(): org.apache.spark.sql.streaming.StreamingQueryListener = {
+    import org.apache.spark.sql.streaming.StreamingQueryListener
+    import StreamingQueryListener.{QueryStartedEvent, QueryProgressEvent, QueryTerminatedEvent}
+    val l = new StreamingQueryListener {
+      override def onQueryStarted(e: QueryStartedEvent): Unit =
+        events.add(StateEvent("streamStarted", System.currentTimeMillis(),
+          e.name match { case null => e.id.toString; case n => n }, 0L, Map.empty))
+      override def onQueryProgress(e: QueryProgressEvent): Unit = {
+        val p = e.progress
+        events.add(StateEvent("streamProgress", System.currentTimeMillis(),
+          p.name match { case null => p.id.toString; case n => n },
+          p.batchDuration / 1000.0,
+          Map("batchId" -> p.batchId.toString,
+            "numInputRows" -> p.numInputRows.toString,
+            "processedRowsPerSecond" -> f"${p.processedRowsPerSecond}%.1f")))
+      }
+      override def onQueryTerminated(e: QueryTerminatedEvent): Unit =
+        events.add(StateEvent("streamTerminated", System.currentTimeMillis(),
+          e.id.toString, 0L,
+          e.exception.map(x => Map("error" -> x.take(200))).getOrElse(Map.empty)))
+    }
+    spark.streams.addListener(l)
+    l
+  }
 }

@@ -245,6 +245,35 @@ class StreamingLiftSpec extends AnyFunSuite {
       (2L, "2024-01-01 10:02:00.0", "2024-01-01 10:02:00.0", 1L)))
   }
 
+  test("attachStreams mirrors micro-batch progress into the audit shape") {
+    import graft.engine.AuditSink
+    val srcDir = Files.createTempDirectory("graft-audit-src").toString
+    events(Seq((1L, ts("2024-01-01 10:00:00"), "a"))).write.parquet(srcDir + "/f1")
+    val sink = new AuditSink(spark)
+    val listener = sink.attachStreams()
+    try {
+      val stream = spark.readStream.schema(events(Nil).schema).parquet(srcDir + "/*")
+      val q = stream.writeStream.outputMode("append")
+        .option("checkpointLocation", Files.createTempDirectory("graft-audit-ck").toString)
+        .format("memory").queryName("audit_probe").start()
+      q.processAllAvailable()
+      q.stop()
+      q.awaitTermination(60000)
+      // listener events are delivered asynchronously on the listener bus
+      val deadline = System.currentTimeMillis() + 30000
+      def states() = sink.toDf.select("state").collect().map(_.getString(0)).toSet
+      while (!states().contains("streamTerminated") &&
+        System.currentTimeMillis() < deadline) Thread.sleep(100)
+      val got = sink.toDf
+      assert(got.filter(got("state") === "streamProgress")
+        .filter(got("name") === "audit_probe").count() >= 1,
+        "per-micro-batch progress event")
+      assert(got.filter(got("state") === "streamTerminated").count() >= 1)
+      assert(got.columns.toSeq === Seq("state", "time", "name", "duration", "data"),
+        "same audit row shape as the batch books")
+    } finally spark.streams.removeListener(listener)
+  }
+
   test("closedSessions: late cross-batch events extend or emit, never corrupt") {
     val srcDir = Files.createTempDirectory("graft-late").toString
     val schema = events(Nil).schema
