@@ -899,7 +899,71 @@ object AnalyticsPack {
       FROM orders CROSS JOIN b
       GROUP BY 1"""))
 
+  /** Weekly cohort retention: users cohorted by first-activity week,
+    * actives counted per (cohort, week offset) — the canonical
+    * retention triangle, all integer (week indexes are µs div a week;
+    * counts are exact distincts). Two shuffles carry (user, week)
+    * pairs pre-deduped map-side; the distinct-count shuffle carries
+    * (cohort, offset, user) — bounded by active pairs, not events.
+    */
+  private val q81 = QueryDef(
+    "q81_cohort_retention",
+    (s, dir) => {
+      val wk = expr("unix_micros(ts) div 604800000000")
+      val ev = Tables.events(s, dir).select(col("user_id"), wk.as("week"))
+      val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
+      ev.join(cohorts, Seq("user_id"))
+        .groupBy(col("cohort"), (col("week") - col("cohort")).as("offset"))
+        .agg(countDistinct(col("user_id")).as("n_active"))
+    },
+    Some("""WITH ev AS (SELECT user_id, epoch_us(ts) // 604800000000 AS week
+        FROM events),
+      cohorts AS (SELECT user_id, min(week) AS cohort FROM ev GROUP BY user_id)
+      SELECT cohort, week - cohort AS offset,
+        count(DISTINCT user_id) AS n_active
+      FROM ev JOIN cohorts USING (user_id)
+      GROUP BY 1, 2"""))
+
+  /** Per-priority price trend (least-squares slope of order totals
+    * over order day): every sum — n, Σx, Σy, Σxy, Σx² — accumulates
+    * EXACTLY (longs and decimal(38,0): day indexes × cent-quantized
+    * totals), so the only floating-point step is the final one-shot
+    * division of two exactly-agreed integers — the regression analogue
+    * of the pack's integer-mass rule. One shuffle, partial map-side.
+    */
+  private val q82 = QueryDef(
+    "q82_trend",
+    (s, dir) => {
+      val x = expr("unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+        .cast("decimal(38,0)")
+      val y = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("priority"), x.as("x"), y.as("y"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+          sum(col("x") * col("y")).as("sxy"),
+          sum(col("x") * col("x")).as("sxx"))
+        .select(col("priority"), col("n").cast("long").as("n_orders"),
+          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
+            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
+            .as("slope_cents_per_day"))
+    },
+    Some("""WITH q AS (SELECT o_orderpriority AS priority,
+          (epoch_us(o_orderdate) // 86400000000)::HUGEINT AS x,
+          (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::HUGEINT AS y
+        FROM orders),
+      agg AS (SELECT priority, count(*)::HUGEINT AS n,
+          sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+          sum(x * y)::HUGEINT AS sxy, sum(x * x)::HUGEINT AS sxx
+        FROM q GROUP BY priority)
+      SELECT priority, n::BIGINT AS n_orders,
+        (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
+          AS slope_cents_per_day
+      FROM agg"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q80)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82)
 }
