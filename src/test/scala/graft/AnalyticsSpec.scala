@@ -360,11 +360,18 @@ class AnalyticsSpec extends AnyFunSuite {
         Window.orderBy($"t").rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
     // few buckets → multiple cells actually exercised; exact regardless
-    for (b <- Seq(1, 3, 1024)) {
-      val got = Sweep.runningSum(pts, "t", "d", buckets = b)
+    // of the bucket count AND of the input's partition layout
+    for (b <- Seq(1, 3, 1024); nPart <- Seq(1, 7)) {
+      val got = Sweep.runningSum(pts.repartition(nPart), "t", "d", buckets = b)
         .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
-      assert(got === naive, s"buckets=$b")
+      assert(got === naive, s"buckets=$b parts=$nPart")
     }
+    // a deliberately WRONG bounds hint (too narrow, offset) is still
+    // exact — hints govern balance only
+    val hinted = Sweep.runningSum(pts, "t", "d", buckets = 8,
+        bounds = Some((500000L, 500100L)))
+      .collect().map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(hinted === naive)
   }
 
   test("Sweep.peak finds the max concurrency and its earliest time") {
