@@ -46,6 +46,35 @@ object Similarity {
       .limit(k)
       .drop("qvec")
 
+  /** Exact cosine top-k for a BATCH of query vectors — the production
+    * kNN shape (one query at a time re-scans the corpus per query;
+    * real retrieval scores a query set in one pass).
+    *
+    * Shape at scale: the query set broadcasts (small-set contract),
+    * every corpus row scores all queries map-side, and the per-query
+    * reduction is [[graft.functions.TopKHeap]] — a bounded min-heap
+    * partial aggregate, so the one shuffle carries at most
+    * k × |queries| rows PER PARTITION (not |corpus| × |queries| rows,
+    * which is what a window `row_number` plan would exchange). The
+    * result explodes to (query_id, rank, id, cos) rows, rank 1..k by
+    * (cos DESC, id ASC) — deterministic under any partitioning.
+    *
+    * @param queries DataFrame(query_id: long, qvec: array) — small,
+    *                broadcast whole
+    */
+  def batchTopK(df: DataFrame, idCol: String, vecCol: String,
+      queries: DataFrame, k: Int): DataFrame = {
+    val scored = df.crossJoin(broadcast(queries))
+      .select(col("query_id"),
+        safeCosine(col(vecCol), col("qvec")).as("cos"),
+        col(idCol).cast("long").as("__id"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKHeap.topK(col("cos"), col("__id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+        col("t.id").as(idCol), col("t.score").as("cos"))
+  }
+
   /** LSH-bucketed near-duplicate pairs: vectors agreeing on the first
     * `dims` sign bits, with their exact cosine.
     */

@@ -963,7 +963,39 @@ object AnalyticsPack {
           AS slope_cents_per_day
       FROM agg"""))
 
+  /** Customer-concentration index per order priority (Herfindahl):
+    * share² summed over customers, kept EXACT by cross-multiplying —
+    * the numerator Σcᵢ² and denominator (Σcᵢ)² are both integer
+    * aggregates, so the single final division is the only float step
+    * (the q82 integer-mass rule). Two shuffles, both partial map-side:
+    * per-(priority, customer) counts, then the per-priority rollup
+    * carrying 3 longs per customer. Long-safe to ~3e9 orders per
+    * customer-priority cell.
+    */
+  private val q84 = QueryDef(
+    "q84_concentration",
+    (s, dir) => {
+      val per = Tables.orders(s, dir)
+        .groupBy(col("o_orderpriority").as("priority"), col("o_custkey"))
+        .agg(count(lit(1)).as("c"))
+      per.groupBy(col("priority"))
+        .agg(sum(col("c")).as("n_orders"),
+          count(lit(1)).as("n_customers"),
+          sum(col("c") * col("c")).as("sum_sq"))
+        .select(col("priority"), col("n_orders"), col("n_customers"),
+          (col("sum_sq").cast("double") /
+            (col("n_orders") * col("n_orders")).cast("double")).as("hhi"))
+    },
+    Some("""WITH per AS (SELECT o_orderpriority AS priority, o_custkey,
+          count(*) AS c
+        FROM orders GROUP BY 1, 2)
+      SELECT priority, sum(c)::BIGINT AS n_orders,
+        count(*) AS n_customers,
+        sum(c * c)::BIGINT::DOUBLE / (sum(c)::BIGINT * sum(c)::BIGINT)::DOUBLE
+          AS hhi
+      FROM per GROUP BY priority"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84)
 }

@@ -3,7 +3,7 @@ package graft.queries
 import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
-import graft.functions.TextKernels
+import graft.functions.{Kernels, TextKernels}
 import graft.ops.{Dedup, Multimodal, Similarity, TextClean}
 
 /** [EXT] LLM-data-pipeline operator queries over the `documents` and
@@ -185,6 +185,34 @@ object PipelinePack {
       SELECT vec_id, label, ${sqlCos("embedding", "qvec")} AS cos
       FROM embeddings CROSS JOIN q
       ORDER BY cos DESC NULLS LAST, vec_id ASC LIMIT 10"""))
+
+  /** Batch kNN (Similarity.batchTopK): 8 query vectors broadcast,
+    * scored in ONE corpus pass, reduced per query by the TopKHeap
+    * bounded-heap partial aggregate — the exchange carries ≤ k rows
+    * per (query × partition), never the full scored product the
+    * window-rank plan would shuffle. The oracle replays with a plain
+    * window rank (tiny at oracle scale; same (cos DESC, id ASC)
+    * total order).
+    */
+  private val q83 = QueryDef(
+    "q83_batch_knn",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      Similarity.batchTopK(e, "vec_id", "embedding", queries, k = 5)
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 8),
+      sc AS (SELECT q.query_id, e.vec_id,
+          ${sqlCos("e.embedding", "q.qvec")} AS cos
+        FROM embeddings e CROSS JOIN q),
+      rk AS (SELECT query_id, vec_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM sc WHERE cos IS NOT NULL)
+      SELECT query_id, rank::BIGINT AS rank, vec_id, cos
+      FROM rk WHERE rank <= 5"""))
 
   /** IVF top-k (Similarity.ivfTopK): nearest-centroid assignment fully
     * map-side (centroid literal array, no shuffle), probe 2 cells.
@@ -680,7 +708,41 @@ object PipelinePack {
         count(*) FILTER (WHERE vtok IS NULL)::DOUBLE / count(*) AS oov_rate
       FROM j GROUP BY doc_id"""))
 
+  /** Shingle novelty per document: the fraction of a doc's distinct
+    * 3-gram shingles whose FIRST appearance (minimum doc_id over the
+    * corpus) is this doc — the memorization/novelty signal curation
+    * uses to find boilerplate-heavy late documents. The inverted
+    * index and the per-shingle first-doc table both hash-partition on
+    * the shingle, so Catalyst reuses one exchange for the groupBy and
+    * the join probe; counts are integers and the one ratio divides
+    * exactly-agreed longs. Docs with no shingles (< 3 words) have no
+    * index rows and drop out on both engines identically.
+    */
+  private val q85 = QueryDef(
+    "q85_novelty",
+    (s, dir) => {
+      val inv = Tables.documents(s, dir)
+        .select(col("doc_id"),
+          explode(Kernels.shingleHashes60Of(col("text"), 3)).as("g"))
+      val firsts = inv.groupBy(col("g")).agg(min(col("doc_id")).as("first_doc"))
+      inv.join(firsts, Seq("g"))
+        .groupBy(col("doc_id"))
+        .agg(count(lit(1)).as("n_shingles"),
+          count(when(col("first_doc") === col("doc_id"), 1)).as("n_novel"))
+        .withColumn("novelty", col("n_novel").cast("double") / col("n_shingles"))
+    },
+    Some(s"""WITH sh AS (SELECT doc_id,
+        list_transform($sqlShingles, t -> ${sqlHex60("t")}) AS s FROM documents),
+      inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      f AS (SELECT g, min(doc_id) AS first_doc FROM inv GROUP BY g)
+      SELECT doc_id, count(*) AS n_shingles,
+        count(*) FILTER (WHERE first_doc = doc_id) AS n_novel,
+        count(*) FILTER (WHERE first_doc = doc_id)::DOUBLE / count(*)
+          AS novelty
+      FROM inv JOIN f USING (g)
+      GROUP BY doc_id"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
-    q66, q69, q79)
+    q66, q69, q79, q83, q85)
 }

@@ -220,6 +220,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(ivf === brute, "probing ALL cells must recover the exact top-k")
   }
 
+  test("batchTopK matches per-query brute-force topK, ranks 1..k") {
+    val d = vecs((0L to 19L).map(i =>
+      i -> Seq(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat, (i % 3).toFloat)): _*)
+    val queries = d.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val out = Similarity.batchTopK(d, "vec_id", "embedding", queries, k = 4)
+      .orderBy("query_id", "rank").collect()
+    assert(out.length === 12)
+    (0L to 2L).foreach { qid =>
+      val q = d.filter(col("vec_id") === qid).select(col("embedding").as("qvec"))
+      val brute = Similarity.topK(d, "vec_id", "embedding", q, k = 4)
+        .select("vec_id").collect().map(_.getLong(0)).toSeq
+      val batch = out.filter(_.getAs[Long]("query_id") == qid)
+      assert(batch.map(_.getAs[Long]("vec_id")).toSeq === brute, s"query $qid")
+      assert(batch.map(_.getAs[Long]("rank")).toSeq === Seq(1L, 2L, 3L, 4L))
+    }
+  }
+
+  test("batchTopK skips zero-norm rows and pre-reduces before the exchange") {
+    val d = vecs(1L -> Seq(0f, 0f), 2L -> Seq(1f, 0f), 3L -> Seq(0f, 1f))
+    val queries = vecs(7L -> Seq(1f, 1f))
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val res = Similarity.batchTopK(d, "vec_id", "embedding", queries, k = 5)
+    val rows = res.collect()
+    assert(rows.map(_.getAs[Long]("vec_id")).toSet === Set(2L, 3L),
+      "null-cosine (zero-norm) rows must never occupy a heap slot")
+    // the heap aggregate must run partial (map-side) so the shuffle
+    // carries ≤ k rows per query per partition
+    val plan = res.queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"), "batch kNN must not plan a window rank")
+  }
+
   test("ivfTopK cell assignment plan has no shuffle and no window") {
     val d = vecs(1L -> Seq(1f, 0f), 2L -> Seq(0f, 1f))
     val cents = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
