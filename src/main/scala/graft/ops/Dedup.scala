@@ -67,6 +67,50 @@ object Dedup {
       .distinct()
   }
 
+  /** MinHash estimator calibration: for every LSH candidate pair, the
+    * signature-agreement Jaccard ESTIMATE (matching positions / k)
+    * next to the EXACT shingle-set Jaccard and the absolute error —
+    * the measurement a pipeline runs before committing to
+    * (bands × rows) parameters at corpus scale.
+    *
+    * Shape: candidate pairs come from [[minhashCandidatePairs]] (never
+    * all-pairs); signatures and shingle-hash sets attach by two equi-
+    * joins on the 8-byte id (pairs ≪ corpus, so AQE broadcasts the
+    * pair side); the per-pair comparison folds two 16-element arrays —
+    * interpreted HOFs are fine here because the hot path (signature
+    * computation) stays in the compiled kernels and this runs per
+    * CANDIDATE, not per row. All counts integer; the two divisions and
+    * one subtraction are the only float steps, identical expression
+    * trees on both engines.
+    */
+  def minhashCalibration(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      maxBucket: Int = 10000): DataFrame = {
+    val k = bands * rowsPerBand
+    val pairs = minhashCandidatePairs(df, idCol, textCol, shingleWords,
+      bands, rowsPerBand, maxBucket)
+    val feats = df.select(col(idCol).cast("long").as("__fid"),
+      graft.functions.Kernels.minhashSigOf(col(textCol), k, shingleWords).as("__sig"),
+      graft.functions.Kernels.shingleHashes60Of(col(textCol), shingleWords).as("__sh"))
+    pairs
+      .join(feats.select(col("__fid").as("doc_a"), col("__sig").as("sig_a"),
+        col("__sh").as("sh_a")), Seq("doc_a"))
+      .join(feats.select(col("__fid").as("doc_b"), col("__sig").as("sig_b"),
+        col("__sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        aggregate(zip_with(col("sig_a"), col("sig_b"),
+            (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
+          lit(0L), (acc, v) => acc + v).as("n_match"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sum_sizes"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("n_match").cast("double") / k).as("est_jaccard"),
+        (col("inter").cast("double") /
+          (col("sum_sizes") - col("inter")).cast("double")).as("jaccard"))
+      .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle,
     * emitted when jaccard ≥ threshold.
     *

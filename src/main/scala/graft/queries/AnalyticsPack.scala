@@ -995,7 +995,49 @@ object AnalyticsPack {
           AS hhi
       FROM per GROUP BY priority"""))
 
+  /** Exact per-language ECDF of document length: percent-rank of each
+    * DISTINCT (lang, n_chars) value — the normalization curve quality
+    * filters read thresholds from. The scale trick: pre-aggregate to
+    * (lang, n_chars) counts FIRST — document length has a bounded
+    * domain, so the window sorts |langs × distinct lengths| rows (a
+    * function of the domain, not the corpus; ~10⁶ at any corpus
+    * size), never the raw table. Both windows share one exchange on
+    * lang; percent_rank = (rows strictly below) / (n − 1), all longs
+    * to the single division.
+    */
+  private val q87 = QueryDef(
+    "q87_length_ecdf",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("n_docs"))
+      val cumW = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per
+        .withColumn("cum", sum(col("n_docs")).over(cumW))
+        .withColumn("n", sum(col("n_docs")).over(totW))
+        .select(col("lang"), col("n_chars"), col("n_docs"), col("cum"),
+          when(col("n") > 1,
+            (col("cum") - col("n_docs")).cast("double") /
+              (col("n") - 1).cast("double"))
+            .otherwise(lit(0.0)).as("pr"))
+    },
+    Some("""WITH per AS (SELECT lang, n_chars, count(*) AS n_docs
+        FROM documents GROUP BY 1, 2),
+      w AS (SELECT lang, n_chars, n_docs,
+          (sum(n_docs) OVER (PARTITION BY lang ORDER BY n_chars
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+          (sum(n_docs) OVER (PARTITION BY lang))::BIGINT AS n
+        FROM per)
+      SELECT lang, n_chars, n_docs, cum,
+        CASE WHEN n > 1
+          THEN (cum - n_docs)::DOUBLE / (n - 1)::DOUBLE ELSE 0.0 END AS pr
+      FROM w"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87)
 }

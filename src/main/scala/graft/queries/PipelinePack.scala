@@ -711,12 +711,13 @@ object PipelinePack {
   /** Shingle novelty per document: the fraction of a doc's distinct
     * 3-gram shingles whose FIRST appearance (minimum doc_id over the
     * corpus) is this doc — the memorization/novelty signal curation
-    * uses to find boilerplate-heavy late documents. The inverted
-    * index and the per-shingle first-doc table both hash-partition on
-    * the shingle, so Catalyst reuses one exchange for the groupBy and
-    * the join probe; counts are integers and the one ratio divides
-    * exactly-agreed longs. Docs with no shingles (< 3 words) have no
-    * index rows and drop out on both engines identically.
+    * uses to find boilerplate-heavy late documents. The per-shingle
+    * first-doc table pre-reduces to |distinct shingles| rows before
+    * joining back (AQE broadcasts it when small; at corpus scale both
+    * sides hash-partition on the 8-byte shingle hash); counts are
+    * integers and the one ratio divides exactly-agreed longs. Docs
+    * with no shingles (< 3 words) have no index rows and drop out on
+    * both engines identically.
     */
   private val q85 = QueryDef(
     "q85_novelty",
@@ -742,7 +743,52 @@ object PipelinePack {
       FROM inv JOIN f USING (g)
       GROUP BY doc_id"""))
 
+  /** MinHash estimator calibration (Dedup.minhashCalibration): per
+    * LSH candidate pair, the signature-agreement estimate vs the
+    * exact shingle Jaccard and |error| — the parameter-tuning
+    * measurement for (bands × rows). Candidates from the q18 banding;
+    * integer agreement/intersection counts; identical float
+    * expression trees both engines.
+    */
+  private val q86 = QueryDef(
+    "q86_minhash_calibration",
+    (s, dir) => graft.ops.Dedup.minhashCalibration(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 4),
+    Some(s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
+      hs AS (SELECT doc_id, list_transform(s, t -> ${sqlHex60("t")}) AS sh
+        FROM sh),
+      sig AS (SELECT doc_id, list_transform(range(0, 16),
+        h -> list_min(list_transform(
+          list_transform(s, x -> ${sqlHex60("x")} % 1073741789),
+          v -> (((h * 2654435761) % 1073741789 + 1) * v
+                + (h * 40503 + 12345) % 1073741789) % 1073741789))) AS sig FROM sh),
+      bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bk
+        FROM sig CROSS JOIN range(0, 4) AS t(b)),
+      sz AS (SELECT b, bk, count(*) AS c FROM bands GROUP BY b, bk),
+      pairs AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b
+        FROM bands x JOIN bands y ON x.b = y.b AND x.bk = y.bk AND x.doc_id < y.doc_id
+        JOIN sz ON sz.b = x.b AND sz.bk = x.bk
+        WHERE sz.c <= 10000),
+      scored AS (SELECT p.doc_a, p.doc_b,
+          list_sum(list_transform(range(1, 17),
+            i -> CASE WHEN sa.sig[i] = sb.sig[i] THEN 1 ELSE 0 END))::BIGINT
+            AS n_match,
+          len(list_intersect(ha.sh, hb.sh))::BIGINT AS inter,
+          (len(ha.sh) + len(hb.sh))::BIGINT AS sum_sizes
+        FROM pairs p
+        JOIN sig sa ON sa.doc_id = p.doc_a
+        JOIN sig sb ON sb.doc_id = p.doc_b
+        JOIN hs ha ON ha.doc_id = p.doc_a
+        JOIN hs hb ON hb.doc_id = p.doc_b)
+      SELECT doc_a, doc_b,
+        n_match::DOUBLE / 16 AS est_jaccard,
+        inter::DOUBLE / (sum_sizes - inter)::DOUBLE AS jaccard,
+        abs(n_match::DOUBLE / 16
+          - inter::DOUBLE / (sum_sizes - inter)::DOUBLE) AS abs_err
+      FROM scored"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
-    q66, q69, q79, q83, q85)
+    q66, q69, q79, q83, q85, q86)
 }
