@@ -700,19 +700,22 @@ object AnalyticsPack {
     * integer mass across its distinct parts, parts sum what they
     * receive. INTEGER mass (floor-divided) keeps the reduction exact
     * under any accumulation order — the float version would be
-    * engine- and partitioning-dependent. Three exchanges — distinct on
-    * (src, dst), a re-partition on src for the out-degree window
-    * (hashpartitioning(src, dst) cannot satisfy partitionBy(src)), and
-    * the final sum on dst — each carrying only the slim edge list.
+    * engine- and partitioning-dependent. The out-degree comes from a
+    * pre-aggregated groupBy JOINED back, not a `partitionBy(src)`
+    * window: the window would re-shuffle the FULL edge list on src at
+    * every graph size, while the degree table has one row per source
+    * (dim-sized at 100 TB) and joins broadcast — so the plan is the
+    * distinct, a degree rollup that partial-aggregates map-side, a
+    * broadcast probe, and the final sum on dst.
     */
   private val q73 = QueryDef(
     "q73_pagerank_step",
     (s, dir) => {
-      import org.apache.spark.sql.expressions.Window
       val edges = Tables.lineitem(s, dir)
         .select(col("l_suppkey"), col("l_partkey")).distinct()
-      edges
-        .withColumn("outdeg", count(lit(1)).over(Window.partitionBy(col("l_suppkey"))))
+      val outdeg = edges.groupBy(col("l_suppkey"))
+        .agg(count(lit(1)).as("outdeg"))
+      edges.join(outdeg, Seq("l_suppkey"))
         .withColumn("contrib", expr("1000000000000 div outdeg"))
         .groupBy(col("l_partkey").as("part_key"))
         .agg(sum(col("contrib")).as("score"), count(lit(1)).as("n_src"))
