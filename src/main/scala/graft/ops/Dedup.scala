@@ -74,25 +74,38 @@ object Dedup {
     * (bands × rows) parameters at corpus scale.
     *
     * Shape: candidate pairs come from [[minhashCandidatePairs]] (never
-    * all-pairs); signatures and shingle-hash sets attach by two equi-
-    * joins on the 8-byte id (pairs ≪ corpus, so AQE broadcasts the
-    * pair side); the per-pair comparison folds two 16-element arrays —
-    * interpreted HOFs are fine here because the hot path (signature
-    * computation) stays in the compiled kernels and this runs per
-    * CANDIDATE, not per row. All counts integer; the two divisions and
-    * one subtraction are the only float steps, identical expression
-    * trees on both engines.
+    * all-pairs) and are pinned (small); the corpus semi-joins down to
+    * pair-touched ids BEFORE any per-doc kernel runs, so signatures
+    * and shingle sets are computed for candidates only — one full
+    * kernel pass total (inside candidate generation), not three. The
+    * per-pair comparison folds two 16-element arrays — interpreted
+    * HOFs are fine here because it runs per CANDIDATE, not per row.
+    * All counts integer; the two divisions and one subtraction are the
+    * only float steps, identical expression trees on both engines.
     */
   def minhashCalibration(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       maxBucket: Int = 10000): DataFrame = {
     val k = bands * rowsPerBand
+    // the pair set is small (candidates, not corpus) and is read three
+    // times below (output spine, touched-id filter, joins) — pin it so
+    // the banding lineage runs once, same as propagateLabels' edges
     val pairs = minhashCandidatePairs(df, idCol, textCol, shingleWords,
-      bands, rowsPerBand, maxBucket)
-    val feats = df.select(col(idCol).cast("long").as("__fid"),
-      graft.functions.Kernels.minhashSigOf(col(textCol), k, shingleWords).as("__sig"),
-      graft.functions.Kernels.shingleHashes60Of(col(textCol), shingleWords).as("__sh"))
+      bands, rowsPerBand, maxBucket).localCheckpoint(true)
+    // kernel work only for pair-touched docs: semi-join the corpus down
+    // to candidate ids FIRST (candidates ≪ corpus), so the signature
+    // and shingle-set kernels never run for rows no pair references
+    val touched = pairs.select(col("doc_a").as("__fid"))
+      .unionByName(pairs.select(col("doc_b").as("__fid"))).distinct()
+    // pinned as well: feats feeds BOTH pair-side joins — without the
+    // pin the corpus scan + kernels would run once per side
+    val feats = df.select(col(idCol).cast("long").as("__fid"), col(textCol))
+      .join(touched, Seq("__fid"), "left_semi")
+      .select(col("__fid"),
+        graft.functions.Kernels.minhashSigOf(col(textCol), k, shingleWords).as("__sig"),
+        graft.functions.Kernels.shingleHashes60Of(col(textCol), shingleWords).as("__sh"))
+      .localCheckpoint(true)
     pairs
       .join(feats.select(col("__fid").as("doc_a"), col("__sig").as("sig_a"),
         col("__sh").as("sh_a")), Seq("doc_a"))
