@@ -99,4 +99,74 @@ object TopKHeap {
     udaf(new TopKAgg(k),
       Encoders.tuple(Encoders.DOUBLE, Encoders.scalaLong)).apply(score, id)
   }
+
+  /** One retained candidate of [[minK]]. */
+  final case class KeyedId(key: Long, id: Long)
+
+  /** Binary max-heap on (key DESC, id DESC): the root is the LARGEST
+    * retained (key, id), evicted when a smaller one arrives — keeps
+    * the k smallest. Long keys, not double: a 60-bit hash does not
+    * survive a double mantissa, and hash-order selection must be
+    * exact.
+    */
+  final class MinHeap(val k: Int) extends Serializable {
+    val keys = new Array[Long](k)
+    val ids = new Array[Long](k)
+    var n = 0
+
+    private def worse(ka: Long, ia: Long, kb: Long, ib: Long): Boolean =
+      ka > kb || (ka == kb && ia > ib)
+
+    private def siftDown(i0: Int): Unit = {
+      var i = i0
+      while (true) {
+        val l = 2 * i + 1; val r = l + 1
+        var m = i
+        if (l < n && worse(keys(l), ids(l), keys(m), ids(m))) m = l
+        if (r < n && worse(keys(r), ids(r), keys(m), ids(m))) m = r
+        if (m == i) return
+        val tk = keys(i); keys(i) = keys(m); keys(m) = tk
+        val ti = ids(i); ids(i) = ids(m); ids(m) = ti
+        i = m
+      }
+    }
+
+    def offer(key: Long, id: Long): Unit =
+      if (n < k) {
+        keys(n) = key; ids(n) = id; n += 1
+        if (n == k) {
+          var i = k / 2 - 1
+          while (i >= 0) { siftDown(i); i -= 1 }
+        }
+      } else if (worse(keys(0), ids(0), key, id)) {
+        keys(0) = key; ids(0) = id; siftDown(0)
+      }
+  }
+
+  final class MinKAgg(k: Int)
+      extends Aggregator[(Long, Long), MinHeap, Seq[KeyedId]] {
+    def zero: MinHeap = new MinHeap(k)
+    def reduce(h: MinHeap, a: (Long, Long)): MinHeap = { h.offer(a._1, a._2); h }
+    def merge(x: MinHeap, y: MinHeap): MinHeap = {
+      var i = 0
+      while (i < y.n) { x.offer(y.keys(i), y.ids(i)); i += 1 }
+      x
+    }
+    def finish(h: MinHeap): Seq[KeyedId] =
+      (0 until h.n).map(i => KeyedId(h.keys(i), h.ids(i)))
+        .sortBy(s => (s.key, s.id))
+    def bufferEncoder: Encoder[MinHeap] = Encoders.kryo[MinHeap]
+    def outputEncoder: Encoder[Seq[KeyedId]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[KeyedId]]()
+  }
+
+  /** array<struct<key,id>> of the k smallest (key, id) rows per group,
+    * sorted ascending — EXACT over the full long range (the selection
+    * key is typically a 60-bit hash).
+    */
+  def minK(key: Column, id: Column, k: Int): Column = {
+    require(k > 0, s"k must be positive: $k")
+    udaf(new MinKAgg(k),
+      Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong)).apply(key, id)
+  }
 }

@@ -15,22 +15,32 @@ import graft.functions.TextKernels
   * but frozen, so the sample is unbiased w.r.t. any column not
   * correlated with md5(id).
   *
-  * Shape: one shuffle on the stratum key + one window sort — rank
-  * within stratum by (hash, id), keep rank <= n. A hot stratum is one
-  * window partition; for extreme skew pre-filter with
-  * `pmod(hash, k) = 0`-style thinning before ranking.
+  * Shape: selection runs as a bounded min-k heap partial aggregate
+  * ([[graft.functions.TopKHeap.minK]]) over (hash, id) — each map
+  * task pre-reduces every stratum to ≤ n candidates, so the exchange
+  * carries n × strata × partitions SLIM rows and a hot stratum never
+  * concentrates its full row set on one reducer (the window-rank
+  * formulation would sort a whole stratum in one partition). The
+  * picked id set (n × strata — small by the definition of a sample)
+  * broadcasts back as a semi-join, so the big table itself is never
+  * shuffled at all.
   */
 object Sample {
 
+  /** `idCol` must cast losslessly to long (the heap selects on
+    * (60-bit hash, id) pairs of longs).
+    */
   def stratifiedByHash(
       df: DataFrame, stratumCols: Seq[String], idCol: String,
       n: Int): DataFrame = {
     val h = TextKernels.hex60(col(idCol).cast("string"))
-    val w = Window.partitionBy(stratumCols.map(col): _*)
-      .orderBy(h.asc, col(idCol).asc)
-    df.withColumn("__rk", row_number().over(w))
-      .filter(col("__rk") <= n)
-      .drop("__rk")
+    val picked = df
+      .select(stratumCols.map(col) :+ h.as("__h") :+
+        col(idCol).cast("long").as("__id"): _*)
+      .groupBy(stratumCols.map(col): _*)
+      .agg(graft.functions.TopKHeap.minK(col("__h"), col("__id"), n).as("__sel"))
+      .select(explode(col("__sel.id")).as("__pid"))
+    df.join(broadcast(picked), col(idCol).cast("long") === col("__pid"), "left_semi")
   }
 
   /** Mixture (per-class rate) sampling: keep a row when its id hash

@@ -393,6 +393,29 @@ class AnalyticsSpec extends AnyFunSuite {
       .map(r => (r.getLong(0), r.getLong(2))).toSet === Set((1L, 1L), (2L, 2L)))
   }
 
+  test("stratifiedByHash equals the window-rank formulation, no Window op") {
+    import graft.ops.Sample
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.TextKernels
+    // skewed strata: 'a' is hot, 'c' is smaller than n
+    val df = ((1L to 400L).map(i => (i, "a")) ++
+      (401L to 500L).map(i => (i, "b")) ++
+      (501L to 503L).map(i => (i, "c"))).toDF("id", "cls")
+    val got = Sample.stratifiedByHash(df, Seq("cls"), "id", n = 7)
+    val h = TextKernels.hex60(col("id").cast("string"))
+    val w = Window.partitionBy(col("cls")).orderBy(h.asc, col("id").asc)
+    val want = df.withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= 7).drop("rk")
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(got.collect().map(r => (r.getLong(0), r.getString(1))).toSet === want)
+    // under-n stratum keeps all its rows
+    assert(got.filter(col("cls") === "c").count() === 3L)
+    // the big table must not be window-sorted (bounded heap + semi-join)
+    val plan = got.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), "selection must not plan a window rank")
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
   test("weightedSystematic: k hits, weight-proportional, integer-exact") {
     import graft.ops.Sample
     val rng = new scala.util.Random(11)

@@ -55,4 +55,25 @@ object TopKHeapProps extends Properties("TopKHeap") {
       val h = parts.flatten.foldLeft(agg.zero)(agg.reduce)
       h.n <= k
     }
+
+  private val minRowGen: Gen[(Long, Long)] = for {
+    key <- Gen.oneOf(Gen.chooseNum(0L, 10L), Gen.chooseNum(0L, Long.MaxValue))
+    id <- Gen.chooseNum(0L, 40L)
+  } yield (key, id)
+
+  property("minK matches sort-and-take for any split, both merge orders") =
+    forAll(Gen.listOf(Gen.listOf(minRowGen)), kGen) { (parts, k) =>
+      val agg = new TopKHeap.MinKAgg(k)
+      def finish(leftToRight: Boolean) = {
+        val bufs = parts.map(p => p.foldLeft(agg.zero)(agg.reduce))
+        val merged =
+          if (bufs.isEmpty) agg.zero
+          else if (leftToRight) bufs.reduceLeft(agg.merge)
+          else bufs.reduceRight((a, b) => agg.merge(a, b))
+        agg.finish(merged)
+      }
+      val want = parts.flatten.map { case (key, id) => TopKHeap.KeyedId(key, id) }
+        .sortBy(s => (s.key, s.id)).take(k)
+      finish(leftToRight = true) == want && finish(leftToRight = false) == want
+    }
 }
