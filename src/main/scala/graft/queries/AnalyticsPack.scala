@@ -1040,7 +1040,85 @@ object AnalyticsPack {
           THEN (cum - n_docs)::DOUBLE / (n - 1)::DOUBLE ELSE 0.0 END AS pr
       FROM w"""))
 
+  /** Byte-budget weighted median per language: the smallest document
+    * length X such that docs of length ≤ X hold at least half the
+    * corpus CHARS — the statistic a token-budget planner reads ("half
+    * the bytes live in docs shorter than X"), which the unweighted
+    * median badly misestimates on heavy-tailed corpora. Same
+    * pre-aggregated value-domain trick as q87: all windows run over
+    * (lang, n_chars) DISTINCT rows; weights are integer char counts,
+    * so the 2·cum ≥ total cut is exact under any partitioning.
+    */
+  private val q88 = QueryDef(
+    "q88_weighted_median",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val per = Tables.documents(s, dir)
+        .groupBy(col("lang"), col("n_chars"))
+        .agg(count(lit(1)).as("n_docs"))
+        .withColumn("w", col("n_chars") * col("n_docs"))
+      val cumW = Window.partitionBy(col("lang")).orderBy(col("n_chars"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val totW = Window.partitionBy(col("lang"))
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+      per
+        .withColumn("cum", sum(col("w")).over(cumW))
+        .withColumn("total_chars", sum(col("w")).over(totW))
+        .filter(col("cum") * 2 >= col("total_chars"))
+        .groupBy(col("lang"))
+        .agg(min(col("n_chars")).as("wmedian_chars"),
+          min(col("total_chars")).as("total_chars"))
+    },
+    Some("""WITH per AS (SELECT lang, n_chars, count(*) AS n_docs,
+          (n_chars * count(*))::BIGINT AS w
+        FROM documents GROUP BY 1, 2),
+      c AS (SELECT lang, n_chars,
+          (sum(w) OVER (PARTITION BY lang ORDER BY n_chars
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+          (sum(w) OVER (PARTITION BY lang))::BIGINT AS total_chars
+        FROM per)
+      SELECT lang, min(n_chars) AS wmedian_chars,
+        min(total_chars) AS total_chars
+      FROM c WHERE cum * 2 >= total_chars
+      GROUP BY lang"""))
+
+  /** Inter-arrival gap statistics per outgoing event type: how long
+    * after each event type the same user acts again — the latency
+    * companion to q75's transition counts. One shuffle on user_id for
+    * the lag window; gaps are exact microsecond longs, pre-reduced
+    * map-side in the final per-type aggregation; the mean divides two
+    * exactly-agreed integers once.
+    */
+  private val q89 = QueryDef(
+    "q89_interarrival",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("gap_us", col("next_us") - unix_micros(col("ts")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          min(col("gap_us")).as("min_us"), max(col("gap_us")).as("max_us"),
+          sum(col("gap_us")).as("sum_us"))
+        .withColumn("mean_us",
+          col("sum_us").cast("double") / col("n_gaps").cast("double"))
+    },
+    Some("""WITH g AS (SELECT event_type,
+          lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            - epoch_us(ts) AS gap_us
+        FROM events)
+      SELECT event_type, count(*) AS n_gaps,
+        min(gap_us) AS min_us, max(gap_us) AS max_us,
+        sum(gap_us)::BIGINT AS sum_us,
+        sum(gap_us)::BIGINT::DOUBLE / count(*)::DOUBLE AS mean_us
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
-    q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87)
+    q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
+    q88, q89)
 }
