@@ -788,7 +788,89 @@ object PipelinePack {
           - inter::DOUBLE / (sum_sizes - inter)::DOUBLE) AS abs_err
       FROM scored"""))
 
+  /** Unigram-frequency rarity score per document — the integer-exact
+    * surrogate for unigram-LM perplexity (rare-token-heavy docs score
+    * low mean corpus frequency; all-boilerplate docs score high): per
+    * doc, the sum/min/mean of the CORPUS frequency of its tokens,
+    * counting multiplicity. The token stream pre-reduces to
+    * (doc_id, token, c) before anything joins — so the frequency join
+    * carries one row per distinct (doc, token), not per occurrence,
+    * and a hot token ("the") contributes ≤ |docs| slim rows that AQE's
+    * skew split spreads; the vocab side is |vocab| rows keyed on the
+    * same token hash. Sums stay longs to the single final division.
+    */
+  private val q90 = QueryDef(
+    "q90_token_rarity",
+    (s, dir) => {
+      val perDocTok = Tables.documents(s, dir)
+        .select(col("doc_id"), explode(TextKernels.tokens(col("text"))).as("token"))
+        .groupBy(col("doc_id"), col("token"))
+        .agg(count(lit(1)).as("c"))
+      val freq = perDocTok.groupBy(col("token")).agg(sum(col("c")).as("freq"))
+      perDocTok.join(freq, Seq("token"))
+        .groupBy(col("doc_id"))
+        .agg(sum(col("c")).as("n_tok"),
+          sum(col("c") * col("freq")).as("sum_freq"),
+          min(col("freq")).as("min_freq"))
+        .withColumn("mean_freq",
+          col("sum_freq").cast("double") / col("n_tok").cast("double"))
+    },
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($T) AS token FROM documents),
+      per AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+      freq AS (SELECT token, sum(c)::BIGINT AS freq FROM per GROUP BY token)
+      SELECT doc_id, sum(c)::BIGINT AS n_tok,
+        sum(c * freq)::BIGINT AS sum_freq,
+        min(freq) AS min_freq,
+        sum(c * freq)::BIGINT::DOUBLE / sum(c)::BIGINT::DOUBLE AS mean_freq
+      FROM per JOIN freq USING (token)
+      GROUP BY doc_id"""))
+
+  /** Cross-source content-overlap matrix: for every source pair, the
+    * count of distinct 3-gram shingles they share and the shingle-set
+    * Jaccard — the corpus-level leakage report ("how much of source A
+    * is boilerplate it shares with source B") that decides which
+    * sources need cross-source dedup before training. Scale shape:
+    * the universe collapses to DISTINCT (source, shingle) rows first,
+    * so the self-join on the shingle key expands each shingle to at
+    * most |sources|² pairs no matter how many documents repeat it —
+    * never a doc×doc product; per-source set sizes are a |sources|-row
+    * broadcast. Counts are exact longs; the one division mirrors the
+    * identical expression tree in the oracle.
+    */
+  private val q91 = QueryDef(
+    "q91_source_overlap",
+    (s, dir) => {
+      val sh = Tables.documents(s, dir)
+        .select(col("source"),
+          explode(TextKernels.wordShingles(
+            TextKernels.tokens(col("text")), 3)).as("sh"))
+        .distinct()
+      val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      sh.select(col("sh"), col("source").as("source_a"))
+        .join(sh.select(col("sh"), col("source").as("source_b")), Seq("sh"))
+        .filter(col("source_a") < col("source_b"))
+        .groupBy(col("source_a"), col("source_b"))
+        .agg(count(lit(1)).as("n_shared"))
+        .join(broadcast(sizes.select(col("source").as("source_a"),
+          col("n").as("n_a"))), Seq("source_a"))
+        .join(broadcast(sizes.select(col("source").as("source_b"),
+          col("n").as("n_b"))), Seq("source_b"))
+        .withColumn("jaccard", col("n_shared").cast("double") /
+          (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
+    },
+    Some(s"""WITH sh AS (SELECT DISTINCT source, unnest($sqlShingles) AS sh
+        FROM documents),
+      sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
+      p AS (SELECT a.source AS source_a, b.source AS source_b,
+          count(*) AS n_shared
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY 1, 2)
+      SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+        n_shared::DOUBLE / (sa.n + sb.n - n_shared)::DOUBLE AS jaccard
+      FROM p JOIN sizes sa ON p.source_a = sa.source
+      JOIN sizes sb ON p.source_b = sb.source"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
-    q66, q69, q79, q83, q85, q86)
+    q66, q69, q79, q83, q85, q86, q90, q91)
 }
