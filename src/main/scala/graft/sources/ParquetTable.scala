@@ -237,6 +237,37 @@ final case class ParquetTable(spark: SparkSession, path: String,
     }
   }
 
+  /** Cluster the table on `sortCols` (the OPTIMIZE-style maintenance
+    * rewrite): flat tables are range-partitioned into
+    * ceil(size / targetFileBytes) files with globally DISJOINT sorted
+    * key ranges — every parquet row group outside a predicate's range
+    * prunes on its footer min/max, so a point/range query touches
+    * ~one file's worth of row groups no matter how big the table is
+    * (`LayoutSkippingSpec` proves the disjointness from the footers).
+    * Bucketed tables keep their pruning contract instead: rows
+    * co-locate by bucket and sort by (bucket, sortCols) within files,
+    * which narrows row-group stats inside each bucket partition.
+    *
+    * Range boundaries come from Spark's reservoir sample of the sort
+    * key (RangePartitioner), so skewed keys still yield balanced
+    * files. The rewrite goes through the versioned-pointer commit —
+    * readers never see a half-clustered table.
+    */
+  def optimizeLayout(sortCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(sortCols.nonEmpty, "optimizeLayout needs at least one sort column")
+    require(exists, s"$path does not exist")
+    val n = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
+    val cols = sortCols.map(col)
+    val laidOut =
+      if (isBucketed)
+        read.repartition(n, bucketExpr)
+          .sortWithinPartitions(bucketExpr +: cols: _*)
+      else
+        read.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
+    overwrite(laidOut)
+  }
+
   /** Bucket ids present on disk. */
   def bucketIds: Seq[Int] = {
     require(isBucketed, s"$path is not a bucketed table")

@@ -1,0 +1,47 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Scale contract over the DECLARED physical topology of every
+  * registered query: no query may plan a cartesian product, and
+  * broadcast-nested-loop joins are allowed only where the broadcast
+  * side is a bounded literal/scalar by construction (allowlisted, with
+  * the reason). Plan SHAPES are scale-invariant — AQE re-sizes
+  * exchanges at runtime but does not introduce or remove a declared
+  * cartesian — so this sweep is the regression guard that keeps a
+  * future refactor from silently reintroducing an all-pairs join the
+  * SCALE.md audit ruled out.
+  */
+class PlanContractSpec extends AnyFunSuite {
+  import TestSpark._
+
+  /** Queries whose plan legitimately contains BroadcastNestedLoopJoin:
+    * every build side here is BOUNDED BY CONSTRUCTION — a scalar or a
+    * small fixed set that does not grow with the corpus — so the
+    * "nested loop" is a constant-time probe per row, never an
+    * all-pairs product:
+    *  - q22/q23: the single query vector (1 row);
+    *  - q66: the corpus-total doc count (1 row, the idf denominator);
+    *  - q70: the calendar spine (rows = days in the queried range);
+    *  - q80: the decile boundary array (1 row of 9 cut points);
+    *  - q83: the query batch (bounded by the kNN API contract; the
+    *    per-(row × query) scores immediately fold into the k-bounded
+    *    TopKHeap partial aggregate, so nothing quadratic survives the
+    *    map side).
+    */
+  private val boundedBnlj: Set[String] = Set(
+    "q22_ann_topk", "q23_ivf_topk", "q66_tfidf", "q70_gap_fill",
+    "q80_equidepth", "q83_batch_knn")
+
+  for (name <- SparkEntry.queries.keys.toSeq.sorted) {
+    test(s"$name declares no cartesian product") {
+      val plan = SparkEntry.queries(name)(spark, sf)
+        .queryExecution.executedPlan.toString
+      assert(!plan.contains("CartesianProduct"),
+        s"$name plans a cartesian product")
+      if (!boundedBnlj(name))
+        assert(!plan.contains("BroadcastNestedLoopJoin"),
+          s"$name plans an unexpected broadcast nested loop join")
+    }
+  }
+}
