@@ -1117,8 +1117,72 @@ object AnalyticsPack {
       FROM g WHERE gap_us IS NOT NULL
       GROUP BY event_type"""))
 
+  /** Rolling 7-day distinct active users — the engagement trend metric.
+    * Exact rolling COUNT DISTINCT does not decompose over a window
+    * frame, so instead each (user, active-day) row fans out to the ≤7
+    * report days its activity supports, then one distinct + one count:
+    * the blowup is a FIXED ×7 of the pre-reduced |user × day| set (not
+    * of raw events), keys are uniform, and no window function ever
+    * sees more than the day-domain. Report days are the OBSERVED days
+    * (broadcast day-dimension join), so trailing empty dates never
+    * appear. Days are integer epoch-day indexes (the pack's
+    * tz-proof date rule).
+    */
+  private val q92 = QueryDef(
+    "q92_rolling_active",
+    (s, dir) => {
+      val ev = Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(ts) div 86400000000").as("day"))
+        .distinct()
+      val days = ev.select(col("day").as("window_day")).distinct()
+      ev.select(col("user_id"),
+          explode(expr("sequence(day, day + 6)")).as("window_day"))
+        .distinct()
+        .join(broadcast(days), Seq("window_day"))
+        .groupBy(col("window_day"))
+        .agg(count(lit(1)).as("active_7d"))
+    },
+    Some("""WITH ev AS (SELECT DISTINCT user_id,
+          epoch_us(ts) // 86400000000 AS day FROM events),
+      days AS (SELECT DISTINCT day AS window_day FROM ev),
+      w AS (SELECT DISTINCT user_id, day + off AS window_day
+        FROM ev CROSS JOIN range(0, 7) AS t(off))
+      SELECT window_day, count(*) AS active_7d
+      FROM w JOIN days USING (window_day)
+      GROUP BY window_day"""))
+
+  /** Pre-flight join cardinality/skew estimator: the exact output size
+    * and worst per-key fanout a key-equi-join WOULD produce, from the
+    * two sides' per-key histograms — the check run before committing a
+    * 100 TB shuffle (est_rows says whether the join explodes;
+    * max_key_fanout says whether one reducer will). Costs two
+    * pre-reduced aggregations and a join over |distinct keys| slim
+    * rows — far cheaper than the join it prices; all counts exact
+    * longs.
+    */
+  private val q93 = QueryDef(
+    "q93_join_cardinality",
+    (s, dir) => {
+      val a = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("ca"))
+      val b = Tables.orders(s, dir)
+        .groupBy(col("o_orderkey").as("k")).agg(count(lit(1)).as("cb"))
+      a.join(b, Seq("k"))
+        .agg(count(lit(1)).as("n_matched_keys"),
+          sum(col("ca") * col("cb")).as("est_rows"),
+          max(col("ca") * col("cb")).as("max_key_fanout"))
+    },
+    Some("""WITH a AS (SELECT l_orderkey AS k, count(*) AS ca
+        FROM lineitem GROUP BY 1),
+      b AS (SELECT o_orderkey AS k, count(*) AS cb FROM orders GROUP BY 1)
+      SELECT count(*) AS n_matched_keys,
+        sum(ca * cb)::BIGINT AS est_rows,
+        max(ca * cb) AS max_key_fanout
+      FROM a JOIN b USING (k)"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
-    q88, q89)
+    q88, q89, q92, q93)
 }

@@ -237,6 +237,51 @@ final case class ParquetTable(spark: SparkSession, path: String,
     }
   }
 
+  /** Versions currently on disk with a complete (`_SUCCESS`) write,
+    * newest first: the live one and, inside the snapshot-retention
+    * window, the immediately-prior one.
+    */
+  def versions: Seq[String] = {
+    val p = new Path(path)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v-") && fs.exists(new Path(s"$path/$n/_SUCCESS")))
+      .sorted.reverse
+  }
+
+  /** Read a specific retained version (time travel within the
+    * retention window — the prior snapshot survives exactly one
+    * overwrite, so this is the "what did the last load clobber" view,
+    * not unbounded history).
+    */
+  def readVersion(version: String): DataFrame = {
+    require(versions.contains(version),
+      s"version $version not on disk (have: ${versions.mkString(", ")})")
+    val d = s"$path/$version"
+    val df = if (isBucketed)
+      spark.read.option("mergeSchema", "true").option("basePath", d).parquet(d)
+    else spark.read.parquet(d)
+    if (isBucketed) df.drop("__bucket") else df
+  }
+
+  /** Roll the table back to the retained prior snapshot: re-publish
+    * its version name — the same single atomic pointer PUT as a
+    * forward commit, no data moves. The bad version is NOT deleted
+    * (it becomes the retained "prior" for forensic reads; the next
+    * overwrite GCs it), so rollback is itself rollback-able.
+    */
+  def rollback(): Unit = {
+    val vs = versions
+    require(vs.size >= 2,
+      s"no prior snapshot to roll back to (versions: ${vs.mkString(", ")})")
+    val live = currentVersion.getOrElse(
+      sys.error(s"$path has no published version to roll back from"))
+    val others = vs.filter(_ != live)
+    require(others.nonEmpty, s"pointer names $live but no other version exists")
+    val prior = others.max // newest retained non-live version
+    VersionedLayout.publish(fs, path, prior)
+  }
+
   /** Cluster the table on `sortCols` (the OPTIMIZE-style maintenance
     * rewrite): flat tables are range-partitioned into
     * ceil(size / targetFileBytes) files with globally DISJOINT sorted

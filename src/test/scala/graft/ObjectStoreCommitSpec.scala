@@ -148,4 +148,35 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     val names = fs.listStatus(new Path(t.path)).map(_.getPath.getName).toSet
     assert(names === Set("_CURRENT", "v-00000000"), names)
   }
+
+  test("rollback re-publishes the retained prior snapshot atomically") {
+    val t = tmpTable()
+    t.overwrite(rows(1L -> "good"))
+    t.overwrite(rows(2L -> "bad"))
+    // the pre-rollback state is readable as the retained snapshot
+    assert(t.versions === Seq("v-00000001", "v-00000000"))
+    assert(t.readVersion("v-00000000").as[(Long, String)]
+      .collect().toSeq === Seq(1L -> "good"))
+    t.rollback()
+    assert(t.read.as[(Long, String)].collect().toSeq === Seq(1L -> "good"))
+    // the rolled-back-FROM version survives for forensics...
+    assert(t.readVersion("v-00000001").as[(Long, String)]
+      .collect().toSeq === Seq(2L -> "bad"))
+    // ...and the next forward commit supersedes it cleanly: the bad
+    // v-00000001 is replaced and the rolled-back-to v-00000000 becomes
+    // the retained prior
+    t.overwrite(rows(3L -> "fixed"))
+    assert(t.read.as[(Long, String)].collect().toSeq === Seq(3L -> "fixed"))
+    assert(t.versions === Seq("v-00000001", "v-00000000"))
+    assert(t.readVersion("v-00000000").as[(Long, String)]
+      .collect().toSeq === Seq(1L -> "good"))
+  }
+
+  test("rollback with no prior snapshot refuses instead of corrupting") {
+    val t = tmpTable()
+    t.overwrite(rows(1L -> "only"))
+    val e = intercept[IllegalArgumentException](t.rollback())
+    assert(e.getMessage.contains("no prior snapshot"))
+    assert(t.read.count() === 1)
+  }
 }
