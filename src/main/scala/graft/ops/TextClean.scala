@@ -102,4 +102,63 @@ object TextClean {
         expr(s"(running - 1) div ${budget}L").as("last_chunk"))
       .withColumn("n_chunks", col("last_chunk") - col("first_chunk") + 1L)
   }
+
+  /** Exact repeated-span removal — the substring-level dedup pass
+    * (the C4-style "drop text that occurs verbatim elsewhere" rule,
+    * at token-window granularity): every `k`-token window whose
+    * content appears in at least `minDocs` DISTINCT documents marks
+    * its positions, and marked tokens are dropped; the document is
+    * rebuilt from the survivors in order.
+    *
+    * Scale shape — all shuffles key on uniform values:
+    *  1. window stream (doc, pos, window-text), a ×1 explode (one row
+    *     per position);
+    *  2. duplicated-window set via two-level distinct-doc count keyed
+    *     on the window content;
+    *  3. coverage = dup-window hits × `k` positions (bounded ×k
+    *     fan-out), distinct on (doc, pos);
+    *  4. anti-join of the token stream against coverage, then one
+    *     per-doc rebuild whose buffer is bounded by document length —
+    *     the same per-doc bound as any reassembly.
+    * Documents shorter than `k` tokens have no windows and pass
+    * through intact; a fully-duplicated document comes back as the
+    * empty string with `n_removed = n_tok` (drop or keep is the
+    * caller's policy).
+    */
+  def dropRepeatedSpans(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 3, minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"window size must be positive: $k")
+    require(minDocs >= 2, s"minDocs below 2 would mark every window: $minDocs")
+    val base = df.select(col(idCol),
+      graft.functions.TextKernels.tokens(col(textCol)).as("toks"))
+    // window starts 1..size-k+1; the slice-of-sequence guard keeps the
+    // sequence ascending for short docs (sequence(1, 0) would DESCEND)
+    val wins = base.select(col(idCol), explode(expr(
+        s"""transform(
+              slice(sequence(1, greatest(size(toks) - ${k - 1}, 1)),
+                    1, greatest(size(toks) - ${k - 1}, 0)),
+              i -> named_struct(
+                'pos', i,
+                'w', array_join(slice(toks, i, $k), ' ')))""")).as("e"))
+      .select(col(idCol), col("e.pos").as("pos"), col("e.w").as("w"))
+    val dup = wins.groupBy(col("w"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("w"))
+    val covered = wins.join(dup, Seq("w"))
+      .select(col(idCol), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("pos"))
+      .distinct()
+    val tokpos = base
+      .select(col(idCol), posexplode(col("toks")).as(Seq("p0", "token")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("token"))
+    val rebuilt = tokpos.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, token))), " +
+          "x -> x.token), ' ')").as("clean_text"))
+    base.select(col(idCol), size(col("toks")).cast("long").as("n_tok"))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol), col("n_tok"),
+        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+  }
 }

@@ -870,7 +870,43 @@ object PipelinePack {
       FROM p JOIN sizes sa ON p.source_a = sa.source
       JOIN sizes sb ON p.source_b = sb.source"""))
 
+  /** Exact repeated-span removal (TextClean.dropRepeatedSpans): every
+    * 5-token window appearing verbatim in ≥2 distinct documents marks
+    * its positions for deletion and the documents are rebuilt from the
+    * survivors — substring-level dedup, the pass that catches shared
+    * boilerplate exact-doc dedup (q17) and near-dup dedup (q32) both
+    * miss. All shuffles key on window content / (doc, pos) — uniform;
+    * the only fan-out is a fixed ×5 of duplicated-window hits.
+    */
+  private val q94 = QueryDef(
+    "q94_span_dedup",
+    (s, dir) => TextClean.dropRepeatedSpans(
+      Tables.documents(s, dir), "doc_id", "text", k = 5, minDocs = 2),
+    Some(s"""WITH base AS (SELECT doc_id, $T AS toks FROM documents),
+      winpos AS (SELECT doc_id, toks,
+          unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS pos
+        FROM base),
+      wins AS (SELECT doc_id, pos,
+          array_to_string(toks[pos:pos+4], ' ') AS w FROM winpos),
+      dup AS (SELECT w FROM wins GROUP BY w
+        HAVING count(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT doc_id, pos + off AS pos
+        FROM wins JOIN dup USING (w) CROSS JOIN range(0, 5) AS o(off)),
+      tp AS (SELECT doc_id, toks,
+          unnest(range(1, len(toks) + 1)) AS pos FROM base),
+      tokpos AS (SELECT doc_id, pos, toks[pos] AS token FROM tp),
+      kept AS (SELECT t.doc_id, t.pos, t.token FROM tokpos t
+        LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.doc_id IS NULL),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+          string_agg(token, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id)
+      SELECT b.doc_id, len(b.toks)::BIGINT AS n_tok,
+        (len(b.toks) - coalesce(n_kept, 0))::BIGINT AS n_removed,
+        coalesce(clean_text, '') AS clean_text
+      FROM base b LEFT JOIN agg USING (doc_id)"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
-    q66, q69, q79, q83, q85, q86, q90, q91)
+    q66, q69, q79, q83, q85, q86, q90, q91, q94)
 }

@@ -369,4 +369,53 @@ class PipelineSpec extends AnyFunSuite {
     val b = Multimodal.extractFeatures(in, "doc_id").orderBy("doc_id").collect().toSeq
     assert(a === b)
   }
+
+  // ---- repeated-span removal ---------------------------------------
+
+  test("dropRepeatedSpans removes cross-doc spans, keeps unique text") {
+    val d = docs(
+      1L -> "the same old boilerplate line unique one here",
+      2L -> "prefix two the same old boilerplate line suffix two",
+      3L -> "completely different content with no shared windows at all")
+    val out = graft.ops.TextClean
+      .dropRepeatedSpans(d, "doc_id", "text", k = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // "the same old boilerplate line" (5 tokens) is shared verbatim:
+    // doc 1 loses positions 1-5, doc 2 loses positions 3-7
+    assert(out(1L) === ((8L, 5L, "unique one here")))
+    assert(out(2L) === ((9L, 5L, "prefix two suffix two")))
+    assert(out(3L) === ((9L, 0L,
+      "completely different content with no shared windows at all")))
+  }
+
+  test("dropRepeatedSpans: overlapping duplicated windows merge their coverage") {
+    // the 6-token run "a b c d e f" is shared, so BOTH 5-windows
+    // ("a b c d e", "b c d e f") are duplicated; coverage must be the
+    // union (6 tokens), not double-counted, and the divergent tails
+    // survive
+    val d = docs(
+      1L -> "a b c d e f p q",
+      2L -> "a b c d e f r s")
+    val out = graft.ops.TextClean
+      .dropRepeatedSpans(d, "doc_id", "text", k = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((6L, "p q")))
+    assert(out(2L) === ((6L, "r s")))
+  }
+
+  test("dropRepeatedSpans: short docs pass through; full dup returns empty") {
+    val d = docs(
+      1L -> "one two three four five",
+      2L -> "one two three four five",
+      3L -> "too short")
+    val out = graft.ops.TextClean
+      .dropRepeatedSpans(d, "doc_id", "text", k = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((5L, 5L, "")))
+    assert(out(2L) === ((5L, 5L, "")))
+    assert(out(3L) === ((2L, 0L, "too short")))
+  }
 }
