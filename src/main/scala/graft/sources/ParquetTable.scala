@@ -104,12 +104,7 @@ final case class ParquetTable(spark: SparkSession, path: String,
     * commit protocol's contract.
     */
   def readRaw: DataFrame = currentVersion match {
-    case Some(v) =>
-      val d = s"$path/$v"
-      if (isBucketed)
-        spark.read.option("mergeSchema", "true")
-          .option("basePath", d).parquet(d)
-      else spark.read.parquet(d)
+    case Some(v) => scanDir(s"$path/$v")
     case None =>
       val entries = fs.listStatus(new Path(path)).toSeq.map(_.getPath)
       if (isBucketed) {
@@ -121,6 +116,14 @@ final case class ParquetTable(spark: SparkSession, path: String,
         spark.read.parquet(files.map(_.toString): _*)
       }
   }
+
+  /** Raw scan of one version directory — shared by the live read and
+    * time travel so their read options can never drift.
+    */
+  private def scanDir(d: String): DataFrame =
+    if (isBucketed)
+      spark.read.option("mergeSchema", "true").option("basePath", d).parquet(d)
+    else spark.read.parquet(d)
 
   /** Only the named buckets — a partition-pruned scan. */
   def readBuckets(ids: Seq[Int]): DataFrame =
@@ -209,9 +212,14 @@ final case class ParquetTable(spark: SparkSession, path: String,
     * on scheduling. Data is unchanged — only layout; the flat path
     * reuses the staged atomic swap.
     *
-    * Bucketed tables coalesce WITHIN each bucket (repartition on
-    * (__bucket, random-ish row spread) keeps partition pruning
-    * intact); flat tables round-robin into the target count.
+    * Bucketed tables coalesce WITHIN each bucket: the shuffle keys on
+    * (__bucket, key-hash spread) so a multi-GB bucket splits across
+    * ~size/target tasks and files instead of serializing into one
+    * task writing one pathological file; partition pruning is intact
+    * because the directory layout still keys on `__bucket` alone. The
+    * spread hash is salted (extra literal) so it stays independent of
+    * the bucket id — `hash(key) % m` would be constant within a
+    * bucket whenever m divides the bucket count.
     */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     require(exists, s"$path does not exist")
@@ -219,17 +227,19 @@ final case class ParquetTable(spark: SparkSession, path: String,
       // partition-scoped: rewrite ONLY buckets whose file count exceeds
       // what their size warrants; untouched buckets keep their files.
       val d = dataDir // resolve the pointer once, not once per bucket
-      val toCompact = bucketIds.filter { b =>
+      val wants: Seq[(Int, Int)] = bucketIds.flatMap { b =>
         val dir = new Path(s"$d/__bucket=$b")
         val files = fs.listStatus(dir).filter(f => f.getPath.getName.endsWith(".parquet"))
         val want = math.max(1, math.ceil(
           files.map(_.getLen).sum.toDouble / targetFileBytes).toInt)
-        files.length > want
+        if (files.length > want) Some(b -> want) else None
       }
-      if (toCompact.nonEmpty) {
+      if (wants.nonEmpty) {
+        val perBucketCap = wants.map(_._2).max
+        val spread = pmod(hash(col(bucketKey), lit(1)), lit(perBucketCap))
         overwriteBuckets(
-          readBuckets(toCompact)
-            .repartition(math.max(1, toCompact.length), bucketExpr))
+          readBuckets(wants.map(_._1))
+            .repartition(wants.map(_._2).sum, bucketExpr, spread))
       }
     } else {
       val nFiles = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
@@ -237,9 +247,13 @@ final case class ParquetTable(spark: SparkSession, path: String,
     }
   }
 
-  /** Versions currently on disk with a complete (`_SUCCESS`) write,
-    * newest first: the live one and, inside the snapshot-retention
-    * window, the immediately-prior one.
+  /** On-disk snapshot INVENTORY, newest first: every version directory
+    * with a complete (`_SUCCESS`) write. Normally the live version
+    * plus the one retained prior snapshot; transiently it can also
+    * hold a crashed write whose job finished but whose pointer PUT
+    * never happened — such an entry is NOT committed history (the
+    * pointer alone decides that) and is readable only for forensics.
+    * [[rollback]] never targets anything newer than the live version.
     */
   def versions: Seq[String] = {
     val p = new Path(path)
@@ -249,49 +263,57 @@ final case class ParquetTable(spark: SparkSession, path: String,
       .sorted.reverse
   }
 
-  /** Read a specific retained version (time travel within the
+  /** Read a specific on-disk version (time travel within the
     * retention window — the prior snapshot survives exactly one
     * overwrite, so this is the "what did the last load clobber" view,
-    * not unbounded history).
+    * not unbounded history; a crashed never-published write is also
+    * readable here, for forensics).
     */
   def readVersion(version: String): DataFrame = {
     require(versions.contains(version),
       s"version $version not on disk (have: ${versions.mkString(", ")})")
-    val d = s"$path/$version"
-    val df = if (isBucketed)
-      spark.read.option("mergeSchema", "true").option("basePath", d).parquet(d)
-    else spark.read.parquet(d)
+    val df = scanDir(s"$path/$version")
     if (isBucketed) df.drop("__bucket") else df
   }
 
   /** Roll the table back to the retained prior snapshot: re-publish
     * its version name — the same single atomic pointer PUT as a
-    * forward commit, no data moves. The bad version is NOT deleted
-    * (it becomes the retained "prior" for forensic reads; the next
-    * overwrite GCs it), so rollback is itself rollback-able.
+    * forward commit, no data moves. Only versions STRICTLY OLDER than
+    * the live one are candidates: a newer `_SUCCESS` directory is a
+    * crashed never-published write, not committed history, and must
+    * not become live by "rolling back". The bad live version is NOT
+    * deleted (it stays readable via [[readVersion]] for forensics;
+    * the next overwrite GCs it), so rollback is itself rollback-able.
     */
   def rollback(): Unit = {
-    val vs = versions
-    require(vs.size >= 2,
-      s"no prior snapshot to roll back to (versions: ${vs.mkString(", ")})")
     val live = currentVersion.getOrElse(
       sys.error(s"$path has no published version to roll back from"))
-    val others = vs.filter(_ != live)
-    require(others.nonEmpty, s"pointer names $live but no other version exists")
-    val prior = others.max // newest retained non-live version
-    VersionedLayout.publish(fs, path, prior)
+    val candidates = versions.filter(_ < live)
+    require(candidates.nonEmpty,
+      s"no prior snapshot to roll back to (on disk: ${versions.mkString(", ")})")
+    VersionedLayout.publish(fs, path, candidates.max)
   }
 
   /** Cluster the table on `sortCols` (the OPTIMIZE-style maintenance
-    * rewrite): flat tables are range-partitioned into
-    * ceil(size / targetFileBytes) files with globally DISJOINT sorted
-    * key ranges — every parquet row group outside a predicate's range
-    * prunes on its footer min/max, so a point/range query touches
-    * ~one file's worth of row groups no matter how big the table is
-    * (`LayoutSkippingSpec` proves the disjointness from the footers).
-    * Bucketed tables keep their pruning contract instead: rows
-    * co-locate by bucket and sort by (bucket, sortCols) within files,
-    * which narrows row-group stats inside each bucket partition.
+    * rewrite): the table is range-partitioned into
+    * ceil(size / targetFileBytes) files holding DISJOINT sorted
+    * key-TUPLE ranges — every parquet row group outside a predicate's
+    * range prunes on its footer min/max, so a point/range query on the
+    * sort key touches ~one file's worth of row groups no matter how
+    * big the table is. For a SINGLE sort column the per-file [min,max]
+    * ranges themselves are disjoint (`LayoutSkippingSpec` proves it
+    * from the footers); with compound keys the disjointness is in
+    * tuple order, so a leading-column value hot enough to span several
+    * range partitions will appear in several files' stats — skipping
+    * on the leading column is then "no interleaving" rather than
+    * "unique file per value".
+    *
+    * Bucketed tables range-partition on (__bucket, sortCols): the
+    * directory layout still keys on `__bucket` alone (partition
+    * pruning intact), each bucket's data splits across ~its-share of
+    * the n partitions (a multi-GB bucket never serializes into one
+    * task/file), and within a bucket the files carry disjoint sorted
+    * ranges for footer skipping.
     *
     * Range boundaries come from Spark's reservoir sample of the sort
     * key (RangePartitioner), so skewed keys still yield balanced
@@ -304,13 +326,8 @@ final case class ParquetTable(spark: SparkSession, path: String,
     require(exists, s"$path does not exist")
     val n = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
     val cols = sortCols.map(col)
-    val laidOut =
-      if (isBucketed)
-        read.repartition(n, bucketExpr)
-          .sortWithinPartitions(bucketExpr +: cols: _*)
-      else
-        read.repartitionByRange(n, cols: _*).sortWithinPartitions(cols: _*)
-    overwrite(laidOut)
+    val keys = if (isBucketed) bucketExpr +: cols else cols
+    overwrite(read.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*))
   }
 
   /** Bucket ids present on disk. */

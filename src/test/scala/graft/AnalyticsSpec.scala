@@ -255,6 +255,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("compact splits an oversized fragmented bucket across files") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-split")
+      .resolve("t").toString
+    val t = graft.sources.ParquetTable(spark, dir, buckets = 1, bucketKey = "id")
+    // 20 single-row appends -> 20 tiny files whose total exceeds the
+    // compaction target several times over
+    (1L to 20L).foreach(i => t.append(Seq((i, "v" * 200)).toDF("id", "v")))
+    def files = new java.io.File(s"$dir/__bucket=0").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    assert(files === 20)
+    val bytes = t.sizeBytes
+    val target = bytes / 4 // want ~4 files
+    val before = t.read.collect().map(_.toSeq).toSet
+    t.compact(targetFileBytes = target)
+    // the bucket must coalesce, but NOT serialize into a single file:
+    // the (bucket, spread) shuffle keeps ~target-sized files
+    assert(files > 1, "oversized bucket collapsed into one file")
+    assert(files < 20, "bucket did not compact")
+    assert(t.read.collect().map(_.toSeq).toSet === before)
+  }
+
   // ---- k-means loop --------------------------------------------------
 
   test("kmeans converges on separable synthetic clusters") {

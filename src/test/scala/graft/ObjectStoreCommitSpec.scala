@@ -172,6 +172,21 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
       .collect().toSeq === Seq(1L -> "good"))
   }
 
+  test("rollback ignores a crashed never-published newer version") {
+    val t = tmpTable()
+    t.overwrite(rows(1L -> "good"))
+    t.overwrite(rows(2L -> "bad"))
+    // simulate a crash AFTER the v-00000002 write job finished
+    // (_SUCCESS present) but BEFORE its pointer PUT: the directory is
+    // on disk and complete, yet it was never committed
+    rows(3L -> "crashed").write.parquet(s"${t.path}/v-00000002")
+    assert(t.versions.contains("v-00000002"))
+    assert(t.read.as[(Long, String)].collect().toSeq === Seq(2L -> "bad"))
+    t.rollback()
+    // must land on the committed prior (v0), NOT the crashed v2
+    assert(t.read.as[(Long, String)].collect().toSeq === Seq(1L -> "good"))
+  }
+
   test("rollback with no prior snapshot refuses instead of corrupting") {
     val t = tmpTable()
     t.overwrite(rows(1L -> "only"))
