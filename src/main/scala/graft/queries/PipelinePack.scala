@@ -830,9 +830,11 @@ object PipelinePack {
     * Jaccard — the corpus-level leakage report ("how much of source A
     * is boilerplate it shares with source B") that decides which
     * sources need cross-source dedup before training. Scale shape:
-    * the universe collapses to DISTINCT (source, shingle) rows first,
-    * so the self-join on the shingle key expands each shingle to at
-    * most |sources|² pairs no matter how many documents repeat it —
+    * shingles hash to 60-bit longs BEFORE anything shuffles (8-byte
+    * keys instead of multi-word strings — the q19 identity trick),
+    * then the universe collapses to DISTINCT (source, shingle-hash)
+    * rows, so the self-join on the shingle key expands each shingle to
+    * at most |sources|² pairs no matter how many documents repeat it —
     * never a doc×doc product; per-source set sizes are a |sources|-row
     * broadcast. Counts are exact longs; the one division mirrors the
     * identical expression tree in the oracle.
@@ -842,8 +844,7 @@ object PipelinePack {
     (s, dir) => {
       val sh = Tables.documents(s, dir)
         .select(col("source"),
-          explode(TextKernels.wordShingles(
-            TextKernels.tokens(col("text")), 3)).as("sh"))
+          explode(Kernels.shingleHashes60Of(col("text"), 3)).as("sh"))
         .distinct()
       val sizes = sh.groupBy(col("source")).agg(count(lit(1)).as("n"))
       sh.select(col("sh"), col("source").as("source_a"))
@@ -858,7 +859,8 @@ object PipelinePack {
         .withColumn("jaccard", col("n_shared").cast("double") /
           (col("n_a") + col("n_b") - col("n_shared")).cast("double"))
     },
-    Some(s"""WITH sh AS (SELECT DISTINCT source, unnest($sqlShingles) AS sh
+    Some(s"""WITH sh AS (SELECT DISTINCT source,
+          unnest(list_transform($sqlShingles, t -> ${sqlHex60("t")})) AS sh
         FROM documents),
       sizes AS (SELECT source, count(*) AS n FROM sh GROUP BY source),
       p AS (SELECT a.source AS source_a, b.source AS source_b,

@@ -405,6 +405,39 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) === ((6L, "r s")))
   }
 
+  test("dropRepeatedSpans matches a brute-force reference on a random corpus") {
+    // tiny vocab + seeded RNG → dense window collisions: overlaps,
+    // chains, full-dup docs, and sub-k docs all occur in one corpus
+    val rnd = new scala.util.Random(4242)
+    val vocab = Vector("a", "b", "c", "d")
+    val corpus = (1L to 60L).map(i =>
+      i -> Seq.fill(rnd.nextInt(13))(vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    val k = 3
+    def reference: Map[Long, (Long, Long, String)] = {
+      val toks = corpus.map { case (id, t) => id -> t.split(" ", -1).toSeq }.toMap
+      val wins = for ((id, ts) <- corpus.map { case (id, _) => id -> toks(id) };
+                      i <- 0 to ts.length - k)
+        yield (id, ts.slice(i, i + k).mkString(" "))
+      val dup = wins.groupBy(_._2)
+        .filter(_._2.map(_._1).distinct.size >= 2).keySet
+      corpus.map { case (id, _) =>
+        val ts = toks(id)
+        val covered = (for (i <- 0 to ts.length - k
+                            if dup(ts.slice(i, i + k).mkString(" "));
+                            j <- i until i + k) yield j).toSet
+        val kept = ts.zipWithIndex.collect { case (t, j) if !covered(j) => t }
+        id -> ((ts.length.toLong, (ts.length - kept.length).toLong,
+          kept.mkString(" ")))
+      }.toMap
+    }
+    val got = graft.ops.TextClean
+      .dropRepeatedSpans(corpus.toDF("doc_id", "text"), "doc_id", "text",
+        k = k, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    assert(got === reference)
+  }
+
   test("dropRepeatedSpans: short docs pass through; full dup returns empty") {
     val d = docs(
       1L -> "one two three four five",
