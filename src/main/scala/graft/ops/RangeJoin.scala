@@ -21,9 +21,12 @@ object RangeJoin {
       ptCol: String, loCol: String, hiCol: String, bandWidth: Double): DataFrame = {
     val bandsOf = sequence(
       floor(col(loCol) / bandWidth).cast("long"),
-      // hi is exclusive: an interval ending exactly on a band boundary
-      // does not reach into the next band
-      floor((col(hiCol) - lit(1e-9)) / bandWidth).cast("long"))
+      // hi is exclusive, but the band list must still reach floor(hi/w):
+      // subtracting an epsilon first would truncate the list one band
+      // short for any hi within epsilon above a boundary and silently
+      // drop true matches — at worst this emits one extra candidate
+      // band whose rows the exact residual filter removes
+      floor(col(hiCol) / bandWidth).cast("long"))
     val i = intervals.withColumn("__band", explode(bandsOf))
     val p = points.withColumn("__band", floor(col(ptCol) / bandWidth).cast("long"))
     p.join(i, Seq("__band"))

@@ -29,6 +29,11 @@ object Sample {
 
   /** `idCol` must cast losslessly to long (the heap selects on
     * (60-bit hash, id) pairs of longs).
+    *
+    * The pick-list semi-join matches on (stratum, id), not the id
+    * alone: ids need only be unique WITHIN a stratum — an id that
+    * repeats across strata must not drag its other-stratum rows into
+    * the sample.
     */
   def stratifiedByHash(
       df: DataFrame, stratumCols: Seq[String], idCol: String,
@@ -39,8 +44,13 @@ object Sample {
         col(idCol).cast("long").as("__id"): _*)
       .groupBy(stratumCols.map(col): _*)
       .agg(graft.functions.TopKHeap.minK(col("__h"), col("__id"), n).as("__sel"))
-      .select(explode(col("__sel.id")).as("__pid"))
-    df.join(broadcast(picked), col(idCol).cast("long") === col("__pid"), "left_semi")
+      .select(stratumCols.map(c => col(c).as(s"__s_$c")) :+
+        explode(col("__sel.id")).as("__pid"): _*)
+    // null-safe stratum equality: a NULL stratum is a group like any
+    // other and its picks must match back
+    val cond = stratumCols.map(c => df(c) <=> col(s"__s_$c"))
+      .reduce(_ && _) && (df(idCol).cast("long") === col("__pid"))
+    df.join(broadcast(picked), cond, "left_semi")
   }
 
   /** Mixture (per-class rate) sampling: keep a row when its id hash
@@ -80,7 +90,11 @@ object Sample {
     * `min(cum_i div step, k) - min((cum_i - w_i) div step, k)`.
     *
     * Rows with non-positive weight are excluded (zero-weight rows can
-    * never be hit; the guard also keeps the prefix sum monotone).
+    * never be hit; the guard also keeps the prefix sum monotone), and
+    * so are NULL-id rows (no position on the line) — consistently in
+    * BOTH the line and the total, or the step would be derived from
+    * more mass than the line holds and the tail points would select
+    * nothing.
     *
     * `idCol` must be UNIQUE (it is the position on the line): duplicate
     * ids collapse into one combined-weight row in the prefix sum —
@@ -89,7 +103,8 @@ object Sample {
   def weightedSystematic(
       df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
     require(k > 0, s"k must be positive: $k")
-    val pos = df.filter(col(weightCol) > 0)
+    val eligible = col(weightCol) > 0 && col(idCol).isNotNull
+    val pos = df.filter(eligible)
       .select(col(idCol).cast("long"), col(weightCol).cast("long"))
     // total weight as a driver scalar (the sanctioned watermark-read
     // class, like Sweep's own bounds) — folding `step` to a literal
@@ -98,7 +113,7 @@ object Sample {
     // the raw columns, so the sweep's bounds pass never re-executes
     // the (potentially expensive) weight lineage
     val scalars = df.agg(
-      sum(when(col(weightCol) > 0, col(weightCol)).cast("long")),
+      sum(when(eligible, col(weightCol)).cast("long")),
       min(col(idCol).cast("long")), max(col(idCol).cast("long"))).head()
     if (scalars.isNullAt(0))
       return pos.select(col(idCol), col(weightCol).as("w"), lit(0L).as("n_hits"))

@@ -56,10 +56,13 @@ object Skew {
     * time-series enrich Spark has no built-in for (SURVEY §2.3 note).
     *
     * Shape: union both sides tagged, ONE window pass per key ordered
-    * by (ts, side) with `last(ignoreNulls)` carrying right-side values
-    * forward, then keep left rows. One shuffle on the key — no range
-    * self-join, no per-row subquery; skewed keys fall to AQE like any
-    * single-key window.
+    * by (ts, side) with `last(ignoreNulls)` carrying the right-side
+    * row forward AS ONE STRUCT — carrying each value column
+    * independently would stitch fields from different right rows
+    * whenever the latest row holds a NULL in one column — then keep
+    * left rows. One shuffle on the key — no range self-join, no
+    * per-row subquery; skewed keys fall to AQE like any single-key
+    * window.
     *
     * Right side must be unique per (key, ts) — pre-dedupe it
     * (`dropDuplicates`/keep-latest) or ties make the carried row
@@ -71,18 +74,22 @@ object Skew {
     val l = left.withColumn("__side", lit(1))
       .withColumn("__k", col(leftKey)).withColumn("__ts", col(leftTs))
     val r = right.select(
-      (Seq(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side")) ++
-        rightVals.map(c => col(c).as(s"__r_$c"))): _*)
+      Seq(col(rightKey).as("__k"), col(rightTs).as("__ts"), lit(0).as("__side"),
+        struct(rightVals.map(col): _*).as("__rvals")): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // right rows (side 0) sort before left rows at equal ts, so an
-    // exactly-at-ts right row IS visible to the left row.
+    // exactly-at-ts right row IS visible to the left row. The struct
+    // is non-null for EVERY right row (even all-null fields), so
+    // ignoreNulls skips left probe rows only, never a matching row.
     val w = Window.partitionBy(col("__k"))
       .orderBy(col("__ts").asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = rightVals.foldLeft(unioned) { (d, c) =>
-      d.withColumn(s"asof_$c", last(col(s"__r_$c"), ignoreNulls = true).over(w))
-    }
-    carried.filter(col("__side") === 1)
-      .drop((Seq("__side", "__k", "__ts") ++ rightVals.map(c => s"__r_$c")): _*)
+    val carried = unioned.withColumn("__asof",
+      last(col("__rvals"), ignoreNulls = true).over(w))
+    rightVals.foldLeft(carried) { (d, c) =>
+        d.withColumn(s"asof_$c", col("__asof").getField(c))
+      }
+      .filter(col("__side") === 1)
+      .drop("__side", "__k", "__ts", "__rvals", "__asof")
   }
 }

@@ -48,12 +48,19 @@ object TableOps {
     val schemaStable = t.isBucketed && key == t.bucketKey &&
       SchemaLattice.reconcile(t.read.schema, data.schema).isNoop
     if (schemaStable && mergeOnDuplicates) {
+      // Hash at the TABLE's key type: a batch whose key arrived
+      // narrower (int where the table holds long) reconciles as a
+      // no-op, but Murmur3 hashes int and long inputs differently —
+      // bucket ids computed from the batch-typed key would read (and
+      // dynamic-overwrite!) the wrong bucket directories.
+      val dataKeyed = data.withColumn(key,
+        col(key).cast(t.read.schema(key).dataType))
       // affected-bucket ids: bounded by the bucket count, so this
       // collect is a small driver-side scalar like getMax.
-      val affected = data.select(t.bucketExpr.as("b")).distinct()
+      val affected = dataKeyed.select(t.bucketExpr.as("b")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val destAffected = t.readBuckets(affected)
-      val srcReconciled = reconcileTo(data, destAffected.schema)
+      val srcReconciled = reconcileTo(dataKeyed, destAffected.schema)
       t.overwriteBuckets(Upsert(destAffected, srcReconciled, Seq(key), orderBy))
       return
     }
@@ -88,8 +95,14 @@ object TableOps {
       case Some(wm) => sourceDf.filter(col(tsCol) >= lit(wm))
       case None     => sourceDf
     }
-    insertData(dest, filtered, key, mergeOnDuplicates = true, orderBy = Seq(tsCol))
-    filtered.count()
+    // one source scan total: the incremental batch (bounded by the
+    // watermark) materializes once and feeds both the merge and the
+    // reported count — re-running the filtered scan for the count
+    // would double the extract's I/O and could disagree with what was
+    // loaded if the source mutates between passes
+    val batch = filtered.localCheckpoint(true)
+    insertData(dest, batch, key, mergeOnDuplicates = true, orderBy = Seq(tsCol))
+    batch.count()
   }
 
   /** O4 `copyTableSchema` / CREATE TABLE LIKE (`mysql.js:601-605`). */

@@ -235,8 +235,13 @@ final case class ParquetTable(spark: SparkSession, path: String,
         if (files.length > want) Some(b -> want) else None
       }
       if (wants.nonEmpty) {
-        val perBucketCap = wants.map(_._2).max
-        val spread = pmod(hash(col(bucketKey), lit(1)), lit(perBucketCap))
+        // per-bucket modulus (a bucket wanting 1 file must NOT be
+        // shattered by a sibling wanting 800): a bucket-id → want map
+        // folds into the plan as a literal, bounded by bucket count
+        val wantMap = org.apache.spark.sql.functions.map(
+          wants.flatMap { case (b, w) => Seq(lit(b), lit(w)) }: _*)
+        val spread = pmod(hash(col(bucketKey), lit(1)),
+          org.apache.spark.sql.functions.element_at(wantMap, bucketExpr.cast("int")))
         overwriteBuckets(
           readBuckets(wants.map(_._1))
             .repartition(wants.map(_._2).sum, bucketExpr, spread))
@@ -283,7 +288,9 @@ final case class ParquetTable(spark: SparkSession, path: String,
     * crashed never-published write, not committed history, and must
     * not become live by "rolling back". The bad live version is NOT
     * deleted (it stays readable via [[readVersion]] for forensics;
-    * the next overwrite GCs it), so rollback is itself rollback-able.
+    * the next overwrite GCs it), so a mistaken rollback is undone
+    * with an explicit [[publishVersion]] of the version rolled back
+    * from.
     */
   def rollback(): Unit = {
     val live = currentVersion.getOrElse(
@@ -292,6 +299,18 @@ final case class ParquetTable(spark: SparkSession, path: String,
     require(candidates.nonEmpty,
       s"no prior snapshot to roll back to (on disk: ${versions.mkString(", ")})")
     VersionedLayout.publish(fs, path, candidates.max)
+  }
+
+  /** Publish a NAMED on-disk version — the deliberate, operator-driven
+    * pointer move (redo after a mistaken [[rollback]], or promoting a
+    * crashed-but-verified write). Unlike rollback it accepts any
+    * complete version, so the caller vouches for the target's
+    * contents.
+    */
+  def publishVersion(version: String): Unit = {
+    require(versions.contains(version),
+      s"version $version not on disk (have: ${versions.mkString(", ")})")
+    VersionedLayout.publish(fs, path, version)
   }
 
   /** Cluster the table on `sortCols` (the OPTIMIZE-style maintenance

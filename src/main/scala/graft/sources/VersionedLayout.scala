@@ -73,11 +73,36 @@ object VersionedLayout {
   def nextVersion(prior: Option[String]): String =
     "v-%08d".format(prior.map(_.stripPrefix("v-").toInt + 1).getOrElse(0))
 
-  /** Atomically publish a version: the single small-object PUT. */
+  /** Atomically publish a version: the single small-object PUT.
+    *
+    * On rename-capable stores (HDFS/posix/local) the pointer is
+    * written to a temp file and renamed over `_CURRENT` with
+    * OVERWRITE — a single-FILE rename, atomic on those stores (it is
+    * TABLE-directory renames that are forbidden by the protocol), so
+    * a reader can never observe a torn pointer and a crash mid-publish
+    * leaves the old pointer intact. Object stores without usable
+    * rename fall back to the direct create — their single-object PUT
+    * is already atomic, which is the protocol's founding assumption.
+    * The torn-pointer heal in [[currentVersion]] stays as defense for
+    * pointers written by older code.
+    */
   def publish(fs: FileSystem, root: String, version: String): Unit = {
-    val out = fs.create(pointer(root), true)
-    try out.write(version.getBytes(java.nio.charset.StandardCharsets.UTF_8))
-    finally out.close()
+    val bytes = version.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val tmp = new Path(root, s"$Current.tmp")
+    def put(p: Path): Unit = {
+      val out = fs.create(p, true)
+      try out.write(bytes) finally out.close()
+    }
+    try {
+      put(tmp)
+      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+        .rename(tmp, pointer(root), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+    } catch {
+      case _: UnsupportedOperationException | _: java.io.IOException =>
+        // no atomic file rename on this store: direct PUT (atomic there)
+        if (fs.exists(tmp)) fs.delete(tmp, false)
+        put(pointer(root))
+    }
   }
 
   /** Remove everything under the root except the pointer and `keep`

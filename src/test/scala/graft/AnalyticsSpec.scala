@@ -255,6 +255,34 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(after === before)
   }
 
+  test("compact uses per-bucket file targets: a small bucket is not shattered") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-compact-mix")
+      .resolve("t").toString
+    val t = graft.sources.ParquetTable(spark, dir, buckets = 2, bucketKey = "id")
+    // learn which ids land in which bucket
+    val byBucket = (1L to 80L).toDF("id")
+      .select($"id", t.bucketExpr.as("b")).collect()
+      .groupBy(_.getInt(1)).view.mapValues(_.map(_.getLong(0)).toSeq).toMap
+    assert(byBucket.keySet === Set(0, 1))
+    val (bigIds, smallIds) = (byBucket(0), byBucket(1))
+    // big bucket: heavily fragmented with padded rows; small bucket:
+    // 3 tiny files wanting exactly 1
+    bigIds.foreach(i => t.append(Seq((i, "x" * 400)).toDF("id", "v")))
+    smallIds.grouped(math.max(1, smallIds.size / 3)).foreach(g =>
+      t.append(g.map(i => (i, "s")).toDF("id", "v")))
+    def files(b: Int) = new java.io.File(s"$dir/__bucket=$b").listFiles()
+      .count(_.getName.endsWith(".parquet"))
+    val smallBefore = files(1)
+    val before = t.read.collect().map(_.toSeq).toSet
+    // target sized so the big bucket wants ~4 files and the small wants 1
+    t.compact(targetFileBytes = t.sizeBytes / 4)
+    assert(files(0) > 1, "big bucket must stay parallel (not one file)")
+    assert(files(1) === 1,
+      s"small bucket must coalesce to its OWN target (was $smallBefore), " +
+        "not shatter to the big bucket's")
+    assert(t.read.collect().map(_.toSeq).toSet === before)
+  }
+
   test("compact splits an oversized fragmented bucket across files") {
     val dir = java.nio.file.Files.createTempDirectory("graft-compact-split")
       .resolve("t").toString
@@ -435,6 +463,30 @@ class AnalyticsSpec extends AnyFunSuite {
     val plan = got.queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), "selection must not plan a window rank")
     assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("stratifiedByHash: an id repeated across strata stays per-stratum") {
+    import graft.ops.Sample
+    // id 7 exists in BOTH strata; n=1 per stratum must return exactly
+    // one row per stratum, never drag the other stratum's id-7 row in
+    val df = Seq((7L, "en"), (7L, "fr"), (8L, "en"), (9L, "fr"))
+      .toDF("id", "cls")
+    val got = Sample.stratifiedByHash(df, Seq("cls"), "id", n = 1)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(got.groupBy(_._2).view.mapValues(_.length).toMap ===
+      Map("en" -> 1, "fr" -> 1), s"got: ${got.toSeq}")
+  }
+
+  test("weightedSystematic: null-id weight is excluded from the total too") {
+    import graft.ops.Sample
+    // a null-id row cannot sit on the line; if its weight inflated the
+    // total, step would overshoot and the tail point would miss
+    val df = Seq((Some(1L), 50L), (None: Option[Long], 50L), (Some(2L), 50L))
+      .toDF("id", "w")
+    val got = Sample.weightedSystematic(df, "id", "w", k = 2).collect()
+      .map(r => (r.getLong(0), r.getLong(2))).toMap
+    assert(got.values.sum === 2L, s"must place all k hits: $got")
+    assert(got.keySet === Set(1L, 2L))
   }
 
   test("weightedSystematic: k hits, weight-proportional, integer-exact") {

@@ -51,6 +51,22 @@ class BucketedTableSpec extends AnyFunSuite {
     assert(got(8L) === "v8")
   }
 
+  test("a batch with a narrower key type hashes at the TABLE's key type") {
+    // Murmur3 hashes Int and Long inputs differently; a batch whose
+    // key arrived as IntegerType passes the no-op schema check, so the
+    // affected-bucket computation MUST cast to the table's LongType
+    // first or dynamic overwrite replaces the wrong bucket directories
+    // (silent loss of every pre-existing row in the mis-hashed bucket)
+    val t = tmp("narrow", buckets = 8)
+    TableOps.insertData(t, rows((1L to 64L).map(i => i -> s"v$i"): _*))
+    val intBatch = Seq((7, "UPDATED"), (65, "NEW")).toDF("id", "v") // IntegerType id
+    TableOps.insertData(t, intBatch)
+    val got = t.read.as[(Long, String)].collect().toMap
+    assert(got.size === 65, s"rows lost: ${(1L to 65L).filterNot(got.contains)}")
+    assert(got(7L) === "UPDATED")
+    assert(got(64L) === "v64")
+  }
+
   test("bucket-scoped read prunes partitions in the plan") {
     val t = tmp("pruned", buckets = 8)
     TableOps.insertData(t, rows((1L to 64L).map(i => i -> s"v$i"): _*))

@@ -194,4 +194,17 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     assert(e.getMessage.contains("no prior snapshot"))
     assert(t.read.count() === 1)
   }
+
+  test("publishVersion redoes a mistaken rollback") {
+    val t = tmpTable()
+    t.overwrite(rows(1L -> "old"))
+    t.overwrite(rows(2L -> "new"))
+    t.rollback() // oops — "new" was actually fine
+    assert(t.read.as[(Long, String)].collect().toSeq === Seq(1L -> "old"))
+    t.publishVersion("v-00000001")
+    assert(t.read.as[(Long, String)].collect().toSeq === Seq(2L -> "new"))
+    // but only versions that exist on disk are publishable
+    val e = intercept[IllegalArgumentException](t.publishVersion("v-00000042"))
+    assert(e.getMessage.contains("not on disk"))
+  }
 }

@@ -50,6 +50,30 @@ class SkewSpec extends AnyFunSuite {
     assert(asof(3) === None)
   }
 
+  test("asOfJoin carries the latest right ROW, not per-column latest values") {
+    def t(s: String) = Timestamp.valueOf(s)
+    val left = Seq((1L, 10L, t("2024-01-01 12:00:00"))).toDF("event_id", "k", "ts")
+    // latest right row has a NULL in `a`: the output must be that
+    // row's (NULL, 7) — not a=5 stitched from the older row
+    val right = Seq(
+      (10L, t("2024-01-01 10:00:00"), Some(5L), 6L),
+      (10L, t("2024-01-01 11:00:00"), None: Option[Long], 7L))
+      .toDF("k", "rts", "a", "b")
+    val r = Skew.asOfJoin(left, right, "k", "k", "ts", "rts", Seq("a", "b")).head
+    assert(r.isNullAt(r.fieldIndex("asof_a")),
+      "field from a superseded right row leaked into the carried result")
+    assert(r.getAs[Long]("asof_b") === 7L)
+  }
+
+  test("RangeJoin keeps matches when hi sits within float-epsilon above a boundary") {
+    import graft.ops.RangeJoin
+    val points = Seq((1L, 5.0)).toDF("pid", "v")
+    val intervals = Seq(("i", 4.2, 5.0000000001)).toDF("label", "lo", "hi")
+    val got = RangeJoin.pointInInterval(points, intervals, "v", "lo", "hi",
+      bandWidth = 1.0).count()
+    assert(got === 1L, "point inside the interval must not be dropped by band truncation")
+  }
+
   test("RangeJoin matches naive inequality join incl. band boundaries") {
     import graft.ops.RangeJoin
     val points = Seq(0.0, 9.999, 10.0, 25.0, 49.999, 50.0, 99.0).zipWithIndex
