@@ -90,19 +90,24 @@ object TableOps {
     * pushed predicate.
     */
   def incrementalExtract(sourceDf: DataFrame, dest: ParquetTable,
-      tsCol: String, key: String = "id"): Long = {
-    val filtered = getMax(dest, tsCol) match {
-      case Some(wm) => sourceDf.filter(col(tsCol) >= lit(wm))
-      case None     => sourceDf
-    }
-    // one source scan total: the incremental batch (bounded by the
-    // watermark) materializes once and feeds both the merge and the
-    // reported count — re-running the filtered scan for the count
-    // would double the extract's I/O and could disagree with what was
-    // loaded if the source mutates between passes
-    val batch = filtered.localCheckpoint(true)
-    insertData(dest, batch, key, mergeOnDuplicates = true, orderBy = Seq(tsCol))
-    batch.count()
+      tsCol: String, key: String = "id"): Long = getMax(dest, tsCol) match {
+    case Some(wm) =>
+      // incremental batch, bounded by the watermark: materialize it
+      // ONCE (executor-local) and feed both the merge and the
+      // reported count — re-running the filtered scan would double
+      // the extract's I/O and could disagree with what was loaded
+      // if the source mutates between passes
+      val batch = sourceDf.filter(col(tsCol) >= lit(wm)).localCheckpoint(true)
+      insertData(dest, batch, key, mergeOnDuplicates = true, orderBy = Seq(tsCol))
+      batch.count()
+    case None =>
+      // FIRST load = the whole source: pinning that in executor
+      // storage is exactly the unbounded-materialization this library
+      // bans, so stream the scan into the write and pay one extra
+      // scan for the count (one-time; the dest was empty, so the
+      // count still describes the loaded set)
+      insertData(dest, sourceDf, key, mergeOnDuplicates = true, orderBy = Seq(tsCol))
+      sourceDf.count()
   }
 
   /** O4 `copyTableSchema` / CREATE TABLE LIKE (`mysql.js:601-605`). */

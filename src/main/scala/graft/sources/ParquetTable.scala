@@ -260,13 +260,7 @@ final case class ParquetTable(spark: SparkSession, path: String,
     * pointer alone decides that) and is readable only for forensics.
     * [[rollback]] never targets anything newer than the live version.
     */
-  def versions: Seq[String] = {
-    val p = new Path(path)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).toSeq.map(_.getPath.getName)
-      .filter(n => n.startsWith("v-") && fs.exists(new Path(s"$path/$n/_SUCCESS")))
-      .sorted.reverse
-  }
+  def versions: Seq[String] = VersionedLayout.completeVersions(fs, path)
 
   /** Read a specific on-disk version (time travel within the
     * retention window — the prior snapshot survives exactly one

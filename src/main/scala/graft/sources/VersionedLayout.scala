@@ -12,9 +12,12 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   *
   * Crash semantics: before publish, readers stay on the old version
   * and the orphan directory is GC'd by the next commit; after
-  * publish, only GC is delayed. The immediately-prior version is
-  * retained through GC so in-flight readers finish on intact files.
-  * Single-writer (the engine's pid-lock model); readers are lock-free.
+  * publish, only GC is delayed. A crash DURING the pointer write is
+  * covered by the write-ahead intent record (see [[publish]]): the
+  * heal path finishes the interrupted publish instead of guessing.
+  * The immediately-prior version is retained through GC so in-flight
+  * readers finish on intact files. Single-writer (the engine's
+  * pid-lock model); readers are lock-free.
   */
 object VersionedLayout {
 
@@ -22,30 +25,61 @@ object VersionedLayout {
 
   def pointer(root: String): Path = new Path(root, Current)
 
-  /** Published version name. The overwrite-PUT of the pointer is
-    * atomic on S3-class stores but truncate-then-write on HDFS/posix,
-    * so an existing-but-empty OR partially-written pointer (a torn
-    * read like "v-000" passes a bare nonEmpty check but names no
-    * directory) marks the mid-publish window: content is validated
-    * against the `v-NNNNNNNN` shape, retried briefly, then healed
-    * from the newest fully-committed (`_SUCCESS`-bearing) version —
-    * under single-writer that is the version being published. An
-    * absent pointer means the un-versioned legacy layout (no
-    * fallback: unpublished versions must stay invisible).
+  /** Write-ahead intent record: the full pointer content, written
+    * BEFORE any mutation of `_CURRENT`. If a reader catches the
+    * pointer torn or momentarily absent, the intent names the exact
+    * version the interrupted publish was installing — which under
+    * single-writer is the newest commit decision, for forward commits
+    * and rollbacks alike.
+    */
+  def intent(root: String): Path = new Path(root, s"$Current.tmp")
+
+  /** Complete (`_SUCCESS`-bearing) version directories on disk,
+    * newest first — the single definition of "a finished write"
+    * shared by the heal fallback and [[ParquetTable.versions]], so
+    * the two can never drift. Presence here does NOT imply the
+    * version was ever published; the pointer decides that.
+    */
+  def completeVersions(fs: FileSystem, root: String): Seq[String] = {
+    val p = new Path(root)
+    if (!fs.exists(p)) Seq.empty
+    else fs.listStatus(p).toSeq.map(_.getPath.getName)
+      .filter(n => n.startsWith("v-") && fs.exists(new Path(s"$root/$n/_SUCCESS")))
+      .sorted.reverse
+  }
+
+  /** Published version name.
+    *
+    * A well-formed pointer answers directly. A torn pointer (a
+    * truncate-then-write store caught mid-PUT: empty content, or a
+    * partial value like "v-000" that passes a bare nonEmpty check but
+    * names no directory) or a pointer momentarily ABSENT while an
+    * overwrite-rename swaps it marks the mid-publish window; then:
+    *
+    *  1. the write-ahead intent, if readable and well-formed, names
+    *     the version being installed — heal to IT (this finishes the
+    *     interrupted publish, so a crashed ROLLBACK heals to the
+    *     rollback target, never back to the version being demoted);
+    *  2. otherwise retry the pointer briefly (the PUT usually
+    *     completes in microseconds);
+    *  3. otherwise fall back to the newest complete version.
+    *
+    * A pointer absent WITHOUT an intent record means the un-versioned
+    * legacy layout (no fallback: unpublished versions must stay
+    * invisible).
     */
   def currentVersion(fs: FileSystem, root: String): Option[String] = {
     def wellFormed(s: String): Boolean = s.matches("v-\\d{8}")
-    def readPointer(): Option[String] =
-      if (!fs.exists(pointer(root))) None
+    def readFile(p: Path): Option[String] =
+      if (!fs.exists(p)) None
       else {
-        val in = fs.open(pointer(root))
+        val in = fs.open(p)
         try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
         finally in.close()
       }
-    readPointer() match {
-      case None => None
-      case Some(s) if wellFormed(s) => Some(s)
-      case Some(_) =>
+    def readPointer(): Option[String] = readFile(pointer(root))
+    def heal(): Option[String] =
+      readFile(intent(root)).filter(wellFormed).orElse {
         var attempt = 0
         var v: Option[String] = None
         while (attempt < 3 && v.isEmpty) {
@@ -53,13 +87,13 @@ object VersionedLayout {
           v = readPointer().filter(wellFormed)
           attempt += 1
         }
-        v.orElse {
-          fs.listStatus(new Path(root)).toSeq
-            .map(_.getPath.getName)
-            .filter(n => n.startsWith("v-") &&
-              fs.exists(new Path(s"$root/$n/_SUCCESS")))
-            .sorted.lastOption
-        }
+        v
+      }.orElse(completeVersions(fs, root).headOption)
+    readPointer() match {
+      case Some(s) if wellFormed(s) => Some(s)
+      case Some(_) => heal() // torn content
+      case None if fs.exists(intent(root)) => heal() // mid-swap window
+      case None => None // legacy layout / never published
     }
   }
 
@@ -73,41 +107,68 @@ object VersionedLayout {
   def nextVersion(prior: Option[String]): String =
     "v-%08d".format(prior.map(_.stripPrefix("v-").toInt + 1).getOrElse(0))
 
-  /** Atomically publish a version: the single small-object PUT.
+  /** Per-scheme cache: does this store expose an atomic overwrite
+    * rename through FileContext? Probed once, not re-discovered by
+    * exception on every commit.
+    */
+  private val renameCapable =
+    new java.util.concurrent.ConcurrentHashMap[String, java.lang.Boolean]()
+
+  private def renameOverwrite(fs: FileSystem, src: Path, dst: Path): Boolean = {
+    val scheme = String.valueOf(fs.getUri.getScheme)
+    val capable = renameCapable.computeIfAbsent(scheme, _ =>
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+        java.lang.Boolean.TRUE
+      } catch {
+        case _: org.apache.hadoop.fs.UnsupportedFileSystemException =>
+          java.lang.Boolean.FALSE
+      })
+    capable.booleanValue && (
+      try {
+        org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
+          .rename(src, dst, org.apache.hadoop.fs.Options.Rename.OVERWRITE)
+        true
+      } catch {
+        case _: UnsupportedOperationException =>
+          renameCapable.put(scheme, java.lang.Boolean.FALSE); false
+      })
+  }
+
+  /** Atomically publish a version.
     *
-    * On rename-capable stores (HDFS/posix/local) the pointer is
-    * written to a temp file and renamed over `_CURRENT` with
-    * OVERWRITE — a single-FILE rename, atomic on those stores (it is
-    * TABLE-directory renames that are forbidden by the protocol), so
-    * a reader can never observe a torn pointer and a crash mid-publish
-    * leaves the old pointer intact. Object stores without usable
-    * rename fall back to the direct create — their single-object PUT
-    * is already atomic, which is the protocol's founding assumption.
-    * The torn-pointer heal in [[currentVersion]] stays as defense for
-    * pointers written by older code.
+    * Always writes the write-ahead intent first: from that moment any
+    * reader that catches the pointer mid-change resolves to `version`
+    * (see [[currentVersion]]). Then the pointer itself is installed by
+    * an atomic single-FILE overwrite-rename where the store provides
+    * one (HDFS rename2, posix rename — it is TABLE-directory renames
+    * the protocol forbids, not these), else by a direct PUT (atomic on
+    * object stores, and on truncate-then-write stores the torn window
+    * is covered by the intent) followed by intent cleanup. A transient
+    * rename IOException propagates — the pointer is then either intact
+    * or healed from the intent, never silently downgraded to a
+    * non-atomic write path.
     */
   def publish(fs: FileSystem, root: String, version: String): Unit = {
     val bytes = version.getBytes(java.nio.charset.StandardCharsets.UTF_8)
-    val tmp = new Path(root, s"$Current.tmp")
     def put(p: Path): Unit = {
       val out = fs.create(p, true)
       try out.write(bytes) finally out.close()
     }
-    try {
-      put(tmp)
-      org.apache.hadoop.fs.FileContext.getFileContext(fs.getUri, fs.getConf)
-        .rename(tmp, pointer(root), org.apache.hadoop.fs.Options.Rename.OVERWRITE)
-    } catch {
-      case _: UnsupportedOperationException | _: java.io.IOException =>
-        // no atomic file rename on this store: direct PUT (atomic there)
-        if (fs.exists(tmp)) fs.delete(tmp, false)
-        put(pointer(root))
+    put(intent(root))
+    // successful rename consumes the intent file; the fallback PUT
+    // deletes it once the pointer is durably in place
+    if (!renameOverwrite(fs, intent(root), pointer(root))) {
+      put(pointer(root))
+      fs.delete(intent(root), false)
     }
   }
 
   /** Remove everything under the root except the pointer and `keep`
     * (live + retained prior snapshot): older versions, crashed
-    * un-published writes, and pre-versioning legacy data files.
+    * un-published writes, stale intent records, and pre-versioning
+    * legacy data files. Runs after publish under the single-writer
+    * model, so a live intent record is never present here.
     */
   def gc(fs: FileSystem, root: String, keep: Set[String]): Unit =
     fs.listStatus(new Path(root)).foreach { st =>

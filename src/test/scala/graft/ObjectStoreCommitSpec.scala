@@ -9,7 +9,7 @@ import org.apache.spark.sql.DataFrame
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.ops.TableOps
-import graft.sources.ParquetTable
+import graft.sources.{ParquetTable, VersionedLayout}
 
 /** Simulates an S3-class object store with NO usable rename: any
   * table-level rename (staging swaps, publish-by-rename) throws.
@@ -193,6 +193,38 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     val e = intercept[IllegalArgumentException](t.rollback())
     assert(e.getMessage.contains("no prior snapshot"))
     assert(t.read.count() === 1)
+  }
+
+  test("a torn pointer heals to the write-ahead intent: crashed rollback stays rolled back") {
+    val t = tmpTable()
+    t.overwrite(rows(1L -> "good")) // v-00000000
+    t.overwrite(rows(2L -> "bad"))  // v-00000001 live
+    val fs = new Path(t.path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def write(p: Path, s: String): Unit = {
+      val out = fs.create(p, true)
+      try out.write(s.getBytes("UTF-8")) finally out.close()
+    }
+    // simulate rollback() crashing mid-pointer-PUT: the intent record
+    // names the rollback target, the pointer is torn
+    write(VersionedLayout.intent(t.path), "v-00000000")
+    write(VersionedLayout.pointer(t.path), "v-0")
+    // newest-_SUCCESS fallback would resurrect the bad v1; the intent
+    // must win
+    assert(t.read.as[(Long, String)].collect().toSeq === Seq(1L -> "good"))
+  }
+
+  test("an absent pointer with a live intent reads as the in-flight publish") {
+    val t = tmpTable()
+    t.overwrite(rows(1L -> "a")) // v-00000000
+    t.overwrite(rows(2L -> "b")) // v-00000001
+    val fs = new Path(t.path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    // mid-overwrite-rename window: pointer momentarily gone, intent present
+    val out = fs.create(VersionedLayout.intent(t.path), true)
+    try out.write("v-00000001".getBytes("UTF-8")) finally out.close()
+    fs.delete(VersionedLayout.pointer(t.path), false)
+    assert(t.read.as[(Long, String)].collect().toSeq === Seq(2L -> "b"))
   }
 
   test("publishVersion redoes a mistaken rollback") {
