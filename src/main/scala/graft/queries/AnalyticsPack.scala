@@ -1181,8 +1181,71 @@ object AnalyticsPack {
         max(ca * cb) AS max_key_fanout
       FROM a JOIN b USING (k)"""))
 
+  /** Hot-key skew report — q93's operational companion: the top-20
+    * heaviest join/shuffle keys with their share of total rows, the
+    * list an engineer reads before choosing a salting factor or
+    * trusting AQE's skew split. Per-key counts pre-reduce map-side;
+    * the top-k is a TakeOrderedAndProject over the count table (k
+    * rows per partition to the driver, no global sort); the share
+    * divides two exactly-agreed longs against a 1-row broadcast
+    * total.
+    */
+  private val q95 = QueryDef(
+    "q95_hot_keys",
+    (s, dir) => {
+      val per = Tables.lineitem(s, dir)
+        .groupBy(col("l_orderkey").as("k")).agg(count(lit(1)).as("c"))
+      val total = per.agg(sum(col("c")).as("total"))
+      per.join(broadcast(total))
+        .withColumn("share", col("c").cast("double") / col("total").cast("double"))
+        .orderBy(col("c").desc, col("k").asc)
+        .limit(20)
+    },
+    Some("""WITH per AS (SELECT l_orderkey AS k, count(*) AS c
+        FROM lineitem GROUP BY 1),
+      t AS (SELECT sum(c)::BIGINT AS total FROM per)
+      SELECT k, c, total,
+        c::DOUBLE / total::DOUBLE AS share
+      FROM per, t
+      ORDER BY c DESC, k ASC LIMIT 20"""))
+
+  /** Inter-arrival latency percentiles per event type (q89's
+    * distribution companion): exact p50/p95/p99 over the integer
+    * microsecond gaps — the long-tail view a mean hides. Gaps come
+    * from the one lag-window shuffle on user_id; `percentile` over
+    * longs is exact and maps 1:1 to DuckDB's quantile_cont (the q41
+    * correspondence).
+    */
+  private val q96 = QueryDef(
+    "q96_gap_percentiles",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("user_id"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+        .filter(col("next_us").isNotNull)
+        .withColumn("gap_us", col("next_us") - unix_micros(col("ts")))
+        .groupBy(col("event_type"))
+        .agg(count(lit(1)).as("n_gaps"),
+          expr("percentile(gap_us, array(0.5D, 0.95D, 0.99D))").as("qs"))
+        .select(col("event_type"), col("n_gaps"),
+          col("qs")(0).as("p50_us"), col("qs")(1).as("p95_us"),
+          col("qs")(2).as("p99_us"))
+    },
+    Some("""WITH g AS (SELECT event_type,
+          lead(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+            - epoch_us(ts) AS gap_us
+        FROM events)
+      SELECT event_type, count(*) AS n_gaps,
+        quantile_cont(gap_us, 0.50) AS p50_us,
+        quantile_cont(gap_us, 0.95) AS p95_us,
+        quantile_cont(gap_us, 0.99) AS p99_us
+      FROM g WHERE gap_us IS NOT NULL
+      GROUP BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
-    q88, q89, q92, q93)
+    q88, q89, q92, q93, q95, q96)
 }
