@@ -28,7 +28,24 @@ final class JdbcConnection(spark: SparkSession, val name: String,
 
   private def reader = spark.read.format("jdbc").option("url", url).options(common)
 
+  /** Identifier values (table/column names) are spliced into SQL text,
+    * so they are restricted to word characters and dots, optionally
+    * double-quoted — a name arriving from config, a catalog listing,
+    * or user input cannot smuggle SQL (`x) q; DROP ...`) into the
+    * endpoint. Returns the BARE name (quotes stripped); call sites
+    * decide quoting. Exotic identifiers go through [[query]], where
+    * the caller owns the SQL.
+    */
+  private def safeIdent(s: String): String = {
+    val bare =
+      if (s.length > 1 && s.head == '"' && s.last == '"') s.substring(1, s.length - 1)
+      else s
+    require(bare.matches("[A-Za-z0-9_.]+"), s"unsafe SQL identifier: '$s'")
+    bare
+  }
+
   override def getAll(table: String): DataFrame = {
+    safeIdent(table)
     val base = opts.get("partitionColumn") match {
       case Some(pc) =>
         // Partitioned range scan replacing the reference's LIMIT-offset
@@ -37,8 +54,13 @@ final class JdbcConnection(spark: SparkSession, val name: String,
         // quoted identifiers, so unquoted references may not resolve
         // (e.g. Derby upper-cases them).
         val bounds = reader.option("dbtable",
-          s"""(SELECT min("$pc") lo, max("$pc") hi FROM $table) b""").load().head()
-        reader.option("dbtable", table)
+          s"""(SELECT min("${safeIdent(pc)}") lo, max("${safeIdent(pc)}") hi FROM $table) b""")
+          .load().head()
+        if (bounds.isNullAt(0))
+          // empty table: no range to partition (and .toString on the
+          // NULL bound would NPE) — a plain scan of zero rows
+          reader.option("dbtable", table).load()
+        else reader.option("dbtable", table)
           .option("partitionColumn", pc)
           .option("lowerBound", bounds.get(0).toString)
           .option("upperBound", bounds.get(1).toString)
@@ -67,40 +89,75 @@ final class JdbcConnection(spark: SparkSession, val name: String,
   override def describe(table: String): StructType = getAll(table).schema
 
   override def getMax(table: String, column: String): Option[Any] = {
-    val row = query(s"SELECT MAX($column) AS mx FROM $table").head()
+    safeIdent(table)
+    val c = safeIdent(column)
+    // endpoints differ on whether Spark-written identifiers are quoted
+    // case-preserved or normalized: try the quoted form first (matches
+    // the partitionColumn path), fall back to unquoted
+    val row =
+      try query(s"""SELECT MAX("$c") AS mx FROM $table""").head()
+      catch { case _: Exception =>
+        query(s"SELECT MAX($c) AS mx FROM $table").head()
+      }
     if (row.isNullAt(0)) None else Some(row.get(0))
   }
 
-  private def tableExists(table: String): Boolean =
-    try { reader.option("dbtable", table).load().schema; true }
-    catch { case _: Exception => false }
+  /** Existence via JDBC catalog metadata, NOT a probe read: a probe
+    * that swallows every exception turns a transient endpoint outage
+    * into "table absent", silently downgrading a keyed merge to a
+    * plain append (duplicate rows, no error). Here an outage fails the
+    * connection attempt and propagates.
+    */
+  private def tableExists(table: String): Boolean = {
+    val props = new java.util.Properties()
+    common.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try {
+      val md = conn.getMetaData
+      def probe(n: String): Boolean = {
+        val rs = md.getTables(null, null, n, null)
+        try rs.next() finally rs.close()
+      }
+      val bare = safeIdent(table).split("\\.").last
+      probe(bare) || probe(bare.toUpperCase) || probe(bare.toLowerCase)
+    } finally conn.close()
+  }
 
-  private def write(data: DataFrame, table: String, mode: SaveMode): Unit =
+  private def write(data: DataFrame, table: String, mode: SaveMode,
+      truncate: Boolean = false): Unit =
     data.write.format("jdbc").option("url", url).options(common)
-      .option("dbtable", table).mode(mode).save()
+      .option("dbtable", safeIdent(table))
+      .option("truncate", truncate.toString).mode(mode).save()
 
   /** S9/O1 with real merge semantics (the reference pushes
     * `ON DUPLICATE KEY UPDATE` / `MERGE INTO`, mysql.js:369-377,
     * snowflake.js:347-397): Spark's JDBC writer has no keyed merge, so
-    * merge = read dest → [[graft.ops.Upsert]] → overwrite-with-truncate
-    * writeback. That round-trips the destination table through the
-    * cluster — correct, transactional at the endpoint, and fine for the
+    * merge = read dest → [[graft.ops.Upsert]] → TRUNCATE + reload.
+    * `truncate=true` makes SaveMode.Overwrite issue `TRUNCATE TABLE`
+    * instead of DROP/CREATE, so the endpoint's own DDL — primary keys,
+    * indexes, column types — survives the merge. The merged batch is
+    * checkpointed BEFORE the truncate (the classic JDBC
+    * read-modify-write hazard), so the reload never scans the table it
+    * is replacing; a crash between truncate and reload loses the merge
+    * window, which is the endpoint-transactionality limit of any
+    * truncate-reload scheme (the reference's staged-table MERGE has the
+    * endpoint do this atomically — for endpoints that need that, push
+    * the merged frame to a staging table via [[query]]). Fine for the
     * dimension-table sizes JDBC endpoints hold; a 100 TB fact table
     * belongs on a FileConnection where upsert rewrites only affected
     * partitions.
     */
   override def insertData(table: String, data: DataFrame, key: String,
-      mergeOnDuplicates: Boolean): Unit =
+      mergeOnDuplicates: Boolean): Unit = {
+    safeIdent(table)
     if (mergeOnDuplicates && tableExists(table)) {
       val merged = graft.ops.Upsert(reader.option("dbtable", table).load(), data, Seq(key))
-      // truncate keeps the table + endpoint DDL; localCheckpoint cuts
-      // the lineage so the overwrite does not scan the table it is
-      // truncating (classic JDBC read-modify-write hazard).
       write(merged.localCheckpoint(eager = true), table,
-        SaveMode.Overwrite)
+        SaveMode.Overwrite, truncate = true)
     } else {
       write(data, table, SaveMode.Append)
     }
+  }
 
   /** O2: fullMerge drops and replaces (mysql.js:567-570); incremental
     * merges on the key (mysql.js:572-591).

@@ -22,7 +22,11 @@ import scala.util.{Failure, Success, Try}
 final class Book(val name: String, val options: BookOptions = BookOptions()) {
   private val chapters = mutable.ArrayBuffer.empty[Chapter]
   private val listeners = mutable.ArrayBuffer.empty[StateEvent => Unit]
-  val data: mutable.Map[String, Any] = mutable.Map.empty // book.data scratch (lib/book.js:40)
+  // book.data scratch (lib/book.js:40). TrieMap, not mutable.Map: the
+  // reference is single-threaded but pages here genuinely run
+  // concurrently (threads > 1), and a plain HashMap corrupts under
+  // concurrent put.
+  val data: mutable.Map[String, Any] = scala.collection.concurrent.TrieMap.empty
 
   def addChapter(priority: Int, chapterName: String, threads: Int = 1): Chapter = {
     val c = new Chapter(this, priority, chapterName, threads)
@@ -123,36 +127,54 @@ final class Chapter(book: Book, val priority: Int, val name: String, threads: In
   }
 }
 
-/** Single-instance lock (`ensurePid`, `lib/book.js:84-101`): throws if
-  * a live pid holds the lock; stale pids (dead process) are stolen.
+/** Single-instance lock (`ensurePid`, `lib/book.js:84-101`): throws
+  * (reporting the holder's pid, the reference's error shape) if a live
+  * process holds the lock.
+  *
+  * Held as an OS advisory file lock, not a pid-liveness protocol: the
+  * lock dies WITH the process, so a crashed book needs no stale-pid
+  * stealing (the file may linger but is unlocked and simply
+  * re-acquired), and there is no read-check-delete window in which two
+  * losers can each free the other's freshly re-acquired lock — the
+  * race that makes every delete-based steal unsound. The pid is still
+  * written into the file for the error message and for humans.
   */
-final class PidLock private (path: java.nio.file.Path) {
-  def release(): Unit = java.nio.file.Files.deleteIfExists(path)
+final class PidLock private (path: java.nio.file.Path,
+    ch: java.nio.channels.FileChannel) {
+  def release(): Unit = {
+    try ch.close() // releases the OS lock
+    finally java.nio.file.Files.deleteIfExists(path)
+  }
 }
 object PidLock {
-  /** Atomic-create (CREATE_NEW) instead of exists-then-write: two
-    * simultaneous starts race the exists check, but only one can win
-    * the atomic create; the loser re-examines the owner and either
-    * throws (alive) or steals the stale file and retries.
-    */
-  @annotation.tailrec
   def acquire(dir: String, name: String): PidLock = {
     val d = java.nio.file.Paths.get(dir)
     java.nio.file.Files.createDirectories(d)
     val p = d.resolve(s"$name.pid")
-    val won =
-      try {
-        java.nio.file.Files.write(p, ProcessHandle.current().pid().toString.getBytes,
-          java.nio.file.StandardOpenOption.CREATE_NEW)
-        true
-      } catch { case _: java.nio.file.FileAlreadyExistsException => false }
-    if (won) new PidLock(p)
-    else {
-      val old = new String(java.nio.file.Files.readAllBytes(p)).trim
-      val alive = Try(ProcessHandle.of(old.toLong).map(_.isAlive).orElse(false)).getOrElse(false)
-      if (alive) throw new IllegalStateException(s"pid $old already running book $name")
-      java.nio.file.Files.deleteIfExists(p)
-      acquire(dir, name)
+    val ch = java.nio.channels.FileChannel.open(p,
+      java.nio.file.StandardOpenOption.CREATE,
+      java.nio.file.StandardOpenOption.READ,
+      java.nio.file.StandardOpenOption.WRITE)
+    val lock =
+      try Option(ch.tryLock())
+      catch { // same-JVM holder surfaces as Overlapping, not null
+        case _: java.nio.channels.OverlappingFileLockException => None
+      }
+    lock match {
+      case None =>
+        val old =
+          try {
+            val buf = java.nio.ByteBuffer.allocate(64)
+            val n = ch.read(buf, 0)
+            if (n <= 0) "?" else new String(buf.array(), 0, n, "UTF-8").trim
+          } finally ch.close()
+        throw new IllegalStateException(s"pid $old already running book $name")
+      case Some(_) =>
+        ch.truncate(0)
+        ch.write(java.nio.ByteBuffer.wrap(
+          ProcessHandle.current().pid().toString.getBytes("UTF-8")), 0)
+        ch.force(true)
+        new PidLock(p, ch)
     }
   }
 }

@@ -172,6 +172,11 @@ object Kernels {
     */
   def sortedPairs(ids: ArrayData): ArrayData = {
     val n = ids.numElements()
+    // n*(n-1)/2 in Int wraps at n = 65536 — a silent too-small
+    // allocation, not an error. Buckets this size mean a missing
+    // upstream cap (CappedCollect / maxBucket), so reject loudly.
+    require(n <= 65535,
+      s"pair expansion of a $n-element bucket overflows (cap the bucket upstream)")
     val a = ids.toLongArray()
     java.util.Arrays.sort(a)
     val out = new Array[AnyRef](n * (n - 1) / 2)
@@ -198,6 +203,8 @@ object Kernels {
     */
   def sortedPairsWithSizes(ids: ArrayData, ns: ArrayData): ArrayData = {
     val n = ids.numElements()
+    require(n <= 65535,
+      s"pair expansion of a $n-element bucket overflows (cap the bucket upstream)")
     val id = ids.toLongArray()
     val sz = ns.toIntArray()
     // indirect sort by id, carrying the payload
@@ -302,10 +309,12 @@ object Kernels {
     while (w < n) {
       val start = w * factor
       val end = math.min(start + factor, payload.length)
-      var s = 0
+      // Long accumulator: an Int sum wraps once factor × 255 passes
+      // Int.MaxValue (~8.4M-byte windows) — silent garbage, not an error
+      var s = 0L
       var i = start
       while (i < end) { s += payload(i) & 0xff; i += 1 }
-      out(w) = (s / (end - start)).toLong
+      out(w) = s / (end - start)
       w += 1
     }
     new GenericArrayData(out)

@@ -39,7 +39,12 @@ object TableOps {
   def insertData(t: ParquetTable, data: DataFrame, key: String = "id",
       mergeOnDuplicates: Boolean = true, orderBy: Seq[String] = Nil): Unit = {
     if (!t.exists) {
-      t.overwrite(if (mergeOnDuplicates) data.dropDuplicates(key) else data,
+      // first batch obeys the same keep-latest rule as every merge —
+      // dropDuplicates alone would let a stale row win the initial
+      // load and poison all subsequent upserts
+      t.overwrite(
+        if (mergeOnDuplicates) Upsert.dedupPerKey(data, Seq(key), orderBy)
+        else data,
         distKey = Some(key))
       return
     }

@@ -25,18 +25,27 @@ object Upsert {
     */
   def apply(dest: DataFrame, src: DataFrame, keys: Seq[String],
       orderBy: Seq[String] = Nil): DataFrame = {
-    val srcOne =
-      if (orderBy.nonEmpty) {
-        val w = Window.partitionBy(keys.map(col): _*)
-          .orderBy(orderBy.map(c => col(c).desc): _*)
-        src.withColumn("__rn", row_number().over(w))
-          .filter(col("__rn") === 1).drop("__rn")
-      } else src.dropDuplicates(keys)
+    val srcOne = dedupPerKey(src, keys, orderBy)
     val destAligned = align(dest, srcOne)
     val srcAligned = align(srcOne, destAligned)
     destAligned.join(srcAligned.select(keys.map(col): _*), keys, "left_anti")
       .unionByName(srcAligned)
   }
+
+  /** Keep-one row per key: keep-latest by `orderBy` descending when
+    * given, else an arbitrary single row. The SAME rule must apply on
+    * a table's very first batch as on every later merge (a stale row
+    * winning the initial load poisons all subsequent upserts), which
+    * is why this is shared rather than inlined in [[apply]].
+    */
+  def dedupPerKey(src: DataFrame, keys: Seq[String],
+      orderBy: Seq[String] = Nil): DataFrame =
+    if (orderBy.nonEmpty) {
+      val w = Window.partitionBy(keys.map(col): _*)
+        .orderBy(orderBy.map(c => col(c).desc): _*)
+      src.withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+    } else src.dropDuplicates(keys)
 
   /** Append-or-fail (`mergeOnDuplicates=false`, mysql.js:369-377 else
     * branch): plain append; key uniqueness is the caller's contract.

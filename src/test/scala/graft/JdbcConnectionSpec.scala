@@ -87,4 +87,33 @@ class JdbcConnectionSpec extends AnyFunSuite {
     val n = c.query("SELECT count(*) AS n FROM t_part").head().get(0).toString.toLong
     assert(n === 100L)
   }
+
+  test("partitioned getAll of an EMPTY table returns empty, not NPE") {
+    val c = conn()
+    c.insertData("t_empty", df(1L -> "x"), key = "id", mergeOnDuplicates = false)
+    // empty it the blunt way: full-merge from an empty frame is not
+    // possible via the API, so just create-and-read a fresh table with
+    // zero rows via append of limit(0)
+    c.insertData("t_empty0", df(1L -> "x").limit(0), key = "id", mergeOnDuplicates = false)
+    val part = conn("partitionColumn" -> "id")
+    assert(part.getAll("t_empty0").count() === 0L)
+  }
+
+  test("identifier values cannot smuggle SQL") {
+    val c = conn()
+    intercept[IllegalArgumentException](
+      c.getMax("t_part", "id) FROM t_part; --"))
+    intercept[IllegalArgumentException](
+      c.getAll("t_part) q; DROP TABLE t_part; --"))
+    // the table survives the attempts
+    assert(c.getAll("t_part").count() === 100L)
+  }
+
+  test("keyed merge survives with endpoint row count intact after truncate-reload") {
+    val c = conn()
+    c.insertData("t_trunc", df(1L -> "a", 2L -> "b"), key = "id", mergeOnDuplicates = true)
+    c.insertData("t_trunc", df(2L -> "B", 3L -> "c"), key = "id", mergeOnDuplicates = true)
+    val got = c.getAll("t_trunc").as[(Long, String)].collect().toMap
+    assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
 }

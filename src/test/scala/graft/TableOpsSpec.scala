@@ -73,6 +73,18 @@ class TableOpsSpec extends AnyFunSuite {
     assert(got(0).getAs[String]("v") == "new")
   }
 
+  test("the FIRST batch obeys keep-latest too (table does not exist yet)") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-first").resolve("t").toString
+    val t = graft.sources.ParquetTable(TestSpark.spark, dir)
+    // both versions of key 1 arrive in the table-creating batch; the
+    // ts=3 row must win exactly as it would in a later merge
+    val batch = Seq((1L, "stale", 2L), (1L, "latest", 3L), (2L, "b", 1L))
+      .toDF("id", "v", "updated_at")
+    TableOps.insertData(t, batch, key = "id", orderBy = Seq("updated_at"))
+    val got = t.read.collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "latest", 2L -> "b"))
+  }
+
   test("upsert is idempotent (re-apply same batch)") {
     val dest = Seq((1L, "a"), (2L, "b")).toDF("id", "v")
     val src = Seq((2L, "B"), (3L, "c")).toDF("id", "v")
