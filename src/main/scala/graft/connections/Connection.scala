@@ -69,6 +69,15 @@ final case class DumpSummary(path: String, rows: Long, bytes: Long) {
   * phantom records. One pass, one snapshot, one number.
   */
 object Connections {
+  /** Tables a SQL statement references, by case-insensitive
+    * word-boundary scan (Spark resolves identifiers case-insensitively
+    * by default, so the registration scan must too).
+    */
+  def referencedTables(catalog: Seq[String], sql: String): Seq[String] =
+    catalog.filter(t =>
+      ("""(?i)\b""" + java.util.regex.Pattern.quote(t) + """\b""").r
+        .findFirstIn(sql).isDefined)
+
   def dumpTo(spark: SparkSession, df: DataFrame, path: String,
       fmt: String): DumpSummary = {
     val obs = new org.apache.spark.sql.Observation()

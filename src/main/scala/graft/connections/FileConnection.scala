@@ -24,7 +24,17 @@ final class FileConnection(spark: SparkSession, val name: String,
     if (fs.exists(new Path(flat))) flat else s"$root/$table"
   }
 
-  def table(tableName: String): ParquetTable = ParquetTable(spark, pathOf(tableName))
+  def table(tableName: String): ParquetTable = {
+    // the mutable-table machinery (versioned commits, keyed merge) is
+    // parquet-shaped: routing a csv/json connection through it would
+    // WRITE parquet that the format-specific getAll then misreads as
+    // csv/json garbage — fail fast instead
+    require(format == "parquet",
+      s"keyed writes need a parquet connection; '$name' is format=$format " +
+        "(csv/json connections are scan/dump endpoints — stage into a " +
+        "parquet connection to merge)")
+    ParquetTable(spark, pathOf(tableName))
+  }
 
   override def getAll(tableName: String): DataFrame = {
     val df = format match {
@@ -43,14 +53,14 @@ final class FileConnection(spark: SparkSession, val name: String,
   }
 
   /** S6 passthrough. Registers only the tables the SQL references (a
-    * word-boundary scan over the catalog) — registering everything
-    * costs a directory listing plus N schema reads per query.
+    * word-boundary scan over the catalog, CASE-INSENSITIVE to match
+    * Spark's default identifier resolution — `FROM Users` must find
+    * the `users` table) — registering everything costs a directory
+    * listing plus N schema reads per query.
     */
   override def query(sql: String): DataFrame = {
-    val referenced = listTables.filter(t =>
-      ("""\b""" + java.util.regex.Pattern.quote(t) + """\b""").r
-        .findFirstIn(sql).isDefined)
-    referenced.foreach(t => getAll(t).createOrReplaceTempView(t))
+    Connections.referencedTables(listTables, sql)
+      .foreach(t => getAll(t).createOrReplaceTempView(t))
     spark.sql(sql)
   }
 

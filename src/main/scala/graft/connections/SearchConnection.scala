@@ -73,8 +73,15 @@ final class SearchConnection(spark: SparkSession, val name: String,
     }
   }
 
+  /** Registers only the indices the SQL references (case-insensitive
+    * word-boundary scan, like [[FileConnection.query]]): eager
+    * registration would pay each index's `retypeDates` aggregate scan
+    * — a full pass over every index in the base path — for a query
+    * that touches one of them.
+    */
   override def query(sql: String): DataFrame = {
-    listTables.foreach(i => getAll(i).createOrReplaceTempView(i))
+    Connections.referencedTables(listTables, sql)
+      .foreach(i => getAll(i).createOrReplaceTempView(i))
     spark.sql(sql)
   }
 
@@ -88,6 +95,9 @@ final class SearchConnection(spark: SparkSession, val name: String,
   override def describe(index: String): StructType = getAll(index).schema
 
   override def getMax(index: String, column: String): Option[Any] = {
+    // absent index = no watermark (first incremental run starts a full
+    // load), matching FileConnection — not a PATH_NOT_FOUND abort
+    if (!indexExists(index)) return None
     val row = getAll(index).agg(max(col(column))).head()
     if (row.isNullAt(0)) None else Some(row.get(0))
   }
@@ -129,6 +139,10 @@ final class SearchConnection(spark: SparkSession, val name: String,
     val target = new Path(root, next)
     if (fs.exists(target)) fs.delete(target, true) // crash leftover
     df.write.mode("overwrite")
+      // force UTC rendering: under a non-UTC session tz the offset
+      // would print as "-04" instead of "Z", failing IsoRe on re-read
+      // and silently flipping the column back to string
+      .option("timeZone", "UTC")
       .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSX")
       .json(target.toString)
     V.publish(fs, root, next)

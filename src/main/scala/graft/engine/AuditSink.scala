@@ -17,9 +17,11 @@ final class AuditSink(spark: SparkSession) {
 
   def attach(book: Book): this.type = { book.onState(events.add(_)); this }
 
-  def toDf: DataFrame = {
+  def toDf: DataFrame = toDf(events.asScala.toSeq)
+
+  private def toDf(snapshot: Seq[StateEvent]): DataFrame = {
     import spark.implicits._
-    val rows = events.asScala.toSeq.map { e =>
+    val rows = snapshot.map { e =>
       (e.state, new java.sql.Timestamp(e.timeMs), e.name, e.durationSec,
         graft.util.Json.obj(e.data.toSeq.sorted))
     }
@@ -27,11 +29,16 @@ final class AuditSink(spark: SparkSession) {
   }
 
   /** Flush collected events to the audit table (append — the audit log
-    * is append-only by contract).
+    * is append-only by contract). Drains by `poll()`, NOT
+    * snapshot-write-clear: a clear() after a long parquet write would
+    * unconditionally discard events enqueued concurrently (streaming
+    * listeners fire mid-flush) — a silent audit-log gap. Anything
+    * arriving after the drain waits for the next flush.
     */
   def flush(table: ParquetTable): Unit = {
-    table.append(toDf)
-    events.clear()
+    val drained = Iterator.continually(events.poll())
+      .takeWhile(_ != null).toSeq
+    if (drained.nonEmpty) table.append(toDf(drained))
   }
 
   /** Mirror Structured Streaming progress into the SAME audit shape

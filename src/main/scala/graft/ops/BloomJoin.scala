@@ -53,12 +53,19 @@ object BloomJoin {
 
   /** Inner equi-join with the probe side bloom-prefiltered. Result is
     * bit-identical to `fact.join(dim, factKey === dimKey)` — the join
-    * removes bloom false positives. DataFrame-qualified key refs, so
-    * same-named keys on both sides stay unambiguous.
+    * removes bloom false positives. Both sides are ALIASED and the
+    * keys alias-qualified: `pre(factKey) === dim(dimKey)` resolves to
+    * one attribute when fact and dim share lineage (a self-join to
+    * find within-set key overlap), which Spark either rejects as
+    * ambiguous or folds to always-true.
     */
   def innerWithBloom(fact: DataFrame, dim: DataFrame, factKey: String,
       dimKey: String, expectedItems: Long = 1000000L): DataFrame = {
     val pre = prefilter(fact, dim, factKey, dimKey, expectedItems)
-    pre.join(dim, pre(factKey) === dim(dimKey))
+      .alias("__bloom_probe")
+    val build = dim.alias("__bloom_build")
+    pre.join(build,
+      org.apache.spark.sql.functions.col(s"__bloom_probe.$factKey") ===
+        org.apache.spark.sql.functions.col(s"__bloom_build.$dimKey"))
   }
 }

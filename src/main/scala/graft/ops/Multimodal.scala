@@ -59,6 +59,9 @@ object Multimodal {
     * task that read them.
     */
   def frames(df: DataFrame, idCol: String, frameBytes: Int): DataFrame = {
+    // fail fast at the driver: frameBytes = 0 would make nFrames
+    // Infinity → Int.MaxValue and blow up sequence() deep inside a job
+    require(frameBytes > 0, s"frame size must be positive, got $frameBytes")
     val nFrames = greatest(
       ceil(octet_length(col("payload")).cast("double") / frameBytes).cast("int"),
       lit(1))

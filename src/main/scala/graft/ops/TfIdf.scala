@@ -29,6 +29,10 @@ object TfIdf {
       k: Int = 5): DataFrame = {
     val tf = docs
       .select(col(idCol), explode(TextKernels.tokens(col(textCol))).as("term"))
+      // the whitespace tokenizer emits "" for empty text or doubled
+      // spaces; an empty pseudo-term has a tiny df and would otherwise
+      // outscore every real keyword for the docs that carry it
+      .filter(col("term") =!= "")
       .groupBy(col(idCol), col("term"))
       .agg(count(lit(1)).as("tf"))
     val dfreq = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))

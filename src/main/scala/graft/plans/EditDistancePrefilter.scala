@@ -22,12 +22,19 @@ import org.apache.spark.sql.types.IntegerType
   */
 object EditDistancePrefilter extends Rule[LogicalPlan] {
 
+  /** Only for deterministic arguments: the bound re-evaluates a and b,
+    * and duplicating a nondeterministic expression (rand()-bearing)
+    * changes semantics — Catalyst's own rewrites guard the same way.
+    */
   private def boundFor(cmp: Expression): Option[Expression] = cmp match {
-    case LessThanOrEqual(Levenshtein(a, b, _), k @ Literal(_, IntegerType)) =>
+    case LessThanOrEqual(Levenshtein(a, b, _), k @ Literal(_, IntegerType))
+        if a.deterministic && b.deterministic =>
       Some(LessThanOrEqual(Abs(Subtract(Length(a), Length(b))), k))
-    case LessThan(Levenshtein(a, b, _), k @ Literal(_, IntegerType)) =>
+    case LessThan(Levenshtein(a, b, _), k @ Literal(_, IntegerType))
+        if a.deterministic && b.deterministic =>
       Some(LessThan(Abs(Subtract(Length(a), Length(b))), k))
-    case GreaterThanOrEqual(k @ Literal(_, IntegerType), Levenshtein(a, b, _)) =>
+    case GreaterThanOrEqual(k @ Literal(_, IntegerType), Levenshtein(a, b, _))
+        if a.deterministic && b.deterministic =>
       Some(GreaterThanOrEqual(k, Abs(Subtract(Length(a), Length(b)))))
     case _ => None
   }

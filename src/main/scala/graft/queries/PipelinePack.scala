@@ -664,6 +664,7 @@ object PipelinePack {
       Tables.documents(s, dir), "doc_id", "text", k = 5),
     Some(s"""WITH tf AS (SELECT doc_id, token AS term, count(*) AS tf
         FROM (SELECT doc_id, unnest($T) AS token FROM documents)
+        WHERE token <> ''
         GROUP BY doc_id, token),
       df AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
       n AS (SELECT count(*)::DOUBLE AS n FROM documents),

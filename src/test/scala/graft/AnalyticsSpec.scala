@@ -15,6 +15,16 @@ class AnalyticsSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("BloomJoin self-join (shared lineage) stays a keyed equi-join") {
+    import graft.ops.BloomJoin
+    val df = Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c")).toDF("k", "v")
+    // fact and dim are the SAME frame: unqualified key refs would
+    // resolve ambiguously (or fold to always-true → cartesian)
+    val got = BloomJoin.innerWithBloom(df, df, "k", "k", 100L).count()
+    val plain = df.as("x").join(df.as("y"), col("x.k") === col("y.k")).count()
+    assert(got === plain)
+  }
+
   test("BloomJoin prefilter keeps all matches, result equals plain join") {
     import graft.ops.BloomJoin
     val fact = (1L to 2000L).map(i => (i, s"f$i")).toDF("fk", "fv")

@@ -73,6 +73,16 @@ class FileConnectionSpec extends AnyFunSuite {
       "unreferenced tables must not be registered (each costs a schema read)")
   }
 
+  test("keyed writes on a csv connection fail fast instead of writing parquet") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-csvconn").toString
+    val c = new graft.connections.FileConnection(TestSpark.spark, "c", dir, "csv")
+    val e = intercept[IllegalArgumentException] {
+      import TestSpark.spark.implicits._
+      c.insertData("t", Seq((1L, "a")).toDF("id", "v"), "id", mergeOnDuplicates = true)
+    }
+    assert(e.getMessage.contains("parquet"))
+  }
+
   test("T2 getAllLimit caps; beyond Int.MaxValue means unlimited") {
     val root = freshConn().query("SELECT 1").sparkSession // just reuse session
     val c2 = freshConn(cap = Some(2L))

@@ -90,6 +90,26 @@ class SearchConnectionSpec extends AnyFunSuite {
     assert(df.count() === 2)
   }
 
+  test("timestamp round trip holds under a non-UTC session time zone") {
+    val prior = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try {
+      val es = fresh()
+      es.insertData("tz", Seq((1L, "2024-06-01T08:00:00.000Z")).toDF("id", "when"),
+        "id", mergeOnDuplicates = true)
+      // the writer must render UTC ("...Z"); a session-tz offset like
+      // "-04" would fail the ISO re-typing and flip the column to string
+      val df = es.getAll("tz")
+      assert(df.schema("when").dataType === TimestampType,
+        "column silently degraded to string after one upsert")
+    } finally spark.conf.set("spark.sql.session.timeZone", prior)
+  }
+
+  test("getMax on an absent index is None (first incremental run), not an abort") {
+    val es = fresh()
+    assert(es.getMax("never_written", "updatedAt") === None)
+  }
+
   test("listTables = showIndices; getMax; getAllLimit cap") {
     val dir = Files.createTempDirectory("graft-search").toString
     val es = new SearchConnection(spark, "es", dir)
