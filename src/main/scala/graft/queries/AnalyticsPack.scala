@@ -1244,8 +1244,46 @@ object AnalyticsPack {
       FROM g WHERE gap_us IS NOT NULL
       GROUP BY event_type"""))
 
+  /** Functional-dependency check (schema profiling): does column A
+    * determine column B? Exactly when |distinct A| = |distinct (A,B)|.
+    * The test a modeler runs before declaring a key or denormalizing —
+    * here over three candidate FDs on `part` (one true by
+    * construction, two empirically false). Each check pre-reduces to
+    * its DISTINCT value set before counting (two-level aggregation, no
+    * multi-distinct Expand), and the three 1-row results union —
+    * integer-exact everywhere.
+    */
+  private val q97 = QueryDef(
+    "q97_fd_check",
+    (s, dir) => {
+      val p = Tables.part(s, dir)
+      def check(lhs: String, rhs: String) = {
+        val nL = p.select(col(lhs)).distinct().agg(count(lit(1)).as("n_lhs"))
+        val nP = p.select(col(lhs), col(rhs)).distinct()
+          .agg(count(lit(1)).as("n_pair"))
+        nL.crossJoin(nP)
+          .select(lit(s"$lhs->$rhs").as("fd"), col("n_lhs"), col("n_pair"),
+            (col("n_lhs") === col("n_pair")).as("holds"))
+      }
+      check("p_partkey", "p_brand")
+        .unionByName(check("p_brand", "p_type"))
+        .unionByName(check("p_name", "p_size"))
+    },
+    Some("""WITH
+      a1 AS (SELECT count(*) AS n_lhs FROM (SELECT DISTINCT p_partkey FROM part)),
+      a2 AS (SELECT count(*) AS n_pair FROM (SELECT DISTINCT p_partkey, p_brand FROM part)),
+      b1 AS (SELECT count(*) AS n_lhs FROM (SELECT DISTINCT p_brand FROM part)),
+      b2 AS (SELECT count(*) AS n_pair FROM (SELECT DISTINCT p_brand, p_type FROM part)),
+      c1 AS (SELECT count(*) AS n_lhs FROM (SELECT DISTINCT p_name FROM part)),
+      c2 AS (SELECT count(*) AS n_pair FROM (SELECT DISTINCT p_name, p_size FROM part))
+      SELECT 'p_partkey->p_brand' AS fd, n_lhs, n_pair, n_lhs = n_pair AS holds FROM a1, a2
+      UNION ALL
+      SELECT 'p_brand->p_type' AS fd, n_lhs, n_pair, n_lhs = n_pair AS holds FROM b1, b2
+      UNION ALL
+      SELECT 'p_name->p_size' AS fd, n_lhs, n_pair, n_lhs = n_pair AS holds FROM c1, c2"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
-    q88, q89, q92, q93, q95, q96)
+    q88, q89, q92, q93, q95, q96, q97)
 }

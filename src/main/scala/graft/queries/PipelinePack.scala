@@ -744,19 +744,10 @@ object PipelinePack {
       FROM inv JOIN f USING (g)
       GROUP BY doc_id"""))
 
-  /** MinHash estimator calibration (Dedup.minhashCalibration): per
-    * LSH candidate pair, the signature-agreement estimate vs the
-    * exact shingle Jaccard and |error| — the parameter-tuning
-    * measurement for (bands × rows). Candidates from the q18 banding;
-    * integer agreement/intersection counts; identical float
-    * expression trees both engines.
+  /** Shared calibration-pipeline SQL: q86 emits the per-pair rows;
+    * q98 aggregates the same rows into a threshold confusion matrix.
     */
-  private val q86 = QueryDef(
-    "q86_minhash_calibration",
-    (s, dir) => graft.ops.Dedup.minhashCalibration(
-      Tables.documents(s, dir), "doc_id", "text",
-      shingleWords = 3, bands = 4, rowsPerBand = 4),
-    Some(s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
+  private val sqlCalibration: String = s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
       hs AS (SELECT doc_id, list_transform(s, t -> ${sqlHex60("t")}) AS sh
         FROM sh),
       sig AS (SELECT doc_id, list_transform(range(0, 16),
@@ -787,7 +778,21 @@ object PipelinePack {
         inter::DOUBLE / (sum_sizes - inter)::DOUBLE AS jaccard,
         abs(n_match::DOUBLE / 16
           - inter::DOUBLE / (sum_sizes - inter)::DOUBLE) AS abs_err
-      FROM scored"""))
+      FROM scored"""
+
+  /** MinHash estimator calibration (Dedup.minhashCalibration): per
+    * LSH candidate pair, the signature-agreement estimate vs the
+    * exact shingle Jaccard and |error| — the parameter-tuning
+    * measurement for (bands × rows). Candidates from the q18 banding;
+    * integer agreement/intersection counts; identical float
+    * expression trees both engines.
+    */
+  private val q86 = QueryDef(
+    "q86_minhash_calibration",
+    (s, dir) => graft.ops.Dedup.minhashCalibration(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 4),
+    Some(sqlCalibration))
 
   /** Unigram-frequency rarity score per document — the integer-exact
     * surrogate for unigram-LM perplexity (rare-token-heavy docs score
@@ -909,7 +914,45 @@ object PipelinePack {
         coalesce(clean_text, '') AS clean_text
       FROM base b LEFT JOIN agg USING (doc_id)"""))
 
+  /** LSH operating-point audit — the go/no-go number for a chosen
+    * (bands × rows) configuration before a corpus-scale dedup run: at
+    * the dedup threshold τ = 0.5, the confusion matrix of the MinHash
+    * ESTIMATE against the exact Jaccard over the q86 calibration
+    * pairs, rolled into one row (candidates, predicted, actual, true
+    * positives, precision, within-candidate recall). All counts are
+    * exact integers off the calibration output; the two ratios divide
+    * exactly-agreed longs.
+    */
+  private val q98 = QueryDef(
+    "q98_lsh_audit",
+    (s, dir) => {
+      val cal = Dedup.minhashCalibration(
+        Tables.documents(s, dir), "doc_id", "text",
+        shingleWords = 3, bands = 4, rowsPerBand = 4)
+      cal.agg(
+          count(lit(1)).as("n_candidates"),
+          count(when(col("est_jaccard") >= 0.5, 1)).as("n_pred"),
+          count(when(col("jaccard") >= 0.5, 1)).as("n_actual"),
+          count(when(col("est_jaccard") >= 0.5 && col("jaccard") >= 0.5, 1))
+            .as("tp"))
+        .withColumn("precision", when(col("n_pred") > 0,
+          col("tp").cast("double") / col("n_pred").cast("double")))
+        .withColumn("recall_in_candidates", when(col("n_actual") > 0,
+          col("tp").cast("double") / col("n_actual").cast("double")))
+    },
+    Some(s"""SELECT count(*) AS n_candidates,
+        count(*) FILTER (WHERE est_jaccard >= 0.5) AS n_pred,
+        count(*) FILTER (WHERE jaccard >= 0.5) AS n_actual,
+        count(*) FILTER (WHERE est_jaccard >= 0.5 AND jaccard >= 0.5) AS tp,
+        CASE WHEN count(*) FILTER (WHERE est_jaccard >= 0.5) > 0
+          THEN (count(*) FILTER (WHERE est_jaccard >= 0.5 AND jaccard >= 0.5))::DOUBLE
+            / (count(*) FILTER (WHERE est_jaccard >= 0.5))::DOUBLE END AS precision,
+        CASE WHEN count(*) FILTER (WHERE jaccard >= 0.5) > 0
+          THEN (count(*) FILTER (WHERE est_jaccard >= 0.5 AND jaccard >= 0.5))::DOUBLE
+            / (count(*) FILTER (WHERE jaccard >= 0.5))::DOUBLE END AS recall_in_candidates
+      FROM ($sqlCalibration)"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
-    q66, q69, q79, q83, q85, q86, q90, q91, q94)
+    q66, q69, q79, q83, q85, q86, q90, q91, q94, q98)
 }

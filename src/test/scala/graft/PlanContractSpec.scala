@@ -32,7 +32,8 @@ class PlanContractSpec extends AnyFunSuite {
   private val boundedBnlj: Set[String] = Set(
     "q22_ann_topk", "q23_ivf_topk", "q66_tfidf", "q70_gap_fill",
     "q80_equidepth", "q83_batch_knn",
-    "q95_hot_keys") // 1-row total joined for the share denominator
+    "q95_hot_keys", // 1-row total joined for the share denominator
+    "q97_fd_check") // three pairs of 1-row distinct-count aggregates
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {
