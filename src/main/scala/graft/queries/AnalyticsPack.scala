@@ -1282,8 +1282,90 @@ object AnalyticsPack {
       UNION ALL
       SELECT 'p_name->p_size' AS fd, n_lhs, n_pair, n_lhs = n_pair AS holds FROM c1, c2"""))
 
+  /** Forward-fill imputation over the q70 calendar spine: days with no
+    * observation carry the LAST OBSERVED daily count forward per group
+    * (a time-series feature-engineering staple; copying an observed
+    * value is exact, unlike interpolation). One window exchange on the
+    * group key, ordered by the integer day index; days before a
+    * group's first observation stay NULL — both engines' IGNORE NULLS
+    * semantics agree.
+    */
+  private val q99 = QueryDef(
+    "q99_forward_fill",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val orders = Tables.orders(s, dir)
+      val dayIdx = expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+      val daily = orders
+        .groupBy(col("o_orderpriority").as("priority"), dayIdx.as("day_idx"))
+        .agg(count(lit(1)).as("n_obs"))
+      val days = orders.agg(min(dayIdx).as("lo"), max(dayIdx).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day_idx"))
+      val spine = orders.select(col("o_orderpriority").as("priority"))
+        .distinct().crossJoin(days)
+      val w = Window.partitionBy(col("priority")).orderBy(col("day_idx"))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      spine.join(broadcast(daily), Seq("priority", "day_idx"), "left")
+        .withColumn("filled", last(col("n_obs"), ignoreNulls = true).over(w))
+        .select(col("priority"), col("day_idx"),
+          col("n_obs"), col("filled"))
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority AS priority,
+          epoch_us(o_orderdate) // 86400000000 AS day_idx,
+          count(*) AS n_obs
+        FROM orders GROUP BY 1, 2),
+      span AS (SELECT min(epoch_us(o_orderdate) // 86400000000) AS lo,
+          max(epoch_us(o_orderdate) // 86400000000) AS hi FROM orders),
+      days AS (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM span),
+      prios AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+      spine AS (SELECT priority, day_idx FROM prios CROSS JOIN days)
+      SELECT priority, day_idx, n_obs,
+        last_value(n_obs IGNORE NULLS) OVER (PARTITION BY priority
+          ORDER BY day_idx ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+          AS filled
+      FROM spine LEFT JOIN daily USING (priority, day_idx)"""))
+
+  /** Per-group z-score normalization with integer-exact moments: n,
+    * Σx, Σx² accumulate as decimal(38,0) over cent-quantized prices,
+    * so mean and variance on both engines derive from IDENTICAL
+    * integers and the per-row z divides bit-equal doubles (the q82
+    * integer-mass rule applied to feature scaling). Two passes over
+    * the group — a 5-row moment table broadcast back — never a window
+    * over the raw rows.
+    */
+  private val q100 = QueryDef(
+    "q100_zscore",
+    (s, dir) => {
+      val cents = (col("o_totalprice").cast("decimal(18,2)") * 100)
+        .cast("decimal(38,0)")
+      val moments = Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("priority"), cents.as("x"))
+        .groupBy(col("priority"))
+        .agg(count(lit(1)).cast("decimal(38,0)").as("n"),
+          sum(col("x")).as("sx"), sum(col("x") * col("x")).as("sxx"))
+      Tables.orders(s, dir)
+        .select(col("o_orderkey"), col("o_orderpriority").as("priority"),
+          cents.as("x"))
+        .join(broadcast(moments), Seq("priority"))
+        .select(col("o_orderkey"), col("priority"),
+          ((col("n") * col("x") - col("sx")).cast("double") /
+            sqrt((col("n") * col("sxx") - col("sx") * col("sx")).cast("double")))
+            .as("z"))
+    },
+    Some("""WITH q AS (SELECT o_orderkey,
+          o_orderpriority AS priority,
+          (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::HUGEINT AS x
+        FROM orders),
+      m AS (SELECT priority, count(*)::HUGEINT AS n, sum(x)::HUGEINT AS sx,
+          sum(x * x)::HUGEINT AS sxx
+        FROM q GROUP BY priority)
+      SELECT o_orderkey, priority,
+        (n * x - sx)::DOUBLE / sqrt((n * sxx - sx * sx)::DOUBLE) AS z
+      FROM q JOIN m USING (priority)"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
-    q88, q89, q92, q93, q95, q96, q97)
+    q88, q89, q92, q93, q95, q96, q97, q99, q100)
 }

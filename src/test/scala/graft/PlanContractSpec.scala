@@ -33,7 +33,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q22_ann_topk", "q23_ivf_topk", "q66_tfidf", "q70_gap_fill",
     "q80_equidepth", "q83_batch_knn",
     "q95_hot_keys", // 1-row total joined for the share denominator
-    "q97_fd_check") // three pairs of 1-row distinct-count aggregates
+    "q97_fd_check", // three pairs of 1-row distinct-count aggregates
+    "q99_forward_fill") // the q70-style calendar spine (groups × days)
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {
