@@ -114,9 +114,24 @@ final class JdbcConnection(spark: SparkSession, val name: String,
     val conn = java.sql.DriverManager.getConnection(url, props)
     try {
       val md = conn.getMetaData
+      // getTables takes a LIKE pattern: '_' matches any one char, so a
+      // bare "my_table" would also match "myXtable" and report a
+      // missing table as present (merge then reads a nonexistent dest
+      // instead of doing the first-batch append). Escaping with
+      // getSearchStringEscape is not enough — Derby returns "" (no
+      // escape exists) and treats a backslash literally — so the
+      // matches are re-filtered by EXACT name.
+      val esc = md.getSearchStringEscape
+      def literal(n: String): String =
+        if (esc == null || esc.isEmpty) n
+        else n.flatMap(c => if (c == '_' || c == '%') s"$esc$c" else c.toString)
       def probe(n: String): Boolean = {
-        val rs = md.getTables(null, null, n, null)
-        try rs.next() finally rs.close()
+        val rs = md.getTables(null, null, literal(n), null)
+        try {
+          var found = false
+          while (!found && rs.next()) found = rs.getString("TABLE_NAME") == n
+          found
+        } finally rs.close()
       }
       val bare = safeIdent(table).split("\\.").last
       probe(bare) || probe(bare.toUpperCase) || probe(bare.toLowerCase)
@@ -124,10 +139,16 @@ final class JdbcConnection(spark: SparkSession, val name: String,
   }
 
   private def write(data: DataFrame, table: String, mode: SaveMode,
-      truncate: Boolean = false): Unit =
+      truncate: Boolean = false): Unit = {
+    // validate only — keep the caller's original quoting in dbtable.
+    // Stripping quotes here while the read path keeps them would make
+    // a quoted case-sensitive identifier (Derby "events") read one
+    // table and write the merge back to its case-normalized sibling.
+    safeIdent(table)
     data.write.format("jdbc").option("url", url).options(common)
-      .option("dbtable", safeIdent(table))
+      .option("dbtable", table)
       .option("truncate", truncate.toString).mode(mode).save()
+  }
 
   /** S9/O1 with real merge semantics (the reference pushes
     * `ON DUPLICATE KEY UPDATE` / `MERGE INTO`, mysql.js:369-377,

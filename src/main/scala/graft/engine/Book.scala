@@ -139,12 +139,15 @@ final class Chapter(book: Book, val priority: Int, val name: String, threads: In
   * race that makes every delete-based steal unsound. The pid is still
   * written into the file for the error message and for humans.
   */
-final class PidLock private (path: java.nio.file.Path,
-    ch: java.nio.channels.FileChannel) {
-  def release(): Unit = {
-    try ch.close() // releases the OS lock
-    finally java.nio.file.Files.deleteIfExists(path)
-  }
+final class PidLock private (ch: java.nio.channels.FileChannel) {
+  /** Closing the channel releases the OS lock; the file is left in
+    * place on purpose. Deleting it after close would race a new
+    * acquirer that locked the same inode in between — the unlink
+    * would orphan THEIR lock and let a third process acquire a fresh
+    * file concurrently. An inert unlocked pid file costs nothing and
+    * is simply re-locked by the next acquire.
+    */
+  def release(): Unit = ch.close()
 }
 object PidLock {
   def acquire(dir: String, name: String): PidLock = {
@@ -174,7 +177,7 @@ object PidLock {
         ch.write(java.nio.ByteBuffer.wrap(
           ProcessHandle.current().pid().toString.getBytes("UTF-8")), 0)
         ch.force(true)
-        new PidLock(p, ch)
+        new PidLock(ch)
     }
   }
 }

@@ -93,7 +93,18 @@ object VersionedLayout {
       case Some(s) if wellFormed(s) => Some(s)
       case Some(_) => heal() // torn content
       case None if fs.exists(intent(root)) => heal() // mid-swap window
-      case None => None // legacy layout / never published
+      case None =>
+        // Absent pointer + absent intent is ambiguous: an
+        // overwrite-rename publish can consume the intent between the
+        // two checks (pointer gone when read, intent gone when probed).
+        // Under single-writer the pointer is durably back by now, so
+        // one re-read separates that window from true legacy layout.
+        readPointer() match {
+          case Some(s) if wellFormed(s) => Some(s)
+          case Some(_) => heal()
+          case None if fs.exists(intent(root)) => heal()
+          case None => None // legacy layout / never published
+        }
     }
   }
 

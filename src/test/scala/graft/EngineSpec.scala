@@ -103,6 +103,12 @@ class EngineSpec extends AnyFunSuite {
     val l1 = PidLock.acquire(dir, "b")
     intercept[IllegalStateException](PidLock.acquire(dir, "b"))
     l1.release()
+    // release leaves the file in place: deleting after close would race
+    // a new acquirer locking the same inode (the unlink would orphan
+    // THEIR lock and admit a third concurrent holder)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "b.pid")))
+    // the inert unlocked file is simply re-acquired
+    PidLock.acquire(dir, "b").release()
     // stale pid (dead process id) is stolen
     Files.write(java.nio.file.Paths.get(dir, "b.pid"), "999999999".getBytes)
     PidLock.acquire(dir, "b").release()

@@ -109,6 +109,48 @@ class JdbcConnectionSpec extends AnyFunSuite {
     assert(c.getAll("t_part").count() === 100L)
   }
 
+  test("'_' in a table name is not a catalog wildcard: merge into a missing table appends") {
+    val c = conn()
+    // a similarly-named sibling that the LIKE pattern "my_table" would
+    // match if '_' were left unescaped (Derby normalizes both to upper
+    // case: MYXTABLE vs the probe MY_TABLE)
+    c.insertData("myXtable", df(1L -> "sib"), key = "id", mergeOnDuplicates = false)
+    // pre-fix: tableExists("my_table") matched MYXTABLE, so the merge
+    // path tried to read a nonexistent dest and failed; it must take
+    // the first-batch append instead
+    c.insertData("my_table", df(1L -> "a"), key = "id", mergeOnDuplicates = true)
+    assert(c.getAll("my_table").as[(Long, String)].collect().toSeq === Seq(1L -> "a"))
+    assert(c.getAll("myXtable").as[(Long, String)].collect().toSeq === Seq(1L -> "sib"))
+  }
+
+  test("merge writes back to the quoted case-sensitive table it read from") {
+    // a lowercase quoted identifier: Derby treats "events_q" and the
+    // case-normalized EVENTS_Q as DIFFERENT tables
+    val jc = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = jc.createStatement()
+      st.execute("""CREATE TABLE "events_q" ("id" BIGINT, "v" VARCHAR(20))""")
+      st.execute("""INSERT INTO "events_q" VALUES (1, 'old'), (2, 'keep')""")
+      st.close()
+    } finally jc.close()
+    val c = conn()
+    c.insertData("\"events_q\"", df(1L -> "new", 3L -> "add"),
+      key = "id", mergeOnDuplicates = true)
+    // merged rows must land in the quoted table the read path used, not
+    // in a freshly created case-normalized sibling EVENTS_Q
+    assert(c.getAll("\"events_q\"").as[(Long, String)].collect().sortBy(_._1).toSeq ===
+      Seq(1L -> "new", 2L -> "keep", 3L -> "add"))
+    val jc2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val md = jc2.getMetaData
+      val rs = md.getTables(null, null,
+        "EVENTS" + md.getSearchStringEscape + "_Q", null)
+      try assert(!rs.next(),
+        "merge must not create a case-normalized sibling EVENTS_Q")
+      finally rs.close()
+    } finally jc2.close()
+  }
+
   test("keyed merge survives with endpoint row count intact after truncate-reload") {
     val c = conn()
     c.insertData("t_trunc", df(1L -> "a", 2L -> "b"), key = "id", mergeOnDuplicates = true)

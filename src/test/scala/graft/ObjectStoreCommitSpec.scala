@@ -227,6 +227,38 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     assert(t.read.as[(Long, String)].collect().toSeq === Seq(2L -> "b"))
   }
 
+  test("pointer absent AND intent already consumed: reader re-reads before concluding legacy") {
+    // The narrowest mid-publish window: a rename-based publish consumes
+    // the intent file as it installs the pointer. A reader can observe
+    // pointer-absent (before the rename lands) and then intent-absent
+    // (after the rename consumed it) — both probes miss, yet the table
+    // is versioned and published. Concluding "legacy layout" here makes
+    // readRaw list an empty root. The reader must re-read the pointer
+    // once before giving up.
+    val t = tmpTable()
+    t.overwrite(rows(1L -> "a")) // v-00000000 published, pointer on disk
+    val conf = spark.sparkContext.hadoopConfiguration
+    val inner = new Path(t.path).getFileSystem(conf)
+    // an fs whose FIRST _CURRENT existence probe misses (the reader
+    // arriving just before the rename lands); every later probe sees
+    // the real file — exactly the interleaving above
+    val fs = new RawLocalFileSystem {
+      private var blinks = 1
+      override def exists(p: Path): Boolean = {
+        if (p.getName == VersionedLayout.Current && blinks > 0) {
+          blinks -= 1
+          false
+        } else super.exists(p)
+      }
+    }
+    fs.initialize(java.net.URI.create("file:///"), conf)
+    val root = new Path(t.path).toUri.getPath // strip scheme for the raw-local fs
+    assert(VersionedLayout.currentVersion(fs, root) === Some("v-00000000"))
+    // and with the pointer truly absent (legacy layout), still None
+    inner.delete(VersionedLayout.pointer(t.path), false)
+    assert(VersionedLayout.currentVersion(inner, t.path) === None)
+  }
+
   test("publishVersion redoes a mistaken rollback") {
     val t = tmpTable()
     t.overwrite(rows(1L -> "old"))
