@@ -231,6 +231,69 @@ object Similarity {
     (perDim, assignCells(df, vecCol, centsDf).select(col(idCol), col("cell_id")))
   }
 
+  /** IVF top-k for a BATCH of query vectors — the production eval
+    * shape (a recall audit or retrieval job scores a whole query set
+    * in one corpus pass, not one re-scan per query).
+    *
+    * Shape at scale: corpus rows get their cell entirely map-side
+    * ([[assignCells]] literal fold); each query picks its `nProbe`
+    * nearest cells with a window over the queries × centroids product
+    * (both sides are driver-small by the IVF contract — the window
+    * never sees corpus rows); the corpus then joins the BROADCAST
+    * (query, cell) probe table, so each row is scored only against
+    * the queries probing its cell; the per-query reduction is the
+    * [[graft.functions.TopKHeap]] bounded-heap partial aggregate —
+    * the one shuffle carries ≤ k × |queries| rows per partition.
+    *
+    * Output matches [[batchTopK]]: (query_id, rank, id, cos), rank
+    * 1..k by (cos DESC, id ASC); zero-norm rows are excluded (heap
+    * skips null scores).
+    *
+    * @param queries DataFrame(query_id: long, qvec: array) — small,
+    *                broadcast whole
+    */
+  def ivfBatchTopK(
+      df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queries: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val probe = queries.crossJoin(broadcast(centroids))
+      .withColumn("ccos", safeCosine(col("qvec"), col("cvec")))
+      .withColumn("rk", row_number().over(
+        Window.partitionBy(col("query_id"))
+          .orderBy(col("ccos").desc_nulls_last, col("cell_id").asc)))
+      .filter(col("rk") <= nProbe)
+      .select(col("query_id"), col("qvec"), col("cell_id").cast("long").as("cell_id"))
+    val scored = assignCells(df, vecCol, centroids)
+      .join(broadcast(probe), Seq("cell_id"))
+      .select(col("query_id"),
+        safeCosine(col(vecCol), col("qvec")).as("cos"),
+        col(idCol).cast("long").as("__id"))
+    scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKHeap.topK(col("cos"), col("__id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
+      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
+        col("t.id").as(idCol), col("t.score").as("cos"))
+  }
+
+  /** Recall@k of an approximate kNN result against the exact baseline:
+    * per query, the fraction of the exact top-k the approximate index
+    * retrieved — the acceptance metric for any ANN operating point
+    * (the vector-side analogue of the LSH τ-threshold audit). Both
+    * inputs are (query_id, id, ...) frames of ≤ k rows per query
+    * ([[batchTopK]] / [[ivfBatchTopK]] output), so the join and
+    * aggregate touch k × |queries| rows — nothing corpus-sized.
+    * Recall divides two exactly-agreed counts, so it is
+    * engine-portable.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame, idCol: String): DataFrame =
+    exact.select(col("query_id"), col(idCol))
+      .join(approx.select(col("query_id"), col(idCol), col(idCol).as("__hit")),
+        Seq("query_id", idCol), "left")
+      .groupBy(col("query_id"))
+      .agg(count(lit(1)).as("n_exact"), count(col("__hit")).as("n_hit"))
+      .withColumn("recall",
+        col("n_hit").cast("double") / col("n_exact").cast("double"))
+
   def ivfTopK(
       df: DataFrame, idCol: String, vecCol: String,
       centroids: DataFrame, query: DataFrame, k: Int, nProbe: Int = 1): DataFrame = {

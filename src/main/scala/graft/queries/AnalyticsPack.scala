@@ -1364,8 +1364,62 @@ object AnalyticsPack {
         (n * x - sx)::DOUBLE / sqrt((n * sxx - sx * sx)::DOUBLE) AS z
       FROM q JOIN m USING (priority)"""))
 
+  /** Event-type co-occurrence / association mining — which behaviors
+    * travel together (the market-basket lift table over the event
+    * stream). The pair space never materializes corpus-side: events
+    * pre-reduce to distinct (user, type), each user's type SET
+    * collects in one shuffle (bounded by the type domain, not their
+    * event count), and the sorted i<j pairs expand MAP-SIDE from that
+    * array — so the exchange carries |users| set rows, never a
+    * per-user self-join product. Supports are exact longs; lift
+    * cross-multiplies them and divides once, so both engines divide
+    * identical integers.
+    */
+  private val q102 = QueryDef(
+    "q102_cooccurrence",
+    (s, dir) => {
+      val ut = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type")).distinct()
+      val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      val totals = ut.select(col("user_id")).distinct()
+        .agg(count(lit(1)).as("n_users"))
+      val pairs = ut.groupBy(col("user_id"))
+        .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+        .select(explode(expr(
+          "flatten(transform(ts, (x, i) -> " +
+            "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS a, y AS b))))"))
+          .as("p"))
+        .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
+        .agg(count(lit(1)).as("n_both"))
+      pairs
+        .join(broadcast(perType.select(col("event_type").as("type_a"),
+          col("n_t").as("n_a"))), Seq("type_a"))
+        .join(broadcast(perType.select(col("event_type").as("type_b"),
+          col("n_t").as("n_b"))), Seq("type_b"))
+        .join(broadcast(totals))
+        .withColumn("lift",
+          (col("n_both") * col("n_users")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double"))
+        .select(col("type_a"), col("type_b"), col("n_both"),
+          col("n_a"), col("n_b"), col("n_users"), col("lift"))
+    },
+    Some("""WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+      t AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1),
+      u AS (SELECT count(DISTINCT user_id) AS n_users FROM ut),
+      p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+          count(*) AS n_both
+        FROM ut a JOIN ut b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+        GROUP BY 1, 2)
+      SELECT type_a, type_b, n_both, ta.n AS n_a, tb.n AS n_b, u.n_users,
+        (n_both * u.n_users)::DOUBLE / (ta.n * tb.n)::DOUBLE AS lift
+      FROM p
+      JOIN t ta ON ta.event_type = type_a
+      JOIN t tb ON tb.event_type = type_b
+      CROSS JOIN u"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
-    q88, q89, q92, q93, q95, q96, q97, q99, q100)
+    q88, q89, q92, q93, q95, q96, q97, q99, q100, q102)
 }

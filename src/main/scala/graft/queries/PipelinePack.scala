@@ -139,15 +139,11 @@ object PipelinePack {
     * singletons keep themselves). The oracle replays the same
     * reachability with a recursive CTE over the q18 pair set.
     */
-  private val q32 = QueryDef(
-    "q32_neardup_dedup",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        shingleWords = 3, bands = 4, rowsPerBand = 4)
-      Dedup.nearDupSurvivors(docs, pairs, "doc_id")
-    },
-    Some(s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
+  /** Oracle CTE chain shared by q32 and q103: LSH candidate pairs →
+    * recursive reachability → survivor mapping `surv(doc_id, keep_id)`.
+    */
+  private val sqlSurvivorCtes: String =
+    s"""sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
       sig AS (SELECT doc_id, list_transform(range(0, 16),
         h -> list_min(list_transform(
           list_transform(s, x -> ${sqlHex60("x")} % 1073741789),
@@ -163,10 +159,57 @@ object PipelinePack {
           SELECT u, v FROM edges
           UNION
           SELECT rr.u, e.v FROM rr JOIN edges e ON rr.v = e.u)
-        SELECT * FROM rr)
-      SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS keep_id
-      FROM documents d LEFT JOIN r ON r.u = d.doc_id
-      GROUP BY d.doc_id"""))
+        SELECT * FROM rr),
+      surv AS (SELECT d.doc_id, least(d.doc_id, coalesce(min(r.v), d.doc_id)) AS keep_id
+        FROM documents d LEFT JOIN r ON r.u = d.doc_id
+        GROUP BY d.doc_id)"""
+
+  private val q32 = QueryDef(
+    "q32_neardup_dedup",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleWords = 3, bands = 4, rowsPerBand = 4)
+      Dedup.nearDupSurvivors(docs, pairs, "doc_id")
+    },
+    Some(s"WITH $sqlSurvivorCtes SELECT doc_id, keep_id FROM surv"))
+
+  /** Dedup impact report — the per-source deliverable a curation run
+    * publishes after near-dup dedup: how many documents and characters
+    * each source loses, and what fraction survives. Composition of the
+    * q32 survivor mapping with one aggregation over the documents
+    * table; `surv` carries two longs per doc, so the join shuffles
+    * nothing wider than the mapping itself, and all counts/sums are
+    * exact integers (the ratio divides two agreed longs).
+    */
+  private val q103 = QueryDef(
+    "q103_dedup_report",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleWords = 3, bands = 4, rowsPerBand = 4)
+      val surv = Dedup.nearDupSurvivors(docs, pairs, "doc_id")
+      docs.join(surv, Seq("doc_id"))
+        .groupBy(col("source"))
+        .agg(
+          count(lit(1)).as("n_docs"),
+          count(when(col("doc_id") === col("keep_id"), lit(1))).as("n_kept"),
+          count(when(col("doc_id") =!= col("keep_id"), lit(1))).as("n_removed"),
+          sum(when(col("doc_id") =!= col("keep_id"), col("n_chars"))
+            .otherwise(lit(0L))).as("chars_removed"))
+        .withColumn("pct_removed",
+          col("n_removed").cast("double") / col("n_docs").cast("double"))
+    },
+    Some(s"""WITH $sqlSurvivorCtes
+      SELECT d.source, count(*) AS n_docs,
+        count(CASE WHEN s.keep_id = d.doc_id THEN 1 END) AS n_kept,
+        count(CASE WHEN s.keep_id <> d.doc_id THEN 1 END) AS n_removed,
+        sum(CASE WHEN s.keep_id <> d.doc_id THEN d.n_chars ELSE 0 END)::BIGINT
+          AS chars_removed,
+        count(CASE WHEN s.keep_id <> d.doc_id THEN 1 END)::DOUBLE
+          / count(*)::DOUBLE AS pct_removed
+      FROM documents d JOIN surv s USING (doc_id)
+      GROUP BY d.source"""))
 
   // ---- similarity search --------------------------------------------
 
@@ -244,6 +287,67 @@ object PipelinePack {
       SELECT vec_id, label, ${sqlCos("embedding", "qvec")} AS cos
       FROM asg JOIN probe USING (cell_id) CROSS JOIN q
       ORDER BY cos DESC NULLS LAST, vec_id ASC LIMIT 10"""))
+
+  /** ANN recall audit — recall@k of the IVF operating point against
+    * the exact kNN baseline, per query (the vector-search analogue of
+    * q98's LSH τ-threshold audit: the number that says whether
+    * nProbe/centroid choices are safe before committing a corpus-scale
+    * retrieval run). Exact side = one bounded-heap corpus pass
+    * (Similarity.batchTopK); approx side = map-side cell assignment +
+    * broadcast probe join (Similarity.ivfBatchTopK); recall then
+    * divides two exactly-agreed counts over k × |queries| rows. At
+    * 100 TB the audit runs on a SAMPLED query set — its cost is two
+    * corpus passes, independent of the query-set size.
+    */
+  private val q101 = QueryDef(
+    "q101_ann_recall",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+      val queries = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+      val exact = Similarity.batchTopK(e, "vec_id", "embedding", queries, k = 10)
+      val approx = Similarity.ivfBatchTopK(e, "vec_id", "embedding",
+        cents, queries, k = 10, nProbe = 2)
+      Similarity.recallAtK(exact, approx, "vec_id")
+    },
+    Some(s"""WITH q AS (SELECT vec_id AS query_id, embedding AS qvec
+        FROM embeddings WHERE vec_id < 8),
+      cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      sc AS (SELECT q.query_id, e.vec_id,
+          ${sqlCos("e.embedding", "q.qvec")} AS cos
+        FROM embeddings e CROSS JOIN q),
+      exact AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM sc WHERE cos IS NOT NULL) WHERE rk <= 10),
+      asg AS (SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY coalesce(${sqlCos("e.embedding", "c.cvec")}, '-infinity'::DOUBLE) DESC,
+              c.cell_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+      probe AS (SELECT query_id, cell_id FROM (
+        SELECT q.query_id, c.cell_id,
+          row_number() OVER (PARTITION BY q.query_id
+            ORDER BY ${sqlCos("q.qvec", "c.cvec")} DESC NULLS LAST, c.cell_id ASC) AS rk
+        FROM q CROSS JOIN cents c) WHERE rk <= 2),
+      sca AS (SELECT p.query_id, a.vec_id,
+          ${sqlCos("e.embedding", "qq.qvec")} AS cos
+        FROM asg a JOIN probe p USING (cell_id)
+        JOIN embeddings e ON e.vec_id = a.vec_id
+        JOIN q qq ON qq.query_id = p.query_id),
+      approx AS (SELECT query_id, vec_id FROM (
+        SELECT query_id, vec_id, row_number() OVER (PARTITION BY query_id
+          ORDER BY cos DESC, vec_id ASC) AS rk
+        FROM sca WHERE cos IS NOT NULL) WHERE rk <= 10)
+      SELECT x.query_id, count(*) AS n_exact, count(a.vec_id) AS n_hit,
+        count(a.vec_id)::DOUBLE / count(*)::DOUBLE AS recall
+      FROM exact x LEFT JOIN approx a
+        ON x.query_id = a.query_id AND x.vec_id = a.vec_id
+      GROUP BY x.query_id"""))
 
   /** Semantic dedup (Similarity.clusterRepresentatives): map-side
     * nearest-centroid assignment (literal fold, no shuffle), then one
@@ -954,5 +1058,5 @@ object PipelinePack {
 
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
-    q66, q69, q79, q83, q85, q86, q90, q91, q94, q98)
+    q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103)
 }

@@ -263,6 +263,53 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("Window"), "assignment must not use a per-row window")
   }
 
+  test("ivfBatchTopK with full probe equals batchTopK per query") {
+    val d = vecs((0L to 19L).map(i =>
+      i -> Seq(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat, (i % 3).toFloat)): _*)
+    val cents = vecs(0L -> Seq(1f, 0f, 0f), 1L -> Seq(-1f, 0f, 1f))
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val queries = d.filter(col("vec_id") < 3)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val exact = Similarity.batchTopK(d, "vec_id", "embedding", queries, k = 4)
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+    val ivf = Similarity.ivfBatchTopK(d, "vec_id", "embedding", cents, queries,
+        k = 4, nProbe = 2) // nProbe = all cells
+      .orderBy("query_id", "rank").collect()
+      .map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("rank"), r.getAs[Long]("vec_id")))
+    assert(ivf.toSeq === exact.toSeq,
+      "probing ALL cells must recover the exact batch top-k")
+  }
+
+  test("ivfBatchTopK: probe join broadcasts, reduction is the partial heap agg") {
+    val d = vecs((0L to 19L).map(i =>
+      i -> Seq(math.cos(i * 0.3).toFloat, math.sin(i * 0.3).toFloat)): _*)
+    val cents = vecs(0L -> Seq(1f, 0f), 1L -> Seq(0f, 1f))
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val queries = d.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("query_id"), col("embedding").as("qvec"))
+    val plan = Similarity.ivfBatchTopK(d, "vec_id", "embedding", cents, queries,
+      k = 3, nProbe = 1).queryExecution.executedPlan.toString
+    // the corpus side must meet the (query, cell) probe table as a
+    // broadcast hash join and pre-reduce through the bounded heap; the
+    // only window ranks the broadcast-small queries × centroids product
+    assert(plan.contains("BroadcastHashJoin"), plan)
+    assert(plan.contains("ObjectHashAggregate"), plan)
+  }
+
+  test("recallAtK: exact self-recall is 1, misses count against it") {
+    import spark.implicits._
+    val exact = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 21L))
+      .toDF("query_id", "vec_id")
+    val approx = Seq((1L, 10L), (1L, 11L), (2L, 20L), (2L, 99L))
+      .toDF("query_id", "vec_id")
+    val out = Similarity.recallAtK(exact, approx, "vec_id")
+      .orderBy("query_id").collect()
+    assert(out.map(r => (r.getAs[Long]("query_id"), r.getAs[Long]("n_exact"),
+      r.getAs[Long]("n_hit"), r.getAs[Double]("recall"))).toSeq ===
+      Seq((1L, 2L, 2L, 1.0), (2L, 2L, 1L, 0.5)))
+  }
+
   test("clusterRepresentatives keeps the member closest to its centroid") {
     val d = vecs(
       1L -> Seq(1f, 0f, 0f), 2L -> Seq(0.9f, 0.1f, 0f),  // cell 0; 1 is exact

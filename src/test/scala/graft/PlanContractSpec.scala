@@ -34,7 +34,10 @@ class PlanContractSpec extends AnyFunSuite {
     "q80_equidepth", "q83_batch_knn",
     "q95_hot_keys", // 1-row total joined for the share denominator
     "q97_fd_check", // three pairs of 1-row distinct-count aggregates
-    "q99_forward_fill") // the q70-style calendar spine (groups × days)
+    "q99_forward_fill", // the q70-style calendar spine (groups × days)
+    "q101_ann_recall", // the q83 query batch + queries × centroids probe
+                       // ranking — both sides IVF-contract small
+    "q102_cooccurrence") // 1-row user-universe total for the lift denominator
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {
