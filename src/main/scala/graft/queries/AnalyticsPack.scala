@@ -1378,13 +1378,25 @@ object AnalyticsPack {
   private val q102 = QueryDef(
     "q102_cooccurrence",
     (s, dir) => {
-      val ut = Tables.events(s, dir)
-        .select(col("user_id"), col("event_type")).distinct()
-      val perType = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
-      val totals = ut.select(col("user_id")).distinct()
-        .agg(count(lit(1)).as("n_users"))
-      val pairs = ut.groupBy(col("user_id"))
+      // ONE corpus pass: per-user type sets aggregate map-side (the
+      // partial set union is bounded by the type domain, not the
+      // user's event count), and supports / the user universe / the
+      // i<j pair expansion all derive from that identical subtree —
+      // ReuseExchange collapses the three consumers onto one scan and
+      // one corpus-side shuffle.
+      val sets = Tables.events(s, dir)
+        .select(col("user_id"), col("event_type"))
+        .groupBy(col("user_id"))
         .agg(sort_array(collect_set(col("event_type"))).as("ts"))
+      val perType = sets.select(explode(col("ts")).as("event_type"))
+        .groupBy(col("event_type")).agg(count(lit(1)).as("n_t"))
+      // reference ts so column pruning cannot rewrite this branch to a
+      // second events scan — with the subtree identical to the one
+      // pairs/perType consume, ReuseExchange serves all three from one
+      // scan + one shuffle
+      val totals = sets.filter(size(col("ts")) >= 0)
+        .agg(count(lit(1)).as("n_users"))
+      val pairs = sets
         .select(explode(expr(
           "flatten(transform(ts, (x, i) -> " +
             "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS a, y AS b))))"))
@@ -1418,8 +1430,27 @@ object AnalyticsPack {
       JOIN t tb ON tb.event_type = type_b
       CROSS JOIN u"""))
 
+  /** Grouped top-k (ops.TopK.groupedTopK) — the per-group "best k
+    * examples" selection every curation run needs, planned as the
+    * bounded-heap partial aggregate instead of a per-group window
+    * sort: the exchange carries ≤ k rows per (group × partition), so
+    * a hot group cannot become a single-task sort. Scores here are
+    * integer lengths (exact as doubles), cast back to long on output.
+    */
+  private val q104 = QueryDef(
+    "q104_grouped_topk",
+    (s, dir) => graft.ops.TopK.groupedTopK(
+        Tables.documents(s, dir), Seq("source"), "n_chars", "doc_id", k = 3)
+      .select(col("source"), col("rank"), col("doc_id"),
+        col("score").cast("long").as("n_chars")),
+    Some("""SELECT source, rank, doc_id, n_chars FROM (
+        SELECT source, doc_id, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC) AS rank
+        FROM documents) WHERE rank <= 3"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
-    q88, q89, q92, q93, q95, q96, q97, q99, q100, q102)
+    q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104)
 }

@@ -554,4 +554,28 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(plan.contains("hashpartitioning(cell"),
       s"per-cell prefix must be distributed:\n$plan")
   }
+
+  test("groupedTopK matches the window-rank reference, skips null scores") {
+    import graft.ops.TopK
+    val d = Seq(
+      ("a", 1L, Some(10.0)), ("a", 2L, Some(30.0)), ("a", 3L, Some(30.0)),
+      ("a", 4L, Some(5.0)), ("b", 5L, Some(1.0)), ("b", 6L, None))
+      .toDF("g", "id", "score")
+    val out = TopK.groupedTopK(d, Seq("g"), "score", "id", k = 2)
+      .orderBy("g", "rank").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    // ties break to the smaller id; the null-score row never ranks
+    assert(out.toSeq === Seq(
+      ("a", 1L, 2L, 30.0), ("a", 2L, 3L, 30.0), ("b", 1L, 5L, 1.0)))
+  }
+
+  test("groupedTopK plans the partial heap aggregate, not a window sort") {
+    import graft.ops.TopK
+    val d = (1L to 50L).map(i => (s"g${i % 3}", i, i.toDouble)).toDF("g", "id", "score")
+    val plan = TopK.groupedTopK(d, Seq("g"), "score", "id", k = 3)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("ObjectHashAggregate"), plan)
+    assert(!plan.contains("Window"),
+      "grouped top-k must not plan a per-group window sort")
+  }
 }
