@@ -114,7 +114,9 @@ object TextClean {
     *  1. window stream (doc, pos, window-text), a ×1 explode (one row
     *     per position);
     *  2. duplicated-window set via two-level distinct-doc count keyed
-    *     on the window content;
+    *     on the window content's 60-bit hash (8-byte uniform shuffle
+    *     keys; exact modulo a ~n²/2^61 collision — the LSH-band-key
+    *     contract);
     *  3. coverage = dup-window hits × `k` positions (bounded ×k
     *     fan-out), distinct on (doc, pos);
     *  4. anti-join of the token stream against coverage, then one
@@ -140,11 +142,17 @@ object TextClean {
               i -> named_struct(
                 'pos', i,
                 'w', array_join(slice(toks, i, $k), ' ')))""")).as("e"))
-      .select(col(idCol), col("e.pos").as("pos"), col("e.w").as("w"))
-    val dup = wins.groupBy(col("w"))
+      // the window CONTENT leaves the map side as its 60-bit hash: the
+      // dup-detection groupBy and the coverage join shuffle 8-byte
+      // uniform keys instead of k-token strings (the q91 rule — same
+      // md5-derived key as the LSH bands, and the same contract:
+      // exact modulo a ~n²/2^61 hash collision)
+      .select(col(idCol), col("e.pos").as("pos"),
+        graft.functions.TextKernels.hex60(col("e.w")).as("wh"))
+    val dup = wins.groupBy(col("wh"))
       .agg(countDistinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("w"))
-    val covered = wins.join(dup, Seq("w"))
+      .filter(col("nd") >= minDocs).select(col("wh"))
+    val covered = wins.join(dup, Seq("wh"))
       .select(col(idCol), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("pos"))
       .distinct()
     val tokpos = base

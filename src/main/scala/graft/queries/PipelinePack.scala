@@ -349,6 +349,59 @@ object PipelinePack {
         ON x.query_id = a.query_id AND x.vec_id = a.vec_id
       GROUP BY x.query_id"""))
 
+  /** Embedding cluster-cohesion report — per label: the exact-mean
+    * centroid and how tightly members hug it (mean and worst cosine to
+    * their own centroid), the embedding-space quality metric a
+    * curation run reads next to the q101 recall audit. Determinism
+    * discipline: centroid dimensions are exact quantized means (the
+    * q49 floor-to-long rule), and the per-label cosine MEAN sums
+    * floor-quantized longs — never a float sum whose value depends on
+    * partition order — dividing once at the end, so both engines
+    * divide identical integers. Shape: one per-dim aggregation + a
+    * |labels|-row broadcast back + one final aggregation; the
+    * centroid build never leaves the plan.
+    */
+  private val q105 = QueryDef(
+    "q105_cohesion",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val perDim = e.select(col("label"),
+          posexplode(col("embedding").cast("array<double>")).as(Seq("dim", "v")))
+        .groupBy(col("label"), col("dim"))
+        .agg(count(lit(1)).as("n"),
+          sum(floor(col("v") * 1000000L).cast("long")).as("sq"))
+        .withColumn("mean", (col("sq").cast("double") / 1000000L) / col("n"))
+      val cents = perDim.groupBy(col("label"))
+        .agg(expr(
+          "transform(array_sort(collect_list(struct(dim, mean))), x -> x.mean)")
+          .as("cvec"))
+      e.join(broadcast(cents), Seq("label"))
+        .withColumn("cos", Kernels.cosineOf(col("embedding"), col("cvec")))
+        .groupBy(col("label"))
+        .agg(count(lit(1)).as("n_vecs"), count(col("cos")).as("n_scored"),
+          sum(floor(col("cos") * 1000000L).cast("long")).as("sq"),
+          min(col("cos")).as("min_cos"))
+        .select(col("label"), col("n_vecs"), col("n_scored"),
+          ((col("sq").cast("double") / 1000000L) / col("n_scored")).as("mean_cos"),
+          col("min_cos"))
+    },
+    Some(s"""WITH pd AS (SELECT label,
+          unnest(range(0, len(embedding))) AS dim,
+          unnest(list_transform(embedding, x -> x::DOUBLE)) AS v
+        FROM embeddings),
+      cm AS (SELECT label, dim,
+          (sum(floor(v * 1000000)::BIGINT)::DOUBLE / 1000000) / count(*) AS mean
+        FROM pd GROUP BY label, dim),
+      cents AS (SELECT label, list(mean ORDER BY dim) AS cvec
+        FROM cm GROUP BY label),
+      sc AS (SELECT e.label, ${sqlCos("e.embedding", "c.cvec")} AS cos
+        FROM embeddings e JOIN cents c USING (label))
+      SELECT label, count(*) AS n_vecs, count(cos) AS n_scored,
+        (sum(floor(cos * 1000000)::BIGINT)::DOUBLE / 1000000) / count(cos)
+          AS mean_cos,
+        min(cos) AS min_cos
+      FROM sc GROUP BY label"""))
+
   /** Semantic dedup (Similarity.clusterRepresentatives): map-side
     * nearest-centroid assignment (literal fold, no shuffle), then one
     * partial-aggregated max(struct) per cell keeps the member closest
@@ -999,11 +1052,11 @@ object PipelinePack {
           unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS pos
         FROM base),
       wins AS (SELECT doc_id, pos,
-          array_to_string(toks[pos:pos+4], ' ') AS w FROM winpos),
-      dup AS (SELECT w FROM wins GROUP BY w
+          ${sqlHex60("array_to_string(toks[pos:pos+4], ' ')")} AS wh FROM winpos),
+      dup AS (SELECT wh FROM wins GROUP BY wh
         HAVING count(DISTINCT doc_id) >= 2),
       cov AS (SELECT DISTINCT doc_id, pos + off AS pos
-        FROM wins JOIN dup USING (w) CROSS JOIN range(0, 5) AS o(off)),
+        FROM wins JOIN dup USING (wh) CROSS JOIN range(0, 5) AS o(off)),
       tp AS (SELECT doc_id, toks,
           unnest(range(1, len(toks) + 1)) AS pos FROM base),
       tokpos AS (SELECT doc_id, pos, toks[pos] AS token FROM tp),
@@ -1058,5 +1111,5 @@ object PipelinePack {
 
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
-    q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103)
+    q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105)
 }
