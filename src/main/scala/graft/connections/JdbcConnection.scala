@@ -120,7 +120,13 @@ final class JdbcConnection(spark: SparkSession, val name: String,
       // instead of doing the first-batch append). Escaping with
       // getSearchStringEscape is not enough — Derby returns "" (no
       // escape exists) and treats a backslash literally — so the
-      // matches are re-filtered by EXACT name.
+      // matches are re-filtered by name. The re-filter is
+      // case-INSENSITIVE: catalogs that match names case-insensitively
+      // but store them case-preserved (SQL Server default collation)
+      // would otherwise flunk the equality and silently downgrade
+      // every merge to an append — the exact silent-duplicate failure
+      // this method exists to prevent. equalsIgnoreCase still rejects
+      // the wildcard's different-NAME matches ("myXtable").
       val esc = md.getSearchStringEscape
       def literal(n: String): String =
         if (esc == null || esc.isEmpty) n
@@ -129,7 +135,8 @@ final class JdbcConnection(spark: SparkSession, val name: String,
         val rs = md.getTables(null, null, literal(n), null)
         try {
           var found = false
-          while (!found && rs.next()) found = rs.getString("TABLE_NAME") == n
+          while (!found && rs.next())
+            found = n.equalsIgnoreCase(rs.getString("TABLE_NAME"))
           found
         } finally rs.close()
       }

@@ -68,12 +68,16 @@ object Similarity {
       .select(col("query_id"),
         safeCosine(col(vecCol), col("qvec")).as("cos"),
         col(idCol).cast("long").as("__id"))
-    scored.groupBy(col("query_id"))
-      .agg(graft.functions.TopKHeap.topK(col("cos"), col("__id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
-      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
-        col("t.id").as(idCol), col("t.score").as("cos"))
+    heapReduce(scored, idCol, k)
   }
+
+  /** The shared per-query bounded-heap reduction ([[TopK.groupedTopK]]
+    * grouped on query_id, with the score column named `cos`).
+    */
+  private def heapReduce(scored: DataFrame, idCol: String, k: Int): DataFrame =
+    TopK.groupedTopK(scored, Seq("query_id"), "cos", "__id", k)
+      .select(col("query_id"), col("rank"),
+        col("__id").as(idCol), col("score").as("cos"))
 
   /** LSH-bucketed near-duplicate pairs: vectors agreeing on the first
     * `dims` sign bits, with their exact cosine.
@@ -268,11 +272,7 @@ object Similarity {
       .select(col("query_id"),
         safeCosine(col(vecCol), col("qvec")).as("cos"),
         col(idCol).cast("long").as("__id"))
-    scored.groupBy(col("query_id"))
-      .agg(graft.functions.TopKHeap.topK(col("cos"), col("__id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")).as(Seq("i", "t")))
-      .select(col("query_id"), (col("i") + 1).cast("long").as("rank"),
-        col("t.id").as(idCol), col("t.score").as("cos"))
+    heapReduce(scored, idCol, k)
   }
 
   /** Recall@k of an approximate kNN result against the exact baseline:

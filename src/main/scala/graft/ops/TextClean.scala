@@ -114,9 +114,11 @@ object TextClean {
     *  1. window stream (doc, pos, window-text), a ×1 explode (one row
     *     per position);
     *  2. duplicated-window set via two-level distinct-doc count keyed
-    *     on the window content's 60-bit hash (8-byte uniform shuffle
-    *     keys; exact modulo a ~n²/2^61 collision — the LSH-band-key
-    *     contract);
+    *     on the window content's full 128-bit md5 (16-byte fixed-width
+    *     shuffle keys; the [[Dedup.exact]] content-hash contract —
+    *     collision-safe at any corpus size, unlike a 60-bit prefix,
+    *     which matters because span removal is destructive and never
+    *     re-verified);
     *  3. coverage = dup-window hits × `k` positions (bounded ×k
     *     fan-out), distinct on (doc, pos);
     *  4. anti-join of the token stream against coverage, then one
@@ -142,13 +144,16 @@ object TextClean {
               i -> named_struct(
                 'pos', i,
                 'w', array_join(slice(toks, i, $k), ' ')))""")).as("e"))
-      // the window CONTENT leaves the map side as its 60-bit hash: the
-      // dup-detection groupBy and the coverage join shuffle 8-byte
-      // uniform keys instead of k-token strings (the q91 rule — same
-      // md5-derived key as the LSH bands, and the same contract:
-      // exact modulo a ~n²/2^61 hash collision)
+      // the window CONTENT leaves the map side as its FULL 128-bit
+      // md5 (16-byte binary): the dup-detection groupBy and the
+      // coverage join shuffle fixed-width uniform keys instead of
+      // k-token strings. 128 bits — not the 60-bit band-key prefix —
+      // because this decision is FINAL and destructive (a colliding
+      // window would have its span deleted with no later exact
+      // verification); at 128 bits the collision odds are the same
+      // content-hash contract [[Dedup.exact]] already rests on.
       .select(col(idCol), col("e.pos").as("pos"),
-        graft.functions.TextKernels.hex60(col("e.w")).as("wh"))
+        unhex(md5(col("e.w"))).as("wh"))
     val dup = wins.groupBy(col("wh"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs).select(col("wh"))

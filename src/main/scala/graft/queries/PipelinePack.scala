@@ -1052,7 +1052,7 @@ object PipelinePack {
           unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS pos
         FROM base),
       wins AS (SELECT doc_id, pos,
-          ${sqlHex60("array_to_string(toks[pos:pos+4], ' ')")} AS wh FROM winpos),
+          unhex(md5(array_to_string(toks[pos:pos+4], ' '))) AS wh FROM winpos),
       dup AS (SELECT wh FROM wins GROUP BY wh
         HAVING count(DISTINCT doc_id) >= 2),
       cov AS (SELECT DISTINCT doc_id, pos + off AS pos
