@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod}
+import org.apache.spark.sql.functions.{col, hash, lit, pmod, struct, when}
 
 /** A named, mutable, parquet-backed table — the engine's analogue of
   * the reference's endpoint tables (SURVEY.md §1.1 "Table").
@@ -273,6 +273,36 @@ final case class ParquetTable(spark: SparkSession, path: String,
       s"version $version not on disk (have: ${versions.mkString(", ")})")
     val df = scanDir(s"$path/$version")
     if (isBucketed) df.drop("__bucket") else df
+  }
+
+  /** CDC-style diff of two on-disk snapshots in the retention window:
+    * the keyed change set between `from` (older) and `to` (newer) —
+    * the "what did the last load actually do" view, and the change
+    * feed a downstream incremental consumer applies instead of
+    * re-reading the table. Assumes `key` is unique per snapshot (the
+    * invariant the upsert path maintains).
+    *
+    * Shape at scale: ONE full-outer join on the key — uniform by the
+    * upsert contract, AQE-sized — with each side pre-packed into a
+    * single struct map-side; the classify is a codegen'd null/equality
+    * check (`<=>` so null fields compare stably). Unchanged rows drop
+    * before anything else happens to them.
+    *
+    * Output: (key, change ∈ insert|delete|update, before, after) —
+    * struct columns, null on the absent side.
+    */
+  def diffVersions(from: String, to: String, key: String): DataFrame = {
+    val a = readVersion(from)
+    val b = readVersion(to)
+    val av = a.select(col(key).as("__k"), struct(a.columns.map(col): _*).as("before"))
+    val bv = b.select(col(key).as("__k"), struct(b.columns.map(col): _*).as("after"))
+    av.join(bv, Seq("__k"), "full_outer")
+      .withColumn("change",
+        when(col("before").isNull, lit("insert"))
+          .when(col("after").isNull, lit("delete"))
+          .when(!(col("before") <=> col("after")), lit("update")))
+      .filter(col("change").isNotNull)
+      .select(col("__k").as(key), col("change"), col("before"), col("after"))
   }
 
   /** Roll the table back to the retained prior snapshot: re-publish

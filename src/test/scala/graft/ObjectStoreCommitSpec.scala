@@ -259,6 +259,22 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     assert(VersionedLayout.currentVersion(inner, t.path) === None)
   }
 
+  test("diffVersions emits the keyed insert/delete/update change set") {
+    val t = tmpTable()
+    t.overwrite(rows(1L -> "a", 2L -> "b", 3L -> "c")) // v-00000000
+    t.overwrite(rows(2L -> "B", 3L -> "c", 4L -> "d")) // v-00000001
+    val d = t.diffVersions("v-00000000", "v-00000001", "id")
+      .orderBy("id").collect()
+    assert(d.map(r => (r.getLong(0), r.getString(1))).toSeq ===
+      Seq(1L -> "delete", 2L -> "update", 4L -> "insert"),
+      "unchanged rows (id 3) must not appear")
+    val upd = d(1)
+    assert(upd.getStruct(2).getAs[String]("v") === "b") // before
+    assert(upd.getStruct(3).getAs[String]("v") === "B") // after
+    val ins = d(2)
+    assert(ins.isNullAt(2) && ins.getStruct(3).getAs[String]("v") === "d")
+  }
+
   test("publishVersion redoes a mistaken rollback") {
     val t = tmpTable()
     t.overwrite(rows(1L -> "old"))
