@@ -1449,8 +1449,39 @@ object AnalyticsPack {
             ORDER BY n_chars DESC, doc_id ASC) AS rank
         FROM documents) WHERE rank <= 3"""))
 
+  /** Time-window retry dedup — the telemetry-ingest rule that A4's
+    * keep-latest cannot express: an IDENTICAL event (same user, type,
+    * value) re-sent within the retry window is a duplicate submission,
+    * not a new observation; the FIRST occurrence survives, and a
+    * repeat beyond the window is a legitimate new event. One shuffle
+    * on the (user, type, value) identity — uniform keys, since the
+    * window partition is the full identity, its size is the retry
+    * multiplicity (tiny), never a hot user's whole history. Gaps
+    * compare as exact microsecond longs; ties (exact duplicate rows)
+    * break on event_id, so gap 0 drops them too.
+    */
+  private val q106 = QueryDef(
+    "q106_retry_dedup",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window
+        .partitionBy(col("user_id"), col("event_type"), col("value"))
+        .orderBy(col("ts"), col("event_id"))
+      Tables.events(s, dir)
+        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .filter(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > 5000000L)
+        .select(col("event_id"), col("user_id"), col("event_type"))
+    },
+    Some("""SELECT event_id, user_id, event_type FROM (
+        SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+          lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type, value
+            ORDER BY ts, event_id) AS prev_us
+        FROM events)
+      WHERE prev_us IS NULL OR us - prev_us > 5000000"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
-    q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104)
+    q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106)
 }
