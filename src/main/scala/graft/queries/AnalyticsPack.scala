@@ -1449,23 +1449,32 @@ object AnalyticsPack {
             ORDER BY n_chars DESC, doc_id ASC) AS rank
         FROM documents) WHERE rank <= 3"""))
 
-  /** Time-window retry dedup — the telemetry-ingest rule that A4's
-    * keep-latest cannot express: an IDENTICAL event (same user, type,
-    * value) re-sent within the retry window is a duplicate submission,
-    * not a new observation; the FIRST occurrence survives, and a
-    * repeat beyond the window is a legitimate new event. One shuffle
-    * on the (user, type, value) identity — uniform keys, since the
-    * window partition is the full identity, its size is the retry
-    * multiplicity (tiny), never a hot user's whole history. Gaps
-    * compare as exact microsecond longs; ties (exact duplicate rows)
-    * break on event_id, so gap 0 drops them too.
+  /** Time-window retry dedup (DEBOUNCE semantics) — the telemetry-
+    * ingest rule that A4's keep-latest cannot express: an IDENTICAL
+    * event (same user, type, value) re-sent within 5 s of the
+    * PREVIOUS submission — kept or itself suppressed — is a duplicate;
+    * the suppression window slides with each retry (a burst of
+    * sub-window retries collapses to its first event however long the
+    * burst), and a repeat arriving ≥ 5 s after the previous submission
+    * is a new observation. Ties (exact duplicate rows) break on
+    * event_id, so gap 0 drops them too; gaps compare as exact
+    * microsecond longs.
+    *
+    * Scale shape: the window partitions on (identity, DAY), not the
+    * identity alone — an identity that recurs forever (a heartbeat
+    * with a constant value) would otherwise accumulate its entire
+    * history in one window partition. The day bound caps any
+    * partition at one identity-day; the cost is that a burst
+    * straddling midnight keeps one extra event (the retry window is
+    * 5 s, so at most one burst per identity per day is split).
     */
   private val q106 = QueryDef(
     "q106_retry_dedup",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
+      val day = expr("unix_micros(ts) div 86400000000")
       val w = Window
-        .partitionBy(col("user_id"), col("event_type"), col("value"))
+        .partitionBy(col("user_id"), col("event_type"), col("value"), day)
         .orderBy(col("ts"), col("event_id"))
       Tables.events(s, dir)
         .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
@@ -1475,7 +1484,8 @@ object AnalyticsPack {
     },
     Some("""SELECT event_id, user_id, event_type FROM (
         SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
-          lag(epoch_us(ts)) OVER (PARTITION BY user_id, event_type, value
+          lag(epoch_us(ts)) OVER (
+            PARTITION BY user_id, event_type, value, epoch_us(ts) // 86400000000
             ORDER BY ts, event_id) AS prev_us
         FROM events)
       WHERE prev_us IS NULL OR us - prev_us > 5000000"""))

@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, hash, lit, pmod, struct, when}
+import org.apache.spark.sql.functions.{coalesce, col, hash, lit, pmod, struct, when}
 
 /** A named, mutable, parquet-backed table — the engine's analogue of
   * the reference's endpoint tables (SURVEY.md §1.1 "Table").
@@ -276,11 +276,20 @@ final case class ParquetTable(spark: SparkSession, path: String,
   }
 
   /** CDC-style diff of two on-disk snapshots in the retention window:
-    * the keyed change set between `from` (older) and `to` (newer) —
-    * the "what did the last load actually do" view, and the change
-    * feed a downstream incremental consumer applies instead of
+    * the keyed change set between `from` (strictly older) and `to`
+    * (newer) — the "what did the last load actually do" view, and the
+    * change feed a downstream incremental consumer applies instead of
     * re-reading the table. Assumes `key` is unique per snapshot (the
-    * invariant the upsert path maintains).
+    * invariant the upsert path maintains); a null key matches null-safe
+    * (one unchanged null-keyed row is NOT a delete+insert pair).
+    *
+    * Schema evolution is the normal case for the load this explains,
+    * so the two snapshots' structs are aligned by NAME over the union
+    * of their columns: a column absent on one side reads as null
+    * there (an added column shows up as an `update` on every row that
+    * has it non-null — which is what the load did), and shared columns
+    * compare after casting both sides to the NEWER snapshot's type
+    * (widening loads diff without a false all-rows update).
     *
     * Shape at scale: ONE full-outer join on the key — uniform by the
     * upsert contract, AQE-sized — with each side pre-packed into a
@@ -292,17 +301,32 @@ final case class ParquetTable(spark: SparkSession, path: String,
     * struct columns, null on the absent side.
     */
   def diffVersions(from: String, to: String, key: String): DataFrame = {
+    require(from < to,
+      s"diffVersions arguments are (older, newer): got from=$from, to=$to — " +
+        "swapped arguments would silently invert insert/delete labels")
     val a = readVersion(from)
     val b = readVersion(to)
-    val av = a.select(col(key).as("__k"), struct(a.columns.map(col): _*).as("before"))
-    val bv = b.select(col(key).as("__k"), struct(b.columns.map(col): _*).as("after"))
-    av.join(bv, Seq("__k"), "full_outer")
+    // union of columns in a stable order; the newer snapshot's type
+    // wins for shared columns
+    val allCols = (a.columns ++ b.columns.filterNot(a.columns.contains(_))).toSeq
+    val types = (a.schema.fields ++ b.schema.fields)
+      .map(f => f.name -> f.dataType).toMap // later (b) entries win
+    def packed(df: DataFrame, as: String) = {
+      val have = df.columns.toSet
+      struct(allCols.map { c =>
+        (if (have(c)) col(c).cast(types(c)) else lit(null).cast(types(c))).as(c)
+      }: _*).as(as)
+    }
+    val av = a.select(col(key).cast(types(key)).as("__ka"), packed(a, "before"))
+    val bv = b.select(col(key).cast(types(key)).as("__kb"), packed(b, "after"))
+    av.join(bv, av("__ka") <=> bv("__kb"), "full_outer")
       .withColumn("change",
         when(col("before").isNull, lit("insert"))
           .when(col("after").isNull, lit("delete"))
           .when(!(col("before") <=> col("after")), lit("update")))
       .filter(col("change").isNotNull)
-      .select(col("__k").as(key), col("change"), col("before"), col("after"))
+      .select(coalesce(col("__ka"), col("__kb")).as(key),
+        col("change"), col("before"), col("after"))
   }
 
   /** Roll the table back to the retained prior snapshot: re-publish

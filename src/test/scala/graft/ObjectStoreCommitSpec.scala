@@ -273,6 +273,24 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     assert(upd.getStruct(3).getAs[String]("v") === "B") // after
     val ins = d(2)
     assert(ins.isNullAt(2) && ins.getStruct(3).getAs[String]("v") === "d")
+    // swapped arguments would silently invert insert/delete — refused
+    val e = intercept[IllegalArgumentException](
+      t.diffVersions("v-00000001", "v-00000000", "id"))
+    assert(e.getMessage.contains("older, newer"))
+  }
+
+  test("diffVersions aligns evolved schemas by name and matches null keys") {
+    val t = tmpTable()
+    t.overwrite(Seq((Some(1L), "a"), (Some(2L), "b"), (None: Option[Long], "n"))
+      .toDF("id", "v"))                                  // v-00000000
+    t.overwrite(Seq((Some(1L), "a", Some(7L)), (None: Option[Long], "n", None: Option[Long]))
+      .toDF("id", "v", "w"))                             // v-00000001: +w column
+    val d = t.diffVersions("v-00000000", "v-00000001", "id").collect()
+      .map(r => (Option(r.get(0)), r.getString(1))).toSet
+    // id 2 deleted; id 1 updated (w went null -> 7); the null-keyed row
+    // is UNCHANGED modulo the all-null new column — null-safe struct
+    // equality must not emit a delete+insert pair for it
+    assert(d === Set(Some(2L) -> "delete", Some(1L) -> "update"))
   }
 
   test("publishVersion redoes a mistaken rollback") {
