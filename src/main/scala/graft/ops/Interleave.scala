@@ -1,0 +1,81 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.TextKernels
+
+/** Deterministic weighted interleaving of multiple corpus sources into
+  * one training-stream order — the "mixture schedule" a trainer
+  * consumes (e.g. web:3, books:1), computed as data instead of drawn
+  * at read time.
+  *
+  * Model: within each source, documents get a seeded pseudo-random
+  * rank r = 1,2,… (hex60 hash order — no `rand()`, so the schedule is
+  * reproducible). A source with integer weight w emits its r-th
+  * document at virtual time r·(L/w) where L = lcm(weights): a
+  * weight-3 source fires 3× as often as a weight-1 source, exactly and
+  * integer-exactly (no float accumulation drift at position 10^9 —
+  * the reason for the lcm scaling). The global schedule is the merge
+  * of all sources by virtual time. This is deficit-round-robin
+  * applied to corpus mixing: over any window the realized mix tracks
+  * the weights within one document per source.
+  */
+object Interleave {
+
+  /** First `topN` positions of the schedule:
+    * (position, vtime, source, id).
+    *
+    * Shape at scale: the per-source rank is a distributed window
+    * (partitioned by source); the prune `r ≤ topN` is exact — the
+    * first topN global positions contain at most topN documents from
+    * any single source, and always that source's LOWEST ranks — so
+    * the final total sort orders at most topN·n_sources rows, bounded
+    * and tiny regardless of corpus size. For a full-corpus schedule
+    * (topN = corpus size) the global sort is a range-partitioned
+    * sort-by-vtime, which Spark distributes; the prune just stops
+    * being selective.
+    */
+  def schedule(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weights: Map[String, Int],
+      topN: Int,
+      salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive: $weights")
+    val lcm = weights.values.toSeq.distinct.foldLeft(1L) { (acc, w) =>
+      val g = BigInt(acc).gcd(BigInt(w)).toLong
+      acc / g * w
+    }
+    // steps as a literal map: source -> lcm/weight (exact by construction)
+    val stepEntries = weights.toSeq.sortBy(_._1)
+      .flatMap { case (s, w) => Seq(lit(s), lit(lcm / w)) }
+    val step = element_at(map(stepEntries: _*), col(sourceCol))
+
+    val perSource = Window.partitionBy(col(sourceCol))
+      .orderBy(TextKernels.hex60(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        col(idCol))
+    val pruned = df
+      .withColumn("__r", row_number().over(perSource).cast("long"))
+      .filter(col("__r") <= topN)
+      .withColumn("vtime", col("__r") * step)
+    val global = Window.orderBy(col("vtime"), col(sourceCol), col(idCol))
+    pruned
+      .withColumn("position", row_number().over(global).cast("long"))
+      .filter(col("position") <= topN)
+      .select(col("position"), col("vtime"), col(sourceCol), col(idCol))
+  }
+
+  /** Realized-mix audit over the first `topN` positions: per source,
+    * how many slots it received vs its weight share — the check that a
+    * schedule actually tracks its weights.
+    */
+  def realizedMix(scheduled: DataFrame, sourceCol: String): DataFrame =
+    scheduled.groupBy(col(sourceCol))
+      .agg(count(lit(1)).as("n_slots"),
+        min(col("position")).as("first_position"),
+        max(col("position")).as("last_position"))
+}

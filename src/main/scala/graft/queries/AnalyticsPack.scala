@@ -1490,8 +1490,105 @@ object AnalyticsPack {
         FROM events)
       WHERE prev_us IS NULL OR us - prev_us > 5000000"""))
 
+  /** Incremental aggregate maintenance (ops.Cdc): a per-customer
+    * COUNT/SUM snapshot built from an OLD state of orders is updated
+    * by applying the changeSet to the NEW state — inserts (keys %7=0
+    * were absent), deletes (keys %5=0 leave), and value updates (keys
+    * %3=0 get +1) — WITHOUT re-aggregating the base table. The oracle
+    * recomputes the new state from scratch; matching hashes prove the
+    * delta-merge is exact, including groups that empty out (dropped)
+    * and rows whose update moves money between groups.
+    *
+    * The sums run in decimal(18,2) end-to-end (cast the raw double
+    * column first, then arithmetic — the cross-engine float rule) and
+    * only the final output casts to double.
+    */
+  private val q107 = QueryDef(
+    "q107_ivm",
+    (s, dir) => {
+      val priced = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val olds = priced.filter(col("o_orderkey") % 7 =!= 0)
+      val news = priced.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0, col("price") + lit(1))
+            .otherwise(col("price")).cast("decimal(18,2)"))
+      val snapshot = olds.groupBy(col("o_custkey"))
+        .agg(count(lit(1)).as("n_rows"), sum(col("price")).as("price"))
+      graft.ops.Cdc.applyDelta(
+          snapshot, graft.ops.Cdc.changeSet(olds, news, "o_orderkey"),
+          "o_custkey", Seq("price"))
+        .select(col("o_custkey"), col("n_rows"),
+          col("price").cast("double").as("sum_price"))
+    },
+    Some("""SELECT o_custkey, count(*) AS n_rows,
+        sum((CASE WHEN o_orderkey % 3 = 0
+             THEN o_totalprice::DECIMAL(18,2) + 1
+             ELSE o_totalprice::DECIMAL(18,2) END)::DECIMAL(18,2))::DOUBLE
+          AS sum_price
+      FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY o_custkey"""))
+
+  /** Deterministic shard export manifest (ops.ShardExport): 16-way
+    * seeded hash sharding of the documents corpus with a within-shard
+    * shuffle order, summarized per shard — count, bytes, ord range,
+    * and a positional checksum that pins the exact within-shard
+    * order (the restartable-export contract; both engines derive
+    * identical placement from the portable hex60 hash).
+    */
+  private val q108 = QueryDef(
+    "q108_shard_manifest",
+    (s, dir) => graft.ops.ShardExport.manifest(
+      graft.ops.ShardExport.assign(
+        Tables.documents(s, dir), "doc_id", numShards = 16, seed = 8L),
+      "doc_id", "n_chars"),
+    Some {
+      val shard = graft.ops.ShardExport.shardSql("doc_id::VARCHAR", 16, 8L)
+      val ord = graft.ops.ShardExport.ordSql("doc_id::VARCHAR", 8L)
+      s"""WITH a AS (SELECT doc_id, n_chars, $shard AS shard, $ord AS ord
+           FROM documents),
+         p AS (SELECT shard, n_chars, ord, doc_id,
+             row_number() OVER (PARTITION BY shard ORDER BY ord, doc_id) AS pos
+           FROM a),
+         g AS (SELECT shard, count(*) AS n_docs,
+             sum(n_chars)::BIGINT AS total_bytes,
+             min(ord) AS min_ord, max(ord) AS max_ord,
+             sum(pos * (doc_id % 1000003))::BIGINT AS raw_check
+           FROM p GROUP BY shard)
+       SELECT shard, n_docs, total_bytes, min_ord, max_ord,
+         raw_check % 1000000007 AS perm_check FROM g"""
+    })
+
+  /** Deterministic mixture-interleave schedule (ops.Interleave): the
+    * 20 document sources get integer weights 1–4 (from the source
+    * index), and the first 240 positions of the merged training
+    * stream are emitted with their virtual times. Integer-exact lcm
+    * scaling keeps both engines' orderings identical; the per-source
+    * rank prune keeps the global sort bounded at scale.
+    */
+  private val q109 = QueryDef(
+    "q109_interleave",
+    (s, dir) => {
+      val weights = (0 until 20).map(i => s"src$i" -> (i % 4 + 1)).toMap
+      graft.ops.Interleave.schedule(
+        Tables.documents(s, dir), "source", "doc_id", weights, topN = 240)
+    },
+    Some(s"""WITH r AS (SELECT doc_id, source,
+          12 // ((substr(source, 4)::INT % 4) + 1) AS step,
+          row_number() OVER (PARTITION BY source
+            ORDER BY ${OracleSql.hex60("'mix:' || doc_id::VARCHAR")}, doc_id)
+            AS rnk
+        FROM documents),
+      v AS (SELECT doc_id, source, rnk * step AS vtime FROM r
+        WHERE rnk <= 240)
+      SELECT * FROM (
+        SELECT row_number() OVER (ORDER BY vtime, source, doc_id) AS position,
+          vtime, source, doc_id FROM v)
+      WHERE position <= 240"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
-    q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106)
+    q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
+    q108, q109)
 }

@@ -4,7 +4,7 @@ package graft.queries
   * Each mirrors a Spark-side kernel/Column form bit-for-bit (see the
   * cross-engine determinism rules in PipelinePack's scaladoc).
   */
-private[queries] object OracleSql {
+private[graft] object OracleSql {
 
   /** Whitespace tokens of `text`. */
   val T = "string_split(text, ' ')"

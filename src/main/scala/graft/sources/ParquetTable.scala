@@ -283,50 +283,16 @@ final case class ParquetTable(spark: SparkSession, path: String,
     * invariant the upsert path maintains); a null key matches null-safe
     * (one unchanged null-keyed row is NOT a delete+insert pair).
     *
-    * Schema evolution is the normal case for the load this explains,
-    * so the two snapshots' structs are aligned by NAME over the union
-    * of their columns: a column absent on one side reads as null
-    * there (an added column shows up as an `update` on every row that
-    * has it non-null — which is what the load did), and shared columns
-    * compare after casting both sides to the NEWER snapshot's type
-    * (widening loads diff without a false all-rows update).
-    *
-    * Shape at scale: ONE full-outer join on the key — uniform by the
-    * upsert contract, AQE-sized — with each side pre-packed into a
-    * single struct map-side; the classify is a codegen'd null/equality
-    * check (`<=>` so null fields compare stably). Unchanged rows drop
-    * before anything else happens to them.
-    *
-    * Output: (key, change ∈ insert|delete|update, before, after) —
-    * struct columns, null on the absent side.
+    * Semantics, schema-evolution tolerance, and output shape are
+    * [[graft.ops.Cdc.changeSet]]'s (this is that diff applied to two
+    * retained on-disk versions); see its scaladoc for the
+    * struct-alignment and scale notes.
     */
   def diffVersions(from: String, to: String, key: String): DataFrame = {
     require(from < to,
       s"diffVersions arguments are (older, newer): got from=$from, to=$to — " +
         "swapped arguments would silently invert insert/delete labels")
-    val a = readVersion(from)
-    val b = readVersion(to)
-    // union of columns in a stable order; the newer snapshot's type
-    // wins for shared columns
-    val allCols = (a.columns ++ b.columns.filterNot(a.columns.contains(_))).toSeq
-    val types = (a.schema.fields ++ b.schema.fields)
-      .map(f => f.name -> f.dataType).toMap // later (b) entries win
-    def packed(df: DataFrame, as: String) = {
-      val have = df.columns.toSet
-      struct(allCols.map { c =>
-        (if (have(c)) col(c).cast(types(c)) else lit(null).cast(types(c))).as(c)
-      }: _*).as(as)
-    }
-    val av = a.select(col(key).cast(types(key)).as("__ka"), packed(a, "before"))
-    val bv = b.select(col(key).cast(types(key)).as("__kb"), packed(b, "after"))
-    av.join(bv, av("__ka") <=> bv("__kb"), "full_outer")
-      .withColumn("change",
-        when(col("before").isNull, lit("insert"))
-          .when(col("after").isNull, lit("delete"))
-          .when(!(col("before") <=> col("after")), lit("update")))
-      .filter(col("change").isNotNull)
-      .select(coalesce(col("__ka"), col("__kb")).as(key),
-        col("change"), col("before"), col("after"))
+    graft.ops.Cdc.changeSet(readVersion(from), readVersion(to), key)
   }
 
   /** Roll the table back to the retained prior snapshot: re-publish

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Cdc, Interleave, ShardExport}
+
+/** Behavioral contracts for the CDC/IVM, shard-export, and mixture-
+  * interleave operators (the DuckDB oracle checks their q107–q109
+  * query forms; here we pin the edge semantics the oracle data never
+  * exercises: group moves, emptied groups, null sums, per-shard write
+  * order, and schedule/weight tracking).
+  */
+class CdcPipelineSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def agg(df: org.apache.spark.sql.DataFrame) =
+    df.groupBy(col("g")).agg(count(lit(1)).as("n_rows"), sum(col("v")).as("v"))
+
+  test("Cdc.applyDelta matches a full recompute, including group moves and emptied groups") {
+    // old state: groups a(2 rows), b(1), c(1); new state: b's row MOVES
+    // to a, c empties out, d appears, one a-row's value changes
+    val olds = Seq((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0), (4L, "c", 7.0))
+      .toDF("k", "g", "v")
+    val news = Seq((1L, "a", 11.0), (2L, "a", 20.0), (3L, "a", 5.0), (5L, "d", 9.0))
+      .toDF("k", "g", "v")
+    val got = Cdc.applyDelta(agg(olds), Cdc.changeSet(olds, news, "k"), "g", Seq("v"))
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    val want = agg(news)
+      .orderBy("g").collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(got.toSeq === want.toSeq) // c absent from both: count hit 0 → dropped
+    assert(!got.exists(_._1 == "c"))
+  }
+
+  test("Cdc.applyDelta preserves null sums (does not invent zero)") {
+    val olds = Seq((1L, "a", null.asInstanceOf[java.lang.Double])).toDF("k", "g", "v")
+    val news = Seq((1L, "a", null.asInstanceOf[java.lang.Double]),
+      (2L, "a", null.asInstanceOf[java.lang.Double])).toDF("k", "g", "v")
+    val row = Cdc.applyDelta(agg(olds), Cdc.changeSet(olds, news, "k"), "g", Seq("v"))
+      .collect()
+    assert(row.length === 1 && row(0).getLong(1) === 2L && row(0).isNullAt(2))
+  }
+
+  test("Cdc.applyDelta no-op changeSet returns the snapshot unchanged") {
+    val olds = Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("k", "g", "v")
+    val got = Cdc.applyDelta(agg(olds), Cdc.changeSet(olds, olds, "k"), "g", Seq("v"))
+      .orderBy("g").collect().toSeq
+    assert(got === agg(olds).orderBy("g").collect().toSeq)
+  }
+
+  test("ShardExport.write lands each shard sorted by ord, and assign is input-order independent") {
+    val docs = (1L to 200L).map(i => (i, i * 3)).toDF("doc_id", "n_chars")
+    val assigned = ShardExport.assign(docs, "doc_id", numShards = 4, seed = 1L)
+    val dir = Files.createTempDirectory("graft-shard-").toString
+    ShardExport.write(assigned, numShards = 4, dir)
+    val expect = assigned.collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(0))) // shard, ord, id
+      .groupBy(_._1).view.mapValues(_.sortBy(x => (x._2, x._3)).map(_._3).toSeq).toMap
+    for (shard <- 0L until 4L) {
+      val got = spark.read.parquet(s"$dir/shard=$shard")
+        .select("doc_id").collect().map(_.getLong(0)).toSeq
+      assert(got === expect(shard), s"shard $shard not in ord order")
+    }
+    // shuffling the input rows changes nothing: placement is pure (id, seed)
+    val reshuffled = ShardExport.assign(
+      docs.orderBy(rand(42)), "doc_id", numShards = 4, seed = 1L)
+    assert(reshuffled.orderBy("doc_id").collect().toSeq ===
+      assigned.orderBy("doc_id").collect().toSeq)
+  }
+
+  test("ShardExport.manifest perm_check pins the within-shard permutation") {
+    val docs = (1L to 100L).map(i => (i, i)).toDF("doc_id", "n_chars")
+    val assigned = ShardExport.assign(docs, "doc_id", numShards = 2, seed = 7L)
+    val m = ShardExport.manifest(assigned, "doc_id", "n_chars")
+      .orderBy("shard").collect()
+    // independent reference: positions from a driver-side sort
+    val byShard = assigned.collect()
+      .map(r => (r.getLong(2), r.getLong(3), r.getLong(0)))
+      .groupBy(_._1)
+    for (row <- m) {
+      val rows = byShard(row.getLong(0)).sortBy(x => (x._2, x._3))
+      val check = rows.zipWithIndex
+        .map { case ((_, _, id), i) => (i + 1L) * (id % 1000003L) }
+        .sum % 1000000007L
+      assert(row.getLong(1) === rows.length.toLong)
+      assert(row.getAs[Long]("perm_check") === check)
+    }
+  }
+
+  test("Interleave.schedule tracks weights and the rank prune is exact") {
+    val docs = (1L to 300L).map { i =>
+      (i, if (i % 3 == 0) "heavy" else "light")
+    }.toDF("id", "src")
+    // heavy:3 light:1 → of any early window, ~3/4 of slots are heavy
+    val sched = Interleave.schedule(docs, "src", "id",
+      Map("heavy" -> 3, "light" -> 1), topN = 80)
+    val rows = sched.collect()
+    assert(rows.map(_.getLong(0)).sorted.toSeq === (1L to 80L)) // dense positions
+    val mix = Interleave.realizedMix(sched, "src").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(mix("heavy") === 60L && mix("light") === 20L)
+    // prune exactness: a huge topN (no pruning) agrees on the prefix
+    val full = Interleave.schedule(docs, "src", "id",
+      Map("heavy" -> 3, "light" -> 1), topN = 300)
+      .filter(col("position") <= 80).collect()
+    assert(full.map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq ===
+      rows.map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq)
+  }
+
+  test("ParquetTable.diffVersions still classifies through Cdc.changeSet") {
+    // the refactor keeps the on-disk CDC path intact: insert/update/
+    // delete against a two-version table
+    val dir = Files.createTempDirectory("graft-cdc-").toString
+    val t = graft.sources.ParquetTable(spark, s"$dir/t")
+    t.overwrite(Seq((1L, "a"), (2L, "b")).toDF("k", "s"))
+    t.overwrite(Seq((2L, "B"), (3L, "c")).toDF("k", "s"))
+    val vs = t.versions // newest first
+    val d = t.diffVersions(vs.last, vs.head, "k")
+      .select(col("k"), col("change")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(d === Map(1L -> "delete", 2L -> "update", 3L -> "insert"))
+  }
+}
