@@ -27,6 +27,10 @@ object Interleave {
   /** First `topN` positions of the schedule:
     * (position, vtime, source, id).
     *
+    * Sources not named in `weights` are treated as weight 0 —
+    * excluded from the schedule entirely (the mixture IS the list of
+    * weighted sources).
+    *
     * Shape at scale: the per-source rank is a distributed window
     * (partitioned by source); the prune `r ≤ topN` is exact — the
     * first topN global positions contain at most topN documents from
@@ -46,6 +50,10 @@ object Interleave {
       salt: String = "mix"): DataFrame = {
     require(weights.nonEmpty && weights.values.forall(_ > 0),
       s"weights must be positive: $weights")
+    // a source absent from `weights` has weight 0: it gets NO slots.
+    // Without this filter its step would be null and null-first
+    // ordering would hand it the head of the schedule.
+    val covered = df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
     val lcm = weights.values.toSeq.distinct.foldLeft(1L) { (acc, w) =>
       val g = BigInt(acc).gcd(BigInt(w)).toLong
       acc / g * w
@@ -58,7 +66,7 @@ object Interleave {
     val perSource = Window.partitionBy(col(sourceCol))
       .orderBy(TextKernels.hex60(concat(lit(s"$salt:"), col(idCol).cast("string"))),
         col(idCol))
-    val pruned = df
+    val pruned = covered
       .withColumn("__r", row_number().over(perSource).cast("long"))
       .filter(col("__r") <= topN)
       .withColumn("vtime", col("__r") * step)

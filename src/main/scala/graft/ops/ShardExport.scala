@@ -39,14 +39,18 @@ object ShardExport {
 
   /** Per-shard manifest over an [[assign]]ed frame: document count,
     * total payload bytes, the ord-hash range, and a permutation
-    * checksum `sum(position_in_shard * (id mod 1000003)) mod (1e9+7)`
+    * checksum `sum((pos mod M)·(id mod M) mod M) mod M`, M = 1e9+7,
     * that pins the exact within-shard ORDER (count/bytes alone would
     * accept a mis-sorted shard). One window pass + one hash aggregate,
-    * both partitioned by shard — a single shuffle at scale, and the
-    * checksum accumulates in a long (positions × 1e6-bounded terms stay
-    * far under 2^63 for any realistic shard).
+    * both partitioned by shard — a single shuffle at scale.
+    *
+    * Every summand is reduced mod M BEFORE aggregation, so the long
+    * accumulator holds < n·M per shard — overflow-safe to ~9 billion
+    * documents per shard, far past the point where an export would
+    * raise `numShards` instead.
     */
   def manifest(assigned: DataFrame, idCol: String, bytesCol: String): DataFrame = {
+    val M = lit(1000000007L)
     val w = Window.partitionBy(col("shard")).orderBy(col("ord"), col(idCol))
     assigned
       .withColumn("__pos", row_number().over(w).cast("long"))
@@ -56,34 +60,36 @@ object ShardExport {
         sum(col(bytesCol)).as("total_bytes"),
         min(col("ord")).as("min_ord"),
         max(col("ord")).as("max_ord"),
-        (sum(col("__pos") * pmod(col(idCol).cast("long"), lit(1000003L))) %
-          lit(1000000007L)).as("perm_check"))
+        (sum(pmod(pmod(col("__pos"), M) * pmod(col(idCol).cast("long"), M), M)) %
+          M).as("perm_check"))
   }
 
   /** Write the assigned frame as one directory per shard
     * (`shard=K/`), rows sorted by the shuffle order within each
-    * shard's files. `repartition(numShards, shard)` puts each shard in
-    * exactly one task so `sortWithinPartitions` is a total order per
-    * shard; at cluster scale that is also the unit of retry — a lost
-    * task rewrites one shard, nothing else.
+    * shard's files. `repartitionByRange` over the dense 0..K-1 shard
+    * domain places ~one shard per task (range boundaries fall between
+    * distinct values — unlike hash repartition, which collides ~37% of
+    * shard values into shared tasks and leaves others empty), so a
+    * lost task re-writes one shard's files, and all K tasks carry
+    * work.
     *
-    * The sort leads with the partition column: the dynamic-partition
-    * writer requires rows clustered by partition keys and inserts its
-    * OWN (ord-destroying) sort if the incoming order doesn't already
-    * satisfy that — leading with `shard` makes our order satisfy it,
-    * so the (shard, ord) sort survives to the files.
+    * The within-partition sort leads with the partition column: the
+    * dynamic-partition writer requires rows clustered by partition
+    * keys and inserts its OWN (ord-destroying) sort if the incoming
+    * order doesn't already satisfy that — leading with `shard` makes
+    * our order satisfy it, so the (shard, ord) sort survives to the
+    * files.
     */
   def write(assigned: DataFrame, numShards: Int, outDir: String): Unit =
     assigned
-      .repartition(numShards, col("shard"))
+      .repartitionByRange(numShards, col("shard"))
       .sortWithinPartitions(col("shard"), col("ord"))
       .write.mode("overwrite").partitionBy("shard").parquet(outDir)
 
-  /** DuckDB fragment mirroring [[assign]]'s shard/ord for the oracle
-    * side (kept here so query packs don't restate the salt scheme).
+  /** The salt prefixes [[assign]] hashes under — shared with the
+    * oracle-side SQL mirror (queries.OracleSql) so both engines derive
+    * identical placement from one definition.
     */
-  def shardSql(idExpr: String, numShards: Int, seed: Long): String =
-    s"(${graft.queries.OracleSql.hex60(s"'s$seed:' || $idExpr")}) % $numShards"
-  def ordSql(idExpr: String, seed: Long): String =
-    graft.queries.OracleSql.hex60(s"'o$seed:' || $idExpr")
+  def shardSalt(seed: Long): String = s"s$seed:"
+  def ordSalt(seed: Long): String = s"o$seed:"
 }

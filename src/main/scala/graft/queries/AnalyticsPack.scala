@@ -1543,8 +1543,8 @@ object AnalyticsPack {
         Tables.documents(s, dir), "doc_id", numShards = 16, seed = 8L),
       "doc_id", "n_chars"),
     Some {
-      val shard = graft.ops.ShardExport.shardSql("doc_id::VARCHAR", 16, 8L)
-      val ord = graft.ops.ShardExport.ordSql("doc_id::VARCHAR", 8L)
+      val shard = OracleSql.shard("doc_id::VARCHAR", 16, 8L)
+      val ord = OracleSql.ord("doc_id::VARCHAR", 8L)
       s"""WITH a AS (SELECT doc_id, n_chars, $shard AS shard, $ord AS ord
            FROM documents),
          p AS (SELECT shard, n_chars, ord, doc_id,
@@ -1553,7 +1553,8 @@ object AnalyticsPack {
          g AS (SELECT shard, count(*) AS n_docs,
              sum(n_chars)::BIGINT AS total_bytes,
              min(ord) AS min_ord, max(ord) AS max_ord,
-             sum(pos * (doc_id % 1000003))::BIGINT AS raw_check
+             sum((pos % 1000000007) * (doc_id % 1000000007) %
+               1000000007)::BIGINT AS raw_check
            FROM p GROUP BY shard)
        SELECT shard, n_docs, total_bytes, min_ord, max_ord,
          raw_check % 1000000007 AS perm_check FROM g"""

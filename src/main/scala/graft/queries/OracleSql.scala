@@ -4,7 +4,7 @@ package graft.queries
   * Each mirrors a Spark-side kernel/Column form bit-for-bit (see the
   * cross-engine determinism rules in PipelinePack's scaladoc).
   */
-private[graft] object OracleSql {
+private[queries] object OracleSql {
 
   /** Whitespace tokens of `text`. */
   val T = "string_split(text, ' ')"
@@ -26,4 +26,13 @@ private[graft] object OracleSql {
   def cos(a: String, b: String): String =
     s"(CASE WHEN sqrt(${dot(a, a)}) > 0 AND sqrt(${dot(b, b)}) > 0 " +
       s"THEN ${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})) END)"
+
+  /** Shard/ord placement mirroring ShardExport.assign — the salt
+    * prefixes come from the operator so both engines share one
+    * definition.
+    */
+  def shard(idExpr: String, numShards: Int, seed: Long): String =
+    s"(${hex60(s"'${graft.ops.ShardExport.shardSalt(seed)}' || $idExpr")}) % $numShards"
+  def ord(idExpr: String, seed: Long): String =
+    hex60(s"'${graft.ops.ShardExport.ordSalt(seed)}' || $idExpr")
 }

@@ -82,9 +82,10 @@ class CdcPipelineSpec extends AnyFunSuite {
       .groupBy(_._1)
     for (row <- m) {
       val rows = byShard(row.getLong(0)).sortBy(x => (x._2, x._3))
+      val M = 1000000007L
       val check = rows.zipWithIndex
-        .map { case ((_, _, id), i) => (i + 1L) * (id % 1000003L) }
-        .sum % 1000000007L
+        .map { case ((_, _, id), i) => ((i + 1L) % M) * (id % M) % M }
+        .sum % M
       assert(row.getLong(1) === rows.length.toLong)
       assert(row.getAs[Long]("perm_check") === check)
     }
@@ -108,6 +109,16 @@ class CdcPipelineSpec extends AnyFunSuite {
       .filter(col("position") <= 80).collect()
     assert(full.map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq ===
       rows.map(r => (r.getLong(0), r.getLong(3))).sortBy(_._1).toSeq)
+  }
+
+  test("Interleave.schedule excludes sources absent from the weights map") {
+    val docs = (1L to 60L).map { i =>
+      (i, if (i % 2 == 0) "wanted" else "unlisted")
+    }.toDF("id", "src")
+    val sched = Interleave.schedule(docs, "src", "id",
+      Map("wanted" -> 2), topN = 20).collect()
+    assert(sched.length === 20)
+    assert(sched.forall(_.getString(2) == "wanted")) // weight 0 ⇒ no slots
   }
 
   test("ParquetTable.diffVersions still classifies through Cdc.changeSet") {
