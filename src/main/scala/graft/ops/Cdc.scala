@@ -121,4 +121,47 @@ object Cdc {
           sumCols.map(merged): _*)
       .filter(col("n_rows") > 0)
   }
+
+  /** The distinct group keys a [[changeSet]] touches — both the group
+    * a row left and the group it joined (null-key groups included,
+    * matched null-safe downstream).
+    */
+  def touchedGroups(changes: DataFrame, groupKey: String): DataFrame =
+    changes.filter(col("change").isin("delete", "update"))
+      .select(col(s"before.$groupKey").as(groupKey))
+      .unionByName(changes.filter(col("change").isin("insert", "update"))
+        .select(col(s"after.$groupKey").as(groupKey)))
+      .distinct()
+
+  /** Incremental maintenance for NON-distributive aggregates (MIN,
+    * MAX, exact distinct…): a delta can't be subtracted from a max, so
+    * instead of merging deltas this re-aggregates ONLY the groups the
+    * change set touches and patches them into the snapshot — untouched
+    * groups (the overwhelming majority under an incremental load) are
+    * carried over without reading their base rows.
+    *
+    * `aggFn` recomputes the snapshot's schema for a subset of base
+    * rows (same groupBy the snapshot was built with). Groups that
+    * emptied out simply produce no recomputed row and their snapshot
+    * row is dropped by the anti-join, matching a full recompute.
+    *
+    * Shape at scale: the touched-key set is delta-sized; it broadcasts
+    * into a semi-join PROBE on the base scan (with the base bucketed
+    * on a key functionally determining `groupKey`, partition pruning
+    * applies too), so the re-aggregation reads base rows but shuffles
+    * only the touched groups' rows. All joins are null-safe — a
+    * null-keyed group refreshes like any other.
+    */
+  def refreshGroups(
+      snapshot: DataFrame,
+      base: DataFrame,
+      changes: DataFrame,
+      groupKey: String)(aggFn: DataFrame => DataFrame): DataFrame = {
+    val touched = touchedGroups(changes, groupKey)
+    val keep = snapshot.join(broadcast(touched),
+      snapshot(groupKey) <=> touched(groupKey), "left_anti")
+    val recomputed = aggFn(base.join(broadcast(touched),
+      base(groupKey) <=> touched(groupKey), "left_semi"))
+    keep.unionByName(recomputed)
+  }
 }

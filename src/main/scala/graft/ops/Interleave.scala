@@ -77,6 +77,62 @@ object Interleave {
       .select(col("position"), col("vtime"), col(sourceCol), col(idCol))
   }
 
+  /** Epoch-aware schedule: like [[schedule]], but a source whose
+    * documents run out WRAPS AROUND — its (n+1)-th slot re-emits its
+    * rank-1 document as epoch 2 — so a high-weight small source is
+    * oversampled across epochs instead of exhausted (the standard
+    * corpus-mixing mechanic for up-weighting scarce high-quality
+    * sources).
+    *
+    * Construction: each weighted source gets slot indices m = 1..topN
+    * (more can never reach the global top topN); slot m carries
+    * vtime = m·(L/w), epoch = (m-1) div n_s + 1, and re-joins the
+    * source's rank ((m-1) mod n_s)+1 document. The slot frame is
+    * |sources|·topN rows REGARDLESS of corpus size and broadcasts to
+    * the ranked corpus, so the only full-data operations are the
+    * per-source rank window and one broadcast-probe join.
+    */
+  def epochSchedule(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weights: Map[String, Int],
+      topN: Int,
+      salt: String = "mix"): DataFrame = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive: $weights")
+    val lcm = weights.values.toSeq.distinct.foldLeft(1L) { (acc, w) =>
+      val g = BigInt(acc).gcd(BigInt(w)).toLong
+      acc / g * w
+    }
+    val stepEntries = weights.toSeq.sortBy(_._1)
+      .flatMap { case (s, w) => Seq(lit(s), lit(lcm / w)) }
+    val step = element_at(map(stepEntries: _*), col(sourceCol))
+
+    val perSource = Window.partitionBy(col(sourceCol))
+      .orderBy(TextKernels.hex60(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        col(idCol))
+    val ranked = df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
+      .withColumn("__r", row_number().over(perSource).cast("long"))
+    val counts = ranked.groupBy(col(sourceCol)).agg(max(col("__r")).as("__ns"))
+    val slots = counts
+      .select(col(sourceCol), col("__ns"),
+        explode(sequence(lit(1L), lit(topN.toLong))).as("__m"))
+      .withColumn("vtime", col("__m") * step)
+      .withColumn("epoch", expr("(__m - 1) div __ns + 1")) // integral div
+      .withColumn("__sr", pmod(col("__m") - 1, col("__ns")) + 1)
+      .drop("__ns")
+    val joined = broadcast(slots)
+      .join(ranked.withColumnRenamed(sourceCol, "__src"),
+        col(sourceCol) === col("__src") && col("__sr") === col("__r"))
+    val global = Window.orderBy(col("vtime"), col(sourceCol), col("__m"))
+    joined
+      .withColumn("position", row_number().over(global).cast("long"))
+      .filter(col("position") <= topN)
+      .select(col("position"), col("vtime"), col("epoch"),
+        col(sourceCol), col(idCol))
+  }
+
   /** Realized-mix audit over the first `topN` positions: per source,
     * how many slots it received vs its weight share — the check that a
     * schedule actually tracks its weights.

@@ -1587,9 +1587,83 @@ object AnalyticsPack {
           vtime, source, doc_id FROM v)
       WHERE position <= 240"""))
 
+  /** Epoch-aware mixture schedule (ops.Interleave.epochSchedule): the
+    * first 600 positions of a 20-source weighted interleave where each
+    * source wraps around when its 25 (sf0.01) documents run out —
+    * weight-4 sources re-enter epoch 2+ instead of exhausting, the
+    * oversample-scarce-sources mechanic. The oracle rebuilds the slot
+    * frame with generate_series and the same integer wrap/epoch
+    * arithmetic.
+    */
+  private val q110 = QueryDef(
+    "q110_epoch_schedule",
+    (s, dir) => {
+      val weights = (0 until 20).map(i => s"src$i" -> (i % 4 + 1)).toMap
+      graft.ops.Interleave.epochSchedule(
+        Tables.documents(s, dir), "source", "doc_id", weights, topN = 600)
+    },
+    Some(s"""WITH r AS (SELECT doc_id, source,
+          row_number() OVER (PARTITION BY source
+            ORDER BY ${OracleSql.hex60("'mix:' || doc_id::VARCHAR")}, doc_id)
+            AS rnk
+        FROM documents),
+      n AS (SELECT source, count(*) AS ns,
+          12 // ((substr(source, 4)::INT % 4) + 1) AS step
+        FROM documents GROUP BY source),
+      s AS (SELECT n.source, t.m, t.m * n.step AS vtime,
+          (t.m - 1) // n.ns + 1 AS epoch,
+          (t.m - 1) % n.ns + 1 AS rnk
+        FROM n, generate_series(1, 600) t(m)),
+      j AS (SELECT s.vtime, s.epoch, s.source, s.m, r.doc_id
+        FROM s JOIN r ON s.source = r.source AND s.rnk = r.rnk)
+      SELECT * EXCLUDE (m) FROM (
+        SELECT row_number() OVER (ORDER BY vtime, source, m) AS position,
+          vtime, epoch, source, m, doc_id FROM j)
+      WHERE position <= 600"""))
+
+  /** Non-distributive IVM (ops.Cdc.refreshGroups): the same
+    * orders-table CDC scenario as q107, but maintaining MIN/MAX
+    * aggregates a delta cannot patch — only the groups the change set
+    * touches re-aggregate from the new base state; every other group's
+    * snapshot row carries over unread. Oracle = full recompute.
+    */
+  private val q111 = QueryDef(
+    "q111_ivm_minmax",
+    (s, dir) => {
+      val priced = Tables.orders(s, dir).select(
+        col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("decimal(18,2)").as("price"))
+      val olds = priced.filter(col("o_orderkey") % 7 =!= 0)
+      val news = priced.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("price",
+          when(col("o_orderkey") % 3 === 0, col("price") + lit(1))
+            .otherwise(col("price")).cast("decimal(18,2)"))
+      def aggFn(df: org.apache.spark.sql.DataFrame) =
+        df.groupBy(col("o_custkey")).agg(
+          count(lit(1)).as("n_rows"),
+          min(col("price")).as("min_price"),
+          max(col("price")).as("max_price"))
+      graft.ops.Cdc.refreshGroups(
+          aggFn(olds), news, graft.ops.Cdc.changeSet(olds, news, "o_orderkey"),
+          "o_custkey")(aggFn)
+        .select(col("o_custkey"), col("n_rows"),
+          col("min_price").cast("double").as("min_price"),
+          col("max_price").cast("double").as("max_price"))
+    },
+    Some("""SELECT o_custkey, count(*) AS n_rows,
+        min((CASE WHEN o_orderkey % 3 = 0
+             THEN o_totalprice::DECIMAL(18,2) + 1
+             ELSE o_totalprice::DECIMAL(18,2) END)::DECIMAL(18,2))::DOUBLE
+          AS min_price,
+        max((CASE WHEN o_orderkey % 3 = 0
+             THEN o_totalprice::DECIMAL(18,2) + 1
+             ELSE o_totalprice::DECIMAL(18,2) END)::DECIMAL(18,2))::DOUBLE
+          AS max_price
+      FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY o_custkey"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
-    q108, q109)
+    q108, q109, q110, q111)
 }

@@ -121,6 +121,49 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(sched.forall(_.getString(2) == "wanted")) // weight 0 ⇒ no slots
   }
 
+  test("Cdc.refreshGroups matches recompute where deltas cannot (max under delete)") {
+    val olds = Seq((1L, "a", 10.0), (2L, "a", 99.0), (3L, "b", 5.0), (4L, "c", 7.0))
+      .toDF("k", "g", "v")
+    // the a-group's MAX row is deleted (99 → 10), c empties, d appears
+    val news = Seq((1L, "a", 10.0), (3L, "b", 5.0), (5L, "d", 9.0)).toDF("k", "g", "v")
+    def aggFn(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val got = Cdc.refreshGroups(aggFn(olds), news,
+        Cdc.changeSet(olds, news, "k"), "g")(aggFn)
+      .orderBy("g").collect().toSeq
+    assert(got === aggFn(news).orderBy("g").collect().toSeq)
+    // untouched group b carried over, emptied group c gone
+    assert(got.map(_.getString(0)) === Seq("a", "b", "d"))
+  }
+
+  test("Interleave.epochSchedule wraps exhausted sources into later epochs") {
+    val docs = ((1L to 2L).map((_, "tiny")) ++ (10L to 60L).map((_, "big")))
+      .toDF("id", "src")
+    val sched = Interleave.schedule(docs, "src", "id",
+      Map("tiny" -> 4, "big" -> 1), topN = 12)
+    val esched = Interleave.epochSchedule(docs, "src", "id",
+      Map("tiny" -> 4, "big" -> 1), topN = 12).collect()
+    // tiny (weight 4, 2 docs) exhausts after 2 slots; epochSchedule
+    // keeps emitting it: slots at vtime 3,6,9,12… are tiny forever
+    val tiny = esched.filter(_.getString(3) == "tiny")
+    assert(tiny.length > 2, "wrap-around slots missing")
+    assert(tiny.map(_.getLong(2)).max > 1L, "no epoch ever exceeded 1")
+    // within an epoch the per-source document order repeats exactly
+    val byEpoch = tiny.groupBy(_.getLong(2)).view
+      .mapValues(_.sortBy(_.getLong(1)).map(_.getLong(4)).toSeq).toMap
+    assert(byEpoch(2L).take(2) === byEpoch(1L).take(2))
+    // before the first wrapped slot (lcm(4,1)=4 ⇒ tiny's step is 1,
+    // so its m=3 wrap lands at vtime 3) the schedules are identical —
+    // wrap-around only ADDS slots after that
+    val plainPre = sched.collect().filter(_.getLong(1) < 3)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._1).toSeq
+    val epochPre = esched.filter(_.getLong(1) < 3)
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(4))).sortBy(_._1).toSeq
+    assert(epochPre.nonEmpty)
+    assert(epochPre === plainPre)
+  }
+
   test("ParquetTable.diffVersions still classifies through Cdc.changeSet") {
     // the refactor keeps the on-disk CDC path intact: insert/update/
     // delete against a two-version table
