@@ -133,33 +133,90 @@ object TextClean {
       textCol: String, k: Int = 3, minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
     require(k > 0, s"window size must be positive: $k")
     require(minDocs >= 2, s"minDocs below 2 would mark every window: $minDocs")
-    val base = df.select(col(idCol),
+    val base = tokenized(df, idCol, textCol)
+    val wins = windowHashes(base, idCol, k)
+    val dup = wins.groupBy(col("wh"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("wh"))
+    rebuildWithout(base, coveredPositions(wins, dup, idCol, k), idCol)
+  }
+
+  /** Surgical benchmark decontamination — the counterpart of
+    * [[dropRepeatedSpans]] against a REFERENCE corpus: every `k`-token
+    * window of `df` whose content appears verbatim anywhere in `ref`
+    * (the eval/benchmark set) marks its positions, and the document is
+    * rebuilt without them. Whole-document contamination FLAGGING is
+    * q57's job; this removes just the leaked spans, keeping the rest
+    * of the document trainable — the n-gram-level decontamination
+    * pass eval-hygiene pipelines run before training.
+    *
+    * Scale shape: identical to [[dropRepeatedSpans]] except the
+    * dup-window set is the DISTINCT window-hash set of the reference
+    * corpus — benchmark-sized, not corpus-sized — which broadcasts
+    * (`broadcastRef`) so contamination detection adds NO shuffle of
+    * the training corpus's window stream: the mark join is a map-side
+    * probe. Set `broadcastRef=false` if the reference is itself huge.
+    */
+  def dropSpansMatching(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, ref: org.apache.spark.sql.DataFrame, refIdCol: String,
+      refTextCol: String, k: Int = 3,
+      broadcastRef: Boolean = true): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"window size must be positive: $k")
+    val base = tokenized(df, idCol, textCol)
+    val wins = windowHashes(base, idCol, k)
+    val refWh0 = windowHashes(tokenized(ref, refIdCol, refTextCol), refIdCol, k)
+      .select(col("wh")).distinct()
+    val refWh = if (broadcastRef) broadcast(refWh0) else refWh0
+    rebuildWithout(base, coveredPositions(wins, refWh, idCol, k), idCol)
+  }
+
+  private def tokenized(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String) =
+    df.select(col(idCol),
       graft.functions.TextKernels.tokens(col(textCol)).as("toks"))
-    // window starts 1..size-k+1; the slice-of-sequence guard keeps the
-    // sequence ascending for short docs (sequence(1, 0) would DESCEND)
-    val wins = base.select(col(idCol), explode(expr(
+
+  /** One row per k-token window start: (idCol, pos, wh).
+    *
+    * Window starts run 1..size-k+1; the slice-of-sequence guard keeps
+    * the sequence ascending for short docs (sequence(1, 0) would
+    * DESCEND). The window CONTENT leaves the map side as its FULL
+    * 128-bit md5 (16-byte binary): dup-detection groupBys and
+    * coverage joins shuffle fixed-width uniform keys instead of
+    * k-token strings. 128 bits — not the 60-bit band-key prefix —
+    * because span-removal decisions are FINAL and destructive (a
+    * colliding window would have its span deleted with no later exact
+    * verification); at 128 bits the collision odds are the same
+    * content-hash contract [[Dedup.exact]] already rests on.
+    */
+  private def windowHashes(base: org.apache.spark.sql.DataFrame, idCol: String,
+      k: Int) =
+    base.select(col(idCol), explode(expr(
         s"""transform(
               slice(sequence(1, greatest(size(toks) - ${k - 1}, 1)),
                     1, greatest(size(toks) - ${k - 1}, 0)),
               i -> named_struct(
                 'pos', i,
                 'w', array_join(slice(toks, i, $k), ' ')))""")).as("e"))
-      // the window CONTENT leaves the map side as its FULL 128-bit
-      // md5 (16-byte binary): the dup-detection groupBy and the
-      // coverage join shuffle fixed-width uniform keys instead of
-      // k-token strings. 128 bits — not the 60-bit band-key prefix —
-      // because this decision is FINAL and destructive (a colliding
-      // window would have its span deleted with no later exact
-      // verification); at 128 bits the collision odds are the same
-      // content-hash contract [[Dedup.exact]] already rests on.
       .select(col(idCol), col("e.pos").as("pos"),
         unhex(md5(col("e.w"))).as("wh"))
-    val dup = wins.groupBy(col("wh"))
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("wh"))
-    val covered = wins.join(dup, Seq("wh"))
+
+  /** Marked token positions: the windows in `wins` whose hash is in
+    * `marks` (a 1-column `wh` set), expanded to their `k` covered
+    * positions — a bounded ×k fan-out, then distinct on (doc, pos).
+    */
+  private def coveredPositions(wins: org.apache.spark.sql.DataFrame,
+      marks: org.apache.spark.sql.DataFrame, idCol: String, k: Int) =
+    wins.join(marks, Seq("wh"))
       .select(col(idCol), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("pos"))
       .distinct()
+
+  /** Rebuild each document from the tokens NOT in `covered`: anti-join
+    * the token stream, then one per-doc reassembly whose buffer is
+    * bounded by document length. Documents losing every token come
+    * back as the empty string with n_removed = n_tok.
+    */
+  private def rebuildWithout(base: org.apache.spark.sql.DataFrame,
+      covered: org.apache.spark.sql.DataFrame, idCol: String) = {
     val tokpos = base
       .select(col(idCol), posexplode(col("toks")).as(Seq("p0", "token")))
       .select(col(idCol), (col("p0") + 1).as("pos"), col("token"))

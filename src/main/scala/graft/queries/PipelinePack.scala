@@ -1109,7 +1109,54 @@ object PipelinePack {
             / (count(*) FILTER (WHERE jaccard >= 0.5))::DOUBLE END AS recall_in_candidates
       FROM ($sqlCalibration)"""))
 
+  /** Surgical benchmark decontamination (TextClean.dropSpansMatching):
+    * src19 plays the held-out eval set; every 5-token span of the
+    * OTHER 19 sources' documents that appears verbatim anywhere in
+    * src19 is removed and the documents rebuilt — the n-gram-level
+    * decontamination pass (whole-doc flagging is q57). The reference
+    * window-hash set is benchmark-sized and broadcasts, so the mark
+    * join adds no corpus shuffle.
+    */
+  private val q112 = QueryDef(
+    "q112_decontam_spans",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      TextClean.dropSpansMatching(
+        docs.filter(col("source") =!= "src19"), "doc_id", "text",
+        docs.filter(col("source") === "src19"), "doc_id", "text", k = 5)
+    },
+    Some(s"""WITH base AS (SELECT doc_id, $T AS toks FROM documents
+        WHERE source <> 'src19'),
+      winpos AS (SELECT doc_id, toks,
+          unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS pos
+        FROM base),
+      wins AS (SELECT doc_id, pos,
+          unhex(md5(array_to_string(toks[pos:pos+4], ' '))) AS wh FROM winpos),
+      rbase AS (SELECT doc_id, $T AS toks FROM documents
+        WHERE source = 'src19'),
+      rwinpos AS (SELECT doc_id, toks,
+          unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS pos
+        FROM rbase),
+      rwh AS (SELECT DISTINCT
+          unhex(md5(array_to_string(toks[pos:pos+4], ' '))) AS wh FROM rwinpos),
+      cov AS (SELECT DISTINCT doc_id, pos + off AS pos
+        FROM wins JOIN rwh USING (wh) CROSS JOIN range(0, 5) AS o(off)),
+      tp AS (SELECT doc_id, toks,
+          unnest(range(1, len(toks) + 1)) AS pos FROM base),
+      tokpos AS (SELECT doc_id, pos, toks[pos] AS token FROM tp),
+      kept AS (SELECT t.doc_id, t.pos, t.token FROM tokpos t
+        LEFT JOIN cov c ON t.doc_id = c.doc_id AND t.pos = c.pos
+        WHERE c.doc_id IS NULL),
+      agg AS (SELECT doc_id, count(*) AS n_kept,
+          string_agg(token, ' ' ORDER BY pos) AS clean_text
+        FROM kept GROUP BY doc_id)
+      SELECT b.doc_id, len(b.toks)::BIGINT AS n_tok,
+        (len(b.toks) - coalesce(n_kept, 0))::BIGINT AS n_removed,
+        coalesce(clean_text, '') AS clean_text
+      FROM base b LEFT JOIN agg USING (doc_id)"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
-    q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105)
+    q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
+    q112)
 }

@@ -197,4 +197,32 @@ object StreamingLift {
       col(s"r.$rightTs") <= col(s"l.$leftTs") + expr(s"INTERVAL $horizon")
     l.join(r, cond, if (leftOuter) "leftOuter" else "inner")
   }
+
+  /** Streaming IVM: watch `srcPath` for CDC change files (the
+    * [[graft.ops.Cdc.changeSet]] shape — key, change, before, after)
+    * and fold each micro-batch into a materialized per-key COUNT/SUM
+    * aggregate table via [[graft.ops.Cdc.applyDelta]] — the SAME
+    * delta-merge the batch path (q107) uses, lifted to a stream. The
+    * checkpoint makes it exactly-once per change file, and the
+    * aggregate table's versioned overwrite publishes each batch's
+    * result atomically.
+    *
+    * Per micro-batch the work is O(|aggregate| + |delta|) — the
+    * snapshot re-writes (it is the per-key SUMMARY, orders of
+    * magnitude smaller than the base table) but the BASE table is
+    * never read: that is the IVM contract.
+    */
+  def maintainAggStream(spark: SparkSession, srcPath: String,
+      changeSchema: StructType, snapshot: ParquetTable, groupKey: String,
+      sumCols: Seq[String], checkpoint: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    val stream = spark.readStream.schema(changeSchema).parquet(srcPath)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        snapshot.overwrite(
+          graft.ops.Cdc.applyDelta(snapshot.read, batch, groupKey, sumCols))
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
 }

@@ -436,6 +436,39 @@ class PipelineSpec extends AnyFunSuite {
       "completely different content with no shared windows at all")))
   }
 
+  test("dropSpansMatching removes only reference spans — internal dups survive") {
+    val train = docs(
+      1L -> "leaked bench question answer pair plus original prose here",
+      2L -> "dup dup dup dup dup and nothing from the benchmark",
+      3L -> "prefix leaked bench question answer pair suffix")
+    val ref = docs(9L -> "leaked bench question answer pair")
+    val out = graft.ops.TextClean
+      .dropSpansMatching(train, "doc_id", "text", ref, "doc_id", "text", k = 5)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getString(3)))).toMap
+    // docs 1 and 3 lose exactly the 5-token benchmark span; doc 2's
+    // self-repetition is NOT a contamination (that's q94's job)
+    assert(out(1L) === ((9L, 5L, "plus original prose here")))
+    assert(out(3L) === ((7L, 5L, "prefix suffix")))
+    assert(out(2L)._2 === 0L)
+  }
+
+  test("dropSpansMatching agrees with dropRepeatedSpans when ref = corpus half") {
+    // splitting a corpus and decontaminating half A against half B
+    // must remove from A exactly the windows dropRepeatedSpans(A ∪ B)
+    // attributes to cross-half sharing when A has no internal dups
+    val a = docs(1L -> "alpha beta gamma delta epsilon zeta unique tail")
+    val b = docs(2L -> "pre alpha beta gamma delta epsilon zeta post")
+    val viaMatch = graft.ops.TextClean
+      .dropSpansMatching(a, "doc_id", "text", b, "doc_id", "text", k = 5)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    val viaRepeat = graft.ops.TextClean
+      .dropRepeatedSpans(a.unionByName(b), "doc_id", "text", k = 5, minDocs = 2)
+      .filter(org.apache.spark.sql.functions.col("doc_id") === 1L)
+      .collect().map(r => (r.getLong(0), r.getLong(2), r.getString(3))).toSeq
+    assert(viaMatch === viaRepeat)
+  }
+
   test("dropRepeatedSpans: overlapping duplicated windows merge their coverage") {
     // the 6-token run "a b c d e f" is shared, so BOTH 5-windows
     // ("a b c d e", "b c d e f") are duplicated; coverage must be the

@@ -59,6 +59,49 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(after2(1)._3 === "b", "untouched keys survive")
   }
 
+  test("maintainAggStream folds CDC micro-batches into the aggregate (streaming q107)") {
+    import graft.ops.Cdc
+    val srcDir = Files.createTempDirectory("graft-ivm-src").toString
+    val ckpt = Files.createTempDirectory("graft-ivm-ckpt").toString
+    val snap = ParquetTable(spark,
+      Files.createTempDirectory("graft-ivm-snap").resolve("agg").toString)
+
+    def rows(kvs: Seq[(Long, String, Double)]): DataFrame =
+      kvs.toDF("k", "g", "v")
+    def agg(df: DataFrame): DataFrame =
+      df.groupBy(org.apache.spark.sql.functions.col("g"))
+        .agg(org.apache.spark.sql.functions.count(
+            org.apache.spark.sql.functions.lit(1)).as("n_rows"),
+          org.apache.spark.sql.functions.sum(
+            org.apache.spark.sql.functions.col("v")).as("v"))
+
+    val state0 = rows(Seq((1L, "a", 10.0), (2L, "b", 5.0)))
+    val state1 = rows(Seq((1L, "a", 11.0), (3L, "b", 2.0))) // upd, del, ins
+    snap.overwrite(agg(state0))
+    val changes = Cdc.changeSet(state0, state1, "k")
+    changes.write.parquet(srcDir + "/c1")
+
+    val q = StreamingLift.maintainAggStream(spark, srcDir + "/*",
+      changes.schema, snap, "g", Seq("v"), ckpt)
+    q.awaitTermination(60000)
+    val got = snap.read.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    val want = agg(state1).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got === want)
+
+    // second change file from the same checkpoint: only c2 applies
+    val state2 = rows(Seq((1L, "a", 11.0), (3L, "b", 2.0), (4L, "c", 7.0)))
+    Cdc.changeSet(state1, state2, "k").write.parquet(srcDir + "/c2")
+    val q2 = StreamingLift.maintainAggStream(spark, srcDir + "/*",
+      changes.schema, snap, "g", Seq("v"), ckpt)
+    q2.awaitTermination(60000)
+    val got2 = snap.read.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got2 === agg(state2).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+  }
+
   test("tumblingCounts: closed windows emit aggregated counts") {
     val srcDir = Files.createTempDirectory("graft-tumble").toString
     val data = events(Seq(
