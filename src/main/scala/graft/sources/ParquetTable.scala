@@ -62,6 +62,14 @@ final case class ParquetTable(spark: SparkSession, path: String,
   private def currentVersion: Option[String] =
     VersionedLayout.currentVersion(fs, path)
 
+  /** The live published version name — the one [[read]] resolves and
+    * [[versionMeta]]'s `currentMeta` describes (public alias of the
+    * pointer read; None for un-versioned layouts). NOT `versions
+    * .head`: after a [[rollback]] the live version is older than the
+    * newest retained one.
+    */
+  def liveVersion: Option[String] = currentVersion
+
   /** Directory holding the live data files: the published version for
     * versioned tables, the table root for un-versioned layouts.
     */
@@ -139,7 +147,8 @@ final case class ParquetTable(spark: SparkSession, path: String,
     * partition the directory by `__bucket`.
     */
   def overwrite(df: DataFrame, distKey: Option[String] = None,
-      sortKey: Option[String] = None): Unit = {
+      sortKey: Option[String] = None,
+      meta: Map[String, String] = Map.empty): Unit = {
     val laidOut = (distKey.filterNot(_ => isBucketed), sortKey) match {
       case (Some(d), Some(s)) => df.repartition(col(d)).sortWithinPartitions(col(s))
       case (Some(d), None)    => df.repartition(col(d))
@@ -153,6 +162,12 @@ final case class ParquetTable(spark: SparkSession, path: String,
     val w = (if (isBucketed) laidOut.withColumn("__bucket", bucketExpr)
              else laidOut).write.mode("overwrite")
     (if (isBucketed) w.partitionBy("__bucket") else w).parquet(target.toString)
+    // version-pinned metadata lands INSIDE the version directory,
+    // BEFORE the pointer flip: it becomes visible atomically with the
+    // snapshot it describes, so no crash window can publish data with
+    // stale/missing metadata (what an out-of-band sidecar file would
+    // risk). Consumers: AggView's applied-base-version bookkeeping.
+    if (meta.nonEmpty) writeMeta(target, meta)
     VersionedLayout.publish(fs, path, next)
     // retain the just-superseded snapshot: a reader that resolved the
     // old dataDir before the pointer flip keeps valid files under its
@@ -274,6 +289,53 @@ final case class ParquetTable(spark: SparkSession, path: String,
     val df = scanDir(s"$path/$version")
     if (isBucketed) df.drop("__bucket") else df
   }
+
+  private val MetaFile = "_GRAFT_META"
+
+  /** `key=value` lines — no JSON parser dependency; keys and values
+    * must not contain '\n' ('=' splits on the FIRST occurrence, so
+    * values may contain it).
+    */
+  private def writeMeta(versionDir: Path, meta: Map[String, String]): Unit = {
+    require(meta.forall { case (k, v) =>
+      !k.contains("\n") && !v.contains("\n") && !k.contains("=") },
+      s"meta keys must be '='/newline-free and values newline-free: $meta")
+    val out = fs.create(new Path(versionDir, MetaFile), true)
+    try out.write(meta.toSeq.sorted.map { case (k, v) => s"$k=$v\n" }
+      .mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Version-pinned metadata recorded by `overwrite(…, meta = …)` —
+    * read from INSIDE the named version directory, so it can never
+    * describe a different snapshot than the one being read. Empty for
+    * versions written without metadata.
+    */
+  def versionMeta(version: String): Map[String, String] = {
+    val p = new Path(s"$path/$version", MetaFile)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val bytes =
+        try {
+          val buf = new java.io.ByteArrayOutputStream()
+          val chunk = new Array[Byte](8192)
+          Iterator.continually(in.read(chunk)).takeWhile(_ > 0)
+            .foreach(n => buf.write(chunk, 0, n))
+          buf.toString("UTF-8")
+        } finally in.close()
+      bytes.linesIterator.filter(_.nonEmpty).map { line =>
+        val i = line.indexOf('=')
+        line.substring(0, i) -> line.substring(i + 1)
+      }.toMap
+    }
+  }
+
+  /** [[versionMeta]] of the live snapshot (empty for un-versioned
+    * layouts or metadata-free versions).
+    */
+  def currentMeta: Map[String, String] =
+    currentVersion.map(versionMeta).getOrElse(Map.empty)
 
   /** CDC-style diff of two on-disk snapshots in the retention window:
     * the keyed change set between `from` (strictly older) and `to`

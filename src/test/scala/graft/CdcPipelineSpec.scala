@@ -164,6 +164,54 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(epochPre === plainPre)
   }
 
+  test("AggView: delta refresh tracks the base, falls back to full past retention") {
+    import graft.sources.{AggView, ParquetTable}
+    val root = Files.createTempDirectory("graft-aggview-").toString
+    val base = ParquetTable(spark, s"$root/base")
+    val av = AggView(ParquetTable(spark, s"$root/view"), "g", Seq("v"))
+    def rows(kvs: (Long, String, Double)*) = kvs.toDF("k", "g", "v")
+    def expect(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n_rows"), sum("v").as("v"))
+        .orderBy("g").collect().toSeq
+
+    val s1 = rows((1L, "a", 10.0), (2L, "a", 20.0), (3L, "b", 5.0))
+    base.overwrite(s1)
+    assert(av.build(base).mode === "full")
+    assert(av.view.read.orderBy("g").collect().toSeq === expect(s1))
+
+    // one publish ahead: delta path, matches recompute
+    val s2 = rows((1L, "a", 11.0), (3L, "b", 5.0), (4L, "c", 7.0))
+    base.overwrite(s2)
+    val r2 = av.refresh(base, "k")
+    assert(r2.mode === "delta" && r2.from.isDefined)
+    assert(av.view.read.orderBy("g").collect().toSeq === expect(s2))
+    assert(av.refresh(base, "k").mode === "noop")
+
+    // two publishes ahead: applied version GC'd → loud full rebuild
+    base.overwrite(rows((4L, "c", 8.0)))
+    val s4 = rows((4L, "c", 9.0), (5L, "d", 1.0))
+    base.overwrite(s4)
+    val r4 = av.refresh(base, "k")
+    assert(r4.mode === "full")
+    assert(av.view.read.orderBy("g").collect().toSeq === expect(s4))
+  }
+
+  test("versionMeta is pinned to its snapshot across overwrites and rollback") {
+    import graft.sources.ParquetTable
+    val t = graft.sources.ParquetTable(spark,
+      Files.createTempDirectory("graft-meta-").resolve("t").toString)
+    t.overwrite(Seq((1L, "x")).toDF("k", "s"), meta = Map("gen" -> "1"))
+    t.overwrite(Seq((2L, "y")).toDF("k", "s"), meta = Map("gen" -> "2"))
+    assert(t.currentMeta === Map("gen" -> "2"))
+    val Seq(newer, older) = t.versions.take(2)
+    assert(t.versionMeta(older) === Map("gen" -> "1"))
+    t.rollback()
+    assert(t.currentMeta === Map("gen" -> "1"), "meta follows the pointer")
+    // metadata-free versions read empty, and the data read ignores the
+    // underscore-prefixed meta file
+    assert(t.read.count() === 1L)
+  }
+
   test("ParquetTable.diffVersions still classifies through Cdc.changeSet") {
     // the refactor keeps the on-disk CDC path intact: insert/update/
     // delete against a two-version table
