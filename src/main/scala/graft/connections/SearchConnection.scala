@@ -135,7 +135,7 @@ final class SearchConnection(spark: SparkSession, val name: String,
     val root = pathOf(index)
     val V = graft.sources.VersionedLayout
     val prior = V.currentVersion(fs, root)
-    val next = V.nextVersion(prior)
+    val next = V.freshVersion(fs, root, prior)
     val target = new Path(root, next)
     if (fs.exists(target)) fs.delete(target, true) // crash leftover
     df.write.mode("overwrite")

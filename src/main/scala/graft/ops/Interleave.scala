@@ -48,26 +48,8 @@ object Interleave {
       weights: Map[String, Int],
       topN: Int,
       salt: String = "mix"): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      s"weights must be positive: $weights")
-    // a source absent from `weights` has weight 0: it gets NO slots.
-    // Without this filter its step would be null and null-first
-    // ordering would hand it the head of the schedule.
-    val covered = df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
-    val lcm = weights.values.toSeq.distinct.foldLeft(1L) { (acc, w) =>
-      val g = BigInt(acc).gcd(BigInt(w)).toLong
-      acc / g * w
-    }
-    // steps as a literal map: source -> lcm/weight (exact by construction)
-    val stepEntries = weights.toSeq.sortBy(_._1)
-      .flatMap { case (s, w) => Seq(lit(s), lit(lcm / w)) }
-    val step = element_at(map(stepEntries: _*), col(sourceCol))
-
-    val perSource = Window.partitionBy(col(sourceCol))
-      .orderBy(TextKernels.hex60(concat(lit(s"$salt:"), col(idCol).cast("string"))),
-        col(idCol))
-    val pruned = covered
-      .withColumn("__r", row_number().over(perSource).cast("long"))
+    val (ranked, step) = rankAndStep(df, sourceCol, idCol, weights, salt)
+    val pruned = ranked
       .filter(col("__r") <= topN)
       .withColumn("vtime", col("__r") * step)
     val global = Window.orderBy(col("vtime"), col(sourceCol), col(idCol))
@@ -99,21 +81,7 @@ object Interleave {
       weights: Map[String, Int],
       topN: Int,
       salt: String = "mix"): DataFrame = {
-    require(weights.nonEmpty && weights.values.forall(_ > 0),
-      s"weights must be positive: $weights")
-    val lcm = weights.values.toSeq.distinct.foldLeft(1L) { (acc, w) =>
-      val g = BigInt(acc).gcd(BigInt(w)).toLong
-      acc / g * w
-    }
-    val stepEntries = weights.toSeq.sortBy(_._1)
-      .flatMap { case (s, w) => Seq(lit(s), lit(lcm / w)) }
-    val step = element_at(map(stepEntries: _*), col(sourceCol))
-
-    val perSource = Window.partitionBy(col(sourceCol))
-      .orderBy(TextKernels.hex60(concat(lit(s"$salt:"), col(idCol).cast("string"))),
-        col(idCol))
-    val ranked = df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
-      .withColumn("__r", row_number().over(perSource).cast("long"))
+    val (ranked, step) = rankAndStep(df, sourceCol, idCol, weights, salt)
     val counts = ranked.groupBy(col(sourceCol)).agg(max(col("__r")).as("__ns"))
     val slots = counts
       .select(col(sourceCol), col("__ns"),
@@ -131,6 +99,39 @@ object Interleave {
       .filter(col("position") <= topN)
       .select(col("position"), col("vtime"), col("epoch"),
         col(sourceCol), col(idCol))
+  }
+
+  /** The shared front half of both schedules: per-source seeded rank
+    * plus the integer step column. One definition carries the three
+    * load-bearing invariants — the lcm-exact step scaling, the
+    * weight-0 exclusion of unlisted sources (whose null step would
+    * otherwise sort FIRST and seize the schedule head), and the
+    * salted-hex60 + id tie-break that makes ranks deterministic —
+    * which is also what keeps [[epochSchedule]] provably equal to
+    * [[schedule]] before the first wrap.
+    */
+  private def rankAndStep(
+      df: DataFrame,
+      sourceCol: String,
+      idCol: String,
+      weights: Map[String, Int],
+      salt: String): (DataFrame, org.apache.spark.sql.Column) = {
+    require(weights.nonEmpty && weights.values.forall(_ > 0),
+      s"weights must be positive: $weights")
+    val lcm = weights.values.toSeq.distinct.foldLeft(1L) { (acc, w) =>
+      val g = BigInt(acc).gcd(BigInt(w)).toLong
+      acc / g * w
+    }
+    // steps as a literal map: source -> lcm/weight (exact by construction)
+    val stepEntries = weights.toSeq.sortBy(_._1)
+      .flatMap { case (s, w) => Seq(lit(s), lit(lcm / w)) }
+    val step = element_at(map(stepEntries: _*), col(sourceCol))
+    val perSource = Window.partitionBy(col(sourceCol))
+      .orderBy(TextKernels.hex60(concat(lit(s"$salt:"), col(idCol).cast("string"))),
+        col(idCol))
+    val ranked = df.filter(col(sourceCol).isInCollection(weights.keys.toSeq))
+      .withColumn("__r", row_number().over(perSource).cast("long"))
+    (ranked, step)
   }
 
   /** Realized-mix audit over the first `topN` positions: per source,

@@ -7,10 +7,11 @@ import graft.ops.Cdc
 
 /** An incrementally-maintained materialized aggregate: a versioned
   * [[ParquetTable]] holding `groupBy(groupKey).agg(count, sum(cols))`
-  * of a versioned base table, refreshed by DELTA — each refresh reads
-  * only the CDC change set between the base version the view last
-  * applied and the live one ([[ParquetTable.diffVersions]] →
-  * [[Cdc.applyDelta]]), never the base rows themselves.
+  * of a versioned base table, refreshed by DELTA — each refresh
+  * derives (or, with [[refreshWith]], is handed) the CDC change set
+  * between the base version the view last applied and the live one
+  * ([[ParquetTable.diffVersions]] → [[Cdc.applyDelta]]), and only
+  * that delta reaches the aggregate merge.
   *
   * Consistency: the applied base version is recorded as
   * version-pinned metadata INSIDE the view snapshot it describes
@@ -22,14 +23,23 @@ import graft.ops.Cdc
   *
   * Retention: the base's GC keeps one prior snapshot, so delta
   * refresh works when the view is at most one base publish behind. A
-  * view further behind (or whose metadata is missing — e.g. a view
-  * table compacted by maintenance) falls back to a FULL rebuild,
-  * loudly in the result, never silently wrong.
+  * view further behind, whose metadata is missing (e.g. a view table
+  * compacted by maintenance), or whose applied version is not
+  * STRICTLY OLDER than live (the base rolled back under it) falls
+  * back to a FULL rebuild, loudly in the result, never silently
+  * wrong. Version names are publish-unique within retention
+  * ([[VersionedLayout.freshVersion]]), so an applied name can never
+  * denote different data than it did when recorded.
   *
-  * At 100 TB: a delta refresh costs the diff join (delta-sized by the
-  * upsert contract) + the view-sized merge — the base table is never
-  * re-aggregated. The refresh-every-publish cadence is what keeps the
-  * view inside the retention window.
+  * Cost honesty at 100 TB: [[ParquetTable.diffVersions]] DERIVES the
+  * change set by scanning both retained base snapshots and joining on
+  * the row key — its OUTPUT is delta-sized, its input is two base
+  * reads. [[refresh]] therefore trades base I/O for never
+  * re-aggregating and never re-shuffling base rows (scans pipeline
+  * into the map-side struct-pack; only diff output reaches the merge).
+  * When the pipeline already HAS a stored change feed (the upsert
+  * path can emit one), [[refreshWith]] applies it directly and the
+  * refresh touches no base data at all.
   */
 final case class AggView(
     view: ParquetTable,
@@ -64,16 +74,37 @@ final case class AggView(
     view.currentMeta.get(AppliedKey) match {
       case Some(applied) if applied == cur =>
         RefreshResult("noop", from = Some(applied), to = cur)
-      case Some(applied) if base.versions.contains(applied) =>
+      // `applied < cur` guards the rolled-back base: an applied
+      // version NEWER than live cannot be delta-diffed (and the view
+      // may hold data live never had) — rebuild, don't throw
+      case Some(applied) if applied < cur && base.versions.contains(applied) =>
         val merged = Cdc.applyDelta(view.read,
           base.diffVersions(applied, cur, rowKey), groupKey, sumCols)
         view.overwrite(merged, meta = Map(AppliedKey -> cur))
         RefreshResult("delta", from = Some(applied), to = cur)
-      case stale => // never built, metadata lost, or out of retention
-        val r = build(base)
+      case stale => // never built, metadata lost, rolled back, or out
+        val r = build(base) //  of retention
         r.copy(from = stale)
     }
   }
+
+  /** Apply a STORED change feed (the [[Cdc.changeSet]] shape) that
+    * advances the view from exactly its applied base version `from`
+    * to `to` — the zero-base-read refresh for pipelines that persist
+    * their CDC deltas. Refuses (returns a "stale" no-write result)
+    * unless `from` matches the view's applied version, so a replayed
+    * or skipped feed segment can never double-apply or gap the view.
+    */
+  def refreshWith(changes: DataFrame, from: String, to: String): RefreshResult =
+    view.currentMeta.get(AppliedKey) match {
+      case Some(applied) if applied == from && from < to =>
+        view.overwrite(Cdc.applyDelta(view.read, changes, groupKey, sumCols),
+          meta = Map(AppliedKey -> to))
+        RefreshResult("delta", from = Some(from), to = to)
+      case other =>
+        RefreshResult("stale", from = other, to = view.currentMeta
+          .getOrElse(AppliedKey, ""))
+    }
 }
 
 object AggView {

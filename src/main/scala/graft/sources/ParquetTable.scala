@@ -156,7 +156,10 @@ final case class ParquetTable(spark: SparkSession, path: String,
       case _                  => df
     }
     val prior = currentVersion
-    val next = VersionedLayout.nextVersion(prior)
+    // freshVersion, not nextVersion(prior): after a rollback the
+    // demoted dir is still on disk and succeeding the LIVE version
+    // would reuse its name for different data
+    val next = VersionedLayout.freshVersion(fs, path, prior)
     val target = new Path(path, next)
     if (fs.exists(target)) fs.delete(target, true) // crash leftover
     val w = (if (isBucketed) laidOut.withColumn("__bucket", bucketExpr)
@@ -324,10 +327,15 @@ final case class ParquetTable(spark: SparkSession, path: String,
             .foreach(n => buf.write(chunk, 0, n))
           buf.toString("UTF-8")
         } finally in.close()
-      bytes.linesIterator.filter(_.nonEmpty).map { line =>
-        val i = line.indexOf('=')
-        line.substring(0, i) -> line.substring(i + 1)
-      }.toMap
+      // a malformed line (hand-edited or torn on a non-atomic store)
+      // reads as ABSENT metadata, not an exception — consumers like
+      // AggView treat lost metadata as "rebuild", which is the safe
+      // degradation; throwing here would wedge that very path
+      bytes.linesIterator.filter(l => l.nonEmpty && l.contains("="))
+        .map { line =>
+          val i = line.indexOf('=')
+          line.substring(0, i) -> line.substring(i + 1)
+        }.toMap
     }
   }
 

@@ -118,6 +118,27 @@ object VersionedLayout {
   def nextVersion(prior: Option[String]): String =
     "v-%08d".format(prior.map(_.stripPrefix("v-").toInt + 1).getOrElse(0))
 
+  /** Next version name that is FRESH on disk: one past the max of the
+    * live pointer and every `v-*` directory present (complete,
+    * retained, or crashed). Succeeding the live version alone would
+    * REUSE a name after a rollback (live regresses while the demoted
+    * dir is still on disk; the next overwrite would delete and rewrite
+    * it under the same name) — and any consumer keying on version
+    * names across publishes (time travel, CDC diffs, AggView's
+    * applied-version bookkeeping) would then equate two different
+    * snapshots. Within the retention window, version names are unique.
+    */
+  def freshVersion(fs: FileSystem, root: String, prior: Option[String]): String = {
+    val p = new Path(root)
+    val onDisk =
+      if (!fs.exists(p)) Seq.empty
+      else fs.listStatus(p).toSeq.map(_.getPath.getName)
+        .filter(_.startsWith("v-"))
+        .flatMap(n => scala.util.Try(n.stripPrefix("v-").toInt).toOption)
+    val maxSeen = (onDisk ++ prior.map(_.stripPrefix("v-").toInt)).maxOption
+    "v-%08d".format(maxSeen.map(_ + 1).getOrElse(0))
+  }
+
   /** Per-scheme cache: does this store expose an atomic overwrite
     * rename through FileContext? Probed once, not re-discovered by
     * exception on every commit.

@@ -198,14 +198,29 @@ object StreamingLift {
     l.join(r, cond, if (leftOuter) "leftOuter" else "inner")
   }
 
+  /** The version-pinned metadata key [[maintainAggStream]] records the
+    * last-applied micro-batch id under.
+    */
+  val AppliedBatchKey = "graft.stream.applied.batch"
+
   /** Streaming IVM: watch `srcPath` for CDC change files (the
     * [[graft.ops.Cdc.changeSet]] shape — key, change, before, after)
     * and fold each micro-batch into a materialized per-key COUNT/SUM
     * aggregate table via [[graft.ops.Cdc.applyDelta]] — the SAME
-    * delta-merge the batch path (q107) uses, lifted to a stream. The
-    * checkpoint makes it exactly-once per change file, and the
-    * aggregate table's versioned overwrite publishes each batch's
-    * result atomically.
+    * delta-merge the batch path (q107) uses, lifted to a stream.
+    *
+    * Exactly-once despite foreachBatch's at-least-once replay: a
+    * delta-merge is NOT idempotent (re-applying a batch double-counts
+    * its signed deltas), so each publish records its batch id as
+    * version-pinned metadata — atomically with the data it describes —
+    * and a replayed batch (crash after publish, before the checkpoint
+    * commit) is recognized and skipped. The checkpoint provides
+    * at-least-once file delivery; the snapshot's own metadata turns it
+    * into exactly-once application. Batch ids are monotone PER
+    * CHECKPOINT, so a snapshot is bound to one checkpoint lineage —
+    * pointing a fresh checkpoint at an already-maintained snapshot
+    * would replay the feed from zero and must start from a fresh
+    * snapshot too.
     *
     * Per micro-batch the work is O(|aggregate| + |delta|) — the
     * snapshot re-writes (it is the per-key SUMMARY, orders of
@@ -219,9 +234,12 @@ object StreamingLift {
     val stream = spark.readStream.schema(changeSchema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        snapshot.overwrite(
-          graft.ops.Cdc.applyDelta(snapshot.read, batch, groupKey, sumCols))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = snapshot.currentMeta.get(AppliedBatchKey).map(_.toLong)
+        if (!applied.exists(_ >= batchId))
+          snapshot.overwrite(
+            graft.ops.Cdc.applyDelta(snapshot.read, batch, groupKey, sumCols),
+            meta = Map(AppliedBatchKey -> batchId.toString))
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }

@@ -196,6 +196,71 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(av.view.read.orderBy("g").collect().toSeq === expect(s4))
   }
 
+  test("overwrite after rollback never reuses a version name") {
+    import graft.sources.ParquetTable
+    val t = ParquetTable(spark,
+      Files.createTempDirectory("graft-vname-").resolve("t").toString)
+    t.overwrite(Seq((1L, "v0")).toDF("k", "s")) // v-00000000
+    t.overwrite(Seq((2L, "v1")).toDF("k", "s")) // v-00000001
+    val demoted = t.liveVersion.get
+    t.rollback() // live back to v-00000000; demoted dir still on disk
+    t.overwrite(Seq((3L, "v2")).toDF("k", "s"))
+    assert(t.liveVersion.get > demoted,
+      "a post-rollback overwrite must take a FRESH name, not recycle the demoted one")
+    assert(t.read.collect().map(_.getString(1)).toSeq === Seq("v2"))
+  }
+
+  test("AggView survives a base rollback: full rebuild, not a throw or silent noop") {
+    import graft.sources.{AggView, ParquetTable}
+    val root = Files.createTempDirectory("graft-aggroll-").toString
+    val base = ParquetTable(spark, s"$root/base")
+    val av = AggView(ParquetTable(spark, s"$root/view"), "g", Seq("v"))
+    base.overwrite(Seq((1L, "a", 1.0)).toDF("k", "g", "v"))
+    base.overwrite(Seq((1L, "a", 2.0), (2L, "b", 3.0)).toDF("k", "g", "v"))
+    av.build(base) // applied = the newer version
+    base.rollback() // live regresses BELOW the applied version
+    val r = av.refresh(base, "k")
+    assert(r.mode === "full", s"rolled-back base must force rebuild, got $r")
+    assert(av.view.read.orderBy("g").collect().map(r2 =>
+      (r2.getString(0), r2.getLong(1), r2.getDouble(2))).toSeq ===
+      Seq(("a", 1L, 1.0)))
+  }
+
+  test("AggView.refreshWith applies a stored feed once and refuses replays") {
+    import graft.sources.{AggView, ParquetTable}
+    val root = Files.createTempDirectory("graft-aggfeed-").toString
+    val base = ParquetTable(spark, s"$root/base")
+    val av = AggView(ParquetTable(spark, s"$root/view"), "g", Seq("v"))
+    val s1 = Seq((1L, "a", 10.0)).toDF("k", "g", "v")
+    val s2 = Seq((1L, "a", 10.0), (2L, "a", 5.0)).toDF("k", "g", "v")
+    base.overwrite(s1)
+    av.build(base)
+    val from = base.liveVersion.get
+    base.overwrite(s2)
+    val to = base.liveVersion.get
+    val feed = Cdc.changeSet(s1, s2, "k")
+    assert(av.refreshWith(feed, from, to).mode === "delta")
+    val snap = av.view.read.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(snap === Seq(("a", 2L, 15.0)))
+    // replaying the same segment must be refused, leaving the view unchanged
+    assert(av.refreshWith(feed, from, to).mode === "stale")
+    assert(av.view.read.collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+      === snap)
+  }
+
+  test("versionMeta tolerates malformed lines as absent metadata") {
+    import graft.sources.ParquetTable
+    val dir = Files.createTempDirectory("graft-badmeta-").resolve("t").toString
+    val t = ParquetTable(spark, dir)
+    t.overwrite(Seq((1L, "x")).toDF("k", "s"), meta = Map("ok" -> "1"))
+    val v = t.liveVersion.get
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(new org.apache.hadoop.fs.Path(s"$dir/$v/_GRAFT_META"), true)
+    out.write("garbage-without-equals\nok=1\n".getBytes("UTF-8")); out.close()
+    assert(t.currentMeta === Map("ok" -> "1")) // no exception, bad line dropped
+  }
+
   test("versionMeta is pinned to its snapshot across overwrites and rollback") {
     import graft.sources.ParquetTable
     val t = graft.sources.ParquetTable(spark,

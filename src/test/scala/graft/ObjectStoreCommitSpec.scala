@@ -142,11 +142,13 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     val fs = new Path(t.path).getFileSystem(
       spark.sparkContext.hadoopConfiguration)
     fs.mkdirs(new Path(t.path, "v-00000099"))
-    // first overwrite migrates to versioned layout and cleans both
+    // first overwrite migrates to versioned layout and cleans both;
+    // the crashed name is SKIPPED, not recycled (freshVersion — names
+    // stay publish-unique even across crash debris)
     t.overwrite(rows(2L -> "new"))
     assert(t.read.as[(Long, String)].collect().toSeq === Seq(2L -> "new"))
     val names = fs.listStatus(new Path(t.path)).map(_.getPath.getName).toSet
-    assert(names === Set("_CURRENT", "v-00000000"), names)
+    assert(names === Set("_CURRENT", "v-00000100"), names)
   }
 
   test("rollback re-publishes the retained prior snapshot atomically") {
@@ -162,12 +164,13 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     // the rolled-back-FROM version survives for forensics...
     assert(t.readVersion("v-00000001").as[(Long, String)]
       .collect().toSeq === Seq(2L -> "bad"))
-    // ...and the next forward commit supersedes it cleanly: the bad
-    // v-00000001 is replaced and the rolled-back-to v-00000000 becomes
-    // the retained prior
+    // ...and the next forward commit supersedes it under a FRESH name
+    // (the demoted v-00000001's name is never recycled for different
+    // data — consumers key snapshots by name); GC then drops the bad
+    // version and the rolled-back-to v-00000000 is the retained prior
     t.overwrite(rows(3L -> "fixed"))
     assert(t.read.as[(Long, String)].collect().toSeq === Seq(3L -> "fixed"))
-    assert(t.versions === Seq("v-00000001", "v-00000000"))
+    assert(t.versions === Seq("v-00000002", "v-00000000"))
     assert(t.readVersion("v-00000000").as[(Long, String)]
       .collect().toSeq === Seq(1L -> "good"))
   }

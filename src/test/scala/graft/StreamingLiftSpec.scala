@@ -100,6 +100,17 @@ class StreamingLiftSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got2 === agg(state2).orderBy("g").collect()
       .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+
+    // replay protection: a fresh checkpoint re-delivers every change
+    // file from batch 0 — the snapshot's applied-batch metadata must
+    // refuse the re-application (delta-merge is not idempotent)
+    val ckpt2 = Files.createTempDirectory("graft-ivm-ckpt2").toString
+    val q3 = StreamingLift.maintainAggStream(spark, srcDir + "/*",
+      changes.schema, snap, "g", Seq("v"), ckpt2)
+    q3.awaitTermination(60000)
+    assert(snap.read.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq === got2,
+      "replayed batches must not double-apply")
   }
 
   test("tumblingCounts: closed windows emit aggregated counts") {
