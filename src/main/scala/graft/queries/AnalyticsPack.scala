@@ -1661,9 +1661,68 @@ object AnalyticsPack {
           AS max_price
       FROM orders WHERE o_orderkey % 5 <> 0 GROUP BY o_custkey"""))
 
+  /** k-anonymity audit (ops.Privacy): re-identification risk of the
+    * customer table's quasi-identifier combination (nation, segment,
+    * account-balance band) — combos and rows that are unique, small
+    * (< k=5), or anonymous. The band uses floor() on BOTH engines
+    * (Spark double→long truncates toward zero, DuckDB rounds — floor
+    * is the portable form, and balances go negative).
+    */
+  private val q113 = QueryDef(
+    "q113_k_anonymity",
+    (s, dir) => graft.ops.Privacy.kAnonymityReport(
+      Tables.customer(s, dir).select(
+        col("c_nationkey"),
+        col("c_mktsegment"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band")),
+      k = 5),
+    Some("""WITH g AS (SELECT c_nationkey, c_mktsegment,
+          floor(c_acctbal / 1000.0)::BIGINT AS bal_band, count(*) AS n
+        FROM customer GROUP BY 1, 2, 3)
+      SELECT CASE WHEN n = 1 THEN 'unique'
+                  WHEN n < 5 THEN 'small'
+                  ELSE 'anonymous' END AS bucket,
+        count(*) AS n_combos, sum(n)::BIGINT AS n_rows
+      FROM g GROUP BY 1"""))
+
+  /** Per-source quota cap report — corpus balancing: each source keeps
+    * at most its 10 highest-quality documents (n_chars as the quality
+    * stand-in, the q104 contract) and the report shows what the cap
+    * retains per source. The kept set comes from the bounded-heap
+    * grouped top-k (shuffle capped at k rows per group × partition),
+    * so a dominant source never single-task-sorts.
+    */
+  private val q114 = QueryDef(
+    "q114_quota_report",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val kept = graft.ops.TopK.groupedTopK(
+          docs, Seq("source"), "n_chars", "doc_id", k = 10)
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_kept"),
+          sum(col("score").cast("long")).as("chars_kept"))
+      docs.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_total"), sum(col("n_chars")).as("chars_total"))
+        .join(kept, Seq("source"))
+        .select(col("source"), col("n_total"), col("n_kept"),
+          col("chars_total"), col("chars_kept"))
+    },
+    Some("""WITH r AS (SELECT source, n_chars,
+          row_number() OVER (PARTITION BY source
+            ORDER BY n_chars DESC, doc_id ASC) AS rank
+        FROM documents),
+      k AS (SELECT source, count(*) AS n_kept,
+          sum(n_chars)::BIGINT AS chars_kept
+        FROM r WHERE rank <= 10 GROUP BY source),
+      t AS (SELECT source, count(*) AS n_total,
+          sum(n_chars)::BIGINT AS chars_total
+        FROM documents GROUP BY source)
+      SELECT t.source, n_total, n_kept, chars_total, chars_kept
+      FROM t JOIN k USING (source)"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
-    q108, q109, q110, q111)
+    q108, q109, q110, q111, q113, q114)
 }

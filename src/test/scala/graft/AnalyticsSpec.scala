@@ -15,6 +15,23 @@ class AnalyticsSpec extends AnyFunSuite {
   import TestSpark._
   import spark.implicits._
 
+  test("Privacy: buckets partition the table, riskyCombos flags exactly the <k groups") {
+    import graft.ops.Privacy
+    val df = Seq(
+      ("US", "A"), ("US", "A"), ("US", "A"), // anonymous at k=3
+      ("US", "B"), ("US", "B"),              // small
+      ("DE", "A")                            // unique
+    ).toDF("country", "seg")
+    val rep = Privacy.kAnonymityReport(df, k = 3).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(rep === Map("anonymous" -> ((1L, 3L)), "small" -> ((1L, 2L)),
+      "unique" -> ((1L, 1L))))
+    assert(rep.values.map(_._2).sum === df.count())
+    val risky = Privacy.riskyCombos(df, k = 3).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(risky === Set(("US", "B", 2L), ("DE", "A", 1L)))
+  }
+
   test("BloomJoin self-join (shared lineage) stays a keyed equi-join") {
     import graft.ops.BloomJoin
     val df = Seq((1L, "a"), (2L, "b"), (2L, "b2"), (3L, "c")).toDF("k", "v")
