@@ -107,10 +107,51 @@ final case class AggView(
     }
 }
 
+/** The non-distributive sibling of [[AggView]]: the snapshot is
+  * `aggFn(base rows)` for an arbitrary per-`groupKey` aggregation
+  * (MIN/MAX, exact distincts — anything a delta cannot patch), and
+  * refresh re-aggregates ONLY the groups the CDC diff touches
+  * ([[Cdc.refreshGroups]]): untouched snapshot rows carry over
+  * unread; touched groups recompute from the base via a broadcast
+  * semi-join probe. Same applied-version bookkeeping, rollback
+  * guard, and loud full-rebuild degradation as [[AggView]].
+  *
+  * `aggFn` must aggregate by `groupKey` and produce the view's full
+  * schema — the same function serves build and refresh, so the two
+  * can never drift.
+  */
+final case class RefreshView(view: ParquetTable, groupKey: String)(
+    aggFn: DataFrame => DataFrame) {
+
+  import AggView._
+
+  def build(base: ParquetTable): RefreshResult = {
+    val cur = baseVersion(base)
+    view.overwrite(aggFn(base.read), meta = Map(AppliedKey -> cur))
+    RefreshResult("full", to = cur)
+  }
+
+  def refresh(base: ParquetTable, rowKey: String): RefreshResult = {
+    val cur = baseVersion(base)
+    view.currentMeta.get(AppliedKey) match {
+      case Some(applied) if applied == cur =>
+        RefreshResult("noop", from = Some(applied), to = cur)
+      case Some(applied) if applied < cur && base.versions.contains(applied) =>
+        val patched = Cdc.refreshGroups(view.read, base.read,
+          base.diffVersions(applied, cur, rowKey), groupKey)(aggFn)
+        view.overwrite(patched, meta = Map(AppliedKey -> cur))
+        RefreshResult("delta", from = Some(applied), to = cur)
+      case stale =>
+        val r = build(base)
+        r.copy(from = stale)
+    }
+  }
+}
+
 object AggView {
   val AppliedKey = "graft.aggview.applied"
 
-  private def baseVersion(base: ParquetTable): String =
+  private[sources] def baseVersion(base: ParquetTable): String =
     base.liveVersion.getOrElse(throw new IllegalStateException(
       s"AggView requires a VERSIONED base table (overwritten at least " +
         s"once): ${base.path} has no published version"))

@@ -226,6 +226,28 @@ class CdcPipelineSpec extends AnyFunSuite {
       Seq(("a", 1L, 1.0)))
   }
 
+  test("RefreshView maintains MIN/MAX across versions by touched-group refresh") {
+    import graft.sources.{ParquetTable, RefreshView}
+    val root = Files.createTempDirectory("graft-refview-").toString
+    val base = ParquetTable(spark, s"$root/base")
+    def aggFn(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy(col("g")).agg(count(lit(1)).as("n_rows"),
+        min(col("v")).as("mn"), max(col("v")).as("mx"))
+    val rv = RefreshView(ParquetTable(spark, s"$root/view"), "g")(aggFn)
+
+    val s1 = Seq((1L, "a", 10.0), (2L, "a", 99.0), (3L, "b", 5.0)).toDF("k", "g", "v")
+    base.overwrite(s1)
+    assert(rv.build(base).mode === "full")
+    // delete a's max row (delta could not patch this), add group c
+    val s2 = Seq((1L, "a", 10.0), (3L, "b", 5.0), (4L, "c", 7.0)).toDF("k", "g", "v")
+    base.overwrite(s2)
+    val r = rv.refresh(base, "k")
+    assert(r.mode === "delta")
+    assert(rv.view.read.orderBy("g").collect().toSeq ===
+      aggFn(s2).orderBy("g").collect().toSeq)
+    assert(rv.refresh(base, "k").mode === "noop")
+  }
+
   test("AggView.refreshWith applies a stored feed once and refuses replays") {
     import graft.sources.{AggView, ParquetTable}
     val root = Files.createTempDirectory("graft-aggfeed-").toString
