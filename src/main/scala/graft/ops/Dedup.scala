@@ -139,7 +139,48 @@ object Dedup {
   def jaccardPairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, threshold: Double = 0.5,
-      maxDf: Int = 10000): DataFrame = {
+      maxDf: Int = 10000): DataFrame =
+    pairIntersections(df, idCol, textCol, shingleWords, maxDf)
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+
+  /** Exact shingle-set CONTAINMENT for pairs sharing ≥1 shingle:
+    * `inter / min(|A|, |B|)` — the asymmetric near-dup signal Jaccard
+    * misses (a document embedded whole inside a larger one has low
+    * Jaccard but containment ≈ 1; quote-heavy and template-wrapped
+    * corpora are full of these). Emitted when containment ≥ num/den,
+    * compared as the integer cross-multiplication
+    * `den·inter ≥ num·min(na, nb)` — no float threshold edge.
+    *
+    * Same single-pass inverted-index shape (and `maxDf` boilerplate
+    * cap) as [[jaccardPairs]]; at corpus scale run it on
+    * [[minhashCandidatePairs]] survivors.
+    *
+    * Output: (doc_a, doc_b, na, nb, inter, containment).
+    */
+  def containmentPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, thresholdNum: Long = 1, thresholdDen: Long = 2,
+      maxDf: Int = 10000): DataFrame =
+    pairIntersections(df, idCol, textCol, shingleWords, maxDf)
+      .filter(col("inter") * thresholdDen >= least(col("na"), col("nb")) * thresholdNum)
+      .withColumn("containment",
+        col("inter").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("na").cast("long").as("na"),
+        col("nb").cast("long").as("nb"), col("inter"), col("containment"))
+
+  /** Shared verifier core: exact shingle-set intersection sizes for
+    * every pair sharing ≥1 (sub-maxDf) shingle. ONE pass builds the
+    * inverted index (shingle → sorted [(id, setSize)]), each posting
+    * list expands to its i<j pairs, and a pair-count gives the
+    * intersection — no self-join, two shuffles total.
+    * Output: (doc_a, na, doc_b, nb, inter).
+    */
+  private def pairIntersections(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int, maxDf: Int): DataFrame = {
     // invert on 60-bit shingle HASHES, not strings: 8-byte shuffle
     // keys; the oracle hashes identically so semantics are unchanged.
     val sh = df.select(col(idCol).cast("long").as(idCol),
@@ -155,15 +196,11 @@ object Dedup {
       .filter(col("cl.n").between(2, maxDf))
     val pairs = lists.select(
       explode(graft.functions.Kernels.sortedPairsWithSizesOf(col("cl.ids"), col("cl.ns"))).as("p"))
+    // na/nb are functions of the id, so they can ride as group keys
     pairs
-      // na/nb are functions of the id, so they can ride as group keys
       .groupBy(col("p.a").as("doc_a"), col("p.na").as("na"),
         col("p.b").as("doc_b"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("inter"))
-      .withColumn("jaccard",
-        col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
-      .filter(col("jaccard") >= threshold)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
   }
 
   /** Incremental near-dup candidates: pairs (batch doc, corpus doc)

@@ -129,4 +129,50 @@ object Sample {
       .filter(col("n_hits") > 0)
       .select(col(idCol), col("w"), col("n_hits"))
   }
+
+  /** Temperature-scaled mixture quotas: allocate a `budget` of
+    * training examples across sources proportionally to
+    * `count^(1/2)` — the α=0.5 temperature reweighting multilingual /
+    * multi-source pretraining uses to damp head sources and boost tail
+    * ones — with exact largest-remainder apportionment so the quotas
+    * sum to EXACTLY `budget`.
+    *
+    * Determinism: the weight is `floor(sqrt(n) · 2²⁰)` — sqrt is
+    * IEEE-correctly-rounded and ×2²⁰ only shifts the exponent, so the
+    * weight is the same integer on every engine; every sum thereafter
+    * is integer (order-independent), and the only floats in the output
+    * are single divisions of exact longs. Apportionment: each source
+    * gets `(w·budget) div W` plus one of the `budget − Σfloor`
+    * leftovers, awarded by (remainder desc, source asc) rank.
+    *
+    * Shape: one count aggregation over the corpus; everything after
+    * runs on |sources| rows (window over a single tiny partition).
+    *
+    * Output: (classCol, n_docs, w, share, quota).
+    */
+  def temperatureQuota(
+      df: DataFrame, classCol: String, budget: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    val counts = df.groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_docs"))
+      .withColumn("w", floor(sqrt(col("n_docs").cast("double")) * (1L << 20)))
+    val all = Window.partitionBy()
+    val byRem = Window.partitionBy()
+      .orderBy(col("rem").desc, col(classCol).asc)
+    counts
+      .withColumn("total_w", sum(col("w")).over(all))
+      // w·budget in DECIMAL(38,0): both factors can be ~1e11 at corpus
+      // scale, so the product must not be a long multiply
+      .withColumn("base",
+        expr(s"(CAST(w AS DECIMAL(38,0)) * ${budget}L) div total_w"))
+      .withColumn("rem",
+        expr(s"CAST((CAST(w AS DECIMAL(38,0)) * ${budget}L) % total_w AS BIGINT)"))
+      .withColumn("deficit", lit(budget) - sum(col("base")).over(all))
+      .withColumn("quota",
+        col("base") + when(row_number().over(byRem) <= col("deficit"), 1L)
+          .otherwise(0L))
+      .select(col(classCol), col("n_docs"), col("w"),
+        (col("w").cast("double") / col("total_w").cast("double")).as("share"),
+        col("quota"))
+  }
 }

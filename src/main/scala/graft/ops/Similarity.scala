@@ -312,4 +312,64 @@ object Similarity {
       .limit(k)
       .drop("qvec")
   }
+
+  /** Product-quantization code assignment — the memory-bound half of
+    * IVF-PQ ANN at 100 TB: each vector is cut into `subspaces` equal
+    * slices and every slice is encoded as the id of its nearest
+    * codebook centroid (squared-L2, ties to the smallest code), so a
+    * D-float vector compresses to `subspaces` small ints and distance
+    * evaluation becomes table lookups.
+    *
+    * The codebook is taken from the `codeK` LOWEST-id vectors' own
+    * slices (the deterministic sample-init the k-means seeding here
+    * already uses; refine with [[kmeansStep]] per subspace if desired)
+    * and folds into the plan as a LITERAL — `codeK × dims` doubles
+    * through the driver, the same small-matrix contract as
+    * [[kmeans]] — so assignment is entirely map-side: no shuffle, no
+    * join, scan-stage pipelined.
+    *
+    * Cross-engine exactness: slice distances are left folds over the
+    * subspace dims in storage order (float→double widening is exact),
+    * so the argmin compares bit-identical doubles on any engine.
+    *
+    * Output: (idCol, subspace, code, dist2) — one row per vector per
+    * subspace; `dist2` is the exact squared quantization error of the
+    * chosen code.
+    */
+  def pqCodes(df: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int = 4, codeK: Int = 8): DataFrame = {
+    require(subspaces > 0 && codeK > 0,
+      s"need positive subspaces/codeK: $subspaces/$codeK")
+    val seed = df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .orderBy(col("__id").asc).limit(codeK).collect()
+    require(seed.nonEmpty, "pqCodes needs a non-empty corpus")
+    val dims = seed.head.getSeq[Any](1).length
+    require(dims % subspaces == 0,
+      s"dims $dims not divisible into $subspaces subspaces")
+    val sub = dims / subspaces
+    // literal codebook: per subspace, codeK centroids of `sub` doubles
+    val codebook = array((0 until subspaces).map { s =>
+      array(seed.zipWithIndex.map { case (r, ci) =>
+        struct(
+          lit(ci.toLong).as("code"),
+          array(r.getSeq[Any](1).slice(s * sub, (s + 1) * sub)
+            .map(v => lit(v).cast("double")): _*).as("cvec"))
+      }: _*)
+    }: _*)
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .withColumn("__cb", codebook)
+      .select(col(idCol), posexplode(col("__cb")).as(Seq("subspace", "cands")),
+        col("__v"))
+      .withColumn("slice", slice(col("__v"), col("subspace") * sub + 1, lit(sub)))
+      // argmin via struct-min: (dist2 asc, code asc)
+      .withColumn("best", array_min(transform(col("cands"), c =>
+        struct(
+          aggregate(
+            zip_with(col("slice"), c.getField("cvec"),
+              (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, x) => acc + x).as("dist2"),
+          c.getField("code").as("code")))))
+      .select(col(idCol), col("subspace").cast("long").as("subspace"),
+        col("best.code").as("code"), col("best.dist2").as("dist2"))
+  }
 }

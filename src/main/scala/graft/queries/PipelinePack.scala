@@ -1155,8 +1155,150 @@ object PipelinePack {
         coalesce(clean_text, '') AS clean_text
       FROM base b LEFT JOIN agg USING (doc_id)"""))
 
+  /** Gopher-style quality rule battery (QualityRules.gopherRules):
+    * word-count bounds, mean-word-length band, stopword evidence,
+    * alphabetic fraction, type/token ratio — every threshold an
+    * integer cross-multiplication, map-side, no shuffle.
+    */
+  private val q115 = QueryDef(
+    "q115_quality_rules",
+    (s, dir) => graft.ops.QualityRules.gopherRules(
+      Tables.documents(s, dir), "doc_id", "text", Stops),
+    Some {
+      val stopsList = Stops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id,
+          len($T)::BIGINT AS n_tok,
+          (length(text) - (len($T) - 1))::BIGINT AS n_chars,
+          len(list_filter($T, t -> list_contains($stopsList, t)))::BIGINT AS n_stop,
+          len(list_filter($T, t -> regexp_full_match(t, '[A-Za-z]+')))::BIGINT AS n_alpha,
+          len(list_distinct($T))::BIGINT AS n_types
+        FROM documents),
+      r AS (SELECT *,
+          (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)::BIGINT AS r_len,
+          (CASE WHEN n_chars >= 3 * n_tok AND n_chars <= 10 * n_tok
+            THEN 1 ELSE 0 END)::BIGINT AS r_wordlen,
+          (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)::BIGINT AS r_stop,
+          (CASE WHEN n_alpha * 5 >= 4 * n_tok THEN 1 ELSE 0 END)::BIGINT AS r_alpha,
+          (CASE WHEN n_types * 4 >= n_tok THEN 1 ELSE 0 END)::BIGINT AS r_ttr
+        FROM m)
+      SELECT *, (r_len * r_wordlen * r_stop * r_alpha * r_ttr)::BIGINT AS pass
+      FROM r"""
+    })
+
+  /** One BPE merge-iteration count (NgramLm.bpePairStep): adjacent
+    * char-pair occurrences inside tokens over the whole corpus, top 20
+    * by (count desc, pair asc) — the pair a tokenizer trainer merges
+    * next. Explode → count → TakeOrderedAndProject.
+    */
+  private val q116 = QueryDef(
+    "q116_bpe_step",
+    (s, dir) => graft.ops.NgramLm.bpePairStep(
+      Tables.documents(s, dir), "text", k = 20),
+    Some(s"""WITH w AS (SELECT unnest($T) AS w FROM documents),
+      i AS (SELECT w, unnest(range(1, length(w))) AS i FROM w WHERE length(w) >= 2),
+      p AS (SELECT substr(w, i, 2) AS pair FROM i)
+      SELECT pair, count(*) AS n_occ FROM p GROUP BY pair
+      ORDER BY n_occ DESC, pair ASC LIMIT 20"""))
+
+  /** Corpus trigram LM table with Kneser–Ney continuation counts
+    * (NgramLm.trigramLm): occurrence counts shuffle on the trigram;
+    * the N1+(·,w2,w3) continuation count is a window over the already-
+    * aggregated distinct-trigram rows (bounded by |vocab|³, not corpus
+    * size).
+    */
+  private val q117 = QueryDef(
+    "q117_ngram_lm",
+    (s, dir) => graft.ops.NgramLm.trigramLm(Tables.documents(s, dir), "text"),
+    Some(s"""WITH t AS (SELECT $T AS toks FROM documents WHERE len($T) >= 3),
+      pos AS (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM t),
+      tri AS (SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3 FROM pos),
+      c AS (SELECT w1, w2, w3, count(*) AS c FROM tri GROUP BY w1, w2, w3)
+      SELECT w1, w2, w3, c,
+        (count(*) OVER (PARTITION BY w2, w3))::BIGINT AS cont
+      FROM c"""))
+
+  /** Exact shingle-set containment pairs (Dedup.containmentPairs):
+    * `inter / min(|A|,|B|)` — the asymmetric doc-inside-doc near-dup
+    * signal Jaccard misses; threshold compared as an integer
+    * cross-multiplication. Same one-pass inverted index as q19.
+    */
+  private val q118 = QueryDef(
+    "q118_containment",
+    (s, dir) => Dedup.containmentPairs(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleWords = 3, thresholdNum = 1, thresholdDen = 2, maxDf = 10000),
+    Some(s"""WITH sh AS (SELECT doc_id,
+        list_transform($sqlShingles, sg -> ${sqlHex60("sg")}) AS s FROM documents),
+      inv0 AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
+      sz AS (SELECT g, count(*) AS c FROM inv0 GROUP BY g),
+      inv AS (SELECT inv0.* FROM inv0 JOIN sz USING (g) WHERE sz.c <= 10000),
+      pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          min(x.n) AS na, min(y.n) AS nb, count(*) AS inter
+        FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT doc_a, doc_b, na::BIGINT AS na, nb::BIGINT AS nb,
+        inter::BIGINT AS inter,
+        inter::DOUBLE / least(na, nb)::DOUBLE AS containment
+      FROM pairs WHERE inter * 2 >= least(na, nb)"""))
+
+  /** Temperature-scaled mixture quotas (Sample.temperatureQuota):
+    * budget split across sources ∝ √count (α=0.5 reweighting) with
+    * exact largest-remainder apportionment — quotas sum to EXACTLY
+    * the budget; the weight `floor(√n·2²⁰)` is the same integer on
+    * every engine, so every downstream sum is order-independent.
+    */
+  private val q119 = QueryDef(
+    "q119_temperature_mix",
+    (s, dir) => graft.ops.Sample.temperatureQuota(
+      Tables.documents(s, dir), "source", budget = 100000L),
+    Some("""WITH c AS (SELECT source, count(*) AS n_docs FROM documents
+          GROUP BY source),
+      w AS (SELECT source, n_docs,
+          floor(sqrt(n_docs::DOUBLE) * 1048576)::BIGINT AS w FROM c),
+      tw AS (SELECT *, sum(w) OVER () AS total_w FROM w),
+      b AS (SELECT *, (w * 100000) // total_w AS base,
+          (w * 100000) % total_w AS rem FROM tw),
+      d AS (SELECT *, 100000 - sum(base) OVER () AS deficit,
+          row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM b)
+      SELECT source, n_docs, w,
+        w::DOUBLE / total_w::DOUBLE AS share,
+        (base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END)::BIGINT AS quota
+      FROM d"""))
+
+  /** Product-quantization code assignment (Similarity.pqCodes): 64-dim
+    * embeddings cut into 4×16-dim slices, each encoded as its nearest
+    * of 8 codebook centroids (squared-L2, ties to the smallest code).
+    * The codebook folds in as a literal — assignment is map-side, no
+    * shuffle; left-fold distances keep the doubles bit-equal across
+    * engines.
+    */
+  private val q120 = QueryDef(
+    "q120_pq_codes",
+    (s, dir) => Similarity.pqCodes(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      subspaces = 4, codeK = 8),
+    Some("""WITH seed AS (SELECT embedding,
+          row_number() OVER (ORDER BY vec_id ASC) - 1 AS code
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8),
+      cb AS (SELECT code, s,
+          list_transform(range(s*16 + 1, s*16 + 17), i -> embedding[i]::DOUBLE)
+            AS cvec
+        FROM seed CROSS JOIN range(0, 4) AS t(s)),
+      scored AS (SELECT e.vec_id, c.s AS subspace, c.code,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, 17),
+              i -> (e.embedding[c.s*16 + i]::DOUBLE - c.cvec[i])
+                 * (e.embedding[c.s*16 + i]::DOUBLE - c.cvec[i]))),
+            (acc, x) -> acc + x) AS dist2
+        FROM embeddings e CROSS JOIN cb c),
+      ranked AS (SELECT *, row_number() OVER
+          (PARTITION BY vec_id, subspace ORDER BY dist2 ASC, code ASC) AS rk
+        FROM scored)
+      SELECT vec_id, subspace::BIGINT AS subspace, code::BIGINT AS code, dist2
+      FROM ranked WHERE rk = 1"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
-    q112)
+    q112, q115, q116, q117, q118, q119, q120)
 }

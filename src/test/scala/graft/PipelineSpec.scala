@@ -531,4 +531,119 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(2L) === ((5L, 5L, "")))
     assert(out(3L) === ((2L, 0L, "too short")))
   }
+
+  // ---- quality rule battery ----------------------------------------
+
+  test("QualityRules.gopherRules: verdicts are exact integer cross-multiplications") {
+    val stops = Seq("the", "a")
+    val d = docs(
+      // 12 tokens, all alpha, 2 stopwords, mean len in band, 10 types
+      1L -> "the quick brown fox jumps over a lazy dog near old barn",
+      // too short (3 tokens) and only 1 stopword
+      2L -> "the quick fox",
+      // repetition: 12 tokens, 2 types → ttr 1/6 < 1/4 fails; stop fails too
+      3L -> "go go go go go go go go go go go go")
+    val out = graft.ops.QualityRules.gopherRules(d, "doc_id", "text", stops)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    assert(out(1L).getAs[Long]("pass") === 1L)
+    assert(out(2L).getAs[Long]("r_len") === 0L)
+    assert(out(2L).getAs[Long]("r_stop") === 0L)
+    assert(out(2L).getAs[Long]("pass") === 0L)
+    assert(out(3L).getAs[Long]("r_ttr") === 0L)
+    assert(out(3L).getAs[Long]("r_stop") === 0L)
+    assert(out(3L).getAs[Long]("pass") === 0L)
+    // mean word length: doc 3 has 12 tokens × 2 chars → 2 < 3 fails band
+    assert(out(3L).getAs[Long]("r_wordlen") === 0L)
+  }
+
+  // ---- n-gram LM / BPE ---------------------------------------------
+
+  test("NgramLm.trigramLm: counts and KN continuation counts") {
+    val d = docs(
+      1L -> "a b c d",   // trigrams: (a b c), (b c d)
+      2L -> "x b c",     // trigram: (x b c)
+      3L -> "a b c")     // trigram: (a b c)
+    val out = graft.ops.NgramLm.trigramLm(d, "text")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)) ->
+        ((r.getLong(3), r.getLong(4)))).toMap
+    // (a b c) occurs twice; suffix (b c) has two distinct left contexts {a, x}
+    assert(out(("a", "b", "c")) === ((2L, 2L)))
+    assert(out(("x", "b", "c")) === ((1L, 2L)))
+    assert(out(("b", "c", "d")) === ((1L, 1L)))
+  }
+
+  test("NgramLm.bpePairStep: corpus-frequency adjacent pairs, deterministic order") {
+    val d = docs(1L -> "aab aab", 2L -> "ab x")
+    // pairs: aab→(aa, ab)×2 docs? doc1 has two 'aab' tokens → aa×2, ab×2;
+    // doc2 'ab' → ab×1; 'x' too short.
+    val out = graft.ops.NgramLm.bpePairStep(d, "text", k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq === Seq("ab" -> 3L, "aa" -> 2L))
+  }
+
+  // ---- containment --------------------------------------------------
+
+  test("Dedup.containmentPairs finds doc-inside-doc that jaccard misses") {
+    // doc 2 is doc 1 plus a long divergent tail: containment(1 in 2) is
+    // high while jaccard is diluted by the tail
+    val core = "alpha beta gamma delta epsilon zeta"
+    val d = docs(
+      1L -> core,
+      2L -> (core + " one two three four five six seven eight nine ten" +
+        " eleven twelve thirteen fourteen fifteen sixteen"))
+    val out = Dedup.containmentPairs(d, "doc_id", "text",
+      shingleWords = 3, thresholdNum = 4, thresholdDen = 5).collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    // every shingle of doc 1 (the smaller set) appears in doc 2
+    assert(r.getAs[Long]("inter") === r.getAs[Long]("na"))
+    assert(r.getAs[Double]("containment") === 1.0)
+    // jaccard for the same pair is well below the containment
+    val j = Dedup.jaccardPairs(d, "doc_id", "text",
+      shingleWords = 3, threshold = 0.0).collect().head.getAs[Double]("jaccard")
+    assert(j < 0.5)
+  }
+
+  // ---- temperature mixture quotas ----------------------------------
+
+  test("Sample.temperatureQuota: quotas sum exactly to budget, damp head sources") {
+    val d = (1 to 900).map(i => (i.toLong, "s_big")) ++
+      (1 to 90).map(i => (i.toLong, "s_mid")) ++
+      (1 to 10).map(i => (i.toLong, "s_small"))
+    val df = d.toDF("doc_id", "source")
+    val out = graft.ops.Sample.temperatureQuota(df, "source", budget = 1000L)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(4), r.getDouble(3)))).toMap
+    assert(out.values.map(_._2).sum === 1000L)
+    // α=0.5: shares ∝ √n → 30 : 9.49 : 3.16 ≈ .703 : .222 : .074 — the
+    // head source's 90% of docs is damped to ~70% of the budget
+    val (nBig, qBig, shBig) = out("s_big")
+    assert(nBig === 900L && qBig < 760L && qBig > 700L)
+    assert(math.abs(shBig - math.sqrt(900.0) /
+      (math.sqrt(900.0) + math.sqrt(90.0) + math.sqrt(10.0))) < 1e-3)
+    val (_, qSmall, _) = out("s_small")
+    assert(qSmall > 50L) // vs 10 under proportional allocation
+  }
+
+  // ---- product quantization ----------------------------------------
+
+  test("Similarity.pqCodes: codebook vectors encode to themselves with zero error") {
+    val vecs = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(d => (i * 8 + d).toFloat))
+    } :+ ((8L, Array.tabulate(8)(d => (0 * 8 + d).toFloat + 0.1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.pqCodes(df, "vec_id", "embedding",
+      subspaces = 2, codeK = 8).collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> ((r.getLong(2), r.getDouble(3))))
+      .toMap
+    assert(out.size === 9 * 2)
+    // each seed vector's slices quantize to its own code at dist 0
+    for (i <- 0L until 8L; s <- 0L until 2L)
+      assert(out((i, s)) === ((i, 0.0)))
+    // the near-copy of vector 0 lands on code 0 with small error
+    assert(out((8L, 0L))._1 === 0L)
+    assert(out((8L, 1L))._1 === 0L)
+    assert(out((8L, 0L))._2 > 0.0 && out((8L, 0L))._2 < 0.1)
+  }
 }
