@@ -42,6 +42,66 @@ object NgramLm {
       count(lit(1)).over(Window.partitionBy("w2", "w3")).cast("long"))
   }
 
+  /** Per-document LM score — the perplexity-filter analogue a
+    * pretraining pipeline runs to rank documents by how "model-like"
+    * their text is, with every statistic integer-exact so the score is
+    * bit-identical on any engine (no `log`, whose last-ulp rounding
+    * differs between libm implementations; a monotone transform of the
+    * mean probability ranks documents identically).
+    *
+    * Train/score split: the LM is the trigram MLE estimated on
+    * `trainFilter` documents only (e.g. `col("doc_id") % 2 === 0` for
+    * a held-in half); ALL documents are scored, so held-out docs see
+    * genuine OOV mass. Context counts are derived by re-aggregating
+    * the trigram table itself (`c_ctx(w1,w2) = Σ_w3 c3`), so
+    * p(w3|w1,w2) = c3/c_ctx normalizes exactly and the token stream is
+    * walked once.
+    *
+    * Each scored trigram slot contributes the QUANTIZED probability
+    * `q = ⌊c3·2³⁰ / c_ctx⌋` (integer floor-divide, widened through
+    * decimal so corpus-scale counts cannot overflow the multiply);
+    * unseen trigram in a seen context → q=0; unseen context → the slot
+    * is excluded from the mean and counted in `n_noctx`. The doc score
+    * `mean_q = Σq / (n_ctx·2³⁰)` is one division of exact longs.
+    *
+    * Shape at scale: explode → two shuffle joins keyed on the gram
+    * (LM side is bounded by distinct trigrams, ≪ corpus; AQE
+    * broadcasts it when small) → per-doc reduce with map-side partials.
+    *
+    * Output: (idCol, n_slots, n_ctx, n_hit, n_noctx, sum_q, mean_q).
+    */
+  def docLmScore(df: DataFrame, idCol: String, textCol: String,
+      trainFilter: Column): DataFrame = {
+    val lm = trigramLm(df.filter(trainFilter), textCol)
+      .select(col("w1"), col("w2"), col("w3"), col("c").as("c3"))
+    val ctx = lm.groupBy("w1", "w2").agg(sum(col("c3")).as("c_ctx"))
+    val toks = graft.functions.TextKernels.tokens(col(textCol))
+    val slots = df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col(idCol), explode(expr(
+        """transform(sequence(1, size(toks) - 2),
+             i -> struct(toks[i - 1] AS w1, toks[i] AS w2, toks[i + 1] AS w3))"""))
+        .as("t"))
+      .select(col(idCol), col("t.w1").as("w1"), col("t.w2").as("w2"),
+        col("t.w3").as("w3"))
+    slots
+      .join(lm, Seq("w1", "w2", "w3"), "left")
+      .join(ctx, Seq("w1", "w2"), "left")
+      .withColumn("q", when(col("c_ctx").isNull, lit(null))
+        .otherwise(expr(
+          "CAST(CAST(coalesce(c3, 0L) AS DECIMAL(38,0)) * 1073741824 div c_ctx AS BIGINT)")))
+      .groupBy(col(idCol))
+      .agg(
+        count(lit(1)).as("n_slots"),
+        count(col("c_ctx")).as("n_ctx"),
+        count(col("c3")).as("n_hit"),
+        (count(lit(1)) - count(col("c_ctx"))).as("n_noctx"),
+        sum(col("q")).as("sum_q"))
+      .withColumn("mean_q", when(col("n_ctx") > 0,
+        col("sum_q").cast("double") /
+          (col("n_ctx") * 1073741824L).cast("double")))
+  }
+
   /** One BPE merge-iteration count: occurrences of each adjacent
     * character pair inside tokens, over ALL token occurrences (BPE
     * counts the corpus, not the vocabulary), top `k` pairs by

@@ -71,4 +71,62 @@ object QualityRules {
       .withColumn("pass",
         col("r_len") * col("r_wordlen") * col("r_stop") * col("r_alpha") * col("r_ttr"))
   }
+
+  /** Gopher-style per-document REPETITION signals, one output row per
+    * (document, n): the char mass of the single most frequent word
+    * n-gram (`top_*` — Gopher's "fraction of characters in the most
+    * common n-gram", n=2..4) and the char mass of ALL n-grams occurring
+    * ≥2 times (`dup_chars` — the duplicated-n-gram signal, n=5..10 in
+    * the paper). Char mass = occurrences × length of the space-joined
+    * gram, overlaps double-counted — the published heuristic's cheap
+    * proxy, and exactly reproducible as integer arithmetic.
+    *
+    * Determinism: every statistic is an integer count/sum; the two
+    * fractions are single divisions of exact longs. The top gram
+    * tie-breaks (count desc, gram asc) via a struct MIN of
+    * `(-count, gram)` — a total order, engine-independent.
+    *
+    * Shape at scale: one explode per requested n (×n_tok rows each),
+    * one shuffle keyed on (doc, n, gram) — uniform keys bounded by the
+    * doc's own token count, no doc×doc term, no window over the corpus.
+    * The per-doc reduce rides the same keys with map-side partial
+    * aggregation.
+    *
+    * Output: (idCol, n, n_chars, n_slots, n_distinct, top_gram,
+    * top_occ, top_chars, dup_chars, top_frac, dup_frac).
+    */
+  def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
+      ns: Seq[Int] = Seq(2, 3, 4, 6)): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
+    val toks = graft.functions.TextKernels.tokens(col(textCol))
+    val base = df.select(col(idCol), toks.as("toks"),
+      length(col(textCol)).cast("long").as("n_chars"))
+    val grams = ns.map { n =>
+      base.filter(size(col("toks")) >= n)
+        .select(col(idCol), col("n_chars"), lit(n.toLong).as("n"),
+          explode(expr(
+            s"""transform(sequence(1, size(toks) - ${n - 1}),
+                  i -> array_join(slice(toks, i, $n), ' '))""")).as("gram"))
+    }.reduce(_ unionAll _)
+    grams
+      .groupBy(col(idCol), col("n"), col("n_chars"), col("gram"))
+      .agg(count(lit(1)).as("c"))
+      // n_chars is a function of the doc id, so it rides as a group key
+      .groupBy(col(idCol), col("n"), col("n_chars"))
+      .agg(
+        sum(col("c")).as("n_slots"),
+        count(lit(1)).as("n_distinct"),
+        min(struct((-col("c")).as("negc"), col("gram").as("gram"))).as("top"),
+        sum(when(col("c") >= 2, col("c") * length(col("gram")).cast("long"))
+          .otherwise(0L)).as("dup_chars"))
+      .select(
+        col(idCol), col("n"), col("n_chars"), col("n_slots"), col("n_distinct"),
+        col("top.gram").as("top_gram"), (-col("top.negc")).as("top_occ"),
+        ((-col("top.negc")) * length(col("top.gram")).cast("long")).as("top_chars"),
+        col("dup_chars"))
+      .withColumn("top_frac",
+        col("top_chars").cast("double") / col("n_chars").cast("double"))
+      .withColumn("dup_frac",
+        col("dup_chars").cast("double") / col("n_chars").cast("double"))
+  }
 }

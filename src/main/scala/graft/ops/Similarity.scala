@@ -338,22 +338,14 @@ object Similarity {
     */
   def pqCodes(df: DataFrame, idCol: String, vecCol: String,
       subspaces: Int = 4, codeK: Int = 8): DataFrame = {
-    require(subspaces > 0 && codeK > 0,
-      s"need positive subspaces/codeK: $subspaces/$codeK")
-    val seed = df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
-      .orderBy(col("__id").asc).limit(codeK).collect()
-    require(seed.nonEmpty, "pqCodes needs a non-empty corpus")
-    val dims = seed.head.getSeq[Any](1).length
-    require(dims % subspaces == 0,
-      s"dims $dims not divisible into $subspaces subspaces")
-    val sub = dims / subspaces
+    val cb = seedCodebook(df, idCol, vecCol, subspaces, codeK)
+    val sub = cb(0)(0).length
     // literal codebook: per subspace, codeK centroids of `sub` doubles
-    val codebook = array((0 until subspaces).map { s =>
-      array(seed.zipWithIndex.map { case (r, ci) =>
+    val codebook = array(cb.map { centroids =>
+      array(centroids.zipWithIndex.map { case (cvec, ci) =>
         struct(
           lit(ci.toLong).as("code"),
-          array(r.getSeq[Any](1).slice(s * sub, (s + 1) * sub)
-            .map(v => lit(v).cast("double")): _*).as("cvec"))
+          array(cvec.map(lit): _*).as("cvec"))
       }: _*)
     }: _*)
     df.select(col(idCol), col(vecCol).as("__v"))
@@ -371,5 +363,99 @@ object Similarity {
           c.getField("code").as("code")))))
       .select(col(idCol), col("subspace").cast("long").as("subspace"),
         col("best.code").as("code"), col("best.dist2").as("dist2"))
+  }
+
+  /** PQ asymmetric-distance (ADC) top-k — the search half of IVF-PQ:
+    * the query is NOT quantized; instead a `subspaces × codeK` table of
+    * exact query-slice↔centroid distances is precomputed once, every
+    * corpus vector is PQ-encoded map-side (same codebook contract as
+    * [[pqCodes]]), and its approximate distance is `subspaces` table
+    * lookups summed in subspace order. At 100 TB this is the shape that
+    * matters: the scan stage does tiny integer argmins + `subspaces`
+    * adds per row (no dims-wide query math), and the only cross-
+    * partition traffic is the TakeOrderedAndProject top-k heap merge —
+    * no shuffle, no join.
+    *
+    * Cross-engine exactness: the ADC table is built with the identical
+    * left-fold expression shape the in-plan encoder uses (driver-side
+    * here, `list_reduce` in the oracle — same IEEE op order), and the
+    * final distance folds the per-subspace lookups in subspace order,
+    * so every double compares bit-identical. Ties at the k boundary
+    * break by id ascending — a total order.
+    *
+    * Output: (idCol, adc) — the k approximate-nearest rows by
+    * (adc asc, id asc); `adc` is the approximate squared L2 distance.
+    */
+  def pqAdcTopK(df: DataFrame, idCol: String, vecCol: String,
+      queryId: Long, subspaces: Int = 4, codeK: Int = 8, k: Int = 10): DataFrame = {
+    val cb = seedCodebook(df, idCol, vecCol, subspaces, codeK)
+    val sub = cb(0)(0).length
+    val qrows = df.filter(col(idCol).cast("long") === queryId)
+      .select(col(vecCol)).limit(1).collect()
+    require(qrows.nonEmpty, s"query id $queryId not found")
+    val q = qrows.head.getSeq[Any](0).map(toDouble).toArray
+    require(q.length == sub * subspaces,
+      s"query dims ${q.length} != codebook dims ${sub * subspaces}")
+    // ADC table [s][code]: left fold over dims in storage order — the
+    // same ((0+t1)+t2)+… tree as the oracle's list_reduce
+    val adcTab: Array[Array[Double]] = Array.tabulate(subspaces) { s =>
+      cb(s).map { cvec =>
+        var acc = 0.0
+        var i = 0
+        while (i < sub) {
+          val d = q(s * sub + i) - cvec(i)
+          acc = acc + d * d
+          i += 1
+        }
+        acc
+      }
+    }
+    // per-subspace encoder, statically unrolled: no explode, one
+    // map-side expression per subspace
+    val codeCols = (0 until subspaces).map { s =>
+      val sl = slice(col("__v"), s * sub + 1, sub)
+      array_min(array(cb(s).zipWithIndex.map { case (cvec, ci) =>
+        struct(
+          aggregate(
+            zip_with(sl, array(cvec.map(lit): _*),
+              (x, y) => (x.cast("double") - y) * (x.cast("double") - y)),
+            lit(0.0), (acc, x) => acc + x).as("dist2"),
+          lit(ci).as("code"))
+      }: _*)).getField("code")
+    }
+    val adc = (0 until subspaces).foldLeft(lit(0.0)) { (acc, s) =>
+      acc + element_at(array(adcTab(s).map(lit): _*), codeCols(s) + 1)
+    }
+    df.select(col(idCol), col(vecCol).as("__v"))
+      .select(col(idCol), adc.as("adc"))
+      .orderBy(col("adc").asc, col(idCol).asc)
+      .limit(k)
+  }
+
+  private def toDouble(v: Any): Double = v match {
+    case f: java.lang.Float => f.toDouble
+    case d: java.lang.Double => d
+    case n: java.lang.Number => n.doubleValue()
+  }
+
+  /** Shared deterministic PQ codebook: the `codeK` lowest-id vectors'
+    * own slices (the sample-init contract [[pqCodes]] documents),
+    * collected once — `[subspace][code][dim]` doubles.
+    */
+  private def seedCodebook(df: DataFrame, idCol: String, vecCol: String,
+      subspaces: Int, codeK: Int): Array[Array[Array[Double]]] = {
+    require(subspaces > 0 && codeK > 0,
+      s"need positive subspaces/codeK: $subspaces/$codeK")
+    val seed = df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"))
+      .orderBy(col("__id").asc).limit(codeK).collect()
+    require(seed.nonEmpty, "PQ needs a non-empty corpus")
+    val dims = seed.head.getSeq[Any](1).length
+    require(dims % subspaces == 0,
+      s"dims $dims not divisible into $subspaces subspaces")
+    val sub = dims / subspaces
+    Array.tabulate(subspaces) { s =>
+      seed.map(r => r.getSeq[Any](1).slice(s * sub, (s + 1) * sub)
+        .map(toDouble).toArray)
+    }
   }
 }

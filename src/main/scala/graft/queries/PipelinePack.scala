@@ -1297,8 +1297,128 @@ object PipelinePack {
       SELECT vec_id, subspace::BIGINT AS subspace, code::BIGINT AS code, dist2
       FROM ranked WHERE rk = 1"""))
 
+  /** Gopher repetition signals (QualityRules.repetitionSignals): per
+    * (doc, n) the top n-gram's char mass and the duplicated-n-gram char
+    * mass, n ∈ {2,3,4,6} — all integer counts, fractions as single
+    * divisions of exact longs. One shuffle keyed on (doc, n, gram).
+    */
+  private val q121 = QueryDef(
+    "q121_repetition",
+    (s, dir) => graft.ops.QualityRules.repetitionSignals(
+      Tables.documents(s, dir), "doc_id", "text", Seq(2, 3, 4, 6)),
+    Some(s"""WITH g AS (SELECT doc_id, length(text)::BIGINT AS n_chars,
+          n, unnest(list_transform(range(1, len($T) - n + 2),
+            i -> array_to_string(($T)[i:i+n-1], ' '))) AS gram
+        FROM documents CROSS JOIN (VALUES (2), (3), (4), (6)) AS t(n)
+        WHERE len($T) >= n),
+      c AS (SELECT doc_id, n, n_chars, gram, count(*) AS c
+        FROM g GROUP BY doc_id, n, n_chars, gram),
+      r AS (SELECT *, row_number() OVER (PARTITION BY doc_id, n
+          ORDER BY c DESC, gram ASC) AS rk FROM c),
+      t AS (SELECT doc_id, n, gram AS top_gram, c AS top_occ
+        FROM r WHERE rk = 1),
+      a AS (SELECT doc_id, n, n_chars, sum(c)::BIGINT AS n_slots,
+          count(*)::BIGINT AS n_distinct,
+          sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)::BIGINT
+            AS dup_chars
+        FROM c GROUP BY doc_id, n, n_chars)
+      SELECT a.doc_id, a.n::BIGINT AS n, a.n_chars, a.n_slots,
+        a.n_distinct, t.top_gram, t.top_occ::BIGINT AS top_occ,
+        (t.top_occ * length(t.top_gram))::BIGINT AS top_chars,
+        a.dup_chars,
+        (t.top_occ * length(t.top_gram))::DOUBLE / a.n_chars::DOUBLE
+          AS top_frac,
+        a.dup_chars::DOUBLE / a.n_chars::DOUBLE AS dup_frac
+      FROM a JOIN t ON a.doc_id = t.doc_id AND a.n = t.n"""))
+
+  /** Held-in trigram-LM document scoring (NgramLm.docLmScore): LM from
+    * even doc_ids, every doc scored; per-slot probability quantized to
+    * ⌊c3·2³⁰/c_ctx⌋ so all sums are integer and the mean is one
+    * division — no `log`, no float accumulation order.
+    */
+  private val q122 = QueryDef(
+    "q122_lm_score",
+    (s, dir) => graft.ops.NgramLm.docLmScore(
+      Tables.documents(s, dir), "doc_id", "text",
+      col("doc_id") % 2 === 0),
+    Some(s"""WITH tr AS (SELECT $T AS toks FROM documents
+          WHERE doc_id % 2 = 0 AND len($T) >= 3),
+      tpos AS (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM tr),
+      lm AS (SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+          count(*) AS c3
+        FROM tpos GROUP BY 1, 2, 3),
+      ctx AS (SELECT w1, w2, sum(c3)::BIGINT AS c_ctx FROM lm
+        GROUP BY w1, w2),
+      d AS (SELECT doc_id, $T AS toks FROM documents WHERE len($T) >= 3),
+      dpos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM d),
+      slots AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+          toks[i+2] AS w3 FROM dpos),
+      j AS (SELECT s.doc_id, l.c3, x.c_ctx
+        FROM slots s
+        LEFT JOIN lm l ON s.w1 = l.w1 AND s.w2 = l.w2 AND s.w3 = l.w3
+        LEFT JOIN ctx x ON s.w1 = x.w1 AND s.w2 = x.w2),
+      q AS (SELECT doc_id, c3, c_ctx,
+          CASE WHEN c_ctx IS NULL THEN NULL
+            ELSE CAST((coalesce(c3, 0)::HUGEINT * 1073741824) // c_ctx
+              AS BIGINT) END AS q
+        FROM j)
+      SELECT doc_id, count(*)::BIGINT AS n_slots,
+        count(c_ctx)::BIGINT AS n_ctx, count(c3)::BIGINT AS n_hit,
+        (count(*) - count(c_ctx))::BIGINT AS n_noctx,
+        sum(q)::BIGINT AS sum_q,
+        CASE WHEN count(c_ctx) > 0 THEN
+          sum(q)::BIGINT::DOUBLE / (count(c_ctx) * 1073741824)::DOUBLE
+        END AS mean_q
+      FROM q GROUP BY doc_id"""))
+
+  /** PQ asymmetric-distance top-k (Similarity.pqAdcTopK): corpus rows
+    * PQ-encode map-side against the q120 codebook, the query stays
+    * exact via a subspaces×codeK distance table, approximate distance
+    * = 4 lookups folded in subspace order; global result via the
+    * top-k heap, ties broken by vec_id.
+    */
+  private val q123 = QueryDef(
+    "q123_pq_adc",
+    (s, dir) => Similarity.pqAdcTopK(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      queryId = 100L, subspaces = 4, codeK = 8, k = 25),
+    Some("""WITH seed AS (SELECT embedding,
+          row_number() OVER (ORDER BY vec_id ASC) - 1 AS code
+        FROM embeddings ORDER BY vec_id ASC LIMIT 8),
+      cb AS (SELECT code, s,
+          list_transform(range(s*16 + 1, s*16 + 17), i -> embedding[i]::DOUBLE)
+            AS cvec
+        FROM seed CROSS JOIN range(0, 4) AS t(s)),
+      qv AS (SELECT list_transform(range(1, 65), i -> embedding[i]::DOUBLE)
+          AS q
+        FROM embeddings WHERE vec_id = 100),
+      adc AS (SELECT s, code,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, 17),
+              i -> (q[s*16 + i] - cvec[i]) * (q[s*16 + i] - cvec[i]))),
+            (acc, x) -> acc + x) AS d
+        FROM cb CROSS JOIN qv),
+      scored AS (SELECT e.vec_id, c.s, c.code,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list_transform(range(1, 17),
+              i -> (e.embedding[c.s*16 + i]::DOUBLE - c.cvec[i])
+                 * (e.embedding[c.s*16 + i]::DOUBLE - c.cvec[i]))),
+            (acc, x) -> acc + x) AS dist2
+        FROM embeddings e CROSS JOIN cb c),
+      codes AS (SELECT vec_id, s, code FROM (SELECT *, row_number() OVER
+          (PARTITION BY vec_id, s ORDER BY dist2 ASC, code ASC) AS rk
+        FROM scored) WHERE rk = 1),
+      summed AS (SELECT v.vec_id,
+          list_reduce(list_prepend(0.0::DOUBLE,
+            list(a.d ORDER BY a.s ASC)), (acc, x) -> acc + x) AS adc
+        FROM codes v JOIN adc a ON a.s = v.s AND a.code = v.code
+        GROUP BY v.vec_id)
+      SELECT vec_id, adc FROM summed
+      ORDER BY adc ASC, vec_id ASC LIMIT 25"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
-    q112, q115, q116, q117, q118, q119, q120)
+    q112, q115, q116, q117, q118, q119, q120, q121, q122, q123)
 }

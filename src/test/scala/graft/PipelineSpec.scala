@@ -646,4 +646,82 @@ class PipelineSpec extends AnyFunSuite {
     assert(out((8L, 1L))._1 === 0L)
     assert(out((8L, 0L))._2 > 0.0 && out((8L, 0L))._2 < 0.1)
   }
+
+  test("Similarity.pqAdcTopK ranks by codebook distance with id tiebreak") {
+    // 8 linearly spaced seed vectors (= the codebook) + a near-copy of
+    // vector 0; every vector encodes to its own code, so ADC distance
+    // from query 3 orders by |i-3| with ties broken by id asc
+    val vecs = (0L until 8L).map { i =>
+      (i, Array.tabulate(8)(d => (i * 8 + d).toFloat))
+    } :+ ((8L, Array.tabulate(8)(d => d.toFloat + 0.1f)))
+    val df = vecs.toDF("vec_id", "embedding")
+    val out = Similarity.pqAdcTopK(df, "vec_id", "embedding",
+      queryId = 3L, subspaces = 2, codeK = 8, k = 5).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    assert(out.map(_._1).toSeq === Seq(3L, 2L, 4L, 1L, 5L))
+    assert(out.head._2 === 0.0)
+    assert(out.map(_._2).toSeq === out.map(_._2).toSeq.sorted)
+    // vec 8 shares vec 0's codes, so its ADC distance ties vec 0's and
+    // the id tiebreak keeps 0 first when both enter the top-k
+    val wide = Similarity.pqAdcTopK(df, "vec_id", "embedding",
+      queryId = 3L, subspaces = 2, codeK = 8, k = 9).collect()
+      .map(r => (r.getLong(0), r.getDouble(1)))
+    val d0 = wide.find(_._1 == 0L).get._2
+    val d8 = wide.find(_._1 == 8L).get._2
+    assert(d0 === d8)
+    assert(wide.map(_._1).indexOf(0L) < wide.map(_._1).indexOf(8L))
+  }
+
+  // ---- repetition signals ------------------------------------------
+
+  test("QualityRules.repetitionSignals: top and duplicated n-gram char mass") {
+    val d = docs(1L -> "a b a b a b", 2L -> "x y")
+    val out = graft.ops.QualityRules.repetitionSignals(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r).toMap
+    // doc 1, n=2: "a b"×3, "b a"×2 → top ("a b", 3), dup mass 3·3+2·3
+    val r2 = out((1L, 2L))
+    assert(r2.getAs[String]("top_gram") === "a b")
+    assert(r2.getAs[Long]("top_occ") === 3L)
+    assert(r2.getAs[Long]("top_chars") === 9L)
+    assert(r2.getAs[Long]("dup_chars") === 15L)
+    assert(r2.getAs[Long]("n_slots") === 5L && r2.getAs[Long]("n_distinct") === 2L)
+    assert(r2.getAs[Double]("top_frac") === 9.0 / 11.0)
+    // n=3: "a b a"×2 vs "b a b"×2 — count tie broken by gram asc
+    val r3 = out((1L, 3L))
+    assert(r3.getAs[String]("top_gram") === "a b a")
+    assert(r3.getAs[Long]("dup_chars") === 20L)
+    // n=6: single full-doc gram, no duplication
+    val r6 = out((1L, 6L))
+    assert(r6.getAs[Long]("top_occ") === 1L && r6.getAs[Long]("dup_chars") === 0L)
+    // doc 2 is too short for n ≥ 3: only the n=2 row exists
+    assert(out.keySet.filter(_._1 == 2L) === Set((2L, 2L)))
+    assert(out((2L, 2L)).getAs[Long]("dup_chars") === 0L)
+  }
+
+  // ---- LM document scoring -----------------------------------------
+
+  test("NgramLm.docLmScore: held-in LM, quantized probabilities, OOV accounting") {
+    val d = docs(
+      1L -> "a b c x",  // (a b c) seen p=1, (b c x) unseen in seen ctx
+      2L -> "a b c d",  // both trigrams seen with p=1
+      3L -> "z z z",    // unseen context
+      4L -> "a b c")
+    val out = graft.ops.NgramLm.docLmScore(d, "doc_id", "text",
+      col("doc_id") % 2 === 0)
+      .collect().map(r => r.getLong(0) -> r).toMap
+    val q30 = 1L << 30
+    val r1 = out(1L)
+    assert(r1.getAs[Long]("n_slots") === 2L && r1.getAs[Long]("n_ctx") === 2L)
+    assert(r1.getAs[Long]("n_hit") === 1L && r1.getAs[Long]("n_noctx") === 0L)
+    assert(r1.getAs[Long]("sum_q") === q30)
+    assert(r1.getAs[Double]("mean_q") === 0.5)
+    val r2 = out(2L)
+    assert(r2.getAs[Long]("sum_q") === 2L * q30)
+    assert(r2.getAs[Double]("mean_q") === 1.0)
+    val r3 = out(3L)
+    assert(r3.getAs[Long]("n_noctx") === 1L && r3.getAs[Long]("n_ctx") === 0L)
+    assert(r3.isNullAt(r3.fieldIndex("sum_q")))
+    assert(r3.isNullAt(r3.fieldIndex("mean_q")))
+    assert(out(4L).getAs[Double]("mean_q") === 1.0)
+  }
 }
