@@ -275,6 +275,41 @@ object Similarity {
     heapReduce(scored, idCol, k)
   }
 
+  /** Cell-partitioned kNN GRAPH — every vector's k nearest neighbors
+    * among the vectors sharing its IVF cell (the SemDeDup / semantic-
+    * clustering prep step: the graph's edges feed connected-components
+    * or community detection downstream).
+    *
+    * This is the one ANN shape where the query side CANNOT broadcast —
+    * the queries ARE the corpus. Both sides get their cell map-side
+    * (literal centroid fold, no shuffle), then co-partition with ONE
+    * shuffle each on `cell_id`; pairing is cell-local (never a corpus
+    * crossJoin), and the per-query reduction is the bounded-heap
+    * partial aggregate, so the final shuffle carries ≤ k rows per
+    * query per partition. A hot cell costs |cell|² pairs — pick the
+    * centroid count so cells stay bounded (AQE skew-join splits the
+    * residual; at 100 TB, k-means the centroids first so cells are
+    * balanced by construction).
+    *
+    * Output: (query_id, rank, idCol, cos) — rank 1..k by (cos DESC,
+    * id ASC) within the query's cell, self-pairs excluded, zero-norm
+    * candidates skipped (null cos).
+    */
+  def knnGraph(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, k: Int): DataFrame = {
+    val assigned = assignCells(df, vecCol, centroids)
+      .select(col("cell_id"), col(idCol).cast("long").as("__id"),
+        col(vecCol).as("__v"))
+    val qside = assigned.select(col("cell_id"), col("__id").as("query_id"),
+      col("__v").as("qvec"))
+    val scored = qside.join(assigned, Seq("cell_id"))
+      .filter(col("query_id") =!= col("__id"))
+      .select(col("query_id"),
+        safeCosine(col("__v"), col("qvec")).as("cos"),
+        col("__id"))
+    heapReduce(scored, idCol, k)
+  }
+
   /** Recall@k of an approximate kNN result against the exact baseline:
     * per query, the fraction of the exact top-k the approximate index
     * retrieved — the acceptance metric for any ANN operating point

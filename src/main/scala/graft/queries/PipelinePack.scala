@@ -1417,8 +1417,42 @@ object PipelinePack {
       SELECT vec_id, adc FROM summed
       ORDER BY adc ASC, vec_id ASC LIMIT 25"""))
 
+  /** Cell-partitioned kNN graph (Similarity.knnGraph): the corpus is
+    * both query set and candidate set, so nothing broadcasts — both
+    * sides shuffle once on the map-side-assigned cell_id, pairs stay
+    * cell-local, and the per-query top-k is the bounded-heap partial
+    * aggregate. Centroids = first 8 vectors (deterministic for the
+    * oracle), k=5.
+    */
+  private val q124 = QueryDef(
+    "q124_knn_graph",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+      Similarity.knnGraph(e, "vec_id", "embedding", cents, k = 5)
+    },
+    Some(s"""WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      asg AS (SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY coalesce(${sqlCos("e.embedding", "c.cvec")},
+              '-infinity'::DOUBLE) DESC, c.cell_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+      pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS vec_id,
+          ${sqlCos("c.embedding", "q.embedding")} AS cos
+        FROM asg q JOIN asg c USING (cell_id)
+        WHERE q.vec_id <> c.vec_id),
+      rk AS (SELECT query_id, vec_id, cos,
+          row_number() OVER (PARTITION BY query_id
+            ORDER BY cos DESC, vec_id ASC) AS rank
+        FROM pairs WHERE cos IS NOT NULL)
+      SELECT query_id, rank::BIGINT AS rank, vec_id, cos
+      FROM rk WHERE rank <= 5"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
-    q112, q115, q116, q117, q118, q119, q120, q121, q122, q123)
+    q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
 }

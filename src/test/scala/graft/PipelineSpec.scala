@@ -672,6 +672,33 @@ class PipelineSpec extends AnyFunSuite {
     assert(wide.map(_._1).indexOf(0L) < wide.map(_._1).indexOf(8L))
   }
 
+  test("Similarity.knnGraph: edges stay cell-local, ranked by cosine") {
+    val vecs = Seq(
+      0L -> Array(1f, 0f, 0f, 0f),   // centroid/cell 0
+      1L -> Array(0f, 1f, 0f, 0f),   // centroid/cell 1
+      2L -> Array(0.9f, 0.1f, 0f, 0f),
+      3L -> Array(0.8f, 0.2f, 0f, 0f),
+      4L -> Array(0.1f, 0.9f, 0f, 0f))
+    val df = vecs.toDF("vec_id", "embedding")
+    val cents = df.filter(col("vec_id") < 2)
+      .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+    val out = Similarity.knnGraph(df, "vec_id", "embedding", cents, k = 2)
+      .collect()
+      .groupBy(_.getAs[Long]("query_id"))
+      .map { case (q, rows) =>
+        q -> rows.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("vec_id")).toSeq
+      }
+    // cell 1 = {1, 4}: each other's only neighbor, never anyone from cell 0
+    assert(out(1L) === Seq(4L) && out(4L) === Seq(1L))
+    // cell 0 = {0, 2, 3}: query 0's nearest is 2 (cos .9939) then 3
+    assert(out(0L) === Seq(2L, 3L))
+    assert(out(2L) === Seq(0L, 3L))
+    // no corpus crossJoin in the plan: the self-join is keyed on cell_id
+    val plan = Similarity.knnGraph(df, "vec_id", "embedding", cents, k = 2)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
+  }
+
   // ---- repetition signals ------------------------------------------
 
   test("QualityRules.repetitionSignals: top and duplicated n-gram char mass") {
