@@ -368,4 +368,45 @@ object Dedup {
   def fingerprints(df: DataFrame, idCol: String, textCol: String): DataFrame =
     df.select(col(idCol),
       graft.functions.Kernels.fingerprintOf(col(textCol)).as("fingerprint"))
+
+  /** WINNOWING fingerprint selection (the MOSS algorithm): from the
+    * positional stream of `shingleWords`-gram hashes, every sliding
+    * window of `window` consecutive hashes selects its minimum (ties →
+    * the RIGHTMOST, the published tie rule), and the distinct selected
+    * (position, hash) pairs are the document's fingerprints. The
+    * guarantee: any shared substring of ≥ window+shingleWords-1 tokens
+    * yields at least one shared fingerprint, with ~2/(window+1) of the
+    * hash stream retained — position-robust overlap detection at a
+    * fraction of the full shingle index's size.
+    *
+    * Entirely map-side (array lambdas inside the scan stage; the
+    * windowed argmin is over a `struct(hash, -pos)` MIN, giving the
+    * min-hash-then-rightmost total order); documents shorter than one
+    * shingle are dropped, and a hash stream shorter than `window`
+    * yields its single global minimum. Downstream, join on `fp` for
+    * overlap candidates — the index it feeds is |selected| rows, not
+    * |positions|.
+    *
+    * Output: (idCol, pos, fp) — pos is the 1-based shingle position.
+    */
+  def winnow(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, window: Int = 4): DataFrame = {
+    require(shingleWords >= 1 && window >= 1,
+      s"need positive shingleWords/window: $shingleWords/$window")
+    val toks = graft.functions.TextKernels.tokens(col(textCol))
+    df.select(col(idCol), toks.as("toks"))
+      .filter(size(col("toks")) >= shingleWords)
+      .withColumn("hs", transform(
+        sequence(lit(1), size(col("toks")) - (shingleWords - 1)),
+        i => graft.functions.TextKernels.hex60(
+          array_join(slice(col("toks"), i, lit(shingleWords)), " "))))
+      .withColumn("sel", array_distinct(transform(
+        sequence(lit(1), greatest(size(col("hs")) - (window - 1), lit(1))),
+        j => array_min(transform(
+          sequence(j, least(j + (window - 1), size(col("hs")))),
+          p => struct(element_at(col("hs"), p).as("fp"), (-p).as("negpos")))))))
+      .select(col(idCol), explode(col("sel")).as("s"))
+      .select(col(idCol), (-col("s.negpos")).cast("long").as("pos"),
+        col("s.fp").as("fp"))
+  }
 }

@@ -86,11 +86,13 @@ object QualityRules {
     * tie-breaks (count desc, gram asc) via a struct MIN of
     * `(-count, gram)` — a total order, engine-independent.
     *
-    * Shape at scale: one explode per requested n (×n_tok rows each),
-    * one shuffle keyed on (doc, n, gram) — uniform keys bounded by the
-    * doc's own token count, no doc×doc term, no window over the corpus.
-    * The per-doc reduce rides the same keys with map-side partial
-    * aggregation.
+    * Shape at scale: ONE scan — the requested n values explode inline
+    * (×|ns|) and the gram positions explode from that (×n_tok), so the
+    * text column is read once however many n are requested; one
+    * shuffle keyed on (doc, n, gram) — uniform keys bounded by the
+    * doc's own token count, no doc×doc term, no window over the
+    * corpus. The per-doc reduce rides the same keys with map-side
+    * partial aggregation.
     *
     * Output: (idCol, n, n_chars, n_slots, n_distinct, top_gram,
     * top_occ, top_chars, dup_chars, top_frac, dup_frac).
@@ -99,15 +101,16 @@ object QualityRules {
       ns: Seq[Int] = Seq(2, 3, 4, 6)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
     val toks = graft.functions.TextKernels.tokens(col(textCol))
-    val base = df.select(col(idCol), toks.as("toks"),
-      length(col(textCol)).cast("long").as("n_chars"))
-    val grams = ns.map { n =>
-      base.filter(size(col("toks")) >= n)
-        .select(col(idCol), col("n_chars"), lit(n.toLong).as("n"),
-          explode(expr(
-            s"""transform(sequence(1, size(toks) - ${n - 1}),
-                  i -> array_join(slice(toks, i, $n), ' '))""")).as("gram"))
-    }.reduce(_ unionAll _)
+    val grams = df
+      .select(col(idCol), toks.as("toks"),
+        length(col(textCol)).cast("long").as("n_chars"))
+      .select(col(idCol), col("n_chars"), col("toks"),
+        explode(array(ns.map(lit): _*)).as("ni"))
+      .filter(size(col("toks")) >= col("ni"))
+      .select(col(idCol), col("n_chars"), col("ni").cast("long").as("n"),
+        explode(expr(
+          """transform(sequence(1, size(toks) - ni + 1),
+               i -> array_join(slice(toks, i, ni), ' '))""")).as("gram"))
     grams
       .groupBy(col(idCol), col("n"), col("n_chars"), col("gram"))
       .agg(count(lit(1)).as("c"))

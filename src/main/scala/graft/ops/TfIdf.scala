@@ -47,4 +47,34 @@ object TfIdf {
       .filter(col("rk") <= k)
       .select(col(idCol), col("term"), col("tf"), col("score"))
   }
+
+  /** Signed feature-hashing ("hashing trick") bag-of-words: every
+    * token occurrence lands in dimension `hex60(token) mod dims` with
+    * sign from the NEXT bit of the same hash (`(hex60 div dims) mod
+    * 2`), and the document's vector is the per-dimension signed sum —
+    * the vocabulary-free text vectorizer (no vocab induction pass, no
+    * OOV, fixed width at any corpus size), with the signed sum keeping
+    * collision noise zero-mean.
+    *
+    * Every weight is an exact integer sum of ±1 (order-independent
+    * under any partitioning); one shuffle keyed on (doc, dim) — keys
+    * uniform by construction of the hash. Zero-sum dimensions are
+    * dropped (they carry no signal, and at realistic `dims` most
+    * dimensions of most docs are untouched anyway — the output is the
+    * sparse form).
+    *
+    * Output: (idCol, dim, weight), dim in [0, dims).
+    */
+  def hashedBow(docs: DataFrame, idCol: String, textCol: String,
+      dims: Int = 32): DataFrame = {
+    require(dims >= 2, s"dims must be >= 2: $dims")
+    docs.select(col(idCol),
+        explode(TextKernels.tokens(col(textCol))).as("tok"))
+      .select(col(idCol), TextKernels.hex60(col("tok")).as("h"))
+      .select(col(idCol), (col("h") % dims).as("dim"),
+        when(expr(s"(h div $dims) % 2") === 0, 1L).otherwise(-1L).as("sgn"))
+      .groupBy(col(idCol), col("dim"))
+      .agg(sum(col("sgn")).as("weight"))
+      .filter(col("weight") =!= 0L)
+  }
 }

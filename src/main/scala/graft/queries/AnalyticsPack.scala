@@ -1720,9 +1720,51 @@ object AnalyticsPack {
       SELECT t.source, n_total, n_kept, chars_total, chars_kept
       FROM t JOIN k USING (source)"""))
 
+  /** Per-node triangle count + clustering coefficient
+    * (Graph.triangleStats) on the supplier co-part graph (suppliers
+    * sharing ≥2 parts). The Spark side wedge-joins on the DEGREE-
+    * ORIENTED edge set (out-degree bounded O(√E) on any skew); the
+    * oracle enumerates the identical triangle set with plain id-order
+    * a<b<c — orientation moves which vertex finds a triangle, never
+    * the set.
+    */
+  private val q127 = QueryDef(
+    "q127_triangles",
+    (s, dir) => {
+      val ps = Tables.lineitem(s, dir)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .distinct()
+      val edges = ps.as("a")
+        .join(ps.as("b"), col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
+        .groupBy(col("a.sup").as("src"), col("b.sup").as("dst"))
+        .agg(count(lit(1)).as("shared"))
+        .filter(col("shared") >= 2)
+      graft.ops.Graph.triangleStats(edges, "src", "dst")
+    },
+    Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+          FROM lineitem),
+      e0 AS (SELECT a.sup AS u, b.sup AS v
+        FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup
+        GROUP BY a.sup, b.sup HAVING count(*) >= 2),
+      deg AS (SELECT node, count(*) AS degree FROM
+          (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
+        GROUP BY node),
+      tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
+        FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
+        JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
+      pn AS (SELECT node, count(*) AS n_triangles FROM
+          (SELECT a AS node FROM tri UNION ALL SELECT b FROM tri
+           UNION ALL SELECT c FROM tri)
+        GROUP BY node)
+      SELECT d.node, d.degree::BIGINT AS degree,
+        coalesce(pn.n_triangles, 0)::BIGINT AS n_triangles,
+        CASE WHEN d.degree >= 2 THEN (coalesce(pn.n_triangles, 0) * 2)::DOUBLE
+          / (d.degree * (d.degree - 1))::DOUBLE END AS cc
+      FROM deg d LEFT JOIN pn ON pn.node = d.node"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
-    q108, q109, q110, q111, q113, q114)
+    q108, q109, q110, q111, q113, q114, q127)
 }

@@ -1451,8 +1451,52 @@ object PipelinePack {
       SELECT query_id, rank::BIGINT AS rank, vec_id, cos
       FROM rk WHERE rank <= 5"""))
 
+  /** Winnowing fingerprint selection (Dedup.winnow): every 4-window of
+    * the 3-gram hash stream selects its minimum (ties → rightmost),
+    * distinct (pos, fp) pairs out — all map-side array lambdas; the
+    * oracle reproduces the windowed argmin relationally (range join +
+    * rank) over the same md5/hex60 hashes.
+    */
+  private val q125 = QueryDef(
+    "q125_winnow",
+    (s, dir) => Dedup.winnow(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleWords = 3, window = 4),
+    Some(s"""WITH t AS (SELECT doc_id, $T AS toks FROM documents
+          WHERE len($T) >= 3),
+      h AS (SELECT doc_id, len(toks) - 2 AS m, p,
+          ${sqlHex60("array_to_string(toks[p:p+2], ' ')")} AS h
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS p
+          FROM t)),
+      w AS (SELECT doc_id, m, unnest(range(1, greatest(m - 3, 1) + 1)) AS j
+        FROM (SELECT DISTINCT doc_id, m FROM h)),
+      cand AS (SELECT w.doc_id, w.j, h.p, h.h
+        FROM w JOIN h ON h.doc_id = w.doc_id
+          AND h.p >= w.j AND h.p <= w.j + 3),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id, j
+          ORDER BY h ASC, p DESC) AS rk FROM cand)
+      SELECT DISTINCT doc_id, p::BIGINT AS pos, h AS fp
+      FROM rk WHERE rk = 1"""))
+
+  /** Signed feature-hashing bag-of-words (TfIdf.hashedBow): the
+    * vocabulary-free vectorizer — dim = hex60 mod 32, sign from the
+    * next hash bit, exact ±1 integer sums per (doc, dim), zero-sum
+    * dims dropped.
+    */
+  private val q126 = QueryDef(
+    "q126_hashed_bow",
+    (s, dir) => graft.ops.TfIdf.hashedBow(
+      Tables.documents(s, dir), "doc_id", "text", dims = 32),
+    Some(s"""WITH tok AS (SELECT doc_id, unnest($T) AS tok FROM documents),
+      h AS (SELECT doc_id, ${sqlHex60("tok")} AS h FROM tok),
+      s AS (SELECT doc_id, h % 32 AS dim,
+          CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM h)
+      SELECT doc_id, dim::BIGINT AS dim, sum(sgn)::BIGINT AS weight
+      FROM s GROUP BY doc_id, dim HAVING sum(sgn) <> 0"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
-    q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124)
+    q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
+    q125, q126)
 }

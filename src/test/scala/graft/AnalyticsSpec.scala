@@ -595,4 +595,25 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(!plan.contains("Window"),
       "grouped top-k must not plan a per-group window sort")
   }
+
+  test("Graph.triangleStats: exact per-node counts, cc, orientation-independent") {
+    import graft.ops.Graph
+    // K4 minus edge {3,4}, plus pendant 5; raw list has duplicates and
+    // reversed edges to exercise canonicalization
+    val edges = Seq(
+      (1L, 2L), (2L, 1L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L),
+      (4L, 5L), (4L, 4L)).toDF("src", "dst")
+    val out = Graph.triangleStats(edges, "src", "dst").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))).toMap
+    // triangles: {1,2,3} and {1,2,4}
+    assert(out(1L) === ((3L, 2L, Some(2.0 * 2 / (3 * 2)))))
+    assert(out(2L) === ((3L, 2L, Some(2.0 * 2 / (3 * 2)))))
+    assert(out(3L) === ((2L, 1L, Some(1.0))))
+    assert(out(4L) === ((3L, 1L, Some(2.0 * 1 / (3 * 2)))))
+    // pendant: degree 1, no triangles, cc undefined
+    assert(out(5L) === ((1L, 0L, None)))
+    // self-loop (4,4) was dropped: node 4's degree counts 1,2,5 only
+  }
 }

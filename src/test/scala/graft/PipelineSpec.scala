@@ -699,6 +699,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(!plan.contains("BroadcastNestedLoopJoin") && !plan.contains("CartesianProduct"))
   }
 
+  // ---- winnowing ----------------------------------------------------
+
+  test("Dedup.winnow: windowed minima, rightmost tie rule, shared-substring guarantee") {
+    // identical docs → identical fingerprint sets (position-aligned)
+    val a = "one two three four five six seven eight nine ten"
+    val d = docs(1L -> a, 2L -> a, 3L -> "totally different words appear here now yes truly")
+    val fps = Dedup.winnow(d, "doc_id", "text").collect()
+      .groupBy(_.getLong(0))
+      .map { case (id, rs) => id -> rs.map(r => (r.getLong(1), r.getLong(2))).toSet }
+    assert(fps(1L) === fps(2L))
+    // winnowing guarantee: w+k-1 = 6 shared tokens ⇒ ≥1 shared hash —
+    // here the docs are identical, so the sets intersect trivially;
+    // disjoint docs share nothing
+    assert(fps(1L).map(_._2).intersect(fps(3L).map(_._2)).isEmpty)
+    // density: ~2/(w+1) of the 8 positions, never more than m
+    assert(fps(1L).size >= 2 && fps(1L).size <= 8)
+    // short doc (one shingle) still yields its single fingerprint
+    val short = Dedup.winnow(docs(9L -> "a b c"), "doc_id", "text").collect()
+    assert(short.length === 1 && short.head.getLong(1) === 1L)
+  }
+
+  test("Dedup.winnow matches a sequential reference implementation") {
+    val text = "p q r p q r p q s t u p q r v w"
+    val d = docs(7L -> text)
+    val got = Dedup.winnow(d, "doc_id", "text", shingleWords = 2, window = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toSet
+    // reference: hex60 per 2-gram, min per 3-window with rightmost tie
+    val toks = text.split(" ")
+    val hs = toks.sliding(2).map(_.mkString(" ")).map { sh =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(sh.getBytes("UTF-8"))
+      java.lang.Long.parseLong(
+        md5.take(8).map("%02x".format(_)).mkString.take(15), 16)
+    }.toArray
+    val exp = (0 to math.max(hs.length - 3, 0)).map { j =>
+      val win = (j until math.min(j + 3, hs.length)).map(p => (hs(p), -p))
+      val (h, negp) = win.min
+      ((-negp + 1).toLong, h)
+    }.toSet
+    assert(got === exp)
+  }
+
+  // ---- feature hashing ----------------------------------------------
+
+  test("TfIdf.hashedBow: signed integer sums, fixed dims, repeated tokens accumulate") {
+    val d = docs(1L -> "x x x y", 2L -> "x")
+    val out = graft.ops.TfIdf.hashedBow(d, "doc_id", "text", dims = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    // doc 2's single token pins x's (dim, sign); doc 1 must have 3× that
+    val ((_, xdim), xw) = out.find(_._1._1 == 2L).get
+    assert(math.abs(xw) === 1L)
+    assert(out.keys.forall(_._2 >= 0L) && out.keys.forall(_._2 < 8L))
+    // doc 1 = 3 × x (+ y, which may collide into x's dim with ±1)
+    val d1x = out((1L, xdim))
+    assert(math.abs(d1x - 3L * xw) <= 1L)
+    val ySeparate = out.keys.filter(k => k._1 == 1L && k._2 != xdim)
+    if (ySeparate.nonEmpty) {
+      assert(d1x === 3L * xw)
+      assert(math.abs(out(ySeparate.head)) === 1L)
+    }
+  }
+
   // ---- repetition signals ------------------------------------------
 
   test("QualityRules.repetitionSignals: top and duplicated n-gram char mass") {
