@@ -130,6 +130,76 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** WINNOWING selection core (the MOSS algorithm; see Dedup.winnow
+    * for the guarantee): positional hex60 hashes of the `shingleWords`
+    * -gram stream, each sliding `window` of hashes selects its min
+    * (ties → RIGHTMOST), distinct (pos, fp) out in selection order.
+    * A compiled single pass — the HOF-expression form recomputed the
+    * O(m) hash array per lambda element (Catalyst inlines the alias
+    * into the non-codegen lambda tree), turning O(m·w) into O(m²·w).
+    * Consecutive-run dedup is exact: a sliding-window argmin re-selects
+    * a position only in consecutive windows, so selections form runs.
+    *
+    * Returns array<struct<pos:long, fp:long>> (1-based pos); empty for
+    * docs shorter than one shingle (explode drops them — same rows as
+    * the former `size(toks) >= shingleWords` filter).
+    */
+  def winnowSelect(text: UTF8String, shingleWords: Int, window: Int): ArrayData = {
+    val toks = tokenize(text)
+    val nH = toks.length - shingleWords + 1
+    if (nH < 1) return new GenericArrayData(new Array[AnyRef](0))
+    val hs = new Array[Long](nH)
+    var i = 0
+    while (i < nH) {
+      val sb = new java.lang.StringBuilder(toks(i))
+      var k = 1
+      while (k < shingleWords) { sb.append(' ').append(toks(i + k)); k += 1 }
+      hs(i) = hex60(sb.toString.getBytes("UTF-8"))
+      i += 1
+    }
+    val nOut = math.max(nH - window + 1, 1)
+    val out = new java.util.ArrayList[AnyRef](nOut)
+    var lastP = -1
+    var j = 0
+    while (j < nOut) {
+      val end = math.min(j + window, nH)
+      // min by (fp asc, pos desc): >= takes the rightmost tie
+      var bestP = j
+      var p = j + 1
+      while (p < end) {
+        if (hs(p) <= hs(bestP)) bestP = p
+        p += 1
+      }
+      if (bestP != lastP) {
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any]((bestP + 1).toLong, hs(bestP))))
+        lastP = bestP
+      }
+      j += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
+  /** Distinct winnowed fingerprint hashes (the set [[winnowSelect]]
+    * selects, positions dropped) — the thinned inverted-index key set
+    * for Dedup.winnowOverlapPairs.
+    */
+  def winnowFps(text: UTF8String, shingleWords: Int, window: Int): ArrayData = {
+    val sel = winnowSelect(text, shingleWords, window)
+    val n = sel.numElements()
+    val seen = new java.util.LinkedHashSet[java.lang.Long](n * 2)
+    var i = 0
+    while (i < n) {
+      seen.add(sel.getStruct(i, 2).getLong(1))
+      i += 1
+    }
+    val out = new Array[Long](seen.size)
+    val it = seen.iterator()
+    var j = 0
+    while (it.hasNext) { out(j) = it.next(); j += 1 }
+    new GenericArrayData(out)
+  }
+
   def simhash60(text: UTF8String): Long = {
     val toks = tokenize(text)
     val sums = new Array[Int](60)
@@ -343,6 +413,28 @@ object Kernels {
       Kernels.getClass, ArrayType(StringType, containsNull = false), "wordShingles",
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(shingleWords))),
       Seq(StringType, IntegerType)))
+
+  /** Winnowed (pos, fp) selections straight from text — compiled
+    * single pass (see [[winnowSelect]]).
+    */
+  def winnowSelectOf(text: Column, shingleWords: Int, window: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass,
+      ArrayType(StructType(Seq(
+        StructField("pos", LongType, nullable = false),
+        StructField("fp", LongType, nullable = false))), containsNull = false),
+      "winnowSelect",
+      Seq(expr(text), expr(org.apache.spark.sql.functions.lit(shingleWords)),
+        expr(org.apache.spark.sql.functions.lit(window))),
+      Seq(StringType, IntegerType, IntegerType)))
+
+  /** Distinct winnowed fingerprint hashes straight from text. */
+  def winnowFpsOf(text: Column, shingleWords: Int, window: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, ArrayType(LongType, containsNull = false), "winnowFps",
+      Seq(expr(text), expr(org.apache.spark.sql.functions.lit(shingleWords)),
+        expr(org.apache.spark.sql.functions.lit(window))),
+      Seq(StringType, IntegerType, IntegerType)))
 
   def simhash60Of(text: Column): Column =
     exprBridge.column(StaticInvoke(

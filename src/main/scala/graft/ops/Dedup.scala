@@ -180,11 +180,20 @@ object Dedup {
     */
   private def pairIntersections(
       df: DataFrame, idCol: String, textCol: String,
-      shingleWords: Int, maxDf: Int): DataFrame = {
+      shingleWords: Int, maxDf: Int): DataFrame =
     // invert on 60-bit shingle HASHES, not strings: 8-byte shuffle
     // keys; the oracle hashes identically so semantics are unchanged.
-    val sh = df.select(col(idCol).cast("long").as(idCol),
-      graft.functions.Kernels.shingleHashes60Of(col(textCol), shingleWords).as("s"))
+    pairIntersectionsOfSets(
+      df.select(col(idCol).cast("long").as(idCol),
+        graft.functions.Kernels.shingleHashes60Of(col(textCol), shingleWords).as("s")),
+      idCol, maxDf)
+
+  /** The same verifier core over ANY per-doc long-hash set column
+    * (`(idCol: long, s: array<long>)` — distinct elements): shingle
+    * sets, winnowed fingerprint sets, token-hash sets all share it.
+    */
+  private def pairIntersectionsOfSets(
+      sh: DataFrame, idCol: String, maxDf: Int): DataFrame = {
     val inv = sh.select(col(idCol).as("i"), size(col("s")).as("n"),
       explode(col("s")).as("g"))
     // shingles hotter than maxDf are dropped (a df>maxDf shingle is
@@ -379,13 +388,15 @@ object Dedup {
     * hash stream retained — position-robust overlap detection at a
     * fraction of the full shingle index's size.
     *
-    * Entirely map-side (array lambdas inside the scan stage; the
-    * windowed argmin is over a `struct(hash, -pos)` MIN, giving the
-    * min-hash-then-rightmost total order); documents shorter than one
-    * shingle are dropped, and a hash stream shorter than `window`
-    * yields its single global minimum. Downstream, join on `fp` for
-    * overlap candidates — the index it feeds is |selected| rows, not
-    * |positions|.
+    * Entirely map-side, one compiled pass per document
+    * ([[graft.functions.Kernels.winnowSelect]] — a StaticInvoke inside
+    * WholeStageCodegen; the HOF-expression form was O(m²·w) because
+    * Catalyst inlines the hash-array alias into every interpreted
+    * lambda element). Documents shorter than one shingle select
+    * nothing (explode drops them), and a hash stream shorter than
+    * `window` yields its single global minimum. Downstream, join on
+    * `fp` for overlap candidates — the index it feeds is |selected|
+    * rows, not |positions|.
     *
     * Output: (idCol, pos, fp) — pos is the 1-based shingle position.
     */
@@ -393,20 +404,38 @@ object Dedup {
       shingleWords: Int = 3, window: Int = 4): DataFrame = {
     require(shingleWords >= 1 && window >= 1,
       s"need positive shingleWords/window: $shingleWords/$window")
-    val toks = graft.functions.TextKernels.tokens(col(textCol))
-    df.select(col(idCol), toks.as("toks"))
-      .filter(size(col("toks")) >= shingleWords)
-      .withColumn("hs", transform(
-        sequence(lit(1), size(col("toks")) - (shingleWords - 1)),
-        i => graft.functions.TextKernels.hex60(
-          array_join(slice(col("toks"), i, lit(shingleWords)), " "))))
-      .withColumn("sel", array_distinct(transform(
-        sequence(lit(1), greatest(size(col("hs")) - (window - 1), lit(1))),
-        j => array_min(transform(
-          sequence(j, least(j + (window - 1), size(col("hs")))),
-          p => struct(element_at(col("hs"), p).as("fp"), (-p).as("negpos")))))))
-      .select(col(idCol), explode(col("sel")).as("s"))
-      .select(col(idCol), (-col("s.negpos")).cast("long").as("pos"),
-        col("s.fp").as("fp"))
+    df.select(col(idCol), explode(graft.functions.Kernels.winnowSelectOf(
+        col(textCol), shingleWords, window)).as("s"))
+      .select(col(idCol), col("s.pos").as("pos"), col("s.fp").as("fp"))
+  }
+
+  /** Overlap pairs over WINNOWED fingerprint sets: the same
+    * inverted-index pair verification as [[jaccardPairs]] /
+    * [[containmentPairs]], but over the ~2/(window+1)-thinned
+    * fingerprint sets [[winnow]] selects — the index (and every
+    * shuffle) is a fraction of the full shingle index's size, at the
+    * cost of winnowing's sampling guarantee instead of exactness.
+    * Overlap = inter / min(|A|, |B|) over the DISTINCT fingerprint
+    * hashes; threshold compared as the integer cross-multiplication.
+    *
+    * Output: (doc_a, doc_b, na, nb, inter, overlap).
+    */
+  def winnowOverlapPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, window: Int = 4,
+      thresholdNum: Long = 1, thresholdDen: Long = 2,
+      maxDf: Int = 10000): DataFrame = {
+    require(shingleWords >= 1 && window >= 1,
+      s"need positive shingleWords/window: $shingleWords/$window")
+    pairIntersectionsOfSets(
+      df.select(col(idCol).cast("long").as(idCol),
+        graft.functions.Kernels.winnowFpsOf(
+          col(textCol), shingleWords, window).as("s")),
+      idCol, maxDf)
+      .filter(col("inter") * thresholdDen >= least(col("na"), col("nb")) * thresholdNum)
+      .withColumn("overlap",
+        col("inter").cast("double") / least(col("na"), col("nb")).cast("double"))
+      .select(col("doc_a"), col("doc_b"), col("na").cast("long").as("na"),
+        col("nb").cast("long").as("nb"), col("inter"), col("overlap"))
   }
 }

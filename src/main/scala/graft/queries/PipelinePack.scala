@@ -1494,9 +1494,145 @@ object PipelinePack {
       SELECT doc_id, dim::BIGINT AS dim, sum(sgn)::BIGINT AS weight
       FROM s GROUP BY doc_id, dim HAVING sum(sgn) <> 0"""))
 
+  /** Winnow-overlap pairs (Dedup.winnowOverlapPairs): the q19/q118
+    * inverted-index verifier over the ~2/(w+1)-thinned winnowed
+    * fingerprint sets — every shuffle a fraction of the full shingle
+    * index, sampling guarantee instead of exactness.
+    */
+  private val q128 = QueryDef(
+    "q128_winnow_overlap",
+    (s, dir) => Dedup.winnowOverlapPairs(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleWords = 3, window = 4, thresholdNum = 1, thresholdDen = 2),
+    Some(s"""WITH t AS (SELECT doc_id, $T AS toks FROM documents
+          WHERE len($T) >= 3),
+      h AS (SELECT doc_id, len(toks) - 2 AS m, p,
+          ${sqlHex60("array_to_string(toks[p:p+2], ' ')")} AS h
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS p
+          FROM t)),
+      w AS (SELECT doc_id, m, unnest(range(1, greatest(m - 3, 1) + 1)) AS j
+        FROM (SELECT DISTINCT doc_id, m FROM h)),
+      cand AS (SELECT w.doc_id, w.j, h.p, h.h
+        FROM w JOIN h ON h.doc_id = w.doc_id
+          AND h.p >= w.j AND h.p <= w.j + 3),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY doc_id, j
+          ORDER BY h ASC, p DESC) AS rk FROM cand),
+      fp AS (SELECT DISTINCT doc_id, h AS fp FROM rk WHERE rk = 1),
+      sz AS (SELECT doc_id, count(*) AS n FROM fp GROUP BY doc_id),
+      df AS (SELECT fp, count(*) AS c FROM fp GROUP BY fp),
+      inv AS (SELECT f.doc_id, s.n, f.fp
+        FROM fp f JOIN sz s USING (doc_id) JOIN df USING (fp)
+        WHERE df.c <= 10000),
+      pairs AS (SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          min(x.n) AS na, min(y.n) AS nb, count(*) AS inter
+        FROM inv x JOIN inv y ON x.fp = y.fp AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      SELECT doc_a, doc_b, na::BIGINT AS na, nb::BIGINT AS nb,
+        inter::BIGINT AS inter,
+        inter::DOUBLE / least(na, nb)::DOUBLE AS overlap
+      FROM pairs WHERE inter * 2 >= least(na, nb)"""))
+
+  /** Curation SCORECARD — the composed per-document keep/drop decision
+    * a corpus build publishes: Gopher rule battery (q115) ∧ top-bigram
+    * and duplicated-6-gram repetition bounds (q121, cross-multiplied
+    * integer thresholds) ∧ held-in LM evidence (q122). Everything is
+    * longs — the keep verdict never touches a float; absent side rows
+    * (short docs) fail their condition via NULL → 0 identically on
+    * both engines.
+    */
+  private val q129 = QueryDef(
+    "q129_scorecard",
+    (s, dir) => {
+      val d = Tables.documents(s, dir)
+      val rules = graft.ops.QualityRules.gopherRules(d, "doc_id", "text", Stops)
+        .select(col("doc_id"), col("n_chars"), col("pass"))
+      val rep2 = graft.ops.QualityRules.repetitionSignals(d, "doc_id", "text", Seq(2))
+        .select(col("doc_id"), col("top_chars").as("top2_chars"))
+      val rep6 = graft.ops.QualityRules.repetitionSignals(d, "doc_id", "text", Seq(6))
+        .select(col("doc_id"), col("dup_chars").as("dup6_chars"))
+      val lm = graft.ops.NgramLm.docLmScore(d, "doc_id", "text",
+          col("doc_id") % 2 === 0)
+        .select(col("doc_id"), col("n_ctx"), col("sum_q"))
+      rules
+        .join(rep2, Seq("doc_id"), "left")
+        .join(rep6, Seq("doc_id"), "left")
+        .join(lm, Seq("doc_id"), "left")
+        .withColumn("keep", when(
+          col("pass") === 1 &&
+            col("top2_chars") * 5 <= col("n_chars") &&
+            col("dup6_chars") * 10 <= col("n_chars") * 3 &&
+            col("n_ctx") > 0, 1L).otherwise(0L))
+        .select(col("doc_id"), col("pass"), col("top2_chars"),
+          col("dup6_chars"), col("n_ctx"), col("sum_q"), col("keep"))
+    },
+    Some {
+      val stopsList = Stops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id,
+          len($T)::BIGINT AS n_tok,
+          (length(text) - (len($T) - 1))::BIGINT AS n_tchars,
+          len(list_filter($T, t -> list_contains($stopsList, t)))::BIGINT AS n_stop,
+          len(list_filter($T, t -> regexp_full_match(t, '[A-Za-z]+')))::BIGINT AS n_alpha,
+          len(list_distinct($T))::BIGINT AS n_types
+        FROM documents),
+      rules AS (SELECT doc_id, n_tchars AS n_chars,
+          (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)
+          * (CASE WHEN n_tchars >= 3 * n_tok AND n_tchars <= 10 * n_tok
+              THEN 1 ELSE 0 END)
+          * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)
+          * (CASE WHEN n_alpha * 5 >= 4 * n_tok THEN 1 ELSE 0 END)
+          * (CASE WHEN n_types * 4 >= n_tok THEN 1 ELSE 0 END) AS pass
+        FROM m),
+      g2 AS (SELECT doc_id, gram, count(*) AS c FROM
+          (SELECT doc_id, unnest(list_transform(range(1, len($T)),
+            i -> array_to_string(($T)[i:i+1], ' '))) AS gram
+           FROM documents WHERE len($T) >= 2)
+        GROUP BY doc_id, gram),
+      top2 AS (SELECT doc_id, (c * length(gram))::BIGINT AS top2_chars
+        FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+            ORDER BY c DESC, gram ASC) AS rk FROM g2) WHERE rk = 1),
+      g6 AS (SELECT doc_id, gram, count(*) AS c FROM
+          (SELECT doc_id, unnest(list_transform(range(1, len($T) - 4),
+            i -> array_to_string(($T)[i:i+5], ' '))) AS gram
+           FROM documents WHERE len($T) >= 6)
+        GROUP BY doc_id, gram),
+      dup6 AS (SELECT doc_id,
+          sum(CASE WHEN c >= 2 THEN c * length(gram) ELSE 0 END)::BIGINT
+            AS dup6_chars
+        FROM g6 GROUP BY doc_id),
+      tr AS (SELECT $T AS toks FROM documents
+        WHERE doc_id % 2 = 0 AND len($T) >= 3),
+      tpos AS (SELECT toks, unnest(range(1, len(toks) - 1)) AS i FROM tr),
+      lmt AS (SELECT toks[i] AS w1, toks[i+1] AS w2, toks[i+2] AS w3,
+          count(*) AS c3 FROM tpos GROUP BY 1, 2, 3),
+      ctx AS (SELECT w1, w2, sum(c3)::BIGINT AS c_ctx FROM lmt
+        GROUP BY w1, w2),
+      dpos AS (SELECT doc_id, toks, unnest(range(1, len(toks) - 1)) AS i
+        FROM (SELECT doc_id, $T AS toks FROM documents
+          WHERE len($T) >= 3)),
+      slots AS (SELECT doc_id, toks[i] AS w1, toks[i+1] AS w2,
+          toks[i+2] AS w3 FROM dpos),
+      lmj AS (SELECT s.doc_id, l.c3, x.c_ctx FROM slots s
+        LEFT JOIN lmt l ON s.w1 = l.w1 AND s.w2 = l.w2 AND s.w3 = l.w3
+        LEFT JOIN ctx x ON s.w1 = x.w1 AND s.w2 = x.w2),
+      lm AS (SELECT doc_id, count(c_ctx)::BIGINT AS n_ctx,
+          sum(CASE WHEN c_ctx IS NULL THEN NULL
+            ELSE CAST((coalesce(c3, 0)::HUGEINT * 1073741824) // c_ctx
+              AS BIGINT) END)::BIGINT AS sum_q
+        FROM lmj GROUP BY doc_id)
+      SELECT r.doc_id, r.pass::BIGINT AS pass, top2.top2_chars,
+        dup6.dup6_chars, lm.n_ctx, lm.sum_q,
+        (CASE WHEN r.pass = 1 AND top2.top2_chars * 5 <= r.n_chars
+           AND dup6.dup6_chars * 10 <= r.n_chars * 3 AND lm.n_ctx > 0
+           THEN 1 ELSE 0 END)::BIGINT AS keep
+      FROM rules r
+      LEFT JOIN top2 ON top2.doc_id = r.doc_id
+      LEFT JOIN dup6 ON dup6.doc_id = r.doc_id
+      LEFT JOIN lm ON lm.doc_id = r.doc_id"""
+    })
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-    q125, q126)
+    q125, q126, q128, q129)
 }

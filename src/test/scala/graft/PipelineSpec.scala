@@ -741,6 +741,21 @@ class PipelineSpec extends AnyFunSuite {
     assert(got === exp)
   }
 
+  test("Dedup.winnowOverlapPairs: identical docs overlap 1.0, disjoint docs absent") {
+    val a = "one two three four five six seven eight nine ten eleven twelve"
+    val d = docs(1L -> a, 2L -> a,
+      3L -> "alpha beta gamma delta epsilon zeta eta theta iota kappa")
+    val out = Dedup.winnowOverlapPairs(d, "doc_id", "text").collect()
+    assert(out.length === 1)
+    val r = out.head
+    assert(r.getAs[Long]("doc_a") === 1L && r.getAs[Long]("doc_b") === 2L)
+    assert(r.getAs[Long]("inter") === r.getAs[Long]("na"))
+    assert(r.getAs[Double]("overlap") === 1.0)
+    // the winnowed index is strictly smaller than the full shingle set
+    val nFull = 10L // 12 tokens → 10 shingles
+    assert(r.getAs[Long]("na") < nFull)
+  }
+
   // ---- feature hashing ----------------------------------------------
 
   test("TfIdf.hashedBow: signed integer sums, fixed dims, repeated tokens accumulate") {
