@@ -200,6 +200,49 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Content-defined chunking over the TOKEN stream: a boundary falls
+    * after token p (p ≥ gramTokens) whenever the hex60 hash of the
+    * `gramTokens`-gram ending at p is ≡ 0 (mod mask) — boundaries
+    * depend only on local content, so an insertion re-chunks O(1)
+    * chunks instead of shifting every downstream chunk the way
+    * fixed-stride chunking does (the storage-dedup property). Expected
+    * chunk length ≈ `mask` tokens; docs shorter than one gram are a
+    * single chunk. One compiled pass per document.
+    *
+    * Returns array<struct<start:long, ntok:long, h:long>> in order —
+    * start is the 1-based token index, h the hex60 of the
+    * space-joined chunk tokens.
+    */
+  def cdcChunks(text: UTF8String, gramTokens: Int, mask: Int): ArrayData = {
+    val toks = tokenize(text)
+    val m = toks.length
+    val out = new java.util.ArrayList[AnyRef](m / math.max(mask, 1) + 1)
+    var start = 1 // 1-based token index of the current chunk's first token
+    var p = gramTokens
+    while (p <= m) {
+      val sb = new java.lang.StringBuilder(toks(p - gramTokens))
+      var k = p - gramTokens + 1
+      while (k < p) { sb.append(' ').append(toks(k)); k += 1 }
+      if (java.lang.Long.remainderUnsigned(
+          hex60(sb.toString.getBytes("UTF-8")), mask) == 0L) {
+        out.add(chunkRow(toks, start, p))
+        start = p + 1
+      }
+      p += 1
+    }
+    if (start <= m) out.add(chunkRow(toks, start, m))
+    new GenericArrayData(out.toArray)
+  }
+
+  private def chunkRow(toks: Array[String], start: Int, end: Int): AnyRef = {
+    val sb = new java.lang.StringBuilder(toks(start - 1))
+    var k = start
+    while (k < end) { sb.append(' ').append(toks(k)); k += 1 }
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+      Array[Any](start.toLong, (end - start + 1).toLong,
+        hex60(sb.toString.getBytes("UTF-8"))))
+  }
+
   def simhash60(text: UTF8String): Long = {
     val toks = tokenize(text)
     val sums = new Array[Int](60)
@@ -426,6 +469,19 @@ object Kernels {
       "winnowSelect",
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(shingleWords)),
         expr(org.apache.spark.sql.functions.lit(window))),
+      Seq(StringType, IntegerType, IntegerType)))
+
+  /** Content-defined chunk spans straight from text (see [[cdcChunks]]). */
+  def cdcChunksOf(text: Column, gramTokens: Int, mask: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass,
+      ArrayType(StructType(Seq(
+        StructField("start", LongType, nullable = false),
+        StructField("ntok", LongType, nullable = false),
+        StructField("h", LongType, nullable = false))), containsNull = false),
+      "cdcChunks",
+      Seq(expr(text), expr(org.apache.spark.sql.functions.lit(gramTokens)),
+        expr(org.apache.spark.sql.functions.lit(mask))),
       Seq(StringType, IntegerType, IntegerType)))
 
   /** Distinct winnowed fingerprint hashes straight from text. */

@@ -70,6 +70,60 @@ object TextClean {
         concat_ws(" ", col("chunk_toks")).as("chunk_text"))
   }
 
+  /** CONTENT-DEFINED chunking (CDC) over the token stream: chunk
+    * boundaries fall where the rolling `gramTokens`-gram hash is
+    * ≡ 0 (mod mask) — see [[graft.functions.Kernels.cdcChunks]] —
+    * so an edit re-chunks only its local neighborhood instead of
+    * shifting every downstream chunk the way [[tokenChunks]]'s fixed
+    * stride does. This is the sub-document dedup granularity: chunk
+    * hashes from near-identical docs agree outside the edited region,
+    * which whole-doc hashing misses entirely.
+    *
+    * Map-side (one compiled pass + explode), no shuffle. Expected
+    * chunk ≈ `mask` tokens. Output: (idCol, chunk_idx, start_tok,
+    * n_tok, chunk_hash) — all longs, chunk_idx 1-based.
+    */
+  def cdcChunks(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, gramTokens: Int = 4, mask: Int = 16): org.apache.spark.sql.DataFrame = {
+    require(gramTokens >= 1 && mask >= 1,
+      s"need positive gramTokens/mask: $gramTokens/$mask")
+    df.select(col(idCol), posexplode(graft.functions.Kernels.cdcChunksOf(
+        col(textCol), gramTokens, mask)).as(Seq("p", "c")))
+      .select(col(idCol), (col("p") + 1).cast("long").as("chunk_idx"),
+        col("c.start").as("start_tok"), col("c.ntok").as("n_tok"),
+        col("c.h").as("chunk_hash"))
+  }
+
+  /** Chunk-level dedup savings per source — the storage/corpus answer
+    * to "how much of this source is repeated content?": CDC-chunk the
+    * docs, then per source compare total chunk volume against the
+    * distinct-chunk volume. Two aggregations — (source, chunk_hash)
+    * then source — over the map-side chunk stream; all counts exact
+    * longs (per-hash token length is min()'d, collision-safe for the
+    * report's purpose).
+    *
+    * Output: (source, n_chunks, n_distinct_chunks, total_tokens,
+    * distinct_tokens, saved_tokens).
+    */
+  def cdcDedupSavings(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, srcCol: String, gramTokens: Int = 4,
+      mask: Int = 16): org.apache.spark.sql.DataFrame = {
+    val chunks = df.select(col(srcCol).as("source"),
+        explode(graft.functions.Kernels.cdcChunksOf(
+          col(textCol), gramTokens, mask)).as("c"))
+      .select(col("source"), col("c.ntok").as("n_tok"), col("c.h").as("h"))
+    chunks
+      .groupBy(col("source"), col("h"))
+      .agg(count(lit(1)).as("c"), sum(col("n_tok")).as("sum_tok"),
+        min(col("n_tok")).as("min_tok"))
+      .groupBy(col("source"))
+      .agg(sum(col("c")).as("n_chunks"),
+        count(lit(1)).as("n_distinct_chunks"),
+        sum(col("sum_tok")).as("total_tokens"),
+        sum(col("min_tok")).as("distinct_tokens"))
+      .withColumn("saved_tokens", col("total_tokens") - col("distinct_tokens"))
+  }
+
   /** Concat-and-chunk packing offsets — the pretraining batch-prep
     * step: documents are laid end-to-end in `idCol` order and the
     * token stream is cut into fixed `budget`-token training windows;

@@ -1721,31 +1721,52 @@ object AnalyticsPack {
       FROM t JOIN k USING (source)"""))
 
   /** Per-node triangle count + clustering coefficient
-    * (Graph.triangleStats) on the supplier co-part graph (suppliers
-    * sharing ≥2 parts). The Spark side wedge-joins on the DEGREE-
-    * ORIENTED edge set (out-degree bounded O(√E) on any skew); the
-    * oracle enumerates the identical triangle set with plain id-order
-    * a<b<c — orientation moves which vertex finds a triangle, never
-    * the set.
+    * (Graph.triangleStats) on the top-3 PARTNER graph: each supplier
+    * keeps its 3 strongest co-part partners (shared-part count DESC,
+    * id ASC — the TopKHeap order), via the bounded-heap groupedTopK.
+    * The raw "shares ≥2 parts" co-occurrence graph saturates into a
+    * near-complete graph on a small vertex set (at sf0.1 it IS
+    * K_1000: 499,500 edges, ~166M triangles) — a top-k partner
+    * sparsification bounds degree ≤ 2k at EVERY scale, which is both
+    * the honest analysis (clustering among strongest partners) and
+    * the only shape whose wedge join survives growth. The oracle
+    * enumerates the identical triangle set with plain id-order a<b<c
+    * — orientation moves which vertex finds a triangle, never the
+    * set.
     */
   private val q127 = QueryDef(
     "q127_triangles",
     (s, dir) => {
       val ps = Tables.lineitem(s, dir)
-        .select(col("l_partkey").as("p"), col("l_suppkey").as("sup"))
+        .select(col("l_partkey").as("p"), col("l_suppkey").cast("long").as("sup"))
         .distinct()
-      val edges = ps.as("a")
-        .join(ps.as("b"), col("a.p") === col("b.p") && col("a.sup") < col("b.sup"))
-        .groupBy(col("a.sup").as("src"), col("b.sup").as("dst"))
+      // per-part supplier sets collect in ONE bounded shuffle (suppliers
+      // per part is a data-model constant) and the i<j pairs expand
+      // map-side from the sorted array — the q102 co-occurrence shape,
+      // replacing a self-join shuffle of the full (p, sup) set
+      val shared = ps.groupBy(col("p"))
+        .agg(collect_list(col("sup")).as("sups"))
+        .select(explode(graft.functions.Kernels.sortedPairsOf(col("sups"))).as("e"))
+        .groupBy(col("e.a").as("x"), col("e.b").as("y"))
         .agg(count(lit(1)).as("shared"))
         .filter(col("shared") >= 2)
-      graft.ops.Graph.triangleStats(edges, "src", "dst")
+      val sym = shared.select(col("x").as("src"), col("y").as("dst"), col("shared"))
+        .unionAll(shared.select(col("y").as("src"), col("x").as("dst"), col("shared")))
+      val top = graft.ops.TopK.groupedTopK(sym, Seq("src"), "shared", "dst", 3)
+      graft.ops.Graph.triangleStats(top.select(col("src"), col("dst")), "src", "dst")
     },
     Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
           FROM lineitem),
-      e0 AS (SELECT a.sup AS u, b.sup AS v
+      sh AS (SELECT a.sup AS x, b.sup AS y, count(*) AS shared
         FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup
         GROUP BY a.sup, b.sup HAVING count(*) >= 2),
+      sym AS (SELECT x AS src, y AS dst, shared FROM sh
+        UNION ALL SELECT y AS src, x AS dst, shared FROM sh),
+      top AS (SELECT src, dst FROM (SELECT src, dst,
+          row_number() OVER (PARTITION BY src
+            ORDER BY shared DESC, dst ASC) AS rk FROM sym) WHERE rk <= 3),
+      e0 AS (SELECT DISTINCT least(src, dst) AS u, greatest(src, dst) AS v
+        FROM top),
       deg AS (SELECT node, count(*) AS degree FROM
           (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
         GROUP BY node),

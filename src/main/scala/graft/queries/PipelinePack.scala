@@ -1630,9 +1630,87 @@ object PipelinePack {
       LEFT JOIN lm ON lm.doc_id = r.doc_id"""
     })
 
+  /** Content-defined chunking (TextClean.cdcChunks): boundaries where
+    * the rolling 4-gram hash ≡ 0 (mod 16), so edits re-chunk only
+    * their neighborhood — the sub-document dedup granularity. The
+    * oracle rebuilds the identical cut set with list ops over the same
+    * hex60 hashes.
+    */
+  private val q130 = QueryDef(
+    "q130_cdc_chunks",
+    (s, dir) => graft.ops.TextClean.cdcChunks(
+      Tables.documents(s, dir), "doc_id", "text", gramTokens = 4, mask = 16),
+    Some(s"""WITH t AS (SELECT doc_id, $T AS toks FROM documents),
+      b AS (SELECT doc_id, toks, list_sort(list_distinct(list_concat(
+          list_concat([0::BIGINT],
+            list_filter(range(4, len(toks) + 1),
+              p -> ${sqlHex60("array_to_string(toks[p-3:p], ' ')")} % 16 = 0)),
+          [len(toks)::BIGINT]))) AS cuts FROM t),
+      c AS (SELECT doc_id, toks, cuts, unnest(range(1, len(cuts))) AS i
+        FROM b)
+      SELECT doc_id, i::BIGINT AS chunk_idx,
+        (cuts[i] + 1)::BIGINT AS start_tok,
+        (cuts[i+1] - cuts[i])::BIGINT AS n_tok,
+        ${sqlHex60("array_to_string(toks[cuts[i]+1:cuts[i+1]], ' ')")} AS chunk_hash
+      FROM c"""))
+
+  /** Chunk-level dedup savings per source (TextClean.cdcDedupSavings):
+    * total CDC-chunk volume vs distinct-chunk volume — "how much of
+    * this source is repeated content", the storage-dedup estimate
+    * whole-doc hashing misses. Two stacked aggregations, all longs.
+    */
+  private val q131 = QueryDef(
+    "q131_cdc_savings",
+    (s, dir) => graft.ops.TextClean.cdcDedupSavings(
+      Tables.documents(s, dir), "doc_id", "text", "source",
+      gramTokens = 4, mask = 16),
+    Some(s"""WITH t AS (SELECT doc_id, source, $T AS toks FROM documents),
+      b AS (SELECT doc_id, source, toks, list_sort(list_distinct(list_concat(
+          list_concat([0::BIGINT],
+            list_filter(range(4, len(toks) + 1),
+              p -> ${sqlHex60("array_to_string(toks[p-3:p], ' ')")} % 16 = 0)),
+          [len(toks)::BIGINT]))) AS cuts FROM t),
+      ch AS (SELECT source,
+          (cuts[i+1] - cuts[i])::BIGINT AS n_tok,
+          ${sqlHex60("array_to_string(toks[cuts[i]+1:cuts[i+1]], ' ')")} AS h
+        FROM (SELECT source, toks, cuts, unnest(range(1, len(cuts))) AS i
+          FROM b)),
+      g AS (SELECT source, h, count(*) AS c, sum(n_tok) AS sum_tok,
+          min(n_tok) AS min_tok
+        FROM ch GROUP BY source, h)
+      SELECT source, sum(c)::BIGINT AS n_chunks,
+        count(*)::BIGINT AS n_distinct_chunks,
+        sum(sum_tok)::BIGINT AS total_tokens,
+        sum(min_tok)::BIGINT AS distinct_tokens,
+        (sum(sum_tok) - sum(min_tok))::BIGINT AS saved_tokens
+      FROM g GROUP BY source"""))
+
+  /** Vocabulary growth curve (Corpus.vocabGrowth): distinct token
+    * types accumulated after the first ceil(k·N/10) docs in doc_id
+    * order — the Heaps'-law audit. Doc ranks come from the distributed
+    * prefix sum, never a single-partition row_number; the oracle's
+    * window form enumerates the identical ranks.
+    */
+  private val q132 = QueryDef(
+    "q132_vocab_growth",
+    (s, dir) => graft.ops.Corpus.vocabGrowth(
+      Tables.documents(s, dir), "doc_id", "text", checkpoints = 10),
+    Some(s"""WITH r AS (SELECT doc_id,
+          row_number() OVER (ORDER BY doc_id) AS rk FROM documents),
+      tok AS (SELECT doc_id, unnest($T) AS tok FROM documents),
+      tm AS (SELECT tok, min(rk) AS rt FROM tok JOIN r USING (doc_id)
+        GROUP BY tok),
+      n AS (SELECT count(*)::BIGINT AS nd FROM documents),
+      cp AS (SELECT k::BIGINT AS checkpoint,
+          ((k * nd + 9) // 10)::BIGINT AS n_docs
+        FROM n, range(1, 11) t(k))
+      SELECT cp.checkpoint, cp.n_docs, count(tm.tok)::BIGINT AS vocab
+      FROM cp LEFT JOIN tm ON tm.rt <= cp.n_docs
+      GROUP BY cp.checkpoint, cp.n_docs"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-    q125, q126, q128, q129)
+    q125, q126, q128, q129, q130, q131, q132)
 }

@@ -756,6 +756,67 @@ class PipelineSpec extends AnyFunSuite {
     assert(r.getAs[Long]("na") < nFull)
   }
 
+  // ---- content-defined chunking -------------------------------------
+
+  test("TextClean.cdcChunks: chunks tile the token stream, edits re-chunk locally") {
+    val words = (1 to 200).map(i => s"w${i % 37}x$i")
+    val base = words.mkString(" ")
+    val d = docs(1L -> base)
+    val out = graft.ops.TextClean.cdcChunks(d, "doc_id", "text")
+      .orderBy("chunk_idx").collect()
+    // chunks tile [1, 200] exactly: starts chain and lengths sum to m
+    assert(out.head.getAs[Long]("start_tok") === 1L)
+    out.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("start_tok") ===
+        a.getAs[Long]("start_tok") + a.getAs[Long]("n_tok"))
+    }
+    assert(out.map(_.getAs[Long]("n_tok")).sum === 200L)
+    // content-defined: replacing ONE token preserves every chunk hash
+    // outside the edited chunk's gram neighborhood (fixed-stride
+    // chunking would shift nothing here, but an INSERTION shifts all
+    // downstream fixed chunks while CDC re-syncs)
+    val edited = (words.take(100) ++ Seq("EDIT") ++ words.drop(100)).mkString(" ")
+    val out2 = graft.ops.TextClean.cdcChunks(docs(1L -> edited), "doc_id", "text")
+      .collect().map(_.getAs[Long]("chunk_hash")).toSet
+    val shared = out.map(_.getAs[Long]("chunk_hash")).count(out2.contains)
+    assert(shared >= out.length - 3,
+      s"insertion broke ${out.length - shared} of ${out.length} chunks")
+  }
+
+  test("TextClean.cdcChunks: short doc is a single whole-doc chunk") {
+    val out = graft.ops.TextClean.cdcChunks(docs(1L -> "a b c"), "doc_id", "text")
+      .collect()
+    assert(out.length === 1)
+    assert(out.head.getAs[Long]("start_tok") === 1L)
+    assert(out.head.getAs[Long]("n_tok") === 3L)
+  }
+
+  test("TextClean.cdcDedupSavings: duplicated doc halves distinct volume") {
+    val words = (1 to 200).map(i => s"w${i % 37}x$i").mkString(" ")
+    val d = Seq((1L, words, "s1"), (2L, words, "s1"))
+      .toDF("doc_id", "text", "source")
+    val r = graft.ops.TextClean.cdcDedupSavings(
+      d, "doc_id", "text", "source").collect()
+    assert(r.length === 1)
+    val row = r.head
+    assert(row.getAs[Long]("total_tokens") === 400L)
+    assert(row.getAs[Long]("distinct_tokens") === 200L)
+    assert(row.getAs[Long]("saved_tokens") === 200L)
+    assert(row.getAs[Long]("n_chunks") === 2L * row.getAs[Long]("n_distinct_chunks"))
+  }
+
+  // ---- vocabulary growth --------------------------------------------
+
+  test("Corpus.vocabGrowth: monotone curve ending at the full vocabulary") {
+    val d = docs(1L -> "a b", 2L -> "b c", 3L -> "c d e", 4L -> "a e f")
+    val out = graft.ops.Corpus.vocabGrowth(d, "doc_id", "text", checkpoints = 4)
+      .orderBy("checkpoint").collect()
+    assert(out.length === 4)
+    assert(out.map(_.getAs[Long]("n_docs")).toSeq === Seq(1L, 2L, 3L, 4L))
+    val vocab = out.map(_.getAs[Long]("vocab")).toSeq
+    assert(vocab === Seq(2L, 3L, 5L, 6L))
+  }
+
   // ---- feature hashing ----------------------------------------------
 
   test("TfIdf.hashedBow: signed integer sums, fixed dims, repeated tokens accumulate") {
