@@ -75,4 +75,53 @@ object Graph {
         (col("n_triangles") * 2).cast("double") /
           (col("degree") * (col("degree") - 1)).cast("double")))
   }
+
+  /** Degree assortativity: the Pearson correlation of the endpoint
+    * degrees over every DIRECTED edge (each undirected edge counted in
+    * both orientations, the standard convention — Newman, "Assortative
+    * mixing in networks", PRL 2002; public formula). Positive means
+    * hubs attach to hubs; similarity graphs from near-dup candidates
+    * are typically strongly assortative (dup clusters are cliques).
+    *
+    * Everything up to the final division is EXACT: degrees are longs,
+    * and the five moment sums accumulate as decimal(38,0) — order-
+    * independent under any partitioning, so both engines agree on
+    * every intermediate; doubles appear only in the closing
+    * `cov / (sx·sy)`. Cost is linear in edges: one degree aggregation,
+    * two degree joins (the degree table is AQE-broadcastable — one row
+    * per node), one global fold. No wedge expansion, no self-join.
+    *
+    * Output: one row (n_edges, assortativity) — assortativity null
+    * when either side's degree variance is zero (the correlation is
+    * undefined on degree-regular graphs).
+    */
+  def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val directed = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+    val dec = "decimal(38,0)"
+    val xy = directed
+      .join(deg.select(col("node").as("u"), col("degree").as("x")), Seq("u"))
+      .join(deg.select(col("node").as("v"), col("degree").as("y")), Seq("v"))
+    val m = xy.agg(
+      count(lit(1)).as("m"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    m.select(
+      col("m").as("n_edges"),
+      when(col("m") * col("sxx") > col("sx") * col("sx"),
+        (col("m") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("m") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("m") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("assortativity"))
+  }
 }

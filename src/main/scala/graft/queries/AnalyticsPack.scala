@@ -1734,28 +1734,36 @@ object AnalyticsPack {
     * — orientation moves which vertex finds a triangle, never the
     * set.
     */
-  private val q127 = QueryDef(
-    "q127_triangles",
-    (s, dir) => {
-      val ps = Tables.lineitem(s, dir)
-        .select(col("l_partkey").as("p"), col("l_suppkey").cast("long").as("sup"))
-        .distinct()
-      // per-part supplier sets collect in ONE bounded shuffle (suppliers
-      // per part is a data-model constant) and the i<j pairs expand
-      // map-side from the sorted array — the q102 co-occurrence shape,
-      // replacing a self-join shuffle of the full (p, sup) set
-      val shared = ps.groupBy(col("p"))
-        .agg(collect_list(col("sup")).as("sups"))
-        .select(explode(graft.functions.Kernels.sortedPairsOf(col("sups"))).as("e"))
-        .groupBy(col("e.a").as("x"), col("e.b").as("y"))
-        .agg(count(lit(1)).as("shared"))
-        .filter(col("shared") >= 2)
-      val sym = shared.select(col("x").as("src"), col("y").as("dst"), col("shared"))
-        .unionAll(shared.select(col("y").as("src"), col("x").as("dst"), col("shared")))
-      val top = graft.ops.TopK.groupedTopK(sym, Seq("src"), "shared", "dst", 3)
-      graft.ops.Graph.triangleStats(top.select(col("src"), col("dst")), "src", "dst")
-    },
-    Some("""WITH ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
+  /** Top-3 shared-parts supplier graph shared by q127/q135: per-part
+    * supplier sets collect in ONE bounded shuffle (suppliers per part
+    * is a data-model constant) and the i<j pairs expand map-side from
+    * the sorted array — the q102 co-occurrence shape, replacing a
+    * self-join shuffle of the full (p, sup) set; top-k partner
+    * sparsification bounds every degree before any graph algorithm
+    * runs. Output: directed (src, dst) edge picks.
+    */
+  private def supplierGraph(s: org.apache.spark.sql.SparkSession,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val ps = Tables.lineitem(s, dir)
+      .select(col("l_partkey").as("p"), col("l_suppkey").cast("long").as("sup"))
+      .distinct()
+    val shared = ps.groupBy(col("p"))
+      .agg(collect_list(col("sup")).as("sups"))
+      .select(explode(graft.functions.Kernels.sortedPairsOf(col("sups"))).as("e"))
+      .groupBy(col("e.a").as("x"), col("e.b").as("y"))
+      .agg(count(lit(1)).as("shared"))
+      .filter(col("shared") >= 2)
+    val sym = shared.select(col("x").as("src"), col("y").as("dst"), col("shared"))
+      .unionAll(shared.select(col("y").as("src"), col("x").as("dst"), col("shared")))
+    graft.ops.TopK.groupedTopK(sym, Seq("src"), "shared", "dst", 3)
+      .select(col("src"), col("dst"))
+  }
+
+  /** Oracle CTEs mirroring [[supplierGraph]] plus its canonical
+    * undirected form `e0(u, v)` — the prefix q127 and q135 share.
+    */
+  private val sqlSupplierGraphCtes: String =
+    """ps AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sup
           FROM lineitem),
       sh AS (SELECT a.sup AS x, b.sup AS y, count(*) AS shared
         FROM ps a JOIN ps b ON a.p = b.p AND a.sup < b.sup
@@ -1769,7 +1777,12 @@ object AnalyticsPack {
         FROM top),
       deg AS (SELECT node, count(*) AS degree FROM
           (SELECT u AS node FROM e0 UNION ALL SELECT v FROM e0)
-        GROUP BY node),
+        GROUP BY node)"""
+
+  private val q127 = QueryDef(
+    "q127_triangles",
+    (s, dir) => graft.ops.Graph.triangleStats(supplierGraph(s, dir), "src", "dst"),
+    Some(s"""WITH $sqlSupplierGraphCtes,
       tri AS (SELECT e1.u AS a, e1.v AS b, e2.v AS c
         FROM e0 e1 JOIN e0 e2 ON e2.u = e1.v
         JOIN e0 e3 ON e3.u = e1.u AND e3.v = e2.v),
@@ -1783,9 +1796,94 @@ object AnalyticsPack {
           / (d.degree * (d.degree - 1))::DOUBLE END AS cc
       FROM deg d LEFT JOIN pn ON pn.node = d.node"""))
 
+  /** Exact 2-D Pareto frontier of the part catalog — cheapest price at
+    * every size level nothing dominates (ops.Skyline): local frontier
+    * per partition via a running-min window, global pass only over the
+    * local survivors. Prices compare as exact integer cents (the
+    * driver bans DECIMAL outputs); the frontier is order-isomorphic
+    * under the ×100 scaling so the semantics are unchanged.
+    */
+  private val q133 = QueryDef(
+    "q133_skyline",
+    (s, dir) => {
+      val pts = Tables.part(s, dir).select(
+        (col("p_retailprice") * 100).cast("long").as("price_cents"),
+        col("p_size").cast("long").as("sz"))
+      graft.ops.Skyline.frontier2D(pts, "price_cents", "sz")
+    },
+    Some("""WITH pts AS (SELECT DISTINCT (p_retailprice * 100)::BIGINT AS price_cents,
+          p_size::BIGINT AS sz
+        FROM part WHERE p_retailprice IS NOT NULL AND p_size IS NOT NULL),
+      w AS (SELECT price_cents, sz,
+          min(sz) OVER (ORDER BY price_cents, sz
+            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS pm
+        FROM pts)
+      SELECT price_cents, sz FROM w WHERE pm IS NULL OR sz < pm"""))
+
+  /** Robust per-priority outlier statistics on order totals
+    * (ops.Robust): exact lower median + MAD over the pre-aggregated
+    * cents domain, outliers flagged by the integer compare
+    * |v − median| > 3·MAD — the heavy-tail-safe companion to q100's
+    * z-score, with no float anywhere.
+    */
+  private val q134 = QueryDef(
+    "q134_mad_outliers",
+    (s, dir) => {
+      val rows = Tables.orders(s, dir).select(
+        col("o_orderpriority"),
+        (col("o_totalprice") * 100).cast("long").as("cents"))
+      graft.ops.Robust.medianMadOutliers(rows, "o_orderpriority", "cents", k = 3)
+    },
+    Some("""WITH rows_ AS (SELECT o_orderpriority AS g,
+          (o_totalprice * 100)::BIGINT AS v FROM orders),
+      dom AS (SELECT g, v, count(*) AS n FROM rows_ GROUP BY 1, 2),
+      med AS (SELECT g, min(v) AS median_v FROM (
+          SELECT g, v,
+            (sum(n) OVER (PARTITION BY g ORDER BY v
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+            (sum(n) OVER (PARTITION BY g))::BIGINT AS tot
+          FROM dom) WHERE cum * 2 >= tot GROUP BY g),
+      dev AS (SELECT r.g, abs(r.v - m.median_v) AS d, m.median_v
+        FROM rows_ r JOIN med m ON m.g = r.g),
+      ddom AS (SELECT g, d, count(*) AS n FROM dev GROUP BY 1, 2),
+      mad AS (SELECT g, min(d) AS mad_v FROM (
+          SELECT g, d,
+            (sum(n) OVER (PARTITION BY g ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+            (sum(n) OVER (PARTITION BY g))::BIGINT AS tot
+          FROM ddom) WHERE cum * 2 >= tot GROUP BY g)
+      SELECT dev.g AS o_orderpriority, count(*) AS n_rows,
+        min(dev.median_v) AS median_v, min(mad.mad_v) AS mad_v,
+        count(CASE WHEN dev.d > mad.mad_v * 3 THEN 1 END) AS n_outliers
+      FROM dev JOIN mad ON mad.g = dev.g
+      GROUP BY dev.g"""))
+
+  /** Degree assortativity of the sparsified supplier graph
+    * (ops.Graph.assortativity): Pearson correlation of endpoint
+    * degrees over both edge orientations, moment sums exact
+    * decimal(38,0)/int128 so both engines divide identical integers;
+    * linear in edges, degree table AQE-broadcastable.
+    */
+  private val q135 = QueryDef(
+    "q135_assortativity",
+    (s, dir) => graft.ops.Graph.assortativity(supplierGraph(s, dir), "src", "dst"),
+    Some(s"""WITH $sqlSupplierGraphCtes,
+      de AS (SELECT u, v FROM e0 UNION ALL SELECT v, u FROM e0),
+      xy AS (SELECT dx.degree AS x, dy.degree AS y
+        FROM de JOIN deg dx ON dx.node = de.u JOIN deg dy ON dy.node = de.v),
+      m AS (SELECT count(*) AS m, sum(x) AS sx, sum(y) AS sy,
+          sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+        FROM xy)
+      SELECT m AS n_edges,
+        CASE WHEN m * sxx > sx * sx
+          THEN (m * sxy - sx * sy)::DOUBLE
+            / (sqrt((m * sxx - sx * sx)::DOUBLE)
+              * sqrt((m * syy - sy * sy)::DOUBLE)) END AS assortativity
+      FROM m"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
-    q108, q109, q110, q111, q113, q114, q127)
+    q108, q109, q110, q111, q113, q114, q127, q133, q134, q135)
 }

@@ -211,6 +211,36 @@ object PipelinePack {
       FROM documents d JOIN surv s USING (doc_id)
       GROUP BY d.source"""))
 
+  /** Near-dup cluster-size histogram over the STAR connected-
+    * components path: how many clusters of each size the candidate
+    * graph contains (size 1 = untouched docs) — the shape a curation
+    * run reads to tell boilerplate blowups (few giant clusters) from
+    * organic duplication (many pairs). Runs `nearDupSurvivors` with
+    * `algorithm = "star"`, putting the O(log²)-round large-star/
+    * small-star alternation under the same oracle as q32's
+    * diameter-bound propagation — the two must agree exactly (the
+    * survivor mapping is algorithm-invariant), so this row is the
+    * cross-check that they do.
+    */
+  private val q136 = QueryDef(
+    "q136_cluster_sizes",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
+        shingleWords = 3, bands = 4, rowsPerBand = 4)
+      Dedup.nearDupSurvivors(docs, pairs, "doc_id", algorithm = "star")
+        .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
+        .groupBy(col("cluster_size"))
+        .agg(count(lit(1)).as("n_clusters"),
+          (col("cluster_size") * count(lit(1))).as("n_docs"))
+    },
+    Some(s"""WITH $sqlSurvivorCtes,
+      cs AS (SELECT keep_id, count(*) AS cluster_size FROM surv
+        GROUP BY keep_id)
+      SELECT cluster_size, count(*) AS n_clusters,
+        (cluster_size * count(*))::BIGINT AS n_docs
+      FROM cs GROUP BY cluster_size"""))
+
   // ---- similarity search --------------------------------------------
 
   /** Exact brute-force cosine top-k (Similarity.topK): broadcast query
@@ -1712,5 +1742,5 @@ object PipelinePack {
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-    q125, q126, q128, q129, q130, q131, q132)
+    q125, q126, q128, q129, q130, q131, q132, q136)
 }

@@ -616,4 +616,58 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(5L) === ((1L, 0L, None)))
     // self-loop (4,4) was dropped: node 4's degree counts 1,2,5 only
   }
+
+  test("Graph.assortativity: path is -1, regular graph is null, edges canonicalized") {
+    import graft.ops.Graph
+    // P3 path 1-2-3: perfectly disassortative (r = -1); duplicates and
+    // a reversed edge must collapse before degrees are counted
+    val path = Seq((1L, 2L), (2L, 1L), (2L, 3L)).toDF("src", "dst")
+    val r1 = Graph.assortativity(path, "src", "dst").collect()(0)
+    assert(r1.getLong(0) === 4L) // 2 undirected edges, both orientations
+    assert(math.abs(r1.getDouble(1) - (-1.0)) < 1e-12)
+    // 4-cycle: 2-regular, zero degree variance => correlation undefined
+    val cyc = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("src", "dst")
+    val r2 = Graph.assortativity(cyc, "src", "dst").collect()(0)
+    assert(r2.getLong(0) === 8L)
+    assert(r2.isNullAt(1))
+  }
+
+  test("Skyline.frontier2D: exact dominance, ties dominated, partition-invariant") {
+    import graft.ops.Skyline
+    val pts = Seq(
+      (1L, 5L), (1L, 5L),      // duplicate collapses
+      (2L, 3L), (2L, 4L),      // (2,4) dominated by (2,3)
+      (3L, 3L),                // dominated by (2,3): larger x, equal y
+      (4L, 1L), (4L, 2L),      // (4,2) dominated by (4,1)
+      (5L, 5L)                 // dominated by everything cheaper
+    ).toDF("x", "y")
+    val expected = Set((1L, 5L), (2L, 3L), (4L, 1L))
+    def run(df: org.apache.spark.sql.DataFrame) =
+      Skyline.frontier2D(df, "x", "y").collect()
+        .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(run(pts) === expected)
+    // the local-prune phase keys on spark_partition_id — the result
+    // must not depend on the physical partitioning
+    assert(run(pts.repartition(7)) === expected)
+    assert(run(pts.coalesce(1)) === expected)
+  }
+
+  test("Robust.medianMadOutliers: exact lower medians, MAD, integer outlier cut") {
+    import graft.ops.Robust
+    val df = Seq(
+      ("a", 1L), ("a", 2L), ("a", 3L), ("a", 4L), ("a", 100L),
+      ("b", 5L), ("b", 5L), ("b", 5L), ("b", 5L),
+      ("c", 1L), ("c", 2L), ("c", 3L), ("c", 10L)
+    ).toDF("g", "v")
+    val out = Robust.medianMadOutliers(df, "g", "v", k = 3).collect()
+      .map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // a: median 3, devs {2,1,0,1,97} -> MAD 1, outlier 97 > 3
+    assert(out("a") === ((5L, 3L, 1L, 1L)))
+    // b: constant group -> MAD 0, nothing exceeds 0 strictly... except
+    // nothing deviates at all
+    assert(out("b") === ((4L, 5L, 0L, 0L)))
+    // c: even n=4 -> lower median 2; devs {1,0,1,8} -> MAD 1; 8 > 3
+    assert(out("c") === ((4L, 2L, 1L, 1L)))
+  }
 }
