@@ -438,4 +438,52 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("na").cast("long").as("na"),
         col("nb").cast("long").as("nb"), col("inter"), col("overlap"))
   }
+
+  /** Sorted-neighborhood (merge/purge) candidate pairs — the
+    * Hernández–Stolfo blocking strategy (SIGMOD'95; public algorithm):
+    * sort the corpus by a blocking key and emit every pair within a
+    * sliding window of `window` consecutive records. The complement to
+    * LSH blocking: it catches near-dups that agree on an ORDERABLE
+    * surrogate (length, normalized title, timestamp) even when their
+    * shingle sets have drifted past MinHash's reach.
+    *
+    * Distributed shape — no single-partition sort anywhere:
+    * the global rank over (key, id) decomposes into "rows with a
+    * strictly smaller key" (a [[Sweep.runningSum]] prefix over the
+    * key's VALUE DOMAIN — two small shuffles) plus a per-key
+    * `row_number` window (distributed by key). Pairing then needs no
+    * sliding window at all: ranks are dense and unique, so bucket
+    * `⌊(rank−1)/window⌋` holds exactly `window` rows, and every
+    * in-window pair lives in one bucket or two adjacent ones — a
+    * bounded equi-join (each row meets ≤ 2·window candidates), never
+    * a rank-range theta join.
+    *
+    * Output: (doc_a, doc_b, dist) — doc_a precedes doc_b in sort
+    * order, dist = rank gap ∈ [1, window−1]. Null keys are dropped
+    * (they have no position in the sort order).
+    */
+  def sortedNeighborhoodPairs(df: DataFrame, idCol: String, keyCol: String,
+      window: Int = 5): DataFrame = {
+    require(window >= 2, s"need window >= 2: $window")
+    val rows = df.select(col(idCol).cast("long").as("__id"),
+        col(keyCol).cast("long").as("__k"))
+      .filter(col("__k").isNotNull)
+    val counts = rows.groupBy(col("__k")).agg(count(lit(1)).as("__n"))
+    val offsets = Sweep.runningSum(counts, "__k", "__n")
+      .select(col("t").as("__k"), (col("running") - col("d")).as("__off"))
+    val perKey = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__k")).orderBy(col("__id"))
+    val ranked = rows
+      .withColumn("__rn", row_number().over(perKey).cast("long"))
+      .join(offsets, Seq("__k"))
+      .select(col("__id"), (col("__off") + col("__rn")).as("__rank"))
+    val r1 = ranked.select(col("__id").as("doc_a"), col("__rank").as("__ra"),
+      expr(s"(__rank - 1) DIV $window").as("__b"))
+    val r2 = ranked.select(col("__id").as("doc_b"), col("__rank").as("__rb"),
+      explode(array(expr(s"(__rank - 1) DIV $window"),
+        expr(s"(__rank - 1) DIV $window - 1"))).as("__jb"))
+    r1.join(r2, col("__b") === col("__jb") &&
+        col("__rb") > col("__ra") && col("__rb") - col("__ra") < window)
+      .select(col("doc_a"), col("doc_b"), (col("__rb") - col("__ra")).as("dist"))
+  }
 }

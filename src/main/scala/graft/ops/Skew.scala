@@ -51,6 +51,44 @@ object Skew {
       .drop("__salt")
   }
 
+  /** HYBRID hot/cold equi-join — differential skew handling, the
+    * upgrade over [[saltedJoin]]'s uniform salting (which taxes every
+    * cold key with a `salt`× right-side replication to fix a handful
+    * of hot ones): split the left side by measured key frequency and
+    * give each population the join it wants.
+    *
+    *  - Keys with ≥ `hotThreshold` left rows join against the right
+    *    rows for THOSE keys as a broadcast — no hot key ever crosses a
+    *    shuffle, so no reducer receives a hot key's row mass.
+    *  - Everything else takes the ordinary shuffled equi-join, paying
+    *    zero replication.
+    *
+    * Both small sides are bounded by construction: at most
+    * `|left| / hotThreshold` distinct hot keys exist, and the
+    * broadcast right slice carries only those keys' right rows (size
+    * it with q93's estimator when the right side is not dimension-
+    * shaped). The frequency count itself pre-reduces map-side — the
+    * q95 hot-key-report shape — and AQE handles residual skew among
+    * cold keys.
+    *
+    * Inner-join semantics; the result set is identical to the plain
+    * join (the oracle IS the plain join), rows merely route
+    * differently.
+    */
+  def hybridJoin(left: DataFrame, right: DataFrame, leftKey: String,
+      rightKey: String, hotThreshold: Long): DataFrame = {
+    require(hotThreshold >= 1, s"need positive hotThreshold: $hotThreshold")
+    val hot = left.groupBy(col(leftKey)).agg(count(lit(1)).as("__c"))
+      .filter(col("__c") >= hotThreshold)
+      .select(col(leftKey).as("__hk"))
+    val cold = left.join(broadcast(hot), col(leftKey) === col("__hk"), "left_anti")
+      .join(right, col(leftKey) === col(rightKey))
+    val rightHot = right.join(broadcast(hot), col(rightKey) === col("__hk"), "left_semi")
+    val hotJoined = left.join(broadcast(hot), col(leftKey) === col("__hk"), "left_semi")
+      .join(broadcast(rightHot), col(leftKey) === col(rightKey))
+    cold.unionByName(hotJoined)
+  }
+
   /** As-of join: for each left row, the single latest right row with
     * `rightTs <= leftTs` on the same key (NULLs when none) — the
     * time-series enrich Spark has no built-in for (SURVEY §2.3 note).

@@ -241,6 +241,25 @@ object PipelinePack {
         (cluster_size * count(*))::BIGINT AS n_docs
       FROM cs GROUP BY cluster_size"""))
 
+  /** Sorted-neighborhood (merge/purge) candidate pairs blocked on
+    * document length (Dedup.sortedNeighborhoodPairs): every pair
+    * within a window of 5 consecutive records in (n_chars, doc_id)
+    * order — the orderable-surrogate blocking strategy complementing
+    * LSH. Global ranks come from the distributed prefix sum + per-key
+    * row_number (no single-partition sort); pairing is a bounded
+    * adjacent-bucket equi-join, never a rank-range theta join.
+    */
+  private val q137 = QueryDef(
+    "q137_sorted_neighborhood",
+    (s, dir) => Dedup.sortedNeighborhoodPairs(
+      Tables.documents(s, dir), "doc_id", "n_chars", window = 5),
+    Some("""WITH r AS (SELECT doc_id,
+          row_number() OVER (ORDER BY n_chars, doc_id) AS rk
+        FROM documents WHERE n_chars IS NOT NULL)
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+        (b.rk - a.rk)::BIGINT AS dist
+      FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 5"""))
+
   // ---- similarity search --------------------------------------------
 
   /** Exact brute-force cosine top-k (Similarity.topK): broadcast query
@@ -1742,5 +1761,5 @@ object PipelinePack {
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-    q125, q126, q128, q129, q130, q131, q132, q136)
+    q125, q126, q128, q129, q130, q131, q132, q136, q137)
 }

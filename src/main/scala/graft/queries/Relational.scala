@@ -523,6 +523,27 @@ object Relational {
     Some("""SELECT o_orderkey, o_custkey, c_mktsegment, o_totalprice
       FROM orders JOIN customer ON o_custkey = c_custkey"""))
 
+  /** [EXT] hybrid hot/cold skew join (Skew.hybridJoin): keys with
+    * ≥ 75 event rows take the broadcast path (never crossing a
+    * shuffle), the rest the plain equi-join with zero replication —
+    * differential skew handling, vs q51's uniform salting. Result set
+    * identical to the plain join, which is exactly what the oracle
+    * runs.
+    */
+  private val q138 = QueryDef(
+    "q138_hybrid_join",
+    (s, dir) => {
+      import s.implicits._
+      graft.ops.Skew.hybridJoin(
+        Tables.events(s, dir).select($"event_id", $"user_id"),
+        Tables.customer(s, dir).select($"c_custkey", $"c_mktsegment"),
+        "user_id", "c_custkey", hotThreshold = 75)
+        .select($"event_id", $"user_id", $"c_mktsegment")
+    },
+    Some("""SELECT event_id, user_id, c_mktsegment
+      FROM events JOIN customer ON user_id = c_custkey"""))
+
   val all: Seq[QueryDef] = Seq(q1, q2, q3, q4, q5, q6, q7, q8,
-    q9, q10, q11, q12, q13, q14, q15, q16, q28, q29, q30, q31, q35, q36, q51)
+    q9, q10, q11, q12, q13, q14, q15, q16, q28, q29, q30, q31, q35, q36,
+    q51, q138)
 }

@@ -889,4 +889,25 @@ class PipelineSpec extends AnyFunSuite {
     assert(r3.isNullAt(r3.fieldIndex("mean_q")))
     assert(out(4L).getAs[Double]("mean_q") === 1.0)
   }
+
+  test("sortedNeighborhoodPairs: exact sliding-window pairs, partition-invariant") {
+    import graft.ops.Dedup
+    // sort order by (k, id): 10->(5), 20->(1,7), 30->(2), null dropped;
+    // ranks: 5=1, 1=2, 7=3, 2=4
+    val df = Seq((5L, Some(10L)), (1L, Some(20L)), (7L, Some(20L)),
+      (2L, Some(30L)), (9L, None)).toDF("doc_id", "k")
+    def run(d: org.apache.spark.sql.DataFrame, w: Int) =
+      Dedup.sortedNeighborhoodPairs(d, "doc_id", "k", w).collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    // window 2: only adjacent ranks pair
+    assert(run(df, 2) === Set((5L, 1L, 1L), (1L, 7L, 1L), (7L, 2L, 1L)))
+    // window 3: gaps 1 and 2
+    assert(run(df, 3) === Set(
+      (5L, 1L, 1L), (1L, 7L, 1L), (7L, 2L, 1L),
+      (5L, 7L, 2L), (1L, 2L, 2L)))
+    // window >= corpus: all ordered pairs
+    assert(run(df, 10).size === 4 * 3 / 2)
+    // rank assignment must not depend on the physical partitioning
+    assert(run(df.repartition(5), 3) === run(df.coalesce(1), 3))
+  }
 }

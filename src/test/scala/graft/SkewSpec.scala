@@ -99,4 +99,30 @@ class SkewSpec extends AnyFunSuite {
     assert(!plan.contains("Join"), "asof must not plan a join")
     assert(plan.contains("Window"), "asof is one window pass")
   }
+
+  test("hybridJoin equals the plain join and routes hot keys to broadcast") {
+    // key 1 is hot (60 rows), keys 2..20 cold (2 rows each); key 99
+    // has no right match and must vanish like the plain inner join
+    val left = ((1 to 60).map(i => (1L, s"h$i")) ++
+      (2 to 20).flatMap(k => Seq((k.toLong, s"c${k}a"), (k.toLong, s"c${k}b"))) ++
+      Seq((99L, "orphan"))).toDF("k", "payload")
+    val right = (1 to 20).map(k => (k.toLong, s"dim$k")).toDF("rk", "attr")
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("k", "payload", "attr").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2))).toSet
+    val hybrid = Skew.hybridJoin(left, right, "k", "rk", hotThreshold = 50)
+    val plain = left.join(right, col("k") === col("rk"))
+    assert(rows(hybrid) === rows(plain))
+    assert(rows(hybrid).size === 60 + 19 * 2)
+    // the hot path must appear as a broadcast join in the plan
+    val plan = hybrid.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      "hot keys should take the broadcast path")
+    // threshold above every key count degenerates to the plain join
+    assert(rows(Skew.hybridJoin(left, right, "k", "rk", hotThreshold = 1000))
+      === rows(plain))
+    // threshold 1: every key is hot; still identical
+    assert(rows(Skew.hybridJoin(left, right, "k", "rk", hotThreshold = 1))
+      === rows(plain))
+  }
 }
