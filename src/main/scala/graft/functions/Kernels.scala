@@ -276,6 +276,82 @@ object Kernels {
     acc
   }
 
+  /** UTF-8 binary order (the UTF8String / DuckDB default collation);
+    * a null `b` counts as +infinity so any gram beats "none yet".
+    */
+  private def utf8Less(a: String, b: String): Boolean = {
+    if (b == null) return true
+    val x = a.getBytes("UTF-8")
+    val y = b.getBytes("UTF-8")
+    val lim = math.min(x.length, y.length)
+    var i = 0
+    while (i < lim) {
+      val d = (x(i) & 0xff) - (y(i) & 0xff)
+      if (d != 0) return d < 0
+      i += 1
+    }
+    x.length < y.length
+  }
+
+  /** Code-point length — what Spark `length()` and DuckDB `length()`
+    * count (NOT UTF-16 units).
+    */
+  private def charLen(s: String): Long = s.codePointCount(0, s.length).toLong
+
+  /** Gopher repetition statistics for every requested n-gram size in
+    * ONE compiled pass over the document — per n (skipping n > #tokens):
+    * (n, n_slots, n_distinct, top_gram, top_occ, top_chars, dup_chars)
+    * where top = max count, ties to the UTF-8-binary-smallest gram
+    * (the `min(struct(-c, gram))` total order), `top_chars` =
+    * occurrences × code-point length, and `dup_chars` sums
+    * `c × length(gram)` over grams with c ≥ 2.
+    *
+    * The whole computation is per-document, so it runs map-side with
+    * ZERO shuffle — replacing a (doc, n, gram)-keyed exchange whose
+    * payload was every distinct gram STRING. State is one HashMap per
+    * (doc, n), bounded by the doc's own token count.
+    */
+  def repetitionStats(text: UTF8String, ns: ArrayData): ArrayData = {
+    val toks = tokenize(text)
+    val m = toks.length
+    val out = new java.util.ArrayList[AnyRef](ns.numElements())
+    var q = 0
+    while (q < ns.numElements()) {
+      val n = ns.getInt(q)
+      if (m >= n) {
+        val slots = m - n + 1
+        val counts = new java.util.HashMap[String, Int](slots * 2)
+        var i = 0
+        while (i < slots) {
+          val sb = new java.lang.StringBuilder(toks(i))
+          var k = i + 1
+          while (k < i + n) { sb.append(' ').append(toks(k)); k += 1 }
+          counts.merge(sb.toString, 1, Integer.sum)
+          i += 1
+        }
+        var topGram: String = null
+        var topOcc = 0
+        var dupChars = 0L
+        val it = counts.entrySet().iterator()
+        while (it.hasNext) {
+          val e = it.next()
+          val c = e.getValue.intValue()
+          if (c >= 2) dupChars += c.toLong * charLen(e.getKey)
+          if (c > topOcc || (c == topOcc && utf8Less(e.getKey, topGram))) {
+            topOcc = c
+            topGram = e.getKey
+          }
+        }
+        out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](n.toLong, slots.toLong, counts.size.toLong,
+            UTF8String.fromString(topGram), topOcc.toLong,
+            topOcc.toLong * charLen(topGram), dupChars)))
+      }
+      q += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // ---- pair-expansion kernels ---------------------------------------
 
   /** All i<j pairs of a bucket's ids, ordered pairs of the ascending id
@@ -491,6 +567,25 @@ object Kernels {
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(shingleWords)),
         expr(org.apache.spark.sql.functions.lit(window))),
       Seq(StringType, IntegerType, IntegerType)))
+
+  /** Per-n repetition statistics straight from text (see
+    * [[repetitionStats]]); one struct per requested n ≤ #tokens.
+    */
+  def repetitionStatsOf(text: Column, ns: Seq[Int]): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass,
+      ArrayType(StructType(Seq(
+        StructField("n", LongType, nullable = false),
+        StructField("n_slots", LongType, nullable = false),
+        StructField("n_distinct", LongType, nullable = false),
+        StructField("top_gram", StringType, nullable = false),
+        StructField("top_occ", LongType, nullable = false),
+        StructField("top_chars", LongType, nullable = false),
+        StructField("dup_chars", LongType, nullable = false))),
+        containsNull = false),
+      "repetitionStats",
+      Seq(expr(text), expr(org.apache.spark.sql.functions.lit(ns.toArray))),
+      Seq(StringType, ArrayType(IntegerType))))
 
   def simhash60Of(text: Column): Column =
     exprBridge.column(StaticInvoke(

@@ -86,13 +86,14 @@ object QualityRules {
     * tie-breaks (count desc, gram asc) via a struct MIN of
     * `(-count, gram)` — a total order, engine-independent.
     *
-    * Shape at scale: ONE scan — the requested n values explode inline
-    * (×|ns|) and the gram positions explode from that (×n_tok), so the
-    * text column is read once however many n are requested; one
-    * shuffle keyed on (doc, n, gram) — uniform keys bounded by the
-    * doc's own token count, no doc×doc term, no window over the
-    * corpus. The per-doc reduce rides the same keys with map-side
-    * partial aggregation.
+    * Shape at scale: ONE scan and ZERO shuffle — every statistic is a
+    * function of a single document, so the whole battery runs as one
+    * compiled map-side kernel pass ([[graft.functions.Kernels
+    * .repetitionStats]]: per-doc gram HashMap, state bounded by the
+    * doc's own token count) and the per-n rows explode from its
+    * result array. Nothing doc×doc, no exchange — the previous shape
+    * (a (doc, n, gram)-keyed aggregation) shuffled every distinct
+    * gram STRING per document; this shuffles nothing.
     *
     * Output: (idCol, n, n_chars, n_slots, n_distinct, top_gram,
     * top_occ, top_chars, dup_chars, top_frac, dup_frac).
@@ -100,33 +101,15 @@ object QualityRules {
   def repetitionSignals(df: DataFrame, idCol: String, textCol: String,
       ns: Seq[Int] = Seq(2, 3, 4, 6)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"bad n-gram sizes: $ns")
-    val toks = graft.functions.TextKernels.tokens(col(textCol))
-    val grams = df
-      .select(col(idCol), toks.as("toks"),
-        length(col(textCol)).cast("long").as("n_chars"))
-      .select(col(idCol), col("n_chars"), col("toks"),
-        explode(array(ns.map(lit): _*)).as("ni"))
-      .filter(size(col("toks")) >= col("ni"))
-      .select(col(idCol), col("n_chars"), col("ni").cast("long").as("n"),
-        explode(expr(
-          """transform(sequence(1, size(toks) - ni + 1),
-               i -> array_join(slice(toks, i, ni), ' '))""")).as("gram"))
-    grams
-      .groupBy(col(idCol), col("n"), col("n_chars"), col("gram"))
-      .agg(count(lit(1)).as("c"))
-      // n_chars is a function of the doc id, so it rides as a group key
-      .groupBy(col(idCol), col("n"), col("n_chars"))
-      .agg(
-        sum(col("c")).as("n_slots"),
-        count(lit(1)).as("n_distinct"),
-        min(struct((-col("c")).as("negc"), col("gram").as("gram"))).as("top"),
-        sum(when(col("c") >= 2, col("c") * length(col("gram")).cast("long"))
-          .otherwise(0L)).as("dup_chars"))
+    df.select(col(idCol),
+        length(col(textCol)).cast("long").as("n_chars"),
+        explode(graft.functions.Kernels.repetitionStatsOf(col(textCol), ns))
+          .as("r"))
       .select(
-        col(idCol), col("n"), col("n_chars"), col("n_slots"), col("n_distinct"),
-        col("top.gram").as("top_gram"), (-col("top.negc")).as("top_occ"),
-        ((-col("top.negc")) * length(col("top.gram")).cast("long")).as("top_chars"),
-        col("dup_chars"))
+        col(idCol), col("r.n").as("n"), col("n_chars"),
+        col("r.n_slots").as("n_slots"), col("r.n_distinct").as("n_distinct"),
+        col("r.top_gram").as("top_gram"), col("r.top_occ").as("top_occ"),
+        col("r.top_chars").as("top_chars"), col("r.dup_chars").as("dup_chars"))
       .withColumn("top_frac",
         col("top_chars").cast("double") / col("n_chars").cast("double"))
       .withColumn("dup_frac",

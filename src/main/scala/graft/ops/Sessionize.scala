@@ -13,7 +13,10 @@ import org.apache.spark.sql.functions._
   * Structured Streaming's session windows in
   * graft.streaming.StreamingLift). Microsecond longs (unix_micros) are
   * exact integers, so the gap comparison is engine-portable — no
-  * float-seconds rounding.
+  * float-seconds rounding. The ts column casts through timestamp_ltz
+  * first: parquet writers that omit isAdjustedToUTC surface
+  * TIMESTAMP_NTZ, which unix_micros rejects, and under the engine's
+  * UTC session timezone the NTZ wall-clock IS the UTC instant.
   *
   * Determinism: the window orders by (ts, tieCol); with a unique
   * tie-break column the total order — and therefore every session
@@ -28,7 +31,7 @@ object Sessionize {
       df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       maxGapUs: Long): DataFrame = {
     val w = Window.partitionBy(col(keyCol)).orderBy(col(tsCol), col(tieCol))
-    val us = unix_micros(col(tsCol))
+    val us = unix_micros(col(tsCol).cast("timestamp_ltz"))
     val gap = us - lag(us, 1).over(w)
     val newSession = when(gap.isNull || gap > maxGapUs, 1L).otherwise(0L)
     df.withColumn("session_seq",
@@ -41,7 +44,7 @@ object Sessionize {
   def profile(
       df: DataFrame, keyCol: String, tsCol: String, tieCol: String,
       maxGapUs: Long): DataFrame = {
-    val us = unix_micros(col(tsCol))
+    val us = unix_micros(col(tsCol).cast("timestamp_ltz"))
     val perSession = assignSessions(df, keyCol, tsCol, tieCol, maxGapUs)
       .groupBy(col(keyCol), col("session_seq"))
       .agg(count(lit(1)).as("n"), (max(us) - min(us)).as("dur_us"))

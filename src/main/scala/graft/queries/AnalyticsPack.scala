@@ -533,8 +533,8 @@ object AnalyticsPack {
     (s, dir) => graft.ops.Scd2.fromChanges(
       Tables.events(s, dir), "user_id", "ts", Seq("event_type"), "event_id")
       .select(col("user_id"), col("event_type"),
-        unix_micros(col("effective_from")).as("from_us"),
-        unix_micros(col("effective_to")).as("to_us"),
+        unix_micros(col("effective_from").cast("timestamp_ltz")).as("from_us"),
+        unix_micros(col("effective_to").cast("timestamp_ltz")).as("to_us"),
         col("is_current")),
     Some("""WITH ordered AS (SELECT user_id, event_type, ts, event_id,
         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id)
@@ -655,7 +655,7 @@ object AnalyticsPack {
   private val q72 = QueryDef(
     "q72_peak_concurrency",
     (s, dir) => {
-      val us = unix_micros(col("ts"))
+      val us = unix_micros(col("ts").cast("timestamp_ltz"))
       val sessions = graft.ops.Sessionize.assignSessions(
         Tables.events(s, dir), "user_id", "ts", "event_id",
         maxGapUs = 1800L * 1000000L)
@@ -912,7 +912,7 @@ object AnalyticsPack {
   private val q81 = QueryDef(
     "q81_cohort_retention",
     (s, dir) => {
-      val wk = expr("unix_micros(ts) div 604800000000")
+      val wk = expr("unix_micros(cast(ts as timestamp_ltz)) div 604800000000")
       val ev = Tables.events(s, dir).select(col("user_id"), wk.as("week"))
       val cohorts = ev.groupBy(col("user_id")).agg(min(col("week")).as("cohort"))
       ev.join(cohorts, Seq("user_id"))
@@ -1096,9 +1096,11 @@ object AnalyticsPack {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       Tables.events(s, dir)
-        .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+        .withColumn("next_us",
+          lead(unix_micros(col("ts").cast("timestamp_ltz")), 1).over(w))
         .filter(col("next_us").isNotNull)
-        .withColumn("gap_us", col("next_us") - unix_micros(col("ts")))
+        .withColumn("gap_us",
+          col("next_us") - unix_micros(col("ts").cast("timestamp_ltz")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_gaps"),
           min(col("gap_us")).as("min_us"), max(col("gap_us")).as("max_us"),
@@ -1133,7 +1135,7 @@ object AnalyticsPack {
     (s, dir) => {
       val ev = Tables.events(s, dir)
         .select(col("user_id"),
-          expr("unix_micros(ts) div 86400000000").as("day"))
+          expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000").as("day"))
         .distinct()
       val days = ev.select(col("day").as("window_day")).distinct()
       ev.select(col("user_id"),
@@ -1223,9 +1225,11 @@ object AnalyticsPack {
       val w = Window.partitionBy(col("user_id"))
         .orderBy(col("ts"), col("event_id"))
       Tables.events(s, dir)
-        .withColumn("next_us", lead(unix_micros(col("ts")), 1).over(w))
+        .withColumn("next_us",
+          lead(unix_micros(col("ts").cast("timestamp_ltz")), 1).over(w))
         .filter(col("next_us").isNotNull)
-        .withColumn("gap_us", col("next_us") - unix_micros(col("ts")))
+        .withColumn("gap_us",
+          col("next_us") - unix_micros(col("ts").cast("timestamp_ltz")))
         .groupBy(col("event_type"))
         .agg(count(lit(1)).as("n_gaps"),
           expr("percentile(gap_us, array(0.5D, 0.95D, 0.99D))").as("qs"))
@@ -1472,14 +1476,15 @@ object AnalyticsPack {
     "q106_retry_dedup",
     (s, dir) => {
       import org.apache.spark.sql.expressions.Window
-      val day = expr("unix_micros(ts) div 86400000000")
+      val day = expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000")
       val w = Window
         .partitionBy(col("user_id"), col("event_type"), col("value"), day)
         .orderBy(col("ts"), col("event_id"))
       Tables.events(s, dir)
-        .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(w))
+        .withColumn("prev_us",
+          lag(unix_micros(col("ts").cast("timestamp_ltz")), 1).over(w))
         .filter(col("prev_us").isNull ||
-          unix_micros(col("ts")) - col("prev_us") > 5000000L)
+          unix_micros(col("ts").cast("timestamp_ltz")) - col("prev_us") > 5000000L)
         .select(col("event_id"), col("user_id"), col("event_type"))
     },
     Some("""SELECT event_id, user_id, event_type FROM (
@@ -1740,15 +1745,19 @@ object AnalyticsPack {
     * the sorted array — the q102 co-occurrence shape, replacing a
     * self-join shuffle of the full (p, sup) set; top-k partner
     * sparsification bounds every degree before any graph algorithm
-    * runs. Output: directed (src, dst) edge picks.
+    * runs. `collect_set` fuses the dedup INTO the collection — the
+    * partial aggregate drops repeat (part, supplier) sightings
+    * map-side, so the lineitem scan reaches the exchange already
+    * set-reduced and no separate `distinct()` shuffle precedes it
+    * (sortedPairs sorts its input, so set order is irrelevant).
+    * Output: directed (src, dst) edge picks.
     */
   private def supplierGraph(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
-    val ps = Tables.lineitem(s, dir)
+    val shared = Tables.lineitem(s, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").cast("long").as("sup"))
-      .distinct()
-    val shared = ps.groupBy(col("p"))
-      .agg(collect_list(col("sup")).as("sups"))
+      .groupBy(col("p"))
+      .agg(collect_set(col("sup")).as("sups"))
       .select(explode(graft.functions.Kernels.sortedPairsOf(col("sups"))).as("e"))
       .groupBy(col("e.a").as("x"), col("e.b").as("y"))
       .agg(count(lit(1)).as("shared"))

@@ -206,8 +206,9 @@ class StreamingLiftSpec extends AnyFunSuite {
     // batch (gap > threshold opens) but opens a new window in
     // session_window (strict merge t2 < t1+gap); the real events data
     // has no exact-1800s gaps, so counts must match bit-for-bit.
-    val src = spark.read.parquet(s"$sf/events.parquet")
-      .withColumn("ts", expr("timestamp_micros(ts div 1000)"))
+    // Tables.events absorbs the testdata's ts physical type (legacy
+    // long-nanos vs TIMESTAMP_NTZ) the same way every query does.
+    val src = graft.sources.Tables.events(spark, sf)
       .filter(col("user_id") < 20)
       .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("event_id"))
     val srcDir = Files.createTempDirectory("graft-sess-parity").toString
