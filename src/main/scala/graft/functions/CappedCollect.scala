@@ -45,7 +45,8 @@ object CappedCollect {
     }
     def merge(x: Buf, y: Buf): Buf = {
       x.n += y.n
-      val room = cap + 1 - x.ids.length
+      // long arithmetic: cap + 1 overflows Int at cap = Int.MaxValue
+      val room = (cap.toLong + 1L - x.ids.length).min(Int.MaxValue).toInt
       if (room > 0) x.ids ++= y.ids.take(room)
       x
     }
@@ -63,7 +64,7 @@ object CappedCollect {
     }
     def merge(x: Buf, y: Buf): Buf = {
       x.n += y.n
-      val room = cap + 1 - x.ids.length
+      val room = (cap.toLong + 1L - x.ids.length).min(Int.MaxValue).toInt
       if (room > 0) { x.ids ++= y.ids.take(room); x.ns ++= y.ns.take(room) }
       x
     }
@@ -72,9 +73,38 @@ object CappedCollect {
     def outputEncoder: Encoder[Capped2] = Encoders.product[Capped2]
   }
 
+  /** As [[Capped]], with an aligned LONG payload list. */
+  final case class Capped2L(n: Long, ids: Seq[Long], hs: Seq[Long])
+
+  final class BufLL(var n: Long, val ids: ArrayBuffer[Long],
+      val hs: ArrayBuffer[Long]) extends Serializable
+
+  final class PairLongAgg(cap: Int) extends Aggregator[(Long, Long), BufLL, Capped2L] {
+    def zero: BufLL = new BufLL(0L, new ArrayBuffer[Long], new ArrayBuffer[Long])
+    def reduce(b: BufLL, a: (Long, Long)): BufLL = {
+      b.n += 1
+      if (b.ids.length <= cap) { b.ids += a._1; b.hs += a._2 }
+      b
+    }
+    def merge(x: BufLL, y: BufLL): BufLL = {
+      x.n += y.n
+      val room = (cap.toLong + 1L - x.ids.length).min(Int.MaxValue).toInt
+      if (room > 0) { x.ids ++= y.ids.take(room); x.hs ++= y.hs.take(room) }
+      x
+    }
+    def finish(b: BufLL): Capped2L = Capped2L(b.n, b.ids.toSeq, b.hs.toSeq)
+    def bufferEncoder: Encoder[BufLL] = Encoders.kryo[BufLL]
+    def outputEncoder: Encoder[Capped2L] = Encoders.product[Capped2L]
+  }
+
   /** struct(n, ids): exact count + up to cap+1 retained longs. */
   def cappedLongList(c: Column, cap: Int): Column =
     udaf(new LongAgg(cap), Encoders.scalaLong).apply(c)
+
+  /** struct(n, ids, hs): as above with an index-aligned long payload. */
+  def cappedLongPairList(id: Column, payload: Column, cap: Int): Column =
+    udaf(new PairLongAgg(cap), Encoders.tuple(Encoders.scalaLong, Encoders.scalaLong))
+      .apply(id, payload)
 
   /** struct(n, ids, ns): as above with an index-aligned int payload. */
   def cappedPairList(id: Column, payload: Column, cap: Int): Column =

@@ -418,6 +418,39 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Hamming-filtered i<j pairs of a bucket: ids with their 64-bit
+    * hashes, emitting ONLY pairs within `maxHamming` popcount(xor) —
+    * the verify step fused into the expansion, so a bucket never
+    * materializes its full quadratic pair set, just the survivors.
+    * Ascending-id order, same contract as [[sortedPairs]].
+    */
+  def hammingPairs(ids: ArrayData, hs: ArrayData, maxHamming: Int): ArrayData = {
+    val n = ids.numElements()
+    require(n <= 65535,
+      s"pair expansion of a $n-element bucket overflows (cap the bucket upstream)")
+    val id = ids.toLongArray()
+    val h = hs.toLongArray()
+    val idx = (0 until n).toArray.map(Integer.valueOf)
+    java.util.Arrays.sort(idx, (x: Integer, y: Integer) =>
+      java.lang.Long.compare(id(x), id(y)))
+    val out = new java.util.ArrayList[AnyRef]()
+    var i = 0
+    while (i < n) {
+      val pi = idx(i)
+      var j = i + 1
+      while (j < n) {
+        val pj = idx(j)
+        val d = java.lang.Long.bitCount(h(pi) ^ h(pj))
+        if (d <= maxHamming)
+          out.add(new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](id(pi), id(pj), d.toLong)))
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   // ---- vector kernel ------------------------------------------------
 
   /** L2-normalize a double array (null for zero-norm inputs): after
@@ -483,6 +516,42 @@ object Kernels {
     var j = 0
     while (j < dim) { out(j) = acc(j).toFloat / 1000003.0f; j += 1 }
     new GenericArrayData(out)
+  }
+
+  /** 60-bit gradient perceptual hash of a byte payload — the 1-D
+    * analogue of image dHash (difference hash; public algorithm):
+    * partition the payload into 61 equal cells (integer boundaries
+    * `⌊i·len/61⌋`), and set bit i when cell i+1's mean exceeds cell
+    * i's — compared as the exact integer cross-multiplication
+    * `s₁·w₀ > s₀·w₁`, so no float enters and the oracle replays the
+    * identical arithmetic. Near-identical payloads (the decoder stub
+    * is deterministic) differ in few bits; bucket on 15-bit bands for
+    * candidate pairs, exactly like simhash. 60 bits keeps every
+    * intermediate positive in signed 64-bit math on both engines.
+    */
+  def dhash60(payload: Array[Byte]): Long = {
+    val len = payload.length
+    val cells = 61
+    val s = new Array[Long](cells)
+    val w = new Array[Long](cells)
+    var i = 0
+    while (i < cells) {
+      val lo = (i.toLong * len / cells).toInt
+      val hi = ((i + 1).toLong * len / cells).toInt
+      var acc = 0L
+      var p = lo
+      while (p < hi) { acc += payload(p) & 0xff; p += 1 }
+      s(i) = acc
+      w(i) = (hi - lo).toLong
+      i += 1
+    }
+    var h = 0L
+    var b = 0
+    while (b < 60) {
+      if (s(b + 1) * w(b) > s(b) * w(b + 1)) h |= 1L << b
+      b += 1
+    }
+    h
   }
 
   /** Average-pool windows of `factor` payload bytes with integer floor
@@ -629,6 +698,27 @@ object Kernels {
       Kernels.getClass, ArrayType(FloatType, containsNull = false), "mediaFeatures",
       Seq(expr(payload), expr(org.apache.spark.sql.functions.lit(dim))),
       Seq(BinaryType, IntegerType)))
+
+  /** 60-bit gradient perceptual hash of a binary payload column. */
+  def dhash60Of(payload: Column): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, LongType, "dhash60", Seq(expr(payload)), Seq(BinaryType)))
+
+  /** Hamming-filtered ascending-id i<j pairs from aligned (ids, hashes)
+    * arrays: structs (a, b, hamming ≤ maxHamming).
+    */
+  def hammingPairsOf(ids: Column, hs: Column, maxHamming: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass,
+      ArrayType(StructType(Seq(
+        StructField("a", LongType, nullable = false),
+        StructField("b", LongType, nullable = false),
+        StructField("hamming", LongType, nullable = false))),
+        containsNull = false),
+      "hammingPairs",
+      Seq(expr(ids), expr(hs),
+        expr(org.apache.spark.sql.functions.lit(maxHamming))),
+      Seq(ArrayType(LongType), ArrayType(LongType), IntegerType)))
 
   /** Average-pooled (floor-mean) windows of a binary payload column. */
   def poolBytesOf(payload: Column, factor: Int): Column =

@@ -486,4 +486,91 @@ object Dedup {
         col("__rb") > col("__ra") && col("__rb") - col("__ra") < window)
       .select(col("doc_a"), col("doc_b"), (col("__rb") - col("__ra")).as("dist"))
   }
+
+  /** PREFIX-FILTERED exact Jaccard join (the PPJoin/AllPairs candidate
+    * strategy — Xiao et al. WWW'08, Bayardo et al. WWW'07; public
+    * algorithms): order every document's shingle set by ascending
+    * global document frequency (rarest first, ties by hash — one total
+    * order corpus-wide) and index ONLY each set's first
+    * `n − ⌈t·n⌉ + 1` elements. Any pair with Jaccard ≥ t must share a
+    * prefix element under that common order, so the candidate set is
+    * complete — but the inverted index holds prefixes of the RAREST
+    * shingles, so posting lists stay short by construction instead of
+    * by a `maxDf` drop cap. The structurally different third strategy
+    * next to [[jaccardPairs]] (full index, hot lists capped) and
+    * [[minhashCandidatePairs]] (probabilistic banding): exact AND
+    * small-index.
+    *
+    * Shape at scale: one corpus pass computes shingle sets; the df
+    * aggregation and the doc-side re-sort are shuffles of the (doc,
+    * shingle-hash) stream — 8-byte keys, bounded by corpus token
+    * volume; candidates expand map-side from per-prefix-token sorted
+    * posting lists (CappedCollect keeps degenerate-corpus buffers
+    * bounded; sub-threshold size-ratio pairs are cut BEFORE
+    * verification by the t·max ≤ min length filter). Verification
+    * recomputes shingle sets only for candidate-TOUCHED docs (semi-
+    * join first, kernel after), so the full corpus is never pinned.
+    * Every threshold comparison is an integer cross-multiplication.
+    *
+    * Output: (doc_a, doc_b, jaccard) with jaccard ≥ num/den, doc_a <
+    * doc_b.
+    */
+  def prefixFilterPairs(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, thresholdNum: Long = 1, thresholdDen: Long = 2,
+      maxList: Int = 100000): DataFrame = {
+    require(thresholdNum >= 1 && thresholdDen >= thresholdNum,
+      s"need 0 < threshold <= 1: $thresholdNum/$thresholdDen")
+    val ids = df.select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
+    val sets = ids.select(col("__id"),
+      graft.functions.Kernels.shingleHashes60Of(col("__text"), shingleWords).as("s"))
+      .filter(size(col("s")) > 0)
+    // global rarity statistic: df per shingle hash
+    val freq = sets.select(explode(col("s")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+    // re-sort each doc's set rarest-first and keep the prefix; the
+    // collect is the doc's own shingle set (bounded by doc length),
+    // prefix length p = n - ceil(t*n) + 1 in exact integer math
+    val prefixes = sets
+      .select(col("__id"), size(col("s")).as("n"), explode(col("s")).as("g"))
+      .join(freq, Seq("g"))
+      .groupBy(col("__id"), col("n"))
+      .agg(collect_list(struct(col("df"), col("g"))).as("toks"))
+      .select(col("__id").as("i"), col("n"),
+        explode(expr(
+          s"""transform(slice(array_sort(toks), 1,
+               cast(n - (($thresholdNum * n + ${thresholdDen - 1}) div $thresholdDen) + 1 as int)),
+             x -> x.g)""")).as("g"))
+    val lists = prefixes
+      .groupBy(col("g"))
+      .agg(graft.functions.CappedCollect.cappedPairList(
+        col("i"), col("n"), maxList).as("cl"))
+      .filter(col("cl.n").between(2, maxList))
+    val cands = lists
+      .select(explode(graft.functions.Kernels.sortedPairsWithSizesOf(
+        col("cl.ids"), col("cl.ns"))).as("p"))
+      .groupBy(col("p.a").as("doc_a"), col("p.na").as("na"),
+        col("p.b").as("doc_b"), col("p.nb").as("nb"))
+      .agg(count(lit(1)).as("__npref"))
+      // J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t
+      .filter(least(col("na"), col("nb")).cast("long") * thresholdDen >=
+        greatest(col("na"), col("nb")).cast("long") * thresholdNum)
+    // exact verification for candidate-touched docs only
+    val touched = cands.select(col("doc_a").as("__id"))
+      .unionByName(cands.select(col("doc_b").as("__id"))).distinct()
+    val feats = ids.join(touched, Seq("__id"), "left_semi")
+      .select(col("__id"),
+        graft.functions.Kernels.shingleHashes60Of(col("__text"), shingleWords).as("sh"))
+    cands
+      .join(feats.select(col("__id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
+      .join(feats.select(col("__id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sum_sizes"))
+      .filter(col("inter") * thresholdDen >=
+        (col("sum_sizes") - col("inter")) * thresholdNum)
+      .select(col("doc_a"), col("doc_b"),
+        (col("inter").cast("double") /
+          (col("sum_sizes") - col("inter")).cast("double")).as("jaccard"))
+  }
 }

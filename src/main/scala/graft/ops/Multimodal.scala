@@ -90,6 +90,50 @@ object Multimodal {
     df.select(col(idCol), Kernels.poolBytesOf(col("payload"), factor).as("resized"))
   }
 
+  /** Perceptual hashes per payload: the 60-bit gradient dHash analogue
+    * ([[Kernels.dhash60]]) — map-side, codegen'd, payload pruned to
+    * (idCol, payload). Near-identical media (same content re-encoded,
+    * cropped padding, minor noise under a real decoder; byte-edits
+    * under the stub) land within a few bits.
+    */
+  def phashes(df: DataFrame, idCol: String): DataFrame =
+    df.select(col(idCol), Kernels.dhash60Of(col("payload")).as("phash"))
+
+  /** Perceptual near-dup pairs: bucket the 60-bit dHash into 4×15-bit
+    * bands (pairs with hamming < 4 necessarily agree on ≥1 band — the
+    * banding pigeonhole, exactly minhash LSH's; wider radii trade
+    * recall exactly like simhash), then verify the exact Hamming
+    * distance inside the compiled pair-expansion kernel
+    * ([[Kernels.hammingPairs]]): popcount(xor) is computed as each
+    * pair is generated and only survivors materialize — a bucket never
+    * emits its quadratic candidate set. The 8-byte hash rides the band
+    * rows, so verification needs NO join back to payloads; the whole
+    * operator is one shuffle (band groupBy, CappedCollect-bounded) +
+    * one distinct.
+    *
+    * Output: (doc_a, doc_b, hamming ≤ maxHamming), doc_a < doc_b.
+    */
+  def phashNearDup(df: DataFrame, idCol: String,
+      maxHamming: Int = 3, maxBucket: Int = 10000): DataFrame = {
+    require(maxHamming >= 0 && maxHamming <= 60, s"bad maxHamming: $maxHamming")
+    val h = phashes(df, idCol)
+      .select(col(idCol).cast("long").as("__id"), col("phash"))
+    val bands = h.select(col("__id"), col("phash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftrightunsigned(col("phash"), b * 15).bitwiseAND(lit(0x7fffL))): _*))
+        .as(Seq("band_idx", "band_key")))
+    bands
+      .groupBy(col("band_idx"), col("band_key"))
+      .agg(graft.functions.CappedCollect.cappedLongPairList(
+        col("__id"), col("phash"), maxBucket).as("cl"))
+      .filter(col("cl.n").between(2, maxBucket))
+      .select(explode(graft.functions.Kernels.hammingPairsOf(
+        col("cl.ids"), col("cl.hs"), maxHamming)).as("p"))
+      .select(col("p.a").as("doc_a"), col("p.b").as("doc_b"),
+        col("p.hamming").as("hamming"))
+      .distinct()
+  }
+
   /** Deterministic stand-in for a media decoder — delegates to the
     * [[Kernels.mediaFeatures]] kernel so the local-JVM and plan-side
     * paths share one implementation. Replace the kernel body with the

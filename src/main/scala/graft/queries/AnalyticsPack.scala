@@ -1890,9 +1890,59 @@ object AnalyticsPack {
               * sqrt((m * syy - sy * sy)::DOUBLE)) END AS assortativity
       FROM m"""))
 
+  /** One-pass Pearson correlation matrix over lineitem's four measures
+    * (Stats.corrMatrix): all 14 moment sums (n, 4 sums, 4
+    * sum-of-squares, 6 cross products) in ONE aggregation over ONE
+    * scan — map-side partials to a single row, pair melt map-side from
+    * it. Raw doubles scale to decimal(38,0) integers before any sum
+    * (the q82 integer-mass rule), so every moment is exact and
+    * order-independent; doubles enter only in the final corr
+    * expression, an identical tree on both engines.
+    */
+  private val q142 = QueryDef(
+    "q142_corr_matrix",
+    (s, dir) => graft.ops.Stats.corrMatrix(
+      Tables.lineitem(s, dir),
+      Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax"), scale = 100),
+    Some("""WITH q AS (SELECT
+        (CAST(l_quantity AS DECIMAL(18,4)) * 100)::HUGEINT AS a,
+        (CAST(l_extendedprice AS DECIMAL(18,4)) * 100)::HUGEINT AS b,
+        (CAST(l_discount AS DECIMAL(18,4)) * 100)::HUGEINT AS c,
+        (CAST(l_tax AS DECIMAL(18,4)) * 100)::HUGEINT AS d
+        FROM lineitem),
+      m AS (SELECT count(*)::HUGEINT AS n,
+          sum(a)::HUGEINT AS sa, sum(b)::HUGEINT AS sb,
+          sum(c)::HUGEINT AS sc, sum(d)::HUGEINT AS sd,
+          sum(a*a)::HUGEINT AS saa, sum(b*b)::HUGEINT AS sbb,
+          sum(c*c)::HUGEINT AS scc, sum(d*d)::HUGEINT AS sdd,
+          sum(a*b)::HUGEINT AS sab, sum(a*c)::HUGEINT AS sac,
+          sum(a*d)::HUGEINT AS sad, sum(b*c)::HUGEINT AS sbc,
+          sum(b*d)::HUGEINT AS sbd, sum(c*d)::HUGEINT AS scd
+        FROM q)
+      SELECT p.x, p.y, n::BIGINT AS n, p.corr FROM m, LATERAL (SELECT unnest([
+        {'x': 'l_quantity', 'y': 'l_extendedprice',
+         'corr': (n*sab - sa*sb)::DOUBLE
+           / (sqrt((n*saa - sa*sa)::DOUBLE) * sqrt((n*sbb - sb*sb)::DOUBLE))},
+        {'x': 'l_quantity', 'y': 'l_discount',
+         'corr': (n*sac - sa*sc)::DOUBLE
+           / (sqrt((n*saa - sa*sa)::DOUBLE) * sqrt((n*scc - sc*sc)::DOUBLE))},
+        {'x': 'l_quantity', 'y': 'l_tax',
+         'corr': (n*sad - sa*sd)::DOUBLE
+           / (sqrt((n*saa - sa*sa)::DOUBLE) * sqrt((n*sdd - sd*sd)::DOUBLE))},
+        {'x': 'l_extendedprice', 'y': 'l_discount',
+         'corr': (n*sbc - sb*sc)::DOUBLE
+           / (sqrt((n*sbb - sb*sb)::DOUBLE) * sqrt((n*scc - sc*sc)::DOUBLE))},
+        {'x': 'l_extendedprice', 'y': 'l_tax',
+         'corr': (n*sbd - sb*sd)::DOUBLE
+           / (sqrt((n*sbb - sb*sb)::DOUBLE) * sqrt((n*sdd - sd*sd)::DOUBLE))},
+        {'x': 'l_discount', 'y': 'l_tax',
+         'corr': (n*scd - sc*sd)::DOUBLE
+           / (sqrt((n*scc - sc*sc)::DOUBLE) * sqrt((n*sdd - sd*sd)::DOUBLE))}])
+        AS p) p"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
-    q108, q109, q110, q111, q113, q114, q127, q133, q134, q135)
+    q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142)
 }

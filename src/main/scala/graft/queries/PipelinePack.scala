@@ -260,6 +260,116 @@ object PipelinePack {
         (b.rk - a.rk)::BIGINT AS dist
       FROM r a JOIN r b ON b.rk > a.rk AND b.rk - a.rk < 5"""))
 
+  /** PPJoin-style prefix-filtered exact Jaccard join
+    * (Dedup.prefixFilterPairs): each doc indexes only its
+    * `n − ⌈t·n⌉ + 1` globally-RAREST shingles — candidate generation
+    * is complete for J ≥ t yet the inverted index holds short posting
+    * lists by construction (no hot-shingle cap needed), then exact
+    * verification runs on candidate-touched docs only. The oracle
+    * replays brute-force exact Jaccard (complete at oracle scale);
+    * both sides filter by the integer cross-multiplication
+    * `10·inter ≥ 3·union` — no float threshold edge.
+    */
+  private val q139 = QueryDef(
+    "q139_prefix_join",
+    (s, dir) => Dedup.prefixFilterPairs(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleWords = 3, thresholdNum = 3, thresholdDen = 10),
+    Some(s"""WITH sh AS (SELECT doc_id,
+        list_transform($sqlShingles, sg -> ${sqlHex60("sg")}) AS s FROM documents),
+      inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
+      SELECT doc_a, doc_b,
+        inter::DOUBLE / (na + nb - inter)::DOUBLE AS jaccard FROM (
+        SELECT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          min(x.n) AS na, min(y.n) AS nb, count(*) AS inter
+        FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id)
+      WHERE inter * 10 >= 3 * (na + nb - inter)"""))
+
+  /** Exact token heavy hitters via Misra–Gries prune + rescan
+    * (HeavyHitters.exact): pass 1 reduces every partition to a
+    * 512-counter summary (exchange size independent of vocabulary),
+    * pass 2 counts only candidate-matching tokens with the candidate
+    * set broadcast — never a full-vocabulary shuffle. Output is exact
+    * counts under the integer threshold `200·cnt > n`, so the
+    * partition-order-dependent summary internals cannot leak into the
+    * result; the oracle replays the brute-force exact aggregation.
+    */
+  private val q140 = QueryDef(
+    "q140_heavy_hitters",
+    (s, dir) => graft.ops.HeavyHitters.exact(
+      Tables.documents(s, dir)
+        .select(explode(TextKernels.tokens(col("text"))).as("tok")),
+      "tok", thresholdNum = 1, thresholdDen = 200, k = 512),
+    Some("""WITH t AS (SELECT unnest(string_split(text, ' ')) AS tok FROM documents),
+      tot AS (SELECT count(*) AS n FROM t),
+      cnts AS (SELECT tok, count(*) AS cnt FROM t GROUP BY tok)
+      SELECT tok, cnt, cnt::DOUBLE / n::DOUBLE AS share
+      FROM cnts, tot WHERE cnt * 200 > n"""))
+
+  /** Perceptual-hash near-dup over ingested media payloads
+    * (Multimodal.phashNearDup): 60-bit gradient dHash per payload
+    * (map-side compiled kernel), 4×15-bit band bucketing, exact
+    * Hamming verify FUSED into the compiled pair expansion — one
+    * bounded shuffle, no join back to payloads. The oracle replays the
+    * identical integer cell math over the ASCII corpus's bytes and the
+    * same band-agree ∧ hamming≤14 semantics.
+    */
+  private val q141 = QueryDef(
+    "q141_phash_neardup",
+    (s, dir) => Multimodal.phashNearDup(
+      Multimodal.ingest(Tables.documents(s, dir), "doc_id", "text", "text/plain"),
+      "doc_id", maxHamming = 14),
+    Some("""WITH c AS (SELECT doc_id, list_transform(range(0, 61), i ->
+        [coalesce(list_sum(list_transform(
+            range((i * strlen(text)) // 61 + 1, (((i+1) * strlen(text)) // 61) + 1),
+            p -> ord(substr(text, p, 1)))), 0),
+         ((i+1) * strlen(text)) // 61 - (i * strlen(text)) // 61]) AS cells
+        FROM documents),
+      ph AS (SELECT doc_id, list_sum(list_transform(range(0, 60), b ->
+          CASE WHEN cells[b+2][1] * cells[b+1][2] > cells[b+1][1] * cells[b+2][2]
+            THEN (1::BIGINT << b) ELSE 0 END))::BIGINT AS phash FROM c),
+      bb AS (SELECT doc_id, phash, bi, (phash // (2**(bi*15))::BIGINT) & 32767 AS bk
+        FROM (SELECT doc_id, phash, unnest([0,1,2,3]) AS bi FROM ph)),
+      cand AS (SELECT DISTINCT x.doc_id AS doc_a, y.doc_id AS doc_b,
+          x.phash AS pa, y.phash AS pb
+        FROM bb x JOIN bb y ON x.bi = y.bi AND x.bk = y.bk
+          AND x.doc_id < y.doc_id)
+      SELECT doc_a, doc_b, bit_count(xor(pa, pb))::BIGINT AS hamming
+      FROM cand WHERE bit_count(xor(pa, pb)) <= 14"""))
+
+  /** Rarity-weighted record-linkage scoring
+    * (RecordLinkage.scorePairs): source-blocked candidate pairs scored
+    * by Fellegi–Sunter-style value-specific agreement weights
+    * `⌊2²⁰·N/freq(v)⌋` — integer-exact, no log; agreeing on a RARE
+    * (lang, length-band) combination outscores agreeing on modal
+    * values. Frequencies join row-side before pairing, so the pair
+    * stage is two id-keyed hash joins; blocks are CappedCollect-
+    * bounded. The high threshold keeps only strong-evidence pairs.
+    */
+  private val q143 = QueryDef(
+    "q143_record_linkage",
+    (s, dir) => graft.ops.RecordLinkage.scorePairs(
+      Tables.documents(s, dir).withColumn("len_band", expr("n_chars div 50")),
+      "doc_id", "source", Seq("lang", "len_band"), minScore = 20971520L),
+    Some("""WITH r AS (SELECT doc_id AS id, source AS blk, lang AS f1,
+        (n_chars // 50)::VARCHAR AS f2 FROM documents),
+      tot AS (SELECT count(*) AS N FROM r),
+      fr1 AS (SELECT f1, count(*) AS c1 FROM r WHERE f1 IS NOT NULL GROUP BY f1),
+      fr2 AS (SELECT f2, count(*) AS c2 FROM r WHERE f2 IS NOT NULL GROUP BY f2),
+      w AS (SELECT r.id, r.blk, r.f1, r.f2,
+          (1048576 * tot.N) // fr1.c1 AS w1, (1048576 * tot.N) // fr2.c2 AS w2
+        FROM r CROSS JOIN tot
+        LEFT JOIN fr1 ON r.f1 = fr1.f1 LEFT JOIN fr2 ON r.f2 = fr2.f2)
+      SELECT id_a, id_b, n_agree, score FROM (
+        SELECT x.id AS id_a, y.id AS id_b,
+          (CASE WHEN x.f1 IS NOT NULL AND x.f1 = y.f1 THEN 1 ELSE 0 END)::BIGINT +
+          (CASE WHEN x.f2 IS NOT NULL AND x.f2 = y.f2 THEN 1 ELSE 0 END) AS n_agree,
+          (CASE WHEN x.f1 IS NOT NULL AND x.f1 = y.f1 THEN x.w1 ELSE 0 END)::BIGINT +
+          (CASE WHEN x.f2 IS NOT NULL AND x.f2 = y.f2 THEN x.w2 ELSE 0 END) AS score
+        FROM w x JOIN w y ON x.blk = y.blk AND x.id < y.id)
+      WHERE score >= 20971520"""))
+
   // ---- similarity search --------------------------------------------
 
   /** Exact brute-force cosine top-k (Similarity.topK): broadcast query
@@ -1761,5 +1871,6 @@ object PipelinePack {
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
-    q125, q126, q128, q129, q130, q131, q132, q136, q137)
+    q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
+    q141, q143)
 }

@@ -186,6 +186,69 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("Stats.corrMatrix agrees with Spark's corr and pins n") {
+    val rnd = new scala.util.Random(11) // seeded: deterministic test
+    // values on the cent grid: scale=100 makes them exact integers
+    val d = (1 to 300).map { _ =>
+      val x = rnd.nextInt(10000) / 100.0
+      (x, x * 3 + rnd.nextInt(1000) / 100.0, rnd.nextInt(5000) / 100.0)
+    }.toDF("a", "b", "c").repartition(5)
+    val out = graft.ops.Stats.corrMatrix(d, Seq("a", "b", "c"), scale = 100)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getDouble(3))).toMap
+    assert(out.keySet === Set(("a", "b"), ("a", "c"), ("b", "c")))
+    for (((x, y), (n, corr)) <- out) {
+      assert(n === 300L)
+      assert(math.abs(corr - d.stat.corr(x, y)) < 1e-9, s"($x,$y)")
+    }
+    assert(out(("a", "b"))._2 > 0.9, "strongly correlated pair")
+  }
+
+  test("HeavyHitters.exact equals brute-force groupBy across random workloads") {
+    val rnd = new scala.util.Random(7) // seeded: deterministic test
+    for (trial <- 1 to 3) {
+      // zipf-ish: key j drawn with weight ~ 1/(j+1); domain >> k
+      val keys = (1 to 2000).map { _ =>
+        val j = (math.pow(rnd.nextDouble(), 3) * 200).toInt
+        Tuple1(s"k$j")
+      }
+      val d = keys.toDF("tok").repartition(7)
+      val got = graft.ops.HeavyHitters.exact(d, "tok",
+          thresholdNum = 1, thresholdDen = 50, k = 128)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val truth = d.groupBy(col("tok")).agg(count(lit(1)).as("cnt"))
+        .filter(col("cnt") * 50 > keys.size.toLong)
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got === truth, s"trial $trial")
+      assert(truth.nonEmpty, s"trial $trial should have heavy hitters")
+    }
+  }
+
+  test("MisraGries summary never misses a key with share > 1/(k+1)") {
+    // 600 copies of HOT in 1200 rows, k=3: share 1/2 > 1/4 must survive
+    // any partitioning of the stream
+    val rows = (Seq.fill(600)("HOT") ++ (1 to 600).map(i => s"u$i"))
+    val d = scala.util.Random.shuffle(rows).map(Tuple1(_)).toDF("tok")
+      .repartition(11)
+    val s = d.agg(graft.functions.MisraGries.mg(col("tok"), 3).as("mg"))
+      .select(col("mg.n"), col("mg.keys")).head
+    assert(s.getLong(0) === 1200L)
+    assert(s.getSeq[String](1).contains("HOT"))
+  }
+
+  test("CappedCollect at cap=Int.MaxValue keeps cross-partition elements") {
+    // regression: merge() computed room as cap + 1 - len in Int, which
+    // overflows to negative at Int.MaxValue and silently dropped every
+    // merged-in partial buffer (uncapped callers lost all but one
+    // partition's elements)
+    val d = (1 to 100).map(i => (1, i.toLong)).toDF("k", "v").repartition(7)
+    val row = d.groupBy(col("k"))
+      .agg(CappedCollect.cappedLongList(col("v"), Int.MaxValue).as("cl"))
+      .select(col("cl.n"), sort_array(col("cl.ids")).as("ids")).head
+    assert(row.getLong(0) === 100L)
+    assert(row.getSeq[Long](1) === (1 to 100).map(_.toLong))
+  }
+
   test("CappedCollect equals collect_list-then-filter across random workloads") {
     val rnd = new scala.util.Random(42) // seeded: deterministic test
     for (trial <- 1 to 5) {

@@ -67,6 +67,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(Dedup.jaccardPairs(d, "doc_id", "text", threshold = 0.5).count() === 0)
   }
 
+  test("prefixFilterPairs agrees with jaccardPairs on real documents") {
+    // completeness of the prefix filter: every J >= t pair the full
+    // inverted index finds must survive prefix-only candidate
+    // generation (threshold 3/10 here, uncapped full index as truth)
+    val d = graft.sources.Tables.documents(spark, sf)
+    val truth = Dedup.jaccardPairs(d, "doc_id", "text",
+        shingleWords = 3, threshold = 0.3, maxDf = Int.MaxValue)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    val got = Dedup.prefixFilterPairs(d, "doc_id", "text",
+        shingleWords = 3, thresholdNum = 3, thresholdDen = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(got.keySet === truth.keySet)
+    for ((k, j) <- truth) assert(math.abs(got(k) - j) < 1e-12, s"pair $k")
+    assert(truth.nonEmpty, "fixture should contain near-dup pairs")
+  }
+
+  test("prefixFilterPairs emits exactly the at-threshold boundary pair") {
+    // 5 shingles vs 5 shingles sharing 3 -> J = 3/7 >= 3/7 exactly;
+    // integer cross-multiplication must include it (no float edge)
+    val d = docs(1L -> "a b c d e f g", 2L -> "a b c d e x y")
+    val out = Dedup.prefixFilterPairs(d, "doc_id", "text",
+      shingleWords = 3, thresholdNum = 3, thresholdDen = 7).collect()
+    assert(out.length === 1)
+    assert(math.abs(out(0).getAs[Double]("jaccard") - 3.0 / 7.0) < 1e-12)
+    assert(Dedup.prefixFilterPairs(d, "doc_id", "text",
+      shingleWords = 3, thresholdNum = 44, thresholdDen = 100).count() === 0)
+  }
+
   // ---- simhash / fingerprint ---------------------------------------
 
   test("simhash is equal for identical docs, differs for unrelated docs") {
@@ -387,6 +415,63 @@ class PipelineSpec extends AnyFunSuite {
     val feats = out.getSeq[Float](1)
     assert(feats.length === Multimodal.FeatureDim)
     assert(feats === Multimodal.fakeFeatures("hello world".getBytes("UTF-8")).toSeq)
+  }
+
+  test("RecordLinkage: rare-value agreement outscores modal agreement") {
+    // block "b": ids 1,2 agree on RARE segment X (freq 2/6); ids
+    // 3,4,5 pairwise agree on modal segment M (freq 3/6); id 6 is null
+    val d = Seq(
+      (1L, "b", "X"), (2L, "b", "X"), (3L, "b", "M"), (4L, "b", "M"),
+      (5L, "b", "M"), (6L, "b", null)
+    ).toDF("id", "blk", "seg")
+    val out = graft.ops.RecordLinkage.scorePairs(
+        d, "id", "blk", Seq("seg"), minScore = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(3)).toMap
+    val w = (k: Long) => (1048576L * 6L) / k
+    assert(out((1L, 2L)) === w(2)) // rare pair
+    assert(out((3L, 4L)) === w(3)) // modal pairs (3,4),(3,5),(4,5)
+    assert(out((1L, 2L)) > out((3L, 4L)))
+    assert(out.size === 4)
+    assert(!out.keySet.exists { case (a, b) => a == 6L || b == 6L },
+      "null field values never agree")
+  }
+
+  test("dhash60 matches a sequential reimplementation and tracks gradients") {
+    // independent reference: 61 integer-boundary cells, bit = next
+    // cell's mean exceeds this one's (cross-multiplied)
+    def ref(bytes: Array[Byte]): Long = {
+      val cells = 61
+      val sums = Array.tabulate(cells) { i =>
+        val lo = i * bytes.length / cells; val hi = (i + 1) * bytes.length / cells
+        ((lo until hi).map(bytes(_) & 0xff).sum.toLong, (hi - lo).toLong)
+      }
+      (0 until 60).foldLeft(0L) { (h, b) =>
+        val (s0, w0) = sums(b); val (s1, w1) = sums(b + 1)
+        if (s1 * w0 > s0 * w1) h | (1L << b) else h
+      }
+    }
+    val texts = Seq("hello world this is a longer document with some variation",
+      "a" * 200, "abc", "", ("xyz " * 61).trim)
+    val in = Multimodal.ingest(
+      texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("doc_id", "text"),
+      "doc_id", "text", "x")
+    val got = Multimodal.phashes(in, "doc_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    for ((t, i) <- texts.zipWithIndex)
+      assert(got(i.toLong) === ref(t.getBytes("UTF-8")), s"doc $i")
+  }
+
+  test("phashNearDup pairs byte-edited payloads, not unrelated ones") {
+    val base = ("the quick brown fox jumps over the lazy dog " * 8).trim
+    val d = docs(
+      1L -> base,
+      2L -> base.replace("quick", "quack"), // small byte edit
+      3L -> new scala.util.Random(123).alphanumeric.take(base.length).mkString)
+    val in = Multimodal.ingest(d, "doc_id", "text", "x")
+    val pairs = Multimodal.phashNearDup(in, "doc_id", maxHamming = 14)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs.contains((1L, 2L)))
+    assert(!pairs.contains((1L, 3L)) && !pairs.contains((2L, 3L)))
   }
 
   test("frames splits payload into fixed-size byte frames") {

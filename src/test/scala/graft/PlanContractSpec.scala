@@ -37,7 +37,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q99_forward_fill", // the q70-style calendar spine (groups × days)
     "q101_ann_recall", // the q83 query batch + queries × centroids probe
                        // ranking — both sides IVF-contract small
-    "q102_cooccurrence") // 1-row user-universe total for the lift denominator
+    "q102_cooccurrence", // 1-row user-universe total for the lift denominator
+    "q143_record_linkage") // 1-row corpus total for the rarity-weight scale
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {
