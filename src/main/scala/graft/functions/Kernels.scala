@@ -451,6 +451,28 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Morton (Z-order) bit interleave of k pre-normalized codes: bit b
+    * of value j lands at position b·k + j, so sorting by the result
+    * clusters rows that are close in EVERY dimension — the multi-
+    * column data-skipping layout (Z-ordering; public technique, cf.
+    * Morton '66). Codes must already fit `bitsPer` bits.
+    */
+  def interleaveBits(vals: ArrayData, bitsPer: Int): Long = {
+    val k = vals.numElements()
+    var z = 0L
+    var j = 0
+    while (j < k) {
+      val v = vals.getLong(j)
+      var b = 0
+      while (b < bitsPer) {
+        z |= ((v >>> b) & 1L) << (b * k + j)
+        b += 1
+      }
+      j += 1
+    }
+    z
+  }
+
   // ---- vector kernel ------------------------------------------------
 
   /** L2-normalize a double array (null for zero-norm inputs): after
@@ -703,6 +725,13 @@ object Kernels {
   def dhash60Of(payload: Column): Column =
     exprBridge.column(StaticInvoke(
       Kernels.getClass, LongType, "dhash60", Seq(expr(payload)), Seq(BinaryType)))
+
+  /** Morton interleave of pre-normalized long codes. */
+  def interleaveBitsOf(vals: Column, bitsPer: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, LongType, "interleaveBits",
+      Seq(expr(vals), expr(org.apache.spark.sql.functions.lit(bitsPer))),
+      Seq(ArrayType(LongType), IntegerType)))
 
   /** Hamming-filtered ascending-id i<j pairs from aligned (ids, hashes)
     * arrays: structs (a, b, hamming ≤ maxHamming).

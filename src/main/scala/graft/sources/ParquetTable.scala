@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions
 import org.apache.spark.sql.functions.{coalesce, col, hash, lit, pmod, struct, when}
 
 /** A named, mutable, parquet-backed table — the engine's analogue of
@@ -431,6 +432,55 @@ final case class ParquetTable(spark: SparkSession, path: String,
     val cols = sortCols.map(col)
     val keys = if (isBucketed) bucketExpr +: cols else cols
     overwrite(read.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*))
+  }
+
+  /** Z-ORDER the table on 2–4 columns (the multi-dimensional OPTIMIZE
+    * rewrite): each column is normalized to a fixed-width code by
+    * exact min/max linear scaling, the codes' bits are Morton-
+    * interleaved into one sort key ([[graft.functions.Kernels
+    * .interleaveBits]]), and the table range-clusters on that key —
+    * so each output file covers a COMPACT HYPER-RECTANGLE of the
+    * combined key space and its parquet footer min/max prunes
+    * predicates on ANY of the z columns, where a lexicographic
+    * `optimizeLayout(Seq(a, b))` leaves b's per-file ranges spanning
+    * the whole domain (`LayoutSkippingSpec` measures the bounding-box
+    * shrinkage from the footers).
+    *
+    * Scale shape: one 1-row min/max aggregation (the only driver
+    * materialization), then the same repartitionByRange + in-partition
+    * sort + versioned-pointer commit as [[optimizeLayout]]. The z
+    * expression is computed on the fly for partitioning/sorting and
+    * never becomes a table column. Heavily skewed columns degrade to
+    * coarse codes (min/max scaling), exactly as in production
+    * Z-ordering; range boundaries still balance files via the
+    * reservoir sample.
+    */
+  def optimizeLayoutZOrder(zCols: Seq[String],
+      targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
+    require(zCols.size >= 2 && zCols.size <= 4,
+      s"z-order wants 2-4 columns, got ${zCols.size}")
+    require(exists, s"$path does not exist")
+    val bitsPer = math.min(16, 63 / zCols.size)
+    val maxCode = (1L << bitsPer) - 1L
+    val df = read
+    // exact per-column min/max — one scan, one row to the driver
+    val aggs = zCols.flatMap(c => Seq(
+      functions.min(functions.col(c).cast("double")).as(s"__mn_$c"),
+      functions.max(functions.col(c).cast("double")).as(s"__mx_$c")))
+    val row = df.agg(aggs.head, aggs.tail: _*).head
+    val codes = zCols.zipWithIndex.map { case (c, i) =>
+      val mn = row.getDouble(2 * i)
+      val mx = row.getDouble(2 * i + 1)
+      val range = math.max(mx - mn, java.lang.Double.MIN_VALUE)
+      functions.least(functions.greatest(
+        functions.floor((functions.col(c).cast("double") - mn) / range * maxCode)
+          .cast("long"), functions.lit(0L)), functions.lit(maxCode))
+    }
+    val z = graft.functions.Kernels.interleaveBitsOf(
+      functions.array(codes: _*), bitsPer)
+    val n = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
+    val keys = if (isBucketed) Seq(bucketExpr, z) else Seq(z)
+    overwrite(df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*))
   }
 
   /** Bucket ids present on disk. */

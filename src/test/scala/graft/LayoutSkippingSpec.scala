@@ -93,4 +93,55 @@ class LayoutSkippingSpec extends AnyFunSuite {
     }
     assert(t.read.count() === 4000L)
   }
+
+  test("optimizeLayoutZOrder shrinks per-file bounding boxes on BOTH columns") {
+    // 128x128 grid in scrambled order: after lexicographic clustering
+    // on x alone, every file's y-range spans the domain; after
+    // Z-ordering, each file covers a compact (x, y) rectangle so BOTH
+    // footer ranges prune
+    val side = 128L
+    val rows = (0L until side * side).map { i =>
+      val s = (i * 7919L) % (side * side)
+      (s % side, s / side, i)
+    }
+    // the data-skipping statistic: a predicate on dimension d touches
+    // only files whose footer [min, max] on d contains the value, so
+    // the mean per-file WIDTH on d is what prunes (width/side = the
+    // expected fraction of files a point query on d must read)
+    def meanWidth(ranges: Seq[(Long, Long)]): Double =
+      ranges.map { case (lo, hi) => (hi - lo + 1).toDouble }.sum / ranges.size
+
+    val lexDir = java.nio.file.Files.createTempDirectory("graft-zorder-lex")
+      .resolve("t").toString
+    val lex = graft.sources.ParquetTable(spark, lexDir)
+    lex.overwrite(rows.toDF("x", "y", "v").repartition(8))
+    lex.optimizeLayout(Seq("x", "y"), targetFileBytes = 8L * 1024)
+    val lexY = fileRanges(lex.dataDir, "y")
+
+    val zDir = java.nio.file.Files.createTempDirectory("graft-zorder-z")
+      .resolve("t").toString
+    val z = graft.sources.ParquetTable(spark, zDir)
+    z.overwrite(rows.toDF("x", "y", "v").repartition(8))
+    z.optimizeLayoutZOrder(Seq("x", "y"), targetFileBytes = 8L * 1024)
+    val zX = fileRanges(z.dataDir, "x")
+    val zY = fileRanges(z.dataDir, "y")
+
+    assert(zY.size >= 4, s"expected a multi-file layout, got $zY")
+    // lexicographic (x, y) clustering cannot prune y: every file's
+    // y-range spans ~the whole domain
+    assert(meanWidth(lexY) > side * 0.9,
+      s"lex y-ranges should span the domain: $lexY")
+    // Z-ordering bounds BOTH dimensions (a Morton segment can straddle
+    // one high-bit boundary, so ~0.5·side mean width is the curve's
+    // natural plateau at this file count — far from lex's full-width y)
+    assert(meanWidth(zX) < side * 0.6,
+      s"z-order x-widths too large: $zX")
+    assert(meanWidth(zY) < side * 0.6,
+      s"z-order y-widths too large: $zY")
+    assert(meanWidth(zY) < meanWidth(lexY) / 2,
+      s"z-order y (${meanWidth(zY)}) should beat lexicographic (${meanWidth(lexY)})")
+    // the rewrite is layout-only
+    assert(z.read.agg(org.apache.spark.sql.functions.sum($"v")).head.getLong(0)
+      === (side * side - 1) * side * side / 2)
+  }
 }
