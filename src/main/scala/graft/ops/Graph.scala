@@ -14,6 +14,54 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Driver-looped PageRank over a directed edge list — the full
+    * iterative algorithm (q73 is one step), integer-quantized so every
+    * iteration is exact and engine-portable: ranks start at
+    * SCALE = 10¹² per node and update as
+    * `teleport + ⌊damp · Σ ⌊rank/outdeg⌋⌋` with damp = num/den — no
+    * float mass anywhere, so the fixpoint trajectory is identical
+    * under any partitioning. Dangling mass is dropped (the simple
+    * variant), documented rather than redistributed.
+    *
+    * Scale shape: per iteration ONE join of the edge list against the
+    * |nodes|-row rank table (both keyed on node ids) + one aggregation
+    * — the standard message-passing step; `localCheckpoint` cuts the
+    * lineage each round (the k-means loop rule: without it iteration k
+    * replays all k−1 predecessors), pinning only (node, rank, outdeg)
+    * longs — at cluster scale that pin is a checkpoint to storage, and
+    * the edge list is pinned ONCE since every round re-reads it.
+    *
+    * Output: (node, rank) after `iterations` rounds.
+    */
+  def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1: $iterations")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"bad damping: $dampNum/$dampDen")
+    val Scale = 1000000000000L
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val base = nodes.join(outdeg, Seq("node"), "left").localCheckpoint(true)
+    val teleport = Scale * (dampDen - dampNum) / dampDen
+    var ranks = base.select(col("node"), lit(Scale).as("rank"), col("outdeg"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.select(col("node").as("src"),
+          expr("rank div outdeg").as("__c")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("__c")).as("__inc"))
+      ranks = base.join(contribs, Seq("node"), "left")
+        .select(col("node"),
+          (lit(teleport) +
+            expr(s"($dampNum * coalesce(__inc, 0L)) div $dampDen")).as("rank"),
+          col("outdeg"))
+        .localCheckpoint(true)
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Per-node triangle count + local clustering coefficient via the
     * DEGREE-ORIENTED wedge join (the MPS/Cohen algorithm): each
     * undirected edge points from its (degree, id)-smaller endpoint to

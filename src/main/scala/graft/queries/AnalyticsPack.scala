@@ -1940,9 +1940,91 @@ object AnalyticsPack {
            / (sqrt((n*scc - sc*sc)::DOUBLE) * sqrt((n*sdd - sd*sd)::DOUBLE))}])
         AS p) p"""))
 
+  /** Data-quality expectations battery (Expectations.check): all
+    * row-local rules (not-null, range, accepted-set, uniqueness) fold
+    * into ONE wide aggregation over ONE scan — one pass however many
+    * rules are declared — and the referential rule is a single
+    * distinct-key left join counting misses and total together. The
+    * pre-publish validation gate an ETL book runs; exact violation
+    * counts, boolean verdicts.
+    */
+  private val q145 = QueryDef(
+    "q145_expectations",
+    (s, dir) => {
+      import graft.ops.Expectations._
+      check(Tables.orders(s, dir), Seq(
+        NotNull("o_custkey"),
+        Unique("o_orderkey"),
+        InRange("o_totalprice", 0, 250000),
+        InSet("o_orderstatus", Seq("O", "F")),
+        ForeignKey("o_custkey", Tables.customer(s, dir), "c_custkey")))
+    },
+    Some("""WITH t AS (SELECT count(*) AS total,
+        count(*) FILTER (o_custkey IS NULL) AS v_nn,
+        count(o_orderkey) - count(DISTINCT o_orderkey) AS v_u,
+        count(*) FILTER (o_totalprice IS NOT NULL
+          AND (o_totalprice < 0 OR o_totalprice > 250000)) AS v_r,
+        count(*) FILTER (o_orderstatus IS NOT NULL
+          AND o_orderstatus NOT IN ('O', 'F')) AS v_s
+        FROM orders),
+      fk AS (SELECT
+          count(*) FILTER (o.o_custkey IS NOT NULL AND c.c_custkey IS NULL)
+            AS v_fk,
+          count(*) AS total
+        FROM orders o
+        LEFT JOIN (SELECT DISTINCT c_custkey FROM customer) c
+          ON o.o_custkey = c.c_custkey)
+      SELECT rule, "column", violations, total, violations = 0 AS pass FROM (
+        SELECT 'not_null' AS rule, 'o_custkey' AS "column",
+          v_nn::BIGINT AS violations, total::BIGINT AS total FROM t
+        UNION ALL SELECT 'unique', 'o_orderkey', v_u::BIGINT, total::BIGINT FROM t
+        UNION ALL SELECT 'in_range', 'o_totalprice', v_r::BIGINT, total::BIGINT FROM t
+        UNION ALL SELECT 'in_set', 'o_orderstatus', v_s::BIGINT, total::BIGINT FROM t
+        UNION ALL SELECT 'foreign_key', 'o_custkey', v_fk::BIGINT, total::BIGINT FROM fk)"""))
+
+  /** Full driver-looped PageRank (Graph.pagerank), 3 iterations over
+    * the symmetric top-3-sparsified supplier graph — integer-quantized
+    * rank mass (teleport + ⌊85·Σ⌊rank/outdeg⌋/100⌋) so every
+    * iteration's trajectory is exact under any partitioning;
+    * localCheckpoint cuts lineage per round (the k-means loop rule).
+    * The oracle replays the loop UNROLLED as three chained CTEs — the
+    * driver loop and the unrolled plan must agree bit-for-bit.
+    */
+  private val q146 = QueryDef(
+    "q146_pagerank",
+    (s, dir) => {
+      val g = supplierGraph(s, dir)
+      val e0 = g.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      val de = e0.select(col("u").as("src"), col("v").as("dst"))
+        .unionByName(e0.select(col("v").as("src"), col("u").as("dst")))
+      graft.ops.Graph.pagerank(de, "src", "dst", iterations = 3)
+    },
+    Some {
+      val steps = (1 to 3).map { k =>
+        s"""r$k AS (SELECT b.node,
+           (150000000000 + (85 * coalesce(i.inc, 0)) // 100)::BIGINT AS rank,
+           b.outdeg
+           FROM r${k - 1} b LEFT JOIN (SELECT de.dst AS node,
+             sum(r${k - 1}.rank // r${k - 1}.outdeg) AS inc
+             FROM de JOIN r${k - 1} ON r${k - 1}.node = de.src
+             GROUP BY de.dst) i USING (node))"""
+      }.mkString(",\n      ")
+      s"""WITH $sqlSupplierGraphCtes,
+      de AS (SELECT u AS src, v AS dst FROM e0
+        UNION ALL SELECT v AS src, u AS dst FROM e0),
+      nodes AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+      od AS (SELECT src AS node, count(*) AS outdeg FROM de GROUP BY src),
+      r0 AS (SELECT n.node, 1000000000000::BIGINT AS rank, od.outdeg
+        FROM nodes n LEFT JOIN od USING (node)),
+      $steps
+      SELECT node, rank FROM r3"""
+    })
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
-    q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142)
+    q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
+    q145, q146)
 }

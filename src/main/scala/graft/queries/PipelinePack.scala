@@ -370,6 +370,39 @@ object PipelinePack {
         FROM w x JOIN w y ON x.blk = y.blk AND x.id < y.id)
       WHERE score >= 20971520"""))
 
+  /** Hybrid retrieval via reciprocal-rank fusion
+    * (Retrieval.rrfHybrid): shingle-intersection and rarity-weighted
+    * token-overlap rankings fused as `⌊2²⁰/(60+rank)⌋` sums — exact
+    * integers end to end. Ranks are distributed (Sweep prefix over the
+    * signal value domain + per-value row_number, the q137/q72
+    * pattern), never a corpus-wide single-partition window; the oracle
+    * replays with plain window ranks (tiny at oracle scale).
+    */
+  private val q144 = QueryDef(
+    "q144_hybrid_retrieval",
+    (s, dir) => graft.ops.Retrieval.rrfHybrid(
+      Tables.documents(s, dir), "doc_id", "text", queryId = 0L, k = 20),
+    Some(s"""WITH sh AS (SELECT doc_id,
+        list_transform($sqlShingles, sg -> ${sqlHex60("sg")}) AS s FROM documents),
+      inv AS (SELECT doc_id, unnest(s) AS g FROM sh),
+      qsh AS (SELECT g FROM inv WHERE doc_id = 0),
+      sigA AS (SELECT doc_id, count(*) AS inter FROM inv JOIN qsh USING (g)
+        WHERE doc_id <> 0 GROUP BY doc_id),
+      tok AS (SELECT doc_id, unnest(list_distinct($T)) AS w FROM documents),
+      fr AS (SELECT w, count(*) AS c FROM tok GROUP BY w),
+      qtok AS (SELECT w FROM tok WHERE doc_id = 0),
+      sigB AS (SELECT doc_id, sum(1048576 // c)::BIGINT AS rare FROM tok
+        JOIN qtok USING (w) JOIN fr USING (w) WHERE doc_id <> 0 GROUP BY doc_id),
+      ra AS (SELECT doc_id, row_number() OVER (ORDER BY inter DESC, doc_id) AS r
+        FROM sigA),
+      rb AS (SELECT doc_id, row_number() OVER (ORDER BY rare DESC, doc_id) AS r
+        FROM sigB)
+      SELECT coalesce(ra.doc_id, rb.doc_id) AS doc_id,
+        coalesce((1048576 // (60 + ra.r)), 0)
+          + coalesce((1048576 // (60 + rb.r)), 0) AS score
+      FROM ra FULL JOIN rb ON ra.doc_id = rb.doc_id
+      ORDER BY score DESC, doc_id LIMIT 20"""))
+
   // ---- similarity search --------------------------------------------
 
   /** Exact brute-force cosine top-k (Similarity.topK): broadcast query
@@ -1872,5 +1905,5 @@ object PipelinePack {
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
-    q141, q143)
+    q141, q143, q144)
 }

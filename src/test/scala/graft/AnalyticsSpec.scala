@@ -186,6 +186,50 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(a === b)
   }
 
+  test("Graph.pagerank matches a sequential integer reimplementation") {
+    // directed: a<->b, a->c, c->a plus a sink edge b->d (d dangling)
+    val edges = Seq((1L, 2L), (2L, 1L), (1L, 3L), (3L, 1L), (2L, 4L))
+    def ref(iters: Int): Map[Long, Long] = {
+      val scale = 1000000000000L
+      val out = edges.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val nodes = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      var r = nodes.map(_ -> scale).toMap
+      for (_ <- 1 to iters) {
+        val inc = edges.groupBy(_._2).view.mapValues(
+          _.map { case (s, _) => r(s) / out(s) }.sum).toMap
+        r = nodes.map(n => n ->
+          (scale * 15 / 100 + 85 * inc.getOrElse(n, 0L) / 100)).toMap
+      }
+      r
+    }
+    val got = graft.ops.Graph.pagerank(
+        edges.toDF("src", "dst"), "src", "dst", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === ref(3))
+    assert(got(1L) > got(4L), "hub outranks the dangling sink")
+  }
+
+  test("Expectations.check counts violations per rule exactly") {
+    import graft.ops.Expectations._
+    val d = Seq(
+      (Some(1L), Some("a"), 5.0), (Some(2L), Some("b"), 50.0),
+      (Some(2L), Some("z"), -1.0), (None, Some("a"), 200.0),
+      (Some(4L), None, 7.0)
+    ).toDF("k", "s", "v")
+    val ref = Seq(1L, 2L, 3L).toDF("rk")
+    val out = check(d, Seq(
+      NotNull("k"), Unique("k"), InRange("v", 0, 100),
+      InSet("s", Seq("a", "b")), ForeignKey("k", ref, "rk")))
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3), r.getBoolean(4))).toMap
+    assert(out(("not_null", "k")) === ((1L, 5L, false)))
+    assert(out(("unique", "k")) === ((1L, 5L, false))) // 2L twice
+    assert(out(("in_range", "v")) === ((2L, 5L, false))) // -1, 200
+    assert(out(("in_set", "s")) === ((1L, 5L, false))) // "z"; null skipped
+    assert(out(("foreign_key", "k")) === ((1L, 5L, false))) // 4L missing
+    assert(out.size === 5)
+  }
+
   test("Stats.corrMatrix agrees with Spark's corr and pins n") {
     val rnd = new scala.util.Random(11) // seeded: deterministic test
     // values on the cent grid: scale=100 makes them exact integers

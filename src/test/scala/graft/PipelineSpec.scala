@@ -417,6 +417,22 @@ class PipelineSpec extends AnyFunSuite {
     assert(feats === Multimodal.fakeFeatures("hello world".getBytes("UTF-8")).toSeq)
   }
 
+  test("rrfHybrid ranks a near-copy first and excludes the query doc") {
+    val d = docs(
+      0L -> "alpha beta gamma delta epsilon zeta eta theta",
+      1L -> "alpha beta gamma delta epsilon zeta eta iota", // near-copy
+      2L -> "alpha beta unrelated words entirely different here now",
+      3L -> "nothing shared with anything else at all whatsoever")
+    val out = graft.ops.Retrieval.rrfHybrid(d, "doc_id", "text", queryId = 0L, k = 10)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(out.nonEmpty && out.head._1 === 1L, s"near-copy should rank first: ${out.toSeq}")
+    assert(!out.exists(_._1 == 0L), "query doc itself never appears")
+    // both-signal fusion: rank 1 in both lists
+    assert(out.head._2 === 2L * (1048576L / 61L))
+    // scores are monotonically non-increasing in output order
+    assert(out.map(_._2).toSeq === out.map(_._2).toSeq.sortBy(-_))
+  }
+
   test("RecordLinkage: rare-value agreement outscores modal agreement") {
     // block "b": ids 1,2 agree on RARE segment X (freq 2/6); ids
     // 3,4,5 pairwise agree on modal segment M (freq 3/6); id 6 is null
