@@ -143,6 +143,53 @@ object Graph {
     * when either side's degree variance is zero (the correlation is
     * undefined on degree-regular graphs).
     */
+  /** Fixed-round k-core peel: repeatedly delete nodes whose degree in
+    * the SURVIVING subgraph is below k (Seidman's k-core, public
+    * algorithm) — the graph-curation analogue of a quality floor: on a
+    * near-dup or co-occurrence graph the k-core is the densely
+    * connected region, the periphery the long tail of weak evidence.
+    *
+    * The round count is an explicit contract (like [[pagerank]]'s
+    * iteration count) so the trajectory is a pure function of the
+    * input on any engine — after `rounds` peels the survivors are a
+    * SUPERSET of the true k-core, converged when a round deletes
+    * nothing; at scale you run rounds until a cheap count stabilizes.
+    *
+    * Per round: one degree aggregation + two semi-joins of the edge
+    * list against the surviving node set (both keyed on node ids —
+    * AQE broadcasts the node side when it has shrunk), with
+    * `localCheckpoint` cutting lineage so round r never replays
+    * rounds 1..r−1. Cost per round is linear in surviving edges and
+    * the edge set only shrinks.
+    *
+    * Output: surviving (node, degree) — degree measured inside the
+    * surviving subgraph.
+    */
+  def kcore(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, rounds: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    require(rounds >= 1, s"need rounds >= 1: $rounds")
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .localCheckpoint(true)
+    def degrees(es: DataFrame): DataFrame =
+      es.select(col("u").as("node"))
+        .unionAll(es.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    for (_ <- 1 to rounds) {
+      val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
+      e = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .localCheckpoint(true)
+    }
+    degrees(e)
+  }
+
   def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val canon = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),

@@ -1,0 +1,60 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] Interval-overlap self-join — "which records' [start, end]
+  * windows overlap" — an operator Spark has no native form of (its
+  * range-join support is point-in-interval; here BOTH sides are
+  * intervals). The naive formulation is a θ-join
+  * (`a.s <= b.e AND b.s <= a.e`) that Catalyst can only execute as
+  * BroadcastNestedLoop — quadratic and a non-starter at scale.
+  *
+  * This is the banded reduction (the standard trick behind interval
+  * joins in Flink/temporal databases; public technique): each interval
+  * replicates to the fixed-width bands it touches, candidates meet in
+  * an EQUI-join on (key, band) — hash-shuffleable, AQE-sizable — and a
+  * canonical-band guard (`band == ⌊max(s_a, s_b)/W⌋`, the band where
+  * the overlap begins) emits each overlapping pair exactly once with
+  * no `distinct()` shuffle afterwards.
+  *
+  * Replication factor is (length/W + 1) per row — pick `bandWidth`
+  * near the typical interval length so it stays O(1). Long-tail
+  * intervals fan out proportionally to their own length only (cost
+  * borne by the row that causes it), never corpus-quadratic.
+  */
+object IntervalJoin {
+
+  /** Overlapping i<j pairs within each key group.
+    *
+    * @param keyCols   equality keys both intervals must share (may be
+    *                  empty ONLY for genuinely tiny inputs — the bands
+    *                  then carry the whole join)
+    * @param idCol     unique row identity (long); pairs emit id_a < id_b
+    * @param startCol / endCol inclusive interval bounds, integral units
+    * @param bandWidth band size in the same units, > 0
+    * @return keyCols*, id_a, id_b, overlap (inclusive unit count ≥ 1)
+    */
+  def selfOverlapPairs(rows: DataFrame, keyCols: Seq[String], idCol: String,
+      startCol: String, endCol: String, bandWidth: Long): DataFrame = {
+    require(bandWidth > 0, s"need bandWidth > 0: $bandWidth")
+    val iv = rows.select(
+      keyCols.map(col) ++ Seq(
+        col(idCol).cast("long").as("__id"),
+        col(startCol).cast("long").as("__s"),
+        col(endCol).cast("long").as("__e")): _*)
+      .filter(col("__s") <= col("__e"))
+    val banded = iv.withColumn("__band",
+      explode(sequence(expr(s"__s div $bandWidth"), expr(s"__e div $bandWidth"))))
+    val jk = (keyCols :+ "__band").map(c => col(s"a.$c") === col(s"b.$c"))
+      .reduce(_ && _)
+    banded.as("a").join(banded.as("b"),
+        jk && col("a.__id") < col("b.__id") &&
+          col("a.__s") <= col("b.__e") && col("b.__s") <= col("a.__e") &&
+          col("a.__band") === expr(s"greatest(a.__s, b.__s) div $bandWidth"))
+      .select(keyCols.map(c => col(s"a.$c")) ++ Seq(
+        col("a.__id").as("id_a"), col("b.__id").as("id_b"),
+        (least(col("a.__e"), col("b.__e")) -
+          greatest(col("a.__s"), col("b.__s")) + 1).as("overlap")): _*)
+  }
+}

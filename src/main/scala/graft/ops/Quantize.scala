@@ -1,0 +1,55 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** [EXT] Embedding compression audits — the int8 quantization pass a
+  * large-scale retrieval/training pipeline runs before shipping vectors
+  * to an ANN index or an accelerator (4× smaller than float32, the
+  * standard symmetric max-abs scheme used by FAISS `SQ8` and
+  * quantization-aware serving stacks; public technique).
+  *
+  * Everything is a per-row map over the vector column — higher-order
+  * array functions (`aggregate`/`transform`), no explode, no shuffle,
+  * no UDF — so the audit rides the scan inside WholeStageCodegen and
+  * column pruning still reaches parquet. At 100 TB this is the shape
+  * you want: the quantization itself adds zero exchanges.
+  *
+  * Cross-engine exactness: the only float math is `x · 127 / maxabs`
+  * in IEEE double (bit-identical on any engine evaluating the same
+  * expression tree), immediately floored to a long — every output
+  * except `maxabs` is an integer, and integer sums are
+  * order-independent under any partitioning.
+  */
+object Quantize {
+
+  /** Symmetric max-abs int8 quantization audit: per vector, the scale
+    * (`maxabs`), dimension count, positional checksum Σ (i+1)·qᵢ
+    * (pins the full code sequence, order included), code sum, and the
+    * code range actually used — the saturation/coverage report that
+    * decides whether int8 is safe for a given embedding space.
+    *
+    * qᵢ = ⌊xᵢ·127/maxabs⌋ (all-zero vectors quantize to all-zero
+    * codes). Codes live in [−127, 127]; a `max_q` far below 127 on
+    * many vectors means the space under-uses the int8 range and wants
+    * per-block scales instead.
+    */
+  def int8Audit(embs: DataFrame, idCol: String, vecCol: String): DataFrame = {
+    val v = col(vecCol)
+    embs
+      .select(col(idCol).cast("long").as(idCol), v.as("__v"))
+      .withColumn("maxabs", expr(
+        "aggregate(__v, CAST(0.0 AS DOUBLE), (acc, x) -> greatest(acc, abs(CAST(x AS DOUBLE))))"))
+      .withColumn("__q", expr(
+        """CASE WHEN maxabs = 0.0D THEN transform(__v, x -> 0L)
+           ELSE transform(__v, x -> CAST(floor(CAST(x AS DOUBLE) * 127.0D / maxabs) AS BIGINT))
+           END"""))
+      .select(col(idCol), col("maxabs"),
+        expr("CAST(size(__q) AS BIGINT)").as("n_dims"),
+        expr("aggregate(zip_with(__q, sequence(1L, CAST(size(__q) AS BIGINT)), (q, i) -> q * i), 0L, (a, b) -> a + b)")
+          .as("checksum"),
+        expr("aggregate(__q, 0L, (a, b) -> a + b)").as("sum_q"),
+        expr("CAST(array_min(__q) AS BIGINT)").as("min_q"),
+        expr("CAST(array_max(__q) AS BIGINT)").as("max_q"))
+  }
+}

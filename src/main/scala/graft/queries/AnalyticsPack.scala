@@ -1840,11 +1840,13 @@ object AnalyticsPack {
     (s, dir) => {
       val rows = Tables.orders(s, dir).select(
         col("o_orderpriority"),
-        (col("o_totalprice") * 100).cast("long").as("cents"))
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents"))
       graft.ops.Robust.medianMadOutliers(rows, "o_orderpriority", "cents", k = 3)
     },
     Some("""WITH rows_ AS (SELECT o_orderpriority AS g,
-          (o_totalprice * 100)::BIGINT AS v FROM orders),
+          (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS v
+          FROM orders),
       dom AS (SELECT g, v, count(*) AS n FROM rows_ GROUP BY 1, 2),
       med AS (SELECT g, min(v) AS median_v FROM (
           SELECT g, v,
@@ -2021,10 +2023,164 @@ object AnalyticsPack {
       SELECT node, rank FROM r3"""
     })
 
+  /** Fixed-round k-core peel (Graph.kcore) over the sparsified
+    * supplier graph: 3 rounds of "delete nodes with surviving degree
+    * < 4" — the dense-region extractor. The oracle replays the peel
+    * UNROLLED (three degree/filter CTE rounds), and both trajectories
+    * must agree edge-for-edge because each round is a pure function of
+    * the previous survivor set.
+    */
+  private val q150 = QueryDef(
+    "q150_kcore",
+    (s, dir) => graft.ops.Graph.kcore(
+      supplierGraph(s, dir), "src", "dst", k = 4, rounds = 3),
+    Some {
+      val steps = (1 to 3).map { r =>
+        s"""dd$r AS (SELECT node, count(*) AS degree FROM
+            (SELECT u AS node FROM e${r - 1} UNION ALL SELECT v FROM e${r - 1})
+          GROUP BY node),
+      e$r AS (SELECT p.u, p.v FROM e${r - 1} p
+          JOIN (SELECT node FROM dd$r WHERE degree >= 4) a ON a.node = p.u
+          JOIN (SELECT node FROM dd$r WHERE degree >= 4) b ON b.node = p.v)"""
+      }.mkString(",\n      ")
+      s"""WITH $sqlSupplierGraphCtes,
+      $steps
+      SELECT node, count(*)::BIGINT AS degree FROM
+        (SELECT u AS node FROM e3 UNION ALL SELECT v FROM e3)
+      GROUP BY node"""
+    })
+
+  /** Banded interval-overlap self-join (IntervalJoin.selfOverlapPairs):
+    * overlapping per-(supplier, part) handling windows
+    * [ship day, ship day + ⌊quantity/5⌋]. The θ-overlap predicate
+    * becomes an EQUI-join on (keys, time band) with a canonical-band
+    * guard emitting each pair exactly once — no BroadcastNestedLoop,
+    * no post-hoc distinct. The oracle states the naive θ-join directly
+    * (exact at oracle scale); the banded plan must reproduce it.
+    */
+  private val q151 = QueryDef(
+    "q151_interval_join",
+    (s, dir) => {
+      val iv = Tables.lineitem(s, dir).select(
+        col("l_suppkey").as("suppkey"), col("l_partkey").as("partkey"),
+        (col("l_orderkey") * 10 + col("l_linenumber")).as("line_id"),
+        expr("unix_micros(cast(l_shipdate as timestamp)) div 86400000000")
+          .as("s_day"),
+        expr("CAST(l_quantity AS BIGINT) div 5").as("__len"))
+        .withColumn("e_day", col("s_day") + col("__len"))
+      graft.ops.IntervalJoin.selfOverlapPairs(iv,
+        Seq("suppkey", "partkey"), "line_id", "s_day", "e_day",
+        bandWidth = 4L)
+    },
+    Some("""WITH iv AS (SELECT l_suppkey AS suppkey, l_partkey AS partkey,
+          l_orderkey * 10 + l_linenumber AS line_id,
+          epoch_us(l_shipdate) // 86400000000 AS s,
+          epoch_us(l_shipdate) // 86400000000
+            + CAST(l_quantity AS BIGINT) // 5 AS e
+        FROM lineitem)
+      SELECT a.suppkey, a.partkey, a.line_id AS id_a, b.line_id AS id_b,
+        (least(a.e, b.e) - greatest(a.s, b.s) + 1)::BIGINT AS overlap
+      FROM iv a JOIN iv b
+        ON a.suppkey = b.suppkey AND a.partkey = b.partkey
+        AND a.line_id < b.line_id AND a.s <= b.e AND b.s <= a.e"""))
+
+  /** Linear-interpolation imputation (Interpolate.linear) over the q70
+    * calendar spine: gaps in each priority's daily order cents
+    * reconstruct as the integer lerp
+    * ⌊(vₚ(tₙ−t) + vₙ(t−tₚ)) div (tₙ−tₚ)⌋ between the bracketing
+    * observations — pure long arithmetic, so both engines' gap values
+    * are identical; ends stay null (no extrapolation). One window
+    * exchange serves both frame directions.
+    */
+  private val q152 = QueryDef(
+    "q152_interpolate",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val dayIdx = expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+      val daily = orders
+        .groupBy(col("o_orderpriority").as("priority"), dayIdx.as("day_idx"))
+        .agg(sum((col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long")).as("obs_cents"))
+      val days = orders.agg(min(dayIdx).as("lo"), max(dayIdx).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day_idx"))
+      val spine = orders.select(col("o_orderpriority").as("priority"))
+        .distinct().crossJoin(days)
+      val base = spine.join(broadcast(daily), Seq("priority", "day_idx"), "left")
+      graft.ops.Interpolate.linear(base, "priority", "day_idx", "obs_cents")
+    },
+    Some("""WITH daily AS (SELECT o_orderpriority AS priority,
+          epoch_us(o_orderdate) // 86400000000 AS day_idx,
+          sum((CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT)::BIGINT
+            AS obs_cents
+        FROM orders GROUP BY 1, 2),
+      span AS (SELECT min(epoch_us(o_orderdate) // 86400000000) AS lo,
+          max(epoch_us(o_orderdate) // 86400000000) AS hi FROM orders),
+      days AS (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM span),
+      prios AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+      spine AS (SELECT priority, day_idx FROM prios CROSS JOIN days),
+      base AS (SELECT priority, day_idx, obs_cents
+        FROM spine LEFT JOIN daily USING (priority, day_idx)),
+      w AS (SELECT priority, day_idx, obs_cents,
+          last_value(obs_cents IGNORE NULLS) OVER (PARTITION BY priority
+            ORDER BY day_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+          last_value(CASE WHEN obs_cents IS NOT NULL THEN day_idx END
+            IGNORE NULLS) OVER (PARTITION BY priority ORDER BY day_idx
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pt,
+          first_value(obs_cents IGNORE NULLS) OVER (PARTITION BY priority
+            ORDER BY day_idx
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+          first_value(CASE WHEN obs_cents IS NOT NULL THEN day_idx END
+            IGNORE NULLS) OVER (PARTITION BY priority ORDER BY day_idx
+            ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nt
+        FROM base)
+      SELECT priority, day_idx, obs_cents,
+        CASE WHEN obs_cents IS NOT NULL THEN obs_cents
+          WHEN pv IS NOT NULL AND nv IS NOT NULL
+            THEN (pv * (nt - day_idx) + nv * (day_idx - pt)) // (nt - pt)
+        END AS interp
+      FROM w"""))
+
+  /** Benford first-digit audit (Benford.firstDigitAudit) of order
+    * totals per priority: observed digit mass ⌊2²⁰·n/total⌋ against
+    * the PRE-QUANTIZED Benford literals ⌊2²⁰·log₁₀(1+1/d)⌋ — the same
+    * nine constants on both engines, so no runtime log/float anywhere.
+    * Synthetic uniform-ish prices will deviate hard; that deviation
+    * vector is exactly what the audit reports.
+    */
+  private val q153 = QueryDef(
+    "q153_benford",
+    (s, dir) => graft.ops.Benford.firstDigitAudit(
+      Tables.orders(s, dir)
+        .select(col("o_orderpriority").as("priority"),
+          (col("o_totalprice").cast("decimal(18,2)") * 100)
+            .cast("long").as("cents")),
+      "priority", "cents"),
+    Some("""WITH c AS (SELECT o_orderpriority AS priority,
+          substring(((CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT)
+            ::VARCHAR, 1, 1)::BIGINT AS digit
+        FROM orders
+        WHERE (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT > 0),
+      n AS (SELECT priority, digit, count(*)::BIGINT AS n
+        FROM c GROUP BY 1, 2),
+      t AS (SELECT priority, sum(n)::BIGINT AS total FROM n GROUP BY 1),
+      d AS (SELECT unnest(generate_series(1, 9))::BIGINT AS digit,
+          unnest([315652, 184645, 131007, 101617, 83027, 70198, 60808,
+            53637, 47980])::BIGINT AS benford_q),
+      g AS (SELECT t.priority, d.digit, t.total, d.benford_q,
+          coalesce(n.n, 0)::BIGINT AS n
+        FROM t CROSS JOIN d LEFT JOIN n
+          ON n.priority = t.priority AND n.digit = d.digit)
+      SELECT priority, digit, n, total,
+        ((1048576 * n) // total)::BIGINT AS obs_q, benford_q,
+        ((1048576 * n) // total - benford_q)::BIGINT AS dev_q
+      FROM g"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
-    q145, q146)
+    q145, q146, q150, q151, q152, q153)
 }

@@ -1900,10 +1900,93 @@ object PipelinePack {
       FROM cp LEFT JOIN tm ON tm.rt <= cp.n_docs
       GROUP BY cp.checkpoint, cp.n_docs"""))
 
+  /** Symmetric int8 quantization audit (Quantize.int8Audit): per
+    * vector the max-abs scale, positional code checksum, code sum and
+    * the code range actually used — all computed map-side with
+    * higher-order array functions (no explode, no shuffle, no UDF).
+    * The only float op is x·127/maxabs in IEEE double, floored to a
+    * long immediately, so every output but `maxabs` is an integer; the
+    * oracle's unnest+group-by reaches the identical integers because
+    * integer sums are order-independent.
+    */
+  private val q147 = QueryDef(
+    "q147_int8_quant",
+    (s, dir) => graft.ops.Quantize.int8Audit(
+      Tables.embeddings(s, dir), "vec_id", "embedding"),
+    Some("""WITH e AS (SELECT vec_id, embedding,
+          list_max(list_transform(embedding,
+            x -> abs(CAST(x AS DOUBLE)))) AS maxabs
+        FROM embeddings),
+      u AS (SELECT vec_id, maxabs, i,
+          CASE WHEN maxabs = 0 THEN 0
+            ELSE CAST(floor(CAST(embedding[i] AS DOUBLE) * 127 / maxabs)
+              AS BIGINT) END AS q
+        FROM e, LATERAL (SELECT unnest(generate_series(1,
+          len(embedding))) AS i) s)
+      SELECT vec_id, min(maxabs) AS maxabs, count(*)::BIGINT AS n_dims,
+        sum(q * i)::BIGINT AS checksum, sum(q)::BIGINT AS sum_q,
+        min(q)::BIGINT AS min_q, max(q)::BIGINT AS max_q
+      FROM u GROUP BY vec_id"""))
+
+  /** χ² discriminative-token selection (FeatureSelect.chiSquareTokens):
+    * which tokens mark each source, one-vs-rest over document presence
+    * counts. χ²·2²⁰ is ONE integer division of decimal(38,0)/HUGEINT
+    * products — both engines divide identical integers (no float, no
+    * log), so the selected set is bit-stable. The threshold 2²⁰ keeps
+    * χ² ≥ 1 (support floors kill hapax noise first).
+    */
+  private val q148 = QueryDef(
+    "q148_chi2_tokens",
+    (s, dir) => graft.ops.FeatureSelect.chiSquareTokens(
+      Tables.documents(s, dir), "text", "source", "doc_id",
+      minDf = 5L, minChi2Q = 1048576L),
+    Some("""WITH dt AS (SELECT DISTINCT doc_id, source AS cls, t AS token
+        FROM (SELECT doc_id, source, unnest(string_split(text, ' ')) AS t
+          FROM documents) WHERE t <> ''),
+      ct AS (SELECT cls, token, count(*)::HUGEINT AS a
+        FROM dt GROUP BY 1, 2),
+      dfq AS (SELECT token, sum(a)::HUGEINT AS df FROM ct GROUP BY 1
+        HAVING sum(a) >= 5),
+      cn AS (SELECT source AS cls, count(*)::HUGEINT AS n_cls
+        FROM documents GROUP BY 1),
+      nt AS (SELECT count(*)::HUGEINT AS n_total FROM documents),
+      x AS (SELECT cls, token, a, df, n_cls, n_total,
+          a * (n_total - n_cls - df + a) - (n_cls - a) * (df - a) AS adbc
+        FROM ct JOIN dfq USING (token) JOIN cn USING (cls) CROSS JOIN nt
+        WHERE df < n_total),
+      sc AS (SELECT cls, token, a, df,
+          ((1048576::HUGEINT * n_total * adbc * adbc)
+            // (n_cls * (n_total - n_cls) * df * (n_total - df))) AS chi2_q
+        FROM x)
+      SELECT cls, token, a::BIGINT AS n_in_class, df::BIGINT AS df,
+        chi2_q::BIGINT AS chi2_q
+      FROM sc WHERE chi2_q >= 1048576"""))
+
+  /** A-Priori frequent-pair mining (Itemsets.frequentPairs): token
+    * pairs co-present in ≥ minSupport documents, with the frequent-
+    * singleton prune applied BEFORE any pair expands — the pair blowup
+    * is quadratic in each doc's frequent tokens only, and the i<j
+    * expansion happens map-side from the doc's sorted frequent-token
+    * set (the q102 collect shape over a corpus-scale domain).
+    */
+  private val q149 = QueryDef(
+    "q149_frequent_pairs",
+    (s, dir) => graft.ops.Itemsets.frequentPairs(
+      Tables.documents(s, dir), "doc_id", "text", minSupport = 150L),
+    Some("""WITH dt AS (SELECT DISTINCT doc_id, t AS token
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM documents) WHERE t <> ''),
+      f AS (SELECT token FROM dt GROUP BY token HAVING count(*) >= 150),
+      ft AS (SELECT doc_id, token FROM dt JOIN f USING (token))
+      SELECT a.token AS token_a, b.token AS token_b,
+        count(*)::BIGINT AS support
+      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+      GROUP BY 1, 2 HAVING count(*) >= 150"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
-    q141, q143, q144)
+    q141, q143, q144, q147, q148, q149)
 }

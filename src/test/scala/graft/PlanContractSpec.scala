@@ -38,7 +38,9 @@ class PlanContractSpec extends AnyFunSuite {
     "q101_ann_recall", // the q83 query batch + queries × centroids probe
                        // ranking — both sides IVF-contract small
     "q102_cooccurrence", // 1-row user-universe total for the lift denominator
-    "q143_record_linkage") // 1-row corpus total for the rarity-weight scale
+    "q143_record_linkage", // 1-row corpus total for the rarity-weight scale
+    "q148_chi2_tokens",    // 1-row corpus-total N for the χ² contingency
+    "q152_interpolate")    // the q70-style calendar spine (groups × days)
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {

@@ -1,0 +1,180 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.{Benford, FeatureSelect, Graph, Interpolate, IntervalJoin,
+  Itemsets, Quantize}
+
+/** Semantics contracts for the round-7 operators (their oracle queries
+  * q147–q153 hash-check against DuckDB at sf0.01; here we pin the
+  * hand-computable cases and the edge behavior the oracles can't
+  * isolate).
+  */
+class Round7OpsSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  // ---------------------------------------------------------- k-core
+
+  test("kcore peels the tail, keeps the clique, and converges") {
+    // triangle+pendant: 1-2-3 clique, 4 hangs off 3, 5-6 isolated edge
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L), (5L, 6L))
+      .toDF("a", "b")
+    val core2 = Graph.kcore(edges, "a", "b", k = 2, rounds = 3).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 4 dies in round 1 (degree 1); 5,6 die too; clique survives at
+    // degree 2 each (3's degree drops from 3 to 2 after the peel)
+    assert(core2 === Map(1L -> 2L, 2L -> 2L, 3L -> 2L))
+    // k=3: clique degrees are 2 < 3 → everything peels away
+    assert(Graph.kcore(edges, "a", "b", k = 3, rounds = 3).isEmpty)
+  }
+
+  test("kcore fixed-round contract: one round may under-peel, more rounds refine") {
+    // chain 1-2-3-4-5: k=2 leaves ends' neighbors exposed one at a time
+    val chain = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("a", "b")
+    val r1 = Graph.kcore(chain, "a", "b", k = 2, rounds = 1).count()
+    val r3 = Graph.kcore(chain, "a", "b", k = 2, rounds = 3).count()
+    assert(r1 > r3) // round 1 still holds 2,3,4; by round 3 all gone
+    assert(r3 === 0L)
+  }
+
+  // ------------------------------------------------ int8 quantization
+
+  test("int8Audit: hand-checked codes, all-zero vector, saturation bounds") {
+    val df = Seq(
+      (1L, Seq(1.0f, -1.0f, 0.5f)),
+      (2L, Seq(0.0f, 0.0f, 0.0f)),
+      (3L, Seq(2.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Quantize.int8Audit(df, "vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // v1: maxabs=1 → q = [127, -127, 63]; checksum = 127·1 −127·2 + 63·3
+    val r1 = got(1L)
+    assert(r1.getDouble(1) === 1.0)
+    assert(r1.getLong(3) === 127L - 254L + 189L) // checksum
+    assert(r1.getLong(4) === 127L - 127L + 63L)  // sum_q
+    assert((r1.getLong(5), r1.getLong(6)) === ((-127L, 127L)))
+    // all-zero vector: no NaN, codes all zero
+    val r2 = got(2L)
+    assert(r2.getDouble(1) === 0.0 && r2.getLong(3) === 0L &&
+      r2.getLong(5) === 0L && r2.getLong(6) === 0L)
+    // single-dim: own maxabs → exactly 127
+    assert(got(3L).getLong(6) === 127L)
+    // codes can never leave [-127, 127]
+    assert(got.values.forall(r => r.getLong(5) >= -127L && r.getLong(6) <= 127L))
+  }
+
+  // ----------------------------------------------------- χ² selection
+
+  test("chiSquareTokens scores the perfectly discriminative token highest") {
+    // 4 docs: class X always says "alpha", class Y never does; "common"
+    // appears everywhere (excluded: df = N), "mid" is mixed
+    val docs = Seq(
+      (1L, "X", "alpha common mid"),
+      (2L, "X", "alpha common"),
+      (3L, "Y", "common mid"),
+      (4L, "Y", "common")
+    ).toDF("doc_id", "cls", "text")
+    val got = FeatureSelect.chiSquareTokens(docs, "text", "cls", "doc_id",
+      minDf = 1L, minChi2Q = 0L).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(4)).toMap
+    // "common" is in every doc → undefined χ², must be absent
+    assert(!got.keys.exists(_._2 == "common"))
+    // perfect separation: a=2,b=0,c=0,d=2 → χ² = N = 4 → 4·2²⁰
+    assert(got(("X", "alpha")) === 4L * 1048576L)
+    // only OBSERVED (class, token) cells emit — absence evidence lives
+    // in the symmetric in-class row, so (Y, alpha) has no row
+    assert(!got.contains(("Y", "alpha")))
+    // mixed token scores 0 (independent)
+    assert(got(("X", "mid")) === 0L)
+  }
+
+  test("chiSquareTokens honors minDf and the χ² threshold") {
+    val docs = Seq(
+      (1L, "X", "rare alpha"), (2L, "X", "alpha"),
+      (3L, "Y", "beta"), (4L, "Y", "beta")
+    ).toDF("doc_id", "cls", "text")
+    val sel = FeatureSelect.chiSquareTokens(docs, "text", "cls", "doc_id",
+      minDf = 2L, minChi2Q = 1048576L).collect().map(_.getString(1)).toSet
+    assert(!sel.contains("rare")) // df 1 < minDf
+    assert(sel === Set("alpha", "beta"))
+  }
+
+  // ---------------------------------------------- interval overlap join
+
+  test("selfOverlapPairs finds exactly the overlapping pairs, once each") {
+    // key g: [0,10] × [5,20] overlap 6; [5,20] × [21,30] touch nothing;
+    // [0,10] × [10,12] overlap 1 (inclusive ends)
+    val iv = Seq(
+      ("g", 1L, 0L, 10L), ("g", 2L, 5L, 20L), ("g", 3L, 21L, 30L),
+      ("g", 4L, 10L, 12L), ("h", 5L, 0L, 100L) // other key: no partner
+    ).toDF("k", "id", "s", "e")
+    for (w <- Seq(1L, 3L, 7L, 100L)) { // band width must not change semantics
+      val got = IntervalJoin.selfOverlapPairs(iv, Seq("k"), "id", "s", "e", w)
+        .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+      assert(got === Set((1L, 2L, 6L), (1L, 4L, 1L), (2L, 4L, 3L)),
+        s"bandWidth=$w")
+    }
+  }
+
+  // --------------------------------------------------- interpolation
+
+  test("Interpolate.linear fills gaps with the exact integer lerp") {
+    val base = Seq(
+      ("a", 0L, Some(100L)), ("a", 1L, None), ("a", 2L, None),
+      ("a", 3L, Some(400L)), ("a", 4L, None), // trailing gap: stays null
+      ("b", 0L, None), ("b", 1L, Some(7L))    // leading gap: stays null
+    ).toDF("g", "t", "v")
+    val got = Interpolate.linear(base, "g", "t", "v").collect()
+      .map(r => (r.getString(0), r.getLong(1)) ->
+        (if (r.isNullAt(3)) None else Some(r.getLong(3)))).toMap
+    assert(got(("a", 0L)) === Some(100L))
+    assert(got(("a", 1L)) === Some(200L)) // 100 + (400-100)·1/3
+    assert(got(("a", 2L)) === Some(300L))
+    assert(got(("a", 3L)) === Some(400L))
+    assert(got(("a", 4L)) === None) // no right bracket
+    assert(got(("b", 0L)) === None) // no left bracket
+    assert(got(("b", 1L)) === Some(7L))
+  }
+
+  test("Interpolate.linear truncates the lerp toward zero deterministically") {
+    val base = Seq(("g", 0L, Some(0L)), ("g", 1L, None), ("g", 2L, Some(1L)))
+      .toDF("g", "t", "v")
+    val mid = Interpolate.linear(base, "g", "t", "v").collect()
+      .find(_.getLong(1) == 1L).get.getLong(3)
+    assert(mid === 0L) // (0·1 + 1·1) div 2 = 0
+  }
+
+  // ------------------------------------------------- frequent pairs
+
+  test("frequentPairs applies the A-Priori prune and counts presence once") {
+    val docs = Seq(
+      (1L, "a b c"), (2L, "a b"), (3L, "a b x"),
+      (4L, "a a a b") // repeated token still counts once per doc
+    ).toDF("doc_id", "text")
+    val got = Itemsets.frequentPairs(docs, "doc_id", "text", minSupport = 3L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSet === Set(("a", "b", 4L)))
+    // c (df 1) and x (df 1) never survive the singleton prune
+  }
+
+  // ------------------------------------------------------- Benford
+
+  test("firstDigitAudit: digits, zero-filled rows, exact quantized masses") {
+    val df = Seq(
+      ("g", 123L), ("g", 19L), ("g", 155L), ("g", 900L),
+      ("g", -5L), ("g", 0L) // non-positive rows are excluded
+    ).toDF("grp", "amount")
+    val rows = Benford.firstDigitAudit(df, "grp", "amount").collect()
+      .map(r => r.getLong(1) -> r).toMap
+    assert(rows.size === 9) // all nine digits present
+    assert(rows(1L).getLong(2) === 3L && rows(9L).getLong(2) === 1L)
+    assert(rows(2L).getLong(2) === 0L) // zero-filled
+    assert(rows.values.forall(_.getLong(3) === 4L)) // total excludes <= 0
+    // obs_q = ⌊2²⁰·3/4⌋ for digit 1; Benford literal is ⌊2²⁰·log10(2)⌋
+    assert(rows(1L).getLong(4) === (1048576L * 3) / 4)
+    assert(rows(1L).getLong(5) === 315652L)
+    assert(rows(1L).getLong(6) === rows(1L).getLong(4) - 315652L)
+  }
+}
