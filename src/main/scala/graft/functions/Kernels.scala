@@ -384,6 +384,39 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** [[sortedPairs]] with the pair PACKED into one long
+    * (`a << 32 | b`, requiring 0 ≤ id < 2³²) — for dense co-occurrence
+    * counting the downstream `groupBy(pair).count` then hashes and
+    * shuffles ONE long key instead of a two-field struct, roughly
+    * halving exchange width on the quadratic pair stream (the only
+    * corpus-squared object in those plans). Unpack after the count
+    * with `key >> 32` / `key & 0xffffffff`.
+    */
+  def sortedPairKeys(ids: ArrayData): ArrayData = {
+    val n = ids.numElements()
+    require(n <= 65535,
+      s"pair expansion of a $n-element bucket overflows (cap the bucket upstream)")
+    val a = ids.toLongArray()
+    java.util.Arrays.sort(a)
+    require(n == 0 || (a(0) >= 0 && a(n - 1) < (1L << 32)),
+      "sortedPairKeys packs (a << 32 | b): ids must be in [0, 2^32)")
+    val out = new Array[Long](n * (n - 1) / 2)
+    var k = 0
+    var i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = (a(i) << 32) | a(j)
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    // primitive-backed array data — no per-element boxing on the one
+    // quadratic stream these plans materialize
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** Pair expansion carrying a per-id payload (jaccard set sizes):
     * `ids` and `ns` are the aligned collect_list outputs of one
     * groupBy; pairs are emitted in ascending-id order as flattened
@@ -685,6 +718,12 @@ object Kernels {
   def fingerprintOf(text: Column): Column =
     exprBridge.column(StaticInvoke(
       Kernels.getClass, LongType, "fingerprint", Seq(expr(text)), Seq(StringType)))
+
+  /** i<j pairs packed `a << 32 | b` (ids must fit 32 bits). */
+  def sortedPairKeysOf(ids: Column): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, ArrayType(LongType, containsNull = false),
+      "sortedPairKeys", Seq(expr(ids)), Seq(ArrayType(LongType))))
 
   /** i<j id pairs of a bucket, ascending-id order. */
   def sortedPairsOf(ids: Column): Column =

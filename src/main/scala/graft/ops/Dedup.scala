@@ -531,30 +531,55 @@ object Dedup {
     // re-sort each doc's set rarest-first and keep the prefix; the
     // collect is the doc's own shingle set (bounded by doc length),
     // prefix length p = n - ceil(t*n) + 1 in exact integer math
+    // positions ride the existing int payload packed as
+    // min(n, 32767)·2¹⁶ + min(pos, 32767); position within the prefix
+    // IS the position within the full rarest-first sorted set (the
+    // prefix is its head). The saturation cap only loosens the prune
+    // (smaller pos ⇒ larger upper bound; saturated sizes skip the
+    // positional filter entirely) — never drops a J ≥ t pair.
+    val Pk = 32767
     val prefixes = sets
       .select(col("__id"), size(col("s")).as("n"), explode(col("s")).as("g"))
       .join(freq, Seq("g"))
       .groupBy(col("__id"), col("n"))
       .agg(collect_list(struct(col("df"), col("g"))).as("toks"))
       .select(col("__id").as("i"), col("n"),
-        explode(expr(
+        posexplode(expr(
           s"""transform(slice(array_sort(toks), 1,
                cast(n - (($thresholdNum * n + ${thresholdDen - 1}) div $thresholdDen) + 1 as int)),
-             x -> x.g)""")).as("g"))
+             x -> x.g)""")).as(Seq("pos", "g")))
     val lists = prefixes
       .groupBy(col("g"))
       .agg(graft.functions.CappedCollect.cappedPairList(
-        col("i"), col("n"), maxList).as("cl"))
+        col("i"),
+        (least(col("n"), lit(Pk)) * 65536 + least(col("pos"), lit(Pk)))
+          .cast("int"),
+        maxList).as("cl"))
       .filter(col("cl.n").between(2, maxList))
+    val alpha = // minimum overlap J >= t implies: ceil(t(na+nb)/(1+t))
+      expr(s"($thresholdNum * (na + nb) + ${thresholdNum + thresholdDen - 1})" +
+        s" div ${thresholdNum + thresholdDen}")
     val cands = lists
       .select(explode(graft.functions.Kernels.sortedPairsWithSizesOf(
         col("cl.ids"), col("cl.ns"))).as("p"))
-      .groupBy(col("p.a").as("doc_a"), col("p.na").as("na"),
-        col("p.b").as("doc_b"), col("p.nb").as("nb"))
-      .agg(count(lit(1)).as("__npref"))
+      .select(col("p.a").as("doc_a"), expr("p.na div 65536").as("na"),
+        expr("p.na % 65536").as("pa"),
+        col("p.b").as("doc_b"), expr("p.nb div 65536").as("nb"),
+        expr("p.nb % 65536").as("pb"))
+      .groupBy(col("doc_a"), col("na"), col("doc_b"), col("nb"))
+      .agg(count(lit(1)).as("__npref"),
+        max(col("pa")).as("__mpa"), max(col("pb")).as("__mpb"))
       // J >= t forces min(|A|,|B|)/max(|A|,|B|) >= t
       .filter(least(col("na"), col("nb")).cast("long") * thresholdDen >=
         greatest(col("na"), col("nb")).cast("long") * thresholdNum)
+      // PPJoin positional suffix bound: common elements ≤ the LAST
+      // shared prefix token are exactly the shared prefix tokens
+      // (suffixes hold each set's largest elements), so
+      // overlap ≤ npref + min(remaining after that token on each side);
+      // prune pairs that cannot reach the α overlap J ≥ t demands
+      .filter(col("na") >= Pk || col("nb") >= Pk ||
+        col("__npref") + least(col("na") - 1 - col("__mpa"),
+          col("nb") - 1 - col("__mpb")) >= alpha)
     // exact verification for candidate-touched docs only
     val touched = cands.select(col("doc_a").as("__id"))
       .unionByName(cands.select(col("doc_b").as("__id"))).distinct()

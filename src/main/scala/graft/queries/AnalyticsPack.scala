@@ -1754,14 +1754,21 @@ object AnalyticsPack {
     */
   private def supplierGraph(s: org.apache.spark.sql.SparkSession,
       dir: String): org.apache.spark.sql.DataFrame = {
+    // the pair stream (the only quadratic object here) shuffles as ONE
+    // packed long key (a << 32 | b — suppkeys are well under 2³²), so
+    // the dense co-occurrence groupBy hashes/exchanges half the bytes
+    // of the two-column struct form; unpack after the count
     val shared = Tables.lineitem(s, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").cast("long").as("sup"))
       .groupBy(col("p"))
       .agg(collect_set(col("sup")).as("sups"))
-      .select(explode(graft.functions.Kernels.sortedPairsOf(col("sups"))).as("e"))
-      .groupBy(col("e.a").as("x"), col("e.b").as("y"))
+      .select(explode(
+        graft.functions.Kernels.sortedPairKeysOf(col("sups"))).as("pk"))
+      .groupBy(col("pk"))
       .agg(count(lit(1)).as("shared"))
       .filter(col("shared") >= 2)
+      .select(shiftright(col("pk"), 32).as("x"),
+        col("pk").bitwiseAND(lit(0xffffffffL)).as("y"), col("shared"))
     val sym = shared.select(col("x").as("src"), col("y").as("dst"), col("shared"))
       .unionAll(shared.select(col("y").as("src"), col("x").as("dst"), col("shared")))
     graft.ops.TopK.groupedTopK(sym, Seq("src"), "shared", "dst", 3)

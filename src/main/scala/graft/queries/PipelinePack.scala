@@ -274,7 +274,7 @@ object PipelinePack {
     "q139_prefix_join",
     (s, dir) => Dedup.prefixFilterPairs(
       Tables.documents(s, dir), "doc_id", "text",
-      shingleWords = 3, thresholdNum = 3, thresholdDen = 10),
+      shingleWords = 3, thresholdNum = 1, thresholdDen = 2),
     Some(s"""WITH sh AS (SELECT doc_id,
         list_transform($sqlShingles, sg -> ${sqlHex60("sg")}) AS s FROM documents),
       inv AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh)
@@ -284,7 +284,7 @@ object PipelinePack {
           min(x.n) AS na, min(y.n) AS nb, count(*) AS inter
         FROM inv x JOIN inv y ON x.g = y.g AND x.doc_id < y.doc_id
         GROUP BY x.doc_id, y.doc_id)
-      WHERE inter * 10 >= 3 * (na + nb - inter)"""))
+      WHERE inter * 2 >= (na + nb - inter)"""))
 
   /** Exact token heavy hitters via Misra–Gries prune + rescan
     * (HeavyHitters.exact): pass 1 reduces every partition to a
