@@ -35,6 +35,13 @@ object Kernels {
   /** hex60: first 15 hex chars of md5 → non-negative 60-bit long
     * (identical to conv(substring(md5(c),1,15),16,10)).
     */
+  /** JVM-side hex60 of a string — for plan-BUILD-time literal
+    * derivation (deterministic sign matrices, salts): the same
+    * function the compiled kernels and the oracle's
+    * `('0x' || substr(md5(s), 1, 15))::BIGINT` apply at runtime.
+    */
+  def hex60String(s: String): Long = hex60(s.getBytes("UTF-8"))
+
   private def hex60(bytes: Array[Byte]): Long = {
     val d = md5Local.get()
     d.reset()

@@ -52,4 +52,42 @@ object Quantize {
         expr("CAST(array_min(__q) AS BIGINT)").as("min_q"),
         expr("CAST(array_max(__q) AS BIGINT)").as("max_q"))
   }
+
+  /** Johnson–Lindenstrauss random ±1 projection (Achlioptas, JCSS'03 —
+    * database-friendly random projections; public technique): project
+    * `inDims`-dim embeddings to `outDims` dims with a DETERMINISTIC
+    * sign matrix s(j,i) = ±1 derived from the hex60 hash of "j:i" —
+    * matrix-free (the signs are plan literals, nothing is stored or
+    * broadcast), reproducible on any engine that can evaluate the same
+    * hash.
+    *
+    * Integer-exact: coordinates quantize map-side to
+    * `xq = ⌊x·2²⁰⌋` BEFORE any sum, so each output coordinate
+    * `y_j = Σᵢ s(j,i)·xqᵢ` is a long sum — order-independent, no
+    * float-accumulation drift. The whole projection is one map pass
+    * (higher-order functions over the vector column, no explode, no
+    * shuffle); the output long-melt is the only fan-out (×outDims of
+    * the vector table, each row 3 longs).
+    *
+    * Output: (idCol, j ∈ [0, outDims), y_q) — feed into the kNN/LSH
+    * ops to run them in the reduced space.
+    */
+  def jlProject(embs: DataFrame, idCol: String, vecCol: String,
+      inDims: Int, outDims: Int): DataFrame = {
+    require(inDims > 0 && outDims > 0, s"bad dims: $inDims -> $outDims")
+    val xq = expr(
+      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))")
+    val ys = (0 until outDims).map { j =>
+      val signs = (0 until inDims).map { i =>
+        if ((graft.functions.Kernels.hex60String(s"$j:$i") & 1L) == 0L) 1L else -1L
+      }
+      val sLit = signs.mkString("array(", "L, ", "L)")
+      expr(s"aggregate(zip_with(__xq, $sLit, (a, b) -> a * b), 0L, (a, b) -> a + b)")
+    }
+    embs
+      .select(col(idCol).cast("long").as(idCol), xq.as("__xq"))
+      .filter(size(col("__xq")) === inDims)
+      .select(col(idCol), posexplode(array(ys: _*)).as(Seq("j", "y_q")))
+      .select(col(idCol), col("j").cast("long").as("j"), col("y_q"))
+  }
 }

@@ -79,4 +79,59 @@ object Retrieval {
       .orderBy(col("score").desc, col(idCol))
       .limit(k)
   }
+
+  /** BM25-family ranking against a literal query token list
+    * (Robertson–Spärck Jones / Okapi BM25, the standard lexical
+    * ranking function; public formula) — integer-quantized end to end
+    * so both engines rank identically:
+    *
+    *  - idf: BM25's `ln((N−df+0.5)/(df+0.5))` is replaced by the
+    *    quantized RATIO `idf_q = ⌊2²⁰·(2(N−df)+1)/(2df+1)⌋` — the q66
+    *    rational-idf rule (monotone in df, so rare terms still
+    *    dominate; documented deviation: scores are not log-scaled);
+    *  - tf saturation with k1 = 6/5, b = 3/4 cleared of fractions by
+    *    ×10·T (T = corpus token count):
+    *    `tf_q = ⌊2²⁰·22·T·tf / (10·T·tf + 3·T + 9·dl·N)⌋`
+    *    — exact decimal(38,0) division, length normalization included;
+    *  - per-term contribution `⌊idf_q·tf_q / 2²⁰⌋`, summed as longs.
+    *
+    * Scale shape: one token explode; the df aggregation only over the
+    * |query| matching terms (filter BEFORE the agg); doc lengths ride
+    * the same pass; the |query|-row df table and the 1-row (N, T)
+    * corpus totals broadcast; top-k is TakeOrderedAndProject. Nothing
+    * corpus×corpus, no window.
+    *
+    * Output: (idCol, score_q) — top `k` by (score_q DESC, id ASC).
+    */
+  def bm25Rank(docs: DataFrame, idCol: String, textCol: String,
+      queryTerms: Seq[String], k: Int): DataFrame = {
+    require(queryTerms.nonEmpty, "need at least one query term")
+    require(k > 0, s"need k > 0: $k")
+    val dec = "decimal(38,0)"
+    val tok = docs.select(col(idCol).cast("long").as("__id"),
+      explode(graft.functions.TextKernels.tokens(col(textCol))).as("__w"))
+    val dl = tok.groupBy(col("__id")).agg(count(lit(1)).as("dl"))
+    val totals = dl.agg(count(lit(1)).as("n_docs"),
+      sum(col("dl")).as("t_tokens"))
+    val qt = tok.filter(col("__w").isin(queryTerms: _*))
+    val dfreq = qt.select(col("__id"), col("__w")).distinct()
+      .groupBy(col("__w")).agg(count(lit(1)).as("df"))
+    qt.groupBy(col("__id"), col("__w")).agg(count(lit(1)).as("tf"))
+      .join(broadcast(dfreq), Seq("__w"))
+      .join(dl, Seq("__id"))
+      .crossJoin(broadcast(totals))
+      .select(col("__id"), expr(
+        // idf_q · tf_q can pass 2⁶³ — multiply as decimal(38,0)
+        s"""CAST(CAST(CAST(1048576 AS $dec) * (2 * (n_docs - df) + 1)
+                 div (2 * df + 1) AS $dec)
+            * CAST(CAST(1048576 AS $dec) * 22 * t_tokens * tf
+                 div (CAST(10 AS $dec) * t_tokens * tf + 3 * t_tokens
+                      + CAST(9 AS $dec) * dl * n_docs) AS $dec)
+            div 1048576 AS BIGINT)""").as("__c"))
+      .groupBy(col("__id"))
+      .agg(sum(col("__c")).as("score_q"))
+      .select(col("__id").as(idCol), col("score_q"))
+      .orderBy(col("score_q").desc, col(idCol))
+      .limit(k)
+  }
 }

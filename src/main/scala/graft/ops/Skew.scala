@@ -130,4 +130,28 @@ object Skew {
       .filter(col("__side") === 1)
       .drop("__side", "__k", "__ts", "__rvals", "__asof")
   }
+
+  /** Salting PLAN — the pre-flight artifact behind [[saltedJoin]]'s
+    * constant factor and the q95 hot-key report: given a target row
+    * count per (key, salt) task, emit each key's measured count and
+    * the salt fan-out `⌈n / targetRows⌉` it needs so no single task
+    * exceeds the target. Feeding the plan back into a salted
+    * join/aggregate replaces a guessed global salt constant with
+    * per-key factors: cold keys keep salt 1 (zero replication cost),
+    * hot keys get exactly the parallelism their volume demands.
+    *
+    * One aggregation over the keys (pre-reduced map-side) — the plan
+    * costs one pass over key counts, always cheaper than the skewed
+    * shuffle it sizes. Output: (keyCols*, n, salt), keys with
+    * salt > 1 first-class; include_all keeps the cold keys too (for
+    * joining the plan back onto the data).
+    */
+  def saltPlan(df: DataFrame, keyCols: Seq[String], targetRows: Long,
+      includeAll: Boolean = true): DataFrame = {
+    require(targetRows >= 1, s"need targetRows >= 1: $targetRows")
+    val plan = df.groupBy(keyCols.map(col): _*)
+      .agg(count(lit(1)).as("n"))
+      .withColumn("salt", expr(s"(n + ${targetRows - 1}) div $targetRows"))
+    if (includeAll) plan else plan.filter(col("salt") > 1)
+  }
 }

@@ -2075,9 +2075,12 @@ object AnalyticsPack {
           .as("s_day"),
         expr("CAST(l_quantity AS BIGINT) div 5").as("__len"))
         .withColumn("e_day", col("s_day") + col("__len"))
+      // intervals span <= 10 days (quantity <= 50), so W = 16 keeps
+      // replication at <= 2 bands per row — the "W near the typical
+      // interval length" rule the operator documents
       graft.ops.IntervalJoin.selfOverlapPairs(iv,
         Seq("suppkey", "partkey"), "line_id", "s_day", "e_day",
-        bandWidth = 4L)
+        bandWidth = 16L)
     },
     Some("""WITH iv AS (SELECT l_suppkey AS suppkey, l_partkey AS partkey,
           l_orderkey * 10 + l_linenumber AS line_id,
@@ -2184,10 +2187,46 @@ object AnalyticsPack {
         ((1048576 * n) // total - benford_q)::BIGINT AS dev_q
       FROM g"""))
 
+  /** Sequential-pattern mining (Sequence.topPaths): the top-25
+    * length-3 event paths — the n-gram generalization of q75's
+    * transition matrix. ONE exchange on user_id serves both leads
+    * (single partitioned sort); top-k is TakeOrderedAndProject with
+    * the (n DESC, path ASC) total order, identical on both engines.
+    */
+  private val q155 = QueryDef(
+    "q155_event_paths",
+    (s, dir) => graft.ops.Sequence.topPaths(
+      Tables.events(s, dir), "user_id", "ts", "event_id", "event_type",
+      gramLen = 3, k = 25),
+    Some("""WITH g AS (SELECT event_type AS t1,
+          lead(event_type, 1) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS t2,
+          lead(event_type, 2) OVER (PARTITION BY user_id
+            ORDER BY ts, event_id) AS t3
+        FROM events)
+      SELECT t1, t2, t3, count(*)::BIGINT AS n FROM g
+      WHERE t1 IS NOT NULL AND t2 IS NOT NULL AND t3 IS NOT NULL
+      GROUP BY 1, 2, 3 ORDER BY n DESC, t1, t2, t3 LIMIT 25"""))
+
+  /** Per-key salting plan (Skew.saltPlan): measured key counts and the
+    * ⌈n/target⌉ fan-out each needs so no (key, salt) task exceeds the
+    * target — the pre-flight artifact that turns q51's guessed global
+    * salt constant into per-key factors (cold keys stay at 1). One
+    * map-side pre-reduced aggregation; always cheaper than the skewed
+    * shuffle it sizes.
+    */
+  private val q156 = QueryDef(
+    "q156_salt_plan",
+    (s, dir) => graft.ops.Skew.saltPlan(
+      Tables.events(s, dir), Seq("event_type"), targetRows = 10000L),
+    Some("""SELECT event_type, count(*)::BIGINT AS n,
+        ((count(*) + 9999) // 10000)::BIGINT AS salt
+      FROM events GROUP BY event_type"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
-    q145, q146, q150, q151, q152, q153)
+    q145, q146, q150, q151, q152, q153, q155, q156)
 }

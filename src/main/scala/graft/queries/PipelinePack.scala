@@ -1983,10 +1983,65 @@ object PipelinePack {
       FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
       GROUP BY 1, 2 HAVING count(*) >= 150"""))
 
+  /** BM25-family lexical ranking (Retrieval.bm25Rank) against a
+    * 3-term query: rational idf (the q66 rule — monotone in df, no
+    * log) × the exact k1=6/5, b=3/4 tf-saturation/length-norm ratio,
+    * every division an integer division of decimal(38,0)/HUGEINT
+    * products. df aggregation only over the matching terms (filter
+    * before the agg), totals broadcast, TakeOrderedAndProject top-k.
+    */
+  private val q154 = QueryDef(
+    "q154_bm25",
+    (s, dir) => graft.ops.Retrieval.bm25Rank(
+      Tables.documents(s, dir), "doc_id", "text",
+      Seq("spark", "table", "hash"), k = 20),
+    Some("""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
+        FROM documents),
+      dl AS (SELECT id, count(*)::HUGEINT AS dl FROM tok GROUP BY id),
+      tot AS (SELECT count(*)::HUGEINT AS n_docs, sum(dl)::HUGEINT AS t_tokens
+        FROM dl),
+      qt AS (SELECT id, w FROM tok WHERE w IN ('spark', 'table', 'hash')),
+      dfq AS (SELECT w, count(DISTINCT id)::HUGEINT AS df FROM qt GROUP BY w),
+      tf AS (SELECT id, w, count(*)::HUGEINT AS tf FROM qt GROUP BY id, w),
+      c AS (SELECT tf.id,
+          ((1048576::HUGEINT * (2 * (n_docs - df) + 1) // (2 * df + 1))
+           * (1048576::HUGEINT * 22 * t_tokens * tf
+              // (10::HUGEINT * t_tokens * tf + 3 * t_tokens
+                  + 9::HUGEINT * dl.dl * n_docs))
+           // 1048576) AS c
+        FROM tf JOIN dfq USING (w) JOIN dl ON dl.id = tf.id CROSS JOIN tot)
+      SELECT id AS doc_id, sum(c)::BIGINT AS score_q FROM c GROUP BY id
+      ORDER BY score_q DESC, doc_id LIMIT 20"""))
+
+  /** Deterministic Johnson–Lindenstrauss ±1 projection
+    * (Quantize.jlProject): 64-dim embeddings → 16 dims with the sign
+    * matrix derived from hex60("j:i") — matrix-free plan literals,
+    * coordinates quantized to ⌊x·2²⁰⌋ longs BEFORE summing so every
+    * output coordinate is an order-independent integer. One map pass,
+    * no shuffle before the long-melt.
+    */
+  private val q157 = QueryDef(
+    "q157_jl_project",
+    (s, dir) => graft.ops.Quantize.jlProject(
+      Tables.embeddings(s, dir), "vec_id", "embedding",
+      inDims = 64, outDims = 16),
+    Some("""WITH u AS (SELECT vec_id, i,
+          CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576) AS BIGINT) AS xq
+        FROM embeddings,
+          LATERAL (SELECT unnest(generate_series(1, len(embedding))) AS i) s
+        WHERE len(embedding) = 64),
+      g AS (SELECT vec_id, j,
+          sum(CASE WHEN ('0x' || substr(md5(j::VARCHAR || ':'
+                || (i - 1)::VARCHAR), 1, 15))::BIGINT % 2 = 0
+            THEN xq ELSE -xq END)::BIGINT AS y_q
+        FROM u, LATERAL (SELECT unnest(generate_series(0, 15)) AS j) t
+        GROUP BY vec_id, j)
+      SELECT vec_id, j::BIGINT AS j, y_q FROM g"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
-    q141, q143, q144, q147, q148, q149)
+    q141, q143, q144, q147, q148, q149, q154, q157)
 }

@@ -40,7 +40,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q102_cooccurrence", // 1-row user-universe total for the lift denominator
     "q143_record_linkage", // 1-row corpus total for the rarity-weight scale
     "q148_chi2_tokens",    // 1-row corpus-total N for the χ² contingency
-    "q152_interpolate")    // the q70-style calendar spine (groups × days)
+    "q152_interpolate",    // the q70-style calendar spine (groups × days)
+    "q154_bm25")           // 1-row (N, T) corpus totals for the BM25 ratios
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {

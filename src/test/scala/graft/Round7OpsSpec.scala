@@ -161,6 +161,84 @@ class Round7OpsSpec extends AnyFunSuite {
 
   // ------------------------------------------------------- Benford
 
+  // ------------------------------------------------------- BM25
+
+  test("bm25Rank: rarity dominates, tf saturates, length normalizes") {
+    import graft.ops.Retrieval
+    val docs = Seq(
+      (1L, "rare common filler filler"),
+      (2L, "common filler filler filler"),
+      (3L, "rare rare rare common filler filler filler filler " +
+        "filler filler filler filler filler filler filler filler")
+    ).toDF("doc_id", "text")
+    val got = Retrieval.bm25Rank(docs, "doc_id", "text",
+      Seq("rare", "common"), k = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1))
+    // every doc matches a term → 3 rows; doc 1 (rare + short) beats
+    // doc 2 (common only); ranking is (score DESC, id ASC)
+    assert(got.map(_._1).length === 3)
+    val byId = got.toMap
+    assert(byId(1L) > byId(2L))
+    // doc 3 has 3× the rare tf but is 4× longer — saturation + length
+    // norm keep it below the clean short doc
+    assert(byId(1L) > byId(3L))
+    assert(got.sortBy(r => (-r._2, r._1)).toSeq === got.toSeq) // emitted in rank order
+  }
+
+  // ------------------------------------------------- sequence paths
+
+  test("topPaths counts per-entity trigrams without crossing entities") {
+    import graft.ops.Sequence
+    val ev = Seq(
+      (1L, 1L, 10L, "a"), (1L, 2L, 20L, "b"), (1L, 3L, 30L, "c"),
+      (1L, 4L, 40L, "b"), (1L, 5L, 50L, "c"),
+      (2L, 6L, 10L, "a"), (2L, 7L, 20L, "b"), (2L, 8L, 30L, "c")
+    ).toDF("u", "eid", "ts", "t")
+    val got = Sequence.topPaths(ev, "u", "ts", "eid", "t", gramLen = 3, k = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2), r.getLong(3)))
+    // a,b,c twice (both users); b,c,b and c,b,c once (user 1);
+    // nothing spans user 1 → user 2
+    assert(got.head === (("a", "b", "c", 2L)))
+    assert(got.toSet === Set(("a", "b", "c", 2L), ("b", "c", "b", 1L),
+      ("c", "b", "c", 1L)))
+  }
+
+  // ------------------------------------------------------ salt plan
+
+  test("saltPlan sizes per-key fan-out by measured volume") {
+    import graft.ops.Skew
+    val df = (1L to 250L).map(i => (if (i <= 200) "hot" else "cold", i))
+      .toDF("k", "v")
+    val plan = Skew.saltPlan(df, Seq("k"), targetRows = 100L).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(plan === Map("hot" -> ((200L, 2L)), "cold" -> ((50L, 1L))))
+    val hotOnly = Skew.saltPlan(df, Seq("k"), 100L, includeAll = false)
+      .collect().map(_.getString(0)).toSet
+    assert(hotOnly === Set("hot"))
+  }
+
+  // -------------------------------------------------- JL projection
+
+  test("jlProject: deterministic signs, exact integer sums, dim filter") {
+    import graft.ops.Quantize
+    val df = Seq(
+      (1L, Seq(1.0f, 2.0f)), (2L, Seq(0.5f, -0.5f)),
+      (9L, Seq(1.0f, 2.0f, 3.0f)) // wrong dims → excluded
+    ).toDF("vec_id", "embedding")
+    val got = Quantize.jlProject(df, "vec_id", "embedding", inDims = 2, outDims = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(got.size === 8) // 2 valid vectors × 4 dims
+    assert(!got.keys.exists(_._1 == 9L))
+    // reproduce the signs from the same public hash
+    def sign(j: Int, i: Int): Long =
+      if ((graft.functions.Kernels.hex60String(s"$j:$i") & 1L) == 0L) 1L else -1L
+    for (j <- 0 until 4) {
+      assert(got((1L, j.toLong)) === sign(j, 0) * (1L << 20) + sign(j, 1) * (2L << 20))
+      assert(got((2L, j.toLong)) ===
+        sign(j, 0) * (1L << 19) + sign(j, 1) * math.floor(-0.5 * (1 << 20)).toLong)
+    }
+  }
+
   test("firstDigitAudit: digits, zero-filled rows, exact quantized masses") {
     val df = Seq(
       ("g", 123L), ("g", 19L), ("g", 155L), ("g", 900L),
