@@ -90,4 +90,43 @@ object Quantize {
       .select(col(idCol), posexplode(array(ys: _*)).as(Seq("j", "y_q")))
       .select(col(idCol), col("j").cast("long").as("j"), col("y_q"))
   }
+
+  /** Matryoshka prefix-energy audit (Kusupati et al., NeurIPS'22 —
+    * Matryoshka representation learning; public technique): for each
+    * candidate truncation length p, the fraction of a vector's squared
+    * mass its first p coordinates retain,
+    * `⌊2²⁰·Σ_{i≤p} xq_i² / Σ xq_i²⌋` over `xq = ⌊x·2²⁰⌋` — exactly
+    * cos²(full, zero-padded truncation), the number that decides
+    * whether serving can truncate stored embeddings to p dims.
+    *
+    * Integer-exact (quantize-then-square, one division at the end) and
+    * entirely map-side: higher-order array slices riding the scan, a
+    * ×|prefixes| row melt as the only fan-out, no shuffle. Zero-mass
+    * vectors report null (the ratio is undefined).
+    *
+    * Output: (idCol, p, energy_q).
+    */
+  def prefixEnergyAudit(embs: DataFrame, idCol: String, vecCol: String,
+      prefixes: Seq[Int]): DataFrame = {
+    require(prefixes.nonEmpty && prefixes.forall(_ >= 1),
+      s"need positive prefixes: $prefixes")
+    val rows = prefixes.map { p =>
+      // 2²⁰·Σxq² can pass 2⁶³ — the scaled numerator multiplies as
+      // decimal(38,0); the division result is back under 2²⁰
+      expr(s"""struct(CAST($p AS BIGINT) AS p,
+        CASE WHEN __tot > 0L THEN CAST(
+          (CAST(1048576 AS DECIMAL(38,0))
+             * aggregate(slice(__sq, 1, $p), 0L, (a, b) -> a + b))
+            div __tot AS BIGINT) END AS energy_q)""")
+    }
+    embs
+      .select(col(idCol).cast("long").as(idCol), expr(
+        s"""transform($vecCol, x ->
+             CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))""")
+        .as("__x"))
+      .withColumn("__sq", expr("transform(__x, v -> v * v)"))
+      .withColumn("__tot", expr("aggregate(__sq, 0L, (a, b) -> a + b)"))
+      .select(col(idCol), explode(array(rows: _*)).as("r"))
+      .select(col(idCol), col("r.p").as("p"), col("r.energy_q").as("energy_q"))
+  }
 }

@@ -92,4 +92,54 @@ object ShardExport {
     */
   def shardSalt(seed: Long): String = s"s$seed:"
   def ordSalt(seed: Long): String = s"o$seed:"
+
+  /** Vnode hash for consistent-ring placement: hex60 of
+    * "r<seed>:<shard>:<vnode>" — shared by [[ringRebalancePlan]] and
+    * the oracle so both engines build the identical ring.
+    */
+  def vnodeHash(seed: Long, shard: Int, vnode: Int): Long =
+    graft.functions.Kernels.hex60String(vnodeKey(seed, shard, vnode))
+  def vnodeKey(seed: Long, shard: Int, vnode: Int): String =
+    s"r$seed:$shard:$vnode"
+
+  /** Consistent-hash RING rebalance plan (Karger et al. STOC'97
+    * consistent hashing with virtual nodes; public technique): place
+    * every id on two rings — `fromShards` and `toShards`, each shard
+    * owning `vnodesPerShard` ring positions — and report the
+    * (from_shard, to_shard, n_ids) transition matrix. The diagonal is
+    * the point of the ring: unlike `hash mod N` (which moves ~1−1/N of
+    * ALL ids on any resize), a ring resize moves only the arc the new
+    * vnodes claim — this plan prices a shard-count change BEFORE the
+    * export re-runs.
+    *
+    * Placement is map-side against the two LITERAL sorted vnode
+    * tables (≤ shards·vnodes longs — plan constants, nothing is
+    * stored, broadcast, or shuffled): an id at hash x belongs to the
+    * first vnode clockwise from x (the smallest vnode hash ≥ x,
+    * wrapping to the ring's minimum). The only exchange is the final
+    * |from|×|to|-bounded count aggregation.
+    */
+  def ringRebalancePlan(df: DataFrame, idCol: String,
+      fromShards: Int, toShards: Int, vnodesPerShard: Int = 3,
+      seed: Long = 7L): DataFrame = {
+    require(fromShards > 0 && toShards > 0 && vnodesPerShard > 0,
+      s"bad ring sizes: $fromShards -> $toShards x $vnodesPerShard")
+    def assignExpr(shards: Int): org.apache.spark.sql.Column = {
+      val ring = (0 until shards).flatMap { sh =>
+        (0 until vnodesPerShard).map(v => (vnodeHash(seed, sh, v), sh.toLong))
+      }.sortBy(_._1)
+      val hs = ring.map(_._1).mkString("array(", "L, ", "L)")
+      val ss = ring.map(_._2).mkString("array(", "L, ", "L)")
+      // index of the first vnode hash >= x = #hashes < x (sorted ring);
+      // past the end wraps to index 1
+      expr(s"""element_at($ss,
+        CAST(CASE WHEN size(filter($hs, h -> h < __x)) = ${ring.size}
+          THEN 1 ELSE size(filter($hs, h -> h < __x)) + 1 END AS INT))""")
+    }
+    df.select(TextKernels.hex60(col(idCol).cast("string")).as("__x"))
+      .select(assignExpr(fromShards).as("from_shard"),
+        assignExpr(toShards).as("to_shard"))
+      .groupBy(col("from_shard"), col("to_shard"))
+      .agg(count(lit(1)).as("n_ids"))
+  }
 }

@@ -477,6 +477,55 @@ object Similarity {
     * own slices (the sample-init contract [[pqCodes]] documents),
     * collected once — `[subspace][code][dim]` doubles.
     */
+  /** Deterministic farthest-point (k-center / greedy 2-approximation —
+    * Gonzalez 1985; also the deterministic skeleton of k-means++
+    * seeding; public algorithms) seed selection: start from the
+    * smallest id, then `k−1` times pick the vector FARTHEST (max
+    * min-distance) from the chosen set, ties to the smallest id.
+    * RNG-free, so the seed set is a pure function of the corpus.
+    *
+    * Integer-exact: coordinates quantize to `⌊x·2²⁰⌋` longs and every
+    * distance is the exact squared-L2 sum of their differences —
+    * argmax compares identical integers on any engine/partitioning
+    * (no float-accumulation drift; ~2·dims·2⁴⁸ stays far inside a
+    * long for unit-scale embeddings).
+    *
+    * Scale shape per round: the chosen seeds are a LITERAL k×dims
+    * matrix (the kmeans/IVF smallness contract), so min-distance is
+    * map-side and the argmax is TakeOrderedAndProject(1) — one
+    * corpus pass per seed, k rows total ever reaching the driver.
+    *
+    * Output: (rank 1..k, idCol, d2_q) — d2_q the min squared distance
+    * to the earlier seeds at selection time (0 for rank 1), i.e. the
+    * k-center radius curve.
+    */
+  def farthestPointSeeds(df: DataFrame, idCol: String, vecCol: String,
+      k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1: $k")
+    val spark = df.sparkSession
+    val q = df.select(col(idCol).cast("long").as("__id"),
+      expr(s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))")
+        .as("__xq"))
+    def d2To(seed: Seq[Long]): org.apache.spark.sql.Column = {
+      val sLit = seed.mkString("array(", "L, ", "L)")
+      expr(s"aggregate(zip_with(__xq, $sLit, (a, b) -> (a - b) * (a - b)), 0L, (a, b) -> a + b)")
+    }
+    // each round's head() carries the winner's vector out with it, so
+    // the loop never re-scans for a seed's coordinates
+    val first = q.orderBy(col("__id").asc).limit(1).head()
+    var seeds = Vector((first.getLong(0), 0L, first.getSeq[Long](1)))
+    for (_ <- 2 to k) {
+      val dmin = seeds.map(s => d2To(s._3)).reduce(least(_, _))
+      val next = q.select(col("__id"), dmin.as("__d"), col("__xq"))
+        .orderBy(col("__d").desc, col("__id").asc).limit(1).head()
+      seeds = seeds :+ ((next.getLong(0), next.getLong(1), next.getSeq[Long](2)))
+    }
+    import spark.implicits._
+    seeds.zipWithIndex
+      .map { case ((id, d, _), i) => (i + 1L, id, d) }
+      .toDF("rank", idCol, "d2_q")
+  }
+
   private def seedCodebook(df: DataFrame, idCol: String, vecCol: String,
       subspaces: Int, codeK: Int): Array[Array[Array[Double]]] = {
     require(subspaces > 0 && codeK > 0,

@@ -2223,10 +2223,48 @@ object AnalyticsPack {
         ((count(*) + 9999) // 10000)::BIGINT AS salt
       FROM events GROUP BY event_type"""))
 
+  /** Consistent-hash ring rebalance plan
+    * (ShardExport.ringRebalancePlan): the (from, to) id-move matrix
+    * for a 16 → 20 shard resize over two literal vnode rings —
+    * placement entirely map-side, one bounded count aggregation. The
+    * oracle rebuilds the rings from the same vnode key strings through
+    * its own md5, so hash derivation AND placement are both checked;
+    * the diagonal mass is the consistent-hashing guarantee mod-N
+    * resharding forfeits.
+    */
+  private val q159 = QueryDef(
+    "q159_ring_rebalance",
+    (s, dir) => graft.ops.ShardExport.ringRebalancePlan(
+      Tables.customer(s, dir), "c_custkey",
+      fromShards = 16, toShards = 20, vnodesPerShard = 3, seed = 7L),
+    Some {
+      import graft.ops.ShardExport.{vnodeHash, vnodeKey}
+      def ringSql(shards: Int): (String, String) = {
+        val ring = (0 until shards).flatMap { sh =>
+          (0 until 3).map(v =>
+            (vnodeHash(7L, sh, v), sh.toLong, vnodeKey(7L, sh, v)))
+        }.sortBy(_._1)
+        (ring.map(r => OracleSql.hex60(s"'${r._3}'")).mkString("[", ",\n          ", "]"),
+          ring.map(_._2).mkString("[", ", ", "]"))
+      }
+      val (hsA, ssA) = ringSql(16)
+      val (hsB, ssB) = ringSql(20)
+      def assign(hs: String, ss: String, n: Int): String =
+        s"""CASE WHEN len(list_filter($hs, h -> h < x)) = $n
+            THEN ($ss)[1]
+            ELSE ($ss)[len(list_filter($hs, h -> h < x)) + 1] END"""
+      s"""WITH ids AS (SELECT ${OracleSql.hex60("c_custkey::VARCHAR")} AS x
+          FROM customer)
+        SELECT ${assign(hsA, ssA, 48)}::BIGINT AS from_shard,
+          ${assign(hsB, ssB, 60)}::BIGINT AS to_shard,
+          count(*)::BIGINT AS n_ids
+        FROM ids GROUP BY 1, 2"""
+    })
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
-    q145, q146, q150, q151, q152, q153, q155, q156)
+    q145, q146, q150, q151, q152, q153, q155, q156, q159)
 }

@@ -2038,10 +2038,68 @@ object PipelinePack {
         GROUP BY vec_id, j)
       SELECT vec_id, j::BIGINT AS j, y_q FROM g"""))
 
+  /** Deterministic farthest-point k-center seeding
+    * (Similarity.farthestPointSeeds): 4 seeds, each round one corpus
+    * pass with the chosen seeds as literal vectors and a
+    * TakeOrderedAndProject(1) argmax over exact quantized squared-L2
+    * integers. The oracle replays the greedy trajectory UNROLLED
+    * (chained argmax CTEs) — both must agree seed-for-seed because
+    * every comparison is of identical integers.
+    */
+  private val q158 = QueryDef(
+    "q158_kcenter_seeds",
+    (s, dir) => graft.ops.Similarity.farthestPointSeeds(
+      Tables.embeddings(s, dir), "vec_id", "embedding", k = 4),
+    Some {
+      def dist(aq: String, sq: String) =
+        s"list_sum(list_transform(range(1, len($aq) + 1), " +
+          s"i -> (($aq)[i] - ($sq)[i]) * (($aq)[i] - ($sq)[i])))::BIGINT"
+      s"""WITH q AS (SELECT vec_id AS id, list_transform(embedding,
+            x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS xq
+          FROM embeddings),
+        s1 AS (SELECT id, xq FROM q ORDER BY id LIMIT 1),
+        d1 AS (SELECT q.id, ${dist("q.xq", "s.xq")} AS d FROM q, s1 s),
+        s2 AS (SELECT d1.id, d1.d, q.xq FROM d1 JOIN q ON q.id = d1.id
+          ORDER BY d1.d DESC, d1.id LIMIT 1),
+        d2 AS (SELECT q.id, least(d1.d, ${dist("q.xq", "s.xq")}) AS d
+          FROM q JOIN d1 ON d1.id = q.id, s2 s),
+        s3 AS (SELECT d2.id, d2.d, q.xq FROM d2 JOIN q ON q.id = d2.id
+          ORDER BY d2.d DESC, d2.id LIMIT 1),
+        d3 AS (SELECT q.id, least(d2.d, ${dist("q.xq", "s.xq")}) AS d
+          FROM q JOIN d2 ON d2.id = q.id, s3 s),
+        s4 AS (SELECT d3.id, d3.d, q.xq FROM d3 JOIN q ON q.id = d3.id
+          ORDER BY d3.d DESC, d3.id LIMIT 1)
+        SELECT 1::BIGINT AS rank, id AS vec_id, 0::BIGINT AS d2_q FROM s1
+        UNION ALL SELECT 2::BIGINT, id, d::BIGINT FROM s2
+        UNION ALL SELECT 3::BIGINT, id, d::BIGINT FROM s3
+        UNION ALL SELECT 4::BIGINT, id, d::BIGINT FROM s4"""
+    })
+
+  /** Matryoshka prefix-energy audit (Quantize.prefixEnergyAudit): the
+    * squared-mass fraction the first 8/16/32 coordinates retain,
+    * quantize-then-square with one decimal division at the end —
+    * map-side only, the ×3 melt is the sole fan-out.
+    */
+  private val q160 = QueryDef(
+    "q160_matryoshka",
+    (s, dir) => graft.ops.Quantize.prefixEnergyAudit(
+      Tables.embeddings(s, dir), "vec_id", "embedding", Seq(8, 16, 32)),
+    Some("""WITH x AS (SELECT vec_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS xq
+        FROM embeddings),
+      s AS (SELECT vec_id, list_transform(xq, v -> v * v) AS sq FROM x),
+      t AS (SELECT vec_id, sq, list_sum(sq)::BIGINT AS tot FROM s),
+      p AS (SELECT vec_id, unnest([8, 16, 32])::BIGINT AS p, sq, tot FROM t)
+      SELECT vec_id, p,
+        CASE WHEN tot > 0 THEN
+          ((1048576::HUGEINT * list_sum(sq[1:p])) // tot)::BIGINT
+        END AS energy_q
+      FROM p"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
-    q141, q143, q144, q147, q148, q149, q154, q157)
+    q141, q143, q144, q147, q148, q149, q154, q157, q158, q160)
 }

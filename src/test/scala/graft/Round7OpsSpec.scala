@@ -239,6 +239,56 @@ class Round7OpsSpec extends AnyFunSuite {
     }
   }
 
+  // ------------------------------------------- farthest-point seeds
+
+  test("farthestPointSeeds walks the greedy k-center trajectory with id ties") {
+    import graft.ops.Similarity
+    val pts = Seq(
+      (1L, Seq(0.0f, 0.0f)), (2L, Seq(10.0f, 0.0f)),
+      (3L, Seq(0.0f, 10.0f)), (4L, Seq(5.0f, 5.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.farthestPointSeeds(pts, "vec_id", "embedding", k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    val u = 1L << 20 // coordinate quantum
+    // seed 1: min id. Seed 2: ids 2 and 3 tie at d²=100u² → smaller id.
+    // Seed 3: id 3 (min-dist 100u² to seed 1) beats id 4 (50u²).
+    assert(got.toSeq === Seq((1L, 1L, 0L), (2L, 2L, 100L * u * u),
+      (3L, 3L, 100L * u * u)))
+  }
+
+  // ------------------------------------------------ ring rebalance
+
+  test("ringRebalancePlan: growing the ring only moves arcs new vnodes claim") {
+    import graft.ops.ShardExport
+    val ids = (1L to 500L).toDF("id")
+    val plan = ShardExport.ringRebalancePlan(ids, "id", 16, 20).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(plan.map(_._3).sum === 500L) // partition of the ids
+    assert(plan.forall(p => p._1 >= 0 && p._1 < 16 && p._2 >= 0 && p._2 < 20))
+    // rings share the seed: the 16-shard ring is a SUBSET of the
+    // 20-shard ring, so any id not claimed by a new shard's vnode
+    // stays exactly where it was — the consistent-hashing contract
+    assert(plan.filter(_._2 < 16).forall(p => p._1 === p._2))
+    assert(plan.exists(p => p._1 === p._2)) // and some mass does stay
+  }
+
+  // -------------------------------------------- matryoshka energy
+
+  test("prefixEnergyAudit: exact mass fractions, null on zero vectors") {
+    import graft.ops.Quantize
+    val df = Seq(
+      (1L, Seq(1.0f, 1.0f)), (2L, Seq(0.0f, 0.0f)), (3L, Seq(0.0f, 3.0f))
+    ).toDF("vec_id", "embedding")
+    val got = Quantize.prefixEnergyAudit(df, "vec_id", "embedding", Seq(1, 2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        (if (r.isNullAt(2)) None else Some(r.getLong(2)))).toMap
+    assert(got((1L, 1L)) === Some(524288L)) // half the mass in dim 1
+    assert(got((1L, 2L)) === Some(1048576L))
+    assert(got((2L, 1L)) === None) // zero vector: undefined, not NaN
+    assert(got((3L, 1L)) === Some(0L)) // none of the mass in dim 1
+    assert(got((3L, 2L)) === Some(1048576L))
+  }
+
   test("firstDigitAudit: digits, zero-filled rows, exact quantized masses") {
     val df = Seq(
       ("g", 123L), ("g", 19L), ("g", 155L), ("g", 900L),
