@@ -54,4 +54,38 @@ object Stats {
       .select(col("p.x").as("x"), col("p.y").as("y"),
         col("__n").as("n"), col("p.corr").as("corr"))
   }
+
+  /** Quantile (rank) normalization — the heavy-tail-proof feature
+    * transform (map each value to its empirical quantile; the
+    * "rank-gauss" prep minus the gaussian tail): quantile_q =
+    * ⌊2²⁰·(rank−1)/(N−1)⌋ with rank = MIN-rank (ties share the rank of
+    * their first position — SQL `rank()` semantics), so the transform
+    * is exact integer end-to-end and identical on any engine.
+    *
+    * Distributed shape: ranks come from the [[Sweep.runningSum]]
+    * prefix over the VALUE DOMAIN (two small shuffles — never a
+    * corpus-wide single-partition `rank()` window); rows join their
+    * rank back on the value key (pre-reduced, uniform), and N is a
+    * 1-row broadcast. The q137/q144 rank-decomposition pattern applied
+    * to feature scaling.
+    *
+    * Output: input row id + value + `quant_q` ∈ [0, 2²⁰]. Degenerate
+    * single-distinct-value inputs map to 0 (the N−1 = 0 guard).
+    */
+  def quantileNormalize(df: DataFrame, idCol: String,
+      valueCol: String): DataFrame = {
+    val rows = df.select(col(idCol), col(valueCol).cast("long").as("__v"))
+      .filter(col("__v").isNotNull)
+    val dom = rows.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+    val ranks = Sweep.runningSum(dom, "__v", "__n")
+      .select(col("t").as("__v"), (col("running") - col("d") + 1).as("__rank"))
+    val n = rows.agg(count(lit(1)).as("__total"))
+    rows
+      .join(ranks, Seq("__v"))
+      .crossJoin(broadcast(n))
+      .select(col(idCol), col("__v").as(valueCol),
+        when(col("__total") > 1,
+          expr("(1048576 * (__rank - 1)) div (__total - 1)"))
+          .otherwise(lit(0L)).as("quant_q"))
+  }
 }

@@ -2261,10 +2261,80 @@ object AnalyticsPack {
         FROM ids GROUP BY 1, 2"""
     })
 
+  /** Integer EMA smoothing (Smooth.ema) over the zero-filled daily
+    * order counts: α = 1/4 as the exact recurrence
+    * `y = (3·y_prev + x) div 4` folded per series inside codegen (the
+    * bounded-group collect — recurrences are what window frames CANNOT
+    * express). The oracle replays the identical recurrence as a
+    * RECURSIVE CTE walking the gap-free day spine.
+    */
+  private val q161 = QueryDef(
+    "q161_ema",
+    (s, dir) => {
+      val orders = Tables.orders(s, dir)
+      val dayIdx = expr(
+        "unix_micros(cast(o_orderdate as timestamp)) div 86400000000")
+      val daily = orders
+        .groupBy(col("o_orderpriority").as("priority"), dayIdx.as("day_idx"))
+        .agg(count(lit(1)).as("n"))
+      val days = orders.agg(min(dayIdx).as("lo"), max(dayIdx).as("hi"))
+        .select(explode(sequence(col("lo"), col("hi"))).as("day_idx"))
+      val spine = orders.select(col("o_orderpriority").as("priority"))
+        .distinct().crossJoin(days)
+      val base = spine.join(broadcast(daily), Seq("priority", "day_idx"), "left")
+        .select(col("priority"), col("day_idx"),
+          coalesce(col("n"), lit(0L)).as("n_orders"))
+      graft.ops.Smooth.ema(base, "priority", "day_idx", "n_orders",
+        alphaNum = 1L, alphaDen = 4L)
+    },
+    Some("""WITH RECURSIVE daily AS (SELECT o_orderpriority AS priority,
+          epoch_us(o_orderdate) // 86400000000 AS day_idx, count(*) AS n
+        FROM orders GROUP BY 1, 2),
+      span AS (SELECT min(epoch_us(o_orderdate) // 86400000000) AS lo,
+          max(epoch_us(o_orderdate) // 86400000000) AS hi FROM orders),
+      days AS (SELECT unnest(generate_series(lo, hi)) AS day_idx FROM span),
+      prios AS (SELECT DISTINCT o_orderpriority AS priority FROM orders),
+      base AS (SELECT priority, day_idx, coalesce(n, 0)::BIGINT AS n_orders
+        FROM (SELECT priority, day_idx FROM prios CROSS JOIN days)
+        LEFT JOIN daily USING (priority, day_idx)),
+      r AS (SELECT priority, day_idx, n_orders, n_orders AS ema
+          FROM base WHERE day_idx = (SELECT lo FROM span)
+        UNION ALL
+        SELECT b.priority, b.day_idx, b.n_orders,
+          (r.ema * 3 + b.n_orders) // 4
+        FROM r JOIN base b ON b.priority = r.priority
+          AND b.day_idx = r.day_idx + 1)
+      SELECT priority, day_idx, n_orders, ema::BIGINT AS ema FROM r"""))
+
+  /** Quantile normalization (Stats.quantileNormalize): every order's
+    * cent amount mapped to ⌊2²⁰·(rank−1)/(N−1)⌋ with MIN-rank ties —
+    * ranks from the Sweep value-domain prefix sum (never a
+    * single-partition rank() over the corpus), rows joining their rank
+    * back on the pre-reduced value key.
+    */
+  private val q162 = QueryDef(
+    "q162_quantile_norm",
+    (s, dir) => graft.ops.Stats.quantileNormalize(
+      Tables.orders(s, dir).select(col("o_orderkey"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents")),
+      "o_orderkey", "cents"),
+    Some("""WITH q AS (SELECT o_orderkey,
+          (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS cents
+        FROM orders),
+      n AS (SELECT count(*)::BIGINT AS total FROM q),
+      r AS (SELECT o_orderkey, cents,
+          rank() OVER (ORDER BY cents) AS rk FROM q)
+      SELECT o_orderkey, cents,
+        CASE WHEN total > 1
+          THEN ((1048576 * (rk - 1)) // (total - 1))::BIGINT
+          ELSE 0::BIGINT END AS quant_q
+      FROM r CROSS JOIN n"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
-    q145, q146, q150, q151, q152, q153, q155, q156, q159)
+    q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162)
 }

@@ -41,7 +41,9 @@ class PlanContractSpec extends AnyFunSuite {
     "q143_record_linkage", // 1-row corpus total for the rarity-weight scale
     "q148_chi2_tokens",    // 1-row corpus-total N for the χ² contingency
     "q152_interpolate",    // the q70-style calendar spine (groups × days)
-    "q154_bm25")           // 1-row (N, T) corpus totals for the BM25 ratios
+    "q154_bm25",           // 1-row (N, T) corpus totals for the BM25 ratios
+    "q161_ema",            // the q70-style calendar spine (groups × days)
+    "q162_quantile_norm")  // 1-row corpus total N for the quantile scale
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {

@@ -289,6 +289,43 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got((3L, 2L)) === Some(1048576L))
   }
 
+  // ------------------------------------------------------ EMA
+
+  test("Smooth.ema folds the exact integer recurrence per series") {
+    import graft.ops.Smooth
+    val df = Seq(
+      ("a", 1L, 100L), ("a", 2L, 0L), ("a", 3L, 0L), ("a", 4L, 200L),
+      ("b", 1L, 8L), ("b", 2L, 8L)
+    ).toDF("g", "t", "x")
+    val got = Smooth.ema(df, "g", "t", "x", alphaNum = 1L, alphaDen = 4L)
+      .collect().map(r => (r.getString(0), r.getLong(1)) -> r.getLong(3)).toMap
+    // a: y1=100, y2=(300+0)/4=75, y3=(225+0)/4=56, y4=(168+200)/4=92
+    assert(got(("a", 1L)) === 100L)
+    assert(got(("a", 2L)) === 75L)
+    assert(got(("a", 3L)) === 56L)
+    assert(got(("a", 4L)) === 92L)
+    // constant series is a fixpoint; series never cross
+    assert(got(("b", 1L)) === 8L && got(("b", 2L)) === 8L)
+  }
+
+  // -------------------------------------------- quantile normalize
+
+  test("quantileNormalize: min-rank ties, full [0, 2^20] span, degenerate guard") {
+    import graft.ops.Stats
+    val df = Seq((1L, 10L), (2L, 20L), (3L, 20L), (4L, 40L), (5L, 50L))
+      .toDF("id", "v")
+    val got = Stats.quantileNormalize(df, "id", "v").collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(1L) === 0L)                      // rank 1 → 0
+    assert(got(2L) === got(3L))                 // ties share min-rank
+    assert(got(2L) === (1048576L * 1) / 4)      // rank 2 of 5
+    assert(got(4L) === (1048576L * 3) / 4)
+    assert(got(5L) === 1048576L)                // max → exactly 2²⁰
+    val one = Seq((1L, 7L), (2L, 7L)).toDF("id", "v")
+    assert(Stats.quantileNormalize(one, "id", "v").collect()
+      .forall(_.getLong(2) === 0L))             // N distinct = 1 → all 0
+  }
+
   test("firstDigitAudit: digits, zero-filled rows, exact quantized masses") {
     val df = Seq(
       ("g", 123L), ("g", 19L), ("g", 155L), ("g", 900L),
