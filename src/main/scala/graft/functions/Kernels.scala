@@ -391,6 +391,23 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Byte-class histogram of a binary payload: counts per bucket
+    * `(byte & 0xff)·buckets / 256` — the content-sniffing fingerprint
+    * a media pipeline uses to sanity-check payloads before decode
+    * (text vs binary vs compressed have very different byte-class
+    * shapes). One compiled pass, primitive-backed output.
+    */
+  def byteHistogram(bytes: Array[Byte], buckets: Int): ArrayData = {
+    require(buckets >= 1 && buckets <= 256, s"bad bucket count: $buckets")
+    val out = new Array[Long](buckets)
+    var i = 0
+    while (i < bytes.length) {
+      out((bytes(i) & 0xff) * buckets / 256) += 1
+      i += 1
+    }
+    org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
   /** [[sortedPairs]] with the pair PACKED into one long
     * (`a << 32 | b`, requiring 0 ≤ id < 2³²) — for dense co-occurrence
     * counting the downstream `groupBy(pair).count` then hashes and
@@ -761,6 +778,13 @@ object Kernels {
       returnNullable = true))
 
   /** Media feature vector straight from a binary payload column. */
+  /** Byte-class histogram (buckets longs) of a binary payload column. */
+  def byteHistogramOf(payload: Column, buckets: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, ArrayType(LongType, containsNull = false), "byteHistogram",
+      Seq(expr(payload), expr(org.apache.spark.sql.functions.lit(buckets))),
+      Seq(BinaryType, IntegerType)))
+
   def mediaFeaturesOf(payload: Column, dim: Int): Column =
     exprBridge.column(StaticInvoke(
       Kernels.getClass, ArrayType(FloatType, containsNull = false), "mediaFeatures",

@@ -134,6 +134,26 @@ object Multimodal {
       .distinct()
   }
 
+  /** Byte-class histogram of each payload — the content-sniffing
+    * audit run BEFORE decode (text, compressed, and media payloads
+    * have sharply different byte-class shapes; a feed whose histogram
+    * shifts is mislabeled or corrupted upstream). Compiled kernel pass
+    * ([[Kernels.byteHistogram]]) inside WholeStageCodegen, the
+    * ×buckets melt the only fan-out; every bucket emits (zeros
+    * included) so the shape vector always has `buckets` components.
+    *
+    * Output: (idCol, bucket 0..buckets−1, n, frac_q = ⌊2²⁰·n/len⌋);
+    * empty payloads are excluded (no shape to report).
+    */
+  def byteHistogram(df: DataFrame, idCol: String, buckets: Int = 16): DataFrame =
+    df.filter(octet_length(col("payload")) > 0)
+      .select(col(idCol),
+        octet_length(col("payload")).cast("long").as("__len"),
+        posexplode(Kernels.byteHistogramOf(col("payload"), buckets))
+          .as(Seq("bucket", "n")))
+      .select(col(idCol), col("bucket").cast("long").as("bucket"), col("n"),
+        expr("(1048576 * n) div __len").as("frac_q"))
+
   /** Deterministic stand-in for a media decoder — delegates to the
     * [[Kernels.mediaFeatures]] kernel so the local-JVM and plan-side
     * paths share one implementation. Replace the kernel body with the

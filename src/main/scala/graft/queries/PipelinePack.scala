@@ -2096,10 +2096,36 @@ object PipelinePack {
         END AS energy_q
       FROM p"""))
 
+  /** Payload byte-class histogram (Multimodal.byteHistogram): the
+    * content-sniffing audit before decode — 16 byte-class counts +
+    * mass fractions per payload from one compiled kernel pass, zeros
+    * included so the shape vector is always complete. The oracle
+    * recomputes the classes character-wise (payloads here are ASCII
+    * text bytes, so ord//16 IS the byte class).
+    */
+  private val q163 = QueryDef(
+    "q163_byte_histogram",
+    (s, dir) => graft.ops.Multimodal.byteHistogram(
+      graft.ops.Multimodal.ingest(
+        Tables.documents(s, dir), "doc_id", "text", "text/plain"),
+      "doc_id", buckets = 16),
+    Some("""WITH b AS (SELECT doc_id, ord(substr(text, i, 1)) // 16 AS bucket
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) s
+        WHERE len(text) > 0),
+      c AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+      l AS (SELECT doc_id, len(text)::BIGINT AS len FROM documents
+        WHERE len(text) > 0),
+      d AS (SELECT unnest(generate_series(0, 15))::BIGINT AS bucket)
+      SELECT l.doc_id, d.bucket, coalesce(c.n, 0)::BIGINT AS n,
+        ((1048576 * coalesce(c.n, 0)) // l.len)::BIGINT AS frac_q
+      FROM l CROSS JOIN d
+      LEFT JOIN c ON c.doc_id = l.doc_id AND c.bucket = d.bucket"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
-    q141, q143, q144, q147, q148, q149, q154, q157, q158, q160)
+    q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163)
 }

@@ -326,6 +326,25 @@ class Round7OpsSpec extends AnyFunSuite {
       .forall(_.getLong(2) === 0L))             // N distinct = 1 → all 0
   }
 
+  // ---------------------------------------------- byte histogram
+
+  test("byteHistogram: exact byte classes, zero buckets, empty payloads dropped") {
+    import graft.ops.Multimodal
+    val df = Seq((1L, "AAaa  "), (2L, "")).toDF("doc_id", "text")
+    val got = Multimodal.byteHistogram(
+      Multimodal.ingest(df, "doc_id", "text", "text/plain"), "doc_id", 16)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(!got.keys.exists(_._1 == 2L)) // empty payload has no shape
+    assert(got.size === 16)
+    // 'A' = 0x41 → bucket 4; 'a' = 0x61 → 6; ' ' = 0x20 → 2
+    assert(got((1L, 4L)) === ((2L, (1048576L * 2) / 6)))
+    assert(got((1L, 6L)) === ((2L, (1048576L * 2) / 6)))
+    assert(got((1L, 2L)) === ((2L, (1048576L * 2) / 6)))
+    assert(got((1L, 0L)) === ((0L, 0L))) // zero bucket still emits
+    assert(got.values.map(_._1).sum === 6L)
+  }
+
   test("firstDigitAudit: digits, zero-filled rows, exact quantized masses") {
     val df = Seq(
       ("g", 123L), ("g", 19L), ("g", 155L), ("g", 900L),
