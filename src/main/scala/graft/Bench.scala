@@ -98,5 +98,8 @@ object Bench {
     }
     spark.stop() // stop BEFORE printing so no stray log line follows the JSON
     println(line)
+    // run is forked (build.sbt): hard-exit so a lingering non-daemon
+    // thread can never hang the bench after the JSON is out
+    sys.exit(0)
   }
 }

@@ -37,5 +37,8 @@ object Verify {
       .filter { case (name, _) => only.forall(_.contains(name)) }.toSeq)
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()
+    // run is forked (build.sbt): hard-exit so a lingering non-daemon
+    // thread can never hang the dump after all output is on disk
+    sys.exit(0)
   }
 }
