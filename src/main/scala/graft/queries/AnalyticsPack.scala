@@ -2331,10 +2331,44 @@ object AnalyticsPack {
           ELSE 0::BIGINT END AS quant_q
       FROM r CROSS JOIN n"""))
 
+  /** Kaplan–Meier survival curve (Survival.kaplanMeier) over user
+    * last-active days: the corpus reduces to one row per user, then to
+    * the churn-day DOMAIN; the product-limit estimator is the
+    * quantized recurrence ⌊S·(n−d)/n⌋ folded over the sorted domain —
+    * the q161 rule (recurrences fold, they don't window). The oracle
+    * replays it as a RECURSIVE CTE over row-numbered churn days.
+    */
+  private val q164 = QueryDef(
+    "q164_survival",
+    (s, dir) => graft.ops.Survival.kaplanMeier(
+      Tables.events(s, dir)
+        .select(col("user_id"),
+          expr("unix_micros(cast(ts as timestamp)) div 86400000000")
+            .as("day_idx")),
+      "user_id", "day_idx"),
+    Some("""WITH RECURSIVE l AS (SELECT user_id,
+          max(epoch_us(ts) // 86400000000) AS t
+        FROM events GROUP BY user_id),
+      dd AS (SELECT t, count(*)::BIGINT AS d FROM l GROUP BY t),
+      nn AS (SELECT t, d,
+          (sum(d) OVER (ORDER BY t DESC
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS n,
+          row_number() OVER (ORDER BY t) AS rn
+        FROM dd),
+      r AS (SELECT t, d, n, rn, (1048576 * (n - d)) // n AS s
+          FROM nn WHERE rn = 1
+        UNION ALL
+        SELECT nn.t, nn.d, nn.n, nn.rn, (r.s * (nn.n - nn.d)) // nn.n
+        FROM r JOIN nn ON nn.rn = r.rn + 1)
+      SELECT t AS day_idx, n AS at_risk, d AS churned,
+        s::BIGINT AS survival_q
+      FROM r"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
-    q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162)
+    q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162,
+    q164)
 }

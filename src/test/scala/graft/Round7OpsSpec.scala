@@ -345,6 +345,24 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got.values.map(_._1).sum === 6L)
   }
 
+  // ---------------------------------------------- survival curve
+
+  test("kaplanMeier: exact product-limit trajectory over churn days") {
+    import graft.ops.Survival
+    // 4 users, last-active days: u1→1, u2→1, u3→2, u4→3
+    val ev = Seq((1L, 0L), (1L, 1L), (2L, 1L), (3L, 2L), (4L, 0L), (4L, 3L))
+      .toDF("uid", "day")
+    val got = Survival.kaplanMeier(ev, "uid", "day").collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    val q = 1L << 20
+    // day 1: n=4, d=2 → S = q/2; day 2: n=2, d=1 → S = q/4;
+    // day 3: n=1, d=1 → S = 0
+    assert(got(1L) === ((4L, 2L, q / 2)))
+    assert(got(2L) === ((2L, 1L, q / 4)))
+    assert(got(3L) === ((1L, 1L, 0L)))
+  }
+
   test("firstDigitAudit: digits, zero-filled rows, exact quantized masses") {
     val df = Seq(
       ("g", 123L), ("g", 19L), ("g", 155L), ("g", 900L),
