@@ -198,6 +198,34 @@ object StreamingLift {
     l.join(r, cond, if (leftOuter) "leftOuter" else "inner")
   }
 
+  /** Temporal (as-of validity) stream enrichment: each stream element
+    * joins the SCD2 dimension row that was valid AT ITS EVENT TIME —
+    * `key matches ∧ valid_from ≤ ts < valid_to` — the streaming lift
+    * of the q36/q67 batch pattern (late events still meet the version
+    * that governed them, not today's).
+    *
+    * The dimension is STATIC (a stream-static join): Spark re-plans
+    * the static side per micro-batch, so republishing the SCD2 table
+    * between batches is picked up without restarting the query, and a
+    * compact dimension broadcasts (the non-equi residual rides a hash
+    * join on the key — never a nested loop over the stream). An open
+    * current version (null valid_to) matches everything after its
+    * valid_from.
+    */
+  def enrichAsOf(stream: DataFrame, dim: DataFrame, keyCol: String,
+      tsCol: String, validFrom: String, validTo: String): DataFrame = {
+    val s = stream.alias("s")
+    val d = dim.alias("d")
+    val cond = col(s"s.$keyCol") === col(s"d.$keyCol") &&
+      col(s"d.$validFrom") <= col(s"s.$tsCol") &&
+      (col(s"d.$validTo").isNull || col(s"d.$validTo") > col(s"s.$tsCol"))
+    val dimCols = dim.columns.filterNot(c => c == keyCol ||
+      c == validFrom || c == validTo)
+    s.join(d, cond, "left")
+      .select(stream.columns.map(c => col(s"s.$c")) ++
+        dimCols.map(c => col(s"d.$c")): _*)
+  }
+
   /** The version-pinned metadata key [[maintainAggStream]] records the
     * last-applied micro-batch id under.
     */

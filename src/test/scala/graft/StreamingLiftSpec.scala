@@ -425,4 +425,37 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(got.map(_._1) === Seq(1L, 2L), "exactly one emission per key")
     assert(!got.exists(_._2 == "dup-across-batch"), "later re-delivery must be dropped")
   }
+
+  test("enrichAsOf joins each event to the dimension version valid at its event time") {
+    val srcDir = Files.createTempDirectory("graft-asof-src").toString
+    val schema = events(Nil).schema
+    // SCD2 dimension: user 1 was "bronze" until 10:05, "gold" after
+    // (open validity); user 2 has one closed version only
+    val dim = Seq(
+      (1L, ts("2024-01-01 00:00:00"), ts("2024-01-01 10:05:00"), "bronze"),
+      (1L, ts("2024-01-01 10:05:00"), null.asInstanceOf[Timestamp], "gold"),
+      (2L, ts("2024-01-01 00:00:00"), ts("2024-01-01 10:00:00"), "trial")
+    ).toDF("user_id", "valid_from", "valid_to", "tier")
+    events(Seq(
+      (1L, ts("2024-01-01 10:00:00"), "early"), // bronze era
+      (1L, ts("2024-01-01 10:05:00"), "boundary"), // valid_to is exclusive → gold
+      (1L, ts("2024-01-01 11:00:00"), "late"), // gold era (open version)
+      (2L, ts("2024-01-01 12:00:00"), "expired"), // no valid version → null
+      (3L, ts("2024-01-01 12:00:00"), "unknown") // key absent → null
+    )).write.parquet(srcDir + "/f1")
+    val stream = spark.readStream.schema(schema).parquet(srcDir + "/*")
+    val enriched = StreamingLift.enrichAsOf(stream, dim,
+      keyCol = "user_id", tsCol = "ts",
+      validFrom = "valid_from", validTo = "valid_to")
+    val q = enriched.writeStream.format("memory").queryName("asof_out")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("asof_out").collect()
+      .map(r => r.getAs[String]("v") -> Option(r.getAs[String]("tier"))).toMap
+    assert(got === Map("early" -> Some("bronze"), "boundary" -> Some("gold"),
+      "late" -> Some("gold"), "expired" -> None, "unknown" -> None))
+    // left join: every event emits exactly once
+    assert(spark.table("asof_out").count() === 5)
+  }
 }
