@@ -526,6 +526,45 @@ object Similarity {
       .toDF("rank", idCol, "d2_q")
   }
 
+  /** Hard-negative mining for contrastive training (the in-batch /
+    * ANN-negative recipe behind DPR and friends — Karpukhin et al.
+    * EMNLP'20; public technique): for each query vector, rank its OWN
+    * IVF cell's members by similarity, presume the top `skip` are
+    * positives/duplicates, and emit the next `k` — similar enough to
+    * be hard, not so similar they're the answer.
+    *
+    * Determinism: candidate similarity is the EXACT integer dot
+    * product of ⌊x·2²⁰⌋-quantized coordinates (a long sum —
+    * order-independent, no float-ordering ambiguity in the rank), and
+    * cell assignment is the oracle-proven [[assignCells]] map-side
+    * argmax. Candidate generation never leaves the cell: the join key
+    * is (cell), the per-query candidate set is cell-sized, and the
+    * rank reduction is the bounded-heap [[TopK.groupedTopK]] — the
+    * exchange carries ≤ skip+k rows per (query × partition).
+    *
+    * Output: (q_id, rank ∈ (skip, skip+k], vec_id, dot_q).
+    */
+  def hardNegatives(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, queryIds: Seq[Long], skip: Int, k: Int): DataFrame = {
+    require(skip >= 0 && k >= 1, s"bad skip/k: $skip/$k")
+    require(queryIds.nonEmpty, "need at least one query id")
+    val xq = expr(
+      s"transform($vecCol, x -> CAST(floor(CAST(x AS DOUBLE) * 1048576.0D) AS BIGINT))")
+    val asg = assignCells(df, vecCol, centroids)
+      .select(col(idCol).cast("long").as("__id"), col("cell_id"), xq.as("__xq"))
+    val qs = asg.filter(col("__id").isin(queryIds: _*))
+      .select(col("__id").as("q_id"), col("cell_id"), col("__xq").as("__qxq"))
+    val scored = asg.join(broadcast(qs), Seq("cell_id"))
+      .filter(col("__id") =!= col("q_id"))
+      .select(col("q_id"), col("__id"),
+        expr("aggregate(zip_with(__xq, __qxq, (a, b) -> a * b), 0L, (a, b) -> a + b)")
+          .as("__dot"))
+    TopK.groupedTopK(scored, Seq("q_id"), "__dot", "__id", skip + k)
+      .filter(col("rank") > skip)
+      .select(col("q_id"), col("rank"), col("__id").as(idCol),
+        col("score").cast("long").as("dot_q"))
+  }
+
   private def seedCodebook(df: DataFrame, idCol: String, vecCol: String,
       subspaces: Int, codeK: Int): Array[Array[Array[Double]]] = {
     require(subspaces > 0 && codeK > 0,

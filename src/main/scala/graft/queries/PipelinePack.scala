@@ -2122,10 +2122,50 @@ object PipelinePack {
       FROM l CROSS JOIN d
       LEFT JOIN c ON c.doc_id = l.doc_id AND c.bucket = d.bucket"""))
 
+  /** Hard-negative mining (Similarity.hardNegatives): per query, the
+    * cell-mates ranked 4–8 by EXACT integer quantized dot product —
+    * close enough to be hard contrastive negatives, past the presumed
+    * positives. Cell assignment is the q23 oracle-proven argmax;
+    * ranking integers kills float-order ambiguity; the rank reduction
+    * is the bounded-heap groupedTopK.
+    */
+  private val q165 = QueryDef(
+    "q165_hard_negatives",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+      Similarity.hardNegatives(e, "vec_id", "embedding", cents,
+        queryIds = Seq(0L, 17L, 42L), skip = 3, k = 5)
+    },
+    Some(s"""WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      asg AS (SELECT vec_id, embedding, cell_id FROM (
+        SELECT e.vec_id, e.embedding, c.cell_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY coalesce(${sqlCos("e.embedding", "c.cvec")}, '-infinity'::DOUBLE) DESC,
+              c.cell_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+      xq AS (SELECT vec_id, cell_id, list_transform(embedding,
+          x -> CAST(floor(CAST(x AS DOUBLE) * 1048576) AS BIGINT)) AS xq
+        FROM asg),
+      qs AS (SELECT vec_id AS q_id, cell_id, xq AS qxq FROM xq
+        WHERE vec_id IN (0, 17, 42)),
+      sc AS (SELECT qs.q_id, x.vec_id,
+          list_sum(list_transform(range(1, len(x.xq) + 1),
+            i -> x.xq[i] * qs.qxq[i]))::BIGINT AS dot
+        FROM xq x JOIN qs ON qs.cell_id = x.cell_id
+          AND x.vec_id <> qs.q_id),
+      r AS (SELECT q_id, vec_id, dot, row_number() OVER (PARTITION BY q_id
+          ORDER BY dot DESC, vec_id ASC) AS rank FROM sc)
+      SELECT q_id, rank::BIGINT AS rank, vec_id, dot AS dot_q
+      FROM r WHERE rank > 3 AND rank <= 8"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
-    q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163)
+    q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
+    q165)
 }

@@ -363,6 +363,28 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(got(3L) === ((1L, 1L, 0L)))
   }
 
+  // ---------------------------------------------- hard negatives
+
+  test("hardNegatives skips presumed positives, stays in-cell, excludes self") {
+    import graft.ops.Similarity
+    // one dominant cell: centroid c0 = (1, 0); all vectors near it.
+    // similarity to query (id 10) is ordered by construction.
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(-1.0f, 0.0f)))
+      .toDF("cell_id", "cvec")
+    val vecs = (Seq((10L, Seq(1.0f, 0.0f))) ++ // the query
+      (1 to 6).map(i => (i.toLong, Seq(1.0f, 0.1f * i))) ++ // same cell
+      Seq((99L, Seq(-1.0f, 0.0f)))) // other cell — must never appear
+      .toDF("vec_id", "embedding")
+    val got = Similarity.hardNegatives(vecs, "vec_id", "embedding", cents,
+      queryIds = Seq(10L), skip = 2, k = 3)
+      .collect().map(r => (r.getLong(1), r.getLong(2)))
+    // in-cell ranking by integer dot with q=(1,0): dot = xq_1 (const)
+    // + 0 → ties on the first coord broken by id ASC: ids 1..6 all tie
+    // → ranks 1..6 are ids 1..6; skip 2, take 3 → ids 3,4,5
+    assert(got.toSeq === Seq((3L, 3L), (4L, 4L), (5L, 5L)))
+    assert(!got.exists(_._2 == 10L) && !got.exists(_._2 == 99L))
+  }
+
   test("firstDigitAudit: digits, zero-filled rows, exact quantized masses") {
     val df = Seq(
       ("g", 123L), ("g", 19L), ("g", 155L), ("g", 900L),
