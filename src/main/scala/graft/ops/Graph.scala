@@ -124,6 +124,48 @@ object Graph {
           (col("degree") * (col("degree") - 1)).cast("double")))
   }
 
+  /** Synchronous majority label propagation (Raghavan et al., PRE
+    * 2007 — LPA community detection; public algorithm), made fully
+    * deterministic: each round EVERY node adopts the most frequent
+    * label among its neighbors, ties to the smallest label — no
+    * random visit order, so the trajectory is a pure function of the
+    * (graph, seed labels, rounds) triple and an unrolled oracle can
+    * replay it exactly.
+    *
+    * Per round: one edge⋈label join (both keyed on node ids) + one
+    * (node, label) count + one per-node argmax folded into a single
+    * `max(struct(count, −label))` aggregation — no window, no sort;
+    * `localCheckpoint` cuts lineage per round (the [[pagerank]] rule).
+    *
+    * Output: (node, label) after `rounds` rounds — nodes present in
+    * the edge list only (isolated nodes have no neighbors to vote).
+    */
+  def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, labelNodeCol: String, labelCol: String,
+      rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1: $rounds")
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val de = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+      .localCheckpoint(true)
+    var lab = labels.select(col(labelNodeCol).cast("long").as("node"),
+      col(labelCol).cast("long").as("label")).localCheckpoint(true)
+    for (_ <- 1 to rounds) {
+      lab = de
+        .join(lab.select(col("node").as("v"), col("label")), Seq("v"))
+        .groupBy(col("u"), col("label"))
+        .agg(count(lit(1)).as("__c"))
+        .groupBy(col("u").as("node"))
+        .agg(max(struct(col("__c").as("c"), (-col("label")).as("nl"))).as("m"))
+        .select(col("node"), (-col("m.nl")).as("label"))
+        .localCheckpoint(true)
+    }
+    lab
+  }
+
   /** Degree assortativity: the Pearson correlation of the endpoint
     * degrees over every DIRECTED edge (each undirected edge counted in
     * both orientations, the standard convention — Newman, "Assortative

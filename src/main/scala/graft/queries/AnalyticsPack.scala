@@ -2364,11 +2364,81 @@ object AnalyticsPack {
         s::BIGINT AS survival_q
       FROM r"""))
 
+  /** Winsorization report (Robust.winsorizeReport): exact p5/p95
+    * bounds per priority from the cents VALUE DOMAIN (integer
+    * cross-multiplied percentile cuts, the q134 machinery) plus the
+    * clip summary — tail row counts and raw-vs-clipped sums — that
+    * decides whether winsorizing is safe before any feature rewrite.
+    */
+  private val q166 = QueryDef(
+    "q166_winsorize",
+    (s, dir) => graft.ops.Robust.winsorizeReport(
+      Tables.orders(s, dir).select(
+        col("o_orderpriority").as("priority"),
+        (col("o_totalprice").cast("decimal(18,2)") * 100)
+          .cast("long").as("cents")),
+      "priority", "cents", pctNum = 5, pctDen = 100),
+    Some("""WITH rows_ AS (SELECT o_orderpriority AS priority,
+          (CAST(o_totalprice AS DECIMAL(18,2)) * 100)::BIGINT AS v
+        FROM orders),
+      dom AS (SELECT priority, v, count(*) AS n FROM rows_ GROUP BY 1, 2),
+      w AS (SELECT priority, v,
+          (sum(n) OVER (PARTITION BY priority ORDER BY v
+            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW))::BIGINT AS cum,
+          (sum(n) OVER (PARTITION BY priority))::BIGINT AS tot
+        FROM dom),
+      b AS (SELECT priority,
+          min(CASE WHEN cum * 100 >= tot * 5 THEN v END) AS lo,
+          min(CASE WHEN cum * 100 >= tot * 95 THEN v END) AS hi
+        FROM w GROUP BY priority)
+      SELECT r.priority, count(*)::BIGINT AS n_rows,
+        min(b.lo)::BIGINT AS lo, min(b.hi)::BIGINT AS hi,
+        count(CASE WHEN r.v < b.lo THEN 1 END)::BIGINT AS n_below,
+        count(CASE WHEN r.v > b.hi THEN 1 END)::BIGINT AS n_above,
+        sum(r.v)::BIGINT AS sum_raw,
+        sum(least(greatest(r.v, b.lo), b.hi))::BIGINT AS sum_clipped
+      FROM rows_ r JOIN b ON b.priority = r.priority
+      GROUP BY r.priority"""))
+
+  /** Deterministic synchronous label propagation (3 rounds,
+    * Graph.labelPropagation) over the sparsified supplier graph with
+    * node%5 seed labels: majority neighbor vote, ties to the smallest
+    * label, the per-node argmax folded into one max(struct) — no
+    * window. The oracle unrolls the identical three rounds with
+    * QUALIFY row_number argmaxes.
+    */
+  private val q167 = QueryDef(
+    "q167_label_prop",
+    (s, dir) => {
+      val g = supplierGraph(s, dir)
+      val nodes = g.select(col("src").as("node"))
+        .unionByName(g.select(col("dst").as("node"))).distinct()
+      graft.ops.Graph.labelPropagation(g, "src", "dst",
+        nodes.select(col("node"), pmod(col("node"), lit(5L)).as("label")),
+        "node", "label", rounds = 3)
+    },
+    Some {
+      val steps = (1 to 3).map { r =>
+        s"""lp$r AS (SELECT node, label FROM (
+            SELECT de.u AS node, l.label, count(*) AS c
+            FROM de JOIN lp${r - 1} l ON l.node = de.v
+            GROUP BY 1, 2)
+          QUALIFY row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label ASC) = 1)"""
+      }.mkString(",\n      ")
+      s"""WITH $sqlSupplierGraphCtes,
+      de AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      nodes AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+      lp0 AS (SELECT node, node % 5 AS label FROM nodes),
+      $steps
+      SELECT node, label::BIGINT AS label FROM lp3"""
+    })
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
     q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162,
-    q164)
+    q164, q166, q167)
 }

@@ -385,6 +385,38 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(!got.exists(_._2 == 10L) && !got.exists(_._2 == 99L))
   }
 
+  // ------------------------------------------------- winsorize
+
+  test("winsorizeReport: exact bounds, tail counts, clipped mass") {
+    import graft.ops.Robust
+    // 10 values 1..10 in one group; p=10% → lo = 1 (cum 1 ≥ 1),
+    // hi = 9 (cum 9 ≥ 9): one row above, none below
+    val df = (1L to 10L).map(("g", _)).toDF("grp", "v")
+    val r = Robust.winsorizeReport(df, "grp", "v", 10, 100).collect().head
+    assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((10L, 1L, 9L)))
+    assert((r.getLong(4), r.getLong(5)) === ((0L, 1L))) // n_below, n_above
+    assert(r.getLong(6) === 55L)      // raw sum
+    assert(r.getLong(7) === 54L)      // 10 clipped to 9
+  }
+
+  // -------------------------------------------- label propagation
+
+  test("labelPropagation: majority vote with smallest-label ties, sync rounds") {
+    import graft.ops.Graph
+    // triangle 1-2-3 (labels 0,0,1) + pendant 4 on 3 (label 1)
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)).toDF("a", "b")
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 1L), (4L, 1L)).toDF("n", "l")
+    val r1 = Graph.labelPropagation(edges, "a", "b", labels, "n", "l", 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // node 1 sees {0, 1} → tie → 0; node 2 same; node 3 sees {0, 0, 1}
+    // → 0; node 4 sees {1} → 1
+    assert(r1 === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L))
+    val r2 = Graph.labelPropagation(edges, "a", "b", labels, "n", "l", 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // round 2 from r1: node 4 now sees node 3's label 0 → converges to 0
+    assert(r2 === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
+  }
+
   test("firstDigitAudit: digits, zero-filled rows, exact quantized masses") {
     val df = Seq(
       ("g", 123L), ("g", 19L), ("g", 155L), ("g", 900L),
