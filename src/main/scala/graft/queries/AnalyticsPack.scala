@@ -2410,7 +2410,10 @@ object AnalyticsPack {
   private val q167 = QueryDef(
     "q167_label_prop",
     (s, dir) => {
-      val g = supplierGraph(s, dir)
+      // pin the graph once — edges AND seed nodes both derive from it,
+      // and without the pin each would re-execute the whole co-occurrence
+      // prefix (the q146 edges-pinned-once rule)
+      val g = supplierGraph(s, dir).localCheckpoint(true)
       val nodes = g.select(col("src").as("node"))
         .unionByName(g.select(col("dst").as("node"))).distinct()
       graft.ops.Graph.labelPropagation(g, "src", "dst",
