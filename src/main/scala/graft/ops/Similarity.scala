@@ -565,6 +565,28 @@ object Similarity {
         col("score").cast("long").as("dot_q"))
   }
 
+  /** IVF index-health audit: per-cell member counts plus the balance
+    * statistics that decide whether the centroid set needs re-seeding
+    * BEFORE a corpus-scale index build — the share of the corpus in
+    * the largest cell (hot cells serialize probes) and the quantized
+    * imbalance ⌊2²⁰·n_cell·k/N⌋ (1·2²⁰ = perfectly balanced).
+    *
+    * One map-side assignment pass + one |cells|-row aggregation + a
+    * 1-row total broadcast. Output: (cell_id, n_members, share_q,
+    * balance_q) for every cell that owns at least one vector.
+    */
+  def ivfCellStats(df: DataFrame, vecCol: String,
+      centroids: DataFrame): DataFrame = {
+    val k = centroids.count()
+    val cells = assignCells(df, vecCol, centroids)
+      .groupBy(col("cell_id")).agg(count(lit(1)).as("n_members"))
+    val total = cells.agg(sum(col("n_members")).as("__n"))
+    cells.crossJoin(broadcast(total))
+      .select(col("cell_id"), col("n_members"),
+        expr("(1048576 * n_members) div __n").as("share_q"),
+        expr(s"(1048576 * n_members * $k) div __n").as("balance_q"))
+  }
+
   private def seedCodebook(df: DataFrame, idCol: String, vecCol: String,
       subspaces: Int, codeK: Int): Array[Array[Array[Double]]] = {
     require(subspaces > 0 && codeK > 0,

@@ -77,4 +77,42 @@ object TfIdf {
       .agg(sum(col("sgn")).as("weight"))
       .filter(col("weight") =!= 0L)
   }
+
+  /** PMI collocations (pointwise mutual information over document
+    * co-presence — Church & Hanks, CL 1990; public formula), with the
+    * log dropped in favor of the monotone quantized RATIO
+    * `pmi_q = ⌊2²⁰·N·c_xy / (c_x·c_y)⌋` (the q66 rational rule:
+    * ordering preserved, every division one integer division) —
+    * which token pairs co-occur far beyond chance, the collocation /
+    * phrase-mining counterpart to [[graft.ops.Itemsets.frequentPairs]]'
+    * raw support.
+    *
+    * Shape: the frequentPairs A-Priori prune bounds the pair blowup
+    * (only tokens with df ≥ minSupport expand), singleton df rides the
+    * pair rows via two vocabulary-sized joins, N is a 1-row broadcast.
+    *
+    * Output: (token_a, token_b, support, pmi_q) for pairs with
+    * support ≥ minSupport and pmi_q ≥ minPmiQ (2²⁰ = independence).
+    */
+  def pmiPairs(docs: DataFrame, idCol: String, textCol: String,
+      minSupport: Long, minPmiQ: Long): DataFrame = {
+    val pairs = graft.ops.Itemsets.frequentPairs(docs, idCol, textCol, minSupport)
+    val dtok = docs
+      .select(col(idCol).as("__doc"),
+        explode(array_distinct(split(col(textCol), " ", -1))).as("token"))
+      .filter(col("token") =!= "")
+    val dfreq = dtok.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = dtok.select(col("__doc")).distinct().agg(count(lit(1)).as("__n"))
+    pairs
+      .join(dfreq.select(col("token").as("token_a"), col("df").as("__dfa")),
+        Seq("token_a"))
+      .join(dfreq.select(col("token").as("token_b"), col("df").as("__dfb")),
+        Seq("token_b"))
+      .crossJoin(broadcast(n))
+      .withColumn("pmi_q", expr(
+        """CAST((CAST(1048576 AS DECIMAL(38,0)) * __n * support)
+           div (CAST(__dfa AS DECIMAL(38,0)) * __dfb) AS BIGINT)"""))
+      .filter(col("pmi_q") >= minPmiQ)
+      .select(col("token_a"), col("token_b"), col("support"), col("pmi_q"))
+  }
 }

@@ -2161,11 +2161,71 @@ object PipelinePack {
       SELECT q_id, rank::BIGINT AS rank, vec_id, dot AS dot_q
       FROM r WHERE rank > 3 AND rank <= 8"""))
 
+  /** IVF index-health audit (Similarity.ivfCellStats): per-cell
+    * member counts + quantized share/balance — the re-seed decision
+    * BEFORE a corpus-scale index build (a hot cell serializes every
+    * probe that lands on it). Cell assignment is the q23 contract; the
+    * audit itself is one |cells|-row aggregation.
+    */
+  private val q168 = QueryDef(
+    "q168_ivf_stats",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+      Similarity.ivfCellStats(e, "embedding", cents)
+    },
+    Some(s"""WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      asg AS (SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY coalesce(${sqlCos("e.embedding", "c.cvec")}, '-infinity'::DOUBLE) DESC,
+              c.cell_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+      c AS (SELECT cell_id, count(*)::BIGINT AS n_members FROM asg
+        GROUP BY 1),
+      t AS (SELECT sum(n_members)::BIGINT AS n FROM c)
+      SELECT cell_id, n_members,
+        ((1048576 * n_members) // n)::BIGINT AS share_q,
+        ((1048576 * n_members * 8) // n)::BIGINT AS balance_q
+      FROM c CROSS JOIN t"""))
+
+  /** PMI collocations (TfIdf.pmiPairs): frequent token pairs scored by
+    * the quantized independence ratio ⌊2²⁰·N·c_xy/(c_x·c_y)⌋ — kept
+    * only ABOVE independence (≥ 2²⁰), the phrase-mining cut q149's raw
+    * support cannot make. A-Priori prune bounds the pair blowup;
+    * singleton df rides the pair rows via vocabulary-sized joins.
+    */
+  private val q169 = QueryDef(
+    "q169_pmi_pairs",
+    (s, dir) => graft.ops.TfIdf.pmiPairs(
+      Tables.documents(s, dir), "doc_id", "text",
+      minSupport = 150L, minPmiQ = 1048576L),
+    Some("""WITH dt AS (SELECT DISTINCT doc_id, t AS token
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS t
+          FROM documents) WHERE t <> ''),
+      f AS (SELECT token FROM dt GROUP BY token HAVING count(*) >= 150),
+      ft AS (SELECT doc_id, token FROM dt JOIN f USING (token)),
+      p AS (SELECT a.token AS token_a, b.token AS token_b,
+          count(*)::BIGINT AS support
+        FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.token < b.token
+        GROUP BY 1, 2 HAVING count(*) >= 150),
+      d AS (SELECT token, count(*)::HUGEINT AS df FROM dt GROUP BY 1),
+      n AS (SELECT count(DISTINCT doc_id)::HUGEINT AS n FROM dt),
+      s AS (SELECT token_a, token_b, support,
+          ((1048576::HUGEINT * n.n * support) // (da.df * db.df))::BIGINT
+            AS pmi_q
+        FROM p JOIN d da ON da.token = p.token_a
+        JOIN d db ON db.token = p.token_b CROSS JOIN n)
+      SELECT token_a, token_b, support, pmi_q FROM s
+      WHERE pmi_q >= 1048576"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
-    q165)
+    q165, q168, q169)
 }

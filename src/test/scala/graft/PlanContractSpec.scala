@@ -43,7 +43,9 @@ class PlanContractSpec extends AnyFunSuite {
     "q152_interpolate",    // the q70-style calendar spine (groups × days)
     "q154_bm25",           // 1-row (N, T) corpus totals for the BM25 ratios
     "q161_ema",            // the q70-style calendar spine (groups × days)
-    "q162_quantile_norm")  // 1-row corpus total N for the quantile scale
+    "q162_quantile_norm",  // 1-row corpus total N for the quantile scale
+    "q168_ivf_stats",      // 1-row corpus total + queries × centroids probe
+    "q169_pmi_pairs")      // 1-row corpus doc count for the PMI scale
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {

@@ -417,6 +417,46 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(r2 === Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 0L))
   }
 
+  // ------------------------------------------------ IVF cell stats
+
+  test("ivfCellStats: exact shares, balance of 2^20 means perfectly even") {
+    import graft.ops.Similarity
+    val cents = Seq((0L, Seq(1.0f, 0.0f)), (1L, Seq(-1.0f, 0.0f)))
+      .toDF("cell_id", "cvec")
+    val vecs = Seq(
+      (1L, Seq(1.0f, 0.1f)), (2L, Seq(1.0f, -0.1f)), (3L, Seq(0.9f, 0.0f)),
+      (4L, Seq(-1.0f, 0.1f))
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.ivfCellStats(vecs, "embedding", cents).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(0L) === ((3L, (1048576L * 3) / 4, (1048576L * 3 * 2) / 4)))
+    assert(got(1L) === ((1L, 1048576L / 4, 1048576L / 2)))
+    // a perfectly even split would put balance_q at exactly 2^20
+    assert(got.values.map(_._1).sum === 4L)
+  }
+
+  // --------------------------------------------------- PMI pairs
+
+  test("pmiPairs ranks the always-together pair above the independent one") {
+    import graft.ops.TfIdf
+    // x and y always co-occur (PMI = N/(2·2) · 2²⁰ → 2·2²⁰ at N=4);
+    // x and z co-occur once out of independent spread (ratio 1·2²⁰)
+    val docs = Seq(
+      (1L, "x y z"), (2L, "x y"), (3L, "z w"), (4L, "w q")
+    ).toDF("doc_id", "text")
+    val got = TfIdf.pmiPairs(docs, "doc_id", "text",
+      minSupport = 1L, minPmiQ = 0L).collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    assert(got(("x", "y")) === ((2L, 2L * 1048576L))) // perfect association
+    assert(got(("x", "z")) === ((1L, 1048576L)))      // exactly independence
+    // threshold above independence drops the independent pair
+    val sel = TfIdf.pmiPairs(docs, "doc_id", "text", 1L, 1048577L).collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(sel.contains(("x", "y")) && !sel.contains(("x", "z")))
+  }
+
   test("firstDigitAudit: digits, zero-filled rows, exact quantized masses") {
     val df = Seq(
       ("g", 123L), ("g", 19L), ("g", 155L), ("g", 900L),
