@@ -65,7 +65,15 @@ object GraftExtensions {
         Seq(BinaryType, IntegerType))),
     "graft_pool_bytes" -> ((es: Seq[Expression]) =>
       invoke(ArrayType(LongType, containsNull = false), "poolBytes", es,
-        Seq(BinaryType, IntegerType))))
+        Seq(BinaryType, IntegerType))),
+    "graft_pair_keys" -> ((es: Seq[Expression]) =>
+      invoke(ArrayType(LongType, containsNull = false), "sortedPairKeys", es,
+        Seq(ArrayType(LongType)))),
+    "graft_byte_histogram" -> ((es: Seq[Expression]) =>
+      invoke(ArrayType(LongType, containsNull = false), "byteHistogram", es,
+        Seq(BinaryType, IntegerType))),
+    "graft_dhash60" -> ((es: Seq[Expression]) =>
+      invoke(LongType, "dhash60", es, Seq(BinaryType))))
 
   /** Install into a live session: temp functions + optimizer rule. */
   def register(spark: SparkSession): Unit = {

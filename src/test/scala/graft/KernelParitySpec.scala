@@ -145,6 +145,17 @@ class KernelParitySpec extends AnyFunSuite {
     assert(media.getSeq[Float](0) ===
       Multimodal.fakeFeatures("abc".getBytes("UTF-8")).toSeq)
     assert(media.getSeq[Long](1) === Seq(49L, 53L, 56L))
+
+    val r7 = spark.sql(
+      """SELECT graft_pair_keys(array(3L, 1L, 2L)) AS pk,
+                graft_byte_histogram(cast('AAaa' AS binary), 16) AS bh,
+                graft_dhash60(cast('0123456789' AS binary)) AS dh""").head()
+    assert(r7.getSeq[Long](0) ===
+      Seq((1L << 32) | 2L, (1L << 32) | 3L, (2L << 32) | 3L))
+    val bh = r7.getSeq[Long](1)
+    assert(bh(4) === 2L && bh(6) === 2L && bh.sum === 4L)
+    assert(r7.getLong(2) ===
+      Kernels.dhash60("0123456789".getBytes("UTF-8")))
   }
 
   test("media kernels match an independent byte-loop reference") {
