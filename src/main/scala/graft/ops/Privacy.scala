@@ -47,4 +47,39 @@ object Privacy {
       .agg(count(lit(1)).as("group_size"))
       .filter(col("group_size") < k)
   }
+
+  /** l-diversity audit (Machanavajjhala et al., ICDE 2006 — public
+    * definition): k-anonymity is defeated when everyone in a large QI
+    * bucket SHARES the sensitive value, so the stronger gate requires
+    * every QI combination to contain at least `l` DISTINCT sensitive
+    * values. `qiCols` are the quasi-identifiers (pre-binned, as in
+    * [[kAnonymityReport]]); `sensitiveCol` the attribute being
+    * protected.
+    *
+    * Shape: one exact two-level distinct — groupBy (QI, sensitive)
+    * pre-reduces map-side, then the QI rollup counts rows and distinct
+    * values without an Expand (the q97 FD-check aggregation shape) —
+    * then a bucket rollup over the combo domain. Never joins the base
+    * table.
+    *
+    * Output: one row per risk bucket — `diverse` (≥ l values),
+    * `homogeneous` (exactly 1), `low` (2..l-1) — with combo/row counts
+    * and the bucket's minimum diversity.
+    */
+  def lDiversityReport(df: DataFrame, qiCols: Seq[String],
+      sensitiveCol: String, l: Int): DataFrame = {
+    require(l >= 2, s"l below 2 makes every combo diverse: $l")
+    val qi = qiCols.map(col)
+    val combos = df
+      .groupBy(qi :+ col(sensitiveCol): _*)
+      .agg(count(lit(1)).as("__n"))
+      .groupBy(qi: _*)
+      .agg(sum(col("__n")).as("__rows"), count(lit(1)).as("__l"))
+    combos.groupBy(
+        when(col("__l") === 1, lit("homogeneous"))
+          .when(col("__l") < l, lit("low"))
+          .otherwise(lit("diverse")).as("bucket"))
+      .agg(count(lit(1)).as("n_combos"), sum(col("__rows")).as("n_rows"),
+        min(col("__l")).as("min_diversity"))
+  }
 }

@@ -1,0 +1,94 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] Per-series time-series diagnostics over (series, t, value)
+  * rows — the monitoring layer of a feed pipeline: is a source's daily
+  * volume periodic (autocorrelation), and did its level shift
+  * (CUSUM changepoint)? Both exact-integer inside, double only in the
+  * final division, so Spark and an unrolled SQL oracle agree bit-wise.
+  *
+  * Both operators assume the per-series POINT COUNT is domain-bounded
+  * (days, hours — the q70/q99 calendar-spine regime), while the series
+  * count is unbounded: every shuffle keys on the series, and no window
+  * partition ever exceeds one series' point domain.
+  */
+object TimeSeries {
+
+  /** Lag-k autocorrelation per series: the Pearson correlation of
+    * (x_t, x_{t+lag}) over points where both exist, as an EQUI-join of
+    * the pre-aggregated series on (series, t+lag) — no window, no
+    * spine fill; gaps simply contribute no pair (the "available case"
+    * convention). The five moment sums accumulate as decimal(38,0)
+    * (the assortativity/corrMatrix rule) so both engines divide
+    * identical integers.
+    *
+    * Output: (series, n_pairs, acf) — acf null when either side of a
+    * series' pair set has zero variance or fewer than 3 pairs.
+    */
+  def autocorrelation(points: DataFrame, seriesCol: String, tCol: String,
+      vCol: String, lag: Int): DataFrame = {
+    require(lag >= 1, s"need lag >= 1: $lag")
+    val dec = "decimal(38,0)"
+    val p = points.select(col(seriesCol).as("series"),
+      col(tCol).cast("long").as("t"), col(vCol).cast("long").as("x"))
+    val pairs = p.as("l")
+      .join(p.as("r"),
+        col("l.series") === col("r.series") && col("r.t") === col("l.t") + lag)
+      .select(col("l.series").as("series"),
+        col("l.x").as("x"), col("r.x").as("y"))
+    val m = pairs.groupBy(col("series")).agg(
+      count(lit(1)).as("n_pairs"),
+      sum(col("x").cast(dec)).as("sx"),
+      sum(col("y").cast(dec)).as("sy"),
+      sum((col("x") * col("y")).cast(dec)).as("sxy"),
+      sum((col("x") * col("x")).cast(dec)).as("sxx"),
+      sum((col("y") * col("y")).cast(dec)).as("syy"))
+    m.select(col("series"), col("n_pairs"),
+      when(col("n_pairs") >= 3 &&
+          col("n_pairs") * col("sxx") > col("sx") * col("sx") &&
+          col("n_pairs") * col("syy") > col("sy") * col("sy"),
+        (col("n_pairs") * col("sxy") - col("sx") * col("sy")).cast("double") /
+          (sqrt((col("n_pairs") * col("sxx") - col("sx") * col("sx")).cast("double")) *
+            sqrt((col("n_pairs") * col("syy") - col("sy") * col("sy")).cast("double"))))
+        .as("acf"))
+  }
+
+  /** CUSUM changepoint per series: with n points and total T, the
+    * deviation at t is `n·x_t − T` (the mean-centered value cross-
+    * multiplied by n so it stays integer), and the cumulative sum
+    * S_t = Σ_{u ≤ t} (n·x_u − T) telescopes to zero at the last point;
+    * the t maximizing |S_t| is the classic single-changepoint estimate
+    * (Page 1954, public method). Everything is a long; the argmax is
+    * one `max(struct(|S|, −t))` — deterministic, no second pass.
+    *
+    * The prefix sum runs as a window partitioned BY SERIES ordered by
+    * t — bounded by the point domain per the class contract above (an
+    * unbounded single series would call [[Sweep.runningSum]] instead).
+    *
+    * Output: (series, n_points, cp_t, max_abs_cusum_xn) — cp_t the
+    * earliest argmax point, max_abs_cusum_xn = max |S_t| (in value×n
+    * units; divide by n for the mean-deviation scale). Series with
+    * fewer than 2 points report a null cp_t.
+    */
+  def cusumChangepoint(points: DataFrame, seriesCol: String, tCol: String,
+      vCol: String): DataFrame = {
+    val p = points.select(col(seriesCol).as("series"),
+        col(tCol).cast("long").as("t"), col(vCol).cast("long").as("x"))
+      .groupBy(col("series"), col("t")).agg(sum(col("x")).as("x"))
+    val totals = p.groupBy(col("series"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("total"))
+    val w = Window.partitionBy(col("series")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    p.join(totals, Seq("series"))
+      .withColumn("s", sum(col("n") * col("x") - col("total")).over(w))
+      .groupBy(col("series"))
+      .agg(max(col("n")).as("n_points"),
+        max(struct(abs(col("s")).as("a"), (-col("t")).as("nt"))).as("m"))
+      .select(col("series"), col("n_points"),
+        when(col("n_points") >= 2, -col("m.nt")).as("cp_t"),
+        when(col("n_points") >= 2, col("m.a")).as("max_abs_cusum_xn"))
+  }
+}

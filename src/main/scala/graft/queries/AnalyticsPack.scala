@@ -2437,11 +2437,131 @@ object AnalyticsPack {
       SELECT node, label::BIGINT AS label FROM lp3"""
     })
 
+  /** Link prediction on the sparsified supplier graph
+    * (Graph/LinkPredict): non-adjacent pairs scored by common
+    * neighbors + the quantized resource-allocation index — the
+    * missing-edge densification signal. Wedge work is Σdeg², bounded
+    * here because the graph is top-3-truncated (the kNN-graph regime
+    * the operator is designed for).
+    */
+  private val q170 = QueryDef(
+    "q170_link_predict",
+    (s, dir) => graft.ops.LinkPredict.commonNeighborScores(
+      supplierGraph(s, dir), "src", "dst", minCommon = 2),
+    Some(s"""WITH $sqlSupplierGraphCtes,
+      de AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      nb AS (SELECT v AS w, u AS x FROM de),
+      wed AS (SELECT l.x AS a, r.x AS b, 1048576 // d.degree AS c
+        FROM nb l JOIN nb r ON r.w = l.w AND l.x < r.x
+        JOIN deg d ON d.node = l.w),
+      sc AS (SELECT a, b, count(*) AS cn, sum(c) AS ra_q
+        FROM wed GROUP BY a, b HAVING count(*) >= 2)
+      SELECT sc.a AS node_a, sc.b AS node_b,
+        sc.cn::BIGINT AS cn, sc.ra_q::BIGINT AS ra_q
+      FROM sc LEFT JOIN e0 ON e0.u = sc.a AND e0.v = sc.b
+      WHERE e0.u IS NULL"""))
+
+  /** Lag-7 autocorrelation of each event type's daily volume
+    * (TimeSeries.autocorrelation) — the weekly-seasonality detector:
+    * the pre-aggregated (type, day, count) series self-equi-joined at
+    * day+7, Pearson moments as decimal(38,0) (the q135/q142 rule).
+    */
+  private val q171 = QueryDef(
+    "q171_autocorr",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.TimeSeries.autocorrelation(
+        daily, "event_type", "day", "x", lag = 7)
+        .withColumnRenamed("series", "event_type")
+    },
+    Some("""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          count(*) AS x
+        FROM events GROUP BY 1, 2),
+      pr AS (SELECT l.event_type, l.x AS x, r.x AS y
+        FROM d l JOIN d r ON r.event_type = l.event_type
+          AND r.day = l.day + 7),
+      m AS (SELECT event_type, count(*)::HUGEINT AS n,
+          sum(x)::HUGEINT AS sx, sum(y)::HUGEINT AS sy,
+          sum(x::HUGEINT * y)::HUGEINT AS sxy,
+          sum(x::HUGEINT * x)::HUGEINT AS sxx,
+          sum(y::HUGEINT * y)::HUGEINT AS syy
+        FROM pr GROUP BY event_type)
+      SELECT event_type, n::BIGINT AS n_pairs,
+        CASE WHEN n >= 3 AND n*sxx > sx*sx AND n*syy > sy*sy
+          THEN (n*sxy - sx*sy)::DOUBLE
+            / (sqrt((n*sxx - sx*sx)::DOUBLE) * sqrt((n*syy - sy*sy)::DOUBLE))
+        END AS acf
+      FROM m"""))
+
+  /** CUSUM level-shift changepoint per event type
+    * (TimeSeries.cusumChangepoint) over the same daily-volume series:
+    * deviations cross-multiplied to `n·x − T` longs so the cumulative
+    * sum is exact, argmax |S| as one max(struct) — the feed-monitoring
+    * "when did this source's volume regime change" probe.
+    */
+  private val q172 = QueryDef(
+    "q172_cusum",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.TimeSeries.cusumChangepoint(daily, "event_type", "day", "x")
+        .withColumnRenamed("series", "event_type")
+        .withColumnRenamed("cp_t", "cp_day")
+    },
+    Some("""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          count(*) AS x
+        FROM events GROUP BY 1, 2),
+      t AS (SELECT event_type, count(*) AS n, sum(x) AS total
+        FROM d GROUP BY event_type),
+      s AS (SELECT d.event_type, d.day, t.n,
+          sum(t.n * d.x - t.total) OVER (PARTITION BY d.event_type
+            ORDER BY d.day ROWS UNBOUNDED PRECEDING) AS cus
+        FROM d JOIN t USING (event_type)),
+      r AS (SELECT event_type, n, day, abs(cus) AS a,
+          row_number() OVER (PARTITION BY event_type
+            ORDER BY abs(cus) DESC, day ASC) AS rk
+        FROM s)
+      SELECT event_type, n::BIGINT AS n_points,
+        CASE WHEN n >= 2 THEN day END AS cp_day,
+        CASE WHEN n >= 2 THEN a END::BIGINT AS max_abs_cusum_xn
+      FROM r WHERE rk = 1"""))
+
+  /** l-diversity release audit (Privacy.lDiversityReport): every
+    * (nation, segment) quasi-identifier bucket must span ≥ 4 distinct
+    * account-balance bands or it leaks the sensitive attribute even
+    * when k-anonymous (q113's stronger companion gate). Two stacked
+    * exact aggregations, never an Expand, never a base-table join.
+    */
+  private val q173 = QueryDef(
+    "q173_l_diversity",
+    (s, dir) => graft.ops.Privacy.lDiversityReport(
+      Tables.customer(s, dir).select(col("c_nationkey"), col("c_mktsegment"),
+        floor(col("c_acctbal") / 2000).cast("long").as("bal_band")),
+      Seq("c_nationkey", "c_mktsegment"), "bal_band", l = 4),
+    Some("""WITH q AS (SELECT c_nationkey, c_mktsegment,
+          floor(c_acctbal / 2000)::BIGINT AS bal_band
+        FROM customer),
+      cs AS (SELECT c_nationkey, c_mktsegment, bal_band, count(*) AS n
+        FROM q GROUP BY 1, 2, 3),
+      combos AS (SELECT c_nationkey, c_mktsegment,
+          sum(n) AS rows_, count(*) AS l
+        FROM cs GROUP BY 1, 2)
+      SELECT CASE WHEN l = 1 THEN 'homogeneous'
+          WHEN l < 4 THEN 'low' ELSE 'diverse' END AS bucket,
+        count(*)::BIGINT AS n_combos, sum(rows_)::BIGINT AS n_rows,
+        min(l)::BIGINT AS min_diversity
+      FROM combos GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
     q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162,
-    q164, q166, q167)
+    q164, q166, q167, q170, q171, q172, q173)
 }

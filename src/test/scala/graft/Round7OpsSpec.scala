@@ -473,4 +473,96 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(rows(1L).getLong(5) === 315652L)
     assert(rows(1L).getLong(6) === rows(1L).getLong(4) - 315652L)
   }
+
+  // ------------------------------------------------- link prediction
+
+  test("commonNeighborScores: square predicts diagonals, adjacency excluded") {
+    // 4-cycle 1-2-3-4: each diagonal (1,3) and (2,4) shares BOTH its
+    // neighbors; adjacent pairs share none
+    val square = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 1L)).toDF("a", "b")
+    val got = graft.ops.LinkPredict
+      .commonNeighborScores(square, "a", "b", minCommon = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    // every node has degree 2 → each common neighbor contributes ⌊2²⁰/2⌋
+    assert(got === Map(
+      (1L, 3L) -> ((2L, 2L * 524288L)),
+      (2L, 4L) -> ((2L, 2L * 524288L))))
+  }
+
+  test("commonNeighborScores: existing edges never scored; hub capped out") {
+    // triangle 1-2-3 plus hub 9 wired to all: with maxDegree 2 the hub
+    // contributes no wedges, and adjacent pairs are dropped even when
+    // they share neighbors — nothing survives minCommon=2
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (9L, 1L), (9L, 2L), (9L, 3L)).toDF("a", "b")
+    val rows = graft.ops.LinkPredict
+      .commonNeighborScores(g, "a", "b", minCommon = 1, maxDegree = 2)
+      .collect()
+    // hub excluded (deg 3): remaining wedges all close into existing
+    // triangle edges → anti-join removes them all
+    assert(rows.isEmpty)
+  }
+
+  // ----------------------------------------------------- time series
+
+  test("autocorrelation: perfect alternation gives acf −1 at lag 1, +1 at lag 2") {
+    val pts = (0L to 9L).map(t => ("s", t, if (t % 2 == 0) 10L else 2L))
+      .toDF("g", "t", "v")
+    val lag1 = graft.ops.TimeSeries.autocorrelation(pts, "g", "t", "v", 1)
+      .collect().head
+    assert(lag1.getLong(1) === 9L && math.abs(lag1.getDouble(2) + 1.0) < 1e-12)
+    val lag2 = graft.ops.TimeSeries.autocorrelation(pts, "g", "t", "v", 2)
+      .collect().head
+    assert(lag2.getLong(1) === 8L && math.abs(lag2.getDouble(2) - 1.0) < 1e-12)
+  }
+
+  test("autocorrelation: gaps pair nothing; constant series is null") {
+    val pts = Seq(("g", 0L, 1L), ("g", 5L, 2L), ("g", 10L, 3L))
+      .toDF("g", "t", "v")
+    // no t has a t+1 partner → series absent from output
+    assert(graft.ops.TimeSeries.autocorrelation(pts, "g", "t", "v", 1).isEmpty)
+    val const = Seq(("c", 0L, 7L), ("c", 1L, 7L), ("c", 2L, 7L), ("c", 3L, 7L))
+      .toDF("g", "t", "v")
+    val r = graft.ops.TimeSeries.autocorrelation(const, "g", "t", "v", 1)
+      .collect().head
+    assert(r.getLong(1) === 3L && r.isNullAt(2)) // zero variance → null
+  }
+
+  test("cusumChangepoint finds the level shift at its last low point") {
+    // 5 days at 10 then 5 days at 20: |S| peaks at the boundary (t=4)
+    val pts = ((0L to 4L).map(t => ("s", t, 10L)) ++
+      (5L to 9L).map(t => ("s", t, 20L))).toDF("g", "t", "v")
+    val r = graft.ops.TimeSeries.cusumChangepoint(pts, "g", "t", "v")
+      .collect().head
+    assert(r.getLong(1) === 10L)
+    assert(r.getLong(2) === 4L)
+    // S_4 = Σ(10·10 − 150) = 5·(−50) → |S| = 250
+    assert(r.getLong(3) === 250L)
+    // single-point series: no changepoint to report
+    val single = Seq(("x", 0L, 5L)).toDF("g", "t", "v")
+    val s = graft.ops.TimeSeries.cusumChangepoint(single, "g", "t", "v")
+      .collect().head
+    assert(s.getLong(1) === 1L && s.isNullAt(2) && s.isNullAt(3))
+  }
+
+  // ------------------------------------------------------ l-diversity
+
+  test("lDiversityReport buckets homogeneous/low/diverse exactly") {
+    val rows = Seq(
+      // combo A: one sensitive value × 3 rows → homogeneous
+      ("A", 1L), ("A", 1L), ("A", 1L),
+      // combo B: two values → low (l = 3)
+      ("B", 1L), ("B", 2L),
+      // combo C: three values → diverse
+      ("C", 1L), ("C", 2L), ("C", 3L), ("C", 3L)
+    ).toDF("qi", "sens")
+    val got = graft.ops.Privacy.lDiversityReport(rows, Seq("qi"), "sens", l = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "homogeneous" -> ((1L, 3L, 1L)),
+      "low" -> ((1L, 2L, 2L)),
+      "diverse" -> ((1L, 4L, 3L))))
+  }
 }
