@@ -54,6 +54,11 @@ object GraftExtensions {
         StructField("a", LongType, nullable = false),
         StructField("b", LongType, nullable = false))), containsNull = false),
         "sortedPairs", es, Seq(ArrayType(LongType)))),
+    "graft_string_pairs" -> ((es: Seq[Expression]) =>
+      invoke(ArrayType(StructType(Seq(
+        StructField("a", StringType, nullable = false),
+        StructField("b", StringType, nullable = false))), containsNull = false),
+        "stringPairs", es, Seq(ArrayType(StringType)))),
     "graft_fingerprint" -> ((es: Seq[Expression]) =>
       invoke(LongType, "fingerprint", es, Seq(StringType))),
     "graft_cosine" -> ((es: Seq[Expression]) =>

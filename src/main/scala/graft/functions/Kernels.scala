@@ -391,6 +391,41 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** i<j pairs of an ALREADY-ORDERED string array (input order is the
+    * pair order, so the caller's sort_array defines the a<b convention
+    * on both engines). Replaces the interpreted
+    * `flatten(transform(.., slice ..))` HOF — that shape re-slices the
+    * array per element (O(n²) copies) and evaluates outside codegen;
+    * this is one compiled pass allocating exactly the output.
+    */
+  def stringPairs(toks: ArrayData): ArrayData = {
+    val n = toks.numElements()
+    require(n <= 65535,
+      s"pair expansion of a $n-element set overflows (cap the set upstream)")
+    val a = new Array[UTF8String](n)
+    var i = 0
+    while (i < n) {
+      // clone: the source ArrayData's backing buffer is reused across
+      // rows by the scan; pairs outlive it inside explode/aggregate
+      a(i) = toks.getUTF8String(i).clone()
+      i += 1
+    }
+    val out = new Array[AnyRef](n * (n - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < n) {
+      var j = i + 1
+      while (j < n) {
+        out(k) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+          Array[Any](a(i), a(j)))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Byte-class histogram of a binary payload: counts per bucket
     * `(byte & 0xff)·buckets / 256` — the content-sniffing fingerprint
     * a media pipeline uses to sanity-check payloads before decode
@@ -748,6 +783,15 @@ object Kernels {
     exprBridge.column(StaticInvoke(
       Kernels.getClass, ArrayType(LongType, containsNull = false),
       "sortedPairKeys", Seq(expr(ids)), Seq(ArrayType(LongType))))
+
+  /** i<j string pairs in input (caller-sorted) order. */
+  def stringPairsOf(toks: Column): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass,
+      ArrayType(StructType(Seq(
+        StructField("a", StringType, nullable = false),
+        StructField("b", StringType, nullable = false))), containsNull = false),
+      "stringPairs", Seq(expr(toks)), Seq(ArrayType(StringType))))
 
   /** i<j id pairs of a bucket, ascending-id order. */
   def sortedPairsOf(ids: Column): Column =

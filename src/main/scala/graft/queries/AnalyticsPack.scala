@@ -1401,10 +1401,8 @@ object AnalyticsPack {
       val totals = sets.filter(size(col("ts")) >= 0)
         .agg(count(lit(1)).as("n_users"))
       val pairs = sets
-        .select(explode(expr(
-          "flatten(transform(ts, (x, i) -> " +
-            "transform(slice(ts, i + 2, size(ts)), y -> struct(x AS a, y AS b))))"))
-          .as("p"))
+        .select(explode(
+          graft.functions.Kernels.stringPairsOf(col("ts"))).as("p"))
         .groupBy(col("p.a").as("type_a"), col("p.b").as("type_b"))
         .agg(count(lit(1)).as("n_both"))
       pairs
@@ -1757,7 +1755,13 @@ object AnalyticsPack {
     // the pair stream (the only quadratic object here) shuffles as ONE
     // packed long key (a << 32 | b — suppkeys are well under 2³²), so
     // the dense co-occurrence groupBy hashes/exchanges half the bytes
-    // of the two-column struct form; unpack after the count
+    // of the two-column struct form; unpack after the count.
+    // The RESULT is pinned (localCheckpoint): every consumer is a graph
+    // algorithm that references its edges several times (degree tables,
+    // wedge joins, adjacency probes), and without the pin each
+    // reference replays the 8.7M-pair co-occurrence prefix — measured
+    // 2-3× the whole query's cost on q127/q135/q170. At cluster scale
+    // the pin is a persist of ~|V|·k edge rows.
     val shared = Tables.lineitem(s, dir)
       .select(col("l_partkey").as("p"), col("l_suppkey").cast("long").as("sup"))
       .groupBy(col("p"))
@@ -1773,6 +1777,7 @@ object AnalyticsPack {
       .unionAll(shared.select(col("y").as("src"), col("x").as("dst"), col("shared")))
     graft.ops.TopK.groupedTopK(sym, Seq("src"), "shared", "dst", 3)
       .select(col("src"), col("dst"))
+      .localCheckpoint(true)
   }
 
   /** Oracle CTEs mirroring [[supplierGraph]] plus its canonical
@@ -2410,10 +2415,9 @@ object AnalyticsPack {
   private val q167 = QueryDef(
     "q167_label_prop",
     (s, dir) => {
-      // pin the graph once — edges AND seed nodes both derive from it,
-      // and without the pin each would re-execute the whole co-occurrence
-      // prefix (the q146 edges-pinned-once rule)
-      val g = supplierGraph(s, dir).localCheckpoint(true)
+      // supplierGraph arrives pinned — edges AND seed nodes both derive
+      // from it without replaying the co-occurrence prefix
+      val g = supplierGraph(s, dir)
       val nodes = g.select(col("src").as("node"))
         .unionByName(g.select(col("dst").as("node"))).distinct()
       graft.ops.Graph.labelPropagation(g, "src", "dst",

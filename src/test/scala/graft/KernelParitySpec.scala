@@ -104,6 +104,22 @@ class KernelParitySpec extends AnyFunSuite {
     assert(fast.length === 3 + 1 + 0 + 0 + 10)
   }
 
+  test("stringPairs parity with the interpreted transform expansion") {
+    val sets = Seq(
+      Seq("b", "a", "c"), Seq("x", "y"), Seq("only"), Seq.empty[String]
+    ).toDF("ts").select(sort_array(col("ts")).as("ts"))
+    val slow = sets.select(explode(flatten(transform(col("ts"), (x, i) =>
+        transform(slice(col("ts"), i + lit(2), size(col("ts"))),
+          y => struct(x.as("a"), y.as("b")))))).as("p"))
+      .select(col("p.a"), col("p.b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    val fast = sets.select(explode(Kernels.stringPairsOf(col("ts"))).as("p"))
+      .select(col("p.a"), col("p.b")).collect()
+      .map(r => (r.getString(0), r.getString(1)))
+    assert(fast.sorted.toSeq === slow.sorted.toSeq)
+    assert(fast.length === 3 + 1)
+  }
+
   test("sortedPairsWithSizes sorts jointly by id and keeps payload aligned") {
     val df = Seq((Seq(30L, 10L, 20L), Seq(3, 1, 2))).toDF("ids", "ns")
     val rows = df.select(explode(Kernels.sortedPairsWithSizesOf(col("ids"), col("ns"))).as("p"))
@@ -135,6 +151,10 @@ class KernelParitySpec extends AnyFunSuite {
       "SELECT graft_pairs(array(3L, 1L, 2L)) AS p").head().getSeq[Row](0)
     assert(pairs.map(r => (r.getLong(0), r.getLong(1))) ===
       Seq((1L, 2L), (1L, 3L), (2L, 3L)))
+    val spairs = spark.sql(
+      "SELECT graft_string_pairs(array('a', 'b', 'c')) AS p").head().getSeq[Row](0)
+    assert(spairs.map(r => (r.getString(0), r.getString(1))) ===
+      Seq(("a", "b"), ("a", "c"), ("b", "c")))
     val shHashes = spark.sql(
       "SELECT graft_shingle_hashes(text, 3) AS h FROM docs_sql LIMIT 1").count()
     assert(shHashes === 1)
