@@ -124,6 +124,47 @@ object Dedup {
       .withColumn("abs_err", abs(col("est_jaccard") - col("jaccard")))
   }
 
+  /** The full τ-sweep of [[minhashCalibration]]: one confusion-matrix
+    * row PER candidate threshold, from ONE calibration pass — the
+    * operating CURVE an engineer reads to pick the dedup threshold
+    * (q98's single-τ audit, swept). The τ fan-out multiplies only the
+    * CANDIDATE pairs (already ≪ corpus) by |thresholds| literal rows
+    * map-side; the per-τ rollup is one aggregation keyed on τ.
+    *
+    * Thresholds are integer percents; est/exact Jaccard are the
+    * calibration's cross-engine-identical doubles, compared against
+    * the same τ/100 double literal on both engines.
+    *
+    * Output per τ: (tau_pct, n_candidates, n_pred, n_true, n_tp,
+    * precision, recall_in_candidates) — ratios null at 0 denominators.
+    */
+  def lshOperatingCurve(
+      df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      tausPct: Seq[Int] = Seq(30, 40, 50, 60, 70, 80)): DataFrame = {
+    require(tausPct.nonEmpty && tausPct.forall(t => t >= 0 && t <= 100),
+      s"thresholds must be percents: $tausPct")
+    val cal = minhashCalibration(df, idCol, textCol,
+      shingleWords, bands, rowsPerBand)
+    cal
+      .select(col("est_jaccard"), col("jaccard"),
+        explode(array(tausPct.map(t => lit(t.toLong)): _*)).as("tau_pct"))
+      .withColumn("__t", col("tau_pct").cast("double") / 100.0)
+      .groupBy(col("tau_pct"))
+      .agg(
+        count(lit(1)).as("n_candidates"),
+        count(when(col("est_jaccard") >= col("__t"), lit(1))).as("n_pred"),
+        count(when(col("jaccard") >= col("__t"), lit(1))).as("n_true"),
+        count(when(col("est_jaccard") >= col("__t") &&
+          col("jaccard") >= col("__t"), lit(1))).as("n_tp"))
+      .withColumn("precision",
+        when(col("n_pred") > 0,
+          col("n_tp").cast("double") / col("n_pred").cast("double")))
+      .withColumn("recall_in_candidates",
+        when(col("n_true") > 0,
+          col("n_tp").cast("double") / col("n_true").cast("double")))
+  }
+
   /** Exact n-gram Jaccard similarity for pairs sharing ≥1 shingle,
     * emitted when jaccard ≥ threshold.
     *

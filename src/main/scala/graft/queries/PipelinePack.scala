@@ -2221,11 +2221,82 @@ object PipelinePack {
       SELECT token_a, token_b, support, pmi_q FROM s
       WHERE pmi_q >= 1048576"""))
 
+  /** Group-aware 5-fold split report (Sample.groupFolds): every event
+    * of a user lands in one fold — the leakage-free boundary q38's
+    * row-level hash split cannot give — and the report shows the folds
+    * came out balanced. Fold assignment is a map-side hash; the audit
+    * is two stacked aggregations (never a distinct Expand).
+    */
+  private val q174 = QueryDef(
+    "q174_group_split",
+    (s, dir) => graft.ops.Sample.groupFoldReport(
+      Tables.events(s, dir), "user_id", k = 5),
+    Some(s"""WITH g AS (SELECT
+          ${OracleSql.hex60("'gf0:' || coalesce(user_id::VARCHAR, ' ')")} % 5
+            AS fold,
+          user_id, count(*) AS n
+        FROM events GROUP BY 1, 2)
+      SELECT fold, count(*)::BIGINT AS n_groups, sum(n)::BIGINT AS n_rows
+      FROM g GROUP BY fold"""))
+
+  /** Length-bucket padding-waste report (Batching.paddingReport) for
+    * boundary set {64,128,256,512} over the documents' token counts:
+    * the exact wasted-compute fraction per bucket a batching config
+    * review reads. Bucket assignment map-side, one aggregation.
+    */
+  private val q175 = QueryDef(
+    "q175_pad_waste",
+    (s, dir) => graft.ops.Batching.paddingReport(
+      Tables.documents(s, dir)
+        .select(size(split(col("text"), " ", -1)).cast("long").as("n_tok")),
+      "n_tok", Seq(64, 128, 256, 512)),
+    Some(s"""WITH b AS (SELECT len($T)::BIGINT AS n FROM documents),
+      a AS (SELECT CASE WHEN n <= 64 THEN 64 WHEN n <= 128 THEN 128
+          WHEN n <= 256 THEN 256 ELSE 512 END::BIGINT AS bucket, n FROM b)
+      SELECT bucket, count(*)::BIGINT AS n_rows,
+        sum(least(n, bucket))::BIGINT AS real_tokens,
+        (count(*) * bucket)::BIGINT AS padded_tokens,
+        ((1048576 * (count(*) * bucket - sum(least(n, bucket))))
+          // (count(*) * bucket))::BIGINT AS pad_waste_q
+      FROM a GROUP BY bucket"""))
+
+  /** LSH τ-sweep operating curve (Dedup.lshOperatingCurve): the q98
+    * confusion matrix at SIX candidate thresholds from one calibration
+    * pass — the curve that picks the dedup threshold. The τ fan-out
+    * multiplies candidate pairs only, map-side.
+    */
+  private val q176 = QueryDef(
+    "q176_lsh_curve",
+    (s, dir) => graft.ops.Dedup.lshOperatingCurve(
+      Tables.documents(s, dir), "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 4),
+    Some(s"""SELECT t.tau_pct::BIGINT AS tau_pct,
+        count(*)::BIGINT AS n_candidates,
+        count(CASE WHEN c.est_jaccard >= t.tau_pct / 100.0 THEN 1 END)::BIGINT
+          AS n_pred,
+        count(CASE WHEN c.jaccard >= t.tau_pct / 100.0 THEN 1 END)::BIGINT
+          AS n_true,
+        count(CASE WHEN c.est_jaccard >= t.tau_pct / 100.0
+          AND c.jaccard >= t.tau_pct / 100.0 THEN 1 END)::BIGINT AS n_tp,
+        CASE WHEN count(CASE WHEN c.est_jaccard >= t.tau_pct / 100.0 THEN 1 END) > 0
+          THEN count(CASE WHEN c.est_jaccard >= t.tau_pct / 100.0
+              AND c.jaccard >= t.tau_pct / 100.0 THEN 1 END)::DOUBLE
+            / count(CASE WHEN c.est_jaccard >= t.tau_pct / 100.0 THEN 1 END)::DOUBLE
+          END AS precision,
+        CASE WHEN count(CASE WHEN c.jaccard >= t.tau_pct / 100.0 THEN 1 END) > 0
+          THEN count(CASE WHEN c.est_jaccard >= t.tau_pct / 100.0
+              AND c.jaccard >= t.tau_pct / 100.0 THEN 1 END)::DOUBLE
+            / count(CASE WHEN c.jaccard >= t.tau_pct / 100.0 THEN 1 END)::DOUBLE
+          END AS recall_in_candidates
+      FROM ($sqlCalibration) c
+      CROSS JOIN (SELECT unnest([30, 40, 50, 60, 70, 80]) AS tau_pct) t
+      GROUP BY t.tau_pct"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
-    q165, q168, q169)
+    q165, q168, q169, q174, q175, q176)
 }

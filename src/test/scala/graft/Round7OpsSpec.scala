@@ -546,6 +546,69 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(s.getLong(1) === 1L && s.isNullAt(2) && s.isNullAt(3))
   }
 
+  // ------------------------------------------------------- batching
+
+  test("paddingReport: bucket edges, truncation, exact waste fractions") {
+    val df = Seq(3L, 4L, 5L, 10L).toDF("n")
+    val got = graft.ops.Batching.paddingReport(df, "n", Seq(4, 8))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // bucket 4: rows n=3,4 → real 7, padded 8, waste ⌊2²⁰/8⌋
+    assert(got(4L) === ((2L, 7L, 8L, 1048576L / 8)))
+    // bucket 8: n=5 pads, n=10 TRUNCATES to 8 → real 13, padded 16
+    assert(got(8L) === ((2L, 13L, 16L, (1048576L * 3) / 16)))
+  }
+
+  test("paddingReport rejects unsorted or duplicate boundaries") {
+    val df = Seq(1L).toDF("n")
+    intercept[IllegalArgumentException](
+      graft.ops.Batching.paddingReport(df, "n", Seq(8, 4)))
+    intercept[IllegalArgumentException](
+      graft.ops.Batching.paddingReport(df, "n", Seq(4, 4)))
+  }
+
+  // ------------------------------------------------------ group folds
+
+  test("groupFolds: same group same fold, nulls grouped, report sums") {
+    val df = Seq((1L, "a"), (1L, "b"), (2L, "c"), (3L, "d"),
+      (4L, "e"), (5L, "f")).toDF("uid", "x")
+      .unionByName(Seq((Option.empty[Long], "g"), (Option.empty[Long], "h"))
+        .toDF("uid", "x"))
+    val folds = graft.ops.Sample.groupFolds(df, "uid", k = 3)
+    // leakage-free: one fold per group, including the null group
+    val perGroup = folds.groupBy(col("uid"))
+      .agg(countDistinct(col("fold")).as("nf")).collect()
+    assert(perGroup.forall(_.getLong(1) === 1L))
+    val rep = graft.ops.Sample.groupFoldReport(df, "uid", k = 3).collect()
+    assert(rep.map(_.getLong(2)).sum === 8L) // all rows accounted for
+    assert(rep.map(_.getLong(1)).sum === 6L) // 5 uids + the null group
+    assert(rep.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 3))
+  }
+
+  // -------------------------------------------------- LSH τ sweep
+
+  test("lshOperatingCurve: one row per τ, counts monotone in τ") {
+    // identical pair → a guaranteed band collision (probabilistic
+    // near-dups can land zero candidates in a 3-doc corpus)
+    val docs = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again today"),
+      (2L, "the quick brown fox jumps over the lazy dog again today"),
+      (3L, "completely different words entirely unrelated content here now")
+    ).toDF("doc_id", "text")
+    val rows = graft.ops.Dedup.lshOperatingCurve(docs, "doc_id", "text",
+        shingleWords = 3, bands = 4, rowsPerBand = 4,
+        tausPct = Seq(30, 60, 90))
+      .orderBy(col("tau_pct")).collect()
+    assert(rows.map(_.getLong(0)).toSeq === Seq(30L, 60L, 90L))
+    // same candidate universe at every τ; predicted set shrinks as τ rises
+    assert(rows.map(_.getLong(1)).distinct.length === 1)
+    val preds = rows.map(_.getLong(2))
+    assert(preds.zip(preds.tail).forall { case (a, b) => a >= b })
+    // tp never exceeds either side of the confusion matrix
+    assert(rows.forall(r => r.getLong(4) <= r.getLong(2) &&
+      r.getLong(4) <= r.getLong(3)))
+  }
+
   // ------------------------------------------------------ l-diversity
 
   test("lDiversityReport buckets homogeneous/low/diverse exactly") {
