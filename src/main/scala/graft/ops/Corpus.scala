@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** [EXT] Whole-corpus composition audits that need a deterministic
@@ -50,5 +51,61 @@ object Corpus {
       .filter(col("rt") <= col("cp.n_docs"))
       .groupBy(col("cp.checkpoint").as("checkpoint"), col("cp.n_docs").as("n_docs"))
       .agg(count(lit(1)).as("vocab"))
+  }
+
+  /** Vocabulary COVERAGE sweep: the exact fraction of all token
+    * occurrences covered by the top-k most frequent types, at several
+    * candidate k — the "what vocabulary size covers 99% of the
+    * corpus?" curve a tokenizer-budget decision reads.
+    *
+    * The key scale move: coverage needs NO per-token ranking. Tokens
+    * tied at the same frequency contribute identical mass, so the
+    * top-k mass is a pure function of the frequency DOMAIN:
+    * walk distinct frequencies descending with cumulative (types,
+    * mass); at the first row where cum_types ≥ k,
+    * `covered = cum_mass − (cum_types − k)·freq`. The windows run over
+    * |distinct frequency values| rows (≪ vocabulary ≪ corpus); the ×k
+    * fan-out multiplies the same tiny domain. A row_number over the
+    * vocabulary — with its million-type freq-1 tie class — never
+    * happens.
+    *
+    * Output per k: (k, vocab, n_types = min(k, vocab),
+    * covered_tokens, total_tokens, coverage_q = ⌊2²⁰·covered/total⌋).
+    */
+  def coverageAtK(df: DataFrame, textCol: String, ks: Seq[Int]): DataFrame = {
+    require(ks.nonEmpty && ks.forall(_ >= 1), s"need positive ks: $ks")
+    val freq = df
+      .select(explode(graft.functions.TextKernels.tokens(col(textCol))).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("f"))
+    val dom = freq.groupBy(col("f")).agg(count(lit(1)).as("types"))
+      .withColumn("mass", col("f") * col("types"))
+    val desc = Window.orderBy(col("f").desc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.rowsBetween(
+      Window.unboundedPreceding, Window.unboundedFollowing)
+    val cum = dom
+      .withColumn("cum_types", sum(col("types")).over(desc))
+      .withColumn("cum_mass", sum(col("mass")).over(desc))
+      .withColumn("vocab", sum(col("types")).over(all))
+      .withColumn("total", sum(col("mass")).over(all))
+    cum
+      .select(col("f"), col("cum_types"), col("cum_mass"),
+        col("vocab"), col("total"),
+        explode(array(ks.map(k => lit(k.toLong)): _*)).as("k"))
+      .groupBy(col("k"))
+      .agg(max(col("vocab")).as("vocab"), max(col("total")).as("total_tokens"),
+        // first row reaching k types (cum_types ascends with the walk);
+        // absent when k exceeds the vocabulary → full corpus covered
+        min(when(col("cum_types") >= col("k"),
+          struct(col("cum_types"), col("cum_mass"), col("f")))).as("hit"))
+      .select(col("k"),
+        col("vocab"),
+        least(col("k"), col("vocab")).as("n_types"),
+        coalesce(
+          col("hit.cum_mass") - (col("hit.cum_types") - col("k")) * col("hit.f"),
+          col("total_tokens")).as("covered_tokens"),
+        col("total_tokens"))
+      .withColumn("coverage_q",
+        expr("(1048576 * covered_tokens) div total_tokens"))
   }
 }

@@ -154,6 +154,30 @@ object Multimodal {
       .select(col(idCol), col("bucket").cast("long").as("bucket"), col("n"),
         expr("(1048576 * n) div __len").as("frac_q"))
 
+  /** Per-payload byte-class MIX audit on top of [[byteHistogram]]: the
+    * dominant class, its exact mass share, and a mixed-content flag
+    * (share below `minShareQ`/2²⁰) — the one-row-per-payload verdict a
+    * feed gate consumes (a text feed whose payloads stop being
+    * dominated by the letter classes is mislabeled; a "jpeg" feed with
+    * a dominant single class is padding). Argmax is one
+    * max(struct(n, −bucket)) over the histogram rows — smallest-bucket
+    * ties, no window; everything stays integer.
+    *
+    * Output: (idCol, top_bucket, top_n, total_bytes, top_share_q,
+    * mixed) — mixed an integer 0/1 flag.
+    */
+  def byteClassMix(df: DataFrame, idCol: String, buckets: Int = 16,
+      minShareQ: Long = 838860 /* 0.8 · 2²⁰ */): DataFrame =
+    byteHistogram(df, idCol, buckets)
+      .groupBy(col(idCol))
+      .agg(max(struct(col("n"), (-col("bucket")).as("nb"))).as("m"),
+        sum(col("n")).as("total_bytes"))
+      .select(col(idCol), (-col("m.nb")).as("top_bucket"),
+        col("m.n").as("top_n"), col("total_bytes"),
+        expr("(1048576 * m.n) div total_bytes").as("top_share_q"))
+      .withColumn("mixed",
+        when(col("top_share_q") < minShareQ, lit(1L)).otherwise(lit(0L)))
+
   /** Deterministic stand-in for a media decoder — delegates to the
     * [[Kernels.mediaFeatures]] kernel so the local-JVM and plan-side
     * paths share one implementation. Replace the kernel body with the

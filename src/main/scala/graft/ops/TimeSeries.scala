@@ -56,6 +56,46 @@ object TimeSeries {
         .as("acf"))
   }
 
+  /** Theil–Sen robust trend per series: the MEDIAN of all pairwise
+    * slopes (y₂−y₁)/(t₂−t₁) over t₁<t₂ — the estimator a single
+    * outlier day cannot drag, where q82's least-squares slope can
+    * (Theil 1950 / Sen 1968, public method). Slopes quantize to
+    * ⌊2²⁰·Δy/Δt⌋ via one IEEE double divide+floor (identical on both
+    * engines), and the median is the exact lower median over the
+    * (series, slope) DOMAIN — the q134 aggregation shape, windows
+    * bounded by slope-domain cardinality.
+    *
+    * Pair volume is C(points, 2) per series — domain-bounded by the
+    * class contract (days²; ~66k pairs for a year of days), generated
+    * by a self-equi-join on the series key.
+    *
+    * Output: (series, n_pairs, slope_q_med); series with < 2 points
+    * produce no pairs and are absent.
+    */
+  def theilSenSlope(points: DataFrame, seriesCol: String, tCol: String,
+      vCol: String): DataFrame = {
+    val p = points.select(col(seriesCol).as("series"),
+      col(tCol).cast("long").as("t"), col(vCol).cast("long").as("x"))
+    val slopes = p.as("l")
+      .join(p.as("r"),
+        col("l.series") === col("r.series") && col("r.t") > col("l.t"))
+      .select(col("l.series").as("series"),
+        floor((col("r.x") - col("l.x")).cast("double") * (1L << 20) /
+          (col("r.t") - col("l.t")).cast("double")).cast("long").as("s"))
+    val dom = slopes.groupBy(col("series"), col("s"))
+      .agg(count(lit(1)).as("n"))
+    val cumW = Window.partitionBy(col("series")).orderBy(col("s"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val totW = Window.partitionBy(col("series"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    dom
+      .withColumn("cum", sum(col("n")).over(cumW))
+      .withColumn("tot", sum(col("n")).over(totW))
+      .groupBy(col("series"))
+      .agg(max(col("tot")).as("n_pairs"),
+        min(when(col("cum") * 2 >= col("tot"), col("s"))).as("slope_q_med"))
+  }
+
   /** CUSUM changepoint per series: with n points and total T, the
     * deviation at t is `n·x_t − T` (the mean-centered value cross-
     * multiplied by n so it stays integer), and the cumulative sum

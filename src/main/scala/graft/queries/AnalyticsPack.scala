@@ -2535,6 +2535,38 @@ object AnalyticsPack {
         CASE WHEN n >= 2 THEN a END::BIGINT AS max_abs_cusum_xn
       FROM r WHERE rk = 1"""))
 
+  /** Theil–Sen robust trend per event type (TimeSeries.theilSenSlope)
+    * over the daily-volume series: the median pairwise slope a burst
+    * day cannot drag (q82's least squares can). Slopes quantize via
+    * one IEEE double divide+floor; the median is the exact lower
+    * median over the slope DOMAIN (the q134 shape).
+    */
+  private val q177 = QueryDef(
+    "q177_theil_sen",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.TimeSeries.theilSenSlope(daily, "event_type", "day", "x")
+        .withColumnRenamed("series", "event_type")
+    },
+    Some("""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          count(*) AS x
+        FROM events GROUP BY 1, 2),
+      pr AS (SELECT l.event_type,
+          floor((r.x - l.x) * 1048576.0 / (r.day - l.day))::BIGINT AS s
+        FROM d l JOIN d r ON r.event_type = l.event_type AND r.day > l.day),
+      dom AS (SELECT event_type, s, count(*) AS n FROM pr GROUP BY 1, 2),
+      w AS (SELECT event_type, s,
+          sum(n) OVER (PARTITION BY event_type ORDER BY s
+            ROWS UNBOUNDED PRECEDING) AS cum,
+          sum(n) OVER (PARTITION BY event_type) AS tot
+        FROM dom)
+      SELECT event_type, max(tot)::BIGINT AS n_pairs,
+        min(CASE WHEN 2 * cum >= tot THEN s END)::BIGINT AS slope_q_med
+      FROM w GROUP BY event_type"""))
+
   /** l-diversity release audit (Privacy.lDiversityReport): every
     * (nation, segment) quasi-identifier bucket must span ≥ 4 distinct
     * account-balance bands or it leaks the sensitive attribute even
@@ -2567,5 +2599,5 @@ object AnalyticsPack {
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
     q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162,
-    q164, q166, q167, q170, q171, q172, q173)
+    q164, q166, q167, q170, q171, q172, q173, q177)
 }

@@ -2292,11 +2292,76 @@ object PipelinePack {
       CROSS JOIN (SELECT unnest([30, 40, 50, 60, 70, 80]) AS tau_pct) t
       GROUP BY t.tau_pct"""))
 
+  /** Per-payload byte-class MIX audit (Multimodal.byteClassMix): the
+    * q163 histogram reduced to a one-row verdict — dominant class,
+    * exact mass share, mixed flag below 0.8·2²⁰. Argmax is one
+    * max(struct), no window; the gate a media feed crosses pre-decode.
+    */
+  private val q178 = QueryDef(
+    "q178_byte_mix",
+    (s, dir) => graft.ops.Multimodal.byteClassMix(
+      graft.ops.Multimodal.ingest(
+        Tables.documents(s, dir), "doc_id", "text", "text/plain"),
+      "doc_id", buckets = 16),
+    Some("""WITH b AS (SELECT doc_id, ord(substr(text, i, 1)) // 16 AS bucket
+        FROM documents,
+          LATERAL (SELECT unnest(generate_series(1, len(text))) AS i) s
+        WHERE len(text) > 0),
+      c AS (SELECT doc_id, bucket, count(*) AS n FROM b GROUP BY 1, 2),
+      a AS (SELECT doc_id, bucket, n,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY n DESC, bucket ASC) AS rk,
+          sum(n) OVER (PARTITION BY doc_id) AS total
+        FROM c)
+      SELECT doc_id, bucket::BIGINT AS top_bucket, n::BIGINT AS top_n,
+        total::BIGINT AS total_bytes,
+        ((1048576 * n) // total)::BIGINT AS top_share_q,
+        (CASE WHEN (1048576 * n) // total < 838860 THEN 1 ELSE 0 END)::BIGINT
+          AS mixed
+      FROM a WHERE rk = 1"""))
+
+  /** Vocabulary coverage sweep (Corpus.coverageAtK): exact top-k-type
+    * occurrence coverage at four candidate vocabulary sizes — the
+    * tokenizer-budget curve — computed entirely on the frequency
+    * DOMAIN (ties contribute identical mass, so no per-token ranking
+    * and no row_number over the freq-1 tail ever happens).
+    */
+  private val q179 = QueryDef(
+    "q179_vocab_coverage",
+    (s, dir) => graft.ops.Corpus.coverageAtK(
+      Tables.documents(s, dir), "text", Seq(5, 10, 20, 50)),
+    Some(s"""WITH tok AS (SELECT unnest($T) AS tok FROM documents),
+      fr AS (SELECT tok, count(*) AS f FROM tok GROUP BY tok),
+      dom AS (SELECT f, count(*) AS types, f * count(*) AS mass
+        FROM fr GROUP BY f),
+      cum AS (SELECT f,
+          sum(types) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING)
+            AS cum_types,
+          sum(mass) OVER (ORDER BY f DESC ROWS UNBOUNDED PRECEDING)
+            AS cum_mass,
+          sum(types) OVER () AS vocab, sum(mass) OVER () AS total
+        FROM dom),
+      ks AS (SELECT unnest([5, 10, 20, 50])::BIGINT AS k),
+      sel AS (SELECT ks.k, c.cum_types, c.cum_mass, c.f,
+          row_number() OVER (PARTITION BY ks.k ORDER BY c.cum_types ASC)
+            AS rk
+        FROM ks JOIN cum c ON c.cum_types >= ks.k),
+      tot AS (SELECT max(vocab) AS vocab, max(total) AS total FROM cum)
+      SELECT ks.k::BIGINT AS k, tot.vocab::BIGINT AS vocab,
+        least(ks.k, tot.vocab)::BIGINT AS n_types,
+        coalesce(s.cum_mass - (s.cum_types - ks.k) * s.f, tot.total)::BIGINT
+          AS covered_tokens,
+        tot.total::BIGINT AS total_tokens,
+        ((1048576 * coalesce(s.cum_mass - (s.cum_types - ks.k) * s.f,
+          tot.total)) // tot.total)::BIGINT AS coverage_q
+      FROM ks CROSS JOIN tot
+      LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON s.k = ks.k"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
-    q165, q168, q169, q174, q175, q176)
+    q165, q168, q169, q174, q175, q176, q178, q179)
 }

@@ -546,6 +546,59 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(s.getLong(1) === 1L && s.isNullAt(2) && s.isNullAt(3))
   }
 
+  // -------------------------------------------------- Theil–Sen trend
+
+  test("theilSenSlope ignores the outlier a least-squares fit chases") {
+    // clean slope 2/day, one wild burst at t=5
+    val pts = Seq(("s", 0L, 10L), ("s", 1L, 12L), ("s", 2L, 14L),
+      ("s", 3L, 16L), ("s", 4L, 18L), ("s", 5L, 500L), ("s", 6L, 22L))
+      .toDF("g", "t", "v")
+    val r = graft.ops.TimeSeries.theilSenSlope(pts, "g", "t", "v")
+      .collect().head
+    assert(r.getLong(1) === 21L) // C(7,2) pairs
+    // median pairwise slope stays at the clean 2/day → 2·2²⁰
+    assert(r.getLong(2) === 2L * 1048576L)
+    // single-point series produce no pairs → absent
+    val single = Seq(("x", 0L, 1L)).toDF("g", "t", "v")
+    assert(graft.ops.TimeSeries.theilSenSlope(single, "g", "t", "v").isEmpty)
+  }
+
+  // ------------------------------------------------- byte-class mix
+
+  test("byteClassMix: dominant class, exact share, mixed flag") {
+    import graft.ops.Multimodal
+    val df = Multimodal.ingest(Seq(
+      (1L, "AAAAAAAAAA"),       // pure: one class, share 2²⁰
+      (2L, "AAAAA00000"),       // even split: class of 'A' wins? '0'=0x30 bucket 3, 'A'=0x41 bucket 4 → tie 5/5 → smallest bucket wins
+      (3L, "")                  // empty: excluded entirely
+    ).toDF("doc_id", "text"), "doc_id", "text", "text/plain")
+    val got = Multimodal.byteClassMix(df, "doc_id")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) === ((4L, 10L, 10L, 1048576L, 0L)))
+    // tie at 5/5 → smallest bucket (3, the digits) wins; share 2¹⁹ < 0.8 → mixed
+    assert(got(2L) === ((3L, 5L, 10L, 524288L, 1L)))
+    assert(!got.contains(3L))
+  }
+
+  // -------------------------------------------------- vocab coverage
+
+  test("coverageAtK: exact tie-aware mass, beyond-vocab fallback") {
+    // freqs: a×4, b×2, c×2, d×1  (N=9, vocab=4)
+    val docs = Seq("a a a a", "b b c c d").toDF("text")
+    val got = graft.ops.Corpus.coverageAtK(docs, "text", Seq(1, 2, 3, 9))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))))
+      .toMap
+    assert(got(1L) === ((4L, 1L, 4L, 9L, (1048576L * 4) / 9)))
+    // k=2: top type (4) + ONE of the tied freq-2 types → 6 of 9
+    assert(got(2L) === ((4L, 2L, 6L, 9L, (1048576L * 6) / 9)))
+    assert(got(3L) === ((4L, 3L, 8L, 9L, (1048576L * 8) / 9)))
+    // k beyond the vocabulary: full corpus covered
+    assert(got(9L) === ((4L, 4L, 9L, 9L, 1048576L)))
+  }
+
   // ------------------------------------------------------- batching
 
   test("paddingReport: bucket edges, truncation, exact waste fractions") {
