@@ -232,6 +232,59 @@ object Graph {
     degrees(e)
   }
 
+  /** Newman modularity of a node partition (Newman–Girvan, PRE 2004 —
+    * public formula): how much denser communities are than a random
+    * graph with the same degrees. Exact integers to the last division:
+    * with m undirected edges, per community c let e_c = intra-edges
+    * and d_c = Σ degrees; then `Q = Σ_c (4m·e_c − d_c²) / 4m²` — the
+    * numerator Σ(4m·e_c − d_c²) is the exact long this emits next to
+    * the double Q, so an oracle can compare the integer and both
+    * engines agree on the ratio of identical integers.
+    *
+    * This is the ACCEPTANCE METRIC for [[labelPropagation]]'s output —
+    * run after clustering to decide whether the partition carries any
+    * structure (Q ≈ 0 ⇒ labels are noise).
+    *
+    * Shape: one degree aggregation, two label joins (labels are
+    * |V|-row, AQE-broadcastable), two |labels|-domain rollups, one
+    * 1-row m broadcast — linear in edges, no wedge work.
+    *
+    * Edges whose endpoints carry different labels (or none) count in m
+    * but in no community — the standard convention. Output ONE row:
+    * (n_edges, n_communities, q_num, modularity = q_num/(4m²)).
+    */
+  def modularity(edges: DataFrame, srcCol: String, dstCol: String,
+      labels: DataFrame, labelNodeCol: String, labelCol: String): DataFrame = {
+    val canon = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+    val lab = labels.select(col(labelNodeCol).cast("long").as("node"),
+      col(labelCol).cast("long").as("label"))
+    val deg = canon.select(col("u").as("node"))
+      .unionAll(canon.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val dC = deg.join(lab, Seq("node"))
+      .groupBy(col("label")).agg(sum(col("degree")).as("d_c"))
+    val eC = canon
+      .join(lab.select(col("node").as("u"), col("label").as("lu")), Seq("u"))
+      .join(lab.select(col("node").as("v"), col("label").as("lv")), Seq("v"))
+      .filter(col("lu") === col("lv"))
+      .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_c"))
+    val m = canon.agg(count(lit(1)).as("m"))
+    dC.join(eC, Seq("label"), "left")
+      .crossJoin(broadcast(m))
+      .select(col("m"),
+        (lit(4) * col("m") * coalesce(col("e_c"), lit(0L)) -
+          col("d_c") * col("d_c")).as("term"))
+      .groupBy(col("m"))
+      .agg(count(lit(1)).as("n_communities"), sum(col("term")).as("q_num"))
+      .select(col("m").as("n_edges"), col("n_communities"), col("q_num"),
+        when(col("m") > 0, col("q_num").cast("double") /
+          (lit(4) * col("m") * col("m")).cast("double")).as("modularity"))
+  }
+
   def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val canon = edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),

@@ -56,6 +56,30 @@ object TimeSeries {
         .as("acf"))
   }
 
+  /** Index of dispersion (Fano factor) per series: sample variance
+    * over mean of the point values — the burstiness scalar (1 ≈
+    * Poisson-like arrivals, ≫ 1 bursty, ≪ 1 metronomic) a feed
+    * monitor tracks next to the q171/q172/q177 battery. With
+    * decimal(38,0) moment sums, F = (n·Σx² − (Σx)²) / ((n−1)·Σx) —
+    * both engines divide identical integers; one aggregation total.
+    *
+    * Output: (series, n_points, fano) — fano null when n < 2 or the
+    * mean is not positive (counts: Σx = 0 means an empty series).
+    */
+  def dispersion(points: DataFrame, seriesCol: String, vCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    points.select(col(seriesCol).as("series"), col(vCol).cast("long").as("x"))
+      .filter(col("x").isNotNull)
+      .groupBy(col("series"))
+      .agg(count(lit(1)).as("n_points"),
+        sum(col("x").cast(dec)).as("sx"),
+        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+      .select(col("series"), col("n_points"),
+        when(col("n_points") >= 2 && col("sx") > 0,
+          (col("n_points") * col("sxx") - col("sx") * col("sx")).cast("double") /
+            ((col("n_points") - 1) * col("sx")).cast("double")).as("fano"))
+  }
+
   /** Theil–Sen robust trend per series: the MEDIAN of all pairwise
     * slopes (y₂−y₁)/(t₂−t₁) over t₁<t₂ — the estimator a single
     * outlier day cannot drag, where q82's least-squares slope can

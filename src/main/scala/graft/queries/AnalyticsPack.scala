@@ -2593,11 +2593,83 @@ object AnalyticsPack {
         min(l)::BIGINT AS min_diversity
       FROM combos GROUP BY 1"""))
 
+  /** Index of dispersion per event type (TimeSeries.dispersion) over
+    * the daily-volume series — the burstiness scalar beside q171's
+    * seasonality, q172's changepoint, and q177's trend. Decimal
+    * moments, one aggregation, one division of exact integers.
+    */
+  private val q180 = QueryDef(
+    "q180_burstiness",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.TimeSeries.dispersion(daily, "event_type", "x")
+        .withColumnRenamed("series", "event_type")
+    },
+    Some("""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          count(*) AS x
+        FROM events GROUP BY 1, 2),
+      m AS (SELECT event_type, count(*) AS n, sum(x)::HUGEINT AS sx,
+          sum(x::HUGEINT * x)::HUGEINT AS sxx
+        FROM d GROUP BY 1)
+      SELECT event_type, n::BIGINT AS n_points,
+        CASE WHEN n >= 2 AND sx > 0
+          THEN (n * sxx - sx * sx)::DOUBLE / ((n - 1) * sx)::DOUBLE
+        END AS fano
+      FROM m"""))
+
+  /** Modularity of the q167 label-propagation partition
+    * (Graph.modularity) — the acceptance metric for the clustering:
+    * `Q·4m² = Σ_c (4m·e_c − d_c²)` stays an exact long, the double Q
+    * divides identical integers. The oracle replays the unrolled
+    * 3-round propagation and the same integer algebra.
+    */
+  private val q181 = QueryDef(
+    "q181_modularity",
+    (s, dir) => {
+      val g = supplierGraph(s, dir)
+      val nodes = g.select(col("src").as("node"))
+        .unionByName(g.select(col("dst").as("node"))).distinct()
+      val labels = graft.ops.Graph.labelPropagation(g, "src", "dst",
+        nodes.select(col("node"), pmod(col("node"), lit(5L)).as("label")),
+        "node", "label", rounds = 3)
+      graft.ops.Graph.modularity(g, "src", "dst", labels, "node", "label")
+    },
+    Some {
+      val steps = (1 to 3).map { r =>
+        s"""lp$r AS (SELECT node, label FROM (
+            SELECT de.u AS node, l.label, count(*) AS c
+            FROM de JOIN lp${r - 1} l ON l.node = de.v
+            GROUP BY 1, 2)
+          QUALIFY row_number() OVER (PARTITION BY node
+            ORDER BY c DESC, label ASC) = 1)"""
+      }.mkString(",\n      ")
+      s"""WITH $sqlSupplierGraphCtes,
+      de AS (SELECT u, v FROM e0 UNION ALL SELECT v AS u, u AS v FROM e0),
+      nodes AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+      lp0 AS (SELECT node, node % 5 AS label FROM nodes),
+      $steps,
+      dc AS (SELECT l.label, sum(d.degree) AS d_c
+        FROM deg d JOIN lp3 l ON l.node = d.node GROUP BY l.label),
+      ec AS (SELECT la.label, count(*) AS e_c
+        FROM e0 JOIN lp3 la ON la.node = e0.u JOIN lp3 lb ON lb.node = e0.v
+        WHERE la.label = lb.label GROUP BY la.label),
+      mm AS (SELECT count(*) AS m FROM e0)
+      SELECT mm.m::BIGINT AS n_edges, count(*)::BIGINT AS n_communities,
+        sum(4 * mm.m * coalesce(ec.e_c, 0) - dc.d_c * dc.d_c)::BIGINT AS q_num,
+        CASE WHEN mm.m > 0
+          THEN sum(4 * mm.m * coalesce(ec.e_c, 0) - dc.d_c * dc.d_c)::DOUBLE
+            / (4 * mm.m * mm.m)::DOUBLE END AS modularity
+      FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm GROUP BY mm.m"""
+    })
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
     q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162,
-    q164, q166, q167, q170, q171, q172, q173, q177)
+    q164, q166, q167, q170, q171, q172, q173, q177, q180, q181)
 }

@@ -45,7 +45,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q161_ema",            // the q70-style calendar spine (groups × days)
     "q162_quantile_norm",  // 1-row corpus total N for the quantile scale
     "q168_ivf_stats",      // 1-row corpus total + queries × centroids probe
-    "q169_pmi_pairs")      // 1-row corpus doc count for the PMI scale
+    "q169_pmi_pairs",      // 1-row corpus doc count for the PMI scale
+    "q181_modularity")     // 1-row edge total m for the Q denominator
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {

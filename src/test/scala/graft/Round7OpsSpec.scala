@@ -546,6 +546,44 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(s.getLong(1) === 1L && s.isNullAt(2) && s.isNullAt(3))
   }
 
+  // ------------------------------------------------------ dispersion
+
+  test("dispersion: metronomic 0, bursty >> 1, degenerate null") {
+    val flat = (1L to 5L).map(t => ("f", 7L)).toDF("g", "v")
+    val f = graft.ops.TimeSeries.dispersion(flat, "g", "v").collect().head
+    assert(f.getLong(1) === 5L && f.getDouble(2) === 0.0)
+    // one huge burst day: variance dominates the mean
+    val bursty = Seq(("b", 1L), ("b", 1L), ("b", 1L), ("b", 97L))
+      .toDF("g", "v")
+    val b = graft.ops.TimeSeries.dispersion(bursty, "g", "v").collect().head
+    // n=4, sx=100, sxx=9412: F = (4·9412 − 10000)/(3·100) = 92.16
+    assert(math.abs(b.getDouble(2) - 27648.0 / 300.0) < 1e-12)
+    val single = Seq(("s", 3L)).toDF("g", "v")
+    assert(graft.ops.TimeSeries.dispersion(single, "g", "v")
+      .collect().head.isNullAt(2))
+  }
+
+  // ------------------------------------------------------ modularity
+
+  test("modularity: two cliques near 1/2, random-ish labels near 0") {
+    // two triangles joined by one bridge edge: the canonical 2-community graph
+    val edges = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)).toDF("a", "b")
+    val good = Seq((1L, 0L), (2L, 0L), (3L, 0L),
+      (4L, 1L), (5L, 1L), (6L, 1L)).toDF("node", "label")
+    val g = graft.ops.Graph.modularity(edges, "a", "b", good, "node", "label")
+      .collect().head
+    assert(g.getLong(0) === 7L && g.getLong(1) === 2L)
+    // m=7, per community: e_c=3, d_c=7 → term = 4·7·3 − 49 = 35; Q = 70/196
+    assert(g.getLong(2) === 70L)
+    assert(math.abs(g.getDouble(3) - 70.0 / 196.0) < 1e-12)
+    // everyone in ONE community: Q = (4m·m − (2m)²)/4m² = 0 exactly
+    val one = Seq(1L, 2L, 3L, 4L, 5L, 6L).map(_ -> 9L).toDF("node", "label")
+    val o = graft.ops.Graph.modularity(edges, "a", "b", one, "node", "label")
+      .collect().head
+    assert(o.getLong(2) === 0L && o.getDouble(3) === 0.0)
+  }
+
   // -------------------------------------------------- Theil–Sen trend
 
   test("theilSenSlope ignores the outlier a least-squares fit chases") {
