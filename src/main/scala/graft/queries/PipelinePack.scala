@@ -2232,7 +2232,9 @@ object PipelinePack {
     (s, dir) => graft.ops.Sample.groupFoldReport(
       Tables.events(s, dir), "user_id", k = 5),
     Some(s"""WITH g AS (SELECT
-          ${OracleSql.hex60("'gf0:' || coalesce(user_id::VARCHAR, ' ')")} % 5
+          ${OracleSql.hex60(
+            "'gf0:' || CASE WHEN user_id IS NULL THEN '0' " +
+              "ELSE '1' || user_id::VARCHAR END")} % 5
             AS fold,
           user_id, count(*) AS n
         FROM events GROUP BY 1, 2)
