@@ -12,7 +12,13 @@ import org.apache.spark.sql.SparkSession
   *    whole plan and materializes every output column (a `count()`
   *    would let Catalyst prune all projection work);
   *  - queries run in sorted name order so per-query trends are
-  *    comparable across rounds.
+  *    comparable across rounds;
+  *  - a failing query must NOT masquerade as a fast one: round 6
+  *    recorded eight 0.06 s "timings" that were silently-thrown
+  *    exceptions (events-table queries), understating the total by
+  *    ~7 s with no visible signal. Failures are collected and surface
+  *    in the JSON line as `"n_errs":N,"errs":[names]` (empty = all
+  *    ran) plus a full stderr line per failure.
   *
   * The JSON line is printed bare on stdout (build.sbt routes forked
   * output through StdoutOutput so sbt adds no [info] prefix) and also
@@ -20,6 +26,78 @@ import org.apache.spark.sql.SparkSession
   * either way.
   */
 object Bench {
+
+  /** Render the ONE-line stdout contract. The whole line must fit the
+    * driver's bounded stdout tail-capture (~2000 chars, keeping the
+    * END of stdout: round 4 lost the line to full-precision doubles,
+    * round 7 lost the HEAD — total, mean, and the sort-order-first
+    * keys — when 181 full-name entries pushed the map past the window;
+    * both recorded `parsed: null`). Degrade precision, then key
+    * length, then drop to the slowest-queries-that-fit form: full
+    * names at 1 ms → full names at 10 ms → `qNN` keys at 1 ms → `qNN`
+    * keys at 10 ms → headline + top-K slowest ("top", marking the map
+    * as partial; n_queries still carries the true suite size; K = 0
+    * degrades to a pure summary of a few hundred chars). The headline
+    * total/mean/errs lead every form, and [[renderFull]] goes to
+    * SPARK_GRAFT_BENCH_OUT, so no rung can lose the round's headline
+    * again. Guaranteed: result.length <= 1980.
+    */
+  def renderLine(results: Seq[(String, Double)], errNames: Seq[String],
+      sfDir: String): String = {
+    // Times are rounded to milliseconds, locale-independently — a SIZE
+    // contract, not cosmetics (~1 ms of false precision is far below
+    // the local[n] noise floor).
+    def rounded(v: Double, scale: Int): String =
+      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+    val total = results.map(_._2).sum
+    val mean = if (results.isEmpty) 0.0 else total / results.size
+    // errs is capped at 12 names so a catastrophic many-failure run
+    // cannot itself overflow the window; n_errs always carries the
+    // true count (stderr has the full list + exception messages).
+    val errsJson = errNames.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val head =
+      s"""{"metric":"total","value":${rounded(total, 3)},"unit":"sec","n_queries":${results.size},""" +
+        s""""mean_query_sec":${rounded(mean, 3)},"n_errs":${errNames.size},"errs":$errsJson"""
+    def render(scale: Int, shortKeys: Boolean): String = {
+      val qs = results.map { case (k, v) =>
+        val key = if (shortKeys) k.takeWhile(_ != '_') else k
+        "\"" + key + "\":" + rounded(v, scale)
+      }.mkString("{", ",", "}")
+      s"""$head,"queries":$qs,"sf":"$sfDir"}"""
+    }
+    def renderTop(budget: Int): String = {
+      val slowest = results.sortBy(-_._2)
+      val sb = new StringBuilder
+      var taken = 0
+      slowest.foreach { case (k, v) =>
+        val piece = (if (taken > 0) "," else "") +
+          "\"" + k.takeWhile(_ != '_') + "\":" + rounded(v, 2)
+        if (sb.length + piece.length <= budget) { sb ++= piece; taken += 1 }
+      }
+      s"""$head,"top":{$sb},"sf":"$sfDir"}"""
+    }
+    val fallback = renderTop(1960 - head.length - sfDir.length - 24)
+    Seq(render(3, false), render(2, false), render(3, true),
+        render(2, true), fallback)
+      .find(_.length <= 1980).getOrElse(fallback.take(1980))
+  }
+
+  /** Full-precision full-name form for SPARK_GRAFT_BENCH_OUT — no size
+    * budget applies to a file. */
+  def renderFull(results: Seq[(String, Double)], errNames: Seq[String],
+      sfDir: String): String = {
+    def r3(v: Double): String =
+      BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
+    val total = results.map(_._2).sum
+    val mean = if (results.isEmpty) 0.0 else total / results.size
+    val errsJson = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
+      .mkString("{", ",", "}")
+    s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
+      s""""mean_query_sec":${r3(mean)},"n_errs":${errNames.size},"errs":$errsJson,""" +
+      s""""queries":$qs,"sf":"$sfDir"}"""
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
@@ -51,50 +129,26 @@ object Bench {
     val runs = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt).getOrElse(1).max(1)
     val passes = (1 to runs).map { p =>
+      val errs = scala.collection.mutable.ArrayBuffer.empty[String]
       val r = names.map { name =>
         val t0 = System.nanoTime()
-        try run(name) catch { case _: Throwable => () }
+        try run(name) catch { case e: Throwable =>
+          errs += name
+          System.err.println(s"bench: $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+        }
         name -> (System.nanoTime() - t0) / 1e9
       }
       if (runs > 1)
         System.err.println(s"pass $p: " + r.map { case (k, v) =>
           f"$k=$v%.3f" }.mkString(" "))
-      r
+      (r, errs.toSeq)
     }
-    val results = passes.last
+    val (results, errNames) = passes.last
 
-    // Times are rounded to milliseconds, locale-independently. This is
-    // a SIZE contract, not cosmetics: the driver parses the JSON out
-    // of a bounded tail-capture of stdout, and at 67 queries the
-    // full-precision doubles pushed the one-line JSON past that window
-    // (round 4 recorded `parsed: null` with the line's head cut off).
-    // ~1 ms of false precision is far below the local[n] noise floor.
-    def rounded(v: Double, scale: Int): String =
-      BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
-    val total = results.map(_._2).sum
-    // n_queries/mean_query_sec contextualize the total across rounds:
-    // the suite grew from 16 queries (r1) to 69+, so totals are not
-    // comparable round-over-round but per-query means are.
-    def render(scale: Int, shortKeys: Boolean): String = {
-      val qs = results.map { case (k, v) =>
-        val key = if (shortKeys) k.takeWhile(_ != '_') else k
-        "\"" + key + "\":" + rounded(v, scale)
-      }.mkString("{", ",", "}")
-      s"""{"metric":"total","value":${rounded(total, 3)},"unit":"sec","n_queries":${results.size},""" +
-        s""""mean_query_sec":${rounded(total / results.size, 3)},"queries":$qs,"sf":"$sfDir"}"""
-    }
-    // The whole line must fit the driver's bounded stdout tail-capture
-    // (2000 chars observed in round 4, where the full-precision line
-    // overflowed it and recorded `parsed: null`; nothing prints after
-    // this line, so the budget is the full window minus the newline).
-    // Degrade precision, then key length, until it fits: full names at
-    // 1 ms → full names at 10 ms → `qNN` keys at 1 ms. Full names are
-    // worth 10 ms of false precision — they keep per-query trends
-    // directly comparable across rounds.
-    val line = Seq(render(3, false), render(2, false), render(3, true))
-      .find(_.length <= 1980).getOrElse(render(2, true))
+    val line = renderLine(results, errNames, sfDir)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
-      java.nio.file.Files.writeString(java.nio.file.Paths.get(p), line + "\n")
+      java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
+        renderFull(results, errNames, sfDir) + "\n")
     }
     spark.stop() // stop BEFORE printing so no stray log line follows the JSON
     println(line)

@@ -1,0 +1,104 @@
+package graft
+
+import org.scalatest.funspec.AnyFunSpec
+import org.scalatest.matchers.should.Matchers
+
+/** The bench stdout contract: ONE JSON line that ALWAYS fits the
+  * driver's ~2000-char stdout tail-capture, headline first, failures
+  * visible. Round 4 and round 7 both lost the headline to oversized
+  * lines (`parsed: null` in the round artifact); round 6 hid eight
+  * failing queries as ~0.06 s timings. These pins make every
+  * regression of that kind a test failure instead of a lost round.
+  */
+class BenchContractSpec extends AnyFunSpec with Matchers {
+
+  private def fakeResults(n: Int): Seq[(String, Double)] =
+    (1 to n).map(i => (f"q${i}%d_some_longish_query_name", 0.123 * (i % 7 + 1)))
+
+  private val sf = "/root/testdata/sf0.1"
+
+  describe("Bench.renderLine") {
+    it("fits the tail window at every suite size, including 181+ queries") {
+      for (n <- Seq(1, 16, 67, 112, 181, 300, 500)) {
+        val line = Bench.renderLine(fakeResults(n), Nil, sf)
+        withClue(s"n=$n len=${line.length}: ") {
+          line.length should be <= 1980
+        }
+      }
+    }
+
+    it("always leads with the headline metric/value/n_queries/mean") {
+      for (n <- Seq(1, 181, 500)) {
+        val line = Bench.renderLine(fakeResults(n), Nil, sf)
+        line should startWith("{\"metric\":\"total\",\"value\":")
+        line should include(s""""n_queries":$n""")
+        line should include("\"mean_query_sec\":")
+        line should include("\"n_errs\":0")
+        line should endWith("}")
+      }
+    }
+
+    it("is parseable JSON at small and overflow sizes") {
+      // no JSON lib on the test classpath beyond our writer, so pin the
+      // structural invariants a parser needs: balanced braces, no raw
+      // newline, quoted keys
+      for (n <- Seq(3, 181)) {
+        val line = Bench.renderLine(fakeResults(n), Nil, sf)
+        line.count(_ == '{') shouldBe line.count(_ == '}')
+        line should not include "\n"
+      }
+    }
+
+    it("keeps the full per-query map while it fits") {
+      val line = Bench.renderLine(fakeResults(16), Nil, sf)
+      line should include("\"queries\":{")
+      (1 to 16).foreach { i =>
+        line should include(s""""q${i}_some_longish_query_name":""")
+      }
+    }
+
+    it("degrades to the top-K-slowest form at 181 queries without losing the slowest") {
+      val results = fakeResults(181)
+      val line = Bench.renderLine(results, Nil, sf)
+      line.length should be <= 1980
+      // the overflow form is marked "top" (partial), not "queries"
+      line should include("\"top\":{")
+      // the slowest query must survive truncation — it is what the
+      // plan audit reads
+      val slowest = results.maxBy(_._2)._1.takeWhile(_ != '_')
+      line should include(s""""$slowest":""")
+    }
+
+    it("surfaces failures as n_errs + errs instead of swallowing them") {
+      val line = Bench.renderLine(fakeResults(20),
+        Seq("q7_events_scan", "q12_sessionize"), sf)
+      line should include(""""n_errs":2""")
+      line should include(""""errs":["q7_events_scan","q12_sessionize"]""")
+    }
+
+    it("caps the errs list so a catastrophic run still fits the window") {
+      val errs = (1 to 200).map(i => s"q${i}_some_longish_query_name")
+      val line = Bench.renderLine(fakeResults(200), errs, sf)
+      line.length should be <= 1980
+      line should include(""""n_errs":200""")
+    }
+
+    it("handles the empty suite without dividing by zero") {
+      val line = Bench.renderLine(Nil, Nil, sf)
+      line should include(""""n_queries":0""")
+      line.length should be <= 1980
+    }
+  }
+
+  describe("Bench.renderFull") {
+    it("carries every query at full precision plus the uncapped errs list") {
+      val errs = (1 to 20).map(i => s"q${i}_x")
+      val full = Bench.renderFull(fakeResults(181), errs, sf)
+      (1 to 181).foreach { i =>
+        full should include(s""""q${i}_some_longish_query_name":""")
+      }
+      full should include(""""n_errs":20""")
+      full should include(""""q20_x"""")
+    }
+  }
+}
