@@ -405,6 +405,12 @@ object Kernels {
     val a = new Array[UTF8String](n)
     var i = 0
     while (i < n) {
+      // The declared element schema is non-nullable, but the function
+      // is SQL-registered (graft_string_pairs) so arbitrary input can
+      // still carry nulls — reject with a message instead of NPE-ing
+      // the task on the clone below.
+      require(!toks.isNullAt(i),
+        s"graft_string_pairs: null element at index $i (elements must be non-null)")
       // clone: the source ArrayData's backing buffer is reused across
       // rows by the scan; pairs outlive it inside explode/aggregate
       a(i) = toks.getUTF8String(i).clone()

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.util.Pin.PinOps
 
 /** [EXT] Distributed graph statistics over an edge-list DataFrame —
   * the graph-shaped analyses a curation pipeline runs on similarity /
@@ -25,11 +26,14 @@ object Graph {
     *
     * Scale shape: per iteration ONE join of the edge list against the
     * |nodes|-row rank table (both keyed on node ids) + one aggregation
-    * — the standard message-passing step; `localCheckpoint` cuts the
+    * — the standard message-passing step; [[graft.util.Pin]] cuts the
     * lineage each round (the k-means loop rule: without it iteration k
     * replays all k−1 predecessors), pinning only (node, rank, outdeg)
-    * longs — at cluster scale that pin is a checkpoint to storage, and
-    * the edge list is pinned ONCE since every round re-reads it.
+    * longs. Locally that cut is an eager `localCheckpoint`; on a
+    * cluster, call `sc.setCheckpointDir(...)` and every cut upgrades
+    * to a RELIABLE storage checkpoint that survives executor loss
+    * (Pin's auto mode). The edge list is pinned ONCE since every
+    * round re-reads it.
     *
     * Output: (node, rank) after `iterations` rounds.
     */
@@ -40,11 +44,11 @@ object Graph {
       s"bad damping: $dampNum/$dampDen")
     val Scale = 1000000000000L
     val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).localCheckpoint(true)
+      col(dstCol).cast("long").as("dst")).cutLineage
     val nodes = e.select(col("src").as("node"))
       .unionByName(e.select(col("dst").as("node"))).distinct()
     val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-    val base = nodes.join(outdeg, Seq("node"), "left").localCheckpoint(true)
+    val base = nodes.join(outdeg, Seq("node"), "left").cutLineage
     val teleport = Scale * (dampDen - dampNum) / dampDen
     var ranks = base.select(col("node"), lit(Scale).as("rank"), col("outdeg"))
     for (_ <- 1 to iterations) {
@@ -57,7 +61,7 @@ object Graph {
           (lit(teleport) +
             expr(s"($dampNum * coalesce(__inc, 0L)) div $dampDen")).as("rank"),
           col("outdeg"))
-        .localCheckpoint(true)
+        .cutLineage
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -135,7 +139,8 @@ object Graph {
     * Per round: one edge⋈label join (both keyed on node ids) + one
     * (node, label) count + one per-node argmax folded into a single
     * `max(struct(count, −label))` aggregation — no window, no sort;
-    * `localCheckpoint` cuts lineage per round (the [[pagerank]] rule).
+    * [[graft.util.Pin]] cuts lineage per round (the [[pagerank]]
+    * rule; reliable checkpoint on a cluster with a checkpoint dir).
     *
     * Output: (node, label) after `rounds` rounds — nodes present in
     * the edge list only (isolated nodes have no neighbors to vote).
@@ -150,9 +155,9 @@ object Graph {
       .filter(col("u") =!= col("v"))
       .distinct()
     val de = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
-      .localCheckpoint(true)
+      .cutLineage
     var lab = labels.select(col(labelNodeCol).cast("long").as("node"),
-      col(labelCol).cast("long").as("label")).localCheckpoint(true)
+      col(labelCol).cast("long").as("label")).cutLineage
     for (_ <- 1 to rounds) {
       lab = de
         .join(lab.select(col("node").as("v"), col("label")), Seq("v"))
@@ -161,7 +166,7 @@ object Graph {
         .groupBy(col("u").as("node"))
         .agg(max(struct(col("__c").as("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-        .localCheckpoint(true)
+        .cutLineage
     }
     lab
   }
@@ -200,7 +205,7 @@ object Graph {
     * Per round: one degree aggregation + two semi-joins of the edge
     * list against the surviving node set (both keyed on node ids —
     * AQE broadcasts the node side when it has shrunk), with
-    * `localCheckpoint` cutting lineage so round r never replays
+    * [[graft.util.Pin]] cutting lineage so round r never replays
     * rounds 1..r−1. Cost per round is linear in surviving edges and
     * the edge set only shrinks.
     *
@@ -216,7 +221,7 @@ object Graph {
         greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
       .filter(col("u") =!= col("v"))
       .distinct()
-      .localCheckpoint(true)
+      .cutLineage
     def degrees(es: DataFrame): DataFrame =
       es.select(col("u").as("node"))
         .unionAll(es.select(col("v").as("node")))
@@ -227,7 +232,7 @@ object Graph {
         .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
         .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
         .select(col("u"), col("v"))
-        .localCheckpoint(true)
+        .cutLineage
     }
     degrees(e)
   }
@@ -273,16 +278,26 @@ object Graph {
       .filter(col("lu") === col("lv"))
       .groupBy(col("lu").as("label")).agg(count(lit(1)).as("e_c"))
     val m = canon.agg(count(lit(1)).as("m"))
+    // Terms are bounded by 4m² — past BIGINT for m ≳ 1.5e9 edges (the
+    // 100 TB regime), so the products and the sum accumulate as
+    // decimal(38,0) like the sibling moment sums (assortativity,
+    // autocorrelation). The emitted q_num stays BIGINT for the oracle
+    // contract, null-guarded rather than silently wrapped when the
+    // exact numerator leaves long range; modularity itself always
+    // derives from the exact decimal sum.
+    val dec = "decimal(38,0)"
     dC.join(eC, Seq("label"), "left")
       .crossJoin(broadcast(m))
       .select(col("m"),
-        (lit(4) * col("m") * coalesce(col("e_c"), lit(0L)) -
-          col("d_c") * col("d_c")).as("term"))
+        (lit(4) * col("m").cast(dec) * coalesce(col("e_c"), lit(0L)) -
+          col("d_c").cast(dec) * col("d_c")).as("term"))
       .groupBy(col("m"))
-      .agg(count(lit(1)).as("n_communities"), sum(col("term")).as("q_num"))
-      .select(col("m").as("n_edges"), col("n_communities"), col("q_num"),
-        when(col("m") > 0, col("q_num").cast("double") /
-          (lit(4) * col("m") * col("m")).cast("double")).as("modularity"))
+      .agg(count(lit(1)).as("n_communities"), sum(col("term")).as("q_num_d"))
+      .select(col("m").as("n_edges"), col("n_communities"),
+        when(abs(col("q_num_d")) <= lit(Long.MaxValue),
+          col("q_num_d").cast("long")).as("q_num"),
+        when(col("m") > 0, col("q_num_d").cast("double") /
+          (lit(4) * col("m").cast("double") * col("m"))).as("modularity"))
   }
 
   def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {

@@ -19,11 +19,13 @@ object TimeSeries {
 
   /** Lag-k autocorrelation per series: the Pearson correlation of
     * (x_t, x_{t+lag}) over points where both exist, as an EQUI-join of
-    * the pre-aggregated series on (series, t+lag) — no window, no
-    * spine fill; gaps simply contribute no pair (the "available case"
-    * convention). The five moment sums accumulate as decimal(38,0)
-    * (the assortativity/corrMatrix rule) so both engines divide
-    * identical integers.
+    * the series on (series, t+lag) — no window, no spine fill; gaps
+    * simply contribute no pair (the "available case" convention).
+    * Duplicate (series, t) rows are summed first (the cusumChangepoint
+    * convention) — without that, duplicates cross-multiply in the lag
+    * equi-join and silently corrupt the ACF. The five moment sums
+    * accumulate as decimal(38,0) (the assortativity/corrMatrix rule)
+    * so both engines divide identical integers.
     *
     * Output: (series, n_pairs, acf) — acf null when either side of a
     * series' pair set has zero variance or fewer than 3 pairs.
@@ -33,7 +35,8 @@ object TimeSeries {
     require(lag >= 1, s"need lag >= 1: $lag")
     val dec = "decimal(38,0)"
     val p = points.select(col(seriesCol).as("series"),
-      col(tCol).cast("long").as("t"), col(vCol).cast("long").as("x"))
+        col(tCol).cast("long").as("t"), col(vCol).cast("long").as("x"))
+      .groupBy(col("series"), col("t")).agg(sum(col("x")).as("x"))
     val pairs = p.as("l")
       .join(p.as("r"),
         col("l.series") === col("r.series") && col("r.t") === col("l.t") + lag)

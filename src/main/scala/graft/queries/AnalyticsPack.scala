@@ -2457,7 +2457,7 @@ object AnalyticsPack {
       nb AS (SELECT v AS w, u AS x FROM de),
       wed AS (SELECT l.x AS a, r.x AS b, 1048576 // d.degree AS c
         FROM nb l JOIN nb r ON r.w = l.w AND l.x < r.x
-        JOIN deg d ON d.node = l.w),
+        JOIN deg d ON d.node = l.w AND d.degree <= 1000),
       sc AS (SELECT a, b, count(*) AS cn, sum(c) AS ra_q
         FROM wed GROUP BY a, b HAVING count(*) >= 2)
       SELECT sc.a AS node_a, sc.b AS node_b,
