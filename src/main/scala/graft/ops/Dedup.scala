@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import graft.util.Pin.PinOps
 import graft.functions.TextKernels._
 
 /** [EXT] Deduplication operators over a document corpus (SURVEY.md §7.1
@@ -92,7 +93,7 @@ object Dedup {
     // times below (output spine, touched-id filter, joins) — pin it so
     // the banding lineage runs once, same as propagateLabels' edges
     val pairs = minhashCandidatePairs(df, idCol, textCol, shingleWords,
-      bands, rowsPerBand, maxBucket).localCheckpoint(true)
+      bands, rowsPerBand, maxBucket).cutLineage
     // kernel work only for pair-touched docs: semi-join the corpus down
     // to candidate ids FIRST (candidates ≪ corpus), so the signature
     // and shingle-set kernels never run for rows no pair references
@@ -105,7 +106,7 @@ object Dedup {
       .select(col("__fid"),
         graft.functions.Kernels.minhashSigOf(col(textCol), k, shingleWords).as("__sig"),
         graft.functions.Kernels.shingleHashes60Of(col(textCol), shingleWords).as("__sh"))
-      .localCheckpoint(true)
+      .cutLineage
     pairs
       .join(feats.select(col("__fid").as("doc_a"), col("__sig").as("sig_a"),
         col("__sh").as("sh_a")), Seq("doc_a"))
@@ -294,7 +295,7 @@ object Dedup {
     *
     * Scale notes: iterations = cluster diameter with the default
     * `"propagate"` algorithm (near-dup clusters are shallow);
-    * per-iteration lineage is cut with localCheckpoint so the plan
+    * per-iteration lineage is cut with [[graft.util.Pin]] so the plan
     * does not grow exponentially; each iteration is one broadcast-able
     * join + groupBy on the edge list (edges ≪ corpus). For adversarial
     * graphs (long chains, billion-edge components) pass
@@ -326,12 +327,12 @@ object Dedup {
   private def propagateLabels(pairs: DataFrame): DataFrame = {
     val edges = pairs.select(col("doc_a").as("u"), col("doc_b").as("v"))
       .unionByName(pairs.select(col("doc_b").as("u"), col("doc_a").as("v")))
-      .localCheckpoint(true)
+      .cutLineage
     // seed with the 1-hop minimum (what round one would compute from
     // identity labels) — same fixpoint, one fewer join round
     var labels = edges.groupBy(col("u").as("node"))
       .agg(least(min(col("v")), first(col("u"))).as("label"))
-      .localCheckpoint(true)
+      .cutLineage
     var changed = 1L
     while (changed > 0) {
       val neighborMin = edges.join(labels, col("v") === col("node"))
@@ -339,7 +340,7 @@ object Dedup {
       val updated = labels.join(neighborMin, col("node") === col("u"), "left")
         .select(col("node"), col("label"),
           least(col("label"), coalesce(col("nlabel"), col("label"))).as("newlabel"))
-        .localCheckpoint(true)
+        .cutLineage
       changed = updated.filter(col("newlabel") < col("label")).count()
       labels = updated.select(col("node"), col("newlabel").as("label"))
     }
@@ -375,7 +376,7 @@ object Dedup {
       .agg(count(lit(1)), coalesce(expr("bit_xor(xxhash64(u, v))"), lit(0L))).head()
     var edges = canonical(
       pairs.select(col("doc_a").as("u"), col("doc_b").as("v")))
-      .localCheckpoint(true)
+      .cutLineage
     var done = edges.isEmpty
     var prevSig = if (done) null else sig(edges) // carried: one sig job per round
     while (!done) {
@@ -395,7 +396,7 @@ object Dedup {
           struct(col("v").as("u"), col("m").as("v")),
           struct(col("u").as("u"), col("m").as("v")))).as("e"))
         .select(col("e.u").as("u"), col("e.v").as("v")))
-        .localCheckpoint(true)
+        .cutLineage
       val ssSig = sig(ss)
       done = ssSig == prevSig && ss.exceptAll(edges).isEmpty
       prevSig = ssSig

@@ -1,0 +1,74 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.util.Pin
+
+/** The lineage-cut escape hatch for driver-looped algorithms: locally
+  * Pin is an eager localCheckpoint; with a checkpoint dir configured
+  * (the cluster deployment signal) it must upgrade to a RELIABLE
+  * storage checkpoint — same results, blocks on storage instead of
+  * pinned executor memory, so losing an executor mid-loop cannot kill
+  * a 100 TB job.
+  *
+  * Order-sensitive: the shared SparkContext has no public way to unset
+  * a checkpoint dir, so the no-dir tests run first (declaration order)
+  * and the suite leaves `spark.graft.checkpoint=local` behind so later
+  * suites keep the local-cut behavior they were written against.
+  */
+class PinSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private def edges = Seq((1L, 2L), (2L, 3L), (3L, 1L), (3L, 4L))
+    .toDF("src", "dst")
+
+  test("auto mode without a checkpoint dir cuts locally") {
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    val df = Pin.cut(edges)
+    assert(df.count() === 4)
+  }
+
+  test("reliable mode without a dir fails fast with a clear message") {
+    assume(spark.sparkContext.getCheckpointDir.isEmpty)
+    spark.conf.set("spark.graft.checkpoint", "reliable")
+    try {
+      val e = intercept[IllegalArgumentException] { Pin.cut(edges) }
+      assert(e.getMessage.contains("setCheckpointDir"))
+    } finally spark.conf.unset("spark.graft.checkpoint")
+  }
+
+  test("auto mode with a checkpoint dir writes a reliable checkpoint and preserves results") {
+    val baseline = graft.ops.Graph.pagerank(edges, "src", "dst", iterations = 3)
+      .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = graft.ops.Graph.pagerank(edges, "src", "dst", iterations = 3)
+        .orderBy("node").collect().map(r => (r.getLong(0), r.getLong(1))).toSeq
+      assert(reliable === baseline)
+      // the reliable path must have materialized RDD checkpoint files
+      val wrote = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(p => java.nio.file.Files.isRegularFile(p)).count()
+      assert(wrote > 0, s"expected checkpoint files under $dir")
+    } finally {
+      // no public unset for the dir — pin later suites to local cuts
+      spark.conf.set("spark.graft.checkpoint", "local")
+    }
+  }
+
+  test("explicit local mode ignores the checkpoint dir") {
+    spark.conf.set("spark.graft.checkpoint", "local")
+    val df = Pin.cut(edges.select(col("src"), col("dst")))
+    assert(df.count() === 4)
+  }
+
+  test("unknown mode is rejected") {
+    spark.conf.set("spark.graft.checkpoint", "bogus")
+    try {
+      val e = intercept[IllegalArgumentException] { Pin.cut(edges) }
+      assert(e.getMessage.contains("auto|local|reliable"))
+    } finally spark.conf.set("spark.graft.checkpoint", "local")
+  }
+}

@@ -116,6 +116,20 @@ class Round7OpsSpec extends AnyFunSuite {
       assert(got === Set((1L, 2L, 6L), (1L, 4L, 1L), (2L, 4L, 3L)),
         s"bandWidth=$w")
     }
+    // derived-width overload: same pairs, width taken from the data
+    val auto = IntervalJoin.selfOverlapPairs(iv, Seq("k"), "id", "s", "e")
+      .collect().map(r => (r.getLong(1), r.getLong(2), r.getLong(3))).toSet
+    assert(auto === Set((1L, 2L, 6L), (1L, 4L, 1L), (2L, 4L, 3L)))
+  }
+
+  test("derived bandWidth handles the empty and degenerate-interval inputs") {
+    val empty = Seq.empty[(String, Long, Long, Long)].toDF("k", "id", "s", "e")
+    assert(IntervalJoin.selfOverlapPairs(empty, Seq("k"), "id", "s", "e")
+      .count() === 0)
+    // all intervals inverted (s > e): filtered out, pre-pass sees none
+    val inv = Seq(("g", 1L, 5L, 2L)).toDF("k", "id", "s", "e")
+    assert(IntervalJoin.selfOverlapPairs(inv, Seq("k"), "id", "s", "e")
+      .count() === 0)
   }
 
   // --------------------------------------------------- interpolation
