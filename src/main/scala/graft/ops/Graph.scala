@@ -66,6 +66,61 @@ object Graph {
     ranks.select(col("node"), col("rank"))
   }
 
+  /** [[pagerank]] with DANGLING-MASS REDISTRIBUTION — the textbook
+    * variant for genuinely directed graphs (citation/link graphs,
+    * oriented candidate edges), where sink nodes otherwise leak their
+    * whole rank every round and total mass decays: each iteration the
+    * summed rank of out-degree-0 nodes is shared back uniformly,
+    * `rank' = teleport + ⌊damp · (Σ ⌊rank/outdeg⌋ + ⌊dangling/n⌋)⌋`
+    * (Page–Brin–Motwani–Winograd 1999, §2.7 — public method), with the
+    * same integer quantization as [[pagerank]] so the trajectory is
+    * exact and engine-portable (the share uses one floor division of
+    * longs; the ≤ n−1 units of flooring residue per round are
+    * deliberately dropped, identically on every engine).
+    *
+    * Scale adds ONE 1-row aggregate per iteration (the dangling sum,
+    * broadcast onto the rank update) on top of [[pagerank]]'s
+    * join+agg; `n` is a single driver scalar computed once (the
+    * watermark rule). Symmetric graphs have no sinks — there this
+    * reduces to [[pagerank]] exactly (dangling sum 0), so it is only
+    * worth its extra aggregate on directed inputs.
+    *
+    * Output: (node, rank) after `iterations` rounds.
+    */
+  def pagerankDangling(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int = 3, dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1: $iterations")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"bad damping: $dampNum/$dampDen")
+    val Scale = 1000000000000L
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).cutLineage
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val base = nodes.join(outdeg, Seq("node"), "left").cutLineage
+    val n = base.count()
+    val teleport = Scale * (dampDen - dampNum) / dampDen
+    var ranks = base.select(col("node"), lit(Scale).as("rank"), col("outdeg"))
+    for (_ <- 1 to iterations) {
+      val dangling = ranks.filter(col("outdeg").isNull)
+        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dt"))
+      val contribs = e
+        .join(ranks.select(col("node").as("src"),
+          expr("rank div outdeg").as("__c")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("__c")).as("__inc"))
+      ranks = base.join(contribs, Seq("node"), "left")
+        .crossJoin(broadcast(dangling))
+        .select(col("node"),
+          (lit(teleport) + expr(
+            s"($dampNum * (coalesce(__inc, 0L) + __dt div $n)) div $dampDen"))
+            .as("rank"),
+          col("outdeg"))
+        .cutLineage
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
   /** Per-node triangle count + local clustering coefficient via the
     * DEGREE-ORIENTED wedge join (the MPS/Cohen algorithm): each
     * undirected edge points from its (degree, id)-smaller endpoint to
@@ -235,6 +290,49 @@ object Graph {
         .cutLineage
     }
     degrees(e)
+  }
+
+  /** [[kcore]] peeled to CONVERGENCE: rounds run until the surviving
+    * edge count stabilizes (one cheap `count()` per round — the driver
+    * scalar [[kcore]]'s own doc prescribes at scale), so the result is
+    * the TRUE k-core, not a fixed-round superset. `maxRounds` is a
+    * runaway bound only — peeling is monotone (the edge set strictly
+    * shrinks until the fixpoint), so termination is guaranteed at
+    * ≤ |V| rounds and typical graphs converge in a handful.
+    *
+    * Output: (surviving (node, degree), rounds actually run) — the
+    * round count is the convergence diagnostic a pipeline logs.
+    */
+  def kcoreConverged(edges: DataFrame, srcCol: String, dstCol: String,
+      k: Int, maxRounds: Int = 100): (DataFrame, Int) = {
+    require(k >= 1, s"need k >= 1: $k")
+    require(maxRounds >= 1, s"need maxRounds >= 1: $maxRounds")
+    var e = edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+      .cutLineage
+    def degrees(es: DataFrame): DataFrame =
+      es.select(col("u").as("node"))
+        .unionAll(es.select(col("v").as("node")))
+        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    var prev = e.count()
+    var rounds = 0
+    var converged = prev == 0
+    while (!converged && rounds < maxRounds) {
+      val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
+      e = e
+        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+        .select(col("u"), col("v"))
+        .cutLineage
+      rounds += 1
+      val cur = e.count()
+      converged = cur == prev || cur == 0
+      prev = cur
+    }
+    (degrees(e), rounds)
   }
 
   /** Newman modularity of a node partition (Newman–Girvan, PRE 2004 —

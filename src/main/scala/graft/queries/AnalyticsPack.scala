@@ -2668,11 +2668,55 @@ object AnalyticsPack {
       FROM dc LEFT JOIN ec USING (label) CROSS JOIN mm GROUP BY mm.m"""
     })
 
+  /** Dangling-mass PageRank (Graph.pagerankDangling), 3 iterations
+    * over the DIRECTED canonical supplier graph (u→v for u<v — nodes
+    * appearing only on the v side are genuine sinks): per round the
+    * summed sink rank is floor-shared back to every node,
+    * `teleport + ⌊85·(Σ⌊rank/outdeg⌋ + ⌊dangling/n⌋)/100⌋`, keeping
+    * total mass from decaying the way q146's drop-variant does on
+    * directed inputs. The oracle unrolls the three rounds with one
+    * dangling-sum CTE per round; both trajectories are exact longs.
+    */
+  private val q182 = QueryDef(
+    "q182_pagerank_dangling",
+    (s, dir) => {
+      val g = supplierGraph(s, dir)
+      val e0 = g.select(least(col("src"), col("dst")).as("u"),
+        greatest(col("src"), col("dst")).as("v")).distinct()
+      graft.ops.Graph.pagerankDangling(
+        e0.select(col("u").as("src"), col("v").as("dst")),
+        "src", "dst", iterations = 3)
+    },
+    Some {
+      val steps = (1 to 3).map { k =>
+        s"""d$k AS (SELECT coalesce(sum(rank), 0) AS dt
+           FROM r${k - 1} WHERE outdeg IS NULL),
+         r$k AS (SELECT b.node,
+           (150000000000
+             + (85 * (coalesce(i.inc, 0) + d.dt // nn.n)) // 100)::BIGINT
+             AS rank,
+           b.outdeg
+           FROM r${k - 1} b LEFT JOIN (SELECT e0.v AS node,
+             sum(r${k - 1}.rank // r${k - 1}.outdeg) AS inc
+             FROM e0 JOIN r${k - 1} ON r${k - 1}.node = e0.u
+             GROUP BY e0.v) i USING (node)
+           CROSS JOIN d$k d CROSS JOIN nn)"""
+      }.mkString(",\n      ")
+      s"""WITH $sqlSupplierGraphCtes,
+      nodes AS (SELECT u AS node FROM e0 UNION SELECT v FROM e0),
+      nn AS (SELECT count(*) AS n FROM nodes),
+      od AS (SELECT u AS node, count(*) AS outdeg FROM e0 GROUP BY u),
+      r0 AS (SELECT n.node, 1000000000000::BIGINT AS rank, od.outdeg
+        FROM nodes n LEFT JOIN od USING (node)),
+      $steps
+      SELECT node, rank FROM r3"""
+    })
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
     q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162,
-    q164, q166, q167, q170, q171, q172, q173, q177, q180, q181)
+    q164, q166, q167, q170, q171, q172, q173, q177, q180, q181, q182)
 }

@@ -39,6 +39,58 @@ class Round7OpsSpec extends AnyFunSuite {
     assert(r3 === 0L)
   }
 
+  test("kcoreConverged reaches the true core and reports the round count") {
+    // chain + clique: the chain needs one peel per end node, the
+    // clique survives — a fixed 1-round call would under-peel
+    val edges = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L),
+      (10L, 11L), (11L, 12L), (10L, 12L)).toDF("a", "b")
+    val (core, rounds) = Graph.kcoreConverged(edges, "a", "b", k = 2)
+    val got = core.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === Map(10L -> 2L, 11L -> 2L, 12L -> 2L))
+    assert(rounds >= 2 && rounds <= 5) // chain peels end-in, then one no-op round
+    // agrees with the fixed-round operator run past convergence
+    val fixed = Graph.kcore(edges, "a", "b", k = 2, rounds = 10).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got === fixed)
+    // empty input converges immediately
+    val empty = Seq.empty[(Long, Long)].toDF("a", "b")
+    val (core0, rounds0) = Graph.kcoreConverged(empty, "a", "b", k = 2)
+    assert(core0.isEmpty && rounds0 === 0)
+  }
+
+  test("pagerankDangling conserves mass that the drop variant leaks") {
+    // star into a sink: 1→4, 2→4, 3→4 — node 4 is dangling
+    val directed = Seq((1L, 4L), (2L, 4L), (3L, 4L)).toDF("a", "b")
+    val drop = Graph.pagerank(directed, "a", "b", iterations = 3)
+      .agg(sum("rank")).head().getLong(0)
+    val keep = Graph.pagerankDangling(directed, "a", "b", iterations = 3)
+      .agg(sum("rank")).head().getLong(0)
+    // with redistribution total mass stays near 4·SCALE (flooring
+    // residue only); dropping loses the sink's whole share each round
+    assert(keep > drop)
+    assert(keep > (4L * 1000000000000L * 95) / 100)
+    // hand-check one round on a 2-node edge 1→2, damp 85/100:
+    //   dangling = rank(2) = S; share = S/2
+    //   r1(1) = 0.15S + ⌊85·(S/2)/100⌋       (only the dangling share)
+    //   r1(2) = 0.15S + ⌊85·(S + S/2)/100⌋   (1's contrib + share)
+    val tiny = Seq((1L, 2L)).toDF("a", "b")
+    val got = Graph.pagerankDangling(tiny, "a", "b", iterations = 1)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val S = 1000000000000L
+    assert(got(1L) === S * 15 / 100 + (85L * (S / 2)) / 100)
+    assert(got(2L) === S * 15 / 100 + (85L * (S + S / 2)) / 100)
+  }
+
+  test("pagerankDangling equals pagerank on a symmetric (sink-free) graph") {
+    val e0 = Seq((1L, 2L), (2L, 3L), (1L, 3L)).toDF("u", "v")
+    val sym = e0.unionByName(e0.select($"v".as("u"), $"u".as("v")))
+    val a = Graph.pagerank(sym, "u", "v", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val b = Graph.pagerankDangling(sym, "u", "v", iterations = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(a === b)
+  }
+
   // ------------------------------------------------ int8 quantization
 
   test("int8Audit: hand-checked codes, all-zero vector, saturation bounds") {
