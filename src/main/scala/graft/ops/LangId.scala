@@ -1,0 +1,128 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** [EXT] N-gram language identification (Cavnar & Trenkle, "N-Gram-
+  * Based Text Categorization", SDAIR 1994 — the public rank-profile
+  * method): a language is summarized by its top-K most frequent
+  * character n-grams in rank order, a document by its own top-M, and
+  * the document is assigned the language minimizing the OUT-OF-PLACE
+  * distance — Σ over the doc's grams of |doc rank − language rank|,
+  * with a fixed `topK` penalty for grams absent from the language
+  * profile.
+  *
+  * Everything is integer-exact (counts, ranks, absolute differences) —
+  * no log-probabilities, so Spark and a SQL oracle agree bit-for-bit;
+  * ties break lexicographically (count desc, gram asc for ranks;
+  * distance asc, lang asc for the argmin) making the whole pipeline a
+  * pure function of the corpus.
+  *
+  * Scale shape: gram extraction is map-side (one compiled
+  * transform/explode, no kernel state); the profile build is one
+  * (lang, gram) count + a rank window whose partitions are bounded by
+  * the CHARACTER-SET n-gram domain (not the corpus — ~20k for ASCII
+  * trigrams); the doc-profile window is bounded by a single document's
+  * distinct grams; classification joins doc grams to profiles on the
+  * gram key (fan-out ≤ |languages| per gram, a small constant) and
+  * the per-(doc, lang) spine comes from a broadcast of the tiny
+  * language list — everything else is linear, equi-keyed, and
+  * AQE-sizable.
+  */
+object LangId {
+
+  /** Sliding character n-grams of `text` (empty array when the text is
+    * shorter than n — explicit guard; `sequence` would otherwise count
+    * DOWN for start > stop).
+    */
+  def charGrams(text: Column, n: Int): Column =
+    when(length(text) >= n,
+      transform(sequence(lit(1), length(text) - lit(n - 1)),
+        i => text.substr(i, lit(n))))
+      .otherwise(array().cast("array<string>"))
+
+  private def gramCol(textCol: String, n: Int): Column =
+    charGrams(col(textCol), n)
+
+  /** Per-language rank profile: (lang, gram, rank), rank 1..topK by
+    * (count desc, gram asc). The window partition is the language's
+    * distinct-gram set — bounded by the character-set n-gram domain.
+    */
+  def charNgramProfiles(df: DataFrame, textCol: String, langCol: String,
+      n: Int = 3, topK: Int = 50): DataFrame = {
+    require(n >= 1, s"need n >= 1: $n")
+    require(topK >= 1, s"need topK >= 1: $topK")
+    val counts = df
+      .select(col(langCol).as("lang"), explode(gramCol(textCol, n)).as("gram"))
+      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("lang"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    counts.withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= topK)
+      .select(col("lang"), col("gram"), col("rank"))
+  }
+
+  /** Classify every document against a [[charNgramProfiles]] frame:
+    * out-of-place distance over the doc's top-`docTopM` grams, absent
+    * grams costing `topK` each. Output: (idCol, pred_lang, dist,
+    * n_doc_grams) — dist the winning (minimal) distance; docs with no
+    * grams (text shorter than n) predict the lexicographically first
+    * language at distance 0.
+    */
+  def classify(df: DataFrame, idCol: String, textCol: String,
+      profiles: DataFrame, n: Int = 3, topK: Int = 50,
+      docTopM: Int = 20): DataFrame = {
+    require(docTopM >= 1, s"need docTopM >= 1: $docTopM")
+    val docCounts = df
+      .select(col(idCol).cast("long").as("__id"),
+        explode(gramCol(textCol, n)).as("gram"))
+      .groupBy(col("__id"), col("gram")).agg(count(lit(1)).as("cnt"))
+    val w = Window.partitionBy(col("__id"))
+      .orderBy(col("cnt").desc, col("gram").asc)
+    val docProf = docCounts
+      .withColumn("drank", row_number().over(w).cast("long"))
+      .filter(col("drank") <= docTopM)
+      .select(col("__id"), col("gram"), col("drank"))
+    val langs = profiles.select(col("lang")).distinct()
+    // matched grams: |doc rank − lang rank|, summed per (doc, lang)
+    val matched = docProf
+      .join(profiles.select(col("lang"), col("gram"), col("rank")), Seq("gram"))
+      .groupBy(col("__id"), col("lang"))
+      .agg(sum(abs(col("drank") - col("rank"))).as("mdist"),
+        count(lit(1)).as("mcnt"))
+    // full (doc, lang) spine from the tiny language list; absent grams
+    // cost topK each
+    val spine = df.select(col(idCol).cast("long").as("__id")).distinct()
+      .join(docProf.groupBy(col("__id")).agg(count(lit(1)).as("m_doc")),
+        Seq("__id"), "left")
+      .na.fill(0L, Seq("m_doc"))
+      .crossJoin(broadcast(langs))
+    spine
+      .join(matched, Seq("__id", "lang"), "left")
+      .select(col("__id"),  col("lang"),
+        (coalesce(col("mdist"), lit(0L)) +
+          (col("m_doc") - coalesce(col("mcnt"), lit(0L))) * topK).as("dist"),
+        col("m_doc"))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("dist"), col("lang"))).as("best"),
+        max(col("m_doc")).as("n_doc_grams"))
+      .select(col("__id").as(idCol), col("best.lang").as("pred_lang"),
+        col("best.dist").as("dist"), col("n_doc_grams"))
+  }
+
+  /** Confusion matrix of [[classify]] against a labeled column:
+    * (lang, pred_lang, n_docs) — the acceptance report a curation
+    * pipeline reads before trusting the classifier on unlabeled data.
+    */
+  def confusion(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, n: Int = 3, topK: Int = 50,
+      docTopM: Int = 20): DataFrame = {
+    val profiles = charNgramProfiles(df, textCol, langCol, n, topK)
+    val pred = classify(df, idCol, textCol, profiles, n, topK, docTopM)
+    df.select(col(idCol).cast("long").as(idCol), col(langCol).as("lang"))
+      .join(pred.select(col(idCol), col("pred_lang")), Seq(idCol))
+      .groupBy(col("lang"), col("pred_lang"))
+      .agg(count(lit(1)).as("n_docs"))
+  }
+}

@@ -2359,11 +2359,146 @@ object PipelinePack {
       FROM ks CROSS JOIN tot
       LEFT JOIN (SELECT * FROM sel WHERE rk = 1) s ON s.k = ks.k"""))
 
+  /** Per-language character-trigram rank profiles (LangId
+    * .charNgramProfiles — Cavnar–Trenkle 1994): top-30 grams per
+    * labeled language by (count desc, gram asc). The profile build is
+    * one (lang, gram) count plus a rank window bounded by the
+    * character-set trigram domain, never the corpus.
+    */
+  private val q183 = QueryDef(
+    "q183_langid_profile",
+    (s, dir) => graft.ops.LangId.charNgramProfiles(
+      Tables.documents(s, dir), "text", "lang", n = 3, topK = 30),
+    Some("""WITH g AS (SELECT lang,
+          unnest(list_transform(range(1, length(text) - 1),
+            i -> substring(text, i, 3))) AS gram
+        FROM documents WHERE length(text) >= 3),
+      cnt AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2)
+      SELECT lang, gram, rank FROM (SELECT lang, gram,
+        row_number() OVER (PARTITION BY lang
+          ORDER BY c DESC, gram ASC)::BIGINT AS rank FROM cnt)
+      WHERE rank <= 30"""))
+
+  /** Language-ID confusion matrix (LangId.confusion): every document
+    * classified by minimal out-of-place distance between its own
+    * top-20 trigram ranks and the q183 profiles (absent grams cost
+    * topK), tallied against the labeled lang. The oracle replays the
+    * full train→classify pipeline in SQL — profiles, per-doc rank
+    * windows, the matched-gram distance join, the (doc × language)
+    * spine, and the (dist asc, lang asc) argmin.
+    */
+  private val q184 = QueryDef(
+    "q184_langid_confusion",
+    (s, dir) => graft.ops.LangId.confusion(
+      Tables.documents(s, dir), "doc_id", "text", "lang",
+      n = 3, topK = 30, docTopM = 20),
+    Some("""WITH g AS (SELECT lang, doc_id,
+          unnest(list_transform(range(1, length(text) - 1),
+            i -> substring(text, i, 3))) AS gram
+        FROM documents WHERE length(text) >= 3),
+      pc AS (SELECT lang, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      prof AS (SELECT lang, gram, rank FROM (SELECT lang, gram,
+          row_number() OVER (PARTITION BY lang
+            ORDER BY c DESC, gram ASC)::BIGINT AS rank FROM pc)
+        WHERE rank <= 30),
+      dc AS (SELECT doc_id, gram, count(*) AS c FROM g GROUP BY 1, 2),
+      dp AS (SELECT doc_id, gram, drank FROM (SELECT doc_id, gram,
+          row_number() OVER (PARTITION BY doc_id
+            ORDER BY c DESC, gram ASC)::BIGINT AS drank FROM dc)
+        WHERE drank <= 20),
+      langs AS (SELECT DISTINCT lang FROM documents),
+      md AS (SELECT doc_id, count(*) AS m_doc FROM dp GROUP BY doc_id),
+      matched AS (SELECT dp.doc_id, prof.lang,
+          sum(abs(dp.drank - prof.rank)) AS mdist, count(*) AS mcnt
+        FROM dp JOIN prof USING (gram) GROUP BY 1, 2),
+      spine AS (SELECT d.doc_id, coalesce(md.m_doc, 0) AS m_doc, l.lang
+        FROM (SELECT DISTINCT doc_id FROM documents) d
+        LEFT JOIN md USING (doc_id) CROSS JOIN langs l),
+      scored AS (SELECT s.doc_id, s.lang,
+          coalesce(m.mdist, 0) + (s.m_doc - coalesce(m.mcnt, 0)) * 30
+            AS dist
+        FROM spine s LEFT JOIN matched m
+          ON m.doc_id = s.doc_id AND m.lang = s.lang),
+      pred AS (SELECT doc_id, lang AS pred_lang FROM scored
+        QUALIFY row_number() OVER (PARTITION BY doc_id
+          ORDER BY dist ASC, lang ASC) = 1)
+      SELECT d.lang, p.pred_lang, count(*)::BIGINT AS n_docs
+      FROM documents d JOIN pred p USING (doc_id)
+      GROUP BY 1, 2"""))
+
+  /** Portable HyperLogLog cardinality report (Sketch.hllReport, p=8)
+    * over the repeated-key o_custkey stream of orders (~10k distinct
+    * at sf0.01 — comfortably inside the raw estimator's n ≫ 2.5m
+    * regime, where the omitted small-range correction is irrelevant):
+    * register index = top 8 hash bits, ρ via the bin()-length trick
+    * (no floats), the harmonic sum quantized as Σ⌊2^40/2^ρ⌋ exact
+    * longs. The oracle rebuilds the identical 256-register state in
+    * SQL and shares the single closing double division.
+    */
+  private val q185 = QueryDef(
+    "q185_hll_custkeys",
+    (s, dir) => graft.ops.Sketch.hllReport(
+      Tables.orders(s, dir).select(col("o_custkey").as("tok")), "tok", p = 8),
+    Some(s"""WITH tok AS (SELECT o_custkey AS tok FROM orders),
+      h AS (SELECT ${sqlHex60("tok::VARCHAR")} AS h FROM tok
+        WHERE tok IS NOT NULL),
+      rw AS (SELECT h >> 52 AS reg, h & ${(1L << 52) - 1} AS w FROM h),
+      reg AS (SELECT reg, max(CASE WHEN w > 0
+          THEN 53 - length(bin(w)) ELSE 53 END) AS rho
+        FROM rw GROUP BY reg),
+      agg AS (SELECT count(*) AS n_nonzero,
+          sum(${1L << 40} >> rho::INTEGER) AS s_obs
+        FROM reg)
+      SELECT 256::BIGINT AS m, n_nonzero::BIGINT AS n_nonzero,
+        (coalesce(s_obs, 0) + (256 - coalesce(n_nonzero, 0))
+          * ${1L << 40})::BIGINT AS sum_q,
+        ${0.7213 / (1.0 + 1.079 / 256)}::DOUBLE * 65536.0
+          * ${(1L << 40).toDouble}::DOUBLE
+          / ((coalesce(s_obs, 0) + (256 - coalesce(n_nonzero, 0))
+            * ${1L << 40})::DOUBLE) AS est
+      FROM agg"""))
+
+  /** Count–min sketch accuracy audit (Sketch.countMinAudit): the
+    * exact top-15 tokens joined to their 4×1024-cell sketch
+    * estimates — est = min over the salted hash rows, never below the
+    * exact count (the CM invariant); overshoot is the admitted
+    * collision mass. Every counter and probe is an integer keyed on
+    * the register domain.
+    */
+  private val q186 = QueryDef(
+    "q186_countmin_audit",
+    (s, dir) => graft.ops.Sketch.countMinAudit(
+      Tables.documents(s, dir).select(explode(
+        TextKernels.tokens(col("text"))).as("tok")), "tok",
+      k = 15, depth = 4, width = 1024),
+    Some {
+      val probes = (0 until 4).map { i =>
+        s"SELECT key, exact, $i AS row, " +
+          s"${sqlHex60(s"'cm$i:' || key")} % 1024 AS col FROM top"
+      }.mkString(" UNION ALL ")
+      val cells = (0 until 4).map { i =>
+        s"SELECT $i AS row, ${sqlHex60(s"'cm$i:' || tok")} % 1024 AS col " +
+          "FROM tok WHERE tok IS NOT NULL"
+      }.mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT unnest($T) AS tok FROM documents),
+      tbl AS (SELECT row, col, count(*) AS cnt FROM ($cells) GROUP BY 1, 2),
+      ex AS (SELECT tok AS key, count(*) AS exact FROM tok
+        WHERE tok IS NOT NULL GROUP BY tok),
+      top AS (SELECT key, exact FROM ex
+        ORDER BY exact DESC, key ASC LIMIT 15),
+      pr AS ($probes)
+      SELECT pr.key, pr.exact::BIGINT AS exact, min(tbl.cnt)::BIGINT AS est,
+        (min(tbl.cnt) - pr.exact)::BIGINT AS overshoot
+      FROM pr JOIN tbl USING (row, col)
+      GROUP BY pr.key, pr.exact"""
+    })
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
     q112, q115, q116, q117, q118, q119, q120, q121, q122, q123, q124,
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
-    q165, q168, q169, q174, q175, q176, q178, q179)
+    q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
+    q185, q186)
 }

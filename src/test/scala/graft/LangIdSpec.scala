@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.LangId
+
+/** Cavnar–Trenkle rank-profile language ID: gram extraction edges,
+  * profile ranking determinism, and classification on a corpus with
+  * cleanly separated character distributions.
+  */
+class LangIdSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val corpus = Seq(
+    (1L, "aa", "the cat and the hat sat on the mat"),
+    (2L, "aa", "the rat and the bat ate the fat"),
+    (3L, "bb", "zzz qqq zzz qqq zzz kkk zzz qqq"),
+    (4L, "bb", "qqq kkk zzz kkk qqq zzz kkk qqq"))
+    .toDF("doc_id", "lang", "text")
+
+  test("charGrams slides correctly and guards short text") {
+    val got = Seq(("abcd", 1)).toDF("t", "i")
+      .select(LangId.charGrams($"t", 3).as("g")).head().getSeq[String](0)
+    assert(got === Seq("abc", "bcd"))
+    val short = Seq(("ab", 1)).toDF("t", "i")
+      .select(LangId.charGrams($"t", 3).as("g")).head().getSeq[String](0)
+    assert(short === Seq.empty)
+    // n = 1 degenerates to the character sequence
+    val ones = Seq(("xy", 1)).toDF("t", "i")
+      .select(LangId.charGrams($"t", 1).as("g")).head().getSeq[String](0)
+    assert(ones === Seq("x", "y"))
+  }
+
+  test("profiles rank by count desc then gram asc, capped at topK") {
+    val prof = LangId.charNgramProfiles(corpus, "text", "lang", n = 3, topK = 5)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    val aa = prof.filter(_._1 == "aa").sortBy(_._3)
+    assert(aa.length === 5)
+    // "the" appears most in lang aa ("the " ×7 → gram "the" 7 + "he "...)
+    assert(aa.head._3 === 1L)
+    // ranks are dense 1..5 per lang
+    assert(prof.filter(_._1 == "bb").map(_._3).sorted.toSeq ===
+      Seq(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("classify self-assigns a cleanly separated corpus perfectly") {
+    val prof = LangId.charNgramProfiles(corpus, "text", "lang", n = 3, topK = 20)
+    val pred = LangId.classify(corpus, "doc_id", "text", prof,
+      n = 3, topK = 20, docTopM = 10)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(pred === Map(1L -> "aa", 2L -> "aa", 3L -> "bb", 4L -> "bb"))
+  }
+
+  test("confusion matrix is diagonal on the separated corpus") {
+    val conf = LangId.confusion(corpus, "doc_id", "text", "lang",
+      n = 3, topK = 20, docTopM = 10)
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(conf === Map(("aa", "aa") -> 2L, ("bb", "bb") -> 2L))
+  }
+
+  test("a doc with no grams predicts the first language at distance 0") {
+    val prof = LangId.charNgramProfiles(corpus, "text", "lang", n = 3, topK = 20)
+    val tiny = Seq((9L, "zz", "ab")).toDF("doc_id", "lang", "text")
+    val row = LangId.classify(tiny, "doc_id", "text", prof,
+      n = 3, topK = 20, docTopM = 10).head()
+    assert(row.getString(1) === "aa")
+    assert(row.getLong(2) === 0L)
+    assert(row.getLong(3) === 0L)
+  }
+}
