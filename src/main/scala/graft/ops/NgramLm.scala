@@ -122,4 +122,92 @@ object NgramLm {
       .orderBy(col("n_occ").desc, col("pair").asc)
       .limit(k)
   }
+
+  /** Full multi-round BPE tokenizer TRAINING (Sennrich–Haddow–Birch,
+    * "Neural Machine Translation of Rare Words with Subword Units",
+    * ACL 2016 — the public algorithm): starting from per-character
+    * symbols, each round merges the corpus-wide most frequent adjacent
+    * symbol pair and re-symbolizes, producing the ordered merge table
+    * a tokenizer ships. Where [[bpePairStep]] is one counting step,
+    * this APPLIES the merges.
+    *
+    * Deterministic everywhere: the winning pair breaks ties
+    * lexicographically (count desc, left asc, right asc), and merge
+    * application is GREEDY LEFT-TO-RIGHT — inside a run of overlapping
+    * matches (e.g. `aaa` under pair (a,a)) the 1st, 3rd, … occurrences
+    * merge — expressed relationally as gaps-and-islands windows
+    * (mark → island id = pos − row_number → keep odd ranks → drop the
+    * consumed successor via lag), so an unrolled SQL oracle replays
+    * the identical trajectory with the identical windows.
+    *
+    * Scale shape: the symbol table is built over DISTINCT words
+    * weighted by occurrence count (the classic trainer trick — the
+    * corpus is scanned once to count words; every round then touches
+    * |vocab| × word-length rows, not the corpus). Per round: one
+    * lead-window pair pass, one weighted count keyed on the pair, a
+    * 1-row TakeOrdered argmax to the driver (the sanctioned scalar —
+    * the k-means centroid rule), three per-word windows (bounded by
+    * word length), and a [[graft.util.Pin]] lineage cut.
+    *
+    * Output: one row per round — (round, lsym, rsym, n_occ,
+    * n_symbols_after), n_symbols_after the corpus-weighted symbol
+    * total after that merge (the compression-progress diagnostic).
+    * Stops early (fewer rows) if no pair remains.
+    */
+  def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
+    require(merges >= 1 && merges <= 1000, s"need 1 <= merges <= 1000: $merges")
+    import graft.util.Pin.PinOps
+    val spark = df.sparkSession
+    import spark.implicits._
+    val toks = graft.functions.TextKernels.tokens(col(textCol))
+    val words = df.select(explode(toks).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    var syms = words.select(col("w"), col("wc"),
+        posexplode(expr(
+          "transform(sequence(1, length(w)), i -> substring(w, i, 1))"))
+          .as(Seq("i", "sym")))
+      .select(col("w"), col("wc"), (col("i") + 1).cast("long").as("pos"),
+        col("sym"))
+      .cutLineage
+    val wWin = Window.partitionBy(col("w")).orderBy(col("pos"))
+    val out = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, String, String, Long, Long)]
+    var round = 1
+    var exhausted = false
+    while (round <= merges && !exhausted) {
+      val paired = syms.withColumn("nxt", lead(col("sym"), 1).over(wWin))
+      val best = paired.filter(col("nxt").isNotNull)
+        .groupBy(col("sym"), col("nxt")).agg(sum(col("wc")).as("cnt"))
+        .orderBy(col("cnt").desc, col("sym").asc, col("nxt").asc)
+        .limit(1).collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (l, r, cnt) =
+          (best(0).getString(0), best(0).getString(1), best(0).getLong(2))
+        val marked = paired.withColumn("mark",
+          when(col("sym") === l && col("nxt") === r, 1L).otherwise(0L))
+        val islands = marked.withColumn("grp",
+          when(col("mark") === 1, col("pos") - row_number().over(
+            Window.partitionBy(col("w"), col("mark")).orderBy(col("pos")))))
+        val kept = islands.withColumn("keep",
+          when(col("mark") === 1 && row_number().over(
+              Window.partitionBy(col("w"), col("grp")).orderBy(col("pos")))
+            % 2 === 1, 1L).otherwise(0L))
+        val merged = kept
+          .withColumn("__pk", lag(col("keep"), 1).over(wWin))
+          .filter(coalesce(col("__pk"), lit(0L)) === 0L)
+          .select(col("w"), col("wc"), col("pos"),
+            when(col("keep") === 1, concat(col("sym"), col("nxt")))
+              .otherwise(col("sym")).as("sym"))
+        syms = merged.select(col("w"), col("wc"),
+            row_number().over(wWin).cast("long").as("pos"), col("sym"))
+          .cutLineage
+        val nSyms = syms.agg(coalesce(sum(col("wc")), lit(0L))).head().getLong(0)
+        out += ((round.toLong, l, r, cnt, nSyms))
+        round += 1
+      }
+    }
+    out.toSeq.toDF("round", "lsym", "rsym", "n_occ", "n_symbols_after")
+  }
 }

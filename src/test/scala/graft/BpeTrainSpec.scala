@@ -1,0 +1,56 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.ops.NgramLm
+
+/** The multi-round BPE trainer: hand-computed merge trajectories,
+  * greedy left-to-right overlap resolution, tie-breaks, and early
+  * exhaustion.
+  */
+class BpeTrainSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  test("three hand-computed rounds on the fast/faster corpus") {
+    // words: fast ×2, faster ×1. Pair counts round 1: fa=3, as=3,
+    // st=3, te=1, er=1 → tie broken lexicographically → (a,s).
+    val docs = Seq("fast fast faster").toDF("text")
+    val got = NgramLm.bpeTrain(docs, "text", merges = 3)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(got(0) === ((1L, "a", "s", 3L, 11L)))  // f|as|t ×2, f|as|t|e|r
+    assert(got(1) === ((2L, "as", "t", 3L, 8L))) // f|ast ×2, f|ast|e|r
+    assert(got(2) === ((3L, "f", "ast", 3L, 5L))) // fast ×2, fast|e|r
+  }
+
+  test("overlapping runs merge greedily left-to-right and exhaust early") {
+    // aaaa: round 1 pair (a,a) occurs 3 times but merges 1st and 3rd
+    // → aa|aa; round 2 merges (aa,aa) → aaaa; round 3 has no pair
+    val docs = Seq("aaaa").toDF("text")
+    val got = NgramLm.bpeTrain(docs, "text", merges = 5)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).sortBy(_._1)
+    assert(got.length === 2)
+    assert(got(0) === ((1L, "a", "a", 3L, 2L)))
+    assert(got(1) === ((2L, "aa", "aa", 1L, 1L)))
+  }
+
+  test("word frequency weights the pair counts") {
+    // "ab" ×3 outweighs the 2 distinct pairs of "xyz" ×1 each
+    val docs = Seq("ab ab ab xyz").toDF("text")
+    val got = NgramLm.bpeTrain(docs, "text", merges = 1).head()
+    assert((got.getString(1), got.getString(2), got.getLong(3)) ===
+      (("a", "b", 3L)))
+  }
+
+  test("single-character words survive untouched") {
+    val docs = Seq("a b a b ccc").toDF("text")
+    val got = NgramLm.bpeTrain(docs, "text", merges = 1)
+      .collect().map(r => (r.getString(1), r.getString(2), r.getLong(3),
+        r.getLong(4)))
+    // only ccc has pairs: (c,c) ×2 → greedy merges once → cc|c;
+    // total after = a + b + a + b + 2 symbols of ccc = 6
+    assert(got.toSeq === Seq(("c", "c", 2L, 6L)))
+  }
+}
