@@ -88,4 +88,81 @@ object Stats {
           expr("(1048576 * (__rank - 1)) div (__total - 1)"))
           .otherwise(lit(0L)).as("quant_q"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov statistic between the `classA` and
+    * `classB` populations of an integral `valueCol` — the drift
+    * detector a feed monitor runs between yesterday's and today's
+    * batch (or two sources): D = max_v |F_A(v) − F_B(v)|. Everything
+    * up to the last division is EXACT: per-value counts cross-multiply
+    * to `|cumA·n_B − cumB·n_A|` longs, so both engines agree on the
+    * supremum and its location; ties on the max break toward the
+    * smallest value (min over an argmax struct).
+    *
+    * One count aggregation keyed on (value), then TWO distributed
+    * prefix sums over the value domain via [[Sweep.runningSum]]
+    * (bucketed two-level cumulative — never a one-partition window,
+    * even on an unbounded value domain) joined back on the value, and
+    * a 1-row fold. Output: (n_a, n_b, ks_num, ks_at_value, ks) with
+    * ks = ks_num / (n_a·n_b); empty when no row carries either class.
+    */
+  def ksStatistic(df: DataFrame, classCol: String, valueCol: String,
+      classA: String, classB: String): DataFrame = {
+    require(classA != classB, s"need two distinct classes: $classA")
+    val counts = graft.util.Pin.cut(df
+      .filter(col(classCol).isin(classA, classB) && col(valueCol).isNotNull)
+      .groupBy(col(valueCol).cast("long").as("v"))
+      .agg(sum(when(col(classCol) === classA, 1L).otherwise(0L)).as("ca"),
+        sum(when(col(classCol) === classB, 1L).otherwise(0L)).as("cb")))
+    val cum = Sweep.runningSum(counts, "v", "ca")
+      .select(col("t").as("v"), col("running").as("cuma"))
+      .join(Sweep.runningSum(counts, "v", "cb")
+        .select(col("t").as("v"), col("running").as("cumb")), Seq("v"))
+    val totals = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    cum.crossJoin(broadcast(totals))
+      .select(col("n_a"), col("n_b"),
+        abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")).as("d"),
+        col("v"))
+      .groupBy(col("n_a"), col("n_b"))
+      .agg(min(struct((-col("d")).as("neg"), col("v").as("at"))).as("m"))
+      .select(col("n_a"), col("n_b"), (-col("m.neg")).as("ks_num"),
+        col("m.at").as("ks_at_value"),
+        when(col("n_a") > 0 && col("n_b") > 0,
+          (-col("m.neg")).cast("double") /
+            (col("n_a") * col("n_b")).cast("double")).as("ks"))
+  }
+
+  /** Concentration report over a categorical column — is the corpus
+    * dominated by a few sources? Exact integers: with per-class counts
+    * c_i and total N, the Herfindahl–Hirschman numerator Σc_i² and the
+    * top share c_max/N are emitted as (numerator, N, doubles). HHI =
+    * Σc_i²/N² ∈ (1/k, 1]; 1/HHI is the "effective source count" a
+    * mixture designer tracks. One count aggregation (keyed on the
+    * class domain) + a 1-row fold; Σc_i² accumulates as decimal(38,0)
+    * (c_i ≤ N ≈ corpus rows — the square passes long range at ~3e9).
+    *
+    * Output: (n_classes, n_rows, sum_sq_num, top_class, top_count,
+    * hhi, effective_classes, top_share).
+    */
+  def concentration(df: DataFrame, classCol: String): DataFrame = {
+    val dec = "decimal(38,0)"
+    df.filter(col(classCol).isNotNull)
+      .groupBy(col(classCol).cast("string").as("cls"))
+      .agg(count(lit(1)).as("c"))
+      .agg(count(lit(1)).as("n_classes"), sum(col("c")).as("n_rows"),
+        sum(col("c").cast(dec) * col("c")).as("__ss"),
+        // argmax with ties to the LEX-SMALLEST class: one min over a
+        // (−count, class) struct, no sort
+        min(struct((-col("c")).as("nc"), col("cls").as("cls"))).as("__mn"))
+      .select(col("n_classes"), col("n_rows"),
+        when(abs(col("__ss")) <= lit(Long.MaxValue),
+          col("__ss").cast("long")).as("sum_sq_num"),
+        col("__mn.cls").as("top_class"), (-col("__mn.nc")).as("top_count"),
+        when(col("n_rows") > 0, col("__ss").cast("double") /
+          (col("n_rows").cast("double") * col("n_rows"))).as("hhi"),
+        when(col("__ss") > 0,
+          (col("n_rows").cast("double") * col("n_rows")) /
+            col("__ss").cast("double")).as("effective_classes"),
+        when(col("n_rows") > 0, (-col("__mn.nc")).cast("double") /
+          col("n_rows").cast("double")).as("top_share"))
+  }
 }

@@ -2712,11 +2712,68 @@ object AnalyticsPack {
       SELECT node, rank FROM r3"""
     })
 
+  /** Two-sample Kolmogorov–Smirnov drift statistic (Stats.ksStatistic)
+    * between the click and error event types over the daily-arrival
+    * domain: D's numerator max|cumA·n_B − cumB·n_A| and its location
+    * are exact longs (cross-multiplied CDFs), the closing division the
+    * only double — the feed-drift alarm next to q171/q172/q177.
+    */
+  private val q188 = QueryDef(
+    "q188_ks_drift",
+    (s, dir) => graft.ops.Stats.ksStatistic(
+      Tables.events(s, dir).withColumn("day",
+        expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000")),
+      "event_type", "day", "click", "error"),
+    Some("""WITH e AS (SELECT event_type,
+          epoch_us(ts) // 86400000000 AS v FROM events
+        WHERE event_type IN ('click', 'error')),
+      c AS (SELECT v,
+          count(*) FILTER (WHERE event_type = 'click') AS ca,
+          count(*) FILTER (WHERE event_type = 'error') AS cb
+        FROM e GROUP BY v),
+      cum AS (SELECT v,
+          sum(ca) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cuma,
+          sum(cb) OVER (ORDER BY v ROWS UNBOUNDED PRECEDING) AS cumb
+        FROM c),
+      t AS (SELECT sum(ca) AS n_a, sum(cb) AS n_b FROM c),
+      d AS (SELECT t.n_a, t.n_b,
+          abs(cuma * t.n_b - cumb * t.n_a) AS d, v
+        FROM cum CROSS JOIN t)
+      SELECT n_a::BIGINT AS n_a, n_b::BIGINT AS n_b,
+        d::BIGINT AS ks_num, v::BIGINT AS ks_at_value,
+        CASE WHEN n_a > 0 AND n_b > 0
+          THEN d::DOUBLE / (n_a * n_b)::DOUBLE END AS ks
+      FROM d QUALIFY row_number() OVER (ORDER BY d DESC, v ASC) = 1"""))
+
+  /** Source-concentration report (Stats.concentration) over the
+    * documents corpus: exact HHI numerator Σc², the dominant source,
+    * and the effective-source count 1/HHI — the "is this mixture
+    * actually diverse" acceptance scalar a data-mixing pipeline
+    * tracks after sampling.
+    */
+  private val q189 = QueryDef(
+    "q189_source_concentration",
+    (s, dir) => graft.ops.Stats.concentration(
+      Tables.documents(s, dir), "source"),
+    Some("""WITH c AS (SELECT source AS cls, count(*) AS c FROM documents
+        WHERE source IS NOT NULL GROUP BY source),
+      a AS (SELECT count(*) AS n_classes, sum(c) AS n_rows,
+          sum(c::HUGEINT * c) AS ss FROM c),
+      mn AS (SELECT cls, c FROM c ORDER BY c DESC, cls ASC LIMIT 1)
+      SELECT a.n_classes::BIGINT AS n_classes, a.n_rows::BIGINT AS n_rows,
+        a.ss::BIGINT AS sum_sq_num, mn.cls AS top_class,
+        mn.c::BIGINT AS top_count,
+        a.ss::DOUBLE / (a.n_rows::DOUBLE * a.n_rows) AS hhi,
+        (a.n_rows::DOUBLE * a.n_rows) / a.ss::DOUBLE AS effective_classes,
+        mn.c::DOUBLE / a.n_rows::DOUBLE AS top_share
+      FROM a CROSS JOIN mn"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
     q88, q89, q92, q93, q95, q96, q97, q99, q100, q102, q104, q106, q107,
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
     q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162,
-    q164, q166, q167, q170, q171, q172, q173, q177, q180, q181, q182)
+    q164, q166, q167, q170, q171, q172, q173, q177, q180, q181, q182,
+    q188, q189)
 }
