@@ -149,4 +149,36 @@ object TableOps {
     r.adds.foldLeft(widened)((d, f) =>
       d.withColumn(f.name, lit(null).cast(f.dataType)))
   }
+
+  /** Snapshot diff — the incremental-load ACCEPTANCE audit: classify
+    * every key of two table versions as `added` / `removed` /
+    * `changed` / `unchanged` by comparing an md5 digest of the
+    * `compareCols` tuple. One full-outer equi-join on the key columns;
+    * digests are computed map-side (nulls encoded with a sentinel so
+    * (x, NULL) ≠ (NULL, x), columns joined on a \\u0001 separator that
+    * cannot appear in cast numerics/dates).
+    *
+    * `compareCols` should be integers/strings/dates for cross-engine
+    * digests — float columns stringify differently per engine (the
+    * check.py float rule); quantize them first.
+    *
+    * Output: keyCols*, status — feed a groupBy(status).count for the
+    * one-line audit, or anti-filter `unchanged` for the change feed.
+    */
+  def snapshotDiff(before: DataFrame, after: DataFrame,
+      keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "need at least one key column")
+    require(compareCols.nonEmpty, "need at least one compare column")
+    def digest(side: DataFrame, h: String): DataFrame = side.select(
+      keyCols.map(col) :+ md5(concat_ws("\u0001",
+        compareCols.map(c =>
+          coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(h): _*)
+    digest(before, "__hb")
+      .join(digest(after, "__ha"), keyCols, "full_outer")
+      .select(keyCols.map(col) :+
+        when(col("__hb").isNull, "added")
+          .when(col("__ha").isNull, "removed")
+          .when(col("__ha") === col("__hb"), "unchanged")
+          .otherwise("changed").as("status"): _*)
+  }
 }

@@ -2768,6 +2768,41 @@ object AnalyticsPack {
         mn.c::DOUBLE / a.n_rows::DOUBLE AS top_share
       FROM a CROSS JOIN mn"""))
 
+  /** Snapshot-diff audit (TableOps.snapshotDiff): two simulated
+    * versions of orders — "before" missing the %7 keys, "after"
+    * missing the %5 keys with priorities rewritten on %3 keys — full-
+    * outer-joined on the key with md5 row digests, classified
+    * added/removed/changed/unchanged and tallied. The incremental-load
+    * acceptance check: one equi-join, digests map-side.
+    */
+  private val q190 = QueryDef(
+    "q190_snapshot_diff",
+    (s, dir) => {
+      val o = Tables.orders(s, dir)
+      val before = o.filter(col("o_orderkey") % 7 =!= 0)
+      val after = o.filter(col("o_orderkey") % 5 =!= 0)
+        .withColumn("o_orderpriority",
+          when(col("o_orderkey") % 3 === 0, lit("X"))
+            .otherwise(col("o_orderpriority")))
+      graft.ops.TableOps.snapshotDiff(before, after,
+        Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
+        .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
+    },
+    Some("""WITH b AS (SELECT o_orderkey, md5(concat_ws(chr(1),
+          o_custkey::VARCHAR, o_orderstatus, o_orderpriority)) AS h
+        FROM orders WHERE o_orderkey % 7 <> 0),
+      a AS (SELECT o_orderkey, md5(concat_ws(chr(1),
+          o_custkey::VARCHAR, o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderpriority END))
+          AS h
+        FROM orders WHERE o_orderkey % 5 <> 0),
+      st AS (SELECT CASE WHEN b.h IS NULL THEN 'added'
+          WHEN a.h IS NULL THEN 'removed'
+          WHEN a.h = b.h THEN 'unchanged'
+          ELSE 'changed' END AS status
+        FROM b FULL OUTER JOIN a USING (o_orderkey))
+      SELECT status, count(*)::BIGINT AS n_rows FROM st GROUP BY status"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
@@ -2775,5 +2810,5 @@ object AnalyticsPack {
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
     q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162,
     q164, q166, q167, q170, q171, q172, q173, q177, q180, q181, q182,
-    q188, q189)
+    q188, q189, q190)
 }

@@ -160,4 +160,27 @@ class TableOpsSpec extends AnyFunSuite {
       Seq("v-00000001", "v-00000002"), root)
     assert(t.read.collect().map(_.getLong(0)).toSeq == Seq(3))
   }
+
+  test("snapshotDiff classifies added/removed/changed/unchanged; null != shifted null") {
+    import spark.implicits._
+    val before = Seq(
+      (1L, Some("a"), Some("x")),  // unchanged
+      (2L, Some("a"), Some("y")),  // changed in after
+      (3L, Some("a"), Some("z")),  // removed
+      (5L, Some("p"), None),       // (p, NULL) vs (NULL, p): must differ
+      (6L, None, None))            // unchanged with all-null compares
+      .toDF("id", "c1", "c2")
+    val after = Seq(
+      (1L, Some("a"), Some("x")),
+      (2L, Some("a"), Some("Y")),
+      (4L, Some("n"), Some("w")),  // added
+      (5L, None, Some("p")),
+      (6L, None, None))
+      .toDF("id", "c1", "c2")
+    val got = graft.ops.TableOps.snapshotDiff(before, after,
+      Seq("id"), Seq("c1", "c2"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
+      4L -> "added", 5L -> "changed", 6L -> "unchanged"))
+  }
 }
