@@ -46,7 +46,12 @@ class PlanContractSpec extends AnyFunSuite {
     "q162_quantile_norm",  // 1-row corpus total N for the quantile scale
     "q168_ivf_stats",      // 1-row corpus total + queries × centroids probe
     "q169_pmi_pairs",      // 1-row corpus doc count for the PMI scale
-    "q181_modularity")     // 1-row edge total m for the Q denominator
+    "q181_modularity",     // 1-row edge total m for the Q denominator
+    "q184_langid_confusion", // the docs × LANGUAGES spine — the distinct
+                             // label set is a small constant by the
+                             // classifier's construction (q83 rule)
+    "q188_ks_drift")       // 1-row (n_a, n_b) totals broadcast for the
+                           // CDF cross-multiplication
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {
