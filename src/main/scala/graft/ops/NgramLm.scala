@@ -155,10 +155,30 @@ object NgramLm {
     * Stops early (fewer rows) if no pair remains.
     */
   def bpeTrain(df: DataFrame, textCol: String, merges: Int): DataFrame = {
-    require(merges >= 1 && merges <= 1000, s"need 1 <= merges <= 1000: $merges")
-    import graft.util.Pin.PinOps
     val spark = df.sparkSession
     import spark.implicits._
+    bpeCore(df, textCol, merges)._1
+      .toDF("round", "lsym", "rsym", "n_occ", "n_symbols_after")
+  }
+
+  /** Subword VOCABULARY after `merges` BPE rounds: the corpus-weighted
+    * occurrence count of every surviving symbol — the artifact a
+    * tokenizer build publishes next to the [[bpeTrain]] merge table
+    * (merged subwords surface with their mass; untouched characters
+    * keep theirs). Same loop, one extra (symbol)-keyed aggregation
+    * over the distinct-word symbol table at the end.
+    *
+    * Output: (sym, n_occ) — n_occ = Σ word-count over symbol slots.
+    */
+  def bpeVocab(df: DataFrame, textCol: String, merges: Int): DataFrame =
+    bpeCore(df, textCol, merges)._2
+      .groupBy(col("sym")).agg(sum(col("wc")).as("n_occ"))
+
+  /** Shared trainer loop: (merge rows, final symbol table). */
+  private def bpeCore(df: DataFrame, textCol: String, merges: Int)
+      : (Seq[(Long, String, String, Long, Long)], DataFrame) = {
+    require(merges >= 1 && merges <= 1000, s"need 1 <= merges <= 1000: $merges")
+    import graft.util.Pin.PinOps
     val toks = graft.functions.TextKernels.tokens(col(textCol))
     val words = df.select(explode(toks).as("w"))
       .filter(length(col("w")) >= 1)
@@ -208,6 +228,6 @@ object NgramLm {
         round += 1
       }
     }
-    out.toSeq.toDF("round", "lsym", "rsym", "n_occ", "n_symbols_after")
+    (out.toSeq, syms)
   }
 }

@@ -2544,6 +2544,48 @@ object PipelinePack {
         (SELECT sum(wc) FROM s3)::BIGINT FROM b3"""
     })
 
+  /** Subword vocabulary after the q187 training rounds
+    * (NgramLm.bpeVocab): corpus-weighted occurrence mass per surviving
+    * symbol — the artifact a tokenizer build publishes next to the
+    * merge table. The oracle reuses the q187 unrolled trajectory and
+    * aggregates its final symbol table.
+    */
+  private val q191 = QueryDef(
+    "q191_bpe_vocab",
+    (s, dir) => graft.ops.NgramLm.bpeVocab(
+      Tables.documents(s, dir), "text", merges = 3),
+    Some {
+      val steps = (1 to 3).map { r =>
+        s"""p$r AS (SELECT w, wc, pos, sym,
+           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s${r - 1}),
+         b$r AS (SELECT sym AS l, nxt AS rr FROM p$r
+           WHERE nxt IS NOT NULL GROUP BY sym, nxt
+           ORDER BY sum(wc) DESC, l ASC, rr ASC LIMIT 1),
+         mk$r AS (SELECT p.*, CASE WHEN p.sym = b.l AND p.nxt = b.rr
+             THEN 1 ELSE 0 END AS mark
+           FROM p$r p CROSS JOIN b$r b),
+         il$r AS (SELECT *, CASE WHEN mark = 1 THEN pos - row_number()
+             OVER (PARTITION BY w, mark ORDER BY pos) END AS grp FROM mk$r),
+         kp$r AS (SELECT *, CASE WHEN mark = 1 AND row_number()
+             OVER (PARTITION BY w, grp ORDER BY pos) % 2 = 1
+             THEN 1 ELSE 0 END AS keep FROM il$r),
+         f$r AS (SELECT w, wc, pos,
+           CASE WHEN keep = 1 THEN sym || nxt ELSE sym END AS sym
+           FROM kp$r QUALIFY coalesce(lag(keep)
+             OVER (PARTITION BY w ORDER BY pos), 0) = 0),
+         s$r AS (SELECT w, wc,
+           row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
+           FROM f$r)"""
+      }.mkString(",\n      ")
+      s"""WITH wt AS (SELECT w, count(*) AS wc FROM
+        (SELECT unnest($T) AS w FROM documents)
+        WHERE length(w) >= 1 GROUP BY w),
+      s0 AS (SELECT w, wc, pos, substring(w, pos, 1) AS sym FROM
+        (SELECT w, wc, unnest(range(1, length(w) + 1)) AS pos FROM wt)),
+      $steps
+      SELECT sym, sum(wc)::BIGINT AS n_occ FROM s3 GROUP BY sym"""
+    })
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
@@ -2551,5 +2593,5 @@ object PipelinePack {
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
-    q185, q186, q187)
+    q185, q186, q187, q191)
 }

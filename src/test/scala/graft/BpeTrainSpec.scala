@@ -44,6 +44,14 @@ class BpeTrainSpec extends AnyFunSuite {
       (("a", "b", 3L)))
   }
 
+  test("bpeVocab reports the post-merge symbol masses") {
+    // fast ×2, faster ×1 after 3 merges: fast, fast|e|r
+    val docs = Seq("fast fast faster").toDF("text")
+    val got = graft.ops.NgramLm.bpeVocab(docs, "text", merges = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got === Map("fast" -> 3L, "e" -> 1L, "r" -> 1L))
+  }
+
   test("single-character words survive untouched") {
     val docs = Seq("a b a b ccc").toDF("text")
     val got = NgramLm.bpeTrain(docs, "text", merges = 1)
