@@ -271,4 +271,70 @@ object StreamingLift {
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** Streaming CURATION ingest — the [EXT] pipeline (quality gate →
+    * exact dedup → corpus append) as a continuous feed: watch
+    * `srcPath` for new document files and, per micro-batch,
+    *
+    *  1. gate on [[graft.ops.QualityRules.gopherRules]] pass == 1;
+    *  2. within-batch exact dedup (min id per content — Dedup.exact);
+    *  3. CROSS-BATCH content dedup: anti-join the batch against the
+    *     destination's stored content-hash column, so re-fed or
+    *     re-crawled text never lands twice (the q54
+    *     batch-vs-corpus shape, lifted);
+    *  4. keyed upsert of the survivors into `dest` (so a re-delivered
+    *     doc id is an update, and replays are idempotent).
+    *
+    * The content hash is PERSISTED as a `__content_hash` column on
+    * write: the cross-batch probe then scans one thin column of the
+    * corpus (column pruning reaches the parquet footers), not the
+    * text. At cluster scale, bucket `dest` by the hash so the probe
+    * prunes to the batch's buckets; the probe side of the anti-join is
+    * always the SMALL batch.
+    *
+    * Rejected rows are not silenced: per batch, the counts
+    * (input, low_quality, dup_in_batch, dup_in_corpus, loaded) are
+    * appended to `audit` — the curation ledger a feed owner reads.
+    * The DATA path is exactly-once under replay (id upsert + content
+    * anti-join are both idempotent); the ledger is at-least-once (a
+    * replayed batch re-appends its row with the same batch_id and a
+    * zero loaded count — dedup on batch_id at read if exactness
+    * matters there).
+    */
+  def curationStream(spark: SparkSession, srcPath: String,
+      schema: StructType, dest: ParquetTable, audit: ParquetTable,
+      idCol: String, textCol: String, stopwords: Seq[String],
+      checkpoint: String, availableNow: Boolean = true): StreamingQuery = {
+    import graft.ops.{Dedup, QualityRules}
+    val stream = spark.readStream.schema(schema).parquet(srcPath)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val nIn = batch.count()
+        val keep = QualityRules.gopherRules(batch, idCol, textCol, stopwords)
+          .filter(col("pass") === 1).select(col(idCol))
+        val gated = batch.join(keep, Seq(idCol), "left_semi")
+          .localCheckpoint(true)
+        val nGated = gated.count()
+        val survivors = Dedup.exact(gated, idCol, textCol)
+          .select(col("keep_id").as(idCol))
+        val batchDeduped = gated.join(survivors, Seq(idCol), "left_semi")
+          .withColumn("__content_hash", md5(col(textCol)))
+        val nBatchDeduped = batchDeduped.count()
+        val fresh = (if (dest.exists)
+          batchDeduped.join(
+            dest.read.select(col("__content_hash")).distinct(),
+            Seq("__content_hash"), "left_anti")
+        else batchDeduped).localCheckpoint(true)
+        val nFresh = fresh.count()
+        if (nFresh > 0)
+          TableOps.insertData(dest, fresh, idCol, mergeOnDuplicates = true)
+        import spark.implicits._
+        audit.append(Seq((batchId, nIn, nIn - nGated,
+            nGated - nBatchDeduped, nBatchDeduped - nFresh, nFresh))
+          .toDF("batch_id", "n_input", "n_low_quality", "n_dup_in_batch",
+            "n_dup_in_corpus", "n_loaded"))
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
 }

@@ -458,4 +458,52 @@ class StreamingLiftSpec extends AnyFunSuite {
     // left join: every event emits exactly once
     assert(spark.table("asof_out").count() === 5)
   }
+
+  test("curationStream gates quality, dedups within and across batches, and ledgers every drop") {
+    val srcDir = Files.createTempDirectory("graft-cur-src").toString
+    val ckpt = Files.createTempDirectory("graft-cur-ckpt").toString
+    val base = Files.createTempDirectory("graft-cur-dst")
+    val dest = ParquetTable(spark, base.resolve("corpus").toString)
+    val audit = ParquetTable(spark, base.resolve("ledger").toString)
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val good1 = "the quick brown fox jumps over the lazy dog again and again"
+    val good2 = "a different corpus document with the usual stopwords in it and more"
+    def docs(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
+    val schema = docs(Nil).schema
+
+    // batch 1: one good doc, one exact in-batch duplicate of it under
+    // another id, one too-short (quality-gated) doc
+    docs(Seq((1L, good1), (2L, good1), (3L, "too short")))
+      .write.parquet(srcDir + "/f1")
+    val q1 = StreamingLift.curationStream(spark, srcDir + "/*", schema,
+      dest, audit, "doc_id", "text", stop, ckpt)
+    q1.awaitTermination()
+    assert(dest.read.select("doc_id").collect().map(_.getLong(0)).toSeq === Seq(1L))
+
+    // batch 2: a re-crawl of good1 under a NEW id (corpus dup) + a
+    // genuinely new good doc
+    docs(Seq((10L, good1), (11L, good2))).write.parquet(srcDir + "/f2")
+    val q2 = StreamingLift.curationStream(spark, srcDir + "/*", schema,
+      dest, audit, "doc_id", "text", stop, ckpt)
+    q2.awaitTermination()
+    assert(dest.read.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Seq(1L, 11L))
+    // persisted content hashes back the cross-batch probe
+    assert(dest.read.columns.contains("__content_hash"))
+
+    // the ledger accounts for every drop, batch by batch
+    val ledger = audit.read.collect().map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
+    assert(ledger(0L) === ((3L, 1L, 1L, 0L, 1L))) // in, lowq, batchdup, corpusdup, loaded
+    assert(ledger(1L) === ((2L, 0L, 0L, 1L, 1L)))
+
+    // replay with a FRESH checkpoint (same files): data path stays
+    // exactly-once — nothing new lands
+    val ckpt2 = Files.createTempDirectory("graft-cur-ckpt2").toString
+    val q3 = StreamingLift.curationStream(spark, srcDir + "/*", schema,
+      dest, audit, "doc_id", "text", stop, ckpt2)
+    q3.awaitTermination()
+    assert(dest.read.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Seq(1L, 11L))
+  }
 }
