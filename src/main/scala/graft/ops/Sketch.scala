@@ -146,4 +146,56 @@ object Sketch {
       .agg(min(col("cnt")).as("est"))
       .withColumn("overshoot", col("est") - col("exact"))
   }
+
+  /** Equi-join SIZE estimation from two count–min sketches (the
+    * Alon–Gibbons–Matias–Szegedy inner-product application the CM
+    * paper formalizes): |A ⋈ B| = Σ_k f_A(k)·f_B(k) is estimated by
+    * `min over rows i of Σ_col cmA[i][col]·cmB[i][col]` — an
+    * OVERestimate, tightening as width grows. This is the
+    * bounded-memory answer to "how big is this join going to be"
+    * that a pipeline asks before committing to a shuffle strategy —
+    * each side is sketched in one scan, the inner product runs on the
+    * depth×width register domain, and the sketches are mergeable
+    * across partitions/batches by addition.
+    *
+    * Products and sums accumulate as decimal(38,0) (two 100 TB-side
+    * counters can multiply past long range); the emitted longs are
+    * range-guarded like [[graft.ops.Graph.modularity]]'s numerator.
+    * The exact join size is computed alongside (one count per side +
+    * an equi-join of the two per-key count tables — NOT the join
+    * itself) so the output is a self-contained accuracy audit.
+    *
+    * Output: one row (exact_size, est_size, overshoot) — est ≥ exact
+    * always (the CM invariant, spec-pinned).
+    */
+  def joinSizeEstimate(a: DataFrame, aKey: String, b: DataFrame, bKey: String,
+      depth: Int = 4, width: Int = 1024): DataFrame = {
+    val dec = "decimal(38,0)"
+    val ta = countMinTable(a.select(col(aKey).as("k")), "k", depth, width)
+    val tb = countMinTable(b.select(col(bKey).as("k")), "k", depth, width)
+    // a sketch row whose cells never overlap has inner product 0 — the
+    // min must SEE that 0 (it is the tightest bound), so the per-row
+    // products land on an explicit 0..depth-1 spine before the fold
+    val ips = ta.as("a").join(tb.as("b"), Seq("row", "col"))
+      .groupBy(col("row"))
+      .agg(sum(col("a.cnt").cast(dec) * col("b.cnt")).as("ip"))
+    val est = a.sparkSession.range(depth).select(col("id").as("row"))
+      .join(ips, Seq("row"), "left")
+      .agg(min(coalesce(col("ip"), lit(0).cast(dec))).as("est_d"))
+    val fa = a.filter(col(aKey).isNotNull)
+      .groupBy(col(aKey).cast("string").as("k")).agg(count(lit(1)).as("ca"))
+    val fb = b.filter(col(bKey).isNotNull)
+      .groupBy(col(bKey).cast("string").as("k")).agg(count(lit(1)).as("cb"))
+    val exact = fa.join(fb, Seq("k"))
+      .agg(coalesce(sum(col("ca").cast(dec) * col("cb")),
+        lit(0).cast(dec)).as("exact_d"))
+    exact.crossJoin(broadcast(est))
+      .select(
+        when(abs(col("exact_d")) <= lit(Long.MaxValue),
+          col("exact_d").cast("long")).as("exact_size"),
+        when(abs(col("est_d")) <= lit(Long.MaxValue),
+          col("est_d").cast("long")).as("est_size"),
+        when(abs(col("est_d") - col("exact_d")) <= lit(Long.MaxValue),
+          (col("est_d") - col("exact_d")).cast("long")).as("overshoot"))
+  }
 }

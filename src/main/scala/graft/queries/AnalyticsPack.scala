@@ -2807,6 +2807,43 @@ object AnalyticsPack {
         FROM b FULL OUTER JOIN a USING (o_orderkey))
       SELECT status, count(*)::BIGINT AS n_rows FROM st GROUP BY status"""))
 
+  /** Count–min join-size estimation (Sketch.joinSizeEstimate): the
+    * orders⋈customer equi-join size predicted from two 4×1024 sketches
+    * via the min-over-rows register inner product, audited against the
+    * exact Σ f_A·f_B — the bounded-memory "how big will this shuffle
+    * be" probe, never below the truth. The oracle rebuilds both
+    * sketches and both folds.
+    */
+  private val q192 = QueryDef(
+    "q192_join_size_est",
+    (s, dir) => graft.ops.Sketch.joinSizeEstimate(
+      Tables.orders(s, dir), "o_custkey",
+      Tables.customer(s, dir), "c_custkey"),
+    Some {
+      def cells(src: String, key: String) = (0 until 4).map { i =>
+        s"SELECT $i AS row, " +
+          s"${OracleSql.hex60(s"'cm$i:' || $key::VARCHAR")} % 1024 AS col " +
+          s"FROM $src WHERE $key IS NOT NULL"
+      }.mkString(" UNION ALL ")
+      s"""WITH ta AS (SELECT row, col, count(*) AS cnt FROM
+        (${cells("orders", "o_custkey")}) GROUP BY 1, 2),
+      tb AS (SELECT row, col, count(*) AS cnt FROM
+        (${cells("customer", "c_custkey")}) GROUP BY 1, 2),
+      ip AS (SELECT ta.row, sum(ta.cnt::HUGEINT * tb.cnt) AS ip
+        FROM ta JOIN tb USING (row, col) GROUP BY ta.row),
+      es AS (SELECT min(coalesce(ip.ip, 0)) AS est FROM
+        (SELECT unnest(range(0, 4)) AS row) sp LEFT JOIN ip USING (row)),
+      fa AS (SELECT o_custkey AS k, count(*) AS ca FROM orders
+        WHERE o_custkey IS NOT NULL GROUP BY 1),
+      fb AS (SELECT c_custkey AS k, count(*) AS cb FROM customer
+        WHERE c_custkey IS NOT NULL GROUP BY 1),
+      ex AS (SELECT coalesce(sum(fa.ca::HUGEINT * fb.cb), 0) AS ex
+        FROM fa JOIN fb USING (k))
+      SELECT ex::BIGINT AS exact_size, est::BIGINT AS est_size,
+        (est - ex)::BIGINT AS overshoot
+      FROM ex CROSS JOIN es"""
+    })
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
@@ -2814,5 +2851,5 @@ object AnalyticsPack {
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
     q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162,
     q164, q166, q167, q170, q171, q172, q173, q177, q180, q181, q182,
-    q188, q189, q190)
+    q188, q189, q190, q192)
 }

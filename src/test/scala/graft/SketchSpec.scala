@@ -61,6 +61,21 @@ class SketchSpec extends AnyFunSuite {
       (1 to 5).map(i => s"heavy$i" -> (100L + i)).toMap)
   }
 
+  test("joinSizeEstimate never undershoots and is exact without collisions") {
+    // A: key k1 ×3, k2 ×2; B: k1 ×4, k3 ×5 → exact = 3*4 = 12
+    val a = (Seq.fill(3)("k1") ++ Seq.fill(2)("k2")).toDF("k")
+    val b = (Seq.fill(4)("k1") ++ Seq.fill(5)("k3")).toDF("k")
+    val r = Sketch.joinSizeEstimate(a, "k", b, "k").head()
+    assert(r.getLong(0) === 12L)
+    assert(r.getLong(1) >= 12L)
+    assert(r.getLong(2) === r.getLong(1) - 12L)
+    // disjoint key sets: exact 0, estimate still >= 0
+    val d = Sketch.joinSizeEstimate(
+      Seq("x1", "x2").toDF("k"), "k", Seq("y1").toDF("k"), "k").head()
+    assert(d.getLong(0) === 0L)
+    assert(d.getLong(1) >= 0L)
+  }
+
   test("countMinTable total mass equals depth × rows") {
     val df = (1 to 300).map(i => s"k${i % 40}").toDF("k")
     val mass = Sketch.countMinTable(df, "k", depth = 4, width = 64)
