@@ -50,8 +50,10 @@ class PlanContractSpec extends AnyFunSuite {
     "q184_langid_confusion", // the docs × LANGUAGES spine — the distinct
                              // label set is a small constant by the
                              // classifier's construction (q83 rule)
-    "q188_ks_drift")       // 1-row (n_a, n_b) totals broadcast for the
+    "q188_ks_drift",       // 1-row (n_a, n_b) totals broadcast for the
                            // CDF cross-multiplication
+    "q192_join_size_est")  // two 1-row folds (exact size, sketch min)
+                           // cross-joined into the single report row
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {
