@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Determinism under re-partitioning: the engine's core claim for its
+  * quantized/integer-exact operators is that results are a pure
+  * function of the DATA — independent of shuffle partition count,
+  * task scheduling, and aggregation order. This sweep re-runs a
+  * deliberately tricky slice of the registered queries (decimal moment
+  * sums, ⌊·2²⁰⌋ quantization, driver-looped fixpoints, window
+  * argmaxes, connected components, BPE training) on a sibling session
+  * with a DIFFERENT `spark.sql.shuffle.partitions` and demands
+  * bit-identical row sets.
+  */
+class PartitionInvarianceSpec extends AnyFunSuite {
+  import TestSpark._
+
+  private val slice = Seq(
+    "q100_zscore",          // integer z-quantization
+    "q135_assortativity",   // decimal(38,0) moment sums
+    "q146_pagerank",        // driver-looped fixpoint, lineage cuts
+    "q32_neardup_dedup",    // minhash LSH + connected components
+    "q177_theil_sen",       // quantized slopes, domain-window median
+    "q187_bpe_train",       // iterative argmax + islands application
+    "q188_ks_drift",        // distributed prefix sums, argmax struct
+    "q19_jaccard_pairs")    // inverted-index pair expansion
+
+  private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
+    df.collect().map(_.toString).sorted.toSeq
+
+  for (name <- slice) {
+    test(s"$name is invariant to the shuffle partition count") {
+      val base = rows(SparkEntry.queries(name)(spark, sf))
+      val alt = spark.newSession()
+      alt.conf.set("spark.sql.shuffle.partitions", "7")
+      try {
+        val got = rows(SparkEntry.queries(name)(alt, sf))
+        assert(got === base)
+      } finally alt.conf.unset("spark.sql.shuffle.partitions")
+    }
+  }
+}
