@@ -432,6 +432,55 @@ object Kernels {
     new GenericArrayData(out)
   }
 
+  /** Top-M character n-grams of a document by (count desc, gram asc in
+    * UTF-8 binary order) with dense ranks 1..M — the per-document side
+    * of the Cavnar–Trenkle language-ID distance, computed map-side in
+    * ONE compiled pass (per-doc HashMap bounded by the doc's own gram
+    * count) instead of exploding every gram into a (doc, gram)-keyed
+    * exchange plus a per-doc rank window. Grams slide over CODE
+    * POINTS, matching SQL `substring` semantics on both engines.
+    *
+    * Output: array of (gram, drank) structs, empty when the text holds
+    * fewer than n code points.
+    */
+  def topCharGrams(text: UTF8String, n: Int, topM: Int): ArrayData = {
+    val s = text.toString
+    val cp = s.codePointCount(0, s.length)
+    if (cp < n) return new GenericArrayData(Array.empty[AnyRef])
+    // code-point → UTF-16 offset table, one forward walk
+    val off = new Array[Int](cp + 1)
+    var i = 0
+    var u = 0
+    while (i < cp) { off(i) = u; u = s.offsetByCodePoints(u, 1); i += 1 }
+    off(cp) = u
+    val slots = cp - n + 1
+    val counts = new java.util.HashMap[String, Int](slots * 2)
+    i = 0
+    while (i < slots) {
+      counts.merge(s.substring(off(i), off(i + n)), 1, Integer.sum)
+      i += 1
+    }
+    val entries = new Array[(String, Int)](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) { val e = it.next(); entries(i) = (e.getKey, e.getValue); i += 1 }
+    java.util.Arrays.sort(entries, new java.util.Comparator[(String, Int)] {
+      def compare(a: (String, Int), b: (String, Int)): Int =
+        if (a._2 != b._2) Integer.compare(b._2, a._2)
+        else if (a._1 == b._1) 0
+        else if (utf8Less(a._1, b._1)) -1 else 1
+    })
+    val m = math.min(topM, entries.length)
+    val out = new Array[AnyRef](m)
+    i = 0
+    while (i < m) {
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(entries(i)._1), (i + 1).toLong))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   /** Byte-class histogram of a binary payload: counts per bucket
     * `(byte & 0xff)·buckets / 256` — the content-sniffing fingerprint
     * a media pipeline uses to sanity-check payloads before decode
@@ -755,6 +804,21 @@ object Kernels {
       Kernels.getClass, ArrayType(LongType, containsNull = false), "winnowFps",
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(shingleWords)),
         expr(org.apache.spark.sql.functions.lit(window))),
+      Seq(StringType, IntegerType, IntegerType)))
+
+  /** Top-M ranked character n-grams straight from text (see
+    * [[topCharGrams]]).
+    */
+  def topCharGramsOf(text: Column, n: Int, topM: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass,
+      ArrayType(StructType(Seq(
+        StructField("gram", StringType, nullable = false),
+        StructField("drank", LongType, nullable = false))),
+        containsNull = false),
+      "topCharGrams",
+      Seq(expr(text), expr(org.apache.spark.sql.functions.lit(n)),
+        expr(org.apache.spark.sql.functions.lit(topM))),
       Seq(StringType, IntegerType, IntegerType)))
 
   /** Per-n repetition statistics straight from text (see

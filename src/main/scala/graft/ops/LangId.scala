@@ -74,16 +74,16 @@ object LangId {
       profiles: DataFrame, n: Int = 3, topK: Int = 50,
       docTopM: Int = 20): DataFrame = {
     require(docTopM >= 1, s"need docTopM >= 1: $docTopM")
-    val docCounts = df
+    // per-doc profile entirely map-side: the compiled kernel counts,
+    // ranks (count desc, gram asc — the same total order the SQL form
+    // declares), and truncates inside one pass per document, deleting
+    // the (doc, gram)-keyed exchange and the per-doc rank window the
+    // relational shape paid
+    val docProf = df
       .select(col(idCol).cast("long").as("__id"),
-        explode(gramCol(textCol, n)).as("gram"))
-      .groupBy(col("__id"), col("gram")).agg(count(lit(1)).as("cnt"))
-    val w = Window.partitionBy(col("__id"))
-      .orderBy(col("cnt").desc, col("gram").asc)
-    val docProf = docCounts
-      .withColumn("drank", row_number().over(w).cast("long"))
-      .filter(col("drank") <= docTopM)
-      .select(col("__id"), col("gram"), col("drank"))
+        explode(graft.functions.Kernels.topCharGramsOf(
+          col(textCol), n, docTopM)).as("g"))
+      .select(col("__id"), col("g.gram").as("gram"), col("g.drank").as("drank"))
     val langs = profiles.select(col("lang")).distinct()
     // matched grams: |doc rank − lang rank|, summed per (doc, lang)
     val matched = docProf
