@@ -15,6 +15,86 @@ import graft.util.Pin.PinOps
   */
 object Graph {
 
+  /** Canonical undirected edge set: (u < v), self-loops dropped,
+    * duplicates collapsed — the shared first step of every undirected
+    * operator here, maintained once.
+    */
+  private def canonUndirected(edges: DataFrame, srcCol: String,
+      dstCol: String): DataFrame =
+    edges.select(
+        least(col(srcCol), col(dstCol)).cast("long").as("u"),
+        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
+      .filter(col("u") =!= col("v"))
+      .distinct()
+
+  /** Per-node degree of a canonical edge set. */
+  private def undirectedDegrees(es: DataFrame): DataFrame =
+    es.select(col("u").as("node"))
+      .unionAll(es.select(col("v").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+
+  /** One k-core peel round: drop every edge touching a node whose
+    * surviving degree is below k; lineage cut so round r never
+    * replays rounds 1..r−1. Shared by the fixed-round and
+    * convergence-detecting peels — the step is maintained once.
+    */
+  private def peelRound(e: DataFrame, k: Int): DataFrame = {
+    val keep = undirectedDegrees(e).filter(col("degree") >= k)
+      .select(col("node"))
+    e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
+      .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
+      .select(col("u"), col("v"))
+      .cutLineage
+  }
+
+  /** Shared PageRank driver loop. `redistributeDangling = false` drops
+    * sink mass each round (the simple variant); `true` floor-shares
+    * the summed sink rank back uniformly. ONE implementation of the
+    * quantized update so the two public variants can never fork.
+    */
+  private def pagerankLoop(edges: DataFrame, srcCol: String, dstCol: String,
+      iterations: Int, dampNum: Long, dampDen: Long,
+      redistributeDangling: Boolean): DataFrame = {
+    require(iterations >= 1, s"need iterations >= 1: $iterations")
+    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
+      s"bad damping: $dampNum/$dampDen")
+    val Scale = 1000000000000L
+    val e = edges.select(col(srcCol).cast("long").as("src"),
+      col(dstCol).cast("long").as("dst")).cutLineage
+    val nodes = e.select(col("src").as("node"))
+      .unionByName(e.select(col("dst").as("node"))).distinct()
+    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
+    val base = nodes.join(outdeg, Seq("node"), "left").cutLineage
+    val n = if (redistributeDangling) base.count() else 0L
+    val teleport = Scale * (dampDen - dampNum) / dampDen
+    var ranks = base.select(col("node"), lit(Scale).as("rank"), col("outdeg"))
+    for (_ <- 1 to iterations) {
+      val contribs = e
+        .join(ranks.select(col("node").as("src"),
+          expr("rank div outdeg").as("__c")), Seq("src"))
+        .groupBy(col("dst").as("node")).agg(sum(col("__c")).as("__inc"))
+      val joined = base.join(contribs, Seq("node"), "left")
+      val updated =
+        if (redistributeDangling) {
+          val dangling = ranks.filter(col("outdeg").isNull)
+            .agg(coalesce(sum(col("rank")), lit(0L)).as("__dt"))
+          joined.crossJoin(broadcast(dangling))
+            .select(col("node"),
+              (lit(teleport) + expr(
+                s"($dampNum * (coalesce(__inc, 0L) + __dt div $n)) div $dampDen"))
+                .as("rank"),
+              col("outdeg"))
+        } else
+          joined.select(col("node"),
+            (lit(teleport) +
+              expr(s"($dampNum * coalesce(__inc, 0L)) div $dampDen")).as("rank"),
+            col("outdeg"))
+      ranks = updated.cutLineage
+    }
+    ranks.select(col("node"), col("rank"))
+  }
+
+
   /** Driver-looped PageRank over a directed edge list — the full
     * iterative algorithm (q73 is one step), integer-quantized so every
     * iteration is exact and engine-portable: ranks start at
@@ -38,33 +118,9 @@ object Graph {
     * Output: (node, rank) after `iterations` rounds.
     */
   def pagerank(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3, dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
-    require(iterations >= 1, s"need iterations >= 1: $iterations")
-    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
-      s"bad damping: $dampNum/$dampDen")
-    val Scale = 1000000000000L
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).cutLineage
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-    val base = nodes.join(outdeg, Seq("node"), "left").cutLineage
-    val teleport = Scale * (dampDen - dampNum) / dampDen
-    var ranks = base.select(col("node"), lit(Scale).as("rank"), col("outdeg"))
-    for (_ <- 1 to iterations) {
-      val contribs = e
-        .join(ranks.select(col("node").as("src"),
-          expr("rank div outdeg").as("__c")), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(sum(col("__c")).as("__inc"))
-      ranks = base.join(contribs, Seq("node"), "left")
-        .select(col("node"),
-          (lit(teleport) +
-            expr(s"($dampNum * coalesce(__inc, 0L)) div $dampDen")).as("rank"),
-          col("outdeg"))
-        .cutLineage
-    }
-    ranks.select(col("node"), col("rank"))
-  }
+      iterations: Int = 3, dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    pagerankLoop(edges, srcCol, dstCol, iterations, dampNum, dampDen,
+      redistributeDangling = false)
 
   /** [[pagerank]] with DANGLING-MASS REDISTRIBUTION — the textbook
     * variant for genuinely directed graphs (citation/link graphs,
@@ -88,38 +144,9 @@ object Graph {
     * Output: (node, rank) after `iterations` rounds.
     */
   def pagerankDangling(edges: DataFrame, srcCol: String, dstCol: String,
-      iterations: Int = 3, dampNum: Long = 85, dampDen: Long = 100): DataFrame = {
-    require(iterations >= 1, s"need iterations >= 1: $iterations")
-    require(dampNum >= 0 && dampDen > 0 && dampNum <= dampDen,
-      s"bad damping: $dampNum/$dampDen")
-    val Scale = 1000000000000L
-    val e = edges.select(col(srcCol).cast("long").as("src"),
-      col(dstCol).cast("long").as("dst")).cutLineage
-    val nodes = e.select(col("src").as("node"))
-      .unionByName(e.select(col("dst").as("node"))).distinct()
-    val outdeg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("outdeg"))
-    val base = nodes.join(outdeg, Seq("node"), "left").cutLineage
-    val n = base.count()
-    val teleport = Scale * (dampDen - dampNum) / dampDen
-    var ranks = base.select(col("node"), lit(Scale).as("rank"), col("outdeg"))
-    for (_ <- 1 to iterations) {
-      val dangling = ranks.filter(col("outdeg").isNull)
-        .agg(coalesce(sum(col("rank")), lit(0L)).as("__dt"))
-      val contribs = e
-        .join(ranks.select(col("node").as("src"),
-          expr("rank div outdeg").as("__c")), Seq("src"))
-        .groupBy(col("dst").as("node")).agg(sum(col("__c")).as("__inc"))
-      ranks = base.join(contribs, Seq("node"), "left")
-        .crossJoin(broadcast(dangling))
-        .select(col("node"),
-          (lit(teleport) + expr(
-            s"($dampNum * (coalesce(__inc, 0L) + __dt div $n)) div $dampDen"))
-            .as("rank"),
-          col("outdeg"))
-        .cutLineage
-    }
-    ranks.select(col("node"), col("rank"))
-  }
+      iterations: Int = 3, dampNum: Long = 85, dampDen: Long = 100): DataFrame =
+    pagerankLoop(edges, srcCol, dstCol, iterations, dampNum, dampDen,
+      redistributeDangling = true)
 
   /** Per-node triangle count + local clustering coefficient via the
     * DEGREE-ORIENTED wedge join (the MPS/Cohen algorithm): each
@@ -146,14 +173,8 @@ object Graph {
     * nodes appear with 0.
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    val deg = canon.select(col("u").as("node"))
-      .unionAll(canon.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val canon = canonUndirected(edges, srcCol, dstCol)
+    val deg = undirectedDegrees(canon)
     val oriented = canon
       .join(deg.select(col("node").as("u"), col("degree").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("degree").as("dv")), Seq("v"))
@@ -204,11 +225,7 @@ object Graph {
       labels: DataFrame, labelNodeCol: String, labelCol: String,
       rounds: Int): DataFrame = {
     require(rounds >= 1, s"need rounds >= 1: $rounds")
-    val canon = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    val canon = canonUndirected(edges, srcCol, dstCol)
     val de = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
       .cutLineage
     var lab = labels.select(col(labelNodeCol).cast("long").as("node"),
@@ -271,25 +288,9 @@ object Graph {
       k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"need k >= 1: $k")
     require(rounds >= 1, s"need rounds >= 1: $rounds")
-    var e = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .cutLineage
-    def degrees(es: DataFrame): DataFrame =
-      es.select(col("u").as("node"))
-        .unionAll(es.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
-    for (_ <- 1 to rounds) {
-      val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
-      e = e
-        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .cutLineage
-    }
-    degrees(e)
+    var e = canonUndirected(edges, srcCol, dstCol).cutLineage
+    for (_ <- 1 to rounds) e = peelRound(e, k)
+    undirectedDegrees(e)
   }
 
   /** [[kcore]] peeled to CONVERGENCE: rounds run until the surviving
@@ -307,32 +308,18 @@ object Graph {
       k: Int, maxRounds: Int = 100): (DataFrame, Int) = {
     require(k >= 1, s"need k >= 1: $k")
     require(maxRounds >= 1, s"need maxRounds >= 1: $maxRounds")
-    var e = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-      .cutLineage
-    def degrees(es: DataFrame): DataFrame =
-      es.select(col("u").as("node"))
-        .unionAll(es.select(col("v").as("node")))
-        .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    var e = canonUndirected(edges, srcCol, dstCol).cutLineage
     var prev = e.count()
     var rounds = 0
     var converged = prev == 0
     while (!converged && rounds < maxRounds) {
-      val keep = degrees(e).filter(col("degree") >= k).select(col("node"))
-      e = e
-        .join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
-        .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
-        .select(col("u"), col("v"))
-        .cutLineage
+      e = peelRound(e, k)
       rounds += 1
       val cur = e.count()
       converged = cur == prev || cur == 0
       prev = cur
     }
-    (degrees(e), rounds)
+    (undirectedDegrees(e), rounds)
   }
 
   /** Newman modularity of a node partition (Newman–Girvan, PRE 2004 —
@@ -358,16 +345,10 @@ object Graph {
     */
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame, labelNodeCol: String, labelCol: String): DataFrame = {
-    val canon = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
+    val canon = canonUndirected(edges, srcCol, dstCol)
     val lab = labels.select(col(labelNodeCol).cast("long").as("node"),
       col(labelCol).cast("long").as("label"))
-    val deg = canon.select(col("u").as("node"))
-      .unionAll(canon.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val deg = undirectedDegrees(canon)
     val dC = deg.join(lab, Seq("node"))
       .groupBy(col("label")).agg(sum(col("degree")).as("d_c"))
     val eC = canon
@@ -399,14 +380,8 @@ object Graph {
   }
 
   def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
-    val canon = edges.select(
-        least(col(srcCol), col(dstCol)).cast("long").as("u"),
-        greatest(col(srcCol), col(dstCol)).cast("long").as("v"))
-      .filter(col("u") =!= col("v"))
-      .distinct()
-    val deg = canon.select(col("u").as("node"))
-      .unionAll(canon.select(col("v").as("node")))
-      .groupBy(col("node")).agg(count(lit(1)).as("degree"))
+    val canon = canonUndirected(edges, srcCol, dstCol)
+    val deg = undirectedDegrees(canon)
     val directed = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
     val dec = "decimal(38,0)"
     val xy = directed

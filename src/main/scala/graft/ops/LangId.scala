@@ -65,7 +65,9 @@ object LangId {
 
   /** Classify every document against a [[charNgramProfiles]] frame:
     * out-of-place distance over the doc's top-`docTopM` grams, absent
-    * grams costing `topK` each. Output: (idCol, pred_lang, dist,
+    * grams costing `topK` each. Output: (idCol AS A STRING — ids are
+    * never cast to a numeric, so UUID/URL-hash ids survive instead of
+    * silently collapsing to one null key — pred_lang, dist,
     * n_doc_grams) — dist the winning (minimal) distance; docs with no
     * grams (text shorter than n) predict the lexicographically first
     * language at distance 0.
@@ -80,7 +82,7 @@ object LangId {
     // the (doc, gram)-keyed exchange and the per-doc rank window the
     // relational shape paid
     val docProf = df
-      .select(col(idCol).cast("long").as("__id"),
+      .select(col(idCol).cast("string").as("__id"),
         explode(graft.functions.Kernels.topCharGramsOf(
           col(textCol), n, docTopM)).as("g"))
       .select(col("__id"), col("g.gram").as("gram"), col("g.drank").as("drank"))
@@ -93,7 +95,7 @@ object LangId {
         count(lit(1)).as("mcnt"))
     // full (doc, lang) spine from the tiny language list; absent grams
     // cost topK each
-    val spine = df.select(col(idCol).cast("long").as("__id")).distinct()
+    val spine = df.select(col(idCol).cast("string").as("__id")).distinct()
       .join(docProf.groupBy(col("__id")).agg(count(lit(1)).as("m_doc")),
         Seq("__id"), "left")
       .na.fill(0L, Seq("m_doc"))
@@ -120,7 +122,7 @@ object LangId {
       docTopM: Int = 20): DataFrame = {
     val profiles = charNgramProfiles(df, textCol, langCol, n, topK)
     val pred = classify(df, idCol, textCol, profiles, n, topK, docTopM)
-    df.select(col(idCol).cast("long").as(idCol), col(langCol).as("lang"))
+    df.select(col(idCol).cast("string").as(idCol), col(langCol).as("lang"))
       .join(pred.select(col(idCol), col("pred_lang")), Seq(idCol))
       .groupBy(col("lang"), col("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))

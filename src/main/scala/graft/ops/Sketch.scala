@@ -72,8 +72,14 @@ object Sketch {
     */
   def hllReport(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
     val m = 1L << p
-    // published α_m for m >= 128: 0.7213 / (1 + 1.079/m)
-    val alpha = 0.7213 / (1.0 + 1.079 / m)
+    // published α_m per the HLL paper: fixed constants for the small
+    // register counts, the asymptotic formula from m = 128 up
+    val alpha = m match {
+      case 16L => 0.673
+      case 32L => 0.697
+      case 64L => 0.709
+      case _   => 0.7213 / (1.0 + 1.079 / m)
+    }
     val Q = 1L << 40
     hllRegisters(df, keyCol, p)
       .agg(count(lit(1)).as("n_nonzero"),

@@ -102,8 +102,12 @@ object Stats {
     * prefix sums over the value domain via [[Sweep.runningSum]]
     * (bucketed two-level cumulative — never a one-partition window,
     * even on an unbounded value domain) joined back on the value, and
-    * a 1-row fold. Output: (n_a, n_b, ks_num, ks_at_value, ks) with
-    * ks = ks_num / (n_a·n_b); empty when no row carries either class.
+    * a 1-row fold. The CDF cross-products accumulate as decimal(38,0)
+    * (two ~4e9-row sides would push cum·n past long range — the
+    * modularity rule); the emitted ks_num stays BIGINT, null-guarded
+    * rather than wrapped. Output: (n_a, n_b, ks_num, ks_at_value, ks)
+    * with ks = ks_num / (n_a·n_b); empty when no row carries either
+    * class.
     */
   def ksStatistic(df: DataFrame, classCol: String, valueCol: String,
       classA: String, classB: String): DataFrame = {
@@ -118,17 +122,21 @@ object Stats {
       .join(Sweep.runningSum(counts, "v", "cb")
         .select(col("t").as("v"), col("running").as("cumb")), Seq("v"))
     val totals = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
+    val dec = "decimal(38,0)"
     cum.crossJoin(broadcast(totals))
       .select(col("n_a"), col("n_b"),
-        abs(col("cuma") * col("n_b") - col("cumb") * col("n_a")).as("d"),
+        abs(col("cuma").cast(dec) * col("n_b") -
+          col("cumb").cast(dec) * col("n_a")).as("d"),
         col("v"))
       .groupBy(col("n_a"), col("n_b"))
       .agg(min(struct((-col("d")).as("neg"), col("v").as("at"))).as("m"))
-      .select(col("n_a"), col("n_b"), (-col("m.neg")).as("ks_num"),
+      .select(col("n_a"), col("n_b"),
+        when(abs(col("m.neg")) <= lit(Long.MaxValue),
+          (-col("m.neg")).cast("long")).as("ks_num"),
         col("m.at").as("ks_at_value"),
         when(col("n_a") > 0 && col("n_b") > 0,
           (-col("m.neg")).cast("double") /
-            (col("n_a") * col("n_b")).cast("double")).as("ks"))
+            (col("n_a").cast("double") * col("n_b"))).as("ks"))
   }
 
   /** Concentration report over a categorical column — is the corpus

@@ -154,9 +154,13 @@ object TableOps {
     * every key of two table versions as `added` / `removed` /
     * `changed` / `unchanged` by comparing an md5 digest of the
     * `compareCols` tuple. One full-outer equi-join on the key columns;
-    * digests are computed map-side (nulls encoded with a sentinel so
-    * (x, NULL) ≠ (NULL, x), columns joined on a \\u0001 separator that
-    * cannot appear in cast numerics/dates).
+    * digests are computed map-side over a LENGTH-PREFIXED encoding —
+    * each value contributes `length:value` and NULL contributes the
+    * bare token `n` (no digit prefix, so it cannot collide with any
+    * real value) — which makes the concatenation injective for
+    * arbitrary strings: no separator character a value could contain
+    * ever delimits, so ("a\u0001b", "c") and ("a", "b\u0001c") hash
+    * differently and a literal NUL string is distinct from NULL.
     *
     * `compareCols` should be integers/strings/dates for cross-engine
     * digests — float columns stringify differently per engine (the
@@ -169,10 +173,14 @@ object TableOps {
       keyCols: Seq[String], compareCols: Seq[String]): DataFrame = {
     require(keyCols.nonEmpty, "need at least one key column")
     require(compareCols.nonEmpty, "need at least one compare column")
+    def enc(c: String): Column = {
+      val s = col(c).cast("string")
+      when(s.isNull, lit("n"))
+        .otherwise(concat(length(s).cast("string"), lit(":"), s))
+    }
     def digest(side: DataFrame, h: String): DataFrame = side.select(
-      keyCols.map(col) :+ md5(concat_ws("\u0001",
-        compareCols.map(c =>
-          coalesce(col(c).cast("string"), lit("\u0000"))): _*)).as(h): _*)
+      keyCols.map(col) :+
+        md5(concat(compareCols.map(enc): _*)).as(h): _*)
     digest(before, "__hb")
       .join(digest(after, "__ha"), keyCols, "full_outer")
       .select(keyCols.map(col) :+

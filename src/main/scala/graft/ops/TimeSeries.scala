@@ -46,9 +46,9 @@ object TimeSeries {
       count(lit(1)).as("n_pairs"),
       sum(col("x").cast(dec)).as("sx"),
       sum(col("y").cast(dec)).as("sy"),
-      sum((col("x") * col("y")).cast(dec)).as("sxy"),
-      sum((col("x") * col("x")).cast(dec)).as("sxx"),
-      sum((col("y") * col("y")).cast(dec)).as("syy"))
+      sum(col("x").cast(dec) * col("y")).as("sxy"),
+      sum(col("x").cast(dec) * col("x")).as("sxx"),
+      sum(col("y").cast(dec) * col("y")).as("syy"))
     m.select(col("series"), col("n_pairs"),
       when(col("n_pairs") >= 3 &&
           col("n_pairs") * col("sxx") > col("sx") * col("sx") &&
@@ -76,7 +76,7 @@ object TimeSeries {
       .groupBy(col("series"))
       .agg(count(lit(1)).as("n_points"),
         sum(col("x").cast(dec)).as("sx"),
-        sum((col("x") * col("x")).cast(dec)).as("sxx"))
+        sum(col("x").cast(dec) * col("x")).as("sxx"))
       .select(col("series"), col("n_points"),
         when(col("n_points") >= 2 && col("sx") > 0,
           (col("n_points") * col("sxx") - col("sx") * col("sx")).cast("double") /

@@ -2792,14 +2792,18 @@ object AnalyticsPack {
         Seq("o_orderkey"), Seq("o_custkey", "o_orderstatus", "o_orderpriority"))
         .groupBy(col("status")).agg(count(lit(1)).as("n_rows"))
     },
-    Some("""WITH b AS (SELECT o_orderkey, md5(concat_ws(chr(1),
-          o_custkey::VARCHAR, o_orderstatus, o_orderpriority)) AS h
+    Some("""WITH b AS (SELECT o_orderkey, md5(
+          length(o_custkey::VARCHAR)::VARCHAR || ':' || o_custkey::VARCHAR
+          || length(o_orderstatus)::VARCHAR || ':' || o_orderstatus
+          || length(o_orderpriority)::VARCHAR || ':' || o_orderpriority) AS h
         FROM orders WHERE o_orderkey % 7 <> 0),
-      a AS (SELECT o_orderkey, md5(concat_ws(chr(1),
-          o_custkey::VARCHAR, o_orderstatus,
-          CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderpriority END))
-          AS h
-        FROM orders WHERE o_orderkey % 5 <> 0),
+      a AS (SELECT o_orderkey, md5(
+          length(o_custkey::VARCHAR)::VARCHAR || ':' || o_custkey::VARCHAR
+          || length(o_orderstatus)::VARCHAR || ':' || o_orderstatus
+          || length(p2)::VARCHAR || ':' || p2) AS h
+        FROM (SELECT o_orderkey, o_custkey, o_orderstatus,
+          CASE WHEN o_orderkey % 3 = 0 THEN 'X' ELSE o_orderpriority END AS p2
+          FROM orders WHERE o_orderkey % 5 <> 0)),
       st AS (SELECT CASE WHEN b.h IS NULL THEN 'added'
           WHEN a.h IS NULL THEN 'removed'
           WHEN a.h = b.h THEN 'unchanged'

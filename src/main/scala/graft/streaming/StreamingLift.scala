@@ -309,7 +309,11 @@ object StreamingLift {
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // pin the micro-batch ONCE: the quality kernels, the ledger
+        // count, and both sides of the gate semi-join otherwise
+        // re-read the batch files ~4x per trigger
+        val batch = batch0.localCheckpoint(true)
         val nIn = batch.count()
         val keep = QualityRules.gopherRules(batch, idCol, textCol, stopwords)
           .filter(col("pass") === 1).select(col(idCol))

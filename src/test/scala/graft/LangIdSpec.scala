@@ -49,8 +49,8 @@ class LangIdSpec extends AnyFunSuite {
     val prof = LangId.charNgramProfiles(corpus, "text", "lang", n = 3, topK = 20)
     val pred = LangId.classify(corpus, "doc_id", "text", prof,
       n = 3, topK = 20, docTopM = 10)
-      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
-    assert(pred === Map(1L -> "aa", 2L -> "aa", 3L -> "bb", 4L -> "bb"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pred === Map("1" -> "aa", "2" -> "aa", "3" -> "bb", "4" -> "bb"))
   }
 
   test("confusion matrix is diagonal on the separated corpus") {
@@ -58,6 +58,18 @@ class LangIdSpec extends AnyFunSuite {
       n = 3, topK = 20, docTopM = 10)
       .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
     assert(conf === Map(("aa", "aa") -> 2L, ("bb", "bb") -> 2L))
+  }
+
+  test("non-numeric (UUID-style) document ids survive classification") {
+    val prof = LangId.charNgramProfiles(corpus, "text", "lang", n = 3, topK = 20)
+    val uuidDocs = Seq(
+      ("d0a1-xyz", "zz", "the cat and the hat sat on the mat"),
+      ("9f3b-abc", "zz", "zzz qqq zzz qqq zzz kkk zzz qqq"))
+      .toDF("doc_id", "lang", "text")
+    val pred = LangId.classify(uuidDocs, "doc_id", "text", prof,
+      n = 3, topK = 20, docTopM = 10)
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(pred === Map("d0a1-xyz" -> "aa", "9f3b-abc" -> "bb"))
   }
 
   test("a doc with no grams predicts the first language at distance 0") {

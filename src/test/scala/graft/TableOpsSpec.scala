@@ -168,19 +168,24 @@ class TableOpsSpec extends AnyFunSuite {
       (2L, Some("a"), Some("y")),  // changed in after
       (3L, Some("a"), Some("z")),  // removed
       (5L, Some("p"), None),       // (p, NULL) vs (NULL, p): must differ
-      (6L, None, None))            // unchanged with all-null compares
+      (6L, None, None),            // unchanged with all-null compares
+      (7L, Some("a\u0001b"), Some("c")), // embedded separator-ish char
+      (8L, Some("ab"), Some("c")))       // boundary shift vs ("a","bc")
       .toDF("id", "c1", "c2")
     val after = Seq(
       (1L, Some("a"), Some("x")),
       (2L, Some("a"), Some("Y")),
       (4L, Some("n"), Some("w")),  // added
       (5L, None, Some("p")),
-      (6L, None, None))
+      (6L, None, None),
+      (7L, Some("a"), Some("b\u0001c")),
+      (8L, Some("a"), Some("bc")))
       .toDF("id", "c1", "c2")
     val got = graft.ops.TableOps.snapshotDiff(before, after,
       Seq("id"), Seq("c1", "c2"))
       .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(got === Map(1L -> "unchanged", 2L -> "changed", 3L -> "removed",
-      4L -> "added", 5L -> "changed", 6L -> "unchanged"))
+      4L -> "added", 5L -> "changed", 6L -> "unchanged",
+      7L -> "changed", 8L -> "changed"))
   }
 }
