@@ -108,4 +108,45 @@ object Corpus {
       .withColumn("coverage_q",
         expr("(1048576 * covered_tokens) div total_tokens"))
   }
+
+  /** Curation ATTRITION FUNNEL: every document labeled with the FIRST
+    * stage that dropped it — `low_quality` (Gopher gate), `duplicate`
+    * (exact-content loser among the quality survivors), `sampled_out`
+    * (mixture-rate hash drop among the dedup survivors), or `kept` —
+    * with document and character mass per stage. The per-run
+    * accounting report a curation owner reads next to the kept corpus:
+    * every input document lands in exactly one stage, so the rows sum
+    * back to the input.
+    *
+    * Precedence mirrors pipeline order (a low-quality doc is reported
+    * as low-quality even if it would also have lost dedup), and each
+    * verdict is THE operator's own decision — the Gopher pass bit from
+    * [[QualityRules.gopherRules]], the min-id survivor from
+    * [[Dedup.exact]] over the quality-passed set, the keep column from
+    * [[Sample.mixtureKeeps]] — so the funnel can never drift from what
+    * the pipeline actually does.
+    *
+    * Scale: the gopher verdicts are map-side; dedup adds its one
+    * content-hash aggregation; the mixture verdict is map-side; one
+    * final 4-row rollup.
+    */
+  def attritionFunnel(df: DataFrame, idCol: String, textCol: String,
+      classCol: String, stopwords: Seq[String],
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+    val verdicts = QualityRules.gopherRules(df, idCol, textCol, stopwords)
+      .select(col(idCol), col("pass"))
+    val base = df.join(verdicts, Seq(idCol))
+    val survivors = Dedup.exact(base.filter(col("pass") === 1), idCol, textCol)
+      .select(col("keep_id").as(idCol)).withColumn("__surv", lit(1))
+    base.join(survivors, Seq(idCol), "left")
+      .withColumn("stage",
+        when(col("pass") === 0, "low_quality")
+          .when(col("__surv").isNull, "duplicate")
+          .when(!Sample.mixtureKeeps(classCol, idCol, rates, defaultRate),
+            "sampled_out")
+          .otherwise("kept"))
+      .groupBy(col("stage"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col(textCol)).cast("long")).as("n_chars"))
+  }
 }

@@ -63,14 +63,23 @@ object Sample {
     */
   def mixtureByHash(
       df: DataFrame, classCol: String, idCol: String,
-      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame = {
+      rates: Map[String, Double], defaultRate: Double = 1.0): DataFrame =
+    df.filter(mixtureKeeps(classCol, idCol, rates, defaultRate))
+
+  /** The [[mixtureByHash]] keep VERDICT as a Column — exposed so
+    * composite reports (the attrition funnel) can classify rows by the
+    * exact same hash/threshold decision the sampler applies, defined
+    * once.
+    */
+  def mixtureKeeps(classCol: String, idCol: String,
+      rates: Map[String, Double], defaultRate: Double = 1.0): Column = {
     val M = 1000000L
     val bucket = pmod(TextKernels.hex60(col(idCol).cast("string")), lit(M))
     val threshold = rates.foldLeft(lit((defaultRate * M).toLong)) {
       case (acc, (cls, rate)) =>
         when(col(classCol) === cls, lit((rate * M).toLong)).otherwise(acc)
     }
-    df.filter(bucket < threshold)
+    bucket < threshold
   }
 
   /** Weight-proportional systematic sampling: lay every row's integer

@@ -2586,6 +2586,54 @@ object PipelinePack {
       SELECT sym, sum(wc)::BIGINT AS n_occ FROM s3 GROUP BY sym"""
     })
 
+  /** Curation attrition funnel (Corpus.attritionFunnel): every doc
+    * labeled with the FIRST stage that dropped it — Gopher gate →
+    * exact dedup among survivors → mixture-rate sampling — plus doc
+    * and char mass per stage; the 4-row accounting report sums back
+    * to the input corpus. Each verdict is the underlying operator's
+    * own decision (shared code on the Spark side, the same SQL shapes
+    * as q17/q115 on the oracle side).
+    */
+  private val q193 = QueryDef(
+    "q193_attrition_funnel",
+    (s, dir) => graft.ops.Corpus.attritionFunnel(
+      Tables.documents(s, dir), "doc_id", "text", "source", Stops,
+      rates = Map("src0" -> 1.0, "src1" -> 0.25), defaultRate = 0.5),
+    Some {
+      val stopsList = Stops.map(w => s"'$w'").mkString("[", ", ", "]")
+      s"""WITH m AS (SELECT doc_id,
+          len($T)::BIGINT AS n_tok,
+          (length(text) - (len($T) - 1))::BIGINT AS n_chars,
+          len(list_filter($T, t -> list_contains($stopsList, t)))::BIGINT AS n_stop,
+          len(list_filter($T, t -> regexp_full_match(t, '[A-Za-z]+')))::BIGINT AS n_alpha,
+          len(list_distinct($T))::BIGINT AS n_types
+        FROM documents),
+      r AS (SELECT doc_id,
+          (CASE WHEN n_tok BETWEEN 10 AND 100000 THEN 1 ELSE 0 END)
+            * (CASE WHEN n_chars >= 3 * n_tok AND n_chars <= 10 * n_tok
+                THEN 1 ELSE 0 END)
+            * (CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END)
+            * (CASE WHEN n_alpha * 5 >= 4 * n_tok THEN 1 ELSE 0 END)
+            * (CASE WHEN n_types * 4 >= n_tok THEN 1 ELSE 0 END) AS pass
+        FROM m),
+      base AS (SELECT d.doc_id, d.text, d.source, r.pass
+        FROM documents d JOIN r USING (doc_id)),
+      surv AS (SELECT min(doc_id) AS keep_id FROM base
+        WHERE pass = 1 GROUP BY md5(text)),
+      lab AS (SELECT b.text,
+          CASE WHEN b.pass = 0 THEN 'low_quality'
+            WHEN s.keep_id IS NULL THEN 'duplicate'
+            WHEN NOT (${sqlHex60("b.doc_id::VARCHAR")} % 1000000 <
+              CASE b.source WHEN 'src0' THEN 1000000
+                WHEN 'src1' THEN 250000 ELSE 500000 END)
+              THEN 'sampled_out'
+            ELSE 'kept' END AS stage
+        FROM base b LEFT JOIN surv s ON s.keep_id = b.doc_id)
+      SELECT stage, count(*)::BIGINT AS n_docs,
+        sum(length(text))::BIGINT AS n_chars
+      FROM lab GROUP BY stage"""
+    })
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
@@ -2593,5 +2641,5 @@ object PipelinePack {
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
-    q185, q186, q187, q191)
+    q185, q186, q187, q191, q193)
 }

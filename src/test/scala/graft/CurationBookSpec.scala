@@ -25,6 +25,36 @@ class CurationBookSpec extends AnyFunSuite {
 
   private val stopwords = Seq("the", "a", "of", "and", "to", "in")
 
+  test("attritionFunnel labels every doc with its first failing stage, masses sum back") {
+    import graft.ops.Corpus
+    val good1 = "the quick brown fox jumps over the lazy dog again and again"
+    val good2 = "a different corpus document with the usual stopwords in it and more"
+    val docs = Seq(
+      (1L, good1, "s1"),            // kept or sampled by hash
+      (2L, good1, "s1"),            // exact duplicate of 1 → duplicate
+      (3L, "too short", "s1"),      // fails the gate
+      (4L, good2, "s2"))            // distinct good doc
+      .toDF("doc_id", "text", "source")
+    val got = Corpus.attritionFunnel(docs, "doc_id", "text", "source",
+      Seq("the", "a", "of", "and", "to", "in"),
+      rates = Map("s1" -> 1.0), defaultRate = 1.0)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    // rate 1.0 everywhere → nothing sampled out
+    assert(got("low_quality") === ((1L, "too short".length.toLong)))
+    assert(got("duplicate") === ((1L, good1.length.toLong)))
+    assert(got("kept") === ((2L, good1.length.toLong + good2.length)))
+    assert(!got.contains("sampled_out"))
+    // masses sum back to the input
+    assert(got.values.map(_._1).sum === 4L)
+    // zero rates → quality-surviving dedup winners all sample out
+    val all0 = Corpus.attritionFunnel(docs, "doc_id", "text", "source",
+      Seq("the", "a", "of", "and", "to", "in"),
+      rates = Map.empty, defaultRate = 0.0)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(all0("sampled_out") === 2L)
+    assert(!all0.contains("kept"))
+  }
+
   test("curation book: ingest → quality gate → dedup → mixture → shards, audited") {
     val destRoot = Files.createTempDirectory("curation_dest").toString
     val registry = new ConnectionRegistry(spark)
