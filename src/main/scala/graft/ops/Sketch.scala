@@ -114,6 +114,21 @@ object Sketch {
       .agg(count(lit(1)).as("cnt"))
   }
 
+  /** Merge count–min tables built over DIFFERENT data slices (shards,
+    * days, batches) into the table of their union — counters add
+    * cell-wise, which is the property that makes the sketch a
+    * distributed summary: build per-partition/per-day, keep the tiny
+    * (depth×width) tables, merge on demand; estimates from the merged
+    * table are exactly the estimates a single pass over the combined
+    * data would give (spec-pinned).
+    */
+  def countMinMerge(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "need at least one sketch table")
+    tables.reduce(_ unionByName _)
+      .groupBy(col("row"), col("col"))
+      .agg(sum(col("cnt")).as("cnt"))
+  }
+
   /** Count–min accuracy audit: the exact top-`k` keys (count desc, key
     * asc) joined against their sketch estimates — est = min over the
     * depth rows of the counter the key hashes to. The sketch NEVER

@@ -76,6 +76,19 @@ class SketchSpec extends AnyFunSuite {
     assert(d.getLong(1) >= 0L)
   }
 
+  test("countMinMerge of slice sketches equals the sketch of the union") {
+    val slice1 = (1 to 100).map(i => s"k${i % 9}").toDF("k")
+    val slice2 = (1 to 70).map(i => s"k${i % 13}").toDF("k")
+    val merged = Sketch.countMinMerge(Seq(
+        Sketch.countMinTable(slice1, "k", depth = 4, width = 64),
+        Sketch.countMinTable(slice2, "k", depth = 4, width = 64)))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    val whole = Sketch.countMinTable(slice1.unionByName(slice2), "k",
+        depth = 4, width = 64)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(merged === whole)
+  }
+
   test("countMinTable total mass equals depth × rows") {
     val df = (1 to 300).map(i => s"k${i % 40}").toDF("k")
     val mass = Sketch.countMinTable(df, "k", depth = 4, width = 64)
