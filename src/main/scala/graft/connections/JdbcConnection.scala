@@ -157,31 +157,112 @@ final class JdbcConnection(spark: SparkSession, val name: String,
       .option("truncate", truncate.toString).mode(mode).save()
   }
 
-  /** S9/O1 with real merge semantics (the reference pushes
-    * `ON DUPLICATE KEY UPDATE` / `MERGE INTO`, mysql.js:369-377,
-    * snowflake.js:347-397): Spark's JDBC writer has no keyed merge, so
-    * merge = read dest → [[graft.ops.Upsert]] → TRUNCATE + reload.
-    * `truncate=true` makes SaveMode.Overwrite issue `TRUNCATE TABLE`
-    * instead of DROP/CREATE, so the endpoint's own DDL — primary keys,
-    * indexes, column types — survives the merge. The merged batch is
-    * checkpointed BEFORE the truncate (the classic JDBC
-    * read-modify-write hazard), so the reload never scans the table it
-    * is replacing; a crash between truncate and reload loses the merge
-    * window, which is the endpoint-transactionality limit of any
-    * truncate-reload scheme (the reference's staged-table MERGE has the
-    * endpoint do this atomically — for endpoints that need that, push
-    * the merged frame to a staging table via [[query]]). Fine for the
-    * dimension-table sizes JDBC endpoints hold; a 100 TB fact table
-    * belongs on a FileConnection where upsert rewrites only affected
-    * partitions.
+  /** The staging table for a keyed merge into `table`, preserving the
+    * caller's quoting so the stage lands next to a quoted
+    * case-sensitive dest instead of a case-normalized sibling.
+    */
+  private def stageName(table: String): String = {
+    val bare = safeIdent(table)
+    if (table.headOption.contains('"')) "\"" + bare + "_gstage\"" else table + "_gstage"
+  }
+
+  /** Keyed-merge strategy: `MERGE INTO` where the dialect has it
+    * (Snowflake, Derby ≥10.11, Postgres ≥15, SQL Server), one
+    * transactional DELETE-matching-keys + INSERT otherwise (MySQL,
+    * Redshift — matching redshift.js:397-424's BEGIN…COMMIT block).
+    * Override with opts("mergeStrategy") ∈ {merge, deleteInsert}.
+    */
+  private val mergeStrategy = opts.getOrElse("mergeStrategy",
+    if (url.startsWith("jdbc:mysql") || url.startsWith("jdbc:redshift") ||
+        url.startsWith("jdbc:mariadb")) "deleteInsert"
+    else "merge")
+
+  private def withEndpoint[A](f: java.sql.Connection => A): A = {
+    val props = new java.util.Properties()
+    common.foreach { case (k, v) => props.setProperty(k, v) }
+    val conn = java.sql.DriverManager.getConnection(url, props)
+    try f(conn) finally conn.close()
+  }
+
+  /** The endpoint-side merge statements. Stage columns are always
+    * double-quoted (Spark's JDBC writer creates them case-preserved
+    * quoted); dest columns use `q`, which the caller flips between
+    * quoted and bare to match how the dest table was created.
+    */
+  private def mergeStatements(dest: String, stage: String, cols: Seq[String],
+      key: String, q: String => String): Seq[String] = {
+    def sq(c: String) = "\"" + c + "\""
+    mergeStrategy match {
+      case "merge" =>
+        val setCols = cols.filterNot(_ == key)
+        val upd =
+          if (setCols.isEmpty) ""
+          else " WHEN MATCHED THEN UPDATE SET " +
+            setCols.map(c => s"${q(c)} = s.${sq(c)}").mkString(", ")
+        Seq(s"MERGE INTO $dest USING $stage s ON $dest.${q(key)} = s.${sq(key)}" +
+          upd +
+          s" WHEN NOT MATCHED THEN INSERT (${cols.map(q).mkString(", ")})" +
+          s" VALUES (${cols.map(c => "s." + sq(c)).mkString(", ")})")
+      case _ =>
+        Seq(
+          s"DELETE FROM $dest WHERE ${q(key)} IN (SELECT ${sq(key)} FROM $stage)",
+          s"INSERT INTO $dest (${cols.map(q).mkString(", ")})" +
+            s" SELECT ${cols.map(sq).mkString(", ")} FROM $stage")
+    }
+  }
+
+  /** S9/O1 with the reference's endpoint-transactional merge semantics
+    * (`MERGE INTO` via a staged table, snowflake.js:347-397; BEGIN +
+    * DELETE/INSERT + COMMIT, redshift.js:397-424): the batch is
+    * deduplicated per key, staged to `<table>_gstage` through Spark's
+    * JDBC writer, and then the ENDPOINT merges it into the dest inside
+    * one transaction driven over a raw JDBC connection. The dest is
+    * never read through Spark and never truncated: a crash any time
+    * before the final COMMIT leaves it intact (at worst an orphan
+    * stage table remains, which the next merge overwrites), closing
+    * the lost-merge-window hazard of the previous truncate-reload
+    * scheme. Endpoint DDL — primary keys, indexes, column types —
+    * survives because only DML touches the dest.
+    *
+    * Dest identifier case: tables Spark created have quoted
+    * case-preserved columns; externally created unquoted tables are
+    * case-normalized. The merge tries the quoted form first and on a
+    * statement error rolls back and retries with bare dest columns
+    * (same convention as [[getMax]]).
+    *
+    * opts("abortAfterStage")="true" is fault injection for the
+    * crash-window spec: it throws after staging, before the merge.
     */
   override def insertData(table: String, data: DataFrame, key: String,
       mergeOnDuplicates: Boolean): Unit = {
     safeIdent(table)
     if (mergeOnDuplicates && tableExists(table)) {
-      val merged = graft.ops.Upsert(reader.option("dbtable", table).load(), data, Seq(key))
-      write(merged.localCheckpoint(eager = true), table,
-        SaveMode.Overwrite, truncate = true)
+      val batch = graft.ops.Upsert.dedupPerKey(data, Seq(key))
+      val stage = stageName(table)
+      write(batch, stage, SaveMode.Overwrite)
+      if (opts.get("abortAfterStage").contains("true"))
+        throw new IllegalStateException(s"fault injection: aborted after staging $stage")
+      val cols = batch.columns.toSeq
+      withEndpoint { conn =>
+        conn.setAutoCommit(false)
+        def run(q: String => String): Unit = {
+          val st = conn.createStatement()
+          try mergeStatements(table, stage, cols, key, q).foreach(st.executeUpdate)
+          finally st.close()
+        }
+        try { run(c => "\"" + c + "\""); conn.commit() }
+        catch { case _: java.sql.SQLException =>
+          conn.rollback()
+          try { run(identity); conn.commit() }
+          catch { case e: java.sql.SQLException => conn.rollback(); throw e }
+        }
+        // best-effort cleanup; an orphan stage is overwritten next merge
+        try {
+          conn.setAutoCommit(true)
+          val st = conn.createStatement()
+          try st.executeUpdate(s"DROP TABLE $stage") finally st.close()
+        } catch { case _: java.sql.SQLException => () }
+      }
     } else {
       write(data, table, SaveMode.Append)
     }

@@ -151,11 +151,69 @@ class JdbcConnectionSpec extends AnyFunSuite {
     } finally jc2.close()
   }
 
-  test("keyed merge survives with endpoint row count intact after truncate-reload") {
+  test("keyed merge survives with endpoint row count intact after staged merge") {
     val c = conn()
     c.insertData("t_trunc", df(1L -> "a", 2L -> "b"), key = "id", mergeOnDuplicates = true)
     c.insertData("t_trunc", df(2L -> "B", 3L -> "c"), key = "id", mergeOnDuplicates = true)
     val got = c.getAll("t_trunc").as[(Long, String)].collect().toMap
     assert(got === Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("crash between stage and merge leaves the dest intact; retry completes") {
+    val c = conn()
+    c.insertData("t_crash", df(1L -> "a", 2L -> "b"), key = "id", mergeOnDuplicates = true)
+    val crashing = conn("abortAfterStage" -> "true")
+    intercept[IllegalStateException](
+      crashing.insertData("t_crash", df(2L -> "B", 3L -> "c"), key = "id",
+        mergeOnDuplicates = true))
+    // the "crash" happened after staging, before the merge transaction:
+    // dest must be untouched (the old truncate-reload scheme would have
+    // an exposure window here)
+    assert(c.getAll("t_crash").as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "b"))
+    // retry overwrites the orphan stage and completes the merge
+    c.insertData("t_crash", df(2L -> "B", 3L -> "c"), key = "id", mergeOnDuplicates = true)
+    assert(c.getAll("t_crash").as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("endpoint-side merge preserves dest-only columns and primary key DDL") {
+    // dest created at the endpoint with a PRIMARY KEY and an extra
+    // column the batch does not carry — a read-modify-truncate-reload
+    // merge could not leave these intact; the endpoint-side MERGE must
+    val jc = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = jc.createStatement()
+      st.execute("CREATE TABLE t_ddl (id BIGINT PRIMARY KEY, v VARCHAR(20), note VARCHAR(20))")
+      st.execute("INSERT INTO t_ddl VALUES (1, 'old', 'keepme'), (2, 'keep', 'also')")
+      st.close()
+    } finally jc.close()
+    val c = conn()
+    c.insertData("t_ddl", df(1L -> "new", 3L -> "add"), key = "id", mergeOnDuplicates = true)
+    val got = c.query("SELECT id, v, note FROM t_ddl")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2))).sortBy(_._1)
+    assert(got.toSeq === Seq((1L, "new", "keepme"), (2L, "keep", "also"), (3L, "add", null)))
+    val jc2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = jc2.getMetaData.getPrimaryKeys(null, null, "T_DDL")
+      try assert(rs.next(), "PRIMARY KEY must survive the merge") finally rs.close()
+    } finally jc2.close()
+  }
+
+  test("deleteInsert strategy merges transactionally (Redshift/MySQL path)") {
+    val c = conn("mergeStrategy" -> "deleteInsert")
+    c.insertData("t_di", df(1L -> "old", 2L -> "keep"), key = "id", mergeOnDuplicates = true)
+    c.insertData("t_di", df(1L -> "new", 3L -> "add"), key = "id", mergeOnDuplicates = true)
+    assert(c.getAll("t_di").as[(Long, String)].collect().toMap ===
+      Map(1L -> "new", 2L -> "keep", 3L -> "add"))
+  }
+
+  test("a batch with duplicate keys is deduplicated before the merge") {
+    val c = conn()
+    c.insertData("t_dupb", df(1L -> "a"), key = "id", mergeOnDuplicates = true)
+    c.insertData("t_dupb", df(2L -> "x", 2L -> "x", 1L -> "b", 1L -> "b"),
+      key = "id", mergeOnDuplicates = true)
+    val got = c.getAll("t_dupb").as[(Long, String)].collect()
+    assert(got.map(_._1).sorted.toSeq === Seq(1L, 2L), "keys stay unique")
   }
 }
