@@ -454,7 +454,10 @@ object Kernels {
     while (i < cp) { off(i) = u; u = s.offsetByCodePoints(u, 1); i += 1 }
     off(cp) = u
     val slots = cp - n + 1
-    val counts = new java.util.HashMap[String, Int](slots * 2)
+    // capacity clamped: slots ≈ document length, and `slots * 2` on a
+    // ~1 GiB document overflows Int and HashMap's constructor throws;
+    // the map grows on demand past the clamp anyway
+    val counts = new java.util.HashMap[String, Int](math.min(slots * 2L, 1L << 20).toInt)
     i = 0
     while (i < slots) {
       counts.merge(s.substring(off(i), off(i + n)), 1, Integer.sum)

@@ -335,14 +335,19 @@ object Dedup {
       .cutLineage
     var changed = 1L
     while (changed > 0) {
-      val neighborMin = edges.join(labels, col("v") === col("node"))
+      // the loop var stays a DIRECT cut (carrying oldlabel alongside)
+      // so cutLineageReplacing reclaims every superseded round's
+      // checkpoint — Pin.retire is deliberately non-transitive
+      val neighborMin = edges
+        .join(labels.select(col("node"), col("label")), col("v") === col("node"))
         .groupBy(col("u")).agg(min(col("label")).as("nlabel"))
-      val updated = labels.join(neighborMin, col("node") === col("u"), "left")
-        .select(col("node"), col("label"),
-          least(col("label"), coalesce(col("nlabel"), col("label"))).as("newlabel"))
-        .cutLineage
-      changed = updated.filter(col("newlabel") < col("label")).count()
-      labels = updated.select(col("node"), col("newlabel").as("label"))
+      val updated = labels.select(col("node"), col("label"))
+        .join(neighborMin, col("node") === col("u"), "left")
+        .select(col("node"), col("label").as("oldlabel"),
+          least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"))
+        .cutLineageReplacing(labels)
+      changed = updated.filter(col("label") < col("oldlabel")).count()
+      labels = updated
     }
     labels.select(col("node"), col("label"))
   }
@@ -400,6 +405,8 @@ object Dedup {
       val ssSig = sig(ss)
       done = ssSig == prevSig && ss.exceptAll(edges).isEmpty
       prevSig = ssSig
+      // retire AFTER the exceptAll set-compare that reads the old round
+      graft.util.Pin.retire(edges)
       edges = ss
     }
     edges.select(col("u").as("node"), col("v").as("label"))

@@ -44,7 +44,7 @@ object Graph {
     e.join(keep.select(col("node").as("u")), Seq("u"), "left_semi")
       .join(keep.select(col("node").as("v")), Seq("v"), "left_semi")
       .select(col("u"), col("v"))
-      .cutLineage
+      .cutLineageReplacing(e) // the pre-peel round is superseded
   }
 
   /** Shared PageRank driver loop. `redistributeDangling = false` drops
@@ -89,7 +89,7 @@ object Graph {
             (lit(teleport) +
               expr(s"($dampNum * coalesce(__inc, 0L)) div $dampDen")).as("rank"),
             col("outdeg"))
-      ranks = updated.cutLineage
+      ranks = updated.cutLineageReplacing(ranks)
     }
     ranks.select(col("node"), col("rank"))
   }
@@ -238,7 +238,7 @@ object Graph {
         .groupBy(col("u").as("node"))
         .agg(max(struct(col("__c").as("c"), (-col("label")).as("nl"))).as("m"))
         .select(col("node"), (-col("m.nl")).as("label"))
-        .cutLineage
+        .cutLineageReplacing(lab)
     }
     lab
   }

@@ -222,7 +222,7 @@ object NgramLm {
               .otherwise(col("sym")).as("sym"))
         syms = merged.select(col("w"), col("wc"),
             row_number().over(wWin).cast("long").as("pos"), col("sym"))
-          .cutLineage
+          .cutLineageReplacing(syms)
         val nSyms = syms.agg(coalesce(sum(col("wc")), lit(0L))).head().getLong(0)
         out += ((round.toLong, l, r, cnt, nSyms))
         round += 1

@@ -166,6 +166,14 @@ object TableOps {
     * digests — float columns stringify differently per engine (the
     * check.py float rule); quantize them first.
     *
+    * PRECONDITION: `keyCols` must uniquely identify rows on EACH side
+    * (the reference's keyed-diff convention — merges key on a unique
+    * id, mysql.js:369-377). Duplicate keys fan out in the full-outer
+    * join and emit multiple, possibly contradictory, status rows per
+    * key, so the groupBy(status) audit stops summing to the table
+    * sizes. Dedup first ([[graft.ops.Upsert.dedupPerKey]]) if the
+    * snapshots may carry duplicates.
+    *
     * Output: keyCols*, status — feed a groupBy(status).count for the
     * one-line audit, or anti-filter `unchanged` for the change feed.
     */

@@ -2406,7 +2406,7 @@ object PipelinePack {
           row_number() OVER (PARTITION BY doc_id
             ORDER BY c DESC, gram ASC)::BIGINT AS drank FROM dc)
         WHERE drank <= 20),
-      langs AS (SELECT DISTINCT lang FROM documents),
+      langs AS (SELECT DISTINCT lang FROM prof),
       md AS (SELECT doc_id, count(*) AS m_doc FROM dp GROUP BY doc_id),
       matched AS (SELECT dp.doc_id, prof.lang,
           sum(abs(dp.drank - prof.rank)) AS mdist, count(*) AS mcnt

@@ -53,8 +53,59 @@ object Pin {
     }
   }
 
+  /** Cut `df` and retire `superseded`'s checkpoint — the loop-body
+    * form (`ranks = updated.cutLineageReplacing(ranks)`). Without
+    * retirement every reliable cut leaves one full materialized copy
+    * of the working set in the checkpoint dir for the app lifetime
+    * (Spark only reclaims them with
+    * `spark.cleaner.referenceTracking.cleanCheckpoints=true`, a
+    * GC-driven maybe); a 20-round fixpoint would hold 20 copies.
+    * Retirement happens AFTER the new cut is eagerly materialized, so
+    * the data the new checkpoint was computed from is never pulled out
+    * from under a running job.
+    *
+    * Contract: the caller declares `superseded` dead — no other live
+    * frame may still read it. Frames that were never cut (no
+    * checkpoint to retire) are a no-op, so the first loop round can
+    * pass its un-cut seed frame safely.
+    */
+  def cutReplacing(df: DataFrame, superseded: DataFrame): DataFrame = {
+    val out = cut(df)
+    retire(superseded)
+    out
+  }
+
+  /** Drop `df`'s checkpoint artifacts IF `df` itself is the result of
+    * a cut (its plan is a bare LogicalRDD): reliable checkpoint files
+    * are deleted via the Hadoop FS API, local-checkpoint blocks are
+    * unpersisted. Deliberately NOT transitive — a derived frame
+    * (`someCut.select(...)`) may share its underlying cut with other
+    * live frames (e.g. pagerank's per-loop `base`), so walking to
+    * leaves would pull data out from under them; a derived or
+    * never-cut frame is a no-op, which makes passing a loop's un-cut
+    * seed frame on round one safe. Keep loop variables as DIRECT cuts
+    * (cut last, after any select) so every superseded round is
+    * actually reclaimed.
+    */
+  def retire(df: DataFrame): Unit =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        l.rdd.getCheckpointFile match {
+          case Some(path) =>
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(df.sparkSession.sparkContext.hadoopConfiguration)
+            fs.delete(p, true): Unit
+          case None =>
+            // local checkpoint (or plain cached rdd): release the blocks
+            l.rdd.unpersist(blocking = false): Unit
+        }
+      case _ => () // derived or never-cut frame — nothing to retire
+    }
+
   /** `df.cutLineage` sugar so loop bodies keep reading as chains. */
   implicit final class PinOps(private val df: DataFrame) extends AnyVal {
     def cutLineage: DataFrame = cut(df)
+    def cutLineageReplacing(superseded: DataFrame): DataFrame =
+      cutReplacing(df, superseded)
   }
 }

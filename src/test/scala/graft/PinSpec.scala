@@ -58,6 +58,39 @@ class PinSpec extends AnyFunSuite {
     }
   }
 
+  test("cutReplacing retires superseded reliable checkpoints; the live cut survives") {
+    assume(spark.sparkContext.getCheckpointDir.isDefined)
+    spark.conf.set("spark.graft.checkpoint", "reliable")
+    try {
+      val root = java.nio.file.Paths.get(
+        new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+      def rddDirs: Long = java.nio.file.Files.walk(root)
+        .filter(p => java.nio.file.Files.isDirectory(p) &&
+          p.getFileName.toString.startsWith("rdd-")).count()
+      val before = rddDirs
+      var df = Pin.cut(edges)
+      // a 3-round loop holds ONE live checkpoint, not one per round
+      for (_ <- 1 to 3)
+        df = Pin.cutReplacing(df.select((col("src") + 1L).as("src"), col("dst")), df)
+      assert(df.count() === 4)
+      assert(rddDirs - before === 1,
+        "superseded rounds' checkpoint dirs must be deleted")
+      // a DERIVED frame is deliberately not retired (its cut may be
+      // shared with other live frames)…
+      Pin.retire(df.select(col("dst")))
+      assert(rddDirs - before === 1)
+      // …while retiring the direct cut returns the dir to its
+      // starting population
+      Pin.retire(df)
+      assert(rddDirs === before)
+    } finally spark.conf.set("spark.graft.checkpoint", "local")
+  }
+
+  test("retire on a never-cut frame is a no-op") {
+    Pin.retire(edges) // no LogicalRDD leaves — must not throw
+    assert(edges.count() === 4)
+  }
+
   test("explicit local mode ignores the checkpoint dir") {
     spark.conf.set("spark.graft.checkpoint", "local")
     val df = Pin.cut(edges.select(col("src"), col("dst")))
