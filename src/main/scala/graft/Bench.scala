@@ -43,7 +43,7 @@ object Bench {
     * again. Guaranteed: result.length <= 1980.
     */
   def renderLine(results: Seq[(String, Double)], errNames: Seq[String],
-      sfDir: String): String = {
+      sfDir: String, runs: Int = 1): String = {
     // Times are rounded to milliseconds, locale-independently — a SIZE
     // contract, not cosmetics (~1 ms of false precision is far below
     // the local[n] noise floor).
@@ -57,7 +57,7 @@ object Bench {
     val errsJson = errNames.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
     val head =
       s"""{"metric":"total","value":${rounded(total, 3)},"unit":"sec","n_queries":${results.size},""" +
-        s""""mean_query_sec":${rounded(mean, 3)},"n_errs":${errNames.size},"errs":$errsJson"""
+        s""""mean_query_sec":${rounded(mean, 3)},"runs":$runs,"n_errs":${errNames.size},"errs":$errsJson"""
     def render(scale: Int, shortKeys: Boolean): String = {
       val qs = results.map { case (k, v) =>
         val key = if (shortKeys) k.takeWhile(_ != '_') else k
@@ -85,7 +85,7 @@ object Bench {
   /** Full-precision full-name form for SPARK_GRAFT_BENCH_OUT — no size
     * budget applies to a file. */
   def renderFull(results: Seq[(String, Double)], errNames: Seq[String],
-      sfDir: String): String = {
+      sfDir: String, runs: Int = 1): String = {
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
@@ -94,8 +94,25 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
-      s""""mean_query_sec":${r3(mean)},"n_errs":${errNames.size},"errs":$errsJson,""" +
+      s""""mean_query_sec":${r3(mean)},"runs":$runs,"n_errs":${errNames.size},"errs":$errsJson,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
+  }
+
+  /** Per-query MEDIAN across passes (even count: mean of the middle
+    * two). The median, not the last pass, is the reported figure —
+    * single local[n] passes carry ±0.5 s scheduling noise that has
+    * repeatedly mis-flagged plan regressions (SCALE.md "bench noise
+    * floor"); the per-pass raw timings still go to stderr.
+    */
+  def medians(passes: Seq[Seq[(String, Double)]]): Seq[(String, Double)] = {
+    val byName = passes.flatten.groupBy(_._1).view.mapValues(_.map(_._2).sorted)
+    passes.head.map { case (name, _) =>
+      val v = byName(name)
+      val m =
+        if (v.size % 2 == 1) v(v.size / 2)
+        else (v(v.size / 2 - 1) + v(v.size / 2)) / 2.0
+      name -> m
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -122,12 +139,13 @@ object Bench {
         .write.mode("overwrite").format("noop").save()
 
     names.foreach { n => try run(n) catch { case _: Throwable => () } } // warm-up
-    // SPARK_GRAFT_BENCH_RUNS > 1: repeat the timed pass in the same
-    // JVM and log every pass to stderr — separates plan-cost drift
-    // from local[n] scheduling noise (SCALE.md "bench noise floor").
-    // The reported JSON (stdout contract: ONE line) is the last pass.
+    // SPARK_GRAFT_BENCH_RUNS: timed passes in the same JVM, every pass
+    // logged to stderr, the JSON reporting per-query MEDIANS — this
+    // separates plan-cost drift from local[n] scheduling noise
+    // (SCALE.md "bench noise floor"). Default 2: one extra timed pass
+    // buys regression calls that don't need manual reruns.
     val runs = scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "1").toInt).getOrElse(1).max(1)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse(2).max(1)
     val passes = (1 to runs).map { p =>
       val errs = scala.collection.mutable.ArrayBuffer.empty[String]
       val r = names.map { name =>
@@ -143,12 +161,14 @@ object Bench {
           f"$k=$v%.3f" }.mkString(" "))
       (r, errs.toSeq)
     }
-    val (results, errNames) = passes.last
+    val results = medians(passes.map(_._1))
+    // a query that failed in ANY pass is an error (its timing is junk)
+    val errNames = passes.flatMap(_._2).distinct
 
-    val line = renderLine(results, errNames, sfDir)
+    val line = renderLine(results, errNames, sfDir, runs)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        renderFull(results, errNames, sfDir) + "\n")
+        renderFull(results, errNames, sfDir, runs) + "\n")
     }
     spark.stop() // stop BEFORE printing so no stray log line follows the JSON
     println(line)

@@ -22,6 +22,22 @@ import scala.util.{Failure, Success, Try}
 final class Book(val name: String, val options: BookOptions = BookOptions()) {
   private val chapters = mutable.ArrayBuffer.empty[Chapter]
   private val listeners = mutable.ArrayBuffer.empty[StateEvent => Unit]
+
+  /** Leveled operator log (`lib/logger.js`; `--logLevel` =
+    * options.logLevel). State events are cross-wired in [[emit]]
+    * alongside the [[AuditSink]] listeners: page/loader chatter at
+    * `debug`, errors at `error`, the rest at `info` — so the default
+    * threshold shows the chapter skeleton and a `--logLevel debug` run
+    * shows per-page progress, matching the reference's verbosity split
+    * (`lib/book.js` logs page detail at debug/trace).
+    */
+  val logger: Logger =
+    new Logger(options.logStdout, options.logFile, options.logLevel)
+
+  private def severityOf(state: String): String =
+    if (state.endsWith(":error")) "error"
+    else if (state.startsWith("page:") || state.startsWith("loader:")) "debug"
+    else "info"
   // book.data scratch (lib/book.js:40). TrieMap, not mutable.Map: the
   // reference is single-threaded but pages here genuinely run
   // concurrently (threads > 1), and a plain HashMap corrupts under
@@ -39,6 +55,9 @@ final class Book(val name: String, val options: BookOptions = BookOptions()) {
   private[engine] def emit(state: String, name: String, durationMs: Long = 0L,
       extra: Map[String, String] = Map.empty): Unit = {
     val ev = StateEvent(state, System.currentTimeMillis(), name, durationMs / 1000.0, extra)
+    logger.log(s"$state $name" +
+      (if (durationMs > 0) f" (${durationMs / 1000.0}%.1fs)" else ""),
+      severityOf(state), extra)
     listeners.foreach(_(ev))
   }
 
@@ -77,7 +96,10 @@ final class Book(val name: String, val options: BookOptions = BookOptions()) {
 final case class BookOptions(
     chapterSelection: Option[String] = None, // --chapters
     getAllLimit: Option[Long] = None,        // global row cap (lib/book.js:74)
-    pidDir: Option[String] = None)
+    pidDir: Option[String] = None,
+    logLevel: String = "info",               // --logLevel (lib/logger.js)
+    logFile: Option[String] = None,          // --logFile (JSON lines)
+    logStdout: Boolean = false)              // console transport opt-in
 
 final case class StateEvent(state: String, timeMs: Long, name: String,
     durationSec: Double, data: Map[String, String])

@@ -1,0 +1,355 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, ImplicitCastInputTypes}
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
+import org.apache.spark.sql.catalyst.trees.UnaryLike
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.functions.{lit, struct}
+import org.apache.spark.sql.graft.{expr => exprBridge}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** [EXT] Mergeable-sketch AGGREGATE functions (SURVEY §4 custom-work
+  * item 3): the HyperLogLog and count–min sketches of
+  * [[graft.ops.Sketch]] packaged as `TypedImperativeAggregate`s, so
+  * `GROUP BY source` yields ONE SKETCH PER GROUP in a single pass —
+  * the table-level ops need one job per slice, the aggregate form
+  * sketches a thousand sources at once with sketch-sized (not
+  * key-sized) shuffle rows, the shape a 100 TB per-source cardinality/
+  * frequency report needs.
+  *
+  * The aggregation state IS the output: `hll_sketch_agg` emits the
+  * m-byte register vector, `cm_sketch_agg` the depth×width counter
+  * array, and the companion `*_merge_agg` aggregates fold STORED
+  * states (per-day, per-shard) into the state of the union — the
+  * datasketches-style build/store/merge lifecycle. Register semantics
+  * are bit-identical to [[graft.ops.Sketch.hllRegisters]] /
+  * [[graft.ops.Sketch.countMinTable]] (same md5 hex60, same salts,
+  * same ρ arithmetic; SketchAggSpec pins state ≡ relational table),
+  * so a stored state can be audited against the relational path and
+  * both agree with the DuckDB-replayable hashing contract.
+  *
+  * Buffers are primitive arrays (m bytes / depth·width longs),
+  * serialize is a flat copy, and partial aggregation applies — Spark
+  * merges per-partition states map-side, the exchange carries one
+  * state per (group × partition).
+  */
+object SketchAgg {
+
+  // ---- static kernels (StaticInvoke entry points) -------------------
+
+  /** (n_nonzero, sum_q) of an HLL register state: sum_q = Σ_j
+    * ⌊2^40 / 2^ρ_j⌋ over ALL registers (empty ⇒ 2^40) — exactly
+    * [[graft.ops.Sketch.hllReport]]'s quantized harmonic sum.
+    */
+  def hllSummary(state: Array[Byte]): ArrayData = {
+    val Q = 1L << 40
+    var nz = 0L
+    var sum = 0L
+    var i = 0
+    while (i < state.length) {
+      val rho = state(i) & 0xff
+      if (rho > 0) nz += 1
+      sum += (Q >> rho)
+      i += 1
+    }
+    new GenericArrayData(Array(nz, sum))
+  }
+
+  /** Count–min point estimate from a state array: min over the depth
+    * rows of the counter `key` hashes to — the same salted-hex60 cells
+    * [[graft.ops.Sketch.countMinTable]] builds.
+    */
+  def cmEstimate(state: ArrayData, depth: Int, width: Int, key: UTF8String): Long = {
+    var est = Long.MaxValue
+    var i = 0
+    while (i < depth) {
+      val c = (Kernels.hex60String("cm" + i + ":" + key.toString) % width).toInt
+      val v = state.getLong(i * width + c)
+      if (v < est) est = v
+      i += 1
+    }
+    est
+  }
+
+  // ---- HyperLogLog --------------------------------------------------
+
+  /** State: 2^p bytes, register j holding max ρ seen (0 = empty). */
+  case class HllSketchAgg(child: Expression, p: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    require(p >= 4 && p <= 16, s"need 4 <= p <= 16: $p")
+    private val wBits = 60 - p
+    private val wMask = (1L << wBits) - 1
+
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
+
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = Kernels.hex60String(v.asInstanceOf[UTF8String].toString)
+        val reg = (h >>> wBits).toInt
+        val w = h & wMask
+        val rho =
+          (if (w > 0) wBits + 1 - (64 - java.lang.Long.numberOfLeadingZeros(w))
+           else wBits + 1).toByte
+        if ((buf(reg) & 0xff) < (rho & 0xff)) buf(reg) = rho
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < b1.length) {
+        if ((b2(i) & 0xff) > (b1(i) & 0xff)) b1(i) = b2(i)
+        i += 1
+      }
+      b1
+    }
+
+    override def eval(buf: Array[Byte]): Any = buf.clone()
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def prettyName: String = "hll_sketch_agg"
+    override def withNewMutableAggBufferOffset(o: Int): HllSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HllSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): HllSketchAgg =
+      copy(child = newChild)
+  }
+
+  /** Fold STORED m-byte HLL states (register-wise max) into the state
+    * of the union — build daily, merge on demand.
+    */
+  case class HllMergeAgg(child: Expression, p: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val st = v.asInstanceOf[Array[Byte]]
+        require(st.length == buf.length,
+          s"HLL state length ${st.length} != 2^$p — built with a different p")
+        var i = 0
+        while (i < buf.length) {
+          if ((st(i) & 0xff) > (buf(i) & 0xff)) buf(i) = st(i)
+          i += 1
+        }
+      }
+      buf
+    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
+      var i = 0
+      while (i < b1.length) {
+        if ((b2(i) & 0xff) > (b1(i) & 0xff)) b1(i) = b2(i)
+        i += 1
+      }
+      b1
+    }
+    override def eval(buf: Array[Byte]): Any = buf.clone()
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def prettyName: String = "hll_merge_agg"
+    override def withNewMutableAggBufferOffset(o: Int): HllMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): HllMergeAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): HllMergeAgg =
+      copy(child = newChild)
+  }
+
+  // ---- count–min ----------------------------------------------------
+
+  /** State: depth×width longs, row-major; cell (i, c) counts keys whose
+    * salted hash lands there.
+    */
+  case class CmSketchAgg(child: Expression, depth: Int, width: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    require(depth >= 1 && depth <= 16, s"need 1 <= depth <= 16: $depth")
+    require(width >= 2, s"need width >= 2: $width")
+
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val key = v.asInstanceOf[UTF8String].toString
+        var i = 0
+        while (i < depth) {
+          val c = (Kernels.hex60String("cm" + i + ":" + key) % width).toInt
+          buf(i * width + c) += 1
+          i += 1
+        }
+      }
+      buf
+    }
+
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+    override def serialize(buf: Array[Long]): Array[Byte] = SketchAgg.longsToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] = SketchAgg.bytesToLongs(bytes)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def prettyName: String = "cm_sketch_agg"
+    override def withNewMutableAggBufferOffset(o: Int): CmSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CmSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): CmSketchAgg =
+      copy(child = newChild)
+  }
+
+  /** Fold STORED count–min states (cell-wise add) — the aggregate form
+    * of [[graft.ops.Sketch.countMinMerge]].
+    */
+  case class CmMergeAgg(child: Expression, depth: Int, width: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val st = v.asInstanceOf[ArrayData]
+        require(st.numElements() == buf.length,
+          s"CM state length ${st.numElements()} != $depth x $width")
+        var i = 0
+        while (i < buf.length) { buf(i) += st.getLong(i); i += 1 }
+      }
+      buf
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < b1.length) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
+    override def serialize(buf: Array[Long]): Array[Byte] = SketchAgg.longsToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] = SketchAgg.bytesToLongs(bytes)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def prettyName: String = "cm_merge_agg"
+    override def withNewMutableAggBufferOffset(o: Int): CmMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): CmMergeAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): CmMergeAgg =
+      copy(child = newChild)
+  }
+
+  private[functions] def longsToBytes(a: Array[Long]): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(a.length * 8)
+    bb.asLongBuffer().put(a)
+    bb.array()
+  }
+  private[functions] def bytesToLongs(b: Array[Byte]): Array[Long] = {
+    val out = new Array[Long](b.length / 8)
+    java.nio.ByteBuffer.wrap(b).asLongBuffer().get(out)
+    out
+  }
+
+  // ---- Column wrappers ----------------------------------------------
+
+  private def ex(c: Column) = exprBridge.expression(c)
+
+  /** `GROUP BY g` → one m-byte HLL register state per group. */
+  def hllSketch(key: Column, p: Int = 8): Column =
+    exprBridge.column(HllSketchAgg(ex(key.cast("string")), p).toAggregateExpression())
+
+  /** Fold stored HLL states into the union's state. */
+  def hllMerge(state: Column, p: Int = 8): Column =
+    exprBridge.column(HllMergeAgg(ex(state), p).toAggregateExpression())
+
+  /** Cardinality report struct from a stored state — column-for-column
+    * [[graft.ops.Sketch.hllReport]]: (m, n_nonzero, sum_q, est).
+    */
+  def hllReportOf(state: Column, p: Int = 8): Column = {
+    val m = 1L << p
+    val Q = 1L << 40
+    val s = exprBridge.column(StaticInvoke(
+      SketchAgg.getClass, ArrayType(LongType, containsNull = false), "hllSummary",
+      Seq(ex(state)), Seq(BinaryType)))
+    struct(lit(m).as("m"), s.getItem(0).as("n_nonzero"), s.getItem(1).as("sum_q"),
+      (lit(graft.ops.Sketch.alphaFor(m) * m * m) * lit(Q).cast("double") /
+        s.getItem(1).cast("double")).as("est"))
+  }
+
+  /** `GROUP BY g` → one depth×width count–min counter array per group. */
+  def cmSketch(key: Column, depth: Int = 4, width: Int = 1024): Column =
+    exprBridge.column(
+      CmSketchAgg(ex(key.cast("string")), depth, width).toAggregateExpression())
+
+  /** Fold stored count–min states into the union's state. */
+  def cmMerge(state: Column, depth: Int = 4, width: Int = 1024): Column =
+    exprBridge.column(CmMergeAgg(ex(state), depth, width).toAggregateExpression())
+
+  /** Point frequency estimate from a stored state (never undershoots). */
+  def cmEstimateOf(state: Column, key: Column, depth: Int = 4, width: Int = 1024): Column =
+    exprBridge.column(StaticInvoke(
+      SketchAgg.getClass, LongType, "cmEstimate",
+      Seq(ex(state), ex(lit(depth)), ex(lit(width)), ex(key.cast("string"))),
+      Seq(ArrayType(LongType), IntegerType, IntegerType, StringType)))
+
+  // ---- SQL surface --------------------------------------------------
+
+  private def intArg(e: Expression, what: String): Int = {
+    require(e.foldable, s"$what must be a literal")
+    e.eval().asInstanceOf[Number].intValue()
+  }
+
+  /** Register the aggregate + scalar functions for SQL use:
+    * `SELECT g, hll_sketch_agg(k, 8) FROM t GROUP BY g`,
+    * `hll_merge_agg(state, 8)`, `cm_sketch_agg(k, 4, 1024)`,
+    * `cm_merge_agg(state, 4, 1024)`, `cm_state_est(state, k, 4, 1024)`.
+    * The analyzer wraps returned AggregateFunctions in a Complete
+    * AggregateExpression, same as the built-in registry's aggregates.
+    */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
+    exprBridge.registerTempFunction(spark, "hll_sketch_agg",
+      args => HllSketchAgg(args.head,
+        if (args.size > 1) intArg(args(1), "p") else 8))
+    exprBridge.registerTempFunction(spark, "hll_merge_agg",
+      args => HllMergeAgg(args.head,
+        if (args.size > 1) intArg(args(1), "p") else 8))
+    exprBridge.registerTempFunction(spark, "cm_sketch_agg",
+      args => CmSketchAgg(args.head,
+        if (args.size > 1) intArg(args(1), "depth") else 4,
+        if (args.size > 2) intArg(args(2), "width") else 1024))
+    exprBridge.registerTempFunction(spark, "cm_merge_agg",
+      args => CmMergeAgg(args.head,
+        if (args.size > 1) intArg(args(1), "depth") else 4,
+        if (args.size > 2) intArg(args(2), "width") else 1024))
+    exprBridge.registerTempFunction(spark, "cm_state_est",
+      args => StaticInvoke(
+        SketchAgg.getClass, LongType, "cmEstimate",
+        Seq(args.head,
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            if (args.size > 2) intArg(args(2), "depth") else 4),
+          org.apache.spark.sql.catalyst.expressions.Literal(
+            if (args.size > 3) intArg(args(3), "width") else 1024),
+          args(1)),
+        Seq(ArrayType(LongType), IntegerType, IntegerType, StringType)))
+  }
+}

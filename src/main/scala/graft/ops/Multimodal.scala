@@ -42,14 +42,17 @@ object Multimodal {
         octet_length(col(contentCol).cast("binary")).cast("long").as("byte_len"),
         sha2(col(contentCol).cast("binary"), 256).as("sha256")).as("meta"))
 
-  /** Feature extraction over binary payloads — a compiled StaticInvoke
-    * kernel ([[Kernels.mediaFeatures]], the STUB decoder) projected
-    * map-side: stays inside WholeStageCodegen and the scan reads only
-    * (idCol, payload).
+  /** Feature extraction over binary payloads, map-side: the scan reads
+    * only (idCol, payload). The decode step goes through the
+    * [[MediaDecoder]] SPI — default [[StubDecoder]] plans the compiled
+    * StaticInvoke kernel ([[Kernels.mediaFeatures]]); a registered
+    * real codec ([[MediaDecoders.register]]) plans a codegen Invoke on
+    * the shipped instance, same schema and pruning.
     */
-  def extractFeatures(df: DataFrame, idCol: String): DataFrame =
+  def extractFeatures(df: DataFrame, idCol: String,
+      decoder: MediaDecoder = StubDecoder): DataFrame =
     df.select(col(idCol),
-      Kernels.mediaFeaturesOf(col("payload"), FeatureDim).as("features"))
+      MediaDecoders.featureCol(decoder, col("payload"), FeatureDim).as("features"))
 
   /** Frame sampling over binary payloads: split each payload into
     * fixed-size byte frames, one output row per frame — the shape a
@@ -85,9 +88,11 @@ object Multimodal {
     * array. Compiled StaticInvoke kernel ([[Kernels.poolBytes]]),
     * map-side, codegen'd, payload column pruned.
     */
-  def resize(df: DataFrame, idCol: String, factor: Int): DataFrame = {
+  def resize(df: DataFrame, idCol: String, factor: Int,
+      decoder: MediaDecoder = StubDecoder): DataFrame = {
     require(factor > 0, "factor must be positive")
-    df.select(col(idCol), Kernels.poolBytesOf(col("payload"), factor).as("resized"))
+    df.select(col(idCol),
+      MediaDecoders.resizeCol(decoder, col("payload"), factor).as("resized"))
   }
 
   /** Perceptual hashes per payload: the 60-bit gradient dHash analogue

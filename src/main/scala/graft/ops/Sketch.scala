@@ -70,16 +70,21 @@ object Sketch {
     * Output: (m, n_nonzero, sum_q, est) — the first three exact longs
     * (the oracle-comparable state), est the shared double.
     */
+  /** Published α_m per the HLL paper: fixed constants for the small
+    * register counts, the asymptotic formula from m = 128 up. Shared
+    * with the aggregate-function surface
+    * ([[graft.functions.SketchAgg]]) so the two can never disagree.
+    */
+  private[graft] def alphaFor(m: Long): Double = m match {
+    case 16L => 0.673
+    case 32L => 0.697
+    case 64L => 0.709
+    case _   => 0.7213 / (1.0 + 1.079 / m)
+  }
+
   def hllReport(df: DataFrame, keyCol: String, p: Int = 8): DataFrame = {
     val m = 1L << p
-    // published α_m per the HLL paper: fixed constants for the small
-    // register counts, the asymptotic formula from m = 128 up
-    val alpha = m match {
-      case 16L => 0.673
-      case 32L => 0.697
-      case 64L => 0.709
-      case _   => 0.7213 / (1.0 + 1.079 / m)
-    }
+    val alpha = alphaFor(m)
     val Q = 1L << 40
     hllRegisters(df, keyCol, p)
       .agg(count(lit(1)).as("n_nonzero"),

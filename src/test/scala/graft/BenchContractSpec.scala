@@ -101,4 +101,27 @@ class BenchContractSpec extends AnyFunSpec with Matchers {
       full should include(""""q20_x"""")
     }
   }
+
+  describe("Bench.medians") {
+    it("reports the per-query median over passes, preserving order") {
+      val passes = Seq(
+        Seq("qa" -> 1.0, "qb" -> 10.0),
+        Seq("qa" -> 9.0, "qb" -> 12.0),
+        Seq("qa" -> 2.0, "qb" -> 11.0))
+      // odd pass count: the middle value, robust to one outlier pass
+      Bench.medians(passes) shouldBe Seq("qa" -> 2.0, "qb" -> 11.0)
+    }
+
+    it("even pass count averages the middle two") {
+      val passes = Seq(Seq("qa" -> 1.0), Seq("qa" -> 3.0))
+      Bench.medians(passes) shouldBe Seq("qa" -> 2.0)
+    }
+
+    it("the runs field is stamped into both render forms") {
+      Bench.renderLine(fakeResults(5), Nil, sf, runs = 2) should
+        include(""""runs":2""")
+      Bench.renderFull(fakeResults(5), Nil, sf, runs = 3) should
+        include(""""runs":3""")
+    }
+  }
 }

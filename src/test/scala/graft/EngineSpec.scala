@@ -124,4 +124,77 @@ class EngineSpec extends AnyFunSuite {
     assert(df.filter(df("state") === "book:end").count() == 1)
     assert(df.columns.toSeq == Seq("state", "time", "name", "duration", "data"))
   }
+
+  test("logger filters by level and writes JSON lines to the file transport (logger.js)") {
+    val f = java.nio.file.Files.createTempFile("graft-log", ".log")
+    val log = new Logger(stdout = false, file = Some(f.toString), level = "info")
+    log.log("page detail", "debug")    // below threshold — dropped
+    log.log("chapter done", "info")
+    log.log("boom", "error", Map("chapter" -> "c1"))
+    log.log("weird", "not-a-level")    // unknown severity → info, logged
+    log.close()
+    val lines = java.nio.file.Files.readAllLines(f)
+    assert(lines.size === 3, s"debug must be filtered at info: $lines")
+    assert(lines.get(0).contains("\"level\": \"info\"") &&
+      lines.get(0).contains("\"message\": \"chapter done\""))
+    assert(lines.get(1).contains("\"level\": \"error\"") &&
+      lines.get(1).contains("\"chapter\": \"c1\""))
+    assert(lines.get(2).contains("\"message\": \"weird\""))
+    // every line parses as a JSON object (winston json:true shape)
+    lines.forEach(l => assert(l.startsWith("{") && l.endsWith("}")))
+  }
+
+  test("a debug threshold admits page chatter; an error threshold drops info") {
+    val f = java.nio.file.Files.createTempFile("graft-log", ".log")
+    val dbg = new Logger(stdout = false, file = Some(f.toString), level = "trace")
+    dbg.log("page detail", "debug")
+    dbg.close()
+    assert(java.nio.file.Files.readAllLines(f).size === 1)
+    val f2 = java.nio.file.Files.createTempFile("graft-log", ".log")
+    val err = new Logger(stdout = false, file = Some(f2.toString), level = "error")
+    err.log("chapter done", "info")
+    err.log("boom", "crit")
+    err.close()
+    val lines = java.nio.file.Files.readAllLines(f2)
+    assert(lines.size === 1 && lines.get(0).contains("boom"))
+  }
+
+  test("unknown logLevel threshold fails fast") {
+    val e = intercept[IllegalArgumentException](
+      new Logger(stdout = false, file = None, level = "loud"))
+    assert(e.getMessage.contains("logLevel"))
+  }
+
+  test("book state events cross-wire into book.logger with the verbosity split") {
+    val f = java.nio.file.Files.createTempFile("graft-book", ".log")
+    val b = new Book("logged", BookOptions(logFile = Some(f.toString)))
+    b.addChapter(1, "c").addPage("p")(())
+    b.run()
+    b.logger.close()
+    val lines = java.nio.file.Files.readAllLines(f)
+    val text = String.join("\n", lines)
+    // default info threshold: book/chapter skeleton present…
+    assert(text.contains("book:start") && text.contains("chapter:end"))
+    // …page chatter filtered (debug severity, reference's split)
+    assert(!text.contains("page:start"), s"page events must be debug: $text")
+    val dbgFile = java.nio.file.Files.createTempFile("graft-book", ".log")
+    val b2 = new Book("logged2",
+      BookOptions(logFile = Some(dbgFile.toString), logLevel = "debug"))
+    b2.addChapter(1, "c").addPage("p")(())
+    b2.run()
+    b2.logger.close()
+    assert(String.join("\n",
+      java.nio.file.Files.readAllLines(dbgFile)).contains("page:start"))
+  }
+
+  test("emphatically writes the starred banner (logger.js:58-71)") {
+    val f = java.nio.file.Files.createTempFile("graft-log", ".log")
+    val log = new Logger(stdout = false, file = Some(f.toString), level = "info")
+    log.emphatically("all done")
+    log.close()
+    val lines = java.nio.file.Files.readAllLines(f)
+    assert(lines.size === 5)
+    assert(lines.get(2).contains("** all done **"))
+    assert(lines.get(1).contains("*" * ("all done".length + 6)))
+  }
 }

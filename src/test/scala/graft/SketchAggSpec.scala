@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.SketchAgg
+import graft.ops.Sketch
+
+/** The aggregate-function sketch surface: per-group states in one
+  * pass, bit-parity with the relational table ops, and the
+  * merge-equivalence property (slice → sketch → merge ≡ one pass)
+  * at the AGGREGATE level — the datasketches-style lifecycle a
+  * per-source 100 TB report runs on stored per-day states.
+  */
+class SketchAggSpec extends AnyFunSuite {
+  import TestSpark._
+  import spark.implicits._
+
+  private val P = 8
+  private def keys = (1 to 2000).map(i => (s"k${i % 700}", s"s${i % 5}"))
+    .toDF("k", "src")
+
+  test("hll_sketch_agg state matches the relational hllRegisters bit-for-bit") {
+    val state = keys.agg(SketchAgg.hllSketch(col("k"), P).as("st"))
+      .head().getAs[Array[Byte]]("st")
+    val rel = Sketch.hllRegisters(keys, "k", P)
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+    assert(state.length === (1 << P))
+    state.zipWithIndex.foreach { case (rho, reg) =>
+      assert((rho & 0xff) === rel.getOrElse(reg, 0),
+        s"register $reg: agg ${rho & 0xff} vs relational ${rel.getOrElse(reg, 0)}")
+    }
+  }
+
+  test("hllReportOf a state reproduces the relational hllReport row") {
+    val got = keys.agg(SketchAgg.hllSketch(col("k"), P).as("st"))
+      .select(SketchAgg.hllReportOf(col("st"), P).as("r"))
+      .select("r.m", "r.n_nonzero", "r.sum_q", "r.est").head()
+    val want = Sketch.hllReport(keys, "k", P)
+      .select("m", "n_nonzero", "sum_q", "est").head()
+    assert(got === want)
+  }
+
+  test("merge-equivalence: per-slice HLL states merged == one-pass state") {
+    val whole = keys.agg(SketchAgg.hllSketch(col("k"), P).as("st"))
+      .head().getAs[Array[Byte]]("st")
+    val merged = keys
+      .groupBy(col("src")).agg(SketchAgg.hllSketch(col("k"), P).as("st"))
+      .agg(SketchAgg.hllMerge(col("st"), P).as("st"))
+      .head().getAs[Array[Byte]]("st")
+    assert(merged.toSeq === whole.toSeq)
+  }
+
+  test("cm_sketch_agg state matches the relational countMinTable cell-for-cell") {
+    val D = 4; val W = 256
+    val state = keys.agg(SketchAgg.cmSketch(col("k"), D, W).as("st"))
+      .head() match { case r => r.getSeq[Long](r.fieldIndex("st")) }
+    val rel = Sketch.countMinTable(keys, "k", D, W)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2)).toMap
+    assert(state.size === D * W)
+    for (i <- 0 until D; c <- 0 until W)
+      assert(state(i * W + c) === rel.getOrElse((i.toLong, c.toLong), 0L),
+        s"cell ($i,$c)")
+  }
+
+  test("merge-equivalence: per-slice CM states merged == one-pass state") {
+    val D = 4; val W = 256
+    val whole = keys.agg(SketchAgg.cmSketch(col("k"), D, W).as("st"))
+      .head() match { case r => r.getSeq[Long](r.fieldIndex("st")) }
+    val merged = keys
+      .groupBy(col("src")).agg(SketchAgg.cmSketch(col("k"), D, W).as("st"))
+      .agg(SketchAgg.cmMerge(col("st"), D, W).as("st"))
+      .head() match { case r => r.getSeq[Long](r.fieldIndex("st")) }
+    assert(merged === whole)
+  }
+
+  test("cmEstimateOf never undershoots the exact count") {
+    val D = 4; val W = 64 // narrow on purpose: collisions guaranteed
+    val st = keys.agg(SketchAgg.cmSketch(col("k"), D, W).as("st"))
+    val exact = keys.groupBy("k").count()
+    val audit = exact.crossJoin(broadcast(st))
+      .select(col("k"), col("count"),
+        SketchAgg.cmEstimateOf(col("st"), col("k"), D, W).as("est"))
+      .collect()
+    assert(audit.nonEmpty)
+    audit.foreach(r =>
+      assert(r.getAs[Long]("est") >= r.getAs[Long]("count"), s"undershoot at $r"))
+  }
+
+  test("one pass, many groups: GROUP BY source yields a state per group") {
+    val per = keys.groupBy("src").agg(SketchAgg.hllSketch(col("k"), P).as("st"))
+    assert(per.count() === 5)
+    // each group's state audits against the relational path on its slice
+    val s0 = per.filter(col("src") === "s0").head().getAs[Array[Byte]]("st")
+    val rel = Sketch.hllRegisters(keys.filter(col("src") === "s0"), "k", P)
+      .collect().map(r => r.getLong(0).toInt -> r.getLong(1).toInt).toMap
+    s0.zipWithIndex.foreach { case (rho, reg) =>
+      assert((rho & 0xff) === rel.getOrElse(reg, 0))
+    }
+  }
+
+  test("SQL surface: registered aggregates run in spark.sql") {
+    SketchAgg.registerSql(spark)
+    keys.createOrReplaceTempView("ska_t")
+    val viaSql = spark.sql(
+      """SELECT src, hll_sketch_agg(k, 8) AS st, cm_sketch_agg(k, 4, 256) AS cst
+        |FROM ska_t GROUP BY src""".stripMargin)
+    assert(viaSql.count() === 5)
+    viaSql.createOrReplaceTempView("ska_states")
+    val merged = spark.sql(
+      """SELECT hll_merge_agg(st, 8) AS st, cm_merge_agg(cst, 4, 256) AS cst
+        |FROM ska_states""".stripMargin).head()
+    val whole = keys.agg(SketchAgg.hllSketch(col("k"), P).as("st"),
+      SketchAgg.cmSketch(col("k"), 4, 256).as("cst")).head()
+    assert(merged.getAs[Array[Byte]]("st").toSeq ===
+      whole.getAs[Array[Byte]]("st").toSeq)
+    assert(merged.getSeq[Long](merged.fieldIndex("cst")) === whole.getSeq[Long](whole.fieldIndex("cst")))
+    // scalar estimator also reachable from SQL, over the merged state
+    val est = spark.sql(
+      "SELECT cm_state_est(cm_merge_agg(cst, 4, 256), 'k1', 4, 256) AS e " +
+        "FROM ska_states").head().getLong(0)
+    val exact = keys.filter(col("k") === "k1").count()
+    assert(est >= exact && exact > 0)
+  }
+
+  test("partition invariance: the state is independent of data layout") {
+    val a = keys.repartition(1).agg(SketchAgg.hllSketch(col("k"), P)).head()
+      .getAs[Array[Byte]](0).toSeq
+    val b = keys.repartition(13, col("src")).agg(SketchAgg.hllSketch(col("k"), P))
+      .head().getAs[Array[Byte]](0).toSeq
+    assert(a === b)
+  }
+}
