@@ -195,6 +195,57 @@ object TextClean {
     rebuildWithout(base, coveredPositions(wins, dup, idCol, k), idCol)
   }
 
+  /** [EXT] VARIABLE-LENGTH exact-substring dedup report — the
+    * relational re-expression of Lee et al.'s suffix-array ExactSubstr
+    * pass ("Deduplicating Training Data Makes Language Models Better",
+    * ACL 2022; PAPERS.md): every MAXIMAL token span repeated across
+    * ≥ `minDocs` documents, reported at its TRUE length. The suffix
+    * array dissolves into windows + islands: a substring of length
+    * L ≥ k repeats iff each of its k-token windows repeats, so the
+    * maximal repeated spans are exactly the maximal runs of
+    * duplicated k-windows — window-hash → dup filter → covered
+    * positions → per-doc gaps-and-islands merge (island id =
+    * pos − row_number over pos). This is what [[dropRepeatedSpans]]'s
+    * fixed-k marking cannot say: WHERE the boilerplate is and HOW LONG
+    * it really is — a 60-token licence header comes back as one
+    * 60-token span, not an anonymous pile of k-window marks — and
+    * with k at the Lee-style minimum match length it catches
+    * boilerplate both far longer than k (full length reported) and as
+    * short as k itself.
+    *
+    * Scale shape, unchanged from [[dropRepeatedSpans]]: window
+    * CONTENT shuffles only as its fixed-width 128-bit md5; covered
+    * positions are (doc, pos) longs; the islands window partitions by
+    * document (no global sort); span text is rebuilt by one
+    * doc-bounded slice from the token array, joined back by doc id.
+    *
+    * Output: (idCol, span_start, span_len, span_text), one row per
+    * maximal repeated span; documents with none emit nothing. Per-doc
+    * LRS = `max(span_len) GROUP BY idCol`.
+    */
+  def repeatedSpanIntervals(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 5, minDocs: Int = 2): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"window size must be positive: $k")
+    require(minDocs >= 2, s"minDocs below 2 would mark every window: $minDocs")
+    val base = tokenized(df, idCol, textCol)
+    val wins = windowHashes(base, idCol, k)
+    val dup = wins.groupBy(col("wh"))
+      .agg(countDistinct(col(idCol)).as("nd"))
+      .filter(col("nd") >= minDocs).select(col("wh"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(idCol)).orderBy(col("pos"))
+    coveredPositions(wins, dup, idCol, k)
+      .withColumn("grp", col("pos") - row_number().over(w))
+      .groupBy(col(idCol), col("grp"))
+      .agg(min(col("pos")).cast("long").as("span_start"),
+        count(lit(1)).as("span_len"))
+      .drop("grp")
+      .join(base, Seq(idCol))
+      .select(col(idCol), col("span_start"), col("span_len"),
+        expr("array_join(slice(toks, cast(span_start as int), " +
+          "cast(span_len as int)), ' ')").as("span_text"))
+  }
+
   /** Surgical benchmark decontamination — the counterpart of
     * [[dropRepeatedSpans]] against a REFERENCE corpus: every `k`-token
     * window of `df` whose content appears verbatim anywhere in `ref`

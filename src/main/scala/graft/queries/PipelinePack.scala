@@ -1263,6 +1263,40 @@ object PipelinePack {
         coalesce(clean_text, '') AS clean_text
       FROM base b LEFT JOIN agg USING (doc_id)"""))
 
+  /** Variable-length exact-substring dedup
+    * (TextClean.repeatedSpanIntervals — Lee et al.'s suffix-array
+    * ExactSubstr pass as windows + islands): every maximal token span
+    * repeated across ≥2 documents at its TRUE length (≥ 3 tokens) with
+    * the span text — the report q94's fixed-k marking cannot give
+    * (where the boilerplate is and how long it really is). The oracle
+    * replays the window-hash → dup → coverage → gaps-and-islands
+    * pipeline in SQL; spans reconstruct by list slice on both engines.
+    */
+  private val q194 = QueryDef(
+    "q194_repeated_spans",
+    (s, dir) => TextClean.repeatedSpanIntervals(
+      Tables.documents(s, dir), "doc_id", "text", k = 3, minDocs = 2),
+    Some(s"""WITH base AS (SELECT doc_id, $T AS toks FROM documents),
+      winpos AS (SELECT doc_id, toks,
+          unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS pos
+        FROM base),
+      wins AS (SELECT doc_id, pos,
+          unhex(md5(array_to_string(toks[pos:pos+2], ' '))) AS wh FROM winpos),
+      dup AS (SELECT wh FROM wins GROUP BY wh
+        HAVING count(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT doc_id, pos + off AS pos
+        FROM wins JOIN dup USING (wh) CROSS JOIN range(0, 3) AS o(off)),
+      isl AS (SELECT doc_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM cov),
+      spans AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+          count(*)::BIGINT AS span_len FROM isl GROUP BY doc_id, grp)
+      SELECT s.doc_id, s.span_start, s.span_len,
+        array_to_string(
+          b.toks[s.span_start : s.span_start + s.span_len - 1], ' ')
+          AS span_text
+      FROM spans s JOIN base b USING (doc_id)"""))
+
   /** LSH operating-point audit — the go/no-go number for a chosen
     * (bands × rows) configuration before a corpus-scale dedup run: at
     * the dedup threshold τ = 0.5, the confusion matrix of the MinHash
@@ -2641,5 +2675,5 @@ object PipelinePack {
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
-    q185, q186, q187, q191, q193)
+    q185, q186, q187, q191, q193, q194)
 }

@@ -537,6 +537,31 @@ class PipelineSpec extends AnyFunSuite {
       "completely different content with no shared windows at all")))
   }
 
+  test("repeatedSpanIntervals reports MAXIMAL spans at their true length") {
+    val d = docs(
+      1L -> "one two three four five six seven endone",
+      2L -> "pre one two three four five six seven endtwo",
+      3L -> "nothing shared in this document at all whatsoever",
+      4L -> "a b one two three c d five six seven e")
+    // k=3: docs 1+2 share the 7-token span "one two three four five
+    // six seven" — it must come back as ONE 7-token span per doc (the
+    // variable-length semantics), while doc 4 shares only the two
+    // 3-token fragments, reported separately at length 3
+    val out = graft.ops.TextClean
+      .repeatedSpanIntervals(d, "doc_id", "text", k = 3, minDocs = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3)))
+      .toSet
+    assert(out.contains((1L, 1L, 7L, "one two three four five six seven")))
+    assert(out.contains((2L, 2L, 7L, "one two three four five six seven")))
+    assert(out.contains((4L, 3L, 3L, "one two three")))
+    assert(out.contains((4L, 8L, 3L, "five six seven")))
+    assert(!out.exists(_._1 == 3L), "doc 3 shares nothing")
+    // spans are maximal: nothing shorter overlapping the 7-token one
+    assert(out.count(s => s._1 == 1L) === 1)
+    assert(out.count(s => s._1 == 4L) === 2)
+  }
+
   test("dropSpansMatching removes only reference spans — internal dups survive") {
     val train = docs(
       1L -> "leaked bench question answer pair plus original prose here",
