@@ -243,40 +243,81 @@ final class JdbcConnection(spark: SparkSession, val name: String,
       if (opts.get("abortAfterStage").contains("true"))
         throw new IllegalStateException(s"fault injection: aborted after staging $stage")
       val cols = batch.columns.toSeq
-      withEndpoint { conn =>
-        conn.setAutoCommit(false)
-        def run(q: String => String): Unit = {
-          val st = conn.createStatement()
-          try mergeStatements(table, stage, cols, key, q).foreach(st.executeUpdate)
-          finally st.close()
-        }
-        try { run(c => "\"" + c + "\""); conn.commit() }
-        catch { case _: java.sql.SQLException =>
-          conn.rollback()
-          try { run(identity); conn.commit() }
-          catch { case e: java.sql.SQLException => conn.rollback(); throw e }
-        }
-        // best-effort cleanup; an orphan stage is overwritten next merge
-        try {
-          conn.setAutoCommit(true)
-          val st = conn.createStatement()
-          try st.executeUpdate(s"DROP TABLE $stage") finally st.close()
-        } catch { case _: java.sql.SQLException => () }
-      }
+      runTxn(q => mergeStatements(table, stage, cols, key, q))
+      dropQuietly(stage)
     } else {
       write(data, table, SaveMode.Append)
     }
   }
 
-  /** O2: fullMerge drops and replaces (mysql.js:567-570); incremental
-    * merges on the key (mysql.js:572-591).
+  /** One endpoint transaction over `stmts(quoter)`: the quoted-
+    * identifier form is tried first; a statement error rolls back and
+    * retries with bare identifiers (externally created case-normalized
+    * tables), same convention as [[getMax]]. Any failure leaves the
+    * endpoint at the pre-transaction state.
+    */
+  private def runTxn(stmts: (String => String) => Seq[String]): Unit =
+    withEndpoint { conn =>
+      conn.setAutoCommit(false)
+      def run(q: String => String): Unit = {
+        val st = conn.createStatement()
+        try stmts(q).foreach(st.executeUpdate) finally st.close()
+      }
+      try { run(c => "\"" + c + "\""); conn.commit() }
+      catch { case _: java.sql.SQLException =>
+        conn.rollback()
+        try { run(identity); conn.commit() }
+        catch { case e: java.sql.SQLException => conn.rollback(); throw e }
+      }
+    }
+
+  /** Best-effort DROP (stage cleanup); an orphan is overwritten by the
+    * next merge, so failure here is not an error. */
+  private def dropQuietly(table: String): Unit =
+    try withEndpoint { conn =>
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table") finally st.close()
+    } catch { case _: java.sql.SQLException => () }
+
+  /** O2, fully ENDPOINT-SIDE when the destination exists: both tables
+    * live on this connection, so the merge is pure SQL in one
+    * transaction with no Spark data transit — exactly
+    * redshift.js:397-424's BEGIN…COMMIT block. Incremental:
+    * `DELETE FROM dest WHERE key IN (SELECT key FROM src)` +
+    * `INSERT INTO dest (cols) SELECT cols FROM src` (duplicate source
+    * rows pass through to the endpoint's own key constraint, exactly
+    * the reference's contract — redshift.js dedups only via its
+    * optional id+updated_at DELETE; a GROUP BY-all dedup is not
+    * dialect-safe here because long-text columns land as
+    * non-comparable CLOBs on some endpoints). fullMerge with
+    * matching schemas: transactional `DELETE FROM dest` + the same
+    * insert (replace without dropping endpoint DDL). Only the cases
+    * SQL cannot express portably — missing dest, drifted schema —
+    * transit through Spark (Overwrite recreates the table, which is
+    * what a schema change needs anyway, mysql.js:567-570).
     */
   override def mergeTables(sourceTable: String, destTable: String, key: String,
-      fullMerge: Boolean): Unit =
-    if (fullMerge)
+      fullMerge: Boolean): Unit = {
+    safeIdent(sourceTable)
+    safeIdent(destTable)
+    lazy val sameSchema = describe(sourceTable) == describe(destTable)
+    if (!tableExists(destTable) || (fullMerge && !sameSchema)) {
       write(getAll(sourceTable), destTable, SaveMode.Overwrite)
-    else
-      insertData(destTable, getAll(sourceTable), key, mergeOnDuplicates = true)
+    } else {
+      val cols = describe(sourceTable).fieldNames.toSeq
+      def insertSel(q: String => String) = {
+        val cl = cols.map(q).mkString(", ")
+        s"INSERT INTO $destTable ($cl) SELECT $cl FROM $sourceTable"
+      }
+      if (fullMerge)
+        runTxn(q => Seq(s"DELETE FROM $destTable", insertSel(q)))
+      else
+        runTxn(q => Seq(
+          s"DELETE FROM $destTable WHERE ${q(key)} IN " +
+            s"(SELECT ${q(key)} FROM $sourceTable)",
+          insertSel(q)))
+    }
+  }
 
   override def dump(table: String, path: String, fmt: String): DumpSummary =
     Connections.dumpTo(spark, getAll(table), path, fmt)

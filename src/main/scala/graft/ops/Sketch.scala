@@ -96,6 +96,19 @@ object Sketch {
         lit(alpha * m * m) * lit(Q).cast("double") / col("sum_q").cast("double"))
   }
 
+  /** Merge HLL register tables built over DIFFERENT data slices into
+    * the register table of their union — registers combine by MAX,
+    * the HLL mergeability property (the union's register saw the max ρ
+    * either slice saw). Counterpart of [[countMinMerge]]; the
+    * aggregate-function form is
+    * [[graft.functions.SketchAgg.hllMerge]].
+    */
+  def hllMerge(tables: Seq[DataFrame]): DataFrame = {
+    require(tables.nonEmpty, "need at least one register table")
+    tables.reduce(_ unionByName _)
+      .groupBy(col("reg")).agg(max(col("rho")).as("rho"))
+  }
+
   /** Count–min counter table over `keyCol`: `depth` independent hash
     * rows (salted hex60) × `width` columns; each counter is the count
     * of keys landing in its cell. One scan, one aggregation keyed on

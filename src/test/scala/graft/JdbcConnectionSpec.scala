@@ -208,6 +208,64 @@ class JdbcConnectionSpec extends AnyFunSuite {
       Map(1L -> "new", 2L -> "keep", 3L -> "add"))
   }
 
+  test("mergeTables into a missing dest creates it (first materialization)") {
+    val c = conn()
+    c.insertData("t_mt_src", df(1L -> "a", 2L -> "b"), key = "id", mergeOnDuplicates = false)
+    c.mergeTables("t_mt_src", "t_mt_new", key = "id", fullMerge = false)
+    assert(c.getAll("t_mt_new").as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("endpoint-side incremental mergeTables preserves dest DDL") {
+    val jc = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = jc.createStatement()
+      st.execute("CREATE TABLE t_mt_d (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+      st.execute("INSERT INTO t_mt_d VALUES (1, 'old'), (2, 'keep')")
+      st.execute("CREATE TABLE t_mt_s (id BIGINT, v VARCHAR(20))")
+      st.execute("INSERT INTO t_mt_s VALUES (1, 'new'), (3, 'add')")
+      st.close()
+    } finally jc.close()
+    val c = conn()
+    c.mergeTables("t_mt_s", "t_mt_d", key = "id", fullMerge = false)
+    assert(c.getAll("t_mt_d").as[(Long, String)].collect().toMap ===
+      Map(1L -> "new", 2L -> "keep", 3L -> "add"))
+    val jc2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = jc2.getMetaData.getPrimaryKeys(null, null, "T_MT_D")
+      try assert(rs.next(), "PRIMARY KEY must survive the merge") finally rs.close()
+    } finally jc2.close()
+  }
+
+  test("fullMerge with matching schemas replaces transactionally, keeping DDL") {
+    val jc = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = jc.createStatement()
+      st.execute("CREATE TABLE t_fm_d (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+      st.execute("INSERT INTO t_fm_d VALUES (7, 'stale')")
+      st.close()
+    } finally jc.close()
+    val c = conn()
+    c.insertData("t_fm_s", df(10L -> "fresh"), key = "id", mergeOnDuplicates = false)
+    // schemas differ only in nullability metadata after a Spark write;
+    // Derby types match (BIGINT, VARCHAR) — drifted-schema fallback is
+    // covered below, this exercises the DELETE+INSERT path
+    c.mergeTables("t_fm_s", "t_fm_d", key = "id", fullMerge = true)
+    assert(c.getAll("t_fm_d").as[(Long, String)].collect().toMap ===
+      Map(10L -> "fresh"))
+  }
+
+  test("fullMerge with a drifted schema falls back to recreate") {
+    val c = conn()
+    c.insertData("t_dr_s",
+      Seq((1L, "a", 5L)).toDF("id", "v", "extra"), key = "id", mergeOnDuplicates = false)
+    c.insertData("t_dr_d", df(9L -> "old"), key = "id", mergeOnDuplicates = false)
+    c.mergeTables("t_dr_s", "t_dr_d", key = "id", fullMerge = true)
+    val got = c.getAll("t_dr_d")
+    assert(got.columns.length === 3, "dest must carry the new schema")
+    assert(got.count() === 1)
+  }
+
   test("a batch with duplicate keys is deduplicated before the merge") {
     val c = conn()
     c.insertData("t_dupb", df(1L -> "a"), key = "id", mergeOnDuplicates = true)

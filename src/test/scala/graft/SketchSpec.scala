@@ -89,6 +89,18 @@ class SketchSpec extends AnyFunSuite {
     assert(merged === whole)
   }
 
+  test("hllMerge of slice registers equals the registers of the union") {
+    val slice1 = (1 to 400).map(i => s"k$i").toDF("k")
+    val slice2 = (200 to 700).map(i => s"k$i").toDF("k")
+    val merged = Sketch.hllMerge(Seq(
+        Sketch.hllRegisters(slice1, "k", p = 8),
+        Sketch.hllRegisters(slice2, "k", p = 8)))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val whole = Sketch.hllRegisters(slice1.unionByName(slice2), "k", p = 8)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(merged === whole)
+  }
+
   test("countMinTable total mass equals depth × rows") {
     val df = (1 to 300).map(i => s"k${i % 40}").toDF("k")
     val mass = Sketch.countMinTable(df, "k", depth = 4, width = 64)
