@@ -1297,6 +1297,54 @@ object PipelinePack {
           AS span_text
       FROM spans s JOIN base b USING (doc_id)"""))
 
+  /** Corpus boilerplate catalog on top of q194's maximal spans: the
+    * top-20 repeated span TEXTS by reach (distinct docs desc, length
+    * desc, text asc — fully deterministic), with occurrence counts and
+    * the total token mass each would return if stripped. This is the
+    * human-facing "what IS the boilerplate" report a curation run
+    * reviews before committing to span removal; the heavy lifting is
+    * the same windows+islands pipeline, the catalog adds one
+    * span-text rollup + a TakeOrdered top-k.
+    */
+  private val q195 = QueryDef(
+    "q195_boilerplate_catalog",
+    (s, dir) => TextClean.repeatedSpanIntervals(
+        Tables.documents(s, dir), "doc_id", "text", k = 3, minDocs = 2)
+      .groupBy(col("span_text"))
+      .agg(countDistinct(col("doc_id")).as("n_docs"),
+        count(lit(1)).as("n_spans"),
+        min(col("span_len")).as("span_len"),
+        sum(col("span_len")).as("total_tokens"))
+      .orderBy(col("n_docs").desc, col("span_len").desc, col("span_text").asc)
+      .limit(20),
+    Some(s"""WITH base AS (SELECT doc_id, $T AS toks FROM documents),
+      winpos AS (SELECT doc_id, toks,
+          unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS pos
+        FROM base),
+      wins AS (SELECT doc_id, pos,
+          unhex(md5(array_to_string(toks[pos:pos+2], ' '))) AS wh FROM winpos),
+      dup AS (SELECT wh FROM wins GROUP BY wh
+        HAVING count(DISTINCT doc_id) >= 2),
+      cov AS (SELECT DISTINCT doc_id, pos + off AS pos
+        FROM wins JOIN dup USING (wh) CROSS JOIN range(0, 3) AS o(off)),
+      isl AS (SELECT doc_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM cov),
+      spans AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+          count(*)::BIGINT AS span_len FROM isl GROUP BY doc_id, grp),
+      st AS (SELECT s.doc_id, s.span_len,
+          array_to_string(
+            b.toks[s.span_start : s.span_start + s.span_len - 1], ' ')
+            AS span_text
+        FROM spans s JOIN base b USING (doc_id))
+      SELECT span_text, count(DISTINCT doc_id)::BIGINT AS n_docs,
+        count(*)::BIGINT AS n_spans,
+        min(span_len)::BIGINT AS span_len,
+        sum(span_len)::BIGINT AS total_tokens
+      FROM st GROUP BY span_text
+      ORDER BY n_docs DESC, span_len DESC, span_text ASC
+      LIMIT 20"""))
+
   /** LSH operating-point audit — the go/no-go number for a chosen
     * (bands × rows) configuration before a corpus-scale dedup run: at
     * the dedup threshold τ = 0.5, the confusion matrix of the MinHash
@@ -2675,5 +2723,5 @@ object PipelinePack {
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
-    q185, q186, q187, q191, q193, q194)
+    q185, q186, q187, q191, q193, q194, q195)
 }
