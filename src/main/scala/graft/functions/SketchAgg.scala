@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggreg
 import org.apache.spark.sql.catalyst.expressions.objects.StaticInvoke
 import org.apache.spark.sql.catalyst.trees.UnaryLike
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.functions.{lit, struct}
+import org.apache.spark.sql.functions.lit
 import org.apache.spark.sql.graft.{expr => exprBridge}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -283,18 +283,34 @@ object SketchAgg {
     exprBridge.column(HllMergeAgg(ex(state), p).toAggregateExpression())
 
   /** Cardinality report struct from a stored state — column-for-column
-    * [[graft.ops.Sketch.hllReport]]: (m, n_nonzero, sum_q, est).
+    * [[graft.ops.Sketch.hllReport]]: (m, n_nonzero, sum_q, est). Built
+    * as a pure catalyst tree so the SQL temp-function registration can
+    * reuse it verbatim (Column-API `struct` lowers through the
+    * ColumnNode converter, which an expression-level builder must not
+    * depend on).
     */
-  def hllReportOf(state: Column, p: Int = 8): Column = {
+  private def hllReportExpr(state: Expression, p: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, Divide, GetArrayItem, Literal, Multiply}
     val m = 1L << p
     val Q = 1L << 40
-    val s = exprBridge.column(StaticInvoke(
+    val s = StaticInvoke(
       SketchAgg.getClass, ArrayType(LongType, containsNull = false), "hllSummary",
-      Seq(ex(state)), Seq(BinaryType)))
-    struct(lit(m).as("m"), s.getItem(0).as("n_nonzero"), s.getItem(1).as("sum_q"),
-      (lit(graft.ops.Sketch.alphaFor(m) * m * m) * lit(Q).cast("double") /
-        s.getItem(1).cast("double")).as("est"))
+      Seq(state), Seq(BinaryType))
+    // same tree shape as Sketch.hllReport's closing arithmetic:
+    // (alpha·m² * Q_double) / sum_q_double — one shared double division
+    val est = Divide(
+      Multiply(Literal(graft.ops.Sketch.alphaFor(m) * m * m),
+        Cast(Literal(Q), DoubleType)),
+      Cast(GetArrayItem(s, Literal(1)), DoubleType))
+    CreateNamedStruct(Seq(
+      Literal("m"), Literal(m),
+      Literal("n_nonzero"), GetArrayItem(s, Literal(0)),
+      Literal("sum_q"), GetArrayItem(s, Literal(1)),
+      Literal("est"), est))
   }
+
+  def hllReportOf(state: Column, p: Int = 8): Column =
+    exprBridge.column(hllReportExpr(ex(state), p))
 
   /** `GROUP BY g` → one depth×width count–min counter array per group. */
   def cmSketch(key: Column, depth: Int = 4, width: Int = 1024): Column =
@@ -351,5 +367,10 @@ object SketchAgg {
             if (args.size > 3) intArg(args(3), "width") else 1024),
           args(1)),
         Seq(ArrayType(LongType), IntegerType, IntegerType, StringType)))
+    // struct(m, n_nonzero, sum_q, est) from a stored HLL state:
+    // `SELECT hll_state_report(st, 8).est FROM states`
+    exprBridge.registerTempFunction(spark, "hll_state_report",
+      args => hllReportExpr(args.head,
+        if (args.size > 1) intArg(args(1), "p") else 8))
   }
 }

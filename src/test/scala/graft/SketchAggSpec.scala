@@ -121,6 +121,41 @@ class SketchAggSpec extends AnyFunSuite {
         "FROM ska_states").head().getLong(0)
     val exact = keys.filter(col("k") === "k1").count()
     assert(est >= exact && exact > 0)
+    // the HLL report reads a merged state from SQL and agrees with the
+    // relational report over the whole input
+    val rep = spark.sql(
+      "SELECT hll_state_report(hll_merge_agg(st, 8), 8) AS r FROM ska_states")
+      .select("r.m", "r.n_nonzero", "r.sum_q", "r.est").head()
+    val want = Sketch.hllReport(keys, "k", P)
+      .select("m", "n_nonzero", "sum_q", "est").head()
+    assert(rep === want)
+  }
+
+  test("streaming: per-group sketch states accumulate across micro-batches") {
+    // the aggregate lifecycle under Structured Streaming: two file
+    // micro-batches, complete-mode groupBy — the final per-source
+    // state must equal the batch state over the union, i.e. stream
+    // restarts/increments never change the sketch (mergeability is
+    // exactly what makes the sketch streamable)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ska-stream").toString
+    val half1 = keys.filter(xxhash64(col("k")) % 2 === 0)
+    val half2 = keys.filter(xxhash64(col("k")) % 2 =!= 0)
+    half1.write.parquet(dir + "/f1")
+    half2.write.parquet(dir + "/f2")
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ska-ckpt").toString
+    val q = spark.readStream.schema(keys.schema).parquet(dir + "/*")
+      .groupBy(col("src")).agg(SketchAgg.hllSketch(col("k"), P).as("st"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", ckpt)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .format("memory").queryName("ska_stream_out").start()
+    q.awaitTermination(60000)
+    val streamed = spark.table("ska_stream_out").collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("st").toSeq).toMap
+    val batch = keys.groupBy(col("src"))
+      .agg(SketchAgg.hllSketch(col("k"), P).as("st")).collect()
+      .map(r => r.getString(0) -> r.getAs[Array[Byte]]("st").toSeq).toMap
+    assert(streamed === batch)
   }
 
   test("partition invariance: the state is independent of data layout") {
