@@ -22,7 +22,7 @@ final class JdbcConnection(spark: SparkSession, val name: String,
     opts: Map[String, String]) extends Connection {
   private val url = opts("url")
   private val NonJdbcOpts = Set("url", "getAllLimit", "tablesQuery",
-    "partitionColumn", "numPartitions")
+    "partitionColumn", "numPartitions", "mergeStrategy", "abortAfterStage")
   private val common = opts.view.filterKeys(k => !NonJdbcOpts.contains(k)).toMap
   private val getAllLimit = opts.get("getAllLimit").map(_.toLong)
 
@@ -250,26 +250,40 @@ final class JdbcConnection(spark: SparkSession, val name: String,
     }
   }
 
-  /** One endpoint transaction over `stmts(quoter)`: the quoted-
-    * identifier form is tried first; a statement error rolls back and
-    * retries with bare identifiers (externally created case-normalized
-    * tables), same convention as [[getMax]]. Any failure leaves the
-    * endpoint at the pre-transaction state.
+  /** One endpoint transaction over `stmts(attempt)` for each attempt
+    * in turn: a statement error rolls back and tries the next; the
+    * last error propagates. Any failure leaves the endpoint at the
+    * pre-transaction state.
     */
-  private def runTxn(stmts: (String => String) => Seq[String]): Unit =
+  private def runTxnAttempts[A](attempts: Seq[A])(stmts: A => Seq[String]): Unit =
     withEndpoint { conn =>
       conn.setAutoCommit(false)
-      def run(q: String => String): Unit = {
-        val st = conn.createStatement()
-        try stmts(q).foreach(st.executeUpdate) finally st.close()
+      var remaining = attempts
+      var done = false
+      var lastErr: java.sql.SQLException = null
+      while (!done && remaining.nonEmpty) {
+        val a = remaining.head
+        remaining = remaining.tail
+        try {
+          val st = conn.createStatement()
+          try stmts(a).foreach(st.executeUpdate) finally st.close()
+          conn.commit()
+          done = true
+        } catch { case e: java.sql.SQLException =>
+          conn.rollback()
+          lastErr = e
+        }
       }
-      try { run(c => "\"" + c + "\""); conn.commit() }
-      catch { case _: java.sql.SQLException =>
-        conn.rollback()
-        try { run(identity); conn.commit() }
-        catch { case e: java.sql.SQLException => conn.rollback(); throw e }
-      }
+      if (!done) throw lastErr
     }
+
+  private val quotedQ: String => String = c => "\"" + c + "\""
+
+  /** Quoted identifiers first, bare on a statement error (externally
+    * created case-normalized tables) — same convention as [[getMax]].
+    */
+  private def runTxn(stmts: (String => String) => Seq[String]): Unit =
+    runTxnAttempts[String => String](Seq(quotedQ, identity))(stmts)
 
   /** Best-effort DROP (stage cleanup); an orphan is overwritten by the
     * next merge, so failure here is not an error. */
@@ -292,30 +306,60 @@ final class JdbcConnection(spark: SparkSession, val name: String,
     * non-comparable CLOBs on some endpoints). fullMerge with
     * matching schemas: transactional `DELETE FROM dest` + the same
     * insert (replace without dropping endpoint DDL). Only the cases
-    * SQL cannot express portably — missing dest, drifted schema —
-    * transit through Spark (Overwrite recreates the table, which is
-    * what a schema change needs anyway, mysql.js:567-570).
+    * SQL cannot express portably — missing dest, source columns the
+    * dest lacks — transit through Spark (Overwrite recreates the
+    * table, which is what a schema change needs anyway,
+    * mysql.js:567-570; the reference likewise forces fullMerge on
+    * column drift, redshift.js:390-395).
+    *
+    * Identifier case: each side's columns are addressed by its OWN
+    * catalog-reported names (matched case-insensitively across
+    * sides), so a Spark-written source (quoted lowercase) merges into
+    * an externally created dest (case-normalized) and vice versa; the
+    * quoted/bare attempt ladder is per-side belt-and-braces on top.
+    * Schema comparison is likewise case- and nullability-insensitive
+    * — (lowercased name, type) pairs — so the DDL-preserving path is
+    * actually reachable for externally created dests.
     */
   override def mergeTables(sourceTable: String, destTable: String, key: String,
       fullMerge: Boolean): Unit = {
     safeIdent(sourceTable)
     safeIdent(destTable)
-    lazy val sameSchema = describe(sourceTable) == describe(destTable)
-    if (!tableExists(destTable) || (fullMerge && !sameSchema)) {
+    def shape(s: org.apache.spark.sql.types.StructType) =
+      s.fields.map(f => (f.name.toLowerCase, f.dataType)).toSeq
+    if (!tableExists(destTable)) {
       write(getAll(sourceTable), destTable, SaveMode.Overwrite)
     } else {
-      val cols = describe(sourceTable).fieldNames.toSeq
-      def insertSel(q: String => String) = {
-        val cl = cols.map(q).mkString(", ")
-        s"INSERT INTO $destTable ($cl) SELECT $cl FROM $sourceTable"
+      val srcSchema = describe(sourceTable)
+      val destSchema = describe(destTable)
+      val destByLower = destSchema.fieldNames.map(n => n.toLowerCase -> n).toMap
+      val covered =
+        srcSchema.fieldNames.forall(c => destByLower.contains(c.toLowerCase))
+      if (!covered || (fullMerge && shape(srcSchema) != shape(destSchema))) {
+        write(getAll(sourceTable), destTable, SaveMode.Overwrite)
+      } else {
+        // (destName, srcName) per column, each side's own catalog case
+        val pairs = srcSchema.fieldNames.toSeq
+          .map(c => destByLower(c.toLowerCase) -> c)
+        val srcKey = srcSchema.fieldNames
+          .find(_.equalsIgnoreCase(key)).getOrElse(key)
+        val destKey = destByLower.getOrElse(key.toLowerCase, key)
+        def insertSel(qd: String => String, qs: String => String) =
+          s"INSERT INTO $destTable (${pairs.map(p => qd(p._1)).mkString(", ")})" +
+            s" SELECT ${pairs.map(p => qs(p._2)).mkString(", ")} FROM $sourceTable"
+        val combos = Seq[(String => String, String => String)](
+          (quotedQ, quotedQ), (quotedQ, identity), (identity, quotedQ),
+          (identity, identity))
+        if (fullMerge)
+          runTxnAttempts(combos) { case (qd, qs) =>
+            Seq(s"DELETE FROM $destTable", insertSel(qd, qs)) }
+        else
+          runTxnAttempts(combos) { case (qd, qs) =>
+            Seq(
+              s"DELETE FROM $destTable WHERE ${qd(destKey)} IN " +
+                s"(SELECT ${qs(srcKey)} FROM $sourceTable)",
+              insertSel(qd, qs)) }
       }
-      if (fullMerge)
-        runTxn(q => Seq(s"DELETE FROM $destTable", insertSel(q)))
-      else
-        runTxn(q => Seq(
-          s"DELETE FROM $destTable WHERE ${q(key)} IN " +
-            s"(SELECT ${q(key)} FROM $sourceTable)",
-          insertSel(q)))
     }
   }
 

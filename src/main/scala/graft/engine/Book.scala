@@ -89,7 +89,11 @@ final class Book(val name: String, val options: BookOptions = BookOptions()) {
         emit("book:error", name, System.currentTimeMillis() - t0,
           Map("error" -> e.getMessage, "chapter" -> e.chapter, "page" -> e.page))
         throw e
-    } finally lock.foreach(_.release())
+    } finally {
+      lock.foreach(_.release())
+      // release the file transport (idempotent; reopens on later use)
+      logger.close()
+    }
   }
 }
 

@@ -29,12 +29,20 @@ final class Logger(stdout: Boolean, file: Option[String],
     throw new IllegalArgumentException(
       s"unknown logLevel '$level'; one of ${levels.keys.toSeq.sorted.mkString(",")}"))
 
-  private val sink: Option[java.io.PrintWriter] = file.map { f =>
-    val p = java.nio.file.Paths.get(f)
-    Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
-    new java.io.PrintWriter(java.nio.file.Files.newBufferedWriter(p,
-      java.nio.file.StandardOpenOption.CREATE,
-      java.nio.file.StandardOpenOption.APPEND))
+  // the file transport opens LAZILY on first passing write and close()
+  // is idempotent-and-reopenable (append mode): a Book can close its
+  // logger at run end without leaking one fd per Book instance, and a
+  // stray post-run log line simply reopens the file
+  private var sinkW: java.io.PrintWriter = null
+  private def sink(): Option[java.io.PrintWriter] = file.map { f =>
+    if (sinkW == null) {
+      val p = java.nio.file.Paths.get(f)
+      Option(p.getParent).foreach(java.nio.file.Files.createDirectories(_))
+      sinkW = new java.io.PrintWriter(java.nio.file.Files.newBufferedWriter(p,
+        java.nio.file.StandardOpenOption.CREATE,
+        java.nio.file.StandardOpenOption.APPEND))
+    }
+    sinkW
   }
 
   def log(message: String, severity: String = "info",
@@ -46,7 +54,7 @@ final class Logger(stdout: Boolean, file: Option[String],
         val extra = if (data.isEmpty) "" else " " + graft.util.Json.obj(data.toSeq.sorted)
         println(s"$now - $sev: $message$extra")
       }
-      sink.foreach { w =>
+      sink().foreach { w =>
         // winston file transport shape (json:true): one JSON object
         // per line with level/message/timestamp (+ data fields)
         val fields = Seq("level" -> sev, "message" -> message,
@@ -67,7 +75,9 @@ final class Logger(stdout: Boolean, file: Option[String],
     log("", severity)
   }
 
-  def close(): Unit = synchronized { sink.foreach(_.close()) }
+  def close(): Unit = synchronized {
+    if (sinkW != null) { sinkW.close(); sinkW = null }
+  }
 }
 
 object Logger {

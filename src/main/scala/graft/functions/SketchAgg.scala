@@ -64,6 +64,12 @@ object SketchAgg {
     * [[graft.ops.Sketch.countMinTable]] builds.
     */
   def cmEstimate(state: ArrayData, depth: Int, width: Int, key: UTF8String): Long = {
+    // shape guard: a state probed with the wrong width would read
+    // arbitrary in-bounds cells and could UNDERSHOOT — the one thing
+    // a count-min estimate must never do
+    require(state.numElements() == depth * width,
+      s"CM state length ${state.numElements()} != $depth x $width — " +
+        "probed with a different shape than it was built with")
     var est = Long.MaxValue
     var i = 0
     while (i < depth) {
@@ -133,6 +139,7 @@ object SketchAgg {
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Byte]]
     with ImplicitCastInputTypes with UnaryLike[Expression] {
+    require(p >= 4 && p <= 16, s"need 4 <= p <= 16: $p")
     override def createAggregationBuffer(): Array[Byte] = new Array[Byte](1 << p)
     override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
       val v = child.eval(input)
@@ -227,6 +234,8 @@ object SketchAgg {
       mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
     extends TypedImperativeAggregate[Array[Long]]
     with ImplicitCastInputTypes with UnaryLike[Expression] {
+    require(depth >= 1 && depth <= 16, s"need 1 <= depth <= 16: $depth")
+    require(width >= 2, s"need width >= 2: $width")
     override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
     override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
       val v = child.eval(input)
@@ -291,6 +300,7 @@ object SketchAgg {
     */
   private def hllReportExpr(state: Expression, p: Int): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, Divide, GetArrayItem, Literal, Multiply}
+    require(p >= 4 && p <= 16, s"need 4 <= p <= 16: $p")
     val m = 1L << p
     val Q = 1L << 40
     val s = StaticInvoke(

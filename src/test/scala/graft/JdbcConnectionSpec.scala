@@ -247,12 +247,51 @@ class JdbcConnectionSpec extends AnyFunSuite {
     } finally jc.close()
     val c = conn()
     c.insertData("t_fm_s", df(10L -> "fresh"), key = "id", mergeOnDuplicates = false)
-    // schemas differ only in nullability metadata after a Spark write;
-    // Derby types match (BIGINT, VARCHAR) — drifted-schema fallback is
-    // covered below, this exercises the DELETE+INSERT path
+    // schema comparison is case/nullability-insensitive, so the
+    // Spark-written source (quoted lowercase, nullable) still takes
+    // the DELETE+INSERT path against the external dest — proven by
+    // the PRIMARY KEY surviving (the overwrite fallback would drop it)
     c.mergeTables("t_fm_s", "t_fm_d", key = "id", fullMerge = true)
     assert(c.getAll("t_fm_d").as[(Long, String)].collect().toMap ===
       Map(10L -> "fresh"))
+    val jc2 = java.sql.DriverManager.getConnection(url)
+    try {
+      val rs = jc2.getMetaData.getPrimaryKeys(null, null, "T_FM_D")
+      try assert(rs.next(), "fullMerge with matching shape must keep the PK")
+      finally rs.close()
+    } finally jc2.close()
+  }
+
+  test("incremental mergeTables across mixed identifier case (Spark src -> external dest)") {
+    val c = conn()
+    c.insertData("t_mx_s", df(1L -> "new", 3L -> "add"), key = "id", mergeOnDuplicates = false)
+    val jc = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = jc.createStatement()
+      st.execute("CREATE TABLE t_mx_d (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+      st.execute("INSERT INTO t_mx_d VALUES (1, 'old'), (2, 'keep')")
+      st.close()
+    } finally jc.close()
+    // source columns are quoted lowercase ("id"), dest normalized (ID):
+    // each side must be addressed by its own catalog case
+    c.mergeTables("t_mx_s", "t_mx_d", key = "id", fullMerge = false)
+    assert(c.getAll("t_mx_d").as[(Long, String)].collect().toMap ===
+      Map(1L -> "new", 2L -> "keep", 3L -> "add"))
+  }
+
+  test("incremental mergeTables across mixed identifier case (external src -> Spark dest)") {
+    val c = conn()
+    c.insertData("t_my_d", df(1L -> "old", 2L -> "keep"), key = "id", mergeOnDuplicates = false)
+    val jc = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = jc.createStatement()
+      st.execute("CREATE TABLE t_my_s (id BIGINT, v VARCHAR(20))")
+      st.execute("INSERT INTO t_my_s VALUES (1, 'new'), (3, 'add')")
+      st.close()
+    } finally jc.close()
+    c.mergeTables("t_my_s", "t_my_d", key = "id", fullMerge = false)
+    assert(c.getAll("t_my_d").as[(Long, String)].collect().toMap ===
+      Map(1L -> "new", 2L -> "keep", 3L -> "add"))
   }
 
   test("fullMerge with a drifted schema falls back to recreate") {
