@@ -105,6 +105,33 @@ final case class BookOptions(
     logFile: Option[String] = None,          // --logFile (JSON lines)
     logStdout: Boolean = false)              // console transport opt-in
 
+object BookOptions {
+  /** The reference's CLI wiring (`optimist.argv` merged into book
+    * options, `books/etl/book.js:7`): `--chapters 1,4` / `100-300`,
+    * `--logLevel debug`, `--logFile run.log`, `--logStdout true`,
+    * `--getAllLimit 1000`, `--pidDir pids`. Unknown flags fail fast —
+    * a typoed `--loglevel` silently ignored would run at the wrong
+    * verbosity forever.
+    */
+  def fromArgs(args: Array[String], base: BookOptions = BookOptions()): BookOptions = {
+    require(args.length % 2 == 0,
+      s"flags come in --name value pairs, got: ${args.mkString(" ")}")
+    args.grouped(2).foldLeft(base) { case (o, Array(flag, v)) =>
+      flag match {
+        case "--chapters"    => o.copy(chapterSelection = Some(v))
+        case "--getAllLimit" => o.copy(getAllLimit = Some(v.toLong))
+        case "--pidDir"      => o.copy(pidDir = Some(v))
+        case "--logLevel"    => o.copy(logLevel = v)
+        case "--logFile"     => o.copy(logFile = Some(v))
+        case "--logStdout"   => o.copy(logStdout = v.toBoolean)
+        case other => throw new IllegalArgumentException(
+          s"unknown flag '$other'; known: --chapters --getAllLimit " +
+            "--pidDir --logLevel --logFile --logStdout")
+      }
+    }
+  }
+}
+
 final case class StateEvent(state: String, timeMs: Long, name: String,
     durationSec: Double, data: Map[String, String])
 

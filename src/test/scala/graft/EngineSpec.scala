@@ -187,6 +187,28 @@ class EngineSpec extends AnyFunSuite {
       java.nio.file.Files.readAllLines(dbgFile)).contains("page:start"))
   }
 
+  test("BookOptions.fromArgs parses the reference CLI flags; typos fail fast") {
+    val o = BookOptions.fromArgs(Array(
+      "--chapters", "100-300", "--logLevel", "debug", "--logFile", "run.log",
+      "--logStdout", "true", "--getAllLimit", "1000", "--pidDir", "pids"))
+    assert(o === BookOptions(Some("100-300"), Some(1000L), Some("pids"),
+      "debug", Some("run.log"), logStdout = true))
+    // unknown flag: fail, don't silently run at the wrong verbosity
+    val e = intercept[IllegalArgumentException](
+      BookOptions.fromArgs(Array("--loglevel", "debug")))
+    assert(e.getMessage.contains("--loglevel"))
+    intercept[IllegalArgumentException](
+      BookOptions.fromArgs(Array("--chapters"))) // dangling flag
+    // parsed selection drives chapter filtering end-to-end
+    val (log, add) = record()
+    val b = new Book("cli", BookOptions.fromArgs(Array("--chapters", "2-3")))
+    b.addChapter(1, "c1").addPage("p")(add("1"))
+    b.addChapter(2, "c2").addPage("p")(add("2"))
+    b.addChapter(3, "c3").addPage("p")(add("3"))
+    b.run()
+    assert(log.asScala.toSeq === Seq("2", "3"))
+  }
+
   test("emphatically writes the starred banner (logger.js:58-71)") {
     val f = java.nio.file.Files.createTempFile("graft-log", ".log")
     val log = new Logger(stdout = false, file = Some(f.toString), level = "info")
