@@ -562,6 +562,27 @@ class PipelineSpec extends AnyFunSuite {
     assert(out.count(s => s._1 == 4L) === 2)
   }
 
+  test("span intervals and span removal agree: interval mass == tokens removed") {
+    // cross-operator invariant: repeatedSpanIntervals reports exactly
+    // the positions dropRepeatedSpans deletes, so per doc
+    // Σ span_len == n_removed — on real data, not a toy
+    val d = graft.sources.Tables.documents(TestSpark.spark, TestSpark.sf)
+      .select(col("doc_id"), col("text")).limit(200)
+    val removed = graft.ops.TextClean
+      .dropRepeatedSpans(d, "doc_id", "text", k = 3, minDocs = 2)
+      .select(col("doc_id"), col("n_removed"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val spans = graft.ops.TextClean
+      .repeatedSpanIntervals(d, "doc_id", "text", k = 3, minDocs = 2)
+      .groupBy(col("doc_id")).agg(sum(col("span_len")).as("mass"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(removed.nonEmpty)
+    removed.foreach { case (id, n) =>
+      assert(spans.getOrElse(id, 0L) === n, s"doc $id interval mass vs removal")
+    }
+    assert(spans.keySet.subsetOf(removed.keySet))
+  }
+
   test("dropSpansMatching removes only reference spans — internal dups survive") {
     val train = docs(
       1L -> "leaked bench question answer pair plus original prose here",
