@@ -23,7 +23,8 @@ import graft.functions.Kernels
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
-    GraftExtensions.descriptions.foreach { case (name, builder) =>
+    (GraftExtensions.descriptions ++
+        graft.functions.SketchAgg.sqlFunctions).foreach { case (name, builder) =>
       ext.injectFunction((FunctionIdentifier(name),
         new ExpressionInfo(Kernels.getClass.getName, name), builder))
     }
@@ -82,8 +83,9 @@ object GraftExtensions {
 
   /** Install into a live session: temp functions + optimizer rule. */
   def register(spark: SparkSession): Unit = {
-    descriptions.foreach { case (name, builder) =>
-      org.apache.spark.sql.graft.expr.registerTempFunction(spark, name, builder)
+    (descriptions ++ graft.functions.SketchAgg.sqlFunctions).foreach {
+      case (name, builder) =>
+        org.apache.spark.sql.graft.expr.registerTempFunction(spark, name, builder)
     }
     if (!spark.experimental.extraOptimizations.contains(graft.plans.EditDistancePrefilter))
       spark.experimental.extraOptimizations =

@@ -345,30 +345,34 @@ object SketchAgg {
     e.eval().asInstanceOf[Number].intValue()
   }
 
-  /** Register the aggregate + scalar functions for SQL use:
+  /** The SQL function set, one builder list shared by BOTH
+    * registration paths — the startup `SparkSessionExtensions` hook
+    * ([[graft.GraftExtensions]]) and the live-session
+    * [[registerSql]] — so the two can never drift:
     * `SELECT g, hll_sketch_agg(k, 8) FROM t GROUP BY g`,
     * `hll_merge_agg(state, 8)`, `cm_sketch_agg(k, 4, 1024)`,
-    * `cm_merge_agg(state, 4, 1024)`, `cm_state_est(state, k, 4, 1024)`.
-    * The analyzer wraps returned AggregateFunctions in a Complete
-    * AggregateExpression, same as the built-in registry's aggregates.
+    * `cm_merge_agg(state, 4, 1024)`, `cm_state_est(state, k, 4, 1024)`,
+    * `hll_state_report(state, 8)`. The analyzer wraps returned
+    * AggregateFunctions in a Complete AggregateExpression, same as the
+    * built-in registry's aggregates.
     */
-  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit = {
-    exprBridge.registerTempFunction(spark, "hll_sketch_agg",
-      args => HllSketchAgg(args.head,
-        if (args.size > 1) intArg(args(1), "p") else 8))
-    exprBridge.registerTempFunction(spark, "hll_merge_agg",
-      args => HllMergeAgg(args.head,
-        if (args.size > 1) intArg(args(1), "p") else 8))
-    exprBridge.registerTempFunction(spark, "cm_sketch_agg",
-      args => CmSketchAgg(args.head,
+  val sqlFunctions: Seq[(String, Seq[Expression] => Expression)] = Seq(
+    "hll_sketch_agg" -> ((args: Seq[Expression]) =>
+      HllSketchAgg(args.head,
+        if (args.size > 1) intArg(args(1), "p") else 8)),
+    "hll_merge_agg" -> ((args: Seq[Expression]) =>
+      HllMergeAgg(args.head,
+        if (args.size > 1) intArg(args(1), "p") else 8)),
+    "cm_sketch_agg" -> ((args: Seq[Expression]) =>
+      CmSketchAgg(args.head,
         if (args.size > 1) intArg(args(1), "depth") else 4,
-        if (args.size > 2) intArg(args(2), "width") else 1024))
-    exprBridge.registerTempFunction(spark, "cm_merge_agg",
-      args => CmMergeAgg(args.head,
+        if (args.size > 2) intArg(args(2), "width") else 1024)),
+    "cm_merge_agg" -> ((args: Seq[Expression]) =>
+      CmMergeAgg(args.head,
         if (args.size > 1) intArg(args(1), "depth") else 4,
-        if (args.size > 2) intArg(args(2), "width") else 1024))
-    exprBridge.registerTempFunction(spark, "cm_state_est",
-      args => StaticInvoke(
+        if (args.size > 2) intArg(args(2), "width") else 1024)),
+    "cm_state_est" -> ((args: Seq[Expression]) =>
+      StaticInvoke(
         SketchAgg.getClass, LongType, "cmEstimate",
         Seq(args.head,
           org.apache.spark.sql.catalyst.expressions.Literal(
@@ -376,11 +380,16 @@ object SketchAgg {
           org.apache.spark.sql.catalyst.expressions.Literal(
             if (args.size > 3) intArg(args(3), "width") else 1024),
           args(1)),
-        Seq(ArrayType(LongType), IntegerType, IntegerType, StringType)))
+        Seq(ArrayType(LongType), IntegerType, IntegerType, StringType))),
     // struct(m, n_nonzero, sum_q, est) from a stored HLL state:
     // `SELECT hll_state_report(st, 8).est FROM states`
-    exprBridge.registerTempFunction(spark, "hll_state_report",
-      args => hllReportExpr(args.head,
-        if (args.size > 1) intArg(args(1), "p") else 8))
-  }
+    "hll_state_report" -> ((args: Seq[Expression]) =>
+      hllReportExpr(args.head,
+        if (args.size > 1) intArg(args(1), "p") else 8)))
+
+  /** Install [[sqlFunctions]] into an already-running session. */
+  def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
+    sqlFunctions.foreach { case (name, b) =>
+      exprBridge.registerTempFunction(spark, name, b)
+    }
 }

@@ -142,6 +142,12 @@ class KernelParitySpec extends AnyFunSuite {
       Kernels.wordShinglesOf(col("text"), 3).as("sg"))
     assert(viaSql.exceptAll(viaCol).count() === 0)
     assert(viaCol.exceptAll(viaSql).count() === 0)
+    // the sketch aggregates register through the same path — one
+    // builder list, both registration surfaces (extensions + live)
+    val sk = spark.sql(
+      "SELECT hll_state_report(hll_sketch_agg(text, 8), 8).n_nonzero FROM docs_sql")
+      .head().getLong(0)
+    assert(sk > 0)
 
     val cos = spark.sql(
       "SELECT graft_cosine(array(1.0, 0.0), array(1.0, 0.0)) AS c").head().getDouble(0)
