@@ -23,7 +23,9 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q177_theil_sen",       // quantized slopes, domain-window median
     "q187_bpe_train",       // iterative argmax + islands application
     "q188_ks_drift",        // distributed prefix sums, argmax struct
-    "q19_jaccard_pairs")    // inverted-index pair expansion
+    "q19_jaccard_pairs",    // inverted-index pair expansion
+    "q194_repeated_spans",  // gaps-and-islands over covered positions
+    "q195_boilerplate_catalog") // deterministic top-k over span texts
 
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
