@@ -86,6 +86,34 @@ class PinSpec extends AnyFunSuite {
     } finally spark.conf.set("spark.graft.checkpoint", "local")
   }
 
+  test("rewired fixpoint loops run reliably-checkpointed with bounded dir growth") {
+    assume(spark.sparkContext.getCheckpointDir.isDefined)
+    // the loops whose retirement was rewired this round: connected
+    // components (q32 consumes propagateLabels/starContract) and the
+    // multi-round BPE trainer (q187). Under reliable cuts each must
+    // (a) produce the same rows as the local-cut run and (b) leave a
+    // BOUNDED number of checkpoint dirs — seeds + final frame, not one
+    // per round (20-round loops would otherwise leave 20).
+    val root = java.nio.file.Paths.get(
+      new java.net.URI(spark.sparkContext.getCheckpointDir.get).getPath)
+    def rddDirs: Long = java.nio.file.Files.walk(root)
+      .filter(p => java.nio.file.Files.isDirectory(p) &&
+        p.getFileName.toString.startsWith("rdd-")).count()
+    for (q <- Seq("q32_neardup_dedup", "q187_bpe_train")) {
+      val localRows = SparkEntry.queries(q)(spark, sf)
+        .collect().map(_.toString).sorted.toSeq
+      val alt = spark.newSession()
+      alt.conf.set("spark.graft.checkpoint", "reliable")
+      val before = rddDirs
+      val reliableRows = SparkEntry.queries(q)(alt, sf)
+        .collect().map(_.toString).sorted.toSeq
+      assert(reliableRows === localRows, s"$q reliable != local")
+      val leftover = rddDirs - before
+      assert(leftover <= 6,
+        s"$q left $leftover checkpoint dirs — retirement not reclaiming rounds")
+    }
+  }
+
   test("retire on a never-cut frame is a no-op") {
     Pin.retire(edges) // no LogicalRDD leaves — must not throw
     assert(edges.count() === 4)
