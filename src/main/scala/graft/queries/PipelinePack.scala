@@ -2540,6 +2540,44 @@ object PipelinePack {
             * ${1L << 40})::DOUBLE) AS est
       FROM agg"""))
 
+  /** Per-group HLL cardinality via the AGGREGATE surface
+    * (functions.SketchAgg.hllSketch → hllReportOf): one pass builds a
+    * 256-register state per order priority and the report reads each
+    * state — the one-job-per-slice shape q185 would need five runs
+    * for. The oracle replays q185's register SQL with the group
+    * carried through every CTE, so the TypedImperativeAggregate's
+    * update/merge/serialize path itself is hash-checked against
+    * DuckDB, not just spec-checked.
+    */
+  private val q196 = QueryDef(
+    "q196_hll_per_group",
+    (s, dir) => Tables.orders(s, dir)
+      .groupBy(col("o_orderpriority").as("grp"))
+      .agg(graft.functions.SketchAgg.hllSketch(col("o_custkey"), 8).as("st"))
+      .select(col("grp"),
+        graft.functions.SketchAgg.hllReportOf(col("st"), 8).as("r"))
+      .select(col("grp"), col("r.m").as("m"), col("r.n_nonzero").as("n_nonzero"),
+        col("r.sum_q").as("sum_q"), col("r.est").as("est")),
+    Some(s"""WITH tok AS (SELECT o_orderpriority AS grp, o_custkey AS tok
+        FROM orders),
+      h AS (SELECT grp, ${sqlHex60("tok::VARCHAR")} AS h FROM tok
+        WHERE tok IS NOT NULL),
+      rw AS (SELECT grp, h >> 52 AS reg, h & ${(1L << 52) - 1} AS w FROM h),
+      reg AS (SELECT grp, reg, max(CASE WHEN w > 0
+          THEN 53 - length(bin(w)) ELSE 53 END) AS rho
+        FROM rw GROUP BY grp, reg),
+      agg AS (SELECT grp, count(*) AS n_nonzero,
+          sum(${1L << 40} >> rho::INTEGER) AS s_obs
+        FROM reg GROUP BY grp)
+      SELECT grp, 256::BIGINT AS m, n_nonzero::BIGINT AS n_nonzero,
+        (coalesce(s_obs, 0) + (256 - coalesce(n_nonzero, 0))
+          * ${1L << 40})::BIGINT AS sum_q,
+        ${0.7213 / (1.0 + 1.079 / 256)}::DOUBLE * 65536.0
+          * ${(1L << 40).toDouble}::DOUBLE
+          / ((coalesce(s_obs, 0) + (256 - coalesce(n_nonzero, 0))
+            * ${1L << 40})::DOUBLE) AS est
+      FROM agg"""))
+
   /** Count–min sketch accuracy audit (Sketch.countMinAudit): the
     * exact top-15 tokens joined to their 4×1024-cell sketch
     * estimates — est = min over the salted hash rows, never below the
@@ -2723,5 +2761,5 @@ object PipelinePack {
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
-    q185, q186, q187, q191, q193, q194, q195)
+    q185, q186, q187, q191, q193, q194, q195, q196)
 }
