@@ -2613,6 +2613,36 @@ object PipelinePack {
       GROUP BY pr.key, pr.exact"""
     })
 
+  /** Per-source count–min counter tables via the AGGREGATE surface
+    * (functions.SketchAgg.cmSketch): one pass builds a 4×256 counter
+    * state per document source; the non-empty cells are exploded back
+    * to the (grp, row, col, cnt) relation and the oracle rebuilds the
+    * same salted-hash cells per group — so CmSketchAgg's
+    * update/merge/serialize path is hash-checked by the driver gate,
+    * the count–min sibling of q196.
+    */
+  private val q197 = QueryDef(
+    "q197_cm_per_group",
+    (s, dir) => Tables.documents(s, dir)
+      .select(col("source").as("grp"),
+        explode(TextKernels.tokens(col("text"))).as("tok"))
+      .groupBy(col("grp"))
+      .agg(graft.functions.SketchAgg.cmSketch(col("tok"), 4, 256).as("st"))
+      .select(col("grp"), posexplode(col("st")).as(Seq("idx", "cnt")))
+      .filter(col("cnt") > 0)
+      .select(col("grp"), expr("CAST(idx div 256 AS BIGINT)").as("row"),
+        expr("CAST(idx % 256 AS BIGINT)").as("col"), col("cnt")),
+    Some {
+      val cells = (0 until 4).map { i =>
+        s"SELECT grp, $i AS row, ${sqlHex60(s"'cm$i:' || tok")} % 256 AS col " +
+          "FROM tok WHERE tok IS NOT NULL"
+      }.mkString(" UNION ALL ")
+      s"""WITH tok AS (SELECT source AS grp, unnest($T) AS tok FROM documents)
+      SELECT grp, row::BIGINT AS row, col::BIGINT AS col,
+        count(*)::BIGINT AS cnt
+      FROM ($cells) GROUP BY 1, 2, 3"""
+    })
+
   /** Three full BPE training rounds (NgramLm.bpeTrain) over the
     * documents corpus: per round the most frequent adjacent symbol
     * pair (count desc, pair asc) merges greedily left-to-right via
@@ -2761,5 +2791,5 @@ object PipelinePack {
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
-    q185, q186, q187, q191, q193, q194, q195, q196)
+    q185, q186, q187, q191, q193, q194, q195, q196, q197)
 }
