@@ -146,29 +146,44 @@ object Bench {
     // buys regression calls that don't need manual reruns.
     val runs = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse(2).max(1)
-    val passes = (1 to runs).map { p =>
-      val errs = scala.collection.mutable.ArrayBuffer.empty[String]
-      val r = names.map { name =>
-        val t0 = System.nanoTime()
-        try run(name) catch { case e: Throwable =>
-          errs += name
-          System.err.println(s"bench: $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+    // elapsed budget (seconds, from after warm-up): extra passes only
+    // start while under it, so a pathologically slow suite degrades to
+    // fewer passes instead of blowing the driver's bench window — the
+    // JSON line must ALWAYS come out. Normal sf0.1 runs (~170 s/pass)
+    // sit far under the default.
+    val budgetSec = scala.util.Try(
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1800").toLong).getOrElse(1800L)
+    val tPasses = System.nanoTime()
+    val passes = (1 to runs).flatMap { p =>
+      if (p > 1 && (System.nanoTime() - tPasses) / 1e9 > budgetSec) {
+        System.err.println(s"bench: skipping pass $p — elapsed budget ${budgetSec}s spent")
+        None
+      } else Some {
+        val errs = scala.collection.mutable.ArrayBuffer.empty[String]
+        val r = names.map { name =>
+          val t0 = System.nanoTime()
+          try run(name) catch { case e: Throwable =>
+            errs += name
+            System.err.println(s"bench: $name FAILED: ${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+          }
+          name -> (System.nanoTime() - t0) / 1e9
         }
-        name -> (System.nanoTime() - t0) / 1e9
+        if (runs > 1)
+          System.err.println(s"pass $p: " + r.map { case (k, v) =>
+            f"$k=$v%.3f" }.mkString(" "))
+        (r, errs.toSeq)
       }
-      if (runs > 1)
-        System.err.println(s"pass $p: " + r.map { case (k, v) =>
-          f"$k=$v%.3f" }.mkString(" "))
-      (r, errs.toSeq)
     }
     val results = medians(passes.map(_._1))
     // a query that failed in ANY pass is an error (its timing is junk)
     val errNames = passes.flatMap(_._2).distinct
 
-    val line = renderLine(results, errNames, sfDir, runs)
+    // report the pass count that actually ran (budget may skip some)
+    val ranPasses = passes.size
+    val line = renderLine(results, errNames, sfDir, ranPasses)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        renderFull(results, errNames, sfDir, runs) + "\n")
+        renderFull(results, errNames, sfDir, ranPasses) + "\n")
     }
     spark.stop() // stop BEFORE printing so no stray log line follows the JSON
     println(line)
