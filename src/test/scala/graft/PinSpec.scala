@@ -99,7 +99,8 @@ class PinSpec extends AnyFunSuite {
     def rddDirs: Long = java.nio.file.Files.walk(root)
       .filter(p => java.nio.file.Files.isDirectory(p) &&
         p.getFileName.toString.startsWith("rdd-")).count()
-    for (q <- Seq("q32_neardup_dedup", "q187_bpe_train")) {
+    for (q <- Seq("q32_neardup_dedup", "q187_bpe_train",
+        "q167_label_prop", "q150_kcore")) {
       val localRows = SparkEntry.queries(q)(spark, sf)
         .collect().map(_.toString).sorted.toSeq
       val alt = spark.newSession()
