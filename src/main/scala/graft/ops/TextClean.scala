@@ -232,9 +232,18 @@ object TextClean {
     val dup = wins.groupBy(col("wh"))
       .agg(countDistinct(col(idCol)).as("nd"))
       .filter(col("nd") >= minDocs).select(col("wh"))
+    spanIslands(base, coveredPositions(wins, dup, idCol, k), idCol)
+  }
+
+  /** Merge covered (doc, pos) marks into maximal intervals with the
+    * span text — the gaps-and-islands closer shared by
+    * [[repeatedSpanIntervals]] and [[incrementalRepeatedSpans]].
+    */
+  private def spanIslands(base: org.apache.spark.sql.DataFrame,
+      covered: org.apache.spark.sql.DataFrame, idCol: String) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    coveredPositions(wins, dup, idCol, k)
+    covered
       .withColumn("grp", col("pos") - row_number().over(w))
       .groupBy(col(idCol), col("grp"))
       .agg(min(col("pos")).cast("long").as("span_start"),
@@ -244,6 +253,62 @@ object TextClean {
       .select(col(idCol), col("span_start"), col("span_len"),
         expr("array_join(slice(toks, cast(span_start as int), " +
           "cast(span_len as int)), ' ')").as("span_text"))
+  }
+
+  /** The persisted WINDOW-HASH INDEX of a corpus: (wh, n_docs) —
+    * distinct documents containing each k-token window. This is the
+    * incremental-maintenance state for exact-substring dedup at
+    * streaming-corpus scale: the corpus text never re-scans; each
+    * batch touches only its own windows plus this fixed-width digest
+    * table. Index size is bounded by distinct window content, rows are
+    * 24 bytes, and merge is additive ([[spanIndexMerge]]).
+    */
+  def spanIndex(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 5): org.apache.spark.sql.DataFrame = {
+    require(k > 0, s"window size must be positive: $k")
+    windowHashes(tokenized(df, idCol, textCol), idCol, k)
+      .groupBy(col("wh"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+  }
+
+  /** Fold per-batch indexes into the union's index. PRECONDITION:
+    * batches carry DISJOINT document ids (the streaming-ingest
+    * contract — each doc arrives once), so distinct-doc counts add.
+    */
+  def spanIndexMerge(indexes: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    require(indexes.nonEmpty, "need at least one index")
+    indexes.reduce(_ unionByName _)
+      .groupBy(col("wh")).agg(sum(col("n_docs")).as("n_docs"))
+  }
+
+  /** [EXT] INCREMENTAL exact-substring dedup: the maximal repeated
+    * spans OF A NEW BATCH against (corpus ∪ batch), given only the
+    * corpus's [[spanIndex]] — the arriving slice of what
+    * [[repeatedSpanIntervals]] would report over the full union,
+    * without rescanning the corpus (q54's incremental-dedup shape at
+    * the span level). A batch window is duplicated when the union's
+    * distinct-doc count reaches `minDocs`: corpus index count + the
+    * batch's own distinct-doc count. Equivalence with the batch-doc
+    * slice of the full-union run is property-pinned
+    * (PipelineSpec); shuffles stay on the 128-bit window digests and
+    * (doc, pos) longs.
+    *
+    * Output: ((idCol, span_start, span_len, span_text) over batch
+    * docs, the UPDATED index) — persist the index for the next batch.
+    */
+  def incrementalRepeatedSpans(batch: org.apache.spark.sql.DataFrame,
+      corpusIndex: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, k: Int = 5, minDocs: Int = 2):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(k > 0, s"window size must be positive: $k")
+    require(minDocs >= 2, s"minDocs below 2 would mark every window: $minDocs")
+    val base = tokenized(batch, idCol, textCol)
+    val wins = windowHashes(base, idCol, k)
+    val batchIdx = wins.groupBy(col("wh"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+    val merged = spanIndexMerge(Seq(corpusIndex, batchIdx))
+    val dup = merged.filter(col("n_docs") >= minDocs).select(col("wh"))
+    (spanIslands(base, coveredPositions(wins, dup, idCol, k), idCol), merged)
   }
 
   /** Surgical benchmark decontamination — the counterpart of

@@ -2540,6 +2540,57 @@ object PipelinePack {
             * ${1L << 40})::DOUBLE) AS est
       FROM agg"""))
 
+  /** Incremental exact-substring dedup
+    * (TextClean.incrementalRepeatedSpans): the maximal repeated spans
+    * of an ARRIVING batch (source src3) against corpus ∪ batch, given
+    * only the corpus's persisted window-hash index — the corpus text
+    * is never rescanned, the q54 incremental shape at the span level.
+    * Spec-pinned equivalent to the batch slice of q194 over the
+    * union; the oracle replays index-build → count-merge → coverage →
+    * islands in SQL.
+    */
+  private val q198 = QueryDef(
+    "q198_incremental_spans",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = TextClean.spanIndex(
+        docs.filter(col("source") =!= "src3"), "doc_id", "text", k = 3)
+      TextClean.incrementalRepeatedSpans(
+        docs.filter(col("source") === "src3"), idx, "doc_id", "text",
+        k = 3, minDocs = 2)._1
+    },
+    Some(s"""WITH cbase AS (SELECT doc_id, $T AS toks FROM documents
+        WHERE source <> 'src3'),
+      bbase AS (SELECT doc_id, $T AS toks FROM documents
+        WHERE source = 'src3'),
+      cwin AS (SELECT doc_id,
+          unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS pos, toks
+        FROM cbase),
+      cwh AS (SELECT unhex(md5(array_to_string(toks[pos:pos+2], ' '))) AS wh,
+          doc_id FROM cwin),
+      cidx AS (SELECT wh, count(DISTINCT doc_id) AS n_docs FROM cwh GROUP BY wh),
+      bwin AS (SELECT doc_id,
+          unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS pos, toks
+        FROM bbase),
+      bwh AS (SELECT doc_id, pos,
+          unhex(md5(array_to_string(toks[pos:pos+2], ' '))) AS wh FROM bwin),
+      bidx AS (SELECT wh, count(DISTINCT doc_id) AS n_docs FROM bwh GROUP BY wh),
+      merged AS (SELECT wh, sum(n_docs) AS n_docs FROM
+        (SELECT * FROM cidx UNION ALL SELECT * FROM bidx) GROUP BY wh),
+      dup AS (SELECT wh FROM merged WHERE n_docs >= 2),
+      cov AS (SELECT DISTINCT doc_id, pos + off AS pos
+        FROM bwh JOIN dup USING (wh) CROSS JOIN range(0, 3) AS o(off)),
+      isl AS (SELECT doc_id, pos,
+          pos - row_number() OVER (PARTITION BY doc_id ORDER BY pos) AS grp
+        FROM cov),
+      spans AS (SELECT doc_id, min(pos)::BIGINT AS span_start,
+          count(*)::BIGINT AS span_len FROM isl GROUP BY doc_id, grp)
+      SELECT s.doc_id, s.span_start, s.span_len,
+        array_to_string(
+          b.toks[s.span_start : s.span_start + s.span_len - 1], ' ')
+          AS span_text
+      FROM spans s JOIN bbase b USING (doc_id)"""))
+
   /** Per-group HLL cardinality via the AGGREGATE surface
     * (functions.SketchAgg.hllSketch → hllReportOf): one pass builds a
     * 256-register state per order priority and the report reads each
@@ -2791,5 +2842,5 @@ object PipelinePack {
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
-    q185, q186, q187, q191, q193, q194, q195, q196, q197)
+    q185, q186, q187, q191, q193, q194, q195, q196, q197, q198)
 }

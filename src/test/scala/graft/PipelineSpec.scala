@@ -583,6 +583,34 @@ class PipelineSpec extends AnyFunSuite {
     assert(spans.keySet.subsetOf(removed.keySet))
   }
 
+  test("incremental repeated spans == batch slice of the full-union run") {
+    // the incremental-maintenance contract on real data: corpus index
+    // + batch must reproduce exactly what a full rerun over the union
+    // reports for the batch's documents
+    val all = graft.sources.Tables.documents(TestSpark.spark, TestSpark.sf)
+      .select(col("doc_id"), col("text"), col("source"))
+    val corpus = all.filter(col("source") =!= "src3")
+    val batch = all.filter(col("source") === "src3")
+    val idx = graft.ops.TextClean.spanIndex(corpus, "doc_id", "text", k = 3)
+    val (inc, updated) = graft.ops.TextClean.incrementalRepeatedSpans(
+      batch, idx, "doc_id", "text", k = 3, minDocs = 2)
+    val batchIds = batch.select(col("doc_id"))
+    val full = graft.ops.TextClean.repeatedSpanIntervals(
+        all, "doc_id", "text", k = 3, minDocs = 2)
+      .join(batchIds, Seq("doc_id"), "left_semi")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(inc).nonEmpty, "the slice must be non-trivial")
+    assert(rows(inc) === rows(full))
+    // index merge associativity on disjoint batches: the updated
+    // index is the union's index (wh is binary — compare decoded)
+    def idxRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Array[Byte]](0).map("%02x".format(_)).mkString,
+        r.getLong(1))).sorted.toSeq
+    val unionIdx = graft.ops.TextClean.spanIndex(all, "doc_id", "text", k = 3)
+    assert(idxRows(updated) === idxRows(unionIdx))
+  }
+
   test("dropSpansMatching removes only reference spans — internal dups survive") {
     val train = docs(
       1L -> "leaked bench question answer pair plus original prose here",
