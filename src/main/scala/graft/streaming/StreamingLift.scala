@@ -341,4 +341,52 @@ object StreamingLift {
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** Span-level exact-substring dedup as a CONTINUOUS feed: each
+    * micro-batch reports its maximal repeated spans against
+    * (everything seen so far ∪ the batch) via
+    * [[graft.ops.TextClean.incrementalRepeatedSpans]], appending the
+    * spans to `spansOut` and folding the batch's window counts into
+    * the persisted `index` table (fixed-width 128-bit digests, never
+    * the corpus text — the only state the stream carries). Batches
+    * must bring disjoint doc ids (the ingest contract the index-merge
+    * precondition needs); replays of a completed batch re-merge its
+    * counts, so keep the checkpoint dir authoritative (standard
+    * foreachBatch at-least-once note — the batch spans themselves are
+    * recomputed identically on replay).
+    */
+  def spanDedupStream(spark: SparkSession, srcPath: String,
+      schema: StructType, index: ParquetTable, spansOut: ParquetTable,
+      idCol: String, textCol: String, k: Int = 5, minDocs: Int = 2,
+      checkpoint: String = null, availableNow: Boolean = true): StreamingQuery = {
+    import graft.ops.TextClean
+    val stream = spark.readStream.schema(schema).parquet(srcPath)
+    val writer = stream.writeStream
+      .option("checkpointLocation",
+        if (checkpoint != null) checkpoint
+        else java.nio.file.Files.createTempDirectory("graft-span-ckpt").toString)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val batch = batch0.localCheckpoint(true)
+        val corpusIdx =
+          if (index.exists) index.read
+          else spark.createDataFrame(
+            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+            org.apache.spark.sql.types.StructType(Seq(
+              org.apache.spark.sql.types.StructField("wh",
+                org.apache.spark.sql.types.BinaryType),
+              org.apache.spark.sql.types.StructField("n_docs",
+                org.apache.spark.sql.types.LongType))))
+        val (spans, merged) = TextClean.incrementalRepeatedSpans(
+          batch, corpusIdx, idCol, textCol, k, minDocs)
+        // materialize BOTH outputs before replacing the index the
+        // spans were computed from (the read-modify-write hazard)
+        val pinnedSpans = spans
+          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+          .localCheckpoint(true)
+        val pinnedIdx = merged.localCheckpoint(true)
+        if (!pinnedSpans.isEmpty) spansOut.append(pinnedSpans)
+        index.overwrite(pinnedIdx)
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
 }

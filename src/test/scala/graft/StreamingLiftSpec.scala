@@ -506,4 +506,53 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(dest.read.select("doc_id").collect().map(_.getLong(0)).sorted
       === Seq(1L, 11L))
   }
+
+  test("spanDedupStream maintains the window index and reports spans per batch") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-span-stream")
+    val srcDir = base.resolve("src").toString
+    val index = ParquetTable(spark, base.resolve("idx").toString)
+    val spansOut = ParquetTable(spark, base.resolve("spans").toString)
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    val b1 = docs(
+      1L -> "alpha beta gamma delta unique one",
+      2L -> "totally different content here now")
+    val b2 = docs(
+      // repeats doc 1's 4-token prefix → a 4-token span on BOTH docs
+      3L -> "pre alpha beta gamma delta post",
+      4L -> "nothing shared with anyone else at all")
+    b1.write.parquet(srcDir + "/f1")
+    val schema = b1.schema
+    // ONE checkpoint across invocations — the authoritative record of
+    // which files were ingested (reprocessing a batch would violate
+    // the disjoint-batch index contract)
+    val ckpt = base.resolve("ckpt").toString
+
+    val q1 = StreamingLift.spanDedupStream(spark, srcDir + "/*", schema,
+      index, spansOut, "doc_id", "text", k = 3, minDocs = 2, checkpoint = ckpt)
+    q1.awaitTermination()
+    // batch 1 alone: no cross-doc repetition, no spans, index persisted
+    assert(!spansOut.exists || spansOut.read.isEmpty)
+    val idx1 = graft.ops.TextClean.spanIndex(b1, "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap
+    assert(index.read.collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap === idx1)
+
+    b2.write.parquet(srcDir + "/f2")
+    val q2 = StreamingLift.spanDedupStream(spark, srcDir + "/*", schema,
+      index, spansOut, "doc_id", "text", k = 3, minDocs = 2, checkpoint = ckpt)
+    q2.awaitTermination()
+    // batch 2 reports ITS duplicated span at full length against the
+    // index — doc 1's matching text is found without rescanning it
+    val got = spansOut.read
+      .select("doc_id", "span_start", "span_len", "span_text").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getString(3))).toSet
+    assert(got === Set((3L, 2L, 4L, "alpha beta gamma delta")))
+    // the maintained index equals the from-scratch union index
+    val unionIdx = graft.ops.TextClean.spanIndex(
+        b1.unionByName(b2), "doc_id", "text", k = 3)
+      .collect().map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap
+    assert(index.read.collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap === unionIdx)
+  }
 }
