@@ -28,6 +28,16 @@ final class JdbcConnection(spark: SparkSession, val name: String,
 
   private def reader = spark.read.format("jdbc").option("url", url).options(common)
 
+  /** DIALECT-aware identifier quoting — the same rule Spark's JDBC
+    * writer used to create the table's columns (backticks on
+    * MySQL/MariaDB, double quotes elsewhere). Hardcoding ANSI double
+    * quotes here would make every quoted identifier a STRING LITERAL
+    * on default-mode MySQL — the exact endpoints the deleteInsert
+    * merge strategy routes there — silently matching nothing.
+    */
+  private val dialect = org.apache.spark.sql.jdbc.JdbcDialects.get(url)
+  private val quotedQ: String => String = c => dialect.quoteIdentifier(c)
+
   /** Identifier values (table/column names) are spliced into SQL text,
     * so they are restricted to word characters and dots, optionally
     * double-quoted — a name arriving from config, a catalog listing,
@@ -54,7 +64,8 @@ final class JdbcConnection(spark: SparkSession, val name: String,
         // quoted identifiers, so unquoted references may not resolve
         // (e.g. Derby upper-cases them).
         val bounds = reader.option("dbtable",
-          s"""(SELECT min("${safeIdent(pc)}") lo, max("${safeIdent(pc)}") hi FROM $table) b""")
+          s"(SELECT min(${quotedQ(safeIdent(pc))}) lo, " +
+            s"max(${quotedQ(safeIdent(pc))}) hi FROM $table) b")
           .load().head()
         if (bounds.isNullAt(0))
           // empty table: no range to partition (and .toString on the
@@ -95,7 +106,7 @@ final class JdbcConnection(spark: SparkSession, val name: String,
     // case-preserved or normalized: try the quoted form first (matches
     // the partitionColumn path), fall back to unquoted
     val row =
-      try query(s"""SELECT MAX("$c") AS mx FROM $table""").head()
+      try query(s"SELECT MAX(${quotedQ(c)}) AS mx FROM $table").head()
       catch { case _: Exception =>
         query(s"SELECT MAX($c) AS mx FROM $table").head()
       }
@@ -191,7 +202,7 @@ final class JdbcConnection(spark: SparkSession, val name: String,
     */
   private def mergeStatements(dest: String, stage: String, cols: Seq[String],
       key: String, q: String => String): Seq[String] = {
-    def sq(c: String) = "\"" + c + "\""
+    def sq(c: String) = quotedQ(c) // stage columns: Spark-written, dialect-quoted
     mergeStrategy match {
       case "merge" =>
         val setCols = cols.filterNot(_ == key)
@@ -276,8 +287,6 @@ final class JdbcConnection(spark: SparkSession, val name: String,
       }
       if (!done) throw lastErr
     }
-
-  private val quotedQ: String => String = c => "\"" + c + "\""
 
   /** Quoted identifiers first, bare on a statement error (externally
     * created case-normalized tables) — same convention as [[getMax]].

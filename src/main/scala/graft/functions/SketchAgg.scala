@@ -81,6 +81,23 @@ object SketchAgg {
     est
   }
 
+  // the two merge operations, ONE implementation each — the build
+  // aggregates, the stored-state aggregates, and their merge sides all
+  // call these, so the paths can never diverge
+  private def maxBytesInto(into: Array[Byte], from: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < into.length) {
+      if ((from(i) & 0xff) > (into(i) & 0xff)) into(i) = from(i)
+      i += 1
+    }
+    into
+  }
+  private def addLongsInto(into: Array[Long], from: Int => Long): Array[Long] = {
+    var i = 0
+    while (i < into.length) { into(i) += from(i); i += 1 }
+    into
+  }
+
   // ---- HyperLogLog --------------------------------------------------
 
   /** State: 2^p bytes, register j holding max ρ seen (0 = empty). */
@@ -108,14 +125,8 @@ object SketchAgg {
       buf
     }
 
-    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
-      var i = 0
-      while (i < b1.length) {
-        if ((b2(i) & 0xff) > (b1(i) & 0xff)) b1(i) = b2(i)
-        i += 1
-      }
-      b1
-    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+      maxBytesInto(b1, b2)
 
     override def eval(buf: Array[Byte]): Any = buf.clone()
     override def serialize(buf: Array[Byte]): Array[Byte] = buf
@@ -147,22 +158,12 @@ object SketchAgg {
         val st = v.asInstanceOf[Array[Byte]]
         require(st.length == buf.length,
           s"HLL state length ${st.length} != 2^$p — built with a different p")
-        var i = 0
-        while (i < buf.length) {
-          if ((st(i) & 0xff) > (buf(i) & 0xff)) buf(i) = st(i)
-          i += 1
-        }
+        maxBytesInto(buf, st): Unit
       }
       buf
     }
-    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] = {
-      var i = 0
-      while (i < b1.length) {
-        if ((b2(i) & 0xff) > (b1(i) & 0xff)) b1(i) = b2(i)
-        i += 1
-      }
-      b1
-    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+      maxBytesInto(b1, b2)
     override def eval(buf: Array[Byte]): Any = buf.clone()
     override def serialize(buf: Array[Byte]): Array[Byte] = buf
     override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
@@ -189,6 +190,11 @@ object SketchAgg {
     with ImplicitCastInputTypes with UnaryLike[Expression] {
     require(depth >= 1 && depth <= 16, s"need 1 <= depth <= 16: $depth")
     require(width >= 2, s"need width >= 2: $width")
+    // product bound: depth*width is Int-indexed and one buffer per
+    // in-flight group — past 2^24 cells (128 MiB) the state is no
+    // longer a "sketch" and the Int arithmetic could wrap
+    require(depth.toLong * width <= (1L << 24),
+      s"depth x width = ${depth.toLong * width} exceeds 2^24 cells")
 
     override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
 
@@ -206,11 +212,8 @@ object SketchAgg {
       buf
     }
 
-    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < b1.length) { b1(i) += b2(i); i += 1 }
-      b1
-    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      addLongsInto(b1, b2)
 
     override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
     override def serialize(buf: Array[Long]): Array[Byte] = SketchAgg.longsToBytes(buf)
@@ -236,6 +239,8 @@ object SketchAgg {
     with ImplicitCastInputTypes with UnaryLike[Expression] {
     require(depth >= 1 && depth <= 16, s"need 1 <= depth <= 16: $depth")
     require(width >= 2, s"need width >= 2: $width")
+    require(depth.toLong * width <= (1L << 24),
+      s"depth x width = ${depth.toLong * width} exceeds 2^24 cells")
     override def createAggregationBuffer(): Array[Long] = new Array[Long](depth * width)
     override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
       val v = child.eval(input)
@@ -243,16 +248,12 @@ object SketchAgg {
         val st = v.asInstanceOf[ArrayData]
         require(st.numElements() == buf.length,
           s"CM state length ${st.numElements()} != $depth x $width")
-        var i = 0
-        while (i < buf.length) { buf(i) += st.getLong(i); i += 1 }
+        addLongsInto(buf, st.getLong): Unit
       }
       buf
     }
-    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
-      var i = 0
-      while (i < b1.length) { b1(i) += b2(i); i += 1 }
-      b1
-    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] =
+      addLongsInto(b1, b2)
     override def eval(buf: Array[Long]): Any = new GenericArrayData(buf.clone())
     override def serialize(buf: Array[Long]): Array[Byte] = SketchAgg.longsToBytes(buf)
     override def deserialize(bytes: Array[Byte]): Array[Long] = SketchAgg.bytesToLongs(bytes)
@@ -371,7 +372,9 @@ object SketchAgg {
       CmMergeAgg(args.head,
         if (args.size > 1) intArg(args(1), "depth") else 4,
         if (args.size > 2) intArg(args(2), "width") else 1024)),
-    "cm_state_est" -> ((args: Seq[Expression]) =>
+    "cm_state_est" -> ((args: Seq[Expression]) => {
+      require(args.size >= 2,
+        "cm_state_est(state, key[, depth[, width]]) needs at least (state, key)")
       StaticInvoke(
         SketchAgg.getClass, LongType, "cmEstimate",
         Seq(args.head,
@@ -380,7 +383,8 @@ object SketchAgg {
           org.apache.spark.sql.catalyst.expressions.Literal(
             if (args.size > 3) intArg(args(3), "width") else 1024),
           args(1)),
-        Seq(ArrayType(LongType), IntegerType, IntegerType, StringType))),
+        Seq(ArrayType(LongType), IntegerType, IntegerType, StringType))
+    }),
     // struct(m, n_nonzero, sum_q, est) from a stored HLL state:
     // `SELECT hll_state_report(st, 8).est FROM states`
     "hll_state_report" -> ((args: Seq[Expression]) =>

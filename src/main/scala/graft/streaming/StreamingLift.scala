@@ -350,42 +350,61 @@ object StreamingLift {
     * the persisted `index` table (fixed-width 128-bit digests, never
     * the corpus text — the only state the stream carries). Batches
     * must bring disjoint doc ids (the ingest contract the index-merge
-    * precondition needs); replays of a completed batch re-merge its
-    * counts, so keep the checkpoint dir authoritative (standard
-    * foreachBatch at-least-once note — the batch spans themselves are
-    * recomputed identically on replay).
+    * precondition needs), and `checkpoint` is REQUIRED and must stay
+    * with the index for the stream's lifetime: the checkpoint dir is
+    * the authoritative record of ingested files (a fresh dir would
+    * replay them).
+    *
+    * Crash semantics: the index publish carries the batch id as
+    * version-pinned metadata, and a replayed batch whose id the live
+    * index already covers is SKIPPED — the index is exactly-once even
+    * when the driver dies between the publish and the streaming
+    * checkpoint commit (re-merging a batch's counts would permanently
+    * inflate n_docs and fabricate duplicate spans). Span rows append
+    * BEFORE the index publish and replay identically (the index they
+    * derive from is unchanged until the publish), so spansOut is
+    * at-least-once with bit-identical duplicates, keyed by batch_id
+    * for trivial consumer dedup — the curationStream ledger
+    * convention.
     */
   def spanDedupStream(spark: SparkSession, srcPath: String,
       schema: StructType, index: ParquetTable, spansOut: ParquetTable,
-      idCol: String, textCol: String, k: Int = 5, minDocs: Int = 2,
-      checkpoint: String = null, availableNow: Boolean = true): StreamingQuery = {
+      idCol: String, textCol: String, checkpoint: String,
+      k: Int = 5, minDocs: Int = 2,
+      availableNow: Boolean = true): StreamingQuery = {
     import graft.ops.TextClean
+    require(checkpoint != null && checkpoint.nonEmpty,
+      "spanDedupStream needs a durable checkpoint dir — a fresh one " +
+        "replays every file and double-merges window counts into the index")
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
-      .option("checkpointLocation",
-        if (checkpoint != null) checkpoint
-        else java.nio.file.Files.createTempDirectory("graft-span-ckpt").toString)
+      .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val batch = batch0.localCheckpoint(true)
-        val corpusIdx =
-          if (index.exists) index.read
-          else spark.createDataFrame(
-            spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-            org.apache.spark.sql.types.StructType(Seq(
-              org.apache.spark.sql.types.StructField("wh",
-                org.apache.spark.sql.types.BinaryType),
-              org.apache.spark.sql.types.StructField("n_docs",
-                org.apache.spark.sql.types.LongType))))
-        val (spans, merged) = TextClean.incrementalRepeatedSpans(
-          batch, corpusIdx, idCol, textCol, k, minDocs)
-        // materialize BOTH outputs before replacing the index the
-        // spans were computed from (the read-modify-write hazard)
-        val pinnedSpans = spans
-          .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
-          .localCheckpoint(true)
-        val pinnedIdx = merged.localCheckpoint(true)
-        if (!pinnedSpans.isEmpty) spansOut.append(pinnedSpans)
-        index.overwrite(pinnedIdx)
+        val seen = index.exists &&
+          index.currentMeta.get("span_batch_id").exists(_.toLong >= batchId)
+        if (!seen) {
+          val batch = batch0.localCheckpoint(true)
+          val corpusIdx =
+            if (index.exists) index.read
+            else spark.createDataFrame(
+              spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+              org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("wh",
+                  org.apache.spark.sql.types.BinaryType),
+                org.apache.spark.sql.types.StructField("n_docs",
+                  org.apache.spark.sql.types.LongType))))
+          val (spans, merged) = TextClean.incrementalRepeatedSpans(
+            batch, corpusIdx, idCol, textCol, k, minDocs)
+          // materialize BOTH outputs before replacing the index the
+          // spans were computed from (the read-modify-write hazard)
+          val pinnedSpans = spans
+            .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .localCheckpoint(true)
+          val pinnedIdx = merged.localCheckpoint(true)
+          if (!pinnedSpans.isEmpty) spansOut.append(pinnedSpans)
+          index.overwrite(pinnedIdx,
+            meta = Map("span_batch_id" -> batchId.toString))
+        }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }

@@ -529,7 +529,7 @@ class StreamingLiftSpec extends AnyFunSuite {
     val ckpt = base.resolve("ckpt").toString
 
     val q1 = StreamingLift.spanDedupStream(spark, srcDir + "/*", schema,
-      index, spansOut, "doc_id", "text", k = 3, minDocs = 2, checkpoint = ckpt)
+      index, spansOut, "doc_id", "text", ckpt, k = 3, minDocs = 2)
     q1.awaitTermination()
     // batch 1 alone: no cross-doc repetition, no spans, index persisted
     assert(!spansOut.exists || spansOut.read.isEmpty)
@@ -540,7 +540,7 @@ class StreamingLiftSpec extends AnyFunSuite {
 
     b2.write.parquet(srcDir + "/f2")
     val q2 = StreamingLift.spanDedupStream(spark, srcDir + "/*", schema,
-      index, spansOut, "doc_id", "text", k = 3, minDocs = 2, checkpoint = ckpt)
+      index, spansOut, "doc_id", "text", ckpt, k = 3, minDocs = 2)
     q2.awaitTermination()
     // batch 2 reports ITS duplicated span at full length against the
     // index — doc 1's matching text is found without rescanning it
@@ -554,5 +554,18 @@ class StreamingLiftSpec extends AnyFunSuite {
       .collect().map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap
     assert(index.read.collect()
       .map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap === unionIdx)
+
+    // replay safety: a FRESH checkpoint reprocesses everything as
+    // batch 0, but the live index's span_batch_id already covers it —
+    // the batch is skipped, the index stays the union index, and no
+    // duplicate spans land (the double-merge corruption a naive
+    // re-merge would cause)
+    val ckpt2 = base.resolve("ckpt2").toString
+    val q3 = StreamingLift.spanDedupStream(spark, srcDir + "/*", schema,
+      index, spansOut, "doc_id", "text", ckpt2, k = 3, minDocs = 2)
+    q3.awaitTermination()
+    assert(index.read.collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap === unionIdx)
+    assert(spansOut.read.count() === 1)
   }
 }
