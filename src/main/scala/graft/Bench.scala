@@ -142,10 +142,14 @@ object Bench {
     // SPARK_GRAFT_BENCH_RUNS: timed passes in the same JVM, every pass
     // logged to stderr, the JSON reporting per-query MEDIANS — this
     // separates plan-cost drift from local[n] scheduling noise
-    // (SCALE.md "bench noise floor"). Default 2: one extra timed pass
-    // buys regression calls that don't need manual reruns.
+    // (SCALE.md "bench noise floor"). Default 3: the suite shows rare
+    // multi-second one-PASS spikes on random queries in later passes
+    // (NOT GC — a logged 24g run shows max 24 ms young pauses; cleaner/
+    // scheduling bursts), and a 3-pass median eliminates a single
+    // spike entirely where a 2-pass mean-of-middle only halves it.
+    // The elapsed budget below bounds the cost.
     val runs = scala.util.Try(
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "2").toInt).getOrElse(2).max(1)
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_RUNS", "3").toInt).getOrElse(3).max(1)
     // elapsed budget (seconds, from after warm-up): extra passes only
     // start while under it, so a pathologically slow suite degrades to
     // fewer passes instead of blowing the driver's bench window — the
