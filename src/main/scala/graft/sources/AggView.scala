@@ -28,8 +28,12 @@ import graft.ops.Cdc
   * STRICTLY OLDER than live (the base rolled back under it) falls
   * back to a FULL rebuild, loudly in the result, never silently
   * wrong. Version names are publish-unique within retention
-  * ([[VersionedLayout.freshVersion]]), so an applied name can never
-  * denote different data than it did when recorded.
+  * ([[VersionedLayout.freshVersion]]); IN-PLACE mutations of a live
+  * version (`append`, the bucketed partition-scoped upsert) are
+  * caught by the base's [[ParquetTable.mutationCount]], recorded
+  * alongside the applied version — a name+count pair can never denote
+  * different data than it did when recorded, and a mutated base
+  * degrades to the same loud full rebuild.
   *
   * Cost honesty at 100 TB: [[ParquetTable.diffVersions]] DERIVES the
   * change set by scanning both retained base snapshots and joining on
@@ -54,11 +58,15 @@ final case class AggView(
       sumCols.map(c => sum(col(c)).as(c)): _*)
 
   /** Full (re)build from the base's live snapshot, recording the
-    * applied base version.
+    * applied base version AND its in-place mutation count (appends /
+    * bucketed upserts mutate a live version without renaming it — the
+    * count is what lets refresh notice).
     */
   def build(base: ParquetTable): RefreshResult = {
     val cur = baseVersion(base)
-    view.overwrite(aggregate(base.read), meta = Map(AppliedKey -> cur))
+    val muts = base.mutationCount
+    view.overwrite(aggregate(base.read),
+      meta = Map(AppliedKey -> cur, AppliedMutsKey -> muts.toString))
     RefreshResult("full", to = cur)
   }
 
@@ -71,19 +79,29 @@ final case class AggView(
     */
   def refresh(base: ParquetTable, rowKey: String): RefreshResult = {
     val cur = baseVersion(base)
-    view.currentMeta.get(AppliedKey) match {
-      case Some(applied) if applied == cur =>
+    val meta = view.currentMeta
+    def appliedMuts = meta.get(AppliedMutsKey).map(_.toLong).getOrElse(0L)
+    meta.get(AppliedKey) match {
+      // same version AND same in-place mutation count — only then is
+      // "same name" actually "same data" (append/overwriteBuckets
+      // mutate the live version dir without renaming it)
+      case Some(applied) if applied == cur && base.mutationCount == appliedMuts =>
         RefreshResult("noop", from = Some(applied), to = cur)
       // `applied < cur` guards the rolled-back base: an applied
       // version NEWER than live cannot be delta-diffed (and the view
-      // may hold data live never had) — rebuild, don't throw
-      case Some(applied) if applied < cur && base.versions.contains(applied) =>
+      // may hold data live never had) — rebuild, don't throw. The
+      // retained old version must ALSO still carry the mutation count
+      // the view applied — if it was appended to after the view read
+      // it, the diff would be against data the view never saw.
+      case Some(applied) if applied < cur && base.versions.contains(applied) &&
+          base.mutationCountOf(applied) == appliedMuts =>
         val merged = Cdc.applyDelta(view.read,
           base.diffVersions(applied, cur, rowKey), groupKey, sumCols)
-        view.overwrite(merged, meta = Map(AppliedKey -> cur))
+        view.overwrite(merged, meta = Map(AppliedKey -> cur,
+          AppliedMutsKey -> base.mutationCount.toString))
         RefreshResult("delta", from = Some(applied), to = cur)
-      case stale => // never built, metadata lost, rolled back, or out
-        val r = build(base) //  of retention
+      case stale => // never built, metadata lost, rolled back, out of
+        val r = build(base) // retention, or base mutated in place
         r.copy(from = stale)
     }
   }
@@ -98,12 +116,15 @@ final case class AggView(
   def refreshWith(changes: DataFrame, from: String, to: String): RefreshResult =
     view.currentMeta.get(AppliedKey) match {
       case Some(applied) if applied == from && from < to =>
+        // `to` is a freshly published base version: mutation count 0
+        // at publish; later in-place appends are caught by refresh()
         view.overwrite(Cdc.applyDelta(view.read, changes, groupKey, sumCols),
-          meta = Map(AppliedKey -> to))
+          meta = Map(AppliedKey -> to, AppliedMutsKey -> "0"))
         RefreshResult("delta", from = Some(from), to = to)
       case other =>
-        RefreshResult("stale", from = other, to = view.currentMeta
-          .getOrElse(AppliedKey, ""))
+        // `other` IS the applied version just read — no second pointer
+        // round-trip (which could also disagree with the branch taken)
+        RefreshResult("stale", from = other, to = other.getOrElse(""))
     }
 }
 
@@ -127,19 +148,25 @@ final case class RefreshView(view: ParquetTable, groupKey: String)(
 
   def build(base: ParquetTable): RefreshResult = {
     val cur = baseVersion(base)
-    view.overwrite(aggFn(base.read), meta = Map(AppliedKey -> cur))
+    val muts = base.mutationCount
+    view.overwrite(aggFn(base.read),
+      meta = Map(AppliedKey -> cur, AppliedMutsKey -> muts.toString))
     RefreshResult("full", to = cur)
   }
 
   def refresh(base: ParquetTable, rowKey: String): RefreshResult = {
     val cur = baseVersion(base)
-    view.currentMeta.get(AppliedKey) match {
-      case Some(applied) if applied == cur =>
+    val meta = view.currentMeta
+    def appliedMuts = meta.get(AppliedMutsKey).map(_.toLong).getOrElse(0L)
+    meta.get(AppliedKey) match {
+      case Some(applied) if applied == cur && base.mutationCount == appliedMuts =>
         RefreshResult("noop", from = Some(applied), to = cur)
-      case Some(applied) if applied < cur && base.versions.contains(applied) =>
+      case Some(applied) if applied < cur && base.versions.contains(applied) &&
+          base.mutationCountOf(applied) == appliedMuts =>
         val patched = Cdc.refreshGroups(view.read, base.read,
           base.diffVersions(applied, cur, rowKey), groupKey)(aggFn)
-        view.overwrite(patched, meta = Map(AppliedKey -> cur))
+        view.overwrite(patched, meta = Map(AppliedKey -> cur,
+          AppliedMutsKey -> base.mutationCount.toString))
         RefreshResult("delta", from = Some(applied), to = cur)
       case stale =>
         val r = build(base)
@@ -150,6 +177,7 @@ final case class RefreshView(view: ParquetTable, groupKey: String)(
 
 object AggView {
   val AppliedKey = "graft.aggview.applied"
+  val AppliedMutsKey = "graft.aggview.applied_muts"
 
   private[sources] def baseVersion(base: ParquetTable): String =
     base.liveVersion.getOrElse(throw new IllegalStateException(

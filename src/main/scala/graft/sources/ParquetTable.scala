@@ -84,6 +84,63 @@ final case class ParquetTable(spark: SparkSession, path: String,
   def bucketExpr: org.apache.spark.sql.Column =
     pmod(hash(col(bucketKey)), lit(buckets))
 
+  private val BucketsFile = "_GRAFT_BUCKETS"
+
+  /** Validate the caller-supplied bucket layout against the one
+    * recorded on disk (recording it on the first bucketed write): a
+    * second call site constructed with a different modulus or key
+    * would otherwise prune reads to buckets that don't hold the key's
+    * rows and write its duplicates into different `__bucket=` dirs —
+    * silent duplicate keys, no error. Every bucketed read/write path
+    * calls this first.
+    */
+  private def checkBucketLayout(writeIfAbsent: Boolean): Unit = {
+    val p = new Path(path, BucketsFile)
+    if (fs.exists(p)) {
+      val in = fs.open(p)
+      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+      require(txt == s"$buckets:$bucketKey",
+        s"bucket layout mismatch at $path: on-disk '$txt' vs " +
+          s"constructed '$buckets:$bucketKey' — a mismatched modulus/key " +
+          "silently mis-buckets upserts and mis-prunes reads")
+    } else if (writeIfAbsent) {
+      val out = fs.create(p, true)
+      try out.write(s"$buckets:$bucketKey".getBytes("UTF-8"))
+      finally out.close()
+    }
+  }
+
+  private val MutsFile = "_GRAFT_MUTS"
+
+  /** Count of IN-PLACE mutations ([[append]]/[[overwriteBuckets]])
+    * the live snapshot has received since publish — version-scoped
+    * ([[overwrite]] publishes a fresh dir, resetting to 0). Consumers
+    * ([[AggView]]/[[RefreshView]]) use it to detect that a version
+    * NAME no longer denotes the data it did when recorded, degrading
+    * to a loud full rebuild instead of a silently-wrong delta.
+    */
+  def mutationCount: Long = readMuts(new Path(dataDir, MutsFile))
+
+  /** [[mutationCount]] of a RETAINED named version's directory. */
+  def mutationCountOf(version: String): Long =
+    readMuts(new Path(s"$path/$version", MutsFile))
+
+  private def readMuts(p: Path): Long =
+    if (!fs.exists(p)) 0L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+
+  private def bumpMutationCount(): Unit = {
+    val p = new Path(dataDir, MutsFile)
+    val next = readMuts(p) + 1
+    val out = fs.create(p, true)
+    try out.write(next.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** True when the table has PUBLISHED data: a live version pointer,
     * or (un-versioned layouts) actual data files at the root. A
     * crashed never-published overwrite leaves only an unreferenced
@@ -135,8 +192,10 @@ final case class ParquetTable(spark: SparkSession, path: String,
     else spark.read.parquet(d)
 
   /** Only the named buckets — a partition-pruned scan. */
-  def readBuckets(ids: Seq[Int]): DataFrame =
+  def readBuckets(ids: Seq[Int]): DataFrame = {
+    checkBucketLayout(writeIfAbsent = false)
     readRaw.filter(col("__bucket").isin(ids.map(Integer.valueOf): _*)).drop("__bucket")
+  }
 
   /** Atomic full replace (reference fullMerge drop/recreate/copy,
     * `mysql.js:567-570`) via the versioned-pointer commit (see class
@@ -150,6 +209,7 @@ final case class ParquetTable(spark: SparkSession, path: String,
   def overwrite(df: DataFrame, distKey: Option[String] = None,
       sortKey: Option[String] = None,
       meta: Map[String, String] = Map.empty): Unit = {
+    if (isBucketed) checkBucketLayout(writeIfAbsent = true)
     val laidOut = (distKey.filterNot(_ => isBucketed), sortKey) match {
       case (Some(d), Some(s)) => df.repartition(col(d)).sortWithinPartitions(col(s))
       case (Some(d), None)    => df.repartition(col(d))
@@ -188,11 +248,13 @@ final case class ParquetTable(spark: SparkSession, path: String,
     */
   def overwriteBuckets(df: DataFrame): Unit = {
     require(isBucketed, s"$path is not a bucketed table")
+    checkBucketLayout(writeIfAbsent = true)
     df.withColumn("__bucket", bucketExpr)
       .write.mode("overwrite")
       .option("partitionOverwriteMode", "dynamic")
       .partitionBy("__bucket")
       .parquet(dataDir)
+    bumpMutationCount() // in-place change: views must see version-name ≠ data
   }
 
   /** Plain append (reference `mergeOnDuplicates=false` insert path,
@@ -201,9 +263,11 @@ final case class ParquetTable(spark: SparkSession, path: String,
     * version directory (or the table root for un-versioned layouts).
     */
   def append(df: DataFrame): Unit = {
+    if (isBucketed) checkBucketLayout(writeIfAbsent = true)
     val w = (if (isBucketed) df.withColumn("__bucket", bucketExpr) else df)
       .write.mode("append")
     (if (isBucketed) w.partitionBy("__bucket") else w).parquet(dataDir)
+    bumpMutationCount() // in-place change: views must see version-name ≠ data
   }
 
   def drop(): Unit = { val p = new Path(path); if (fs.exists(p)) fs.delete(p, true) }
@@ -297,13 +361,16 @@ final case class ParquetTable(spark: SparkSession, path: String,
   private val MetaFile = "_GRAFT_META"
 
   /** `key=value` lines — no JSON parser dependency; keys and values
-    * must not contain '\n' ('=' splits on the FIRST occurrence, so
-    * values may contain it).
+    * must not contain '\n' OR '\r' (linesIterator treats a bare CR as
+    * a terminator, so a CR would silently truncate the value on
+    * read-back; '=' splits on the FIRST occurrence, so values may
+    * contain it).
     */
   private def writeMeta(versionDir: Path, meta: Map[String, String]): Unit = {
     require(meta.forall { case (k, v) =>
-      !k.contains("\n") && !v.contains("\n") && !k.contains("=") },
-      s"meta keys must be '='/newline-free and values newline-free: $meta")
+      !k.exists(c => c == '\n' || c == '\r') &&
+        !v.exists(c => c == '\n' || c == '\r') && !k.contains("=") },
+      s"meta keys must be '='/CR/LF-free and values CR/LF-free: $meta")
     val out = fs.create(new Path(versionDir, MetaFile), true)
     try out.write(meta.toSeq.sorted.map { case (k, v) => s"$k=$v\n" }
       .mkString.getBytes("UTF-8"))
@@ -463,12 +530,19 @@ final case class ParquetTable(spark: SparkSession, path: String,
     val bitsPer = math.min(16, 63 / zCols.size)
     val maxCode = (1L << bitsPer) - 1L
     val df = read
+    if (df.isEmpty) return // nothing to lay out; keep the snapshot as-is
     // exact per-column min/max — one scan, one row to the driver
     val aggs = zCols.flatMap(c => Seq(
       functions.min(functions.col(c).cast("double")).as(s"__mn_$c"),
       functions.max(functions.col(c).cast("double")).as(s"__mx_$c")))
     val row = df.agg(aggs.head, aggs.tail: _*).head
     val codes = zCols.zipWithIndex.map { case (c, i) =>
+      // a null range (all-null column, or a type double can't be cast
+      // from — dates, strings) would NPE deep inside Row.getDouble;
+      // fail with the column named instead
+      require(!row.isNullAt(2 * i) && !row.isNullAt(2 * i + 1),
+        s"z-order column '$c' has no numeric range (all-null or not " +
+          "castable to double)")
       val mn = row.getDouble(2 * i)
       val mx = row.getDouble(2 * i + 1)
       val range = math.max(mx - mn, java.lang.Double.MIN_VALUE)

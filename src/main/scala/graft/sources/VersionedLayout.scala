@@ -73,9 +73,15 @@ object VersionedLayout {
     def readFile(p: Path): Option[String] =
       if (!fs.exists(p)) None
       else {
-        val in = fs.open(p)
-        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
-        finally in.close()
+        // exists→open is not atomic: a concurrent PUT/rename can swap
+        // the object in between, surfacing FileNotFound exactly in the
+        // mid-publish window heal() exists to absorb — treat it as
+        // "absent" and fall into that path, don't crash the reader
+        try {
+          val in = fs.open(p)
+          try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
+          finally in.close()
+        } catch { case _: java.io.FileNotFoundException => None }
       }
     def readPointer(): Option[String] = readFile(pointer(root))
     def heal(): Option[String] =

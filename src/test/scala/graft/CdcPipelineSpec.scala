@@ -196,6 +196,69 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(av.view.read.orderBy("g").collect().toSeq === expect(s4))
   }
 
+  test("AggView catches IN-PLACE base mutations: append and bucketed upsert force a rebuild") {
+    import graft.sources.{AggView, ParquetTable}
+    val root = Files.createTempDirectory("graft-aggview-mut-").toString
+    def rows(kvs: (Long, String, Double)*) = kvs.toDF("k", "g", "v")
+    def expect(df: org.apache.spark.sql.DataFrame) =
+      df.groupBy("g").agg(count(lit(1)).as("n_rows"), sum("v").as("v"))
+        .orderBy("g").collect().toSeq
+
+    // flat base: append mutates the live version without renaming it
+    val base = ParquetTable(spark, s"$root/base")
+    val av = AggView(ParquetTable(spark, s"$root/view"), "g", Seq("v"))
+    val s1 = rows((1L, "a", 10.0), (2L, "b", 5.0))
+    base.overwrite(s1)
+    av.build(base)
+    base.append(rows((3L, "a", 7.0)))
+    // pre-fix: version name unchanged → "noop" → view silently missing
+    // the appended row forever
+    val r = av.refresh(base, "k")
+    assert(r.mode === "full", s"in-place append must force a rebuild: $r")
+    assert(av.view.read.orderBy("g").collect().toSeq === expect(base.read))
+    assert(av.refresh(base, "k").mode === "noop", "stable after rebuild")
+
+    // bucketed base: the partition-scoped upsert is also in-place
+    val bbase = ParquetTable(spark, s"$root/bbase", buckets = 4, bucketKey = "k")
+    val bav = AggView(ParquetTable(spark, s"$root/bview"), "g", Seq("v"))
+    bbase.overwrite(s1)
+    bav.build(bbase)
+    graft.ops.TableOps.insertData(bbase, rows((1L, "a", 99.0)), "k",
+      mergeOnDuplicates = true)
+    val rb = bav.refresh(bbase, "k")
+    assert(rb.mode === "full", s"bucketed upsert must force a rebuild: $rb")
+    assert(bav.view.read.orderBy("g").collect().toSeq === expect(bbase.read))
+
+    // and a RETAINED old version mutated after the view applied it
+    // cannot serve as a delta base either
+    val base2 = ParquetTable(spark, s"$root/base2")
+    val av2 = AggView(ParquetTable(spark, s"$root/view2"), "g", Seq("v"))
+    base2.overwrite(s1)
+    av2.build(base2)
+    base2.append(rows((9L, "c", 1.0)))     // mutates v-0 after apply
+    base2.overwrite(rows((1L, "a", 10.0))) // v-1; v-0 retained, mutated
+    val r2 = av2.refresh(base2, "k")
+    assert(r2.mode === "full",
+      s"delta against a post-apply-mutated retained version is unsound: $r2")
+    assert(av2.view.read.orderBy("g").collect().toSeq === expect(base2.read))
+  }
+
+  test("bucket layout mismatch is rejected, not silently mis-bucketed") {
+    import graft.sources.ParquetTable
+    val root = Files.createTempDirectory("graft-bucketcheck-").toString
+    val t8 = ParquetTable(spark, s"$root/t", buckets = 8, bucketKey = "k")
+    t8.overwrite(Seq((1L, "x")).toDF("k", "v"))
+    val t16 = ParquetTable(spark, s"$root/t", buckets = 16, bucketKey = "k")
+    val e = intercept[IllegalArgumentException](
+      t16.append(Seq((2L, "y")).toDF("k", "v")))
+    assert(e.getMessage.contains("bucket layout mismatch"))
+    val tk = ParquetTable(spark, s"$root/t", buckets = 8, bucketKey = "v")
+    intercept[IllegalArgumentException](tk.readBuckets(Seq(0)))
+    // the matching layout still works
+    t8.append(Seq((2L, "y")).toDF("k", "v"))
+    assert(t8.read.count() === 2)
+  }
+
   test("overwrite after rollback never reuses a version name") {
     import graft.sources.ParquetTable
     val t = ParquetTable(spark,
