@@ -22,7 +22,8 @@ final class JdbcConnection(spark: SparkSession, val name: String,
     opts: Map[String, String]) extends Connection {
   private val url = opts("url")
   private val NonJdbcOpts = Set("url", "getAllLimit", "tablesQuery",
-    "partitionColumn", "numPartitions", "mergeStrategy", "abortAfterStage")
+    "partitionColumn", "numPartitions", "mergeStrategy", "abortAfterStage",
+    "abortAfterMerge")
   private val common = opts.view.filterKeys(k => !NonJdbcOpts.contains(k)).toMap
   private val getAllLimit = opts.get("getAllLimit").map(_.toLong)
 
@@ -120,9 +121,7 @@ final class JdbcConnection(spark: SparkSession, val name: String,
     * connection attempt and propagates.
     */
   private def tableExists(table: String): Boolean = {
-    val props = new java.util.Properties()
-    common.foreach { case (k, v) => props.setProperty(k, v) }
-    val conn = java.sql.DriverManager.getConnection(url, props)
+    val conn = rawConnection()
     try {
       val md = conn.getMetaData
       // getTables takes a LIKE pattern: '_' matches any one char, so a
@@ -170,11 +169,20 @@ final class JdbcConnection(spark: SparkSession, val name: String,
 
   /** The staging table for a keyed merge into `table`, preserving the
     * caller's quoting so the stage lands next to a quoted
-    * case-sensitive dest instead of a case-normalized sibling.
+    * case-sensitive dest instead of a case-normalized sibling. The
+    * `_gstage_` infix is RESERVED for the engine; the random suffix
+    * makes each merge run's stage unique, so a pre-existing user table
+    * is never clobbered and two concurrent merges into the same dest
+    * cannot overwrite each other's stage mid-merge. Normal completion
+    * AND a failed merge transaction both drop the stage; only a hard
+    * process crash leaves an orphan (harmless — recognizable by the
+    * reserved infix, re-created never, cleaned by the operator).
     */
   private def stageName(table: String): String = {
     val bare = safeIdent(table)
-    if (table.headOption.contains('"')) "\"" + bare + "_gstage\"" else table + "_gstage"
+    val tag = java.util.UUID.randomUUID().toString.replace("-", "").take(8)
+    if (table.headOption.contains('"')) "\"" + bare + s"_gstage_$tag\""
+    else table + s"_gstage_$tag"
   }
 
   /** Keyed-merge strategy: `MERGE INTO` where the dialect has it
@@ -188,10 +196,23 @@ final class JdbcConnection(spark: SparkSession, val name: String,
         url.startsWith("jdbc:mariadb")) "deleteInsert"
     else "merge")
 
-  private def withEndpoint[A](f: java.sql.Connection => A): A = {
+  /** Raw endpoint connection for the merge/catalog paths. A "driver"
+    * option names the JDBC driver CLASS — Spark's reader/writer loads
+    * it itself, but DriverManager only finds SPI-registered drivers,
+    * so it must be Class.forName'd here (and NOT passed down as a
+    * connection property, where endpoints would reject or ignore it).
+    */
+  private def rawConnection(): java.sql.Connection = {
+    opts.get("driver").foreach(Class.forName)
     val props = new java.util.Properties()
-    common.foreach { case (k, v) => props.setProperty(k, v) }
-    val conn = java.sql.DriverManager.getConnection(url, props)
+    common.foreach { case (k, v) =>
+      if (k != "driver") props.setProperty(k, v)
+    }
+    java.sql.DriverManager.getConnection(url, props)
+  }
+
+  private def withEndpoint[A](f: java.sql.Connection => A): A = {
+    val conn = rawConnection()
     try f(conn) finally conn.close()
   }
 
@@ -254,17 +275,38 @@ final class JdbcConnection(spark: SparkSession, val name: String,
       if (opts.get("abortAfterStage").contains("true"))
         throw new IllegalStateException(s"fault injection: aborted after staging $stage")
       val cols = batch.columns.toSeq
-      runTxn(q => mergeStatements(table, stage, cols, key, q))
-      dropQuietly(stage)
+      // opts("abortAfterMerge")="true" models a hard crash AFTER the
+      // merge transaction committed but BEFORE stage cleanup: the
+      // cleanup is skipped entirely (a finally would still run it),
+      // leaving the orphan stage a real crash leaves
+      val hardCrashBeforeCleanup = opts.get("abortAfterMerge").contains("true")
+      try runTxn(q => mergeStatements(table, stage, cols, key, q))
+      finally if (!hardCrashBeforeCleanup)
+        dropQuietly(stage) // failed merge: stage is junk, drop it too
+      if (hardCrashBeforeCleanup)
+        throw new IllegalStateException(
+          s"fault injection: crashed after merge, before cleanup of $stage")
     } else {
       write(data, table, SaveMode.Append)
     }
   }
 
+  /** True for errors that mean "this identifier quoting didn't
+    * resolve" — syntax / object-not-found, SQLState class 42xxx. ONLY
+    * these may fall through to the next quoting attempt: a transient
+    * failure (deadlock, lock timeout) rerun with different quoting
+    * could, on an endpoint holding both a quoted case-sensitive and a
+    * case-normalized column of the same name, update the wrong column.
+    */
+  private def identifierError(e: java.sql.SQLException): Boolean =
+    e.isInstanceOf[java.sql.SQLSyntaxErrorException] ||
+      Option(e.getSQLState).exists(_.startsWith("42"))
+
   /** One endpoint transaction over `stmts(attempt)` for each attempt
-    * in turn: a statement error rolls back and tries the next; the
-    * last error propagates. Any failure leaves the endpoint at the
-    * pre-transaction state.
+    * in turn: an IDENTIFIER-resolution error rolls back and tries the
+    * next quoting form; the last error propagates, and any other
+    * SQLException rolls back and rethrows immediately. Any failure
+    * leaves the endpoint at the pre-transaction state.
     */
   private def runTxnAttempts[A](attempts: Seq[A])(stmts: A => Seq[String]): Unit =
     withEndpoint { conn =>
@@ -282,6 +324,7 @@ final class JdbcConnection(spark: SparkSession, val name: String,
           done = true
         } catch { case e: java.sql.SQLException =>
           conn.rollback()
+          if (!identifierError(e)) throw e
           lastErr = e
         }
       }
@@ -350,23 +393,27 @@ final class JdbcConnection(spark: SparkSession, val name: String,
         // (destName, srcName) per column, each side's own catalog case
         val pairs = srcSchema.fieldNames.toSeq
           .map(c => destByLower(c.toLowerCase) -> c)
-        val srcKey = srcSchema.fieldNames
-          .find(_.equalsIgnoreCase(key)).getOrElse(key)
-        val destKey = destByLower.getOrElse(key.toLowerCase, key)
+        val srcKey = srcSchema.fieldNames.find(_.equalsIgnoreCase(key))
+        val destKey = destByLower.get(key.toLowerCase)
         def insertSel(qd: String => String, qs: String => String) =
           s"INSERT INTO $destTable (${pairs.map(p => qd(p._1)).mkString(", ")})" +
             s" SELECT ${pairs.map(p => qs(p._2)).mkString(", ")} FROM $sourceTable"
         val combos = Seq[(String => String, String => String)](
           (quotedQ, quotedQ), (quotedQ, identity), (identity, quotedQ),
           (identity, identity))
-        if (fullMerge)
+        // a key column missing from either side forces fullMerge
+        // (the reference's forced-fullMerge when the dest lacks the
+        // primary key, mysql.js:565, redshift.js:392) — running the
+        // keyed DELETE against a nonexistent column would just burn
+        // through all four quoting combos and throw
+        if (fullMerge || srcKey.isEmpty || destKey.isEmpty)
           runTxnAttempts(combos) { case (qd, qs) =>
             Seq(s"DELETE FROM $destTable", insertSel(qd, qs)) }
         else
           runTxnAttempts(combos) { case (qd, qs) =>
             Seq(
-              s"DELETE FROM $destTable WHERE ${qd(destKey)} IN " +
-                s"(SELECT ${qs(srcKey)} FROM $sourceTable)",
+              s"DELETE FROM $destTable WHERE ${qd(destKey.get)} IN " +
+                s"(SELECT ${qs(srcKey.get)} FROM $sourceTable)",
               insertSel(qd, qs)) }
       }
     }

@@ -97,6 +97,36 @@ object Kernels {
     * TextKernels.wordShingles incl. the single truncated shingle for
     * short docs).
     */
+  /** All k-token window digests of a token array, one element per
+    * window start (starts run 0..size-k): element i is the 16-byte md5
+    * of tokens [i, i+k) joined by ' ' — byte-identical to
+    * `unhex(md5(array_join(slice(toks, i+1, k), ' ')))` with none of
+    * the per-window slice/join/hex-string/unhex allocations that
+    * Catalyst form pays (the span-dedup family computes one digest
+    * per token position over the whole corpus, so this is its inner
+    * loop). Arrays shorter than k yield an empty result — short docs
+    * have no windows.
+    */
+  def windowMd5s(toks: ArrayData, k: Int): ArrayData = {
+    val n = toks.numElements() - k + 1
+    if (n <= 0) return new GenericArrayData(Array.empty[AnyRef])
+    val d = md5Local.get()
+    val out = new Array[AnyRef](n)
+    var i = 0
+    while (i < n) {
+      d.reset()
+      var j = 0
+      while (j < k) {
+        if (j > 0) d.update(' '.toByte)
+        d.update(toks.getUTF8String(i + j).getBytes)
+        j += 1
+      }
+      out(i) = d.digest()
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def wordShingles(text: UTF8String, shingleWords: Int): ArrayData = {
     val toks = tokenize(text)
     val nShingles = math.max(toks.length - shingleWords + 1, 1)
@@ -773,6 +803,12 @@ object Kernels {
       Kernels.getClass, ArrayType(StringType, containsNull = false), "wordShingles",
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(shingleWords))),
       Seq(StringType, IntegerType)))
+
+  def windowMd5sOf(toks: Column, k: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, ArrayType(BinaryType, containsNull = false), "windowMd5s",
+      Seq(expr(toks), expr(org.apache.spark.sql.functions.lit(k))),
+      Seq(ArrayType(StringType), IntegerType)))
 
   /** Winnowed (pos, fp) selections straight from text — compiled
     * single pass (see [[winnowSelect]]).

@@ -45,7 +45,14 @@ object SketchAgg {
     * ⌊2^40 / 2^ρ_j⌋ over ALL registers (empty ⇒ 2^40) — exactly
     * [[graft.ops.Sketch.hllReport]]'s quantized harmonic sum.
     */
-  def hllSummary(state: Array[Byte]): ArrayData = {
+  def hllSummary(state: Array[Byte], p: Int): ArrayData = {
+    // shape guard: a state reported with the wrong p would scale the
+    // harmonic sum by the wrong alpha·m² and silently mis-estimate —
+    // the one thing a sketch estimate must never do (cmEstimate's
+    // guard, mirrored)
+    require(state.length == (1 << p),
+      s"HLL state has ${state.length} registers but p=$p implies ${1 << p} — " +
+        "built with a different p than it is being reported with")
     val Q = 1L << 40
     var nz = 0L
     var sum = 0L
@@ -306,7 +313,7 @@ object SketchAgg {
     val Q = 1L << 40
     val s = StaticInvoke(
       SketchAgg.getClass, ArrayType(LongType, containsNull = false), "hllSummary",
-      Seq(state), Seq(BinaryType))
+      Seq(state, Literal(p)), Seq(BinaryType, IntegerType))
     // same tree shape as Sketch.hllReport's closing arithmetic:
     // (alpha·m² * Q_double) / sum_q_double — one shared double division
     val est = Divide(

@@ -57,6 +57,92 @@ object StubDecoder extends MediaDecoder {
     Kernels.poolBytes(payload, factor).toLongArray()
 }
 
+/** REAL pixel decoder over `javax.imageio` — PNG/JPEG/GIF/BMP readers
+  * ship inside the JDK, so this is pure-JVM with no native libraries,
+  * registered as the built-in type "imageio". It plans through the
+  * same Invoke surface as any custom decoder; the stub remains the
+  * default (oracle queries q27/q52 pin the stub kernels).
+  *
+  * `features(payload, dim)`: decode, then mean LUMINANCE (BT.601
+  * 0.299R+0.587G+0.114B) over a `dim`-cell partition of the raster in
+  * row-major order, normalized to [0,1] — a deterministic global
+  * image descriptor. `resize(payload, factor)`: factor×factor block
+  * mean luminance rounded to [0,255], row-major — a real downsample.
+  *
+  * Undecodable payloads (wrong magic, truncated stream) fall back to
+  * the stub's byte-level kernels instead of throwing: one corrupt
+  * object inside a 100 TB scan must degrade that row, not kill the
+  * job. ImageIO's disk cache is disabled — executor tasks must not
+  * contend on temp-file scratch for an in-memory decode.
+  */
+object ImageIoDecoder extends MediaDecoder {
+  javax.imageio.ImageIO.setUseCache(false)
+
+  override val name: String = "imageio"
+
+  private def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
+    try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
+    catch { case _: java.io.IOException => None }
+
+  private def lum(rgb: Int): Double =
+    0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)
+
+  override def features(payload: Array[Byte], dim: Int): Array[Float] =
+    decode(payload) match {
+      case None => StubDecoder.features(payload, dim)
+      case Some(img) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val sums = new Array[Double](dim)
+        val counts = new Array[Long](dim)
+        val n = w.toLong * h
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            val cell = (((y.toLong * w + x) * dim) / n).toInt
+            sums(cell) += lum(img.getRGB(x, y))
+            counts(cell) += 1
+            x += 1
+          }
+          y += 1
+        }
+        Array.tabulate(dim)(i =>
+          if (counts(i) == 0) 0f else (sums(i) / counts(i) / 255.0).toFloat)
+    }
+
+  override def resize(payload: Array[Byte], factor: Int): Array[Long] =
+    decode(payload) match {
+      case None => StubDecoder.resize(payload, factor)
+      case Some(img) =>
+        val w = img.getWidth
+        val h = img.getHeight
+        val ow = math.max(1, w / factor)
+        val oh = math.max(1, h / factor)
+        val out = new Array[Long](ow * oh)
+        var by = 0
+        while (by < oh) {
+          var bx = 0
+          while (bx < ow) {
+            var s = 0.0
+            var cnt = 0
+            var y = by * factor
+            val yEnd = math.min((by + 1) * factor, h)
+            val xEnd = math.min((bx + 1) * factor, w)
+            while (y < yEnd) {
+              var x = bx * factor
+              while (x < xEnd) { s += lum(img.getRGB(x, y)); cnt += 1; x += 1 }
+              y += 1
+            }
+            out(by * ow + bx) = math.round(s / cnt)
+            bx += 1
+          }
+          by += 1
+        }
+        out
+    }
+}
+
 /** Decoder registry: resolve by type string, user-local registrations
   * shadowing built-ins. Driver-side only by design — the resolved
   * instance is serialized into the plan, so nothing here needs to
@@ -65,7 +151,8 @@ object StubDecoder extends MediaDecoder {
 object MediaDecoders {
   private val builders =
     scala.collection.concurrent.TrieMap[String, () => MediaDecoder](
-      "stub" -> (() => StubDecoder))
+      "stub" -> (() => StubDecoder),
+      "imageio" -> (() => ImageIoDecoder))
 
   /** User-local decoder types shadow built-ins. */
   def register(tpe: String)(b: => MediaDecoder): Unit =

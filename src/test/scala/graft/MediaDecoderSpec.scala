@@ -71,6 +71,66 @@ class MediaDecoderSpec extends AnyFunSuite {
     assert(got(2L) === dec.resize("abc".getBytes("UTF-8"), 4).toSeq)
   }
 
+  test("imageio decoder: real PNG pixels decode to known luminance features") {
+    import java.awt.image.BufferedImage
+    // 2x2 fixture with exactly-known pixels (PNG is lossless):
+    // (0,0) black  (1,0) white
+    // (0,1) red    (1,1) blue
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x0000ff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+
+    val dec = graft.ops.MediaDecoders.resolve("imageio")
+    assert(dec.name === "imageio")
+    // dim=4 over a 2x2 raster: one cell per pixel, row-major; BT.601
+    // luminance normalized to [0,1]
+    val feats = dec.features(png, 4)
+    val want = Seq(0.0, 1.0, 0.299, 0.114)
+    feats.toSeq.zip(want).zipWithIndex.foreach { case ((got, w), i) =>
+      assert(math.abs(got - w) < 1e-3, s"cell $i: $got vs $w")
+    }
+    // factor=2 downsample of 2x2 -> one block: mean luminance rounded
+    val small = dec.resize(png, 2)
+    assert(small.toSeq === Seq(math.round((0.0 + 255.0 + 76.245 + 29.07) / 4)))
+  }
+
+  test("imageio decoder: JPEG decodes too; corrupt bytes degrade to the stub, not a crash") {
+    import java.awt.image.BufferedImage
+    // uniform gray survives JPEG's lossy round-trip nearly exactly
+    val img = new BufferedImage(8, 8, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 8; x <- 0 until 8) img.setRGB(x, y, 0x808080)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "jpg", buf)
+    val dec = graft.ops.MediaDecoders.resolve("imageio")
+    val feats = dec.features(buf.toByteArray, 4)
+    assert(feats.length === 4)
+    feats.foreach(f => assert(math.abs(f - 128.0 / 255.0) < 0.02, f.toString))
+    // not-an-image payloads fall back to the stub's byte kernels — a
+    // corrupt object in a 100 TB scan degrades its row, never the job
+    val junk = "definitely not an image".getBytes("UTF-8")
+    assert(dec.features(junk, 4).toSeq === StubDecoder.features(junk, 4).toSeq)
+    assert(dec.resize(junk, 4).toSeq === StubDecoder.resize(junk, 4).toSeq)
+  }
+
+  test("imageio decoder runs through the Multimodal operator surface") {
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(2, 2, BufferedImage.TYPE_INT_RGB)
+    img.setRGB(0, 0, 0x000000); img.setRGB(1, 0, 0xffffff)
+    img.setRGB(0, 1, 0xff0000); img.setRGB(1, 1, 0x0000ff)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    val df = Seq((1L, png)).toDF("id", "payload")
+      .withColumn("media_type", lit("image/png"))
+    val dec = graft.ops.MediaDecoders.resolve("imageio")
+    val got = Multimodal.extractFeatures(df, "id", dec).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+    assert(got(1L) === dec.features(png, Multimodal.FeatureDim).toSeq)
+  }
+
   test("the default stub path is the compiled kernel path, bit-for-bit") {
     val viaSpi = Multimodal.extractFeatures(media, "id")
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap

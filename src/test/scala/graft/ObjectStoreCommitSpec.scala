@@ -115,8 +115,14 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
       spark.sparkContext.hadoopConfiguration)
     val partialBytes = fs.getContentSummary(
       new Path(t.path, "v-00000000")).getLength
+    // sizeBytes counts DATA files only: root-level _GRAFT_* metadata
+    // (the append path's mutation counter, the bucket-layout guard)
+    // is engine bookkeeping, not table contents
+    val metaBytes = fs.listStatus(new Path(t.path))
+      .filter(_.getPath.getName.startsWith("_GRAFT_"))
+      .map(st => fs.getContentSummary(st.getPath).getLength).sum
     assert(t.sizeBytes ===
-      fs.getContentSummary(new Path(t.path)).getLength - partialBytes)
+      fs.getContentSummary(new Path(t.path)).getLength - partialBytes - metaBytes)
   }
 
   test("a torn pointer read heals to the committed version") {
@@ -147,8 +153,11 @@ class ObjectStoreCommitSpec extends AnyFunSuite {
     // stay publish-unique even across crash debris)
     t.overwrite(rows(2L -> "new"))
     assert(t.read.as[(Long, String)].collect().toSeq === Seq(2L -> "new"))
+    // root-level _GRAFT_* metadata (here: the legacy-era mutation
+    // counter the append wrote) is deliberately SPARED by gc — the
+    // bucket-layout guard rides the same exemption
     val names = fs.listStatus(new Path(t.path)).map(_.getPath.getName).toSet
-    assert(names === Set("_CURRENT", "v-00000100"), names)
+    assert(names === Set("_CURRENT", "v-00000100", "_GRAFT_MUTS"), names)
   }
 
   test("rollback re-publishes the retained prior snapshot atomically") {

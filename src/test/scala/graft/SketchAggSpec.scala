@@ -41,6 +41,23 @@ class SketchAggSpec extends AnyFunSuite {
     assert(got === want)
   }
 
+  test("hllReportOf with a mismatched p fails loudly, never mis-estimates") {
+    // a p=10 state reported with the default p=8 would scale the
+    // harmonic sum by the wrong alpha*m^2 — the report must reject a
+    // state whose register count contradicts p (cmEstimate's shape
+    // guard, mirrored)
+    val st = keys.agg(SketchAgg.hllSketch(col("k"), 10).as("st"))
+    val e = intercept[Exception] {
+      st.select(SketchAgg.hllReportOf(col("st"), 8).as("r")).select("r.est").head()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).exists(_.getMessage != null) &&
+      chain(e).map(t => String.valueOf(t.getMessage)).mkString("|")
+        .contains("different p"),
+      s"expected the p-mismatch guard, got: $e")
+  }
+
   test("merge-equivalence: per-slice HLL states merged == one-pass state") {
     val whole = keys.agg(SketchAgg.hllSketch(col("k"), P).as("st"))
       .head().getAs[Array[Byte]]("st")
