@@ -4,6 +4,65 @@ import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 import graft.util.Pin.PinOps
 
+/** Shared, session-cached graph prework: the canonical undirected
+  * edge set, its symmetric doubling, the degree table, and the node
+  * list — each computed and PINNED at most once per (SparkContext,
+  * cache key) and reused by every graph query in the session. Before
+  * this existed, each of the graph queries over the same source graph
+  * rebuilt edges/nodes/degrees from scratch — at sf0.1 the shared
+  * co-occurrence prefix alone was 1–2 s PER QUERY across eight
+  * queries. At cluster scale the pins are persists of ~|V|·k edge
+  * rows; the cache holds one entry per distinct graph source, for
+  * the context's lifetime (an explicit, bounded session cache — the
+  * deliberate trade of memory for the repeated-analysis pattern).
+  *
+  * The derived members are lazy: a query touching only `edges` pins
+  * nothing extra.
+  */
+final class GraphFrameLite private (val edges: DataFrame,
+    srcCol: String, dstCol: String) {
+  import graft.util.Pin.PinOps
+
+  /** Canonical undirected (u < v) edge set, pinned once. */
+  lazy val canonical: DataFrame =
+    Graph.canonUndirected(edges, srcCol, dstCol).cutLineage
+
+  /** Both orientations of [[canonical]] — the message-passing edge
+    * list, pinned once. */
+  lazy val symmetric: DataFrame =
+    canonical.unionAll(
+      canonical.select(col("v").as("u"), col("u").as("v"))).cutLineage
+
+  /** (node, degree) of [[canonical]], pinned once. */
+  lazy val degrees: DataFrame = Graph.undirectedDegrees(canonical).cutLineage
+
+  /** Every endpoint node, derived from the pinned degree table. */
+  def nodes: DataFrame = degrees.select(col("node"))
+}
+
+object GraphFrameLite {
+  private val cache =
+    scala.collection.concurrent.TrieMap[(String, String), GraphFrameLite]()
+
+  /** The session-cached instance for `key`: `build` runs at most once
+    * per (SparkContext, key) — keyed on the application id so a new
+    * context (whose pinned RDDs would be gone) never sees a stale
+    * entry. `build` must return an edge list whose content is a pure
+    * function of `key` (immutable source data), which is what makes
+    * cross-query reuse sound.
+    */
+  def cached(spark: org.apache.spark.sql.SparkSession, key: String,
+      srcCol: String = "src", dstCol: String = "dst")(
+      build: => DataFrame): GraphFrameLite =
+    cache.getOrElseUpdate((spark.sparkContext.applicationId, key),
+      new GraphFrameLite(build, srcCol, dstCol))
+
+  /** Uncached wrapper for a one-off graph. */
+  def of(edges: DataFrame, srcCol: String = "src",
+      dstCol: String = "dst"): GraphFrameLite =
+    new GraphFrameLite(edges, srcCol, dstCol)
+}
+
 /** [EXT] Distributed graph statistics over an edge-list DataFrame —
   * the graph-shaped analyses a curation pipeline runs on similarity /
   * co-occurrence graphs (the q124 kNN graph, supplier co-part graphs,
@@ -11,7 +70,10 @@ import graft.util.Pin.PinOps
   *
   * Everything is edge-list relational algebra: no vertex-program
   * framework, no driver-side adjacency — joins and aggregations that
-  * AQE sizes like any other query.
+  * AQE sizes like any other query. Operators come in two forms: the
+  * raw edge-list entry points (self-contained), and
+  * [[GraphFrameLite]] overloads that reuse the session-pinned
+  * canonical/degree prework instead of rebuilding it per query.
   */
 object Graph {
 
@@ -19,7 +81,7 @@ object Graph {
     * duplicates collapsed — the shared first step of every undirected
     * operator here, maintained once.
     */
-  private def canonUndirected(edges: DataFrame, srcCol: String,
+  private[ops] def canonUndirected(edges: DataFrame, srcCol: String,
       dstCol: String): DataFrame =
     edges.select(
         least(col(srcCol), col(dstCol)).cast("long").as("u"),
@@ -28,7 +90,7 @@ object Graph {
       .distinct()
 
   /** Per-node degree of a canonical edge set. */
-  private def undirectedDegrees(es: DataFrame): DataFrame =
+  private[ops] def undirectedDegrees(es: DataFrame): DataFrame =
     es.select(col("u").as("node"))
       .unionAll(es.select(col("v").as("node")))
       .groupBy(col("node")).agg(count(lit(1)).as("degree"))
@@ -122,6 +184,12 @@ object Graph {
     pagerankLoop(edges, srcCol, dstCol, iterations, dampNum, dampDen,
       redistributeDangling = false)
 
+  /** [[pagerank]] over the session-pinned SYMMETRIC edge set (the
+    * undirected message-passing form the graph queries use). */
+  def pagerank(g: GraphFrameLite, iterations: Int): DataFrame =
+    pagerankLoop(g.symmetric, "u", "v", iterations, 85, 100,
+      redistributeDangling = false)
+
   /** [[pagerank]] with DANGLING-MASS REDISTRIBUTION — the textbook
     * variant for genuinely directed graphs (citation/link graphs,
     * oriented candidate edges), where sink nodes otherwise leak their
@@ -146,6 +214,13 @@ object Graph {
   def pagerankDangling(edges: DataFrame, srcCol: String, dstCol: String,
       iterations: Int = 3, dampNum: Long = 85, dampDen: Long = 100): DataFrame =
     pagerankLoop(edges, srcCol, dstCol, iterations, dampNum, dampDen,
+      redistributeDangling = true)
+
+  /** [[pagerankDangling]] over the session-pinned CANONICAL (u→v for
+    * u<v) edge set — nodes appearing only on the v side are genuine
+    * sinks, the directed form the dangling variant is for. */
+  def pagerankDangling(g: GraphFrameLite, iterations: Int): DataFrame =
+    pagerankLoop(g.canonical, "u", "v", iterations, 85, 100,
       redistributeDangling = true)
 
   /** Per-node triangle count + local clustering coefficient via the
@@ -174,7 +249,14 @@ object Graph {
     */
   def triangleStats(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val canon = canonUndirected(edges, srcCol, dstCol)
-    val deg = undirectedDegrees(canon)
+    triangleStatsOn(canon, undirectedDegrees(canon))
+  }
+
+  /** [[triangleStats]] on the session-pinned prework. */
+  def triangleStats(g: GraphFrameLite): DataFrame =
+    triangleStatsOn(g.canonical, g.degrees)
+
+  private def triangleStatsOn(canon: DataFrame, deg: DataFrame): DataFrame = {
     val oriented = canon
       .join(deg.select(col("node").as("u"), col("degree").as("du")), Seq("u"))
       .join(deg.select(col("node").as("v"), col("degree").as("dv")), Seq("v"))
@@ -224,10 +306,21 @@ object Graph {
   def labelPropagation(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame, labelNodeCol: String, labelCol: String,
       rounds: Int): DataFrame = {
-    require(rounds >= 1, s"need rounds >= 1: $rounds")
     val canon = canonUndirected(edges, srcCol, dstCol)
-    val de = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
-      .cutLineage
+    labelPropagationOn(
+      canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+        .cutLineage,
+      labels, labelNodeCol, labelCol, rounds)
+  }
+
+  /** [[labelPropagation]] on the session-pinned prework. */
+  def labelPropagation(g: GraphFrameLite, labels: DataFrame,
+      labelNodeCol: String, labelCol: String, rounds: Int): DataFrame =
+    labelPropagationOn(g.symmetric, labels, labelNodeCol, labelCol, rounds)
+
+  private def labelPropagationOn(de: DataFrame, labels: DataFrame,
+      labelNodeCol: String, labelCol: String, rounds: Int): DataFrame = {
+    require(rounds >= 1, s"need rounds >= 1: $rounds")
     var lab = labels.select(col(labelNodeCol).cast("long").as("node"),
       col(labelCol).cast("long").as("label")).cutLineage
     for (_ <- 1 to rounds) {
@@ -285,10 +378,23 @@ object Graph {
     * surviving subgraph.
     */
   def kcore(edges: DataFrame, srcCol: String, dstCol: String,
-      k: Int, rounds: Int): DataFrame = {
+      k: Int, rounds: Int): DataFrame =
+    kcoreOn(canonUndirected(edges, srcCol, dstCol).cutLineage, k, rounds)
+
+  /** [[kcore]] on the session-pinned prework. The peel loop RETIRES
+    * each superseded round's checkpoint — handing it the pinned
+    * canonical frame directly would unpersist the session cache on
+    * round one, so the loop starts from a DERIVED frame ([[graft.util
+    * .Pin.retire]] is deliberately non-transitive: derived frames are
+    * a retire no-op).
+    */
+  def kcore(g: GraphFrameLite, k: Int, rounds: Int): DataFrame =
+    kcoreOn(g.canonical.select(col("u"), col("v")), k, rounds)
+
+  private def kcoreOn(canon: DataFrame, k: Int, rounds: Int): DataFrame = {
     require(k >= 1, s"need k >= 1: $k")
     require(rounds >= 1, s"need rounds >= 1: $rounds")
-    var e = canonUndirected(edges, srcCol, dstCol).cutLineage
+    var e = canon
     for (_ <- 1 to rounds) e = peelRound(e, k)
     undirectedDegrees(e)
   }
@@ -346,9 +452,18 @@ object Graph {
   def modularity(edges: DataFrame, srcCol: String, dstCol: String,
       labels: DataFrame, labelNodeCol: String, labelCol: String): DataFrame = {
     val canon = canonUndirected(edges, srcCol, dstCol)
+    modularityOn(canon, undirectedDegrees(canon), labels, labelNodeCol, labelCol)
+  }
+
+  /** [[modularity]] on the session-pinned prework. */
+  def modularity(g: GraphFrameLite, labels: DataFrame,
+      labelNodeCol: String, labelCol: String): DataFrame =
+    modularityOn(g.canonical, g.degrees, labels, labelNodeCol, labelCol)
+
+  private def modularityOn(canon: DataFrame, deg: DataFrame,
+      labels: DataFrame, labelNodeCol: String, labelCol: String): DataFrame = {
     val lab = labels.select(col(labelNodeCol).cast("long").as("node"),
       col(labelCol).cast("long").as("label"))
-    val deg = undirectedDegrees(canon)
     val dC = deg.join(lab, Seq("node"))
       .groupBy(col("label")).agg(sum(col("degree")).as("d_c"))
     val eC = canon
@@ -381,8 +496,16 @@ object Graph {
 
   def assortativity(edges: DataFrame, srcCol: String, dstCol: String): DataFrame = {
     val canon = canonUndirected(edges, srcCol, dstCol)
-    val deg = undirectedDegrees(canon)
-    val directed = canon.unionAll(canon.select(col("v").as("u"), col("u").as("v")))
+    assortativityOn(
+      canon.unionAll(canon.select(col("v").as("u"), col("u").as("v"))),
+      undirectedDegrees(canon))
+  }
+
+  /** [[assortativity]] on the session-pinned prework. */
+  def assortativity(g: GraphFrameLite): DataFrame =
+    assortativityOn(g.symmetric, g.degrees)
+
+  private def assortativityOn(directed: DataFrame, deg: DataFrame): DataFrame = {
     val dec = "decimal(38,0)"
     val xy = directed
       .join(deg.select(col("node").as("u"), col("degree").as("x")), Seq("u"))
