@@ -2591,6 +2591,213 @@ object PipelinePack {
           AS span_text
       FROM spans s JOIN bbase b USING (doc_id)"""))
 
+  /** Span-index lifecycle report (the q198 state's maintenance view):
+    * the corpus ingests as three disjoint doc_id%3 batches into the
+    * AGED window-hash index ([[TextClean.spanIndexAged]]/
+    * [[TextClean.spanIndexMergeAged]]), and the report prices a
+    * watermark-1 [[TextClean.spanIndexCompact]] per recency class —
+    * how many window digests each last-seen batch holds, how many are
+    * duplicated (always retained), how many are singletons, and how
+    * many rows survive the prune. For last_batch <= watermark only
+    * the duplicated rows survive — the pruned singletons are exactly
+    * the accepted re-pairing loss SpanIndexSpec pins. The oracle
+    * rebuilds the aged index relationally: batches are doc-disjoint,
+    * so distinct-doc counts add and recency is max(doc_id % 3).
+    */
+  private val q199 = QueryDef(
+    "q199_span_index_prune",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val idx = TextClean.spanIndexMergeAged((0L to 2L).map(b =>
+        TextClean.spanIndexAged(
+          docs.filter(pmod(col("doc_id"), lit(3L)) === b),
+          "doc_id", "text", batchId = b, k = 3)))
+      val stats = idx.groupBy(col("last_batch"))
+        .agg(count(lit(1)).as("n_windows"),
+          count(when(col("n_docs") >= 2, 1)).as("n_dup"),
+          count(when(col("n_docs") === 1, 1)).as("n_singleton"))
+      val retained = TextClean.spanIndexCompact(idx, watermarkBatch = 1L)
+        .groupBy(col("last_batch")).agg(count(lit(1)).as("n_retained"))
+      stats.join(retained, Seq("last_batch"), "left")
+        .select(col("last_batch"), col("n_windows"), col("n_dup"),
+          col("n_singleton"),
+          coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, $T AS toks FROM documents),
+      win AS (SELECT doc_id,
+          unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS pos, toks
+        FROM base),
+      wh AS (SELECT unhex(md5(array_to_string(toks[pos:pos+2], ' '))) AS wh,
+          doc_id FROM win),
+      idx AS (SELECT wh, count(DISTINCT doc_id) AS n_docs,
+          max(doc_id % 3) AS last_batch FROM wh GROUP BY wh)
+      SELECT last_batch, count(*) AS n_windows,
+        count(*) FILTER (WHERE n_docs >= 2) AS n_dup,
+        count(*) FILTER (WHERE n_docs = 1) AS n_singleton,
+        count(*) FILTER (WHERE n_docs >= 2 OR last_batch > 1) AS n_retained
+      FROM idx GROUP BY 1"""))
+
+  /** Bottom-k (KMV) sketch per source: the k smallest 60-bit key
+    * hashes double as (a) a deterministic, RNG-free uniform sample of
+    * each source's keys — hash-order selection is a pure function of
+    * the data, reproducible on any engine or partitioning — and (b)
+    * the k-minimum-values distinct-count estimator
+    * `(k−1)·2⁶⁰ ÷ h_k` (Bar-Yossef et al. 2002; public method),
+    * integer-exact to the one final division. Scale shape: the
+    * selection runs in [[graft.functions.TopKHeap.minK]] — a bounded
+    * LONG-key heap partial aggregate, so the exchange carries ≤ k
+    * rows per (source × partition) and no Window ever sorts the
+    * corpus; 60-bit hashes must stay longs end-to-end (a double
+    * mantissa would corrupt hash order — minK's reason to exist).
+    * Sources with fewer than k keys report their exact count.
+    */
+  private val q200 = QueryDef(
+    "q200_kmv_sketch",
+    (s, dir) => {
+      val k = 8
+      Tables.documents(s, dir)
+        .select(col("source"),
+          graft.functions.TextKernels.hex60(col("doc_id").cast("string")).as("h"))
+        .groupBy(col("source"))
+        .agg(count(lit(1)).as("n_docs"),
+          graft.functions.TopKHeap.minK(col("h"), col("h"), k).as("bk"))
+        .select(col("source"), col("n_docs"),
+          size(col("bk")).cast("long").as("k_used"),
+          expr("bk[size(bk)-1].key").as("h_k"))
+        .select(col("source"), col("n_docs"), col("k_used"), col("h_k"),
+          when(col("k_used") < k, col("k_used"))
+            .otherwise(expr("(7 * 1152921504606846976L) div h_k"))
+            .as("est_distinct"))
+    },
+    Some(s"""WITH h AS (SELECT source,
+          ${sqlHex60("doc_id::VARCHAR")} AS h FROM documents),
+      bk AS (SELECT source, h FROM h
+        QUALIFY row_number() OVER (PARTITION BY source ORDER BY h) <= 8),
+      agg AS (SELECT source, max(h) AS h_k, count(*) AS k_used
+        FROM bk GROUP BY source),
+      n AS (SELECT source, count(*) AS n_docs FROM h GROUP BY source)
+      SELECT n.source, n.n_docs, a.k_used, a.h_k,
+        CASE WHEN a.k_used < 8 THEN a.k_used
+          ELSE (7 * 1152921504606846976) // a.h_k END AS est_distinct
+      FROM n JOIN agg a USING (source)"""))
+
+  /** Bloom-prefiltered benchmark decontamination with false-positive
+    * accounting ([[graft.functions.SketchAgg.BloomSketchAgg]]): the
+    * benchmark split's distinct 5-token windows build ONE 32768-bit
+    * bloom state (broadcast as 4 KB of literal bytes); every training
+    * window probes it MAP-SIDE, and only the bloom-hit survivors —
+    * never the full corpus — reach the exact semi-join against the
+    * benchmark window set. Per source: window count, bloom hits, and
+    * exact hits; bloom never under-reports (no false negatives), so
+    * `bloom_hits - exact_hits` is the measured false-positive cost the
+    * prefilter pays for skipping the corpus-wide shuffle. q57/q112 are
+    * the exact-join decontamination ops; this is their 100 TB
+    * prefilter shape. The oracle replays every salted bit position
+    * relationally, so the aggregate's update/merge/serialize path AND
+    * the probe kernel are both hash-checked, false positives included.
+    */
+  private val q201 = QueryDef(
+    "q201_bloom_decontam",
+    (s, dir) => {
+      val m = 32768
+      val k = 3
+      val toks = TextKernels.tokens(col("text"))
+      val wins = when(size(toks) > 4,
+        array_distinct(transform(sequence(lit(1), size(toks) - 4),
+          p => concat_ws(" ", slice(toks, p, lit(5))))))
+        .otherwise(array().cast("array<string>"))
+      val split = Tables.documents(s, dir)
+        .select(col("doc_id"), col("source"), explode(wins).as("w"),
+          (graft.functions.TextKernels.hex60(col("doc_id").cast("string"))
+            % 10 < 2).as("is_bench"))
+      val benchW = split.filter(col("is_bench")).select(col("w")).distinct()
+      val bf = benchW.agg(
+        graft.functions.SketchAgg.bloomSketch(col("w"), m, k).as("st"))
+      val probed = split.filter(!col("is_bench"))
+        .select(col("doc_id"), col("source"), col("w"))
+        .crossJoin(broadcast(bf))
+        .withColumn("hit",
+          graft.functions.SketchAgg.bloomContainsOf(col("st"), col("w"), m, k))
+      // exact pass over bloom-hit candidates ONLY (no false negatives
+      // ⇒ identical to the full exact join)
+      val confirmed = probed.filter(col("hit"))
+        .join(benchW, Seq("w"), "left_semi")
+        .groupBy(col("source")).agg(count(lit(1)).as("exact"))
+      probed.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_windows"),
+          count(when(col("hit"), 1)).as("bloom_hits"))
+        .join(confirmed, Seq("source"), "left")
+        .select(col("source"), col("n_windows"), col("bloom_hits"),
+          coalesce(col("exact"), lit(0L)).as("exact_hits"))
+    },
+    Some(s"""WITH base AS (SELECT doc_id, source,
+          ${sqlHex60("doc_id::VARCHAR")} % 10 < 2 AS is_bench,
+          $T AS toks FROM documents),
+      win0 AS (SELECT doc_id, source, is_bench,
+          unnest(range(1, greatest(len(toks) - 4, 0) + 1)) AS p, toks
+        FROM base),
+      win AS (SELECT DISTINCT doc_id, source, is_bench,
+          array_to_string(toks[p:p+4], ' ') AS w FROM win0),
+      bw AS (SELECT DISTINCT w FROM win WHERE is_bench),
+      pos AS (SELECT DISTINCT ${sqlHex60("'bl' || i || ':' || w")} % 32768 AS p
+        FROM bw, (SELECT unnest(range(0, 3)) AS i) t),
+      tw AS (SELECT doc_id, source, w FROM win WHERE NOT is_bench),
+      probe AS (SELECT doc_id, w,
+          ${sqlHex60("'bl' || i || ':' || w")} % 32768 AS p
+        FROM tw, (SELECT unnest(range(0, 3)) AS i) t),
+      hits AS (SELECT doc_id, w, count(*) AS nh FROM probe
+        JOIN pos USING (p) GROUP BY doc_id, w),
+      flag AS (SELECT t.source, t.w, coalesce(h.nh, 0) = 3 AS hit
+        FROM tw t LEFT JOIN hits h USING (doc_id, w))
+      SELECT source, count(*) AS n_windows,
+        count(*) FILTER (WHERE hit) AS bloom_hits,
+        count(*) FILTER (WHERE w IN (SELECT w FROM bw)) AS exact_hits
+      FROM flag GROUP BY 1"""))
+
+  /** Shard-built bloom states folded into the union's filter
+    * ([[graft.functions.SketchAgg.BloomMergeAgg]]): three disjoint
+    * doc_id%3 shards each build a 2048-bit filter over their document
+    * texts in one pass, and the merge aggregate ORs the stored states
+    * — bitwise OR is exactly set union, so the merged filter is
+    * bit-identical to one built over the whole corpus (the
+    * build-per-shard / merge-on-demand lifecycle of the HLL/CM
+    * siblings q196–q197). Reports (n_set, fill_ppm) per shard and for
+    * the merged state; the oracle recomputes every salted bit position
+    * per shard and for the union, so both aggregates' states are
+    * hash-checked bit-for-bit.
+    */
+  private val q202 = QueryDef(
+    "q202_bloom_shard_union",
+    (s, dir) => {
+      val m = 2048
+      val per = Tables.documents(s, dir)
+        .groupBy(pmod(col("doc_id"), lit(3L)).as("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          graft.functions.SketchAgg.bloomSketch(col("text"), m, 3).as("st"))
+      val merged = per.agg(sum(col("n_docs")).as("n_docs"),
+          graft.functions.SketchAgg.bloomMerge(col("st"), m).as("st"))
+        .select(lit(-1L).as("batch"), col("n_docs"), col("st"))
+      per.unionByName(merged)
+        .select(col("batch"), col("n_docs"),
+          graft.functions.SketchAgg.bloomReportOf(col("st"), m).as("r"))
+        .select(col("batch"), col("n_docs"), col("r.m").as("m"),
+          col("r.n_set").as("n_set"), col("r.fill_ppm").as("fill_ppm"))
+    },
+    Some(s"""WITH pos AS (SELECT doc_id % 3 AS batch,
+          ${sqlHex60("'bl' || i || ':' || text")} % 2048 AS p
+        FROM documents, (SELECT unnest(range(0, 3)) AS i) t),
+      nd AS (SELECT doc_id % 3 AS batch, count(*) AS n_docs
+        FROM documents GROUP BY 1),
+      per AS (SELECT batch, count(DISTINCT p) AS n_set FROM pos GROUP BY 1),
+      both AS (
+        SELECT nd.batch, nd.n_docs, per.n_set FROM nd
+          JOIN per USING (batch)
+        UNION ALL
+        SELECT -1 AS batch, (SELECT count(*) FROM documents) AS n_docs,
+          (SELECT count(DISTINCT p) FROM pos) AS n_set)
+      SELECT batch, n_docs, 2048 AS m, n_set,
+        n_set * 1000000 // 2048 AS fill_ppm FROM both"""))
+
   /** Per-group HLL cardinality via the AGGREGATE surface
     * (functions.SketchAgg.hllSketch → hllReportOf): one pass builds a
     * 256-register state per order priority and the report reads each
@@ -2842,5 +3049,6 @@ object PipelinePack {
     q125, q126, q128, q129, q130, q131, q132, q136, q137, q139, q140,
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
-    q185, q186, q187, q191, q193, q194, q195, q196, q197, q198)
+    q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
+    q201, q202)
 }
