@@ -104,6 +104,57 @@ object SketchAgg {
     while (i < into.length) { into(i) += from(i); i += 1 }
     into
   }
+  private def orBytesInto(into: Array[Byte], from: Array[Byte]): Array[Byte] = {
+    var i = 0
+    while (i < into.length) { into(i) = (into(i) | from(i)).toByte; i += 1 }
+    into
+  }
+
+  // ---- Bloom filter ---------------------------------------------------
+
+  /** Bit position of hash `i` for `key` in an m-bit filter — the same
+    * salted-hex60 convention as the count–min rows ("cm$i:"), salt
+    * "bl$i:", so the oracle can replay every bit relationally.
+    */
+  private def bloomBit(i: Int, key: String, m: Int): Int =
+    (Kernels.hex60String("bl" + i + ":" + key) % m).toInt
+
+  /** All k bits of `key` set in the state? No false negatives ever;
+    * false positives at the documented (1 - e^{-kn/m})^k rate
+    * (Bloom 1970, CACM 13(7)).
+    */
+  def bloomContains(state: Array[Byte], m: Int, k: Int, key: UTF8String): Boolean = {
+    // shape guard: a state probed with the wrong m would read wrong
+    // bit positions and could report a FALSE NEGATIVE — the one thing
+    // a bloom membership probe must never do
+    require(state.length.toLong * 8 == m,
+      s"bloom state has ${state.length * 8} bits but m=$m — " +
+        "probed with a different m than it was built with")
+    val s = key.toString
+    var i = 0
+    while (i < k) {
+      val b = bloomBit(i, s, m)
+      if ((state(b >>> 3) & (1 << (b & 7))) == 0) return false
+      i += 1
+    }
+    true
+  }
+
+  /** (n_set, fill_ppm) of an m-bit state: population count and the
+    * integer-exact parts-per-million fill ratio.
+    */
+  def bloomSummary(state: Array[Byte], m: Int): ArrayData = {
+    require(state.length.toLong * 8 == m,
+      s"bloom state has ${state.length * 8} bits but m=$m — " +
+        "reported with a different m than it was built with")
+    var n = 0L
+    var i = 0
+    while (i < state.length) {
+      n += java.lang.Integer.bitCount(state(i) & 0xff)
+      i += 1
+    }
+    new GenericArrayData(Array(n, n * 1000000L / m))
+  }
 
   // ---- HyperLogLog --------------------------------------------------
 
@@ -276,6 +327,89 @@ object SketchAgg {
       copy(child = newChild)
   }
 
+  /** State: m/8 bytes, bit b at byte b>>>3 mask 1<<(b&7); `update`
+    * sets the k salted-hex60 bits of each key. The build-side half of
+    * the decontamination prefilter: sketch the benchmark once, probe
+    * the corpus map-side.
+    */
+  case class BloomSketchAgg(child: Expression, m: Int, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    require(m >= 64 && m % 8 == 0 && m <= (1 << 26),
+      s"need 64 <= m <= 2^26 and m % 8 == 0: $m")
+    require(k >= 1 && k <= 16, s"need 1 <= k <= 16: $k")
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m / 8)
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val key = v.asInstanceOf[UTF8String].toString
+        var i = 0
+        while (i < k) {
+          val b = bloomBit(i, key, m)
+          buf(b >>> 3) = (buf(b >>> 3) | (1 << (b & 7))).toByte
+          i += 1
+        }
+      }
+      buf
+    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+      orBytesInto(b1, b2)
+    override def eval(buf: Array[Byte]): Any = buf.clone()
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def prettyName: String = "bloom_sketch_agg"
+    override def withNewMutableAggBufferOffset(o: Int): BloomSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BloomSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): BloomSketchAgg =
+      copy(child = newChild)
+  }
+
+  /** Fold STORED m-bit bloom states (bitwise OR) into the filter of
+    * the union — build per-shard/per-day, merge on demand; OR is
+    * exactly set union, so the merged filter is bit-identical to one
+    * built over the union.
+    */
+  case class BloomMergeAgg(child: Expression, m: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Byte]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    require(m >= 64 && m % 8 == 0 && m <= (1 << 26),
+      s"need 64 <= m <= 2^26 and m % 8 == 0: $m")
+    override def createAggregationBuffer(): Array[Byte] = new Array[Byte](m / 8)
+    override def update(buf: Array[Byte], input: InternalRow): Array[Byte] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val st = v.asInstanceOf[Array[Byte]]
+        require(st.length == buf.length,
+          s"bloom state has ${st.length * 8} bits but m=$m — " +
+            "built with a different m")
+        orBytesInto(buf, st): Unit
+      }
+      buf
+    }
+    override def merge(b1: Array[Byte], b2: Array[Byte]): Array[Byte] =
+      orBytesInto(b1, b2)
+    override def eval(buf: Array[Byte]): Any = buf.clone()
+    override def serialize(buf: Array[Byte]): Array[Byte] = buf
+    override def deserialize(bytes: Array[Byte]): Array[Byte] = bytes
+    override def dataType: DataType = BinaryType
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(BinaryType)
+    override def prettyName: String = "bloom_merge_agg"
+    override def withNewMutableAggBufferOffset(o: Int): BloomMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): BloomMergeAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): BloomMergeAgg =
+      copy(child = newChild)
+  }
+
   private[functions] def longsToBytes(a: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(a.length * 8)
     bb.asLongBuffer().put(a)
@@ -346,6 +480,44 @@ object SketchAgg {
       Seq(ex(state), ex(lit(depth)), ex(lit(width)), ex(key.cast("string"))),
       Seq(ArrayType(LongType), IntegerType, IntegerType, StringType)))
 
+  /** `GROUP BY g` → one m-bit bloom filter (as m/8 bytes) per group. */
+  def bloomSketch(key: Column, m: Int = 8192, k: Int = 3): Column =
+    exprBridge.column(
+      BloomSketchAgg(ex(key.cast("string")), m, k).toAggregateExpression())
+
+  /** Fold stored bloom states (bitwise OR = set union). */
+  def bloomMerge(state: Column, m: Int = 8192): Column =
+    exprBridge.column(BloomMergeAgg(ex(state), m).toAggregateExpression())
+
+  private def bloomContainsExpr(state: Expression, key: Expression,
+      m: Int, k: Int): Expression =
+    StaticInvoke(
+      SketchAgg.getClass, BooleanType, "bloomContains",
+      Seq(state,
+        org.apache.spark.sql.catalyst.expressions.Literal(m),
+        org.apache.spark.sql.catalyst.expressions.Literal(k),
+        key),
+      Seq(BinaryType, IntegerType, IntegerType, StringType))
+
+  /** Membership probe against a stored state (no false negatives). */
+  def bloomContainsOf(state: Column, key: Column, m: Int = 8192, k: Int = 3): Column =
+    exprBridge.column(bloomContainsExpr(ex(state), ex(key.cast("string")), m, k))
+
+  /** struct(m, n_set, fill_ppm) from a stored state — integer-exact. */
+  private def bloomReportExpr(state: Expression, m: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, GetArrayItem, Literal}
+    val s = StaticInvoke(
+      SketchAgg.getClass, ArrayType(LongType, containsNull = false), "bloomSummary",
+      Seq(state, Literal(m)), Seq(BinaryType, IntegerType))
+    CreateNamedStruct(Seq(
+      Literal("m"), Literal(m.toLong),
+      Literal("n_set"), GetArrayItem(s, Literal(0)),
+      Literal("fill_ppm"), GetArrayItem(s, Literal(1))))
+  }
+
+  def bloomReportOf(state: Column, m: Int = 8192): Column =
+    exprBridge.column(bloomReportExpr(ex(state), m))
+
   // ---- SQL surface --------------------------------------------------
 
   private def intArg(e: Expression, what: String): Int = {
@@ -396,7 +568,24 @@ object SketchAgg {
     // `SELECT hll_state_report(st, 8).est FROM states`
     "hll_state_report" -> ((args: Seq[Expression]) =>
       hllReportExpr(args.head,
-        if (args.size > 1) intArg(args(1), "p") else 8)))
+        if (args.size > 1) intArg(args(1), "p") else 8)),
+    "bloom_sketch_agg" -> ((args: Seq[Expression]) =>
+      BloomSketchAgg(args.head,
+        if (args.size > 1) intArg(args(1), "m") else 8192,
+        if (args.size > 2) intArg(args(2), "k") else 3)),
+    "bloom_merge_agg" -> ((args: Seq[Expression]) =>
+      BloomMergeAgg(args.head,
+        if (args.size > 1) intArg(args(1), "m") else 8192)),
+    "bloom_state_contains" -> ((args: Seq[Expression]) => {
+      require(args.size >= 2,
+        "bloom_state_contains(state, key[, m[, k]]) needs at least (state, key)")
+      bloomContainsExpr(args.head, args(1),
+        if (args.size > 2) intArg(args(2), "m") else 8192,
+        if (args.size > 3) intArg(args(3), "k") else 3)
+    }),
+    "bloom_state_report" -> ((args: Seq[Expression]) =>
+      bloomReportExpr(args.head,
+        if (args.size > 1) intArg(args(1), "m") else 8192)))
 
   /** Install [[sqlFunctions]] into an already-running session. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -175,6 +175,105 @@ class SketchAggSpec extends AnyFunSuite {
     assert(streamed === batch)
   }
 
+  test("bloom state sets exactly the k salted-hex60 bits of each key") {
+    val M = 1024; val K = 3
+    val state = keys.agg(SketchAgg.bloomSketch(col("k"), M, K).as("st"))
+      .head().getAs[Array[Byte]]("st")
+    assert(state.length === M / 8)
+    // relational replay of every bit position (the oracle's view)
+    val want = keys.select(col("k")).distinct().collect().map(_.getString(0))
+      .flatMap(k => (0 until K).map(i =>
+        (graft.functions.Kernels.hex60String(s"bl$i:$k") % M).toInt))
+      .toSet
+    val got = (0 until M).filter(b => (state(b >>> 3) & (1 << (b & 7))) != 0).toSet
+    assert(got === want)
+  }
+
+  test("bloomContainsOf: no false negatives ever; FPs exist at a narrow m") {
+    val M = 256; val K = 3 // narrow on purpose: false positives guaranteed
+    val st = keys.agg(SketchAgg.bloomSketch(col("k"), M, K).as("st"))
+    val members = keys.select(col("k")).distinct()
+      .crossJoin(broadcast(st))
+      .select(SketchAgg.bloomContainsOf(col("st"), col("k"), M, K).as("hit"))
+      .collect()
+    assert(members.nonEmpty && members.forall(_.getBoolean(0)),
+      "a member probed absent — bloom false negative")
+    val absent = (1 to 500).map(i => s"absent$i").toDF("k")
+      .crossJoin(broadcast(st))
+      .select(SketchAgg.bloomContainsOf(col("st"), col("k"), M, K).as("hit"))
+      .collect().count(_.getBoolean(0))
+    assert(absent > 0, "a 256-bit filter holding 700 keys must collide")
+    assert(absent < 500, "not everything may collide")
+  }
+
+  test("merge-equivalence: per-slice bloom states ORed == one-pass state") {
+    val M = 1024
+    val whole = keys.agg(SketchAgg.bloomSketch(col("k"), M, 3).as("st"))
+      .head().getAs[Array[Byte]]("st")
+    val merged = keys
+      .groupBy(col("src")).agg(SketchAgg.bloomSketch(col("k"), M, 3).as("st"))
+      .agg(SketchAgg.bloomMerge(col("st"), M).as("st"))
+      .head().getAs[Array[Byte]]("st")
+    assert(merged.toSeq === whole.toSeq)
+  }
+
+  test("bloom shape guards: wrong-m probe/report/merge fail loudly") {
+    val st = keys.agg(SketchAgg.bloomSketch(col("k"), 1024, 3).as("st"))
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    def msg(e: Throwable) =
+      chain(e).map(t => String.valueOf(t.getMessage)).mkString("|")
+    val e1 = intercept[Exception] {
+      st.select(SketchAgg.bloomContainsOf(col("st"), lit("x"), 2048, 3)).head()
+    }
+    assert(msg(e1).contains("different m"), s"probe guard: $e1")
+    val e2 = intercept[Exception] {
+      st.select(SketchAgg.bloomReportOf(col("st"), 2048)).head()
+    }
+    assert(msg(e2).contains("different m"), s"report guard: $e2")
+    val e3 = intercept[Exception] {
+      st.agg(SketchAgg.bloomMerge(col("st"), 2048)).head()
+    }
+    assert(msg(e3).contains("different m"), s"merge guard: $e3")
+  }
+
+  test("bloomReportOf counts set bits integer-exactly") {
+    val M = 1024
+    val r = keys.agg(SketchAgg.bloomSketch(col("k"), M, 3).as("st"))
+      .select(SketchAgg.bloomReportOf(col("st"), M).as("r"))
+      .select("r.m", "r.n_set", "r.fill_ppm").head()
+    val nset = keys.select(col("k")).distinct().collect().map(_.getString(0))
+      .flatMap(k => (0 until 3).map(i =>
+        graft.functions.Kernels.hex60String(s"bl$i:$k") % M)).toSet.size
+    assert(r.getLong(0) === M.toLong)
+    assert(r.getLong(1) === nset.toLong)
+    assert(r.getLong(2) === nset.toLong * 1000000L / M)
+  }
+
+  test("SQL surface: bloom aggregates, probe, and report run in spark.sql") {
+    SketchAgg.registerSql(spark)
+    keys.createOrReplaceTempView("ska_bloom_t")
+    val per = spark.sql(
+      """SELECT src, bloom_sketch_agg(k, 1024, 3) AS st
+        |FROM ska_bloom_t GROUP BY src""".stripMargin)
+    assert(per.count() === 5)
+    per.createOrReplaceTempView("ska_bloom_states")
+    val merged = spark.sql(
+      "SELECT bloom_merge_agg(st, 1024) AS st FROM ska_bloom_states").head()
+      .getAs[Array[Byte]]("st")
+    val whole = keys.agg(SketchAgg.bloomSketch(col("k"), 1024, 3)).head()
+      .getAs[Array[Byte]](0)
+    assert(merged.toSeq === whole.toSeq)
+    val hit = spark.sql(
+      "SELECT bloom_state_contains(bloom_merge_agg(st, 1024), 'k1', 1024, 3) " +
+        "FROM ska_bloom_states").head().getBoolean(0)
+    assert(hit, "member must probe present through the SQL surface")
+    val rep = spark.sql(
+      "SELECT bloom_state_report(bloom_merge_agg(st, 1024), 1024) AS r " +
+        "FROM ska_bloom_states").select("r.n_set").head().getLong(0)
+    assert(rep > 0L)
+  }
+
   test("partition invariance: the state is independent of data layout") {
     val a = keys.repartition(1).agg(SketchAgg.hllSketch(col("k"), P)).head()
       .getAs[Array[Byte]](0).toSeq
