@@ -53,9 +53,16 @@ object GraphFrameLite {
     */
   def cached(spark: org.apache.spark.sql.SparkSession, key: String,
       srcCol: String = "src", dstCol: String = "dst")(
-      build: => DataFrame): GraphFrameLite =
-    cache.getOrElseUpdate((spark.sparkContext.applicationId, key),
+      build: => DataFrame): GraphFrameLite = {
+    val appId = spark.sparkContext.applicationId
+    // drop entries from other (stopped) contexts: their pinned blocks
+    // are gone with the context, so the references only leak — a JVM
+    // that cycles sessions (test suites, long-lived drivers) must not
+    // accumulate one dead GraphFrameLite per context
+    cache.keys.iterator.filter(_._1 != appId).foreach(cache.remove)
+    cache.getOrElseUpdate((appId, key),
       new GraphFrameLite(build, srcCol, dstCol))
+  }
 
   /** Uncached wrapper for a one-off graph. */
   def of(edges: DataFrame, srcCol: String = "src",

@@ -80,9 +80,12 @@ object ImageIoDecoder extends MediaDecoder {
 
   override val name: String = "imageio"
 
+  // NonFatal, not just IOException: imageio readers throw
+  // IllegalArgumentException / ArrayIndexOutOfBounds / CMMException on
+  // malformed streams — any of those must degrade the row, not the job
   private def decode(payload: Array[Byte]): Option[java.awt.image.BufferedImage] =
     try Option(javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(payload)))
-    catch { case _: java.io.IOException => None }
+    catch { case scala.util.control.NonFatal(_) => None }
 
   private def lum(rgb: Int): Double =
     0.299 * ((rgb >> 16) & 0xff) + 0.587 * ((rgb >> 8) & 0xff) + 0.114 * (rgb & 0xff)

@@ -2711,13 +2711,20 @@ object PipelinePack {
           (graft.functions.TextKernels.hex60(col("doc_id").cast("string"))
             % 10 < 2).as("is_bench"))
       val benchW = split.filter(col("is_bench")).select(col("w")).distinct()
-      val bf = benchW.agg(
-        graft.functions.SketchAgg.bloomSketch(col("w"), m, k).as("st"))
+      // the 1-row bloom state rides as an UNCORRELATED SCALAR SUBQUERY
+      // (the BloomJoin.prefilter shape): Spark executes the aggregate
+      // once and folds the 4 KB of filter bytes into the probe as a
+      // literal — zero joins, so the probe is a pure map-side filter
+      // and no BroadcastNestedLoopJoin ever appears in the plan
+      val bfState = org.apache.spark.sql.graft.expr.column(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          benchW.agg(
+            graft.functions.SketchAgg.bloomSketch(col("w"), m, k).as("st"))
+            .queryExecution.analyzed))
       val probed = split.filter(!col("is_bench"))
         .select(col("doc_id"), col("source"), col("w"))
-        .crossJoin(broadcast(bf))
         .withColumn("hit",
-          graft.functions.SketchAgg.bloomContainsOf(col("st"), col("w"), m, k))
+          graft.functions.SketchAgg.bloomContainsOf(bfState, col("w"), m, k))
       // exact pass over bloom-hit candidates ONLY (no false negatives
       // ⇒ identical to the full exact join)
       val confirmed = probed.filter(col("hit"))
@@ -2789,14 +2796,14 @@ object PipelinePack {
       nd AS (SELECT doc_id % 3 AS batch, count(*) AS n_docs
         FROM documents GROUP BY 1),
       per AS (SELECT batch, count(DISTINCT p) AS n_set FROM pos GROUP BY 1),
-      both AS (
+      per_and_merged AS (
         SELECT nd.batch, nd.n_docs, per.n_set FROM nd
           JOIN per USING (batch)
         UNION ALL
         SELECT -1 AS batch, (SELECT count(*) FROM documents) AS n_docs,
           (SELECT count(DISTINCT p) FROM pos) AS n_set)
       SELECT batch, n_docs, 2048 AS m, n_set,
-        n_set * 1000000 // 2048 AS fill_ppm FROM both"""))
+        n_set * 1000000 // 2048 AS fill_ppm FROM per_and_merged"""))
 
   /** Per-group HLL cardinality via the AGGREGATE surface
     * (functions.SketchAgg.hllSketch → hllReportOf): one pass builds a

@@ -190,7 +190,13 @@ class SketchAggSpec extends AnyFunSuite {
   }
 
   test("bloomContainsOf: no false negatives ever; FPs exist at a narrow m") {
-    val M = 256; val K = 3 // narrow on purpose: false positives guaranteed
+    // m chosen so the filter is PARTIALLY filled: 700 keys x 3 hashes
+    // into 2048 bits gives fill ~= 1-e^(-2100/2048) ~= 0.64, so the
+    // false-positive rate is fill^3 ~= 0.26 — FPs certainly exist over
+    // 500 probes, but nowhere near all of them collide. (At m=256 the
+    // filter saturates and EVERY absent probe collides — that regime
+    // can only witness the no-false-negative half.)
+    val M = 2048; val K = 3
     val st = keys.agg(SketchAgg.bloomSketch(col("k"), M, K).as("st"))
     val members = keys.select(col("k")).distinct()
       .crossJoin(broadcast(st))
@@ -202,7 +208,7 @@ class SketchAggSpec extends AnyFunSuite {
       .crossJoin(broadcast(st))
       .select(SketchAgg.bloomContainsOf(col("st"), col("k"), M, K).as("hit"))
       .collect().count(_.getBoolean(0))
-    assert(absent > 0, "a 256-bit filter holding 700 keys must collide")
+    assert(absent > 0, "a 64%-full 3-hash filter must collide over 500 probes")
     assert(absent < 500, "not everything may collide")
   }
 
