@@ -410,6 +410,163 @@ object SketchAgg {
       copy(child = newChild)
   }
 
+  // ---- KMV (bottom-k / k-minimum-values) ----------------------------
+
+  /** Bounded bottom-k state: the k smallest DISTINCT 60-bit key hashes
+    * seen so far. A sorted long set capped at k — update is O(log k),
+    * the exchange carries ≤ k longs per (group × partition), and the
+    * stored state doubles as (a) a deterministic uniform key sample
+    * and (b) the KMV distinct-count estimator input (Bar-Yossef et
+    * al. 2002). Same hex60 hashing as q200's [[graft.functions
+    * .TopKHeap.minK]] path, so a stored state is replayable in the
+    * oracle with `QUALIFY row_number() OVER (ORDER BY h) <= k`.
+    */
+  private def kmvTrim(buf: java.util.TreeSet[java.lang.Long], k: Int): Unit =
+    while (buf.size > k) { buf.pollLast(): Unit }
+
+  /** `GROUP BY g` → sorted array of the k min distinct hex60 hashes. */
+  case class KmvSketchAgg(child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    require(k >= 1 && k <= 4096, s"need 1 <= k <= 4096: $k")
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+    override def update(buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val h = Kernels.hex60String(v.asInstanceOf[UTF8String].toString)
+        // skip the insert when the buffer is full and h can't displace
+        // anything — keeps the steady-state update allocation-free
+        if (buf.size < k || h < buf.last()) { buf.add(h); kmvTrim(buf, k) }
+      }
+      buf
+    }
+    override def merge(b1: java.util.TreeSet[java.lang.Long],
+        b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      b1.addAll(b2)
+      kmvTrim(b1, k)
+      b1
+    }
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val out = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      SketchAgg.longsToBytes(out)
+    }
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      SketchAgg.bytesToLongs(bytes).foreach(h => buf.add(h): Unit)
+      buf
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(StringType)
+    override def prettyName: String = "kmv_sketch_agg"
+    override def withNewMutableAggBufferOffset(o: Int): KmvSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KmvSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): KmvSketchAgg =
+      copy(child = newChild)
+  }
+
+  /** Fold STORED bottom-k states (set union, re-trim to k) into the
+    * state of the union — the global bottom-k is always a subset of
+    * the union of per-shard bottom-ks, so merged ≡ one-pass
+    * bit-for-bit (the HLL/CM/bloom merge-equivalence property, and
+    * what closes the r10 lifecycle gap: per-shard KMV states now fold
+    * without re-reading keys).
+    */
+  case class KmvMergeAgg(child: Expression, k: Int,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[java.util.TreeSet[java.lang.Long]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    require(k >= 1 && k <= 4096, s"need 1 <= k <= 4096: $k")
+    override def createAggregationBuffer(): java.util.TreeSet[java.lang.Long] =
+      new java.util.TreeSet[java.lang.Long]()
+    override def update(buf: java.util.TreeSet[java.lang.Long],
+        input: InternalRow): java.util.TreeSet[java.lang.Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val st = v.asInstanceOf[ArrayData]
+        // a stored state LARGER than k would mean it was built with a
+        // bigger k — folding it would still be sound (we re-trim), but
+        // the estimator contract (h_k = k-th min) differs per k, so
+        // reject the mismatch loudly like the other shape guards
+        require(st.numElements() <= k,
+          s"KMV state has ${st.numElements()} values but k=$k — " +
+            "built with a larger k than it is being merged with")
+        var i = 0
+        while (i < st.numElements()) { buf.add(st.getLong(i)): Unit; i += 1 }
+        kmvTrim(buf, k)
+      }
+      buf
+    }
+    override def merge(b1: java.util.TreeSet[java.lang.Long],
+        b2: java.util.TreeSet[java.lang.Long]): java.util.TreeSet[java.lang.Long] = {
+      b1.addAll(b2)
+      kmvTrim(b1, k)
+      b1
+    }
+    override def eval(buf: java.util.TreeSet[java.lang.Long]): Any = {
+      val out = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      new GenericArrayData(out)
+    }
+    override def serialize(buf: java.util.TreeSet[java.lang.Long]): Array[Byte] = {
+      val out = new Array[Long](buf.size)
+      val it = buf.iterator()
+      var i = 0
+      while (it.hasNext) { out(i) = it.next(); i += 1 }
+      SketchAgg.longsToBytes(out)
+    }
+    override def deserialize(bytes: Array[Byte]): java.util.TreeSet[java.lang.Long] = {
+      val buf = new java.util.TreeSet[java.lang.Long]()
+      SketchAgg.bytesToLongs(bytes).foreach(h => buf.add(h): Unit)
+      buf
+    }
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def prettyName: String = "kmv_merge_agg"
+    override def withNewMutableAggBufferOffset(o: Int): KmvMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): KmvMergeAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): KmvMergeAgg =
+      copy(child = newChild)
+  }
+
+  /** (k_used, h_k, est_distinct) from a stored bottom-k state:
+    * est = (k−1)·2⁶⁰ ÷ h_k when the state is full (integer-exact,
+    * 128-bit intermediate so k > 8 cannot overflow), exact count
+    * when under-full — q200's arithmetic verbatim. An empty state
+    * reports (0, 0, 0).
+    */
+  def kmvSummary(state: ArrayData, k: Int): ArrayData = {
+    val used = state.numElements()
+    require(used <= k,
+      s"KMV state has $used values but k=$k — " +
+        "built with a larger k than it is being reported with")
+    val hk = if (used == 0) 0L else state.getLong(used - 1)
+    val est =
+      if (used < k) used.toLong
+      else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(hk)).toLong
+    new GenericArrayData(Array(used.toLong, hk, est))
+  }
+
   private[functions] def longsToBytes(a: Array[Long]): Array[Byte] = {
     val bb = java.nio.ByteBuffer.allocate(a.length * 8)
     bb.asLongBuffer().put(a)
@@ -518,6 +675,32 @@ object SketchAgg {
   def bloomReportOf(state: Column, m: Int = 8192): Column =
     exprBridge.column(bloomReportExpr(ex(state), m))
 
+  /** `GROUP BY g` → sorted array of the k min distinct hex60 hashes. */
+  def kmvSketch(key: Column, k: Int = 64): Column =
+    exprBridge.column(
+      KmvSketchAgg(ex(key.cast("string")), k).toAggregateExpression())
+
+  /** Fold stored bottom-k states (union, re-trim to k). */
+  def kmvMerge(state: Column, k: Int = 64): Column =
+    exprBridge.column(KmvMergeAgg(ex(state), k).toAggregateExpression())
+
+  /** struct(k, k_used, h_k, est_distinct) from a stored state. */
+  private def kmvReportExpr(state: Expression, k: Int): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, GetArrayItem, Literal}
+    require(k >= 1 && k <= 4096, s"need 1 <= k <= 4096: $k")
+    val s = StaticInvoke(
+      SketchAgg.getClass, ArrayType(LongType, containsNull = false), "kmvSummary",
+      Seq(state, Literal(k)), Seq(ArrayType(LongType), IntegerType))
+    CreateNamedStruct(Seq(
+      Literal("k"), Literal(k.toLong),
+      Literal("k_used"), GetArrayItem(s, Literal(0)),
+      Literal("h_k"), GetArrayItem(s, Literal(1)),
+      Literal("est_distinct"), GetArrayItem(s, Literal(2))))
+  }
+
+  def kmvReportOf(state: Column, k: Int = 64): Column =
+    exprBridge.column(kmvReportExpr(ex(state), k))
+
   // ---- SQL surface --------------------------------------------------
 
   private def intArg(e: Expression, what: String): Int = {
@@ -585,7 +768,16 @@ object SketchAgg {
     }),
     "bloom_state_report" -> ((args: Seq[Expression]) =>
       bloomReportExpr(args.head,
-        if (args.size > 1) intArg(args(1), "m") else 8192)))
+        if (args.size > 1) intArg(args(1), "m") else 8192)),
+    "kmv_sketch_agg" -> ((args: Seq[Expression]) =>
+      KmvSketchAgg(args.head,
+        if (args.size > 1) intArg(args(1), "k") else 64)),
+    "kmv_merge_agg" -> ((args: Seq[Expression]) =>
+      KmvMergeAgg(args.head,
+        if (args.size > 1) intArg(args(1), "k") else 64)),
+    "kmv_state_report" -> ((args: Seq[Expression]) =>
+      kmvReportExpr(args.head,
+        if (args.size > 1) intArg(args(1), "k") else 64)))
 
   /** Install [[sqlFunctions]] into an already-running session. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =
