@@ -562,7 +562,7 @@ object SketchAgg {
         "built with a larger k than it is being reported with")
     val hk = if (used == 0) 0L else state.getLong(used - 1)
     val est =
-      if (used < k) used.toLong
+      if (used < k || hk <= 0L) used.toLong // hk==0 only at k=1 with a key hashing to exactly 0 — exact count, never divide
       else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(hk)).toLong
     new GenericArrayData(Array(used.toLong, hk, est))
   }

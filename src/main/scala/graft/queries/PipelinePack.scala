@@ -2805,6 +2805,64 @@ object PipelinePack {
       SELECT batch, n_docs, 2048 AS m, n_set,
         n_set * 1000000 // 2048 AS fill_ppm FROM per_and_merged"""))
 
+  /** Shard-built bottom-k (KMV) states folded into the union's state
+    * ([[graft.functions.SketchAgg.KmvSketchAgg]] /
+    * [[graft.functions.SketchAgg.KmvMergeAgg]]): four disjoint
+    * doc_id%4 shards each keep the 64 smallest distinct hex60 text
+    * hashes in one pass, and the merge aggregate re-trims the union —
+    * the global bottom-k is a subset of the union of per-shard
+    * bottom-ks, so merged ≡ one-pass bit-for-bit (the q202 lifecycle
+    * for the KMV family). The exploded state rows hash-check every
+    * kept hash in order, and the riding report columns
+    * ([[graft.functions.SketchAgg.kmvSummary]]: k_used, h_k = k-th
+    * min, est = (k−1)·2⁶⁰ ÷ h_k) hash-check the estimator arithmetic
+    * — the oracle replays the state with `row_number() OVER (ORDER BY
+    * h) <= k` per the sketch's own doc contract and the estimate with
+    * HUGEINT division.
+    */
+  private val q203 = QueryDef(
+    "q203_kmv_shard_union",
+    (s, dir) => {
+      val k = 64
+      val per = Tables.documents(s, dir)
+        .groupBy(pmod(col("doc_id"), lit(4L)).as("batch"))
+        .agg(count(lit(1)).as("n_docs"),
+          graft.functions.SketchAgg.kmvSketch(col("text"), k).as("st"))
+      val merged = per.agg(sum(col("n_docs")).as("n_docs"),
+          graft.functions.SketchAgg.kmvMerge(col("st"), k).as("st"))
+        .select(lit(-1L).as("batch"), col("n_docs"), col("st"))
+      per.unionByName(merged)
+        .select(col("batch"), col("n_docs"),
+          graft.functions.SketchAgg.kmvReportOf(col("st"), k).as("r"),
+          posexplode(col("st")).as(Seq("pos", "h")))
+        .select(col("batch"), col("n_docs"),
+          col("r.k_used").as("k_used"), col("r.h_k").as("h_k"),
+          col("r.est_distinct").as("est_distinct"),
+          col("pos").cast("long").as("pos"), col("h"))
+    },
+    Some(s"""WITH hs AS (SELECT DISTINCT doc_id % 4 AS batch,
+          ${sqlHex60("text")} AS h FROM documents WHERE text IS NOT NULL),
+      ranked AS (SELECT batch, h, row_number()
+          OVER (PARTITION BY batch ORDER BY h) - 1 AS pos FROM hs),
+      nd AS (SELECT doc_id % 4 AS batch, count(*) AS n_docs
+        FROM documents GROUP BY 1),
+      mh AS (SELECT DISTINCT h FROM hs),
+      mranked AS (SELECT h, row_number() OVER (ORDER BY h) - 1 AS pos
+        FROM mh),
+      kept AS (SELECT batch, n_docs, pos, h
+          FROM ranked JOIN nd USING (batch) WHERE pos < 64
+        UNION ALL
+        SELECT -1 AS batch, (SELECT count(*) FROM documents) AS n_docs,
+          pos, h FROM mranked WHERE pos < 64),
+      rep AS (SELECT batch, count(*) AS k_used, max(h) AS h_k
+        FROM kept GROUP BY batch)
+      SELECT s.batch, s.n_docs, r.k_used::BIGINT AS k_used, r.h_k AS h_k,
+        (CASE WHEN r.k_used < 64 OR r.h_k <= 0 THEN r.k_used
+          ELSE (63::HUGEINT * 1152921504606846976::HUGEINT)
+            // r.h_k::HUGEINT END)::BIGINT AS est_distinct,
+        s.pos, s.h
+      FROM kept s JOIN rep r USING (batch)"""))
+
   /** Per-group HLL cardinality via the AGGREGATE surface
     * (functions.SketchAgg.hllSketch → hllReportOf): one pass builds a
     * 256-register state per order priority and the report reads each
@@ -3057,5 +3115,5 @@ object PipelinePack {
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202)
+    q201, q202, q203)
 }

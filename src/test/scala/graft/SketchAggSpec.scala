@@ -280,6 +280,115 @@ class SketchAggSpec extends AnyFunSuite {
     assert(rep > 0L)
   }
 
+  test("kmv state is exactly the k smallest distinct hex60 hashes, sorted") {
+    val K = 32
+    val st = keys.agg(SketchAgg.kmvSketch(col("k"), K).as("st")).head()
+      .getSeq[Long](0)
+    val want = keys.select(col("k")).distinct().collect().map(_.getString(0))
+      .map(graft.functions.Kernels.hex60String).distinct.sorted.take(K).toSeq
+    assert(st === want)
+  }
+
+  test("merge-equivalence: per-slice KMV states merged == one-pass state") {
+    val K = 32
+    val whole = keys.agg(SketchAgg.kmvSketch(col("k"), K).as("st")).head()
+      .getSeq[Long](0)
+    val merged = keys
+      .groupBy(col("src")).agg(SketchAgg.kmvSketch(col("k"), K).as("st"))
+      .agg(SketchAgg.kmvMerge(col("st"), K).as("st")).head()
+      .getSeq[Long](0)
+    assert(merged === whole)
+  }
+
+  test("kmv serialize/deserialize round-trips the buffer bit-for-bit") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val a = SketchAgg.KmvSketchAgg(Literal("x"), 16)
+    val buf = a.createAggregationBuffer()
+    Seq("alpha", "beta", "gamma", "delta", "alpha").foreach(s =>
+      buf.add(graft.functions.Kernels.hex60String(s)): Unit)
+    val rt = a.deserialize(a.serialize(buf))
+    assert(rt === buf) // TreeSet equality = same elements in order
+    // merge aggregate shares the wire format: its deserialize reads
+    // the sketch aggregate's serialize output
+    val m = SketchAgg.KmvMergeAgg(Literal(Array.empty[Long]), 16)
+    assert(m.deserialize(a.serialize(buf)) === buf)
+  }
+
+  test("kmv shape guard: folding a state built with a larger k fails loudly") {
+    // 700 distinct keys fill a k=64 state; merging it at k=16 must
+    // reject (h_k differs per k, silently re-trimming would report a
+    // wrong estimator input)
+    val st = keys.agg(SketchAgg.kmvSketch(col("k"), 64).as("st"))
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    val e = intercept[Exception] {
+      st.agg(SketchAgg.kmvMerge(col("st"), 16)).head()
+    }
+    assert(chain(e).map(t => String.valueOf(t.getMessage)).mkString("|")
+      .contains("larger k"), s"expected the k-mismatch guard, got: $e")
+    val e2 = intercept[Exception] {
+      st.select(SketchAgg.kmvReportOf(col("st"), 16)).head()
+    }
+    assert(chain(e2).map(t => String.valueOf(t.getMessage)).mkString("|")
+      .contains("larger k"), s"expected the report k-guard, got: $e2")
+  }
+
+  test("kmvReportOf: under-full state is exact; full state estimates via h_k") {
+    val exact = keys.select(col("k")).distinct().count()
+    // k=4096 > 700 distinct keys → under-full → est IS the exact count
+    val uf = keys.agg(SketchAgg.kmvSketch(col("k"), 4096).as("st"))
+      .select(SketchAgg.kmvReportOf(col("st"), 4096).as("r"))
+      .select("r.k", "r.k_used", "r.h_k", "r.est_distinct").head()
+    assert(uf.getLong(0) === 4096L)
+    assert(uf.getLong(1) === exact)
+    assert(uf.getLong(3) === exact)
+    // k=64 → full → est = (k−1)·2⁶⁰ ÷ h_k exactly, and within the
+    // KMV error envelope (σ ≈ 1/√(k−2) ≈ 13%; 2× is ~8σ) of exact
+    val full = keys.agg(SketchAgg.kmvSketch(col("k"), 64).as("st"))
+      .select(SketchAgg.kmvReportOf(col("st"), 64).as("r"))
+      .select("r.k_used", "r.h_k", "r.est_distinct").head()
+    assert(full.getLong(0) === 64L)
+    val hk = full.getLong(1)
+    assert(full.getLong(2) ===
+      (BigInt(63) * (BigInt(1) << 60) / BigInt(hk)).toLong)
+    assert(full.getLong(2) > exact / 2 && full.getLong(2) < exact * 2,
+      s"estimate ${full.getLong(2)} vs exact $exact")
+  }
+
+  test("kmvSummary guards h_k == 0: the k=1 zero-hash state reports exactly") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val s = SketchAgg.kmvSummary(new GenericArrayData(Array(0L)), 1)
+    assert(s.getLong(0) === 1L && s.getLong(1) === 0L && s.getLong(2) === 1L)
+  }
+
+  test("SQL surface: kmv aggregates and report run in spark.sql") {
+    SketchAgg.registerSql(spark)
+    keys.createOrReplaceTempView("ska_kmv_t")
+    val per = spark.sql(
+      "SELECT src, kmv_sketch_agg(k, 32) AS st FROM ska_kmv_t GROUP BY src")
+    assert(per.count() === 5)
+    per.createOrReplaceTempView("ska_kmv_states")
+    val merged = spark.sql(
+      "SELECT kmv_merge_agg(st, 32) AS st FROM ska_kmv_states").head()
+      .getSeq[Long](0)
+    val whole = keys.agg(SketchAgg.kmvSketch(col("k"), 32)).head()
+      .getSeq[Long](0)
+    assert(merged === whole)
+    val rep = spark.sql(
+      "SELECT kmv_state_report(kmv_merge_agg(st, 32), 32) AS r " +
+        "FROM ska_kmv_states").select("r.k", "r.k_used", "r.h_k").head()
+    assert(rep.getLong(0) === 32L && rep.getLong(1) === 32L)
+    assert(rep.getLong(2) === whole.last)
+  }
+
+  test("kmv partition invariance: the state is independent of data layout") {
+    val a = keys.repartition(1).agg(SketchAgg.kmvSketch(col("k"), 32)).head()
+      .getSeq[Long](0)
+    val b = keys.repartition(13, col("src"))
+      .agg(SketchAgg.kmvSketch(col("k"), 32)).head().getSeq[Long](0)
+    assert(a === b)
+  }
+
   test("partition invariance: the state is independent of data layout") {
     val a = keys.repartition(1).agg(SketchAgg.hllSketch(col("k"), P)).head()
       .getAs[Array[Byte]](0).toSeq
