@@ -356,6 +356,40 @@ object TextClean {
     (spanIslands(base, coveredPositions(wins, dup, idCol, k), idCol), merged)
   }
 
+  /** AGE-AWARE [[incrementalRepeatedSpans]] — the compacting form the
+    * streaming feed ([[graft.streaming.StreamingLift.spanDedupStream]])
+    * maintains its state with. The corpus index carries
+    * (wh, n_docs, last_batch); the batch's windows stamp `batchId` as
+    * their recency, counts fold via [[spanIndexMergeAged]], and the
+    * RETURNED index is [[spanIndexCompact]]ed at `watermarkBatch` —
+    * singleton windows not seen since the watermark are dropped
+    * BEFORE the publish, so the persisted state stays bounded by
+    * in-horizon singletons + all repeated content instead of growing
+    * with every URL/id/number the stream has ever seen. Span output
+    * is computed from the UN-compacted merge, so the current batch
+    * always pairs against everything the index still knows —
+    * compaction only affects which singletons survive INTO the next
+    * batch (the watermarked re-pairing horizon, SpanIndexSpec's
+    * report-equivalence contract).
+    */
+  def incrementalRepeatedSpansAged(batch: org.apache.spark.sql.DataFrame,
+      corpusIndex: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, batchId: Long, watermarkBatch: Long,
+      k: Int = 5, minDocs: Int = 2):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(k > 0, s"window size must be positive: $k")
+    require(minDocs >= 2, s"minDocs below 2 would mark every window: $minDocs")
+    val base = tokenized(batch, idCol, textCol)
+    val wins = windowHashes(base, idCol, k)
+    val batchIdx = wins.groupBy(col("wh"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .withColumn("last_batch", lit(batchId))
+    val merged = spanIndexMergeAged(Seq(corpusIndex, batchIdx))
+    val dup = merged.filter(col("n_docs") >= minDocs).select(col("wh"))
+    (spanIslands(base, coveredPositions(wins, dup, idCol, k), idCol),
+      spanIndexCompact(merged, watermarkBatch))
+  }
+
   /** Surgical benchmark decontamination — the counterpart of
     * [[dropRepeatedSpans]] against a REFERENCE corpus: every `k`-token
     * window of `df` whose content appears verbatim anywhere in `ref`

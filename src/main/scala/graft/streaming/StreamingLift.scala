@@ -366,16 +366,35 @@ object StreamingLift {
     * at-least-once with bit-identical duplicates, keyed by batch_id
     * for trivial consumer dedup — the curationStream ledger
     * convention.
+    *
+    * State growth: the index is AGED ((wh, n_docs, last_batch)) and,
+    * when `compactAfterBatches` is finite, compacted per micro-batch
+    * ([[graft.ops.TextClean.spanIndexCompact]]) — singleton windows
+    * last seen more than that many batches ago are pruned BEFORE the
+    * publish, bounding the persisted state by in-horizon singletons
+    * plus all repeated content (~50–80% of window content is
+    * never-repeating junk that would otherwise accumulate forever).
+    * Spans are computed from the un-compacted merge, so the current
+    * batch always pairs against everything the index still knows; the
+    * only accepted loss is a pruned singleton re-pairing with content
+    * that arrives beyond the horizon — the standard watermarked-state
+    * eviction contract, and reports for all retained windows are
+    * bit-identical to the uncompacted stream's
+    * (StreamingLiftSpec pins this across a compaction boundary).
     */
   def spanDedupStream(spark: SparkSession, srcPath: String,
       schema: StructType, index: ParquetTable, spansOut: ParquetTable,
       idCol: String, textCol: String, checkpoint: String,
       k: Int = 5, minDocs: Int = 2,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      compactAfterBatches: Long = Long.MaxValue): StreamingQuery = {
     import graft.ops.TextClean
     require(checkpoint != null && checkpoint.nonEmpty,
       "spanDedupStream needs a durable checkpoint dir — a fresh one " +
         "replays every file and double-merges window counts into the index")
+    require(compactAfterBatches >= 1,
+      s"compactAfterBatches below 1 would prune the current batch's own " +
+        s"singletons before they can ever pair: $compactAfterBatches")
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -384,7 +403,7 @@ object StreamingLift {
           index.currentMeta.get("span_batch_id").exists(_.toLong >= batchId)
         if (!seen) {
           val batch = batch0.localCheckpoint(true)
-          val corpusIdx =
+          val corpusIdx0 =
             if (index.exists) index.read
             else spark.createDataFrame(
               spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -392,9 +411,28 @@ object StreamingLift {
                 org.apache.spark.sql.types.StructField("wh",
                   org.apache.spark.sql.types.BinaryType),
                 org.apache.spark.sql.types.StructField("n_docs",
+                  org.apache.spark.sql.types.LongType),
+                org.apache.spark.sql.types.StructField("last_batch",
                   org.apache.spark.sql.types.LongType))))
-          val (spans, merged) = TextClean.incrementalRepeatedSpans(
-            batch, corpusIdx, idCol, textCol, k, minDocs)
+          // an index persisted before the aged schema carries no
+          // recency — stamp it -1 (older than every real batch id) so
+          // a finite horizon prunes legacy singletons like any other
+          // stale window, while the off-switch below keeps them
+          val corpusIdx =
+            if (corpusIdx0.columns.contains("last_batch")) corpusIdx0
+            else corpusIdx0.withColumn("last_batch",
+              org.apache.spark.sql.functions.lit(-1L))
+          // default Long.MaxValue ⇒ watermark pinned below every
+          // possible last_batch ⇒ spanIndexCompact keeps everything
+          // (no behavior change for existing callers); a finite
+          // horizon prunes singletons last seen more than
+          // compactAfterBatches batches ago
+          val watermark =
+            if (compactAfterBatches == Long.MaxValue) Long.MinValue
+            else batchId - compactAfterBatches
+          val (spans, merged) = TextClean.incrementalRepeatedSpansAged(
+            batch, corpusIdx, idCol, textCol, batchId,
+            watermarkBatch = watermark, k, minDocs)
           // materialize BOTH outputs before replacing the index the
           // spans were computed from (the read-modify-write hazard)
           val pinnedSpans = spans

@@ -568,4 +568,66 @@ class StreamingLiftSpec extends AnyFunSuite {
       .map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap === unionIdx)
     assert(spansOut.read.count() === 1)
   }
+
+  test("spanDedupStream compaction: reports identical across the boundary, state bounded") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-span-compact")
+    val srcDir = base.resolve("src").toString
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    // three micro-batches: the shared phrase pairs in b2 (within the
+    // 1-batch horizon) and again in b3 (retained forever once
+    // n_docs >= 2); each batch also carries never-repeating junk that
+    // only the compacting stream prunes
+    val b1 = docs(1L -> "alpha beta gamma delta shared",
+      2L -> "junk one singleton content xyz")
+    val b2 = docs(3L -> "pre alpha beta gamma delta post",
+      4L -> "other junk nobody repeats ever")
+    val b3 = docs(5L -> "again alpha beta gamma delta end",
+      6L -> "final junk also entirely unique")
+    val schema = b1.schema
+    // two parallel streams over the SAME source files: one unbounded
+    // (default horizon), one compacting singletons after 1 batch
+    case class S(tag: String, horizon: Long) {
+      val index = ParquetTable(spark, base.resolve(s"idx-$tag").toString)
+      val spans = ParquetTable(spark, base.resolve(s"spans-$tag").toString)
+      val ckpt = base.resolve(s"ckpt-$tag").toString
+      def run(): Unit = {
+        val q = StreamingLift.spanDedupStream(spark, srcDir + "/*", schema,
+          index, spans, "doc_id", "text", ckpt, k = 3, minDocs = 2,
+          compactAfterBatches = horizon)
+        q.awaitTermination()
+      }
+    }
+    val full = S("full", Long.MaxValue)
+    val compact = S("compact", 1L)
+    Seq(b1 -> "f1", b2 -> "f2", b3 -> "f3").foreach { case (b, f) =>
+      b.write.parquet(srcDir + "/" + f)
+      full.run(); compact.run()
+    }
+    def spansOf(t: ParquetTable) = t.read
+      .select("doc_id", "span_start", "span_len", "span_text", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    // report-equivalence across the compaction boundary: every span
+    // the unbounded stream reports, the compacting stream reports
+    // bit-identically (all re-pairings here happen within the horizon
+    // or against already-repeated windows)
+    val got = spansOf(compact.spans)
+    assert(got === spansOf(full.spans))
+    assert(got.map(t => (t._1, t._4)) === Set(
+      3L -> "alpha beta gamma delta", 5L -> "alpha beta gamma delta"))
+    // the repeated windows survive compaction with their exact counts
+    // (n_docs >= 2 rows are watermark-immune)...
+    val keptRepeated = compact.index.read.filter(col("n_docs") >= 2)
+      .collect().map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap
+    val fullRepeated = full.index.read.filter(col("n_docs") >= 2)
+      .collect().map(r => r.getAs[Array[Byte]](0).toSeq -> r.getLong(1)).toMap
+    assert(keptRepeated === fullRepeated && keptRepeated.nonEmpty)
+    // ...while out-of-horizon singleton junk is gone: only b3's own
+    // singletons (last_batch = 2 > watermark 1) remain
+    val compactSingles = compact.index.read.filter(col("n_docs") === 1)
+    assert(compactSingles.agg(min(col("last_batch"))).head().getLong(0) === 2L)
+    assert(compactSingles.count() <
+      full.index.read.filter(col("n_docs") === 1).count())
+  }
 }
