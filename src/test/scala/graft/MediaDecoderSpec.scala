@@ -139,4 +139,41 @@ class MediaDecoderSpec extends AnyFunSuite {
       .collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
     assert(viaSpi === viaKernel)
   }
+
+  test("imageio plan shape: payload-pruned scan, zero exchanges (q27/q52/q141 surface)") {
+    // the decode stage's scale contract, end-to-end with the REAL
+    // decoder registered: a parquet source with bystander columns must
+    // plan (1) a scan that reads ONLY (doc_id, payload) — a 100 TB
+    // media table's metadata/annotation columns never leave the
+    // footers — and (2) no exchange of any kind: decode, resize, and
+    // perceptual hashing are map-side, so payload bytes never cross
+    // the network. String-shape asserts on the executed plan, the
+    // PlanContractSpec idiom.
+    import java.awt.image.BufferedImage
+    val img = new BufferedImage(4, 4, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 4; x <- 0 until 4) img.setRGB(x, y, 0x336699)
+    val buf = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", buf)
+    val png = buf.toByteArray
+    val dir = java.nio.file.Files.createTempDirectory("graft-media-plan").toString
+    Seq((1L, png, "annotation", 42L),
+        (2L, "not an image".getBytes("UTF-8"), "bystander", 43L))
+      .toDF("doc_id", "payload", "extra_label", "extra_score")
+      .write.mode("overwrite").parquet(dir)
+    val src = spark.read.parquet(dir)
+    val dec = MediaDecoders.resolve("imageio")
+    val surfaces = Seq(
+      "q27 features" -> Multimodal.extractFeatures(src, "doc_id", dec),
+      "q52 resize" -> Multimodal.resize(src, "doc_id", 4, dec),
+      "q141 phash" -> Multimodal.phashes(src, "doc_id"))
+    surfaces.foreach { case (tag, out) =>
+      assert(out.collect().length === 2, tag) // real decoder executes (and degrades) per row
+      val plan = out.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"$tag is not map-side — an exchange appeared:\n$plan")
+      assert(plan.contains("payload"), s"$tag scan lost the payload column")
+      assert(!plan.contains("extra_label") && !plan.contains("extra_score"),
+        s"$tag reads bystander columns — pruning failed:\n$plan")
+    }
+  }
 }
