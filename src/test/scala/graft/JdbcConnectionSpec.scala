@@ -390,4 +390,36 @@ class JdbcConnectionSpec extends AnyFunSuite {
     val got = c.getAll("t_dupb").as[(Long, String)].collect()
     assert(got.map(_._1).sorted.toSeq === Seq(1L, 2L), "keys stay unique")
   }
+
+  test("two concurrent keyed merges into one dest: both commit, stages never collide") {
+    // the UUID-tagged stage contract under actual interleaving: two
+    // threads each stage + merge into the SAME Derby dest at the same
+    // time. Each must land its own rows (the endpoint serializes the
+    // merge transactions; neither clobbers the other's stage mid-merge
+    // — the failure a shared '_gstage' name would produce), and both
+    // uniquely-tagged stages must be dropped afterwards.
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val c = conn()
+    c.insertData("t_conc", df(0L -> "base"), key = "id", mergeOnDuplicates = false)
+    def rows(lo: Long, hi: Long, tag: String) =
+      (lo to hi).map(i => i -> s"$tag$i")
+    val fa = Future { conn().insertData("t_conc",
+      df(rows(1L, 40L, "a"): _*), key = "id", mergeOnDuplicates = true) }
+    val fb = Future { conn().insertData("t_conc",
+      df(rows(41L, 80L, "b"): _*), key = "id", mergeOnDuplicates = true) }
+    Await.result(fa, 180.seconds)
+    Await.result(fb, 180.seconds)
+    val got = c.getAll("t_conc").as[(Long, String)].collect().toMap
+    assert(got.size === 81, s"expected base + both merges, got ${got.size} rows")
+    assert(got(0L) === "base" && got(1L) === "a1" && got(80L) === "b80")
+    // stage hygiene: both merges dropped their own uniquely-tagged
+    // stage — no '_gstage_' residue for THIS dest survives a
+    // successful concurrent run (other tables' orphans are the
+    // crash-injection tests' deliberate leftovers)
+    val cat = conn("tablesQuery" ->
+      "SELECT tablename FROM SYS.SYSTABLES WHERE tabletype = 'T'")
+    assert(cat.listTables.filter(_.toLowerCase.startsWith("t_conc_gstage_")).isEmpty)
+  }
 }
