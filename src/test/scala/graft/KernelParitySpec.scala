@@ -182,6 +182,27 @@ class KernelParitySpec extends AnyFunSuite {
     assert(bh(4) === 2L && bh(6) === 2L && bh.sum === 4L)
     assert(r7.getLong(2) ===
       Kernels.dhash60("0123456789".getBytes("UTF-8")))
+
+    // the KMV and bloom state-report builders ride the same shared
+    // builder list — SQL-vs-Column parity through the extensions hook,
+    // field for field (the HLL sibling is pinned above)
+    import graft.functions.SketchAgg
+    val kmvSql = spark.sql(
+      "SELECT kmv_state_report(kmv_sketch_agg(text, 16), 16) AS r FROM docs_sql")
+      .select("r.k", "r.k_used", "r.h_k", "r.est_distinct").head()
+    val kmvCol = docs.agg(SketchAgg.kmvSketch(col("text"), 16).as("st"))
+      .select(SketchAgg.kmvReportOf(col("st"), 16).as("r"))
+      .select("r.k", "r.k_used", "r.h_k", "r.est_distinct").head()
+    assert(kmvSql === kmvCol)
+    assert(kmvSql.getLong(1) > 0L)
+    val blSql = spark.sql(
+      "SELECT bloom_state_report(bloom_sketch_agg(text, 1024, 3), 1024) AS r " +
+        "FROM docs_sql").select("r.m", "r.n_set", "r.fill_ppm").head()
+    val blCol = docs.agg(SketchAgg.bloomSketch(col("text"), 1024, 3).as("st"))
+      .select(SketchAgg.bloomReportOf(col("st"), 1024).as("r"))
+      .select("r.m", "r.n_set", "r.fill_ppm").head()
+    assert(blSql === blCol)
+    assert(blSql.getLong(1) > 0L)
   }
 
   test("media kernels match an independent byte-loop reference") {
