@@ -2870,6 +2870,61 @@ object PipelinePack {
         s.pos, s.h
       FROM kept s JOIN rep r USING (batch)"""))
 
+  /** Cross-source overlap matrix from bottom-k sketches (Cohen &
+    * Kaplan's coordinated-sample set similarity): one
+    * [[graft.functions.SketchAgg.KmvSketchAgg]] state per document
+    * source, then every source PAIR estimates its Jaccard overlap
+    * purely from the two ≤k-element state arrays — the bottom-k of
+    * the pair's union is computable from the states alone
+    * (union's k smallest ⊆ A_k ∪ B_k), and the fraction of it lying
+    * in BOTH states is the Jaccard estimate (exact when the states
+    * are under-full). At 100 TB this is the cross-corpus
+    * contamination/overlap report that needs NO distinct-join of
+    * corpora: one pass builds #sources tiny states, the pair
+    * expansion is #sources² rows of array arithmetic (the q83
+    * bounded-build rule — the "nested loop" probes a handful of
+    * fixed-size sketch rows). Integer jaccard_ppm keeps both engines
+    * bit-comparable.
+    */
+  private val q204 = QueryDef(
+    "q204_kmv_source_overlap",
+    (s, dir) => {
+      val k = 64
+      val per = Tables.documents(s, dir)
+        .groupBy(col("source").as("src"))
+        .agg(graft.functions.SketchAgg.kmvSketch(col("text"), k).as("st"))
+      val pairs = per.as("x").join(per.as("y"), col("x.src") < col("y.src"))
+      val u = slice(array_sort(array_union(col("x.st"), col("y.st"))), 1, k)
+      val inter = filter(u, h =>
+        array_contains(col("x.st"), h) && array_contains(col("y.st"), h))
+      pairs.select(col("x.src").as("src_a"), col("y.src").as("src_b"),
+          size(col("x.st")).cast("long").as("k_used_a"),
+          size(col("y.st")).cast("long").as("k_used_b"),
+          size(inter).cast("long").as("inter_k"),
+          size(u).cast("long").as("union_k"))
+        .withColumn("jaccard_ppm",
+          expr("CAST(inter_k * 1000000 DIV union_k AS BIGINT)"))
+    },
+    Some(s"""WITH hs AS (SELECT DISTINCT source, ${sqlHex60("text")} AS h
+          FROM documents WHERE text IS NOT NULL),
+      ranked AS (SELECT source, h, row_number()
+          OVER (PARTITION BY source ORDER BY h) AS rn FROM hs),
+      st AS (SELECT source, array_agg(h ORDER BY h) AS a
+        FROM ranked WHERE rn <= 64 GROUP BY source),
+      pairs AS (SELECT x.source AS src_a, y.source AS src_b, x.a AS a, y.a AS b
+        FROM st x JOIN st y ON x.source < y.source),
+      m AS (SELECT src_a, src_b, a, b,
+          (list_sort(list_distinct(a || b)))[1:64] AS u FROM pairs),
+      c AS (SELECT src_a, src_b, len(a) AS k_used_a, len(b) AS k_used_b,
+          len(list_filter(u, x -> list_contains(a, x)
+            AND list_contains(b, x))) AS inter_k,
+          len(u) AS union_k FROM m)
+      SELECT src_a, src_b, k_used_a::BIGINT AS k_used_a,
+        k_used_b::BIGINT AS k_used_b, inter_k::BIGINT AS inter_k,
+        union_k::BIGINT AS union_k,
+        (inter_k * 1000000 // union_k)::BIGINT AS jaccard_ppm
+      FROM c"""))
+
   /** Per-group HLL cardinality via the AGGREGATE surface
     * (functions.SketchAgg.hllSketch → hllReportOf): one pass builds a
     * 256-register state per order priority and the report reads each
@@ -3122,5 +3177,5 @@ object PipelinePack {
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203)
+    q201, q202, q203, q204)
 }

@@ -52,8 +52,11 @@ class PlanContractSpec extends AnyFunSuite {
                              // classifier's construction (q83 rule)
     "q188_ks_drift",       // 1-row (n_a, n_b) totals broadcast for the
                            // CDF cross-multiplication
-    "q192_join_size_est")  // two 1-row folds (exact size, sketch min)
+    "q192_join_size_est",  // two 1-row folds (exact size, sketch min)
                            // cross-joined into the single report row
+    "q204_kmv_source_overlap") // per-source sketch-state table joined
+                               // to itself — rows = #sources, each a
+                               // fixed ≤k-long array (q83 bounded rule)
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {
