@@ -31,6 +31,29 @@ import org.apache.spark.sql.functions._
   * AQE-sizable.
   */
 object LangId {
+  import graft.util.Pin.PinOps
+
+  private val profileCache =
+    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
+
+  /** Session-cached [[charNgramProfiles]]: built at most once per
+    * (SparkContext, key) and pinned — the profile-build prework
+    * (corpus gram explode + count + rank window) is identical for the
+    * profile report and every classification over the same corpus, so
+    * queries sharing a key pay it once (the
+    * [[graft.ops.GraphFrameLite.cached]] convention: `df`'s content
+    * must be a pure function of `key` — immutable source data — and
+    * entries from stopped contexts are dropped so a JVM cycling
+    * sessions never reads another context's dead pinned blocks).
+    */
+  def profilesCached(df: DataFrame, key: String, textCol: String,
+      langCol: String, n: Int = 3, topK: Int = 50): DataFrame = {
+    val appId = df.sparkSession.sparkContext.applicationId
+    profileCache.keys.iterator.filter(_._1 != appId)
+      .foreach(profileCache.remove)
+    profileCache.getOrElseUpdate((appId, s"$key:$textCol:$langCol:$n:$topK"),
+      charNgramProfiles(df, textCol, langCol, n, topK).cutLineage)
+  }
 
   /** Sliding character n-grams of `text` (empty array when the text is
     * shorter than n — explicit guard; `sequence` would otherwise count
@@ -119,8 +142,18 @@ object LangId {
     */
   def confusion(df: DataFrame, idCol: String, textCol: String,
       langCol: String, n: Int = 3, topK: Int = 50,
+      docTopM: Int = 20): DataFrame =
+    confusionWith(df, idCol, textCol, langCol,
+      charNgramProfiles(df, textCol, langCol, n, topK), n, topK, docTopM)
+
+  /** [[confusion]] against CALLER-SUPPLIED profiles — the reuse form:
+    * pass [[profilesCached]] output so the corpus profile build isn't
+    * replayed when the profile report and the confusion matrix run in
+    * the same session.
+    */
+  def confusionWith(df: DataFrame, idCol: String, textCol: String,
+      langCol: String, profiles: DataFrame, n: Int = 3, topK: Int = 50,
       docTopM: Int = 20): DataFrame = {
-    val profiles = charNgramProfiles(df, textCol, langCol, n, topK)
     val pred = classify(df, idCol, textCol, profiles, n, topK, docTopM)
     df.select(col(idCol).cast("string").as(idCol), col(langCol).as("lang"))
       .join(pred.select(col(idCol), col("pred_lang")), Seq(idCol))

@@ -2449,8 +2449,8 @@ object PipelinePack {
     */
   private val q183 = QueryDef(
     "q183_langid_profile",
-    (s, dir) => graft.ops.LangId.charNgramProfiles(
-      Tables.documents(s, dir), "text", "lang", n = 3, topK = 30),
+    (s, dir) => graft.ops.LangId.profilesCached(
+      Tables.documents(s, dir), s"docs:$dir", "text", "lang", n = 3, topK = 30),
     Some("""WITH g AS (SELECT lang,
           unnest(list_transform(range(1, length(text) - 1),
             i -> substring(text, i, 3))) AS gram
@@ -2471,8 +2471,11 @@ object PipelinePack {
     */
   private val q184 = QueryDef(
     "q184_langid_confusion",
-    (s, dir) => graft.ops.LangId.confusion(
+    (s, dir) => graft.ops.LangId.confusionWith(
       Tables.documents(s, dir), "doc_id", "text", "lang",
+      graft.ops.LangId.profilesCached(
+        Tables.documents(s, dir), s"docs:$dir", "text", "lang",
+        n = 3, topK = 30),
       n = 3, topK = 30, docTopM = 20),
     Some("""WITH g AS (SELECT lang, doc_id,
           unnest(list_transform(range(1, length(text) - 1),

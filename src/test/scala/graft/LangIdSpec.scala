@@ -81,4 +81,31 @@ class LangIdSpec extends AnyFunSuite {
     assert(row.getLong(2) === 0L)
     assert(row.getLong(3) === 0L)
   }
+
+  test("profilesCached serves the uncached frame row-for-row, built once") {
+    // the GraphFrameLiteSpec convention: cached ≡ raw, and the second
+    // call with the same key returns the SAME pinned frame (reference
+    // equality — the build ran once)
+    val raw = LangId.charNgramProfiles(corpus, "text", "lang", n = 3, topK = 10)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val c1 = LangId.profilesCached(corpus, "langid-spec", "text", "lang",
+      n = 3, topK = 10)
+    val c2 = LangId.profilesCached(corpus, "langid-spec", "text", "lang",
+      n = 3, topK = 10)
+    assert(c1 eq c2, "same key must return the same pinned frame")
+    assert(c1.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet === raw)
+    // a different parameterization is a different cache entry
+    val c3 = LangId.profilesCached(corpus, "langid-spec", "text", "lang",
+      n = 3, topK = 5)
+    assert(!(c3 eq c1) && c3.count() < c1.count())
+    // confusionWith over the cached profiles matches confusion()
+    val viaCached = LangId.confusionWith(corpus, "doc_id", "text", "lang",
+      c1, n = 3, topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    val direct = LangId.confusion(corpus, "doc_id", "text", "lang",
+      n = 3, topK = 10).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSet
+    assert(viaCached === direct)
+  }
 }
