@@ -68,6 +68,22 @@ object Dedup {
       .distinct()
   }
 
+  /** Session-cached [[minhashCandidatePairs]]: the banded candidate
+    * set over a given corpus is the shared first step of the whole
+    * near-dup family (pair listing, dedup, cluster reports, curation
+    * funnels) — built once per (SparkContext, key) and pinned
+    * ([[graft.util.SessionCache]]; `df`'s content must be a pure
+    * function of `key`, i.e. immutable source data).
+    */
+  def minhashCandidatePairsCached(df: DataFrame, key: String,
+      idCol: String, textCol: String,
+      shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      maxBucket: Int = 10000): DataFrame =
+    graft.util.SessionCache.cached(df.sparkSession,
+      s"dedup-pairs:$key:$idCol:$textCol:$shingleWords:$bands:$rowsPerBand:$maxBucket")(
+      minhashCandidatePairs(df, idCol, textCol, shingleWords, bands,
+        rowsPerBand, maxBucket).cutLineage)
+
   /** MinHash estimator calibration: for every LSH candidate pair, the
     * signature-agreement Jaccard ESTIMATE (matching positions / k)
     * next to the EXACT shingle-set Jaccard and the absolute error —
@@ -318,6 +334,21 @@ object Dedup {
       .withColumn("keep_id", col(idCol))
     clustered.unionByName(singletons)
   }
+
+  /** Session-cached [[nearDupSurvivors]]: the (doc → keep_id) cluster
+    * assignment is the shared second step of the near-dup reports
+    * (dedup output, dedup report, cluster-size histogram, curation
+    * funnel) — the fixpoint loop runs once per (SparkContext, key,
+    * algorithm) and later queries read the pinned assignment. Same
+    * purity contract as [[minhashCandidatePairsCached]]; key BOTH
+    * frames' provenance into `key` (corpus + pair parameters).
+    */
+  def nearDupSurvivorsCached(docs: DataFrame, pairs: DataFrame,
+      key: String, idCol: String,
+      algorithm: String = "propagate"): DataFrame =
+    graft.util.SessionCache.cached(docs.sparkSession,
+      s"dedup-surv:$key:$idCol:$algorithm")(
+      nearDupSurvivors(docs, pairs, idCol, algorithm).cutLineage)
 
   /** Min-label propagation over edge-touched nodes, to fixpoint.
     * Rounds = cluster diameter. Iterates ONLY over edge-touched

@@ -41,28 +41,18 @@ final class GraphFrameLite private (val edges: DataFrame,
 }
 
 object GraphFrameLite {
-  private val cache =
-    scala.collection.concurrent.TrieMap[(String, String), GraphFrameLite]()
 
-  /** The session-cached instance for `key`: `build` runs at most once
-    * per (SparkContext, key) — keyed on the application id so a new
-    * context (whose pinned RDDs would be gone) never sees a stale
-    * entry. `build` must return an edge list whose content is a pure
-    * function of `key` (immutable source data), which is what makes
-    * cross-query reuse sound.
+  /** The session-cached instance for `key` ([[graft.util
+    * .SessionCache]] — one build per (SparkContext, key), stale-
+    * context eviction). `build` must return an edge list whose
+    * content is a pure function of `key` (immutable source data),
+    * which is what makes cross-query reuse sound.
     */
   def cached(spark: org.apache.spark.sql.SparkSession, key: String,
       srcCol: String = "src", dstCol: String = "dst")(
-      build: => DataFrame): GraphFrameLite = {
-    val appId = spark.sparkContext.applicationId
-    // drop entries from other (stopped) contexts: their pinned blocks
-    // are gone with the context, so the references only leak — a JVM
-    // that cycles sessions (test suites, long-lived drivers) must not
-    // accumulate one dead GraphFrameLite per context
-    cache.keys.iterator.filter(_._1 != appId).foreach(cache.remove)
-    cache.getOrElseUpdate((appId, key),
+      build: => DataFrame): GraphFrameLite =
+    graft.util.SessionCache.cached(spark, s"graph:$key")(
       new GraphFrameLite(build, srcCol, dstCol))
-  }
 
   /** Uncached wrapper for a one-off graph. */
   def of(edges: DataFrame, srcCol: String = "src",

@@ -33,27 +33,19 @@ import org.apache.spark.sql.functions._
 object LangId {
   import graft.util.Pin.PinOps
 
-  private val profileCache =
-    scala.collection.concurrent.TrieMap[(String, String), DataFrame]()
-
   /** Session-cached [[charNgramProfiles]]: built at most once per
-    * (SparkContext, key) and pinned — the profile-build prework
-    * (corpus gram explode + count + rank window) is identical for the
-    * profile report and every classification over the same corpus, so
-    * queries sharing a key pay it once (the
-    * [[graft.ops.GraphFrameLite.cached]] convention: `df`'s content
-    * must be a pure function of `key` — immutable source data — and
-    * entries from stopped contexts are dropped so a JVM cycling
-    * sessions never reads another context's dead pinned blocks).
+    * (SparkContext, key) and pinned ([[graft.util.SessionCache]]) —
+    * the profile-build prework (corpus gram explode + count + rank
+    * window) is identical for the profile report and every
+    * classification over the same corpus, so queries sharing a key
+    * pay it once. `df`'s content must be a pure function of `key`
+    * (immutable source data).
     */
   def profilesCached(df: DataFrame, key: String, textCol: String,
-      langCol: String, n: Int = 3, topK: Int = 50): DataFrame = {
-    val appId = df.sparkSession.sparkContext.applicationId
-    profileCache.keys.iterator.filter(_._1 != appId)
-      .foreach(profileCache.remove)
-    profileCache.getOrElseUpdate((appId, s"$key:$textCol:$langCol:$n:$topK"),
+      langCol: String, n: Int = 3, topK: Int = 50): DataFrame =
+    graft.util.SessionCache.cached(df.sparkSession,
+      s"langid:$key:$textCol:$langCol:$n:$topK")(
       charNgramProfiles(df, textCol, langCol, n, topK).cutLineage)
-  }
 
   /** Sliding character n-grams of `text` (empty array when the text is
     * shorter than n — explicit guard; `sequence` would otherwise count

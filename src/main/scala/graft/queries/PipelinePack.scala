@@ -37,6 +37,28 @@ object PipelinePack {
   private val T = OracleSql.T
   private def sqlHex60(s: String): String = OracleSql.hex60(s)
 
+  // ---- session-shared near-dup prework ------------------------------
+
+  /** The (3-shingle, 4×4-band) candidate-pair set over the documents
+    * corpus — the shared first step of the whole near-dup family
+    * (q18/q32/q34/q103/q136), built once per session and pinned
+    * ([[graft.ops.Dedup.minhashCandidatePairsCached]]).
+    */
+  private def docPairsCached(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Dedup.minhashCandidatePairsCached(Tables.documents(s, dir),
+      s"docs:$dir", "doc_id", "text",
+      shingleWords = 3, bands = 4, rowsPerBand = 4)
+
+  /** The (doc → keep_id) survivor assignment over [[docPairsCached]] —
+    * the shared second step (q32/q34/q103 propagate; q136 star), one
+    * fixpoint run per (session, algorithm).
+    */
+  private def docSurvivorsCached(s: org.apache.spark.sql.SparkSession,
+      dir: String, algorithm: String = "propagate") =
+    Dedup.nearDupSurvivorsCached(Tables.documents(s, dir),
+      docPairsCached(s, dir), s"docs:$dir:3:4:4", "doc_id", algorithm)
+
   /** DuckDB: distinct 3-word shingles over tokens (mirrors
     * TextKernels.wordShingles: short docs yield one truncated shingle).
     */
@@ -64,9 +86,7 @@ object PipelinePack {
     */
   private val q18 = QueryDef(
     "q18_lsh_candidates",
-    (s, dir) => Dedup.minhashCandidatePairs(
-      Tables.documents(s, dir), "doc_id", "text",
-      shingleWords = 3, bands = 4, rowsPerBand = 4),
+    (s, dir) => docPairsCached(s, dir),
     Some(s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
       sig AS (SELECT doc_id, list_transform(range(0, 16),
         h -> list_min(list_transform(
@@ -166,12 +186,7 @@ object PipelinePack {
 
   private val q32 = QueryDef(
     "q32_neardup_dedup",
-    (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        shingleWords = 3, bands = 4, rowsPerBand = 4)
-      Dedup.nearDupSurvivors(docs, pairs, "doc_id")
-    },
+    (s, dir) => docSurvivorsCached(s, dir),
     Some(s"WITH $sqlSurvivorCtes SELECT doc_id, keep_id FROM surv"))
 
   /** Dedup impact report — the per-source deliverable a curation run
@@ -186,9 +201,7 @@ object PipelinePack {
     "q103_dedup_report",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        shingleWords = 3, bands = 4, rowsPerBand = 4)
-      val surv = Dedup.nearDupSurvivors(docs, pairs, "doc_id")
+      val surv = docSurvivorsCached(s, dir)
       docs.join(surv, Seq("doc_id"))
         .groupBy(col("source"))
         .agg(
@@ -225,10 +238,7 @@ object PipelinePack {
   private val q136 = QueryDef(
     "q136_cluster_sizes",
     (s, dir) => {
-      val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        shingleWords = 3, bands = 4, rowsPerBand = 4)
-      Dedup.nearDupSurvivors(docs, pairs, "doc_id", algorithm = "star")
+      docSurvivorsCached(s, dir, algorithm = "star")
         .groupBy(col("keep_id")).agg(count(lit(1)).as("cluster_size"))
         .groupBy(col("cluster_size"))
         .agg(count(lit(1)).as("n_clusters"),
@@ -762,9 +772,7 @@ object PipelinePack {
     "q34_curation",
     (s, dir) => {
       val docs = Tables.documents(s, dir)
-      val pairs = Dedup.minhashCandidatePairs(docs, "doc_id", "text",
-        shingleWords = 3, bands = 4, rowsPerBand = 4)
-      val survivors = Dedup.nearDupSurvivors(docs, pairs, "doc_id")
+      val survivors = docSurvivorsCached(s, dir)
         .filter(col("keep_id") === col("doc_id")).select(col("doc_id"))
       val toks = TextKernels.tokens(col("text"))
       val mbRatio = TextKernels.multibyteRatio(toks)

@@ -1085,4 +1085,33 @@ class PipelineSpec extends AnyFunSuite {
     // rank assignment must not depend on the physical partitioning
     assert(run(df.repartition(5), 3) === run(df.coalesce(1), 3))
   }
+
+  test("cached near-dup prework serves the raw frames, built once per key") {
+    // the SessionCache convention (GraphFrameLite/LangId siblings):
+    // cached ≡ raw row-for-row, repeat calls return the SAME pinned
+    // frame, and the survivor cache distinguishes algorithms
+    val d = docs(
+      1L -> "the quick brown fox jumps over the lazy dog",
+      2L -> "the quick brown fox jumps over the lazy dog",
+      3L -> "completely different content with nothing shared here",
+      4L -> "another unrelated document full of other words")
+    val rawPairs = Dedup.minhashCandidatePairs(d, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val c1 = Dedup.minhashCandidatePairsCached(d, "pipeline-spec", "doc_id", "text")
+    val c2 = Dedup.minhashCandidatePairsCached(d, "pipeline-spec", "doc_id", "text")
+    assert(c1 eq c2, "same key must return the same pinned frame")
+    assert(c1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === rawPairs)
+    val rawSurv = Dedup.nearDupSurvivors(d, c1, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val s1 = Dedup.nearDupSurvivorsCached(d, c1, "pipeline-spec", "doc_id")
+    val s2 = Dedup.nearDupSurvivorsCached(d, c1, "pipeline-spec", "doc_id")
+    assert(s1 eq s2)
+    assert(s1.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === rawSurv)
+    // star is a distinct cache entry but the assignment is
+    // algorithm-invariant (the q136 cross-check)
+    val star = Dedup.nearDupSurvivorsCached(d, c1, "pipeline-spec", "doc_id",
+      algorithm = "star")
+    assert(!(star eq s1))
+    assert(star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === rawSurv)
+  }
 }
