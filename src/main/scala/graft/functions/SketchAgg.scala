@@ -684,7 +684,16 @@ object SketchAgg {
   def kmvMerge(state: Column, k: Int = 64): Column =
     exprBridge.column(KmvMergeAgg(ex(state), k).toAggregateExpression())
 
-  /** struct(k, k_used, h_k, est_distinct) from a stored state. */
+  /** struct(k, k_used, h_k, est_distinct) from a stored state.
+    *
+    * The summary StaticInvoke appears once per struct field (3×, same
+    * shape as the HLL/bloom report builders): correctness is
+    * unaffected, and the repeated invoke is collapsed by Spark's
+    * subexpression elimination (codegen and interpreted paths both
+    * CSE deterministic non-commutable expressions); these builders
+    * also only ever run on POST-AGGREGATION rows — one per group —
+    * never in a per-row hot path.
+    */
   private def kmvReportExpr(state: Expression, k: Int): Expression = {
     import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, GetArrayItem, Literal}
     require(k >= 1 && k <= 4096, s"need 1 <= k <= 4096: $k")
