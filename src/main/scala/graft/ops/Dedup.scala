@@ -198,7 +198,16 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, threshold: Double = 0.5,
       maxDf: Int = 10000): DataFrame =
-    pairIntersections(df, idCol, textCol, shingleWords, maxDf)
+    jaccardPairsFrom(
+      pairIntersections(df, idCol, textCol, shingleWords, maxDf), threshold)
+
+  /** [[jaccardPairs]] over a PRECOMPUTED intersection frame
+    * ([[pairIntersectionsCached]]) — the reuse form when several
+    * reports read the same pair-intersection core.
+    */
+  def jaccardPairsFrom(intersections: DataFrame,
+      threshold: Double = 0.5): DataFrame =
+    intersections
       .withColumn("jaccard",
         col("inter").cast("double") / (col("na") + col("nb") - col("inter")))
       .filter(col("jaccard") >= threshold)
@@ -222,12 +231,33 @@ object Dedup {
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, thresholdNum: Long = 1, thresholdDen: Long = 2,
       maxDf: Int = 10000): DataFrame =
-    pairIntersections(df, idCol, textCol, shingleWords, maxDf)
+    containmentPairsFrom(
+      pairIntersections(df, idCol, textCol, shingleWords, maxDf),
+      thresholdNum, thresholdDen)
+
+  /** [[containmentPairs]] over a PRECOMPUTED intersection frame
+    * ([[pairIntersectionsCached]]). */
+  def containmentPairsFrom(intersections: DataFrame,
+      thresholdNum: Long = 1, thresholdDen: Long = 2): DataFrame =
+    intersections
       .filter(col("inter") * thresholdDen >= least(col("na"), col("nb")) * thresholdNum)
       .withColumn("containment",
         col("inter").cast("double") / least(col("na"), col("nb")).cast("double"))
       .select(col("doc_a"), col("doc_b"), col("na").cast("long").as("na"),
         col("nb").cast("long").as("nb"), col("inter"), col("containment"))
+
+  /** Session-cached [[pairIntersections]] core — the exact
+    * pair-intersection table (doc_a, na, doc_b, nb, inter) is the
+    * shared substrate of the exact-similarity reports (Jaccard pairs,
+    * containment pairs); one inverted-index pass per (SparkContext,
+    * key) serves all of them. Same purity contract as
+    * [[minhashCandidatePairsCached]].
+    */
+  def pairIntersectionsCached(df: DataFrame, key: String, idCol: String,
+      textCol: String, shingleWords: Int = 3, maxDf: Int = 10000): DataFrame =
+    graft.util.SessionCache.cached(df.sparkSession,
+      s"dedup-inter:$key:$idCol:$textCol:$shingleWords:$maxDf")(
+      pairIntersections(df, idCol, textCol, shingleWords, maxDf).cutLineage)
 
   /** Shared verifier core: exact shingle-set intersection sizes for
     * every pair sharing ≥1 (sub-maxDf) shingle. ONE pass builds the

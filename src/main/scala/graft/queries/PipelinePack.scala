@@ -59,6 +59,16 @@ object PipelinePack {
     Dedup.nearDupSurvivorsCached(Tables.documents(s, dir),
       docPairsCached(s, dir), s"docs:$dir:3:4:4", "doc_id", algorithm)
 
+  /** The exact 3-shingle pair-intersection core over the documents
+    * corpus — shared by the exact-similarity reports (q19 Jaccard,
+    * q118 containment), one inverted-index pass per session
+    * ([[graft.ops.Dedup.pairIntersectionsCached]]).
+    */
+  private def docIntersectionsCached(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    Dedup.pairIntersectionsCached(Tables.documents(s, dir), s"docs:$dir",
+      "doc_id", "text", shingleWords = 3, maxDf = 10000)
+
   /** DuckDB: distinct 3-word shingles over tokens (mirrors
     * TextKernels.wordShingles: short docs yield one truncated shingle).
     */
@@ -107,9 +117,8 @@ object PipelinePack {
     */
   private val q19 = QueryDef(
     "q19_jaccard_pairs",
-    (s, dir) => Dedup.jaccardPairs(
-      Tables.documents(s, dir), "doc_id", "text",
-      shingleWords = 3, threshold = 0.2, maxDf = 10000),
+    (s, dir) => Dedup.jaccardPairsFrom(
+      docIntersectionsCached(s, dir), threshold = 0.2),
     Some(s"""WITH sh AS (SELECT doc_id,
         list_transform($sqlShingles, sg -> ${sqlHex60("sg")}) AS s FROM documents),
       inv0 AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
@@ -1506,9 +1515,8 @@ object PipelinePack {
     */
   private val q118 = QueryDef(
     "q118_containment",
-    (s, dir) => Dedup.containmentPairs(
-      Tables.documents(s, dir), "doc_id", "text",
-      shingleWords = 3, thresholdNum = 1, thresholdDen = 2, maxDf = 10000),
+    (s, dir) => Dedup.containmentPairsFrom(
+      docIntersectionsCached(s, dir), thresholdNum = 1, thresholdDen = 2),
     Some(s"""WITH sh AS (SELECT doc_id,
         list_transform($sqlShingles, sg -> ${sqlHex60("sg")}) AS s FROM documents),
       inv0 AS (SELECT doc_id, len(s) AS n, unnest(s) AS g FROM sh),
