@@ -161,6 +161,20 @@ object NgramLm {
       .toDF("round", "lsym", "rsym", "n_occ", "n_symbols_after")
   }
 
+  /** [[bpeTrain]] from the session-cached trainer run — the merge
+    * table and the [[bpeVocabCached]] vocabulary come from ONE
+    * training loop per (SparkContext, key) instead of two (a trainer
+    * publishes both artifacts together; `df`'s content must be a pure
+    * function of `key`).
+    */
+  def bpeTrainCached(df: DataFrame, key: String, textCol: String,
+      merges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeCoreCached(df, key, textCol, merges)._1
+      .toDF("round", "lsym", "rsym", "n_occ", "n_symbols_after")
+  }
+
   /** Subword VOCABULARY after `merges` BPE rounds: the corpus-weighted
     * occurrence count of every surviving symbol — the artifact a
     * tokenizer build publishes next to the [[bpeTrain]] merge table
@@ -173,6 +187,23 @@ object NgramLm {
   def bpeVocab(df: DataFrame, textCol: String, merges: Int): DataFrame =
     bpeCore(df, textCol, merges)._2
       .groupBy(col("sym")).agg(sum(col("wc")).as("n_occ"))
+
+  /** [[bpeVocab]] from the session-cached trainer run (see
+    * [[bpeTrainCached]]). */
+  def bpeVocabCached(df: DataFrame, key: String, textCol: String,
+      merges: Int): DataFrame =
+    bpeCoreCached(df, key, textCol, merges)._2
+      .groupBy(col("sym")).agg(sum(col("wc")).as("n_occ"))
+
+  /** One [[bpeCore]] run per (SparkContext, key) — the returned final
+    * symbol table is already lineage-cut by the loop, and the merge
+    * rows are a driver-side Seq, so the pair is safe to serve across
+    * queries as-is.
+    */
+  private def bpeCoreCached(df: DataFrame, key: String, textCol: String,
+      merges: Int): (Seq[(Long, String, String, Long, Long)], DataFrame) =
+    graft.util.SessionCache.cached(df.sparkSession,
+      s"bpe:$key:$textCol:$merges")(bpeCore(df, textCol, merges))
 
   /** Shared trainer loop: (merge rows, final symbol table). */
   private def bpeCore(df: DataFrame, textCol: String, merges: Int)

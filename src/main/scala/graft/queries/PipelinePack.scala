@@ -3058,8 +3058,8 @@ object PipelinePack {
     */
   private val q187 = QueryDef(
     "q187_bpe_train",
-    (s, dir) => graft.ops.NgramLm.bpeTrain(
-      Tables.documents(s, dir), "text", merges = 3),
+    (s, dir) => graft.ops.NgramLm.bpeTrainCached(
+      Tables.documents(s, dir), s"docs:$dir", "text", merges = 3),
     Some {
       val steps = (1 to 3).map { r =>
         s"""p$r AS (SELECT w, wc, pos, sym,
@@ -3106,8 +3106,8 @@ object PipelinePack {
     */
   private val q191 = QueryDef(
     "q191_bpe_vocab",
-    (s, dir) => graft.ops.NgramLm.bpeVocab(
-      Tables.documents(s, dir), "text", merges = 3),
+    (s, dir) => graft.ops.NgramLm.bpeVocabCached(
+      Tables.documents(s, dir), s"docs:$dir", "text", merges = 3),
     Some {
       val steps = (1 to 3).map { r =>
         s"""p$r AS (SELECT w, wc, pos, sym,

@@ -61,4 +61,24 @@ class BpeTrainSpec extends AnyFunSuite {
     // total after = a + b + a + b + 2 symbols of ccc = 6
     assert(got.toSeq === Seq(("c", "c", 2L, 6L)))
   }
+
+  test("cached trainer serves both artifacts from one run, equal to raw") {
+    // the SessionCache convention: merge table and vocabulary from
+    // bpe*Cached equal their uncached forms row-for-row, and the
+    // second artifact does not retrain (reference-equal symbol source
+    // is unobservable from outside, so pin equality on content)
+    val docs = Seq("fast fast faster").toDF("text")
+    def trainRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getString(2),
+        r.getLong(3), r.getLong(4))).toSet
+    def vocabRows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(trainRows(NgramLm.bpeTrainCached(docs, "bpe-spec", "text", 3)) ===
+      trainRows(NgramLm.bpeTrain(docs, "text", 3)))
+    assert(vocabRows(NgramLm.bpeVocabCached(docs, "bpe-spec", "text", 3)) ===
+      vocabRows(NgramLm.bpeVocab(docs, "text", 3)))
+    // a different merge budget is a different cache entry
+    assert(trainRows(NgramLm.bpeTrainCached(docs, "bpe-spec", "text", 1)) ===
+      trainRows(NgramLm.bpeTrain(docs, "text", 1)))
+  }
 }
