@@ -70,6 +70,21 @@ object NgramLm {
     *
     * Output: (idCol, n_slots, n_ctx, n_hit, n_noctx, sum_q, mean_q).
     */
+  /** Session-cached [[docLmScore]]: the per-doc LM scoring table
+    * (one narrow row per document — bounded, unlike the corpus token
+    * stream) is shared by the raw LM-score report and any composite
+    * quality scorecard reading it. The caller's `key` must describe
+    * BOTH the corpus and the `trainFilter` (a Column is not a cache
+    * key), same purity contract as the other SessionCache users.
+    */
+  def docLmScoreCached(df: DataFrame, key: String, idCol: String,
+      textCol: String, trainFilter: Column): DataFrame = {
+    import graft.util.Pin.PinOps
+    graft.util.SessionCache.cached(df.sparkSession,
+      s"lmscore:$key:$idCol:$textCol")(
+      docLmScore(df, idCol, textCol, trainFilter).cutLineage)
+  }
+
   def docLmScore(df: DataFrame, idCol: String, textCol: String,
       trainFilter: Column): DataFrame = {
     val lm = trigramLm(df.filter(trainFilter), textCol)

@@ -1628,8 +1628,8 @@ object PipelinePack {
     */
   private val q122 = QueryDef(
     "q122_lm_score",
-    (s, dir) => graft.ops.NgramLm.docLmScore(
-      Tables.documents(s, dir), "doc_id", "text",
+    (s, dir) => graft.ops.NgramLm.docLmScoreCached(
+      Tables.documents(s, dir), s"docs:$dir:even", "doc_id", "text",
       col("doc_id") % 2 === 0),
     Some(s"""WITH tr AS (SELECT $T AS toks FROM documents
           WHERE doc_id % 2 = 0 AND len($T) >= 3),
@@ -1840,8 +1840,8 @@ object PipelinePack {
         .select(col("doc_id"), col("top_chars").as("top2_chars"))
       val rep6 = graft.ops.QualityRules.repetitionSignals(d, "doc_id", "text", Seq(6))
         .select(col("doc_id"), col("dup_chars").as("dup6_chars"))
-      val lm = graft.ops.NgramLm.docLmScore(d, "doc_id", "text",
-          col("doc_id") % 2 === 0)
+      val lm = graft.ops.NgramLm.docLmScoreCached(d, s"docs:$dir:even",
+          "doc_id", "text", col("doc_id") % 2 === 0)
         .select(col("doc_id"), col("n_ctx"), col("sum_q"))
       rules
         .join(rep2, Seq("doc_id"), "left")
