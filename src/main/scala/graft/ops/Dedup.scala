@@ -79,7 +79,10 @@ object Dedup {
       idCol: String, textCol: String,
       shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       maxBucket: Int = 10000): DataFrame =
-    graft.util.SessionCache.cached(df.sparkSession,
+    if (!graft.util.SessionCache.enabled(df.sparkSession))
+      minhashCandidatePairs(df, idCol, textCol, shingleWords, bands,
+        rowsPerBand, maxBucket)
+    else graft.util.SessionCache.cached(df.sparkSession,
       s"dedup-pairs:$key:$idCol:$textCol:$shingleWords:$bands:$rowsPerBand:$maxBucket")(
       minhashCandidatePairs(df, idCol, textCol, shingleWords, bands,
         rowsPerBand, maxBucket).cutLineage)
@@ -255,7 +258,9 @@ object Dedup {
     */
   def pairIntersectionsCached(df: DataFrame, key: String, idCol: String,
       textCol: String, shingleWords: Int = 3, maxDf: Int = 10000): DataFrame =
-    graft.util.SessionCache.cached(df.sparkSession,
+    if (!graft.util.SessionCache.enabled(df.sparkSession))
+      pairIntersections(df, idCol, textCol, shingleWords, maxDf)
+    else graft.util.SessionCache.cached(df.sparkSession,
       s"dedup-inter:$key:$idCol:$textCol:$shingleWords:$maxDf")(
       pairIntersections(df, idCol, textCol, shingleWords, maxDf).cutLineage)
 
@@ -376,7 +381,9 @@ object Dedup {
   def nearDupSurvivorsCached(docs: DataFrame, pairs: DataFrame,
       key: String, idCol: String,
       algorithm: String = "propagate"): DataFrame =
-    graft.util.SessionCache.cached(docs.sparkSession,
+    if (!graft.util.SessionCache.enabled(docs.sparkSession))
+      nearDupSurvivors(docs, pairs, idCol, algorithm)
+    else graft.util.SessionCache.cached(docs.sparkSession,
       s"dedup-surv:$key:$idCol:$algorithm")(
       nearDupSurvivors(docs, pairs, idCol, algorithm).cutLineage)
 

@@ -43,7 +43,9 @@ object LangId {
     */
   def profilesCached(df: DataFrame, key: String, textCol: String,
       langCol: String, n: Int = 3, topK: Int = 50): DataFrame =
-    graft.util.SessionCache.cached(df.sparkSession,
+    if (!graft.util.SessionCache.enabled(df.sparkSession))
+      charNgramProfiles(df, textCol, langCol, n, topK)
+    else graft.util.SessionCache.cached(df.sparkSession,
       s"langid:$key:$textCol:$langCol:$n:$topK")(
       charNgramProfiles(df, textCol, langCol, n, topK).cutLineage)
 

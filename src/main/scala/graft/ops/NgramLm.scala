@@ -80,7 +80,9 @@ object NgramLm {
   def docLmScoreCached(df: DataFrame, key: String, idCol: String,
       textCol: String, trainFilter: Column): DataFrame = {
     import graft.util.Pin.PinOps
-    graft.util.SessionCache.cached(df.sparkSession,
+    if (!graft.util.SessionCache.enabled(df.sparkSession))
+      docLmScore(df, idCol, textCol, trainFilter)
+    else graft.util.SessionCache.cached(df.sparkSession,
       s"lmscore:$key:$idCol:$textCol")(
       docLmScore(df, idCol, textCol, trainFilter).cutLineage)
   }
@@ -217,7 +219,9 @@ object NgramLm {
     */
   private def bpeCoreCached(df: DataFrame, key: String, textCol: String,
       merges: Int): (Seq[(Long, String, String, Long, Long)], DataFrame) =
-    graft.util.SessionCache.cached(df.sparkSession,
+    if (!graft.util.SessionCache.enabled(df.sparkSession))
+      bpeCore(df, textCol, merges)
+    else graft.util.SessionCache.cached(df.sparkSession,
       s"bpe:$key:$textCol:$merges")(bpeCore(df, textCol, merges))
 
   /** Shared trainer loop: (merge rows, final symbol table). */

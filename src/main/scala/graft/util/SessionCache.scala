@@ -22,6 +22,15 @@ object SessionCache {
   private val cache =
     scala.collection.concurrent.TrieMap[(String, String), AnyRef]()
 
+  /** `spark.graft.sessionCache=off` (session conf) bypasses every
+    * cached wrapper: callers fall back to their RAW un-pinned form.
+    * The plan-contract sweep uses this — a pinned frame's plan is a
+    * bare LogicalRDD scan, which would hide the operator's declared
+    * topology from the no-cartesian audit.
+    */
+  def enabled(spark: SparkSession): Boolean =
+    spark.conf.get("spark.graft.sessionCache", "on") != "off"
+
   def cached[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
     val appId = spark.sparkContext.applicationId
     cache.keys.iterator.filter(_._1 != appId).foreach(cache.remove)

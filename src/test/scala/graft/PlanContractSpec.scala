@@ -60,7 +60,12 @@ class PlanContractSpec extends AnyFunSuite {
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {
-      val plan = SparkEntry.queries(name)(spark, sf)
+      // sweep the DECLARED topology with session caches OFF: a pinned
+      // prework frame's plan is a bare LogicalRDD scan, which would
+      // hide the underlying operator's join shape from this audit
+      val raw = spark.newSession()
+      raw.conf.set("spark.graft.sessionCache", "off")
+      val plan = SparkEntry.queries(name)(raw, sf)
         .queryExecution.executedPlan.toString
       assert(!plan.contains("CartesianProduct"),
         s"$name plans a cartesian product")
