@@ -2912,6 +2912,11 @@ object PipelinePack {
       val per = Tables.documents(s, dir)
         .groupBy(col("source").as("src"))
         .agg(graft.functions.SketchAgg.kmvSketch(col("text"), k).as("st"))
+        // a source whose every text is NULL yields an EMPTY state: the
+        // oracle's `WHERE text IS NOT NULL` never materializes such a
+        // group, so drop it here too (also keeps union_k > 0 — no
+        // division by zero in the ppm)
+        .filter(size(col("st")) > 0)
       val pairs = per.as("x").join(per.as("y"), col("x.src") < col("y.src"))
       val u = slice(array_sort(array_union(col("x.st"), col("y.st"))), 1, k)
       val inter = filter(u, h =>

@@ -289,6 +289,19 @@ class SketchAggSpec extends AnyFunSuite {
     assert(st === want)
   }
 
+  test("kmv ignores NULL keys; an all-NULL group yields an EMPTY state") {
+    // the q204 overlap matrix drops empty states with size(st) > 0 to
+    // match its oracle's `WHERE text IS NOT NULL` — that filter is
+    // only sound if NULL inputs never contribute a hash
+    val mixed = Seq(("a", Some("x")), ("a", None), ("b", None))
+      .toDF("src", "k")
+    val st = mixed.groupBy(col("src"))
+      .agg(SketchAgg.kmvSketch(col("k"), 8).as("st"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    assert(st("a") === Seq(graft.functions.Kernels.hex60String("x")))
+    assert(st("b").isEmpty)
+  }
+
   test("merge-equivalence: per-slice KMV states merged == one-pass state") {
     val K = 32
     val whole = keys.agg(SketchAgg.kmvSketch(col("k"), K).as("st")).head()
