@@ -19,8 +19,20 @@ import org.apache.spark.sql.SparkSession
   * materialized blocks instead of replaying lineage.
   */
 object SessionCache {
+  /** Lazy cell so the EXPENSIVE build runs at most once even when two
+    * threads race the first access: TrieMap.getOrElseUpdate may
+    * evaluate its default twice, but a losing un-forced Cell is a
+    * discarded closure — nothing was computed or pinned — while the
+    * winning cell's `lazy val` synchronizes every reader onto one
+    * build (racing an eager value here would leak the loser's pinned
+    * blocks for the app lifetime).
+    */
+  private final class Cell(build: () => AnyRef) {
+    lazy val value: AnyRef = build()
+  }
+
   private val cache =
-    scala.collection.concurrent.TrieMap[(String, String), AnyRef]()
+    scala.collection.concurrent.TrieMap[(String, String), Cell]()
 
   /** `spark.graft.sessionCache=off` (session conf) bypasses every
     * cached wrapper: callers fall back to their RAW un-pinned form.
@@ -34,6 +46,7 @@ object SessionCache {
   def cached[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
     val appId = spark.sparkContext.applicationId
     cache.keys.iterator.filter(_._1 != appId).foreach(cache.remove)
-    cache.getOrElseUpdate((appId, key), build).asInstanceOf[T]
+    cache.getOrElseUpdate((appId, key), new Cell(() => build))
+      .value.asInstanceOf[T]
   }
 }
