@@ -2729,14 +2729,21 @@ object PipelinePack {
         .select(col("doc_id"), col("source"), explode(wins).as("w"),
           (graft.functions.TextKernels.hex60(col("doc_id").cast("string"))
             % 10 < 2).as("is_bench"))
-      // the distinct bench-window set is tokenized ONCE and pinned
-      // (Pin.cut): both downstream readers — the bloom-state scalar
-      // subquery and the exact-confirm left_semi — fold the pinned
-      // blocks instead of each replaying the tokenize+window-explode
-      // over the bench slice (3 corpus-derived passes → 1 full probe
-      // pass + 1 bench-slice pass)
-      val benchW = graft.util.Pin.cut(
-        split.filter(col("is_bench")).select(col("w")).distinct())
+      // the distinct bench-window set is tokenized ONCE per session
+      // and pinned (SessionCache + Pin.cut): both downstream readers —
+      // the bloom-state scalar subquery and the exact-confirm
+      // left_semi — fold the pinned blocks instead of each replaying
+      // the tokenize+window-explode over the bench slice (3 corpus-
+      // derived passes → 1 full probe pass + 1 bench-slice pass).
+      // Session-scoped, not per-invocation: an unconditional Pin.cut
+      // here would leak one pinned copy per call and hide the bench
+      // subtree from the plan audit; the cache builds once and honors
+      // the `spark.graft.sessionCache=off` sweep switch.
+      val benchW0 = split.filter(col("is_bench")).select(col("w")).distinct()
+      val benchW =
+        if (!graft.util.SessionCache.enabled(s)) benchW0
+        else graft.util.SessionCache.cached(s, s"q201-benchw:$dir")(
+          graft.util.Pin.cut(benchW0))
       // the 1-row bloom state rides as an UNCORRELATED SCALAR SUBQUERY
       // (the BloomJoin.prefilter shape): Spark executes the aggregate
       // once and folds the 4 KB of filter bytes into the probe as a

@@ -30,35 +30,21 @@ class PartitionInvarianceSpec extends AnyFunSuite {
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq
 
-  /** Session-cached queries would serve the SAME pinned frame to the
-    * sibling session (the cache is keyed on the shared SparkContext),
-    * collapsing the invariance check into self-comparison — so the
-    * alt-session side runs the RAW uncached operator for those. This
-    * checks strictly more: the pinned cache content must equal a
-    * fresh differently-partitioned computation.
-    */
-  private val uncachedForm: Map[String, (org.apache.spark.sql.SparkSession,
-      String) => org.apache.spark.sql.DataFrame] = Map(
-    "q32_neardup_dedup" -> ((s, dir) => {
-      val docs = graft.sources.Tables.documents(s, dir)
-      val pairs = graft.ops.Dedup.minhashCandidatePairs(docs, "doc_id",
-        "text", shingleWords = 3, bands = 4, rowsPerBand = 4)
-      graft.ops.Dedup.nearDupSurvivors(docs, pairs, "doc_id")
-    }),
-    "q187_bpe_train" -> ((s, dir) => graft.ops.NgramLm.bpeTrain(
-      graft.sources.Tables.documents(s, dir), "text", merges = 3)),
-    "q19_jaccard_pairs" -> ((s, dir) => graft.ops.Dedup.jaccardPairs(
-      graft.sources.Tables.documents(s, dir), "doc_id", "text",
-      shingleWords = 3, threshold = 0.2, maxDf = 10000)))
-
   for (name <- slice) {
     test(s"$name is invariant to the shuffle partition count") {
       val base = rows(SparkEntry.queries(name)(spark, sf))
       val alt = spark.newSession()
       alt.conf.set("spark.sql.shuffle.partitions", "7")
+      // session caches OFF on the alt side: a cached query would serve
+      // the SAME pinned frame to the sibling session (the cache keys
+      // on the shared SparkContext), collapsing the check into
+      // self-comparison. With the bypass, the pinned cache content
+      // must equal a fresh differently-partitioned raw computation —
+      // strictly stronger, and future cached queries joining the
+      // slice stay covered automatically.
+      alt.conf.set("spark.graft.sessionCache", "off")
       try {
-        val got = rows(
-          uncachedForm.getOrElse(name, SparkEntry.queries(name))(alt, sf))
+        val got = rows(SparkEntry.queries(name)(alt, sf))
         assert(got === base)
       } finally alt.conf.unset("spark.sql.shuffle.partitions")
     }
