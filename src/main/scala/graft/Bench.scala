@@ -206,8 +206,9 @@ object Bench {
         System.err.println(
           f"bench: DISPERSION $name median=$med%.3f best=$best%.3f raws=[" +
             raws.map(v => f"$v%.3f").mkString(",") +
-            s"] loadavg=[$loadAvg] — median is likely box-load " +
-            "contamination, not plan cost; trust the best pass")
+            "] — median is likely box-load contamination, not plan " +
+            "cost; trust the best pass and cross-check the per-pass " +
+            "loadavg lines above (load DURING each pass, not now)")
     }
 
     // report the pass count that actually ran (budget may skip some)

@@ -370,7 +370,7 @@ object StreamingLift {
     * State growth: the index is AGED ((wh, n_docs, last_batch)) and,
     * when `compactAfterBatches` is finite, compacted per micro-batch
     * ([[graft.ops.TextClean.spanIndexCompact]]) — singleton windows
-    * last seen more than that many batches ago are pruned BEFORE the
+    * last seen that many OR MORE batches ago are pruned BEFORE the
     * publish, bounding the persisted state by in-horizon singletons
     * plus all repeated content (~50–80% of window content is
     * never-repeating junk that would otherwise accumulate forever).
@@ -425,8 +425,10 @@ object StreamingLift {
           // default Long.MaxValue ⇒ watermark pinned below every
           // possible last_batch ⇒ spanIndexCompact keeps everything
           // (no behavior change for existing callers); a finite
-          // horizon prunes singletons last seen more than
-          // compactAfterBatches batches ago
+          // horizon prunes singletons last seen compactAfterBatches
+          // OR MORE batches ago (age >= N, the spec-pinned boundary:
+          // a batch-1 singleton is pruned at batch 2's publish when
+          // compactAfterBatches = 1)
           val watermark =
             if (compactAfterBatches == Long.MaxValue) Long.MinValue
             else batchId - compactAfterBatches
