@@ -46,12 +46,17 @@ object GraphFrameLite {
     * .SessionCache]] — one build per (SparkContext, key), stale-
     * context eviction). `build` must return an edge list whose
     * content is a pure function of `key` (immutable source data),
-    * which is what makes cross-query reuse sound.
+    * which is what makes cross-query reuse sound. Honors the
+    * `spark.graft.sessionCache=off` sweep switch like every other
+    * cached wrapper: a bypassing session gets a FRESH uncached
+    * instance, so the partition-invariance and plan-contract sweeps
+    * never read the sibling session's pinned graph.
     */
   def cached(spark: org.apache.spark.sql.SparkSession, key: String,
       srcCol: String = "src", dstCol: String = "dst")(
       build: => DataFrame): GraphFrameLite =
-    graft.util.SessionCache.cached(spark, s"graph:$key")(
+    if (!graft.util.SessionCache.enabled(spark)) of(build, srcCol, dstCol)
+    else graft.util.SessionCache.cached(spark, s"graph:$key")(
       new GraphFrameLite(build, srcCol, dstCol))
 
   /** Uncached wrapper for a one-off graph. */

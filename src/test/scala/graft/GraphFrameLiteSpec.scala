@@ -64,6 +64,23 @@ class GraphFrameLiteSpec extends AnyFunSuite {
     assert(!(a eq c) && builds === 2)
   }
 
+  test("cached honors the sessionCache=off sweep switch") {
+    var builds = 0
+    def build: DataFrame = { builds += 1; rawEdges }
+    val off = spark.newSession()
+    off.conf.set("spark.graft.sessionCache", "off")
+    try {
+      val a = GraphFrameLite.cached(off, "gfl-spec-off")(build)
+      val b = GraphFrameLite.cached(off, "gfl-spec-off")(build)
+      // fresh uncached instance per call — the sweep session never
+      // reads (or populates) the sibling session's pinned graph
+      assert(!(a eq b) && builds === 2)
+      assert(GraphFrameLite.cached(spark, "gfl-spec-off") {
+        builds += 1; rawEdges
+      } ne b)
+    } finally off.conf.unset("spark.graft.sessionCache")
+  }
+
   test("kcore's retirement loop never unpersists the session-pinned canonical") {
     val shared = GraphFrameLite.cached(spark, "gfl-spec-pin")(rawEdges)
     val before = sorted(shared.canonical)
