@@ -549,6 +549,172 @@ object SketchAgg {
       copy(child = newChild)
   }
 
+  // ---- Moments (mergeable power-sum sketch) --------------------------
+
+  /** Exact integer power-sum state `[n, Σx, Σx², Σx³, Σx⁴]` — the
+    * moments-sketch lifecycle (Gan et al., "Moment-Based Quantile
+    * Sketches", VLDB 2018) with EXACT integer sums instead of float
+    * accumulation, so per-shard states are hash-stable and the merge
+    * is plain elementwise addition: merged ≡ one-pass bit-for-bit
+    * regardless of row or shard order (float power sums would round
+    * differently per addition order — the reason the state holds
+    * BigIntegers and the report does all its IEEE arithmetic from the
+    * finished sums). The hot loop stays allocation-free: per-partition
+    * longs accumulate until the Σx⁴ headroom check fires, then flush
+    * into the BigInteger carries (Σx⁴ dominates every other sum in
+    * magnitude — x⁴ ≥ |x|³, x², |x| for all integer x — so one guard
+    * bounds all four).
+    */
+  private[functions] final class MomentsBuf {
+    var n: Long = 0L
+    var l1, l2, l3, l4 = 0L
+    var b1, b2, b3, b4: java.math.BigInteger = java.math.BigInteger.ZERO
+    def flush(): Unit = {
+      if (l1 != 0L) { b1 = b1.add(java.math.BigInteger.valueOf(l1)); l1 = 0L }
+      if (l2 != 0L) { b2 = b2.add(java.math.BigInteger.valueOf(l2)); l2 = 0L }
+      if (l3 != 0L) { b3 = b3.add(java.math.BigInteger.valueOf(l3)); l3 = 0L }
+      if (l4 != 0L) { b4 = b4.add(java.math.BigInteger.valueOf(l4)); l4 = 0L }
+    }
+  }
+  // per-row long fast path is sound while |x| < 40000 (x⁴ ≤ 2.56e18)
+  // and the pending Σx⁴ stays below FLUSH_AT (6e18 + 2.56e18 < 2⁶³−1)
+  private val MOMENTS_FAST_X = 40000L
+  private val MOMENTS_FLUSH_AT = 6000000000000000000L
+
+  private def momentsUpdate(buf: MomentsBuf, x: Long): Unit = {
+    buf.n += 1L
+    if (x > -MOMENTS_FAST_X && x < MOMENTS_FAST_X) {
+      val x2 = x * x
+      if (buf.l4 > MOMENTS_FLUSH_AT) buf.flush()
+      buf.l1 += x; buf.l2 += x2; buf.l3 += x2 * x; buf.l4 += x2 * x2
+    } else {
+      val b = java.math.BigInteger.valueOf(x)
+      val b2 = b.multiply(b)
+      buf.b1 = buf.b1.add(b)
+      buf.b2 = buf.b2.add(b2)
+      buf.b3 = buf.b3.add(b2.multiply(b))
+      buf.b4 = buf.b4.add(b2.multiply(b2))
+    }
+  }
+
+  private def momentsMergeBuf(a: MomentsBuf, b: MomentsBuf): MomentsBuf = {
+    a.flush(); b.flush()
+    a.n += b.n
+    a.b1 = a.b1.add(b.b1); a.b2 = a.b2.add(b.b2)
+    a.b3 = a.b3.add(b.b3); a.b4 = a.b4.add(b.b4)
+    a
+  }
+
+  private def momentsEval(buf: MomentsBuf): GenericArrayData = {
+    buf.flush()
+    def d(b: java.math.BigInteger) =
+      Decimal(scala.math.BigDecimal(new java.math.BigDecimal(b)), 38, 0)
+    new GenericArrayData(Array[Any](
+      d(java.math.BigInteger.valueOf(buf.n)),
+      d(buf.b1), d(buf.b2), d(buf.b3), d(buf.b4)))
+  }
+
+  private def momentsSerialize(buf: MomentsBuf): Array[Byte] = {
+    buf.flush()
+    val parts = Array(buf.b1, buf.b2, buf.b3, buf.b4).map(_.toByteArray)
+    val bb = java.nio.ByteBuffer.allocate(8 + parts.map(4 + _.length).sum)
+    bb.putLong(buf.n)
+    parts.foreach { p => bb.putInt(p.length); bb.put(p) }
+    bb.array()
+  }
+
+  private def momentsDeserialize(bytes: Array[Byte]): MomentsBuf = {
+    val bb = java.nio.ByteBuffer.wrap(bytes)
+    val buf = new MomentsBuf
+    buf.n = bb.getLong()
+    def next(): java.math.BigInteger = {
+      val p = new Array[Byte](bb.getInt()); bb.get(p)
+      new java.math.BigInteger(p)
+    }
+    buf.b1 = next(); buf.b2 = next(); buf.b3 = next(); buf.b4 = next()
+    buf
+  }
+
+  private val momentsStateType: ArrayType =
+    ArrayType(DecimalType(38, 0), containsNull = false)
+
+  /** `GROUP BY g` → one `[n, Σx, Σx², Σx³, Σx⁴]` state per group
+    * (array<decimal(38,0)>, NULL inputs skipped). The state IS the
+    * oracle surface: every element is an exact integer a SQL replay
+    * computes with plain `count`/`sum` — no estimator arithmetic to
+    * trust — and [[momentsSummary]] derives mean/variance/skewness/
+    * kurtosis/tail bounds from the finished sums only.
+    */
+  case class MomentsSketchAgg(child: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MomentsBuf]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    override def createAggregationBuffer(): MomentsBuf = new MomentsBuf
+    override def update(buf: MomentsBuf, input: InternalRow): MomentsBuf = {
+      val v = child.eval(input)
+      if (v != null) momentsUpdate(buf, v.asInstanceOf[Long])
+      buf
+    }
+    override def merge(b1: MomentsBuf, b2: MomentsBuf): MomentsBuf =
+      momentsMergeBuf(b1, b2)
+    override def eval(buf: MomentsBuf): Any = momentsEval(buf)
+    override def serialize(buf: MomentsBuf): Array[Byte] = momentsSerialize(buf)
+    override def deserialize(bytes: Array[Byte]): MomentsBuf =
+      momentsDeserialize(bytes)
+    override def dataType: DataType = momentsStateType
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(LongType)
+    override def prettyName: String = "moments_sketch_agg"
+    override def withNewMutableAggBufferOffset(o: Int): MomentsSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MomentsSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): MomentsSketchAgg =
+      copy(child = newChild)
+  }
+
+  /** Fold STORED moments states (elementwise integer addition — the
+    * merge is exact, so per-day/per-shard profiles combine into the
+    * union's profile without touching the rows again).
+    */
+  case class MomentsMergeAgg(child: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MomentsBuf]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    override def createAggregationBuffer(): MomentsBuf = new MomentsBuf
+    override def update(buf: MomentsBuf, input: InternalRow): MomentsBuf = {
+      val v = child.eval(input)
+      if (v != null) {
+        val st = v.asInstanceOf[ArrayData]
+        require(st.numElements() == 5,
+          s"moments state has ${st.numElements()} elements, expected 5 " +
+            "[n, s1, s2, s3, s4]")
+        def big(i: Int): java.math.BigInteger =
+          st.getDecimal(i, 38, 0).toJavaBigDecimal.toBigIntegerExact()
+        buf.n = Math.addExact(buf.n, big(0).longValueExact())
+        buf.b1 = buf.b1.add(big(1)); buf.b2 = buf.b2.add(big(2))
+        buf.b3 = buf.b3.add(big(3)); buf.b4 = buf.b4.add(big(4))
+      }
+      buf
+    }
+    override def merge(b1: MomentsBuf, b2: MomentsBuf): MomentsBuf =
+      momentsMergeBuf(b1, b2)
+    override def eval(buf: MomentsBuf): Any = momentsEval(buf)
+    override def serialize(buf: MomentsBuf): Array[Byte] = momentsSerialize(buf)
+    override def deserialize(bytes: Array[Byte]): MomentsBuf =
+      momentsDeserialize(bytes)
+    override def dataType: DataType = momentsStateType
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(momentsStateType)
+    override def prettyName: String = "moments_merge_agg"
+    override def withNewMutableAggBufferOffset(o: Int): MomentsMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MomentsMergeAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): MomentsMergeAgg =
+      copy(child = newChild)
+  }
+
   /** (k_used, h_k, est_distinct) from a stored bottom-k state:
     * est = (k−1)·2⁶⁰ ÷ h_k when the state is full (integer-exact,
     * 128-bit intermediate so k > 8 cannot overflow), exact count
@@ -565,6 +731,44 @@ object SketchAgg {
       if (used < k || hk <= 0L) used.toLong // hk==0 only at k=1 with a key hashing to exactly 0 — exact count, never divide
       else (BigInt(k - 1) * (BigInt(1) << 60) / BigInt(hk)).toLong
     new GenericArrayData(Array(used.toLong, hk, est))
+  }
+
+  /** [mean, var_pop, skew, kurt_excess, cantelli_p99] from a stored
+    * moments state — every double derives from the EXACT integer sums
+    * through a fixed sequence of IEEE-754 operations (divisions,
+    * left-associated polynomial terms, `sqrt`), so a SQL replay that
+    * mirrors the same expression shapes reproduces each value
+    * bit-for-bit (sums below 2⁵³ convert to double exactly in any
+    * engine; division/multiply/subtract/sqrt are all correctly
+    * rounded). Guards: an empty state reports zeros; a zero/negative
+    * variance (constant column, or cancellation at extreme scale)
+    * reports skew = kurt = 0 and cantelli_p99 = mean. cantelli_p99 is
+    * the one-sided Cantelli bound μ + σ√99: AT MOST 1% of mass can
+    * exceed it, whatever the distribution — the distribution-free
+    * tail cut a 100 TB outlier filter needs from 5 numbers per group.
+    */
+  def momentsSummary(state: ArrayData): ArrayData = {
+    require(state.numElements() == 5,
+      s"moments state has ${state.numElements()} elements, expected 5")
+    def big(i: Int): java.math.BigInteger =
+      state.getDecimal(i, 38, 0).toJavaBigDecimal.toBigIntegerExact()
+    val n = big(0).longValueExact()
+    if (n == 0L)
+      return new GenericArrayData(Array(0.0, 0.0, 0.0, 0.0, 0.0))
+    val nd = n.toDouble
+    val mean = big(1).doubleValue() / nd
+    val p2 = big(2).doubleValue() / nd
+    val p3 = big(3).doubleValue() / nd
+    val p4 = big(4).doubleValue() / nd
+    val v = p2 - mean * mean
+    if (v <= 0.0)
+      return new GenericArrayData(Array(mean, v, 0.0, 0.0, mean))
+    val sd = Math.sqrt(v)
+    val skew = (p3 - 3.0 * mean * p2 + 2.0 * mean * mean * mean) / (v * sd)
+    val kurt = (p4 - 4.0 * mean * p3 + 6.0 * mean * mean * p2 -
+      3.0 * mean * mean * mean * mean) / (v * v) - 3.0
+    val cant = mean + Math.sqrt(v * 99.0)
+    new GenericArrayData(Array(mean, v, skew, kurt, cant))
   }
 
   private[functions] def longsToBytes(a: Array[Long]): Array[Byte] = {
@@ -710,6 +914,39 @@ object SketchAgg {
   def kmvReportOf(state: Column, k: Int = 64): Column =
     exprBridge.column(kmvReportExpr(ex(state), k))
 
+  /** `GROUP BY g` → one `[n, Σx, Σx², Σx³, Σx⁴]` moments state per
+    * group (exact integer sums; the input casts to long).
+    */
+  def momentsSketch(x: Column): Column =
+    exprBridge.column(MomentsSketchAgg(ex(x.cast("long"))).toAggregateExpression())
+
+  /** Fold stored moments states (exact elementwise addition). */
+  def momentsMerge(state: Column): Column =
+    exprBridge.column(MomentsMergeAgg(ex(state)).toAggregateExpression())
+
+  /** struct(n, mean, var_pop, skew, kurt_excess, cantelli_p99) from a
+    * stored moments state — [[momentsSummary]]'s arithmetic contract,
+    * one field per array slot (the repeated StaticInvoke collapses
+    * under Spark CSE like the HLL/bloom/KMV report builders, and only
+    * ever runs on post-aggregation rows).
+    */
+  private def momentsReportExpr(state: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{Cast, CreateNamedStruct, GetArrayItem, Literal}
+    val s = StaticInvoke(
+      SketchAgg.getClass, ArrayType(DoubleType, containsNull = false),
+      "momentsSummary", Seq(state), Seq(momentsStateType))
+    CreateNamedStruct(Seq(
+      Literal("n"), Cast(GetArrayItem(state, Literal(0)), LongType),
+      Literal("mean"), GetArrayItem(s, Literal(0)),
+      Literal("var_pop"), GetArrayItem(s, Literal(1)),
+      Literal("skew"), GetArrayItem(s, Literal(2)),
+      Literal("kurt_excess"), GetArrayItem(s, Literal(3)),
+      Literal("cantelli_p99"), GetArrayItem(s, Literal(4))))
+  }
+
+  def momentsReportOf(state: Column): Column =
+    exprBridge.column(momentsReportExpr(ex(state)))
+
   // ---- SQL surface --------------------------------------------------
 
   private def intArg(e: Expression, what: String): Int = {
@@ -786,7 +1023,13 @@ object SketchAgg {
         if (args.size > 1) intArg(args(1), "k") else 64)),
     "kmv_state_report" -> ((args: Seq[Expression]) =>
       kmvReportExpr(args.head,
-        if (args.size > 1) intArg(args(1), "k") else 64)))
+        if (args.size > 1) intArg(args(1), "k") else 64)),
+    "moments_sketch_agg" -> ((args: Seq[Expression]) =>
+      MomentsSketchAgg(args.head)),
+    "moments_merge_agg" -> ((args: Seq[Expression]) =>
+      MomentsMergeAgg(args.head)),
+    "moments_state_report" -> ((args: Seq[Expression]) =>
+      momentsReportExpr(args.head)))
 
   /** Install [[sqlFunctions]] into an already-running session. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -2956,6 +2956,135 @@ object PipelinePack {
         (inter_k * 1000000 // union_k)::BIGINT AS jaccard_ppm
       FROM c"""))
 
+  /** Shard-built moments (power-sum) states folded into the union's
+    * state ([[graft.functions.SketchAgg.MomentsSketchAgg]] /
+    * [[graft.functions.SketchAgg.MomentsMergeAgg]]): three disjoint
+    * doc_id%3 shards each accumulate the EXACT integer sums
+    * [n, Σx, Σx², Σx³, Σx⁴] over `n_chars` in one pass, and the merge
+    * aggregate adds them elementwise — integer addition commutes, so
+    * merged ≡ one-pass bit-for-bit whatever the shard split (the
+    * q202/q203 lifecycle for the moments family). The output hash-
+    * checks both the raw state (sums replayed by plain SQL `sum`s —
+    * they fit BIGINT at every test SF; the stored state itself is
+    * decimal(38,0) for 100 TB headroom) and the report's derived
+    * doubles, whose IEEE expression shapes the oracle mirrors exactly
+    * ([[graft.functions.SketchAgg.momentsSummary]]'s documented
+    * contract: sums < 2⁵³ convert exactly, division/multiply/sqrt are
+    * correctly rounded, polynomials associate left).
+    */
+  private val q205 = QueryDef(
+    "q205_moments_shard_union",
+    (s, dir) => {
+      val per = Tables.documents(s, dir)
+        .groupBy(pmod(col("doc_id"), lit(3L)).as("shard"))
+        .agg(graft.functions.SketchAgg.momentsSketch(col("n_chars")).as("st"))
+      val merged = per
+        .agg(graft.functions.SketchAgg.momentsMerge(col("st")).as("st"))
+        .select(lit(-1L).as("shard"), col("st"))
+      per.unionByName(merged)
+        .select(col("shard"),
+          element_at(col("st"), 1).cast("long").as("n_rows"),
+          element_at(col("st"), 2).cast("long").as("s1"),
+          element_at(col("st"), 3).cast("long").as("s2"),
+          element_at(col("st"), 4).cast("long").as("s3"),
+          element_at(col("st"), 5).cast("long").as("s4"),
+          graft.functions.SketchAgg.momentsReportOf(col("st")).as("r"))
+        .select(col("shard"), col("n_rows"), col("s1"), col("s2"),
+          col("s3"), col("s4"),
+          col("r.mean").as("mean"), col("r.var_pop").as("var_pop"),
+          col("r.skew").as("skew"), col("r.kurt_excess").as("kurt_excess"),
+          col("r.cantelli_p99").as("cantelli_p99"))
+    },
+    Some("""WITH raw AS (SELECT doc_id % 3 AS shard, n_chars FROM documents),
+      s AS (SELECT shard, count(n_chars) AS n, sum(n_chars) AS s1,
+          sum(n_chars * n_chars) AS s2,
+          sum(n_chars * n_chars * n_chars) AS s3,
+          sum(n_chars * n_chars * n_chars * n_chars) AS s4
+        FROM raw GROUP BY shard
+        UNION ALL
+        SELECT -1 AS shard, count(n_chars), sum(n_chars),
+          sum(n_chars * n_chars), sum(n_chars * n_chars * n_chars),
+          sum(n_chars * n_chars * n_chars * n_chars) FROM raw),
+      p AS (SELECT shard, n, s1, s2, s3, s4,
+          s1::DOUBLE / n::DOUBLE AS mean, s2::DOUBLE / n::DOUBLE AS p2,
+          s3::DOUBLE / n::DOUBLE AS p3, s4::DOUBLE / n::DOUBLE AS p4
+        FROM s),
+      v AS (SELECT *, p2 - mean * mean AS var_pop FROM p)
+      SELECT shard, n::BIGINT AS n_rows, s1::BIGINT AS s1, s2::BIGINT AS s2,
+        s3::BIGINT AS s3, s4::BIGINT AS s4, mean, var_pop,
+        CASE WHEN var_pop <= 0 THEN 0.0 ELSE
+          (p3 - 3.0 * mean * p2 + 2.0 * mean * mean * mean)
+            / (var_pop * sqrt(var_pop)) END AS skew,
+        CASE WHEN var_pop <= 0 THEN 0.0 ELSE
+          (p4 - 4.0 * mean * p3 + 6.0 * mean * mean * p2
+            - 3.0 * mean * mean * mean * mean)
+            / (var_pop * var_pop) - 3.0 END AS kurt_excess,
+        CASE WHEN var_pop <= 0 THEN mean
+          ELSE mean + sqrt(var_pop * 99.0) END AS cantelli_p99
+      FROM v"""))
+
+  /** Per-source length profile + distribution-free tail audit from
+    * moments states: one pass builds a 5-number state per source, the
+    * report derives mean/variance/skewness/kurtosis and the one-sided
+    * Cantelli p99 bound μ + σ√99, and a second pass (broadcast of the
+    * tiny report table) counts how many documents actually exceed
+    * each source's bound — Cantelli guarantees ≤ 1% whatever the
+    * distribution, so `over_ppm ≤ 10000` by mathematics, not by luck.
+    * The 100 TB shape: outlier thresholds for a trillion-row corpus
+    * from #sources × 5 integers, no percentile shuffle anywhere —
+    * sketch states could come merged from per-day stores (q205's
+    * lifecycle) without re-reading any history.
+    */
+  private val q206 = QueryDef(
+    "q206_moments_source_profile",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val rep = docs.groupBy(col("source"))
+        .agg(graft.functions.SketchAgg.momentsSketch(col("n_chars")).as("st"))
+        .select(col("source"),
+          graft.functions.SketchAgg.momentsReportOf(col("st")).as("r"))
+        .select(col("source"), col("r.n").as("n_docs"),
+          col("r.mean").as("mean"), col("r.var_pop").as("var_pop"),
+          col("r.skew").as("skew"), col("r.kurt_excess").as("kurt_excess"),
+          col("r.cantelli_p99").as("cantelli_p99"))
+      val over = docs
+        .join(broadcast(rep.select(col("source"), col("cantelli_p99"))),
+          Seq("source"))
+        .groupBy(col("source"))
+        .agg(count(when(col("n_chars").cast("double") > col("cantelli_p99"),
+          1)).as("n_over"))
+      rep.join(broadcast(over), Seq("source"))
+        .withColumn("over_ppm",
+          expr("CAST(n_over * 1000000 DIV n_docs AS BIGINT)"))
+    },
+    Some("""WITH s AS (SELECT source, count(n_chars) AS n,
+          sum(n_chars) AS s1, sum(n_chars * n_chars) AS s2,
+          sum(n_chars * n_chars * n_chars) AS s3,
+          sum(n_chars * n_chars * n_chars * n_chars) AS s4
+        FROM documents GROUP BY source),
+      p AS (SELECT source, n, s1::DOUBLE / n::DOUBLE AS mean,
+          s2::DOUBLE / n::DOUBLE AS p2, s3::DOUBLE / n::DOUBLE AS p3,
+          s4::DOUBLE / n::DOUBLE AS p4 FROM s),
+      v AS (SELECT *, p2 - mean * mean AS var_pop FROM p),
+      r AS (SELECT source, n::BIGINT AS n_docs, mean, var_pop,
+          CASE WHEN var_pop <= 0 THEN 0.0 ELSE
+            (p3 - 3.0 * mean * p2 + 2.0 * mean * mean * mean)
+              / (var_pop * sqrt(var_pop)) END AS skew,
+          CASE WHEN var_pop <= 0 THEN 0.0 ELSE
+            (p4 - 4.0 * mean * p3 + 6.0 * mean * mean * p2
+              - 3.0 * mean * mean * mean * mean)
+              / (var_pop * var_pop) - 3.0 END AS kurt_excess,
+          CASE WHEN var_pop <= 0 THEN mean
+            ELSE mean + sqrt(var_pop * 99.0) END AS cantelli_p99
+        FROM v),
+      a AS (SELECT d.source, count(*) FILTER (
+            WHERE d.n_chars::DOUBLE > r.cantelli_p99) AS n_over
+        FROM documents d JOIN r USING (source) GROUP BY d.source)
+      SELECT r.source, r.n_docs, r.mean, r.var_pop, r.skew, r.kurt_excess,
+        r.cantelli_p99, a.n_over::BIGINT AS n_over,
+        (a.n_over * 1000000 // r.n_docs)::BIGINT AS over_ppm
+      FROM r JOIN a USING (source)"""))
+
   /** Per-group HLL cardinality via the AGGREGATE surface
     * (functions.SketchAgg.hllSketch → hllReportOf): one pass builds a
     * 256-register state per order priority and the report reads each
@@ -3208,5 +3337,5 @@ object PipelinePack {
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204)
+    q201, q202, q203, q204, q205, q206)
 }

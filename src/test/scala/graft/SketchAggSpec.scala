@@ -409,4 +409,125 @@ class SketchAggSpec extends AnyFunSuite {
       .head().getAs[Array[Byte]](0).toSeq
     assert(a === b)
   }
+
+  // ---- moments (power-sum) sketch ------------------------------------
+
+  private def nums = (1 to 500).map(i => (i.toLong % 97, s"s${i % 4}"))
+    .toDF("x", "src")
+
+  private def stateOf(df: org.apache.spark.sql.DataFrame): Seq[BigDecimal] = {
+    val c = SketchAgg.momentsSketch(col("x")).as("st")
+    df.agg(c).head().getSeq[java.math.BigDecimal](0).map(BigDecimal(_))
+  }
+
+  test("moments state is the exact integer power sums; NULLs are skipped") {
+    val xs = (1 to 500).map(i => (i.toLong % 97))
+    val withNull = nums.select(
+      when(col("x") % 7 === 0, lit(null)).otherwise(col("x")).as("x"))
+    val kept = xs.filter(_ % 7 != 0)
+    val st = stateOf(withNull)
+    def pow(k: Int) = kept.map(x => BigInt(x).pow(k)).sum
+    assert(st === Seq(BigDecimal(kept.size), BigDecimal(pow(1)),
+      BigDecimal(pow(2)), BigDecimal(pow(3)), BigDecimal(pow(4))))
+  }
+
+  test("moments merge-equivalence: per-slice states merged == one-pass, exactly") {
+    val whole = stateOf(nums)
+    val merged = nums.groupBy(col("src"))
+      .agg(SketchAgg.momentsSketch(col("x")).as("st"))
+      .agg(SketchAgg.momentsMerge(col("st")).as("st")).head()
+      .getSeq[java.math.BigDecimal](0).map(BigDecimal(_))
+    assert(merged === whole)
+  }
+
+  test("moments big-value path and long-accumulator flush stay exact") {
+    // x = 39999 rides the long fast path at the flush boundary
+    // (3 rows exceed the Σx⁴ headroom check), x = 1e6 takes the
+    // BigInteger branch outright — both must agree with BigInt math
+    val xs = Seq.fill(6)(39999L) ++ Seq(1000000L, 3L)
+    val st = stateOf(xs.toDF("x"))
+    def pow(k: Int) = xs.map(x => BigInt(x).pow(k)).sum
+    assert(st === Seq(BigDecimal(xs.size), BigDecimal(pow(1)),
+      BigDecimal(pow(2)), BigDecimal(pow(3)), BigDecimal(pow(4))))
+  }
+
+  test("moments serialize/deserialize round-trips; merge shares the wire format") {
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    val a = SketchAgg.MomentsSketchAgg(Literal(1L))
+    val buf = a.createAggregationBuffer()
+    Seq(3L, 39999L, 1000000L, -5L).foreach(x =>
+      a.update(buf, org.apache.spark.sql.catalyst.InternalRow(x)))
+    val bytes = a.serialize(buf)
+    assert(a.serialize(a.deserialize(bytes)).toSeq === bytes.toSeq)
+    val m = SketchAgg.MomentsMergeAgg(Literal(null, a.dataType))
+    assert(m.serialize(m.deserialize(bytes)).toSeq === bytes.toSeq)
+  }
+
+  test("moments shape guard: folding a malformed state fails loudly") {
+    val bad = nums.agg(SketchAgg.momentsSketch(col("x")).as("st"))
+      .select(slice(col("st"), 1, 3).as("st"))
+    val e = intercept[Exception] {
+      bad.agg(SketchAgg.momentsMerge(col("st"))).head()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).map(t => String.valueOf(t.getMessage)).mkString("|")
+      .contains("expected 5"), s"expected the shape guard, got: $e")
+  }
+
+  test("momentsReportOf: known symmetric data, empty state, constant column") {
+    // 1..9: mean 5, var_pop 60/9, skew exactly 0 (m3num is exactly the
+    // integer 0 before any division), positive tail bound above mean
+    val r = (1L to 9L).toDF("x")
+      .agg(SketchAgg.momentsSketch(col("x")).as("st"))
+      .select(SketchAgg.momentsReportOf(col("st")).as("r"))
+      .select("r.n", "r.mean", "r.var_pop", "r.skew", "r.kurt_excess",
+        "r.cantelli_p99").head()
+    // var_pop follows the documented power-sum shape p2 − mean² (one
+    // rounding different from 60/9 — the oracle mirrors THIS shape)
+    val v = 285.0 / 9.0 - 5.0 * 5.0
+    assert(r.getLong(0) === 9L && r.getDouble(1) === 5.0)
+    assert(r.getDouble(2) === v && r.getDouble(3) === 0.0)
+    assert(r.getDouble(5) === 5.0 + math.sqrt(v * 99.0))
+    // merging no states at all: an empty buffer reports all zeros
+    val z = nums.filter(col("x") < 0)
+      .agg(SketchAgg.momentsSketch(col("x")).as("st"))
+      .select(SketchAgg.momentsReportOf(col("st")).as("r"))
+      .select("r.n", "r.mean", "r.cantelli_p99").head()
+    assert(z.getLong(0) === 0L && z.getDouble(1) === 0.0 &&
+      z.getDouble(2) === 0.0)
+    // constant column: var 0 → the zero-variance guard pins skew/kurt
+    // to 0 and the tail bound to the mean itself
+    val c = Seq.fill(10)(7L).toDF("x")
+      .agg(SketchAgg.momentsSketch(col("x")).as("st"))
+      .select(SketchAgg.momentsReportOf(col("st")).as("r"))
+      .select("r.var_pop", "r.skew", "r.kurt_excess", "r.cantelli_p99").head()
+    assert(c.getDouble(0) === 0.0 && c.getDouble(1) === 0.0 &&
+      c.getDouble(2) === 0.0 && c.getDouble(3) === 7.0)
+  }
+
+  test("SQL surface: moments aggregates and report run in spark.sql") {
+    SketchAgg.registerSql(spark)
+    nums.createOrReplaceTempView("ska_mom_t")
+    val per = spark.sql(
+      "SELECT src, moments_sketch_agg(x) AS st FROM ska_mom_t GROUP BY src")
+    assert(per.count() === 4)
+    per.createOrReplaceTempView("ska_mom_states")
+    val merged = spark.sql(
+      "SELECT moments_merge_agg(st) AS st FROM ska_mom_states").head()
+      .getSeq[java.math.BigDecimal](0).map(BigDecimal(_))
+    assert(merged === stateOf(nums))
+    val rep = spark.sql(
+      "SELECT moments_state_report(moments_merge_agg(st)) AS r " +
+        "FROM ska_mom_states").select("r.n", "r.mean").head()
+    assert(rep.getLong(0) === 500L)
+    val mean = stateOf(nums)(1).toDouble / 500.0
+    assert(rep.getDouble(1) === mean)
+  }
+
+  test("moments partition invariance: the state is independent of data layout") {
+    val a = stateOf(nums.repartition(1))
+    val b = stateOf(nums.repartition(13, col("src")))
+    assert(a === b)
+  }
 }
