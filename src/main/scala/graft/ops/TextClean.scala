@@ -477,6 +477,83 @@ object TextClean {
       .distinct()
   }
 
+  /** Multi-phrase blocklist matcher: per-document occurrence counts of
+    * a curated phrase list (banned terms, contamination markers, PII
+    * trigger phrases), matched as exact token n-grams so "fast key"
+    * never fires inside "breakfast keyboard". One corpus pass, zero
+    * shuffle: the token array materializes once per doc, windows are
+    * generated only for the PHRASE LENGTHS PRESENT in the list (a
+    * 2-and-3-word blocklist never builds 4-grams), and the list rides
+    * into the scan stage as an array literal — the Aho-Corasick use
+    * case where the pattern set is driver-sized (curated lists run
+    * tens to a few thousand entries; beyond that, switch to a
+    * broadcast join of the exploded window stream against a phrase
+    * table — same windows, one broadcast, still no corpus shuffle).
+    *
+    * Output = input columns + `hits` (every matching window start,
+    * overlaps counted), `phrases_hit` (distinct list entries present),
+    * `flagged`. NULL text ⇒ 0 / 0 / false.
+    */
+  def phraseHits(df: org.apache.spark.sql.DataFrame, textCol: String,
+      phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
+    require(phrases.nonEmpty, "empty blocklist")
+    require(phrases.forall(_.trim.nonEmpty), "blank blocklist phrase")
+    val litAll = lit(phrases.toArray)
+    val lens = phrases.map(_.split(" ").length).distinct.sorted
+    val toks = graft.functions.TextKernels.tokens(col(textCol))
+    val winsPerLen = lens.map { l =>
+      when(size(col("_pb_toks")) >= l,
+        transform(sequence(lit(1), size(col("_pb_toks")) - (l - 1)),
+          i => concat_ws(" ", slice(col("_pb_toks"), i, lit(l)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val wins =
+      if (winsPerLen.size == 1) winsPerLen.head else concat(winsPerLen: _*)
+    df.withColumn("_pb_toks", toks)
+      .withColumn("_pb_wins", wins)
+      .withColumn("hits",
+        size(filter(col("_pb_wins"), w => array_contains(litAll, w)))
+          .cast("long"))
+      .withColumn("phrases_hit",
+        size(array_intersect(array_distinct(col("_pb_wins")), litAll))
+          .cast("long"))
+      .withColumn("flagged", col("hits") > 0L)
+      .drop("_pb_toks", "_pb_wins")
+  }
+
+  /** Per-phrase totals over the corpus: (phrase, n_docs, n_hits),
+    * zero rows included for list entries that never match. The
+    * explode happens AFTER the membership filter, so the generated
+    * stream carries matching windows only — at 100 TB the shuffle is
+    * bounded by actual blocklist traffic, not the corpus's window
+    * count, and the zero-fill join touches #phrases rows.
+    */
+  def phraseCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
+      textCol: String, phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
+    val litAll = lit(phrases.toArray)
+    val lens = phrases.map(_.split(" ").length).distinct.sorted
+    val toks = graft.functions.TextKernels.tokens(col(textCol))
+    val winsPerLen = lens.map { l =>
+      when(size(col("_pb_toks")) >= l,
+        transform(sequence(lit(1), size(col("_pb_toks")) - (l - 1)),
+          i => concat_ws(" ", slice(col("_pb_toks"), i, lit(l)))))
+        .otherwise(array().cast("array<string>"))
+    }
+    val wins =
+      if (winsPerLen.size == 1) winsPerLen.head else concat(winsPerLen: _*)
+    val matched = df.withColumn("_pb_toks", toks)
+      .select(col(idCol),
+        explode(filter(wins, w => array_contains(litAll, w))).as("phrase"))
+      .groupBy(col("phrase"))
+      .agg(countDistinct(col(idCol)).as("n_docs"),
+        count(lit(1)).as("n_hits"))
+    import df.sparkSession.implicits._
+    phrases.toDF("phrase").join(matched, Seq("phrase"), "left")
+      .select(col("phrase"),
+        coalesce(col("n_docs"), lit(0L)).as("n_docs"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"))
+  }
+
   /** Rebuild each document from the tokens NOT in `covered`: anti-join
     * the token stream, then one per-doc reassembly whose buffer is
     * bounded by document length. Documents losing every token come

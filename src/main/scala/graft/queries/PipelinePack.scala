@@ -3085,6 +3085,76 @@ object PipelinePack {
         (a.n_over * 1000000 // r.n_docs)::BIGINT AS over_ppm
       FROM r JOIN a USING (source)"""))
 
+  /** The curated blocklist shared by q207/q208 — mixed 2- and 3-word
+    * phrases from the corpus vocabulary plus one that can never match
+    * (the zero-fill row every per-phrase report must carry).
+    */
+  private val blockPhrases = Seq("table value", "fast key", "slow scan",
+    "big query", "stream window", "key agg row", "never matches anything")
+  private def blockInList = blockPhrases.map(p => s"'$p'").mkString(", ")
+
+  /** Blocklist scan ([[graft.ops.TextClean.phraseHits]]): per-source
+    * roll-up of exact token-n-gram phrase matches — docs flagged,
+    * total occurrences (overlaps counted), and phrase-doc incidence.
+    * One corpus pass, zero corpus shuffle: windows are generated only
+    * for the phrase lengths present (2 and 3 here) and the list rides
+    * as an array literal into the scan stage; the only exchange is
+    * the #sources-row aggregation.
+    */
+  private val q207 = QueryDef(
+    "q207_blocklist_scan",
+    (s, dir) => TextClean.phraseHits(Tables.documents(s, dir), "text",
+        blockPhrases)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        count(when(col("flagged"), 1)).as("flagged_docs"),
+        sum(col("hits")).as("total_hits"),
+        sum(col("phrases_hit")).as("phrase_doc_pairs")),
+    Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+      w2 AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 1, 0) + 1))
+          AS p, toks FROM base),
+      w3 AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 2, 0) + 1))
+          AS p, toks FROM base),
+      g AS (SELECT doc_id, array_to_string(toks[p:p+1], ' ') AS w FROM w2
+        UNION ALL
+        SELECT doc_id, array_to_string(toks[p:p+2], ' ') AS w FROM w3),
+      m AS (SELECT doc_id, count(*) AS hits, count(DISTINCT w) AS ph
+        FROM g WHERE w IN ($blockInList) GROUP BY doc_id)
+      SELECT d.source, count(*)::BIGINT AS n_docs,
+        count(m.doc_id)::BIGINT AS flagged_docs,
+        coalesce(sum(m.hits), 0)::BIGINT AS total_hits,
+        coalesce(sum(m.ph), 0)::BIGINT AS phrase_doc_pairs
+      FROM documents d LEFT JOIN m USING (doc_id) GROUP BY d.source"""))
+
+  /** Per-phrase blocklist traffic ([[graft.ops.TextClean
+    * .phraseCounts]]): (phrase, docs matched, occurrences), with a
+    * zero row for never-matching entries. The explode runs AFTER the
+    * membership filter, so the aggregation input is matching windows
+    * only — blocklist-traffic-sized, not corpus-window-sized.
+    */
+  private val q208 = QueryDef(
+    "q208_blocklist_phrases",
+    (s, dir) => TextClean.phraseCounts(Tables.documents(s, dir), "doc_id",
+      "text", blockPhrases),
+    Some(s"""WITH base AS (SELECT doc_id, string_split(text, ' ') AS toks
+          FROM documents WHERE text IS NOT NULL),
+      w2 AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 1, 0) + 1))
+          AS p, toks FROM base),
+      w3 AS (SELECT doc_id, unnest(range(1, greatest(len(toks) - 2, 0) + 1))
+          AS p, toks FROM base),
+      g AS (SELECT doc_id, array_to_string(toks[p:p+1], ' ') AS w FROM w2
+        UNION ALL
+        SELECT doc_id, array_to_string(toks[p:p+2], ' ') AS w FROM w3),
+      m AS (SELECT w AS phrase, count(DISTINCT doc_id) AS n_docs,
+          count(*) AS n_hits
+        FROM g WHERE w IN ($blockInList) GROUP BY w),
+      pl AS (SELECT * FROM (VALUES ${blockPhrases.map(p => s"('$p')")
+        .mkString(", ")}) v(phrase))
+      SELECT pl.phrase, coalesce(m.n_docs, 0)::BIGINT AS n_docs,
+        coalesce(m.n_hits, 0)::BIGINT AS n_hits
+      FROM pl LEFT JOIN m USING (phrase)"""))
+
   /** Per-group HLL cardinality via the AGGREGATE surface
     * (functions.SketchAgg.hllSketch → hllReportOf): one pass builds a
     * 256-register state per order priority and the report reads each
@@ -3337,5 +3407,5 @@ object PipelinePack {
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204, q205, q206)
+    q201, q202, q203, q204, q205, q206, q207, q208)
 }

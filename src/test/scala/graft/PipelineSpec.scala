@@ -169,6 +169,37 @@ class PipelineSpec extends AnyFunSuite {
     assert((r.getLong(1), r.getLong(2), r.getLong(3)) === ((1L, 1L, 1L)))
   }
 
+  test("phraseHits: exact n-gram matches, overlaps counted, NULL/short docs safe") {
+    import graft.ops.TextClean
+    val d = Seq(
+      (1L, Some("a a a b c")),       // "a a" overlaps at starts 1,2
+      (2L, Some("x b c y a")),       // "b c" once; no "a a"
+      (3L, Some("b")),               // shorter than every phrase
+      (4L, None: Option[String]))    // NULL text
+      .toDF("doc_id", "text")
+    val out = TextClean.phraseHits(d, "text", Seq("a a", "b c", "a b c"))
+      .select("doc_id", "hits", "phrases_hit", "flagged")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // doc 1: "a a"×2 (overlapping), "b c"×1, "a b c"×1 → 4 hits, 3 phrases
+    assert(out(1L) === ((4L, 3L, true)))
+    assert(out(2L) === ((1L, 1L, true)))
+    assert(out(3L) === ((0L, 0L, false)))
+    assert(out(4L) === ((0L, 0L, false)))
+  }
+
+  test("phraseCounts: per-phrase totals with zero-fill; n_docs vs n_hits") {
+    import graft.ops.TextClean
+    val d = Seq((1L, "a a a"), (2L, "a a z"), (3L, "z z z"))
+      .toDF("doc_id", "text")
+    val out = TextClean.phraseCounts(d, "doc_id", "text",
+      Seq("a a", "q q")).collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2)))).toMap
+    assert(out("a a") === ((2L, 3L)),
+      "2 docs match, 3 total occurrences (doc 1 overlaps twice)")
+    assert(out("q q") === ((0L, 0L)), "never-matching phrase zero-fills")
+  }
+
   test("tokenChunks: stride windows with overlap, short tail, min one chunk") {
     import graft.ops.TextClean
     val words = (1 to 10).map(i => s"w$i").mkString(" ")
