@@ -272,6 +272,55 @@ object StreamingLift {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Incremental per-group DISTINCT-COUNT maintenance via mergeable
+    * KMV sketch states ([[graft.functions.SketchAgg.KmvSketchAgg]] /
+    * [[graft.functions.SketchAgg.KmvMergeAgg]]): each micro-batch
+    * sketches its new rows (one bottom-k state per group, one pass)
+    * and folds them into the persisted `states` table with the merge
+    * aggregate — so "distinct keys per source, ever seen" stays
+    * queryable forever while each trigger touches only the batch and
+    * a #groups × k-longs table, never the corpus. This is the
+    * streaming answer a 100 TB feed needs: an exact streaming
+    * distinct would carry every key as state; the KMV fold carries
+    * ≤ k hashes per group and the merged state is BIT-IDENTICAL to a
+    * one-pass batch sketch over the full history (union + re-trim —
+    * the q203 shard-union property, lifted to time slices), so
+    * [[graft.functions.SketchAgg.kmvReportOf]] over `states` reads
+    * the same estimate a batch rebuild would.
+    *
+    * Exactly-once: the publish carries the batch id as version-pinned
+    * metadata and a replayed batch whose id the live table already
+    * covers is skipped (the maintainAggStream contract). The fold is
+    * ALSO idempotent by algebra — set union ∘ re-trim absorbs
+    * replays — so the guard only saves the wasted rewrite; no replay
+    * can corrupt the state either way.
+    */
+  def sketchMaintainStream(spark: SparkSession, srcPath: String,
+      schema: StructType, states: ParquetTable, groupCol: String,
+      keyCol: String, checkpoint: String, k: Int = 64,
+      availableNow: Boolean = true): StreamingQuery = {
+    import graft.functions.SketchAgg
+    val stream = spark.readStream.schema(schema).parquet(srcPath)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = states.currentMeta.get(AppliedBatchKey).map(_.toLong)
+        if (!applied.exists(_ >= batchId)) {
+          val batchStates = batch.groupBy(col(groupCol))
+            .agg(SketchAgg.kmvSketch(col(keyCol), k).as("st"))
+          val next =
+            if (states.exists)
+              states.read.unionByName(batchStates)
+                .groupBy(col(groupCol))
+                .agg(SketchAgg.kmvMerge(col("st"), k).as("st"))
+            else batchStates
+          states.overwrite(next,
+            meta = Map(AppliedBatchKey -> batchId.toString))
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Streaming CURATION ingest — the [EXT] pipeline (quality gate →
     * exact dedup → corpus append) as a continuous feed: watch
     * `srcPath` for new document files and, per micro-batch,

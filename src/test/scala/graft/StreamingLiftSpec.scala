@@ -113,6 +113,58 @@ class StreamingLiftSpec extends AnyFunSuite {
       "replayed batches must not double-apply")
   }
 
+  test("sketchMaintainStream: folded KMV states == one-pass batch sketch, replay-safe") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.SketchAgg
+    val srcDir = Files.createTempDirectory("graft-kmvs-src").toString
+    val ckpt = Files.createTempDirectory("graft-kmvs-ckpt").toString
+    val states = ParquetTable(spark,
+      Files.createTempDirectory("graft-kmvs-st").resolve("st").toString)
+    val K = 16
+    def rows(r: Range): DataFrame =
+      r.map(i => (s"s${i % 3}", s"key$i")).toDF("src", "k")
+    val schema = rows(1 to 1).schema
+
+    rows(1 to 40).write.parquet(srcDir + "/b1")
+    val q1 = StreamingLift.sketchMaintainStream(spark, srcDir + "/*",
+      schema, states, "src", "k", ckpt, k = K)
+    q1.awaitTermination(60000)
+
+    // second slice OVERLAPS the first — the fold must union, not add
+    rows(30 to 80).write.parquet(srcDir + "/b2")
+    val q2 = StreamingLift.sketchMaintainStream(spark, srcDir + "/*",
+      schema, states, "src", "k", ckpt, k = K)
+    q2.awaitTermination(60000)
+
+    def stateMap(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val got = stateMap(states.read)
+    val want = stateMap(rows(1 to 80).groupBy(col("src"))
+      .agg(SketchAgg.kmvSketch(col("k"), K).as("st")))
+    assert(got === want,
+      "maintained states must be bit-identical to a one-pass batch rebuild")
+
+    // the report over the maintained table = the batch rebuild's report
+    val est = states.read
+      .select(col("src"), SketchAgg.kmvReportOf(col("st"), K).as("r"))
+      .collect().map(r => r.getString(0) -> r.getStruct(1).getLong(3)).toMap
+    val distinct = rows(1 to 80).groupBy(col("src"))
+      .agg(org.apache.spark.sql.functions.countDistinct(col("k")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    est.foreach { case (src, e) =>
+      assert(e > 0 && math.abs(e - distinct(src)).toDouble / distinct(src) < 0.8,
+        s"$src: estimate $e vs exact ${distinct(src)}")
+    }
+
+    // fresh checkpoint replays everything as batch 0: the applied-batch
+    // guard skips it (and the fold is idempotent by algebra anyway)
+    val ckpt2 = Files.createTempDirectory("graft-kmvs-ckpt2").toString
+    val q3 = StreamingLift.sketchMaintainStream(spark, srcDir + "/*",
+      schema, states, "src", "k", ckpt2, k = K)
+    q3.awaitTermination(60000)
+    assert(stateMap(states.read) === want, "replay must not perturb the states")
+  }
+
   test("tumblingCounts: closed windows emit aggregated counts") {
     val srcDir = Files.createTempDirectory("graft-tumble").toString
     val data = events(Seq(
