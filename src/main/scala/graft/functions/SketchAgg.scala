@@ -565,7 +565,7 @@ object SketchAgg {
     * magnitude — x⁴ ≥ |x|³, x², |x| for all integer x — so one guard
     * bounds all four).
     */
-  private[functions] final class MomentsBuf {
+  private[graft] final class MomentsBuf {
     var n: Long = 0L
     var l1, l2, l3, l4 = 0L
     var b1, b2, b3, b4: java.math.BigInteger = java.math.BigInteger.ZERO

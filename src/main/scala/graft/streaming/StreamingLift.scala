@@ -300,6 +300,42 @@ object StreamingLift {
       keyCol: String, checkpoint: String, k: Int = 64,
       availableNow: Boolean = true): StreamingQuery = {
     import graft.functions.SketchAgg
+    mergeMaintainStream(spark, srcPath, schema, states, groupCol,
+      SketchAgg.kmvSketch(col(keyCol), k),
+      SketchAgg.kmvMerge(col("st"), k), checkpoint, availableNow)
+  }
+
+  /** Per-group MOMENTS maintenance over a streaming feed: the same
+    * fold as [[sketchMaintainStream]] with the exact power-sum state
+    * ([[graft.functions.SketchAgg.MomentsSketchAgg]]) — length/score
+    * profiles (mean, variance, skew/kurtosis, the Cantelli tail bound
+    * via [[graft.functions.SketchAgg.momentsReportOf]]) over
+    * everything ever ingested, maintained from 5 integers per group.
+    * Integer addition commutes and is replay-idempotent only through
+    * the applied-batch guard (unlike the KMV union, re-adding WOULD
+    * double-count — the guard is load-bearing here, exactly like
+    * maintainAggStream's delta merge).
+    */
+  def momentsMaintainStream(spark: SparkSession, srcPath: String,
+      schema: StructType, states: ParquetTable, groupCol: String,
+      valueCol: String, checkpoint: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    import graft.functions.SketchAgg
+    mergeMaintainStream(spark, srcPath, schema, states, groupCol,
+      SketchAgg.momentsSketch(col(valueCol)),
+      SketchAgg.momentsMerge(col("st")), checkpoint, availableNow)
+  }
+
+  /** The shared mergeable-state fold: per micro-batch, build one
+    * state per group from the new rows (`buildAgg`), union with the
+    * persisted table, and fold colliding groups (`foldAgg`) — both
+    * aggregates must read/produce a `st` column. Publish is
+    * exactly-once via the version-pinned applied-batch metadata.
+    */
+  private def mergeMaintainStream(spark: SparkSession, srcPath: String,
+      schema: StructType, states: ParquetTable, groupCol: String,
+      buildAgg: org.apache.spark.sql.Column, foldAgg: org.apache.spark.sql.Column, checkpoint: String,
+      availableNow: Boolean): StreamingQuery = {
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -307,12 +343,11 @@ object StreamingLift {
         val applied = states.currentMeta.get(AppliedBatchKey).map(_.toLong)
         if (!applied.exists(_ >= batchId)) {
           val batchStates = batch.groupBy(col(groupCol))
-            .agg(SketchAgg.kmvSketch(col(keyCol), k).as("st"))
+            .agg(buildAgg.as("st"))
           val next =
             if (states.exists)
               states.read.unionByName(batchStates)
-                .groupBy(col(groupCol))
-                .agg(SketchAgg.kmvMerge(col("st"), k).as("st"))
+                .groupBy(col(groupCol)).agg(foldAgg.as("st"))
             else batchStates
           states.overwrite(next,
             meta = Map(AppliedBatchKey -> batchId.toString))

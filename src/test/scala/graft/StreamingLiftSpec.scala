@@ -165,6 +165,39 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(stateMap(states.read) === want, "replay must not perturb the states")
   }
 
+  test("momentsMaintainStream: maintained power sums == one-pass rebuild; guard blocks double-count") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.SketchAgg
+    val srcDir = Files.createTempDirectory("graft-moms-src").toString
+    val ckpt = Files.createTempDirectory("graft-moms-ckpt").toString
+    val states = ParquetTable(spark,
+      Files.createTempDirectory("graft-moms-st").resolve("st").toString)
+    def rows(r: Range): DataFrame =
+      r.map(i => (s"s${i % 2}", (i * 7 % 101).toLong)).toDF("src", "x")
+    val schema = rows(1 to 1).schema
+
+    rows(1 to 50).write.parquet(srcDir + "/b1")
+    StreamingLift.momentsMaintainStream(spark, srcDir + "/*", schema,
+      states, "src", "x", ckpt).awaitTermination(60000)
+    rows(51 to 90).write.parquet(srcDir + "/b2")
+    StreamingLift.momentsMaintainStream(spark, srcDir + "/*", schema,
+      states, "src", "x", ckpt).awaitTermination(60000)
+
+    def stateMap(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) ->
+        r.getSeq[java.math.BigDecimal](1).map(BigDecimal(_))).toMap
+    val want = stateMap(rows(1 to 90).groupBy(col("src"))
+      .agg(SketchAgg.momentsSketch(col("x")).as("st")))
+    assert(stateMap(states.read) === want)
+
+    // power sums are NOT replay-idempotent — only the applied-batch
+    // guard keeps a fresh-checkpoint replay from double-counting
+    val ckpt2 = Files.createTempDirectory("graft-moms-ckpt2").toString
+    StreamingLift.momentsMaintainStream(spark, srcDir + "/*", schema,
+      states, "src", "x", ckpt2).awaitTermination(60000)
+    assert(stateMap(states.read) === want, "replay must not double-count")
+  }
+
   test("tumblingCounts: closed windows emit aggregated counts") {
     val srcDir = Files.createTempDirectory("graft-tumble").toString
     val data = events(Seq(
