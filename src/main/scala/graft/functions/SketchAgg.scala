@@ -715,6 +715,166 @@ object SketchAgg {
       copy(child = newChild)
   }
 
+  // ---- Log-histogram (mergeable quantile sketch) ---------------------
+
+  /** Deterministic base-2 log-histogram over NON-NEGATIVE longs — the
+    * DDSketch idea (Masson et al., VLDB 2019) with integer bit-length
+    * bucketing instead of a float log, so the bucket of a value is a
+    * pure integer function both engines compute identically:
+    * x < 16 maps to its own exact bucket (b = x); otherwise, with
+    * k = 63 − nlz(x) the value's bit length − 1, each power-of-two
+    * range [2ᵏ, 2ᵏ⁺¹) splits into 16 equal sub-ranges —
+    * b = 16k + (x − 2ᵏ) >> (k − 4). Relative bucket width is 2⁻⁴, so
+    * every reported quantile carries a guaranteed ≤ 6.25% bracket
+    * ([lo, hi] bounds, both integers). 1008 buckets cover the full
+    * long range; the state is a dense counter array that merges by
+    * elementwise addition — merged ≡ one-pass bit-for-bit, the same
+    * stored-state lifecycle as the HLL/CM/bloom/KMV/moments siblings.
+    */
+  private[graft] val LogHistBuckets = 1008
+
+  /** Bucket index of a value (fails loudly on negatives — the sketch
+    * is for magnitudes: lengths, counts, latencies, byte sizes).
+    */
+  def logHistBucket(x: Long): Int = {
+    require(x >= 0L, s"loghist_sketch_agg input must be >= 0, got $x")
+    if (x < 16L) x.toInt
+    else {
+      val k = 63 - java.lang.Long.numberOfLeadingZeros(x)
+      (16 * k + ((x - (1L << k)) >> (k - 4))).toInt
+    }
+  }
+
+  /** Inclusive [lo, hi] value bounds of a bucket. */
+  def logHistBounds(b: Int): (Long, Long) =
+    if (b < 16) (b.toLong, b.toLong)
+    else {
+      val k = b / 16
+      val lo = (1L << k) + ((b % 16).toLong << (k - 4))
+      (lo, lo + (1L << (k - 4)) - 1L)
+    }
+
+  /** [n, p50_lo, p50_hi, p90_lo, p90_hi, p99_lo, p99_hi, max_lo,
+    * max_hi] from a stored state: rank r_p = ⌈n·p/100⌉ (integer
+    * arithmetic), quantile bucket = first bucket whose cumulative
+    * count reaches r_p, reported as its integer bounds — everything
+    * here is exact integer math a SQL replay reproduces with a
+    * windowed cumulative sum. Empty state reports all zeros.
+    */
+  def logHistSummary(state: ArrayData): ArrayData = {
+    require(state.numElements() == LogHistBuckets,
+      s"loghist state has ${state.numElements()} buckets, " +
+        s"expected $LogHistBuckets")
+    var n = 0L
+    var maxB = -1
+    var i = 0
+    while (i < LogHistBuckets) {
+      val c = state.getLong(i)
+      if (c > 0L) { n += c; maxB = i }
+      i += 1
+    }
+    if (n == 0L)
+      return new GenericArrayData(Array(0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L))
+    def bucketAtRank(r: Long): Int = {
+      var cum = 0L
+      var j = 0
+      while (j < LogHistBuckets) {
+        cum += state.getLong(j)
+        if (cum >= r) return j
+        j += 1
+      }
+      maxB
+    }
+    val out = new Array[Long](9)
+    out(0) = n
+    var oi = 1
+    Array(50L, 90L, 99L).foreach { p =>
+      val r = (n * p + 99L) / 100L
+      val (lo, hi) = logHistBounds(bucketAtRank(r))
+      out(oi) = lo; out(oi + 1) = hi; oi += 2
+    }
+    val (mlo, mhi) = logHistBounds(maxB)
+    out(7) = mlo; out(8) = mhi
+    new GenericArrayData(out)
+  }
+
+  /** `GROUP BY g` → one 1008-bucket counter array per group (NULL
+    * inputs skipped, negatives rejected loudly).
+    */
+  case class LogHistSketchAgg(child: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](LogHistBuckets)
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) buf(logHistBucket(v.asInstanceOf[Long])) += 1L
+      buf
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < LogHistBuckets) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] =
+      SketchAgg.longsToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] =
+      SketchAgg.bytesToLongs(bytes)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(LongType)
+    override def prettyName: String = "loghist_sketch_agg"
+    override def withNewMutableAggBufferOffset(o: Int): LogHistSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): LogHistSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): LogHistSketchAgg =
+      copy(child = newChild)
+  }
+
+  /** Fold stored log-histogram states (elementwise addition). */
+  case class LogHistMergeAgg(child: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with ImplicitCastInputTypes with UnaryLike[Expression] {
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](LogHistBuckets)
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val v = child.eval(input)
+      if (v != null) {
+        val st = v.asInstanceOf[ArrayData]
+        require(st.numElements() == LogHistBuckets,
+          s"loghist state has ${st.numElements()} buckets, " +
+            s"expected $LogHistBuckets")
+        var i = 0
+        while (i < LogHistBuckets) { buf(i) += st.getLong(i); i += 1 }
+      }
+      buf
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < LogHistBuckets) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] =
+      SketchAgg.longsToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] =
+      SketchAgg.bytesToLongs(bytes)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(ArrayType(LongType))
+    override def prettyName: String = "loghist_merge_agg"
+    override def withNewMutableAggBufferOffset(o: Int): LogHistMergeAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): LogHistMergeAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildInternal(newChild: Expression): LogHistMergeAgg =
+      copy(child = newChild)
+  }
+
   /** (k_used, h_k, est_distinct) from a stored bottom-k state:
     * est = (k−1)·2⁶⁰ ÷ h_k when the state is full (integer-exact,
     * 128-bit intermediate so k > 8 cannot overflow), exact count
@@ -947,6 +1107,35 @@ object SketchAgg {
   def momentsReportOf(state: Column): Column =
     exprBridge.column(momentsReportExpr(ex(state)))
 
+  /** `GROUP BY g` → one 1008-bucket log-histogram per group (input
+    * casts to long; must be non-negative).
+    */
+  def logHistSketch(x: Column): Column =
+    exprBridge.column(LogHistSketchAgg(ex(x.cast("long"))).toAggregateExpression())
+
+  /** Fold stored log-histogram states (elementwise addition). */
+  def logHistMerge(state: Column): Column =
+    exprBridge.column(LogHistMergeAgg(ex(state)).toAggregateExpression())
+
+  /** struct(n, p50_lo, p50_hi, p90_lo, p90_hi, p99_lo, p99_hi,
+    * max_lo, max_hi) from a stored state — [[logHistSummary]]'s
+    * integer-exact rank arithmetic, one field per array slot.
+    */
+  private def logHistReportExpr(state: Expression): Expression = {
+    import org.apache.spark.sql.catalyst.expressions.{CreateNamedStruct, GetArrayItem, Literal}
+    val s = StaticInvoke(
+      SketchAgg.getClass, ArrayType(LongType, containsNull = false),
+      "logHistSummary", Seq(state), Seq(ArrayType(LongType)))
+    val names = Seq("n", "p50_lo", "p50_hi", "p90_lo", "p90_hi",
+      "p99_lo", "p99_hi", "max_lo", "max_hi")
+    CreateNamedStruct(names.zipWithIndex.flatMap { case (nm, i) =>
+      Seq(Literal(nm), GetArrayItem(s, Literal(i)))
+    })
+  }
+
+  def logHistReportOf(state: Column): Column =
+    exprBridge.column(logHistReportExpr(ex(state)))
+
   // ---- SQL surface --------------------------------------------------
 
   private def intArg(e: Expression, what: String): Int = {
@@ -1029,7 +1218,13 @@ object SketchAgg {
     "moments_merge_agg" -> ((args: Seq[Expression]) =>
       MomentsMergeAgg(args.head)),
     "moments_state_report" -> ((args: Seq[Expression]) =>
-      momentsReportExpr(args.head)))
+      momentsReportExpr(args.head)),
+    "loghist_sketch_agg" -> ((args: Seq[Expression]) =>
+      LogHistSketchAgg(args.head)),
+    "loghist_merge_agg" -> ((args: Seq[Expression]) =>
+      LogHistMergeAgg(args.head)),
+    "loghist_state_report" -> ((args: Seq[Expression]) =>
+      logHistReportExpr(args.head)))
 
   /** Install [[sqlFunctions]] into an already-running session. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =

@@ -3085,6 +3085,144 @@ object PipelinePack {
         (a.n_over * 1000000 // r.n_docs)::BIGINT AS over_ppm
       FROM r JOIN a USING (source)"""))
 
+  // shared DuckDB fragments for the log-histogram family (q209/q210):
+  // bucket index and inclusive bounds, mirroring SketchAgg.logHistBucket
+  // / logHistBounds integer-for-integer
+  private def lhBucket(x: String): String =
+    s"""CASE WHEN $x < 16 THEN $x
+      ELSE 16 * (length(bin($x)) - 1)
+        + (($x - (1::BIGINT << (length(bin($x)) - 1)))
+           >> (length(bin($x)) - 1 - 4)) END"""
+  private def lhLo(b: String): String =
+    s"""CASE WHEN $b < 16 THEN $b
+      ELSE (1::BIGINT << ($b // 16)) + (($b % 16) << ($b // 16 - 4)) END"""
+  private def lhHi(b: String): String =
+    s"""CASE WHEN $b < 16 THEN $b
+      ELSE (1::BIGINT << ($b // 16)) + (($b % 16) << ($b // 16 - 4))
+        + (1::BIGINT << ($b // 16 - 4)) - 1 END"""
+
+  /** Shard-built log-histogram states folded into the union's state
+    * ([[graft.functions.SketchAgg.LogHistSketchAgg]] /
+    * [[graft.functions.SketchAgg.LogHistMergeAgg]]): the mergeable
+    * QUANTILE sketch of the family — deterministic base-2 bit-length
+    * bucketing (no float log anywhere), counter arrays that fold by
+    * elementwise addition, so merged ≡ one-pass bit-for-bit. Output
+    * carries every nonzero bucket of every shard state plus the
+    * riding report (rank r = ⌈n·p/100⌉ walked over the cumulative
+    * bucket counts; each percentile reported as its guaranteed
+    * ≤ 6.25%-wide integer [lo, hi] bracket) — the oracle replays
+    * bucket, cumsum, rank walk, and bounds in pure integer SQL.
+    */
+  private val q209 = QueryDef(
+    "q209_loghist_shard_union",
+    (s, dir) => {
+      val per = Tables.documents(s, dir)
+        .groupBy(pmod(col("doc_id"), lit(3L)).as("shard"))
+        .agg(graft.functions.SketchAgg.logHistSketch(col("n_chars")).as("st"))
+      val merged = per
+        .agg(graft.functions.SketchAgg.logHistMerge(col("st")).as("st"))
+        .select(lit(-1L).as("shard"), col("st"))
+      per.unionByName(merged)
+        .select(col("shard"),
+          graft.functions.SketchAgg.logHistReportOf(col("st")).as("r"),
+          posexplode(col("st")).as(Seq("pos", "c")))
+        .filter(col("c") > 0L)
+        .select(col("shard"), col("r.n").as("n"),
+          col("r.p50_lo").as("p50_lo"), col("r.p50_hi").as("p50_hi"),
+          col("r.p90_lo").as("p90_lo"), col("r.p90_hi").as("p90_hi"),
+          col("r.p99_lo").as("p99_lo"), col("r.p99_hi").as("p99_hi"),
+          col("r.max_lo").as("max_lo"), col("r.max_hi").as("max_hi"),
+          col("pos").cast("long").as("bucket"), col("c"))
+    },
+    Some(s"""WITH raw AS (SELECT doc_id % 3 AS shard, n_chars AS x
+          FROM documents
+        UNION ALL SELECT -1 AS shard, n_chars AS x FROM documents),
+      bk AS (SELECT shard, ${lhBucket("x")} AS b FROM raw),
+      cnt AS (SELECT shard, b, count(*) AS c FROM bk GROUP BY shard, b),
+      cum AS (SELECT shard, b, c,
+          sum(c) OVER (PARTITION BY shard ORDER BY b) AS cumc,
+          sum(c) OVER (PARTITION BY shard) AS n FROM cnt),
+      q AS (SELECT shard, max(n) AS n,
+          min(b) FILTER (WHERE cumc >= (n * 50 + 99) // 100) AS b50,
+          min(b) FILTER (WHERE cumc >= (n * 90 + 99) // 100) AS b90,
+          min(b) FILTER (WHERE cumc >= (n * 99 + 99) // 100) AS b99,
+          max(b) AS bmax
+        FROM cum GROUP BY shard)
+      SELECT c.shard, q.n::BIGINT AS n,
+        ${lhLo("q.b50")}::BIGINT AS p50_lo, ${lhHi("q.b50")}::BIGINT AS p50_hi,
+        ${lhLo("q.b90")}::BIGINT AS p90_lo, ${lhHi("q.b90")}::BIGINT AS p90_hi,
+        ${lhLo("q.b99")}::BIGINT AS p99_lo, ${lhHi("q.b99")}::BIGINT AS p99_hi,
+        ${lhLo("q.bmax")}::BIGINT AS max_lo, ${lhHi("q.bmax")}::BIGINT AS max_hi,
+        c.b::BIGINT AS bucket, c.c::BIGINT AS c
+      FROM cnt c JOIN q USING (shard)"""))
+
+  /** Per-source quantile brackets + exactness audit: the sketch's
+    * [lo, hi] percentile brackets against the TRUE rank statistics
+    * (the value at row_number = ⌈n·p/100⌉ per source) — `p50_ok` /
+    * `p99_ok` hold by construction (the rank-r value lies in the
+    * first bucket whose cumulative count reaches r, and bucket bounds
+    * bracket every value in the bucket), and the oracle re-derives
+    * both sides independently. The 100 TB shape: the exact side costs
+    * a per-source sort and exists here only to audit; production
+    * reads the brackets from stored states alone (q209's lifecycle).
+    */
+  private val q210 = QueryDef(
+    "q210_loghist_source_audit",
+    (s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, dir)
+      val rep = docs.groupBy(col("source"))
+        .agg(graft.functions.SketchAgg.logHistSketch(col("n_chars")).as("st"))
+        .select(col("source"),
+          graft.functions.SketchAgg.logHistReportOf(col("st")).as("r"))
+        .select(col("source"), col("r.n").as("n_docs"),
+          col("r.p50_lo").as("p50_lo"), col("r.p50_hi").as("p50_hi"),
+          col("r.p99_lo").as("p99_lo"), col("r.p99_hi").as("p99_hi"))
+      val ranked = docs.select(col("source"), col("n_chars"))
+        .withColumn("rn", row_number().over(
+          Window.partitionBy(col("source")).orderBy(col("n_chars"))))
+        .withColumn("n", count(lit(1)).over(
+          Window.partitionBy(col("source"))))
+      val exact = ranked.groupBy(col("source"))
+        .agg(min(when(col("rn") === expr("(n * 50 + 99) DIV 100"),
+            col("n_chars"))).as("exact_p50"),
+          min(when(col("rn") === expr("(n * 99 + 99) DIV 100"),
+            col("n_chars"))).as("exact_p99"))
+      rep.join(exact, Seq("source"))
+        .withColumn("p50_ok",
+          col("p50_lo") <= col("exact_p50") && col("exact_p50") <= col("p50_hi"))
+        .withColumn("p99_ok",
+          col("p99_lo") <= col("exact_p99") && col("exact_p99") <= col("p99_hi"))
+    },
+    Some(s"""WITH bk AS (SELECT source, ${lhBucket("n_chars")} AS b
+          FROM documents),
+      cnt AS (SELECT source, b, count(*) AS c FROM bk GROUP BY source, b),
+      cum AS (SELECT source, b, c,
+          sum(c) OVER (PARTITION BY source ORDER BY b) AS cumc,
+          sum(c) OVER (PARTITION BY source) AS n FROM cnt),
+      q AS (SELECT source, max(n) AS n_docs,
+          min(b) FILTER (WHERE cumc >= (n * 50 + 99) // 100) AS b50,
+          min(b) FILTER (WHERE cumc >= (n * 99 + 99) // 100) AS b99
+        FROM cum GROUP BY source),
+      rk AS (SELECT source, n_chars,
+          row_number() OVER (PARTITION BY source ORDER BY n_chars) AS rn,
+          count(*) OVER (PARTITION BY source) AS n FROM documents),
+      ex AS (SELECT source,
+          min(CASE WHEN rn = (n * 50 + 99) // 100 THEN n_chars END)
+            AS exact_p50,
+          min(CASE WHEN rn = (n * 99 + 99) // 100 THEN n_chars END)
+            AS exact_p99
+        FROM rk GROUP BY source)
+      SELECT q.source, q.n_docs::BIGINT AS n_docs,
+        ${lhLo("q.b50")}::BIGINT AS p50_lo, ${lhHi("q.b50")}::BIGINT AS p50_hi,
+        ${lhLo("q.b99")}::BIGINT AS p99_lo, ${lhHi("q.b99")}::BIGINT AS p99_hi,
+        ex.exact_p50, ex.exact_p99,
+        (${lhLo("q.b50")} <= ex.exact_p50
+          AND ex.exact_p50 <= ${lhHi("q.b50")}) AS p50_ok,
+        (${lhLo("q.b99")} <= ex.exact_p99
+          AND ex.exact_p99 <= ${lhHi("q.b99")}) AS p99_ok
+      FROM q JOIN ex USING (source)"""))
+
   /** The curated blocklist shared by q207/q208 — mixed 2- and 3-word
     * phrases from the corpus vocabulary plus one that can never match
     * (the zero-fill row every per-phrase report must carry).
@@ -3407,5 +3545,5 @@ object PipelinePack {
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204, q205, q206, q207, q208)
+    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
 }

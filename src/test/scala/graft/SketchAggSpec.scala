@@ -530,4 +530,107 @@ class SketchAggSpec extends AnyFunSuite {
     val b = stateOf(nums.repartition(13, col("src")))
     assert(a === b)
   }
+
+  // ---- log-histogram quantile sketch ---------------------------------
+
+  test("logHistBucket/bounds: small values exact, brackets hold, width <= 1/16") {
+    (0 to 15).foreach { x =>
+      assert(SketchAgg.logHistBucket(x.toLong) === x)
+      assert(SketchAgg.logHistBounds(x) === ((x.toLong, x.toLong)))
+    }
+    val rnd = new scala.util.Random(42)
+    val xs = Seq(16L, 17L, 31L, 32L, 33L, 1L << 40, Long.MaxValue) ++
+      Seq.fill(3000)(rnd.nextLong() & Long.MaxValue)
+    xs.foreach { x =>
+      val b = SketchAgg.logHistBucket(x)
+      assert(b >= 0 && b < SketchAgg.LogHistBuckets)
+      val (lo, hi) = SketchAgg.logHistBounds(b)
+      assert(lo <= x && x <= hi, s"$x outside [$lo,$hi] (bucket $b)")
+      if (x >= 16L)
+        assert(hi - lo + 1L <= math.max(lo / 16L, 1L),
+          s"bucket $b wider than the 1/16 relative guarantee")
+    }
+    intercept[IllegalArgumentException](SketchAgg.logHistBucket(-1L))
+  }
+
+  test("loghist merge-equivalence: per-slice states merged == one-pass state") {
+    val df = (1 to 900).map(i => (s"s${i % 5}", (i.toLong * i) % 100000))
+      .toDF("src", "x")
+    val whole = df.agg(SketchAgg.logHistSketch(col("x")).as("st")).head()
+      .getSeq[Long](0)
+    val merged = df.groupBy(col("src"))
+      .agg(SketchAgg.logHistSketch(col("x")).as("st"))
+      .agg(SketchAgg.logHistMerge(col("st")).as("st")).head()
+      .getSeq[Long](0)
+    assert(merged === whole)
+  }
+
+  test("logHistReportOf: sub-16 data is EXACT; brackets contain true rank stats") {
+    // all values < 16 → every bucket is a singleton, so lo == hi ==
+    // the exact rank statistic
+    val small = (1L to 10L).toDF("x")
+      .agg(SketchAgg.logHistSketch(col("x")).as("st"))
+      .select(SketchAgg.logHistReportOf(col("st")).as("r"))
+      .select("r.n", "r.p50_lo", "r.p50_hi", "r.p99_lo", "r.p99_hi",
+        "r.max_lo", "r.max_hi").head()
+    assert(small.getLong(0) === 10L)
+    assert((small.getLong(1), small.getLong(2)) === ((5L, 5L)))
+    assert((small.getLong(3), small.getLong(4)) === ((10L, 10L)))
+    assert((small.getLong(5), small.getLong(6)) === ((10L, 10L)))
+    // spread data: brackets must contain the true rank statistics
+    val xs = (1L to 1000L).toSeq
+    val r = xs.toDF("x")
+      .agg(SketchAgg.logHistSketch(col("x")).as("st"))
+      .select(SketchAgg.logHistReportOf(col("st")).as("r"))
+      .select("r.p50_lo", "r.p50_hi", "r.p90_lo", "r.p90_hi",
+        "r.p99_lo", "r.p99_hi", "r.max_lo", "r.max_hi").head()
+    def rank(p: Long) = xs.sorted.apply(((1000L * p + 99L) / 100L - 1L).toInt)
+    assert(r.getLong(0) <= rank(50) && rank(50) <= r.getLong(1))
+    assert(r.getLong(2) <= rank(90) && rank(90) <= r.getLong(3))
+    assert(r.getLong(4) <= rank(99) && rank(99) <= r.getLong(5))
+    assert(r.getLong(6) <= 1000L && 1000L <= r.getLong(7))
+  }
+
+  test("loghist shape guard + empty state zeros + NULL skipping") {
+    val df = (1 to 50).map(i => (s"s${i % 3}", i.toLong)).toDF("src", "x")
+    val bad = df.agg(SketchAgg.logHistSketch(col("x")).as("st"))
+      .select(slice(col("st"), 1, 7).as("st"))
+    val e = intercept[Exception] {
+      bad.agg(SketchAgg.logHistMerge(col("st"))).head()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).map(t => String.valueOf(t.getMessage)).mkString("|")
+      .contains("expected 1008"), s"expected the shape guard, got: $e")
+    val z = df.filter(col("x") < 0L)
+      .agg(SketchAgg.logHistSketch(col("x")).as("st"))
+      .select(SketchAgg.logHistReportOf(col("st")).as("r"))
+      .select("r.n", "r.max_hi").head()
+    assert(z.getLong(0) === 0L && z.getLong(1) === 0L)
+    val withNull = df.select(
+      when(col("x") % 5 === 0, lit(null)).otherwise(col("x")).as("x"))
+    val n = withNull.agg(SketchAgg.logHistSketch(col("x")).as("st"))
+      .select(SketchAgg.logHistReportOf(col("st")).as("r"))
+      .select("r.n").head().getLong(0)
+    assert(n === 40L, "NULL inputs must be skipped")
+  }
+
+  test("SQL surface: loghist aggregates and report run in spark.sql") {
+    SketchAgg.registerSql(spark)
+    val df = (1 to 300).map(i => (s"s${i % 3}", i.toLong * 7)).toDF("src", "x")
+    df.createOrReplaceTempView("ska_lh_t")
+    val per = spark.sql(
+      "SELECT src, loghist_sketch_agg(x) AS st FROM ska_lh_t GROUP BY src")
+    assert(per.count() === 3)
+    per.createOrReplaceTempView("ska_lh_states")
+    val merged = spark.sql(
+      "SELECT loghist_merge_agg(st) AS st FROM ska_lh_states").head()
+      .getSeq[Long](0)
+    val whole = df.agg(SketchAgg.logHistSketch(col("x"))).head().getSeq[Long](0)
+    assert(merged === whole)
+    val rep = spark.sql(
+      "SELECT loghist_state_report(loghist_merge_agg(st)) AS r " +
+        "FROM ska_lh_states").select("r.n").head()
+    assert(rep.getLong(0) === 300L)
+  }
 }
