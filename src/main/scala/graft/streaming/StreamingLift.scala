@@ -326,6 +326,25 @@ object StreamingLift {
       SketchAgg.momentsMerge(col("st")), checkpoint, availableNow)
   }
 
+  /** Per-group QUANTILE maintenance over a streaming feed: the same
+    * fold with the log-histogram state ([[graft.functions.SketchAgg
+    * .LogHistSketchAgg]]) — p50/p90/p99 brackets (guaranteed ≤ 6.25%
+    * wide, via [[graft.functions.SketchAgg.logHistReportOf]]) over
+    * everything ever ingested, maintained from 1008 counters per
+    * group. Counter addition is not replay-idempotent; the
+    * applied-batch guard is load-bearing (momentsMaintainStream's
+    * contract).
+    */
+  def logHistMaintainStream(spark: SparkSession, srcPath: String,
+      schema: StructType, states: ParquetTable, groupCol: String,
+      valueCol: String, checkpoint: String,
+      availableNow: Boolean = true): StreamingQuery = {
+    import graft.functions.SketchAgg
+    mergeMaintainStream(spark, srcPath, schema, states, groupCol,
+      SketchAgg.logHistSketch(col(valueCol)),
+      SketchAgg.logHistMerge(col("st")), checkpoint, availableNow)
+  }
+
   /** The shared mergeable-state fold: per micro-batch, build one
     * state per group from the new rows (`buildAgg`), union with the
     * persisted table, and fold colliding groups (`foldAgg`) — both

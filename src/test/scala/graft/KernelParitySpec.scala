@@ -203,6 +203,31 @@ class KernelParitySpec extends AnyFunSuite {
       .select("r.m", "r.n_set", "r.fill_ppm").head()
     assert(blSql === blCol)
     assert(blSql.getLong(1) > 0L)
+    // moments and loghist report builders, same shared builder list
+    val momSql = spark.sql(
+      "SELECT moments_state_report(moments_sketch_agg(length(text))) AS r " +
+        "FROM docs_sql")
+      .select("r.n", "r.mean", "r.var_pop", "r.skew", "r.kurt_excess",
+        "r.cantelli_p99").head()
+    val momCol = docs
+      .agg(SketchAgg.momentsSketch(length(col("text"))).as("st"))
+      .select(SketchAgg.momentsReportOf(col("st")).as("r"))
+      .select("r.n", "r.mean", "r.var_pop", "r.skew", "r.kurt_excess",
+        "r.cantelli_p99").head()
+    assert(momSql === momCol)
+    assert(momSql.getLong(0) > 0L)
+    val lhSql = spark.sql(
+      "SELECT loghist_state_report(loghist_sketch_agg(length(text))) AS r " +
+        "FROM docs_sql")
+      .select("r.n", "r.p50_lo", "r.p50_hi", "r.p99_lo", "r.p99_hi",
+        "r.max_lo", "r.max_hi").head()
+    val lhCol = docs
+      .agg(SketchAgg.logHistSketch(length(col("text"))).as("st"))
+      .select(SketchAgg.logHistReportOf(col("st")).as("r"))
+      .select("r.n", "r.p50_lo", "r.p50_hi", "r.p99_lo", "r.p99_hi",
+        "r.max_lo", "r.max_hi").head()
+    assert(lhSql === lhCol)
+    assert(lhSql.getLong(0) > 0L)
   }
 
   test("media kernels match an independent byte-loop reference") {

@@ -198,6 +198,41 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(stateMap(states.read) === want, "replay must not double-count")
   }
 
+  test("logHistMaintainStream: maintained quantile states == one-pass rebuild") {
+    import org.apache.spark.sql.functions.col
+    import graft.functions.SketchAgg
+    val srcDir = Files.createTempDirectory("graft-lh-src").toString
+    val ckpt = Files.createTempDirectory("graft-lh-ckpt").toString
+    val states = ParquetTable(spark,
+      Files.createTempDirectory("graft-lh-st").resolve("st").toString)
+    def rows(r: Range): DataFrame =
+      r.map(i => (s"s${i % 2}", (i.toLong * 13) % 5000)).toDF("src", "x")
+    val schema = rows(1 to 1).schema
+
+    rows(1 to 60).write.parquet(srcDir + "/b1")
+    StreamingLift.logHistMaintainStream(spark, srcDir + "/*", schema,
+      states, "src", "x", ckpt).awaitTermination(60000)
+    rows(61 to 120).write.parquet(srcDir + "/b2")
+    StreamingLift.logHistMaintainStream(spark, srcDir + "/*", schema,
+      states, "src", "x", ckpt).awaitTermination(60000)
+
+    def stateMap(df: DataFrame) = df.collect()
+      .map(r => r.getString(0) -> r.getSeq[Long](1)).toMap
+    val want = stateMap(rows(1 to 120).groupBy(col("src"))
+      .agg(SketchAgg.logHistSketch(col("x")).as("st")))
+    assert(stateMap(states.read) === want)
+
+    // the maintained table serves percentile brackets directly
+    val rep = states.read
+      .select(col("src"), SketchAgg.logHistReportOf(col("st")).as("r"))
+      .select("src", "r.n", "r.p50_lo", "r.p50_hi").collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    rep.foreach { case (src, (n, lo, hi)) =>
+      assert(n === 60L && lo <= hi && hi > 0L, s"$src: ($n, $lo, $hi)")
+    }
+  }
+
   test("tumblingCounts: closed windows emit aggregated counts") {
     val srcDir = Files.createTempDirectory("graft-tumble").toString
     val data = events(Seq(
