@@ -79,7 +79,12 @@ object GraftExtensions {
       invoke(ArrayType(LongType, containsNull = false), "byteHistogram", es,
         Seq(BinaryType, IntegerType))),
     "graft_dhash60" -> ((es: Seq[Expression]) =>
-      invoke(LongType, "dhash60", es, Seq(BinaryType))))
+      invoke(LongType, "dhash60", es, Seq(BinaryType))),
+    // [total_hits, phrases_hit] of a '\n'-packed phrase list:
+    // `SELECT graft_phrase_scan(text, 'fast key\nslow scan') FROM docs`
+    "graft_phrase_scan" -> ((es: Seq[Expression]) =>
+      invoke(ArrayType(LongType, containsNull = false), "phraseScan", es,
+        Seq(StringType, StringType))))
 
   /** Install into a live session: temp functions + optimizer rule. */
   def register(spark: SparkSession): Unit = {

@@ -782,7 +782,125 @@ object Kernels {
 
   // ---- Column wrappers ----------------------------------------------
 
+  // ---- phrase blocklist automaton (token-level Aho–Corasick) --------
+
+  /** Token-level Aho–Corasick automaton over a phrase list: one pass
+    * over a document's tokens finds EVERY occurrence of every phrase
+    * (overlaps included, multiple phrases ending on the same token
+    * included) in O(tokens + matches) — independent of the list size,
+    * where the compositional window-join form costs
+    * O(windows × list). Built once per DISTINCT phrase list and
+    * cached process-wide (the list arrives as a literal, so every
+    * task on the executor reuses one automaton). Duplicate list
+    * entries collapse, matching the compositional form's
+    * array-membership semantics.
+    */
+  private final class PhraseAutomaton(phraseArr: Array[Array[String]]) {
+    private val phrases = phraseArr.map(_.toSeq).distinct.map(_.toArray)
+    val nPhrases: Int = phrases.length
+    private val children =
+      scala.collection.mutable.ArrayBuffer(newNode())
+    private val ownEnds =
+      scala.collection.mutable.ArrayBuffer[List[Int]](Nil)
+    private def newNode() = new java.util.HashMap[String, Integer]()
+    // trie
+    phrases.zipWithIndex.foreach { case (p, id) =>
+      var node = 0
+      p.foreach { tok =>
+        val c = children(node).get(tok)
+        node = if (c != null) c.intValue()
+        else {
+          children += newNode()
+          ownEnds += Nil
+          children(node).put(tok, children.size - 1)
+          children.size - 1
+        }
+      }
+      ownEnds(node) = id :: ownEnds(node)
+    }
+    // BFS failure links; outputs(v) = own phrase-endings + fail chain's
+    private val fail = new Array[Int](children.size)
+    private val outputs = new Array[Array[Int]](children.size)
+    outputs(0) = ownEnds(0).toArray
+    locally {
+      val queue = new java.util.ArrayDeque[Integer]()
+      children(0).forEach { (_, v) =>
+        fail(v) = 0
+        outputs(v) = (ownEnds(v) ++ outputs(0)).toArray
+        queue.add(v): Unit
+      }
+      while (!queue.isEmpty) {
+        val u = queue.poll().intValue()
+        children(u).forEach { (tok, v) =>
+          fail(v) = step(fail(u), tok)
+          outputs(v) = (ownEnds(v) ++ outputs(fail(v)).toList).toArray
+          queue.add(v): Unit
+        }
+      }
+    }
+    private def step(start: Int, tok: String): Int = {
+      var n = start
+      while (true) {
+        val c = children(n).get(tok)
+        if (c != null) return c.intValue()
+        if (n == 0) return 0
+        n = fail(n)
+      }
+      0
+    }
+    /** (total occurrences, distinct phrases present) in one pass. */
+    def scan(toks: Array[String]): (Long, Long) = {
+      var node = 0
+      var total = 0L
+      var distinct = 0L
+      val seen = new Array[Boolean](nPhrases)
+      var i = 0
+      while (i < toks.length) {
+        node = step(node, toks(i))
+        val out = outputs(node)
+        total += out.length
+        var j = 0
+        while (j < out.length) {
+          val id = out(j)
+          if (!seen(id)) { seen(id) = true; distinct += 1L }
+          j += 1
+        }
+        i += 1
+      }
+      (total, distinct)
+    }
+  }
+
+  private val phraseAutomata =
+    new java.util.concurrent.ConcurrentHashMap[String, PhraseAutomaton]()
+
+  /** [total_hits, phrases_hit] of the '\n'-packed phrase list in
+    * `text` — bit-identical to [[graft.ops.TextClean.phraseHits]]'s
+    * compositional window-membership form (PipelineSpec pins the
+    * parity), so the DuckDB n-gram oracle verifies this kernel too.
+    */
+  def phraseScan(text: UTF8String, packed: UTF8String): ArrayData = {
+    val a = phraseAutomata.computeIfAbsent(packed.toString,
+      p => new PhraseAutomaton(p.split("\n", -1).map(_.split(" ", -1))))
+    val (total, distinct) = a.scan(tokenize(text))
+    new GenericArrayData(Array(total, distinct))
+  }
+
   private def expr(c: Column) = exprBridge.expression(c)
+
+  /** [total_hits, phrases_hit] of a phrase list — one compiled
+    * Aho–Corasick pass, O(tokens + matches) whatever the list size.
+    */
+  def phraseScanOf(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "empty blocklist")
+    require(phrases.forall(p => p.trim.nonEmpty && !p.contains("\n")),
+      "phrases must be non-blank and newline-free")
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, ArrayType(LongType, containsNull = false), "phraseScan",
+      Seq(expr(text),
+        expr(org.apache.spark.sql.functions.lit(phrases.mkString("\n")))),
+      Seq(StringType, StringType)))
+  }
 
   /** MinHash signature straight from text — compiled single pass. */
   def minhashSigOf(text: Column, numHashes: Int, shingleWords: Int): Column =

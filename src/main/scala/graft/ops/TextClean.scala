@@ -521,6 +521,26 @@ object TextClean {
       .drop("_pb_toks", "_pb_wins")
   }
 
+  /** [[phraseHits]] through the compiled token-level Aho–Corasick
+    * kernel ([[graft.functions.Kernels.phraseScan]]): same output
+    * columns, bit-identical counts (PipelineSpec pins the parity; the
+    * q207 DuckDB oracle verifies the kernel end-to-end), but one
+    * O(tokens + matches) pass per document REGARDLESS of list size —
+    * the form to use when the blocklist grows past a few dozen
+    * entries, where the window-membership form's
+    * O(windows × list) literal scan starts to bite. The automaton
+    * compiles once per distinct list per JVM and is shared by every
+    * task on the executor.
+    */
+  def phraseHitsCompiled(df: org.apache.spark.sql.DataFrame, textCol: String,
+      phrases: Seq[String]): org.apache.spark.sql.DataFrame =
+    df.withColumn("_pb_s",
+        graft.functions.Kernels.phraseScanOf(col(textCol), phrases))
+      .withColumn("hits", coalesce(col("_pb_s").getItem(0), lit(0L)))
+      .withColumn("phrases_hit", coalesce(col("_pb_s").getItem(1), lit(0L)))
+      .withColumn("flagged", col("hits") > 0L)
+      .drop("_pb_s")
+
   /** Per-phrase totals over the corpus: (phrase, n_docs, n_hits),
     * zero rows included for list entries that never match. The
     * explode happens AFTER the membership filter, so the generated

@@ -3231,17 +3231,21 @@ object PipelinePack {
     "big query", "stream window", "key agg row", "never matches anything")
   private def blockInList = blockPhrases.map(p => s"'$p'").mkString(", ")
 
-  /** Blocklist scan ([[graft.ops.TextClean.phraseHits]]): per-source
-    * roll-up of exact token-n-gram phrase matches — docs flagged,
-    * total occurrences (overlaps counted), and phrase-doc incidence.
-    * One corpus pass, zero corpus shuffle: windows are generated only
-    * for the phrase lengths present (2 and 3 here) and the list rides
-    * as an array literal into the scan stage; the only exchange is
-    * the #sources-row aggregation.
+  /** Blocklist scan through the COMPILED token-level Aho–Corasick
+    * kernel ([[graft.ops.TextClean.phraseHitsCompiled]] →
+    * [[graft.functions.Kernels.phraseScan]]): per-source roll-up of
+    * exact token-n-gram phrase matches — docs flagged, total
+    * occurrences (overlaps counted), and phrase-doc incidence. One
+    * O(tokens + matches) corpus pass, zero corpus shuffle (the
+    * automaton compiles once per JVM from the list literal); the only
+    * exchange is the #sources-row aggregation. The compositional
+    * window-membership form ([[graft.ops.TextClean.phraseHits]]) is
+    * bit-identical (PipelineSpec parity), so this oracle verifies the
+    * kernel end-to-end.
     */
   private val q207 = QueryDef(
     "q207_blocklist_scan",
-    (s, dir) => TextClean.phraseHits(Tables.documents(s, dir), "text",
+    (s, dir) => TextClean.phraseHitsCompiled(Tables.documents(s, dir), "text",
         blockPhrases)
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_docs"),

@@ -183,6 +183,12 @@ class KernelParitySpec extends AnyFunSuite {
     assert(r7.getLong(2) ===
       Kernels.dhash60("0123456789".getBytes("UTF-8")))
 
+    val ps = spark.sql(
+      "SELECT graft_phrase_scan('a a a b c', 'a a\nb c') AS s").head()
+      .getSeq[Long](0)
+    assert(ps === Seq(3L, 2L),
+      "two overlapping 'a a' + one 'b c'; both phrases present")
+
     // the KMV and bloom state-report builders ride the same shared
     // builder list — SQL-vs-Column parity through the extensions hook,
     // field for field (the HLL sibling is pinned above)

@@ -188,6 +188,37 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(4L) === ((0L, 0L, false)))
   }
 
+  test("phraseHitsCompiled == phraseHits bit-for-bit (Aho-Corasick parity)") {
+    import graft.ops.TextClean
+    val vocab = Array("a", "b", "c", "d", "e")
+    val rnd = new scala.util.Random(7)
+    val rows = (1L to 300L).map { i =>
+      (i, Some((0 until rnd.nextInt(30)).map(_ =>
+        vocab(rnd.nextInt(vocab.length))).mkString(" ")))
+    } :+ ((301L, None: Option[String])) :+ ((302L, Some("")))
+    val d = rows.toDF("doc_id", "text")
+    // mixed lengths incl. a 1-token phrase, nested phrases ("a b" inside
+    // "a b c"), and self-overlapping ones ("a a" in "a a a")
+    val phrases = Seq("a a", "b c", "a b c", "e", "c d e")
+    val comp = TextClean.phraseHits(d, "text", phrases)
+      .select("doc_id", "hits", "phrases_hit", "flagged").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    val fast = TextClean.phraseHitsCompiled(d, "text", phrases)
+      .select("doc_id", "hits", "phrases_hit", "flagged").collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    assert(fast === comp)
+    assert(comp.values.map(_._1).sum > 0L, "the generated corpus must match")
+    // duplicate list entries collapse in both forms
+    val dup = Seq("a a", "a a", "b c")
+    val c2 = TextClean.phraseHits(d, "text", dup)
+      .agg(sum(col("hits")), sum(col("phrases_hit"))).head()
+    val f2 = TextClean.phraseHitsCompiled(d, "text", dup)
+      .agg(sum(col("hits")), sum(col("phrases_hit"))).head()
+    assert(f2 === c2)
+  }
+
   test("phraseCounts: per-phrase totals with zero-fill; n_docs vs n_hits") {
     import graft.ops.TextClean
     val d = Seq((1L, "a a a"), (2L, "a a z"), (3L, "z z z"))
