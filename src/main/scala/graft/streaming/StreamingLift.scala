@@ -396,8 +396,12 @@ object StreamingLift {
     * always the SMALL batch.
     *
     * Rejected rows are not silenced: per batch, the counts
-    * (input, low_quality, dup_in_batch, dup_in_corpus, loaded) are
-    * appended to `audit` — the curation ledger a feed owner reads.
+    * (input, low_quality, blocklisted, dup_in_batch, dup_in_corpus,
+    * loaded) are appended to `audit` — the curation ledger a feed
+    * owner reads. The blocklist gate (optional `blocklist` phrases,
+    * matched by the compiled Aho–Corasick kernel
+    * [[graft.functions.Kernels.phraseScan]]) sits between the quality
+    * gate and dedup and is a no-op when the list is empty.
     * The DATA path is exactly-once under replay (id upsert + content
     * anti-join are both idempotent); the ledger is at-least-once (a
     * replayed batch re-appends its row with the same batch_id and a
@@ -407,7 +411,8 @@ object StreamingLift {
   def curationStream(spark: SparkSession, srcPath: String,
       schema: StructType, dest: ParquetTable, audit: ParquetTable,
       idCol: String, textCol: String, stopwords: Seq[String],
-      checkpoint: String, availableNow: Boolean = true): StreamingQuery = {
+      checkpoint: String, availableNow: Boolean = true,
+      blocklist: Seq[String] = Nil): StreamingQuery = {
     import graft.ops.{Dedup, QualityRules}
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
@@ -423,9 +428,18 @@ object StreamingLift {
         val gated = batch.join(keep, Seq(idCol), "left_semi")
           .localCheckpoint(true)
         val nGated = gated.count()
-        val survivors = Dedup.exact(gated, idCol, textCol)
+        // optional blocklist gate (compiled Aho–Corasick pass over the
+        // already-pinned batch — a no-op when the list is empty): docs
+        // containing ANY banned phrase never reach dedup or the corpus
+        val cleared =
+          if (blocklist.isEmpty) gated
+          else graft.ops.TextClean.phraseHitsCompiled(gated, textCol, blocklist)
+            .filter(!col("flagged"))
+            .drop("hits", "phrases_hit", "flagged")
+        val nCleared = if (blocklist.isEmpty) nGated else cleared.count()
+        val survivors = Dedup.exact(cleared, idCol, textCol)
           .select(col("keep_id").as(idCol))
-        val batchDeduped = gated.join(survivors, Seq(idCol), "left_semi")
+        val batchDeduped = cleared.join(survivors, Seq(idCol), "left_semi")
           .withColumn("__content_hash", md5(col(textCol)))
         val nBatchDeduped = batchDeduped.count()
         val fresh = (if (dest.exists)
@@ -437,10 +451,10 @@ object StreamingLift {
         if (nFresh > 0)
           TableOps.insertData(dest, fresh, idCol, mergeOnDuplicates = true)
         import spark.implicits._
-        audit.append(Seq((batchId, nIn, nIn - nGated,
-            nGated - nBatchDeduped, nBatchDeduped - nFresh, nFresh))
-          .toDF("batch_id", "n_input", "n_low_quality", "n_dup_in_batch",
-            "n_dup_in_corpus", "n_loaded"))
+        audit.append(Seq((batchId, nIn, nIn - nGated, nGated - nCleared,
+            nCleared - nBatchDeduped, nBatchDeduped - nFresh, nFresh))
+          .toDF("batch_id", "n_input", "n_low_quality", "n_blocklisted",
+            "n_dup_in_batch", "n_dup_in_corpus", "n_loaded"))
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }

@@ -612,10 +612,12 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(dest.read.columns.contains("__content_hash"))
 
     // the ledger accounts for every drop, batch by batch
+    // (in, lowq, blocklisted, batchdup, corpusdup, loaded)
     val ledger = audit.read.collect().map(r => r.getLong(0) ->
-      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5))).toMap
-    assert(ledger(0L) === ((3L, 1L, 1L, 0L, 1L))) // in, lowq, batchdup, corpusdup, loaded
-    assert(ledger(1L) === ((2L, 0L, 0L, 1L, 1L)))
+      (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+        r.getLong(6))).toMap
+    assert(ledger(0L) === ((3L, 1L, 0L, 1L, 0L, 1L)))
+    assert(ledger(1L) === ((2L, 0L, 0L, 0L, 1L, 1L)))
 
     // replay with a FRESH checkpoint (same files): data path stays
     // exactly-once — nothing new lands
@@ -625,6 +627,29 @@ class StreamingLiftSpec extends AnyFunSuite {
     q3.awaitTermination()
     assert(dest.read.select("doc_id").collect().map(_.getLong(0)).sorted
       === Seq(1L, 11L))
+  }
+
+  test("curationStream blocklist gate drops banned docs and ledgers them") {
+    val srcDir = Files.createTempDirectory("graft-curb-src").toString
+    val ckpt = Files.createTempDirectory("graft-curb-ckpt").toString
+    val base = Files.createTempDirectory("graft-curb-dst")
+    val dest = ParquetTable(spark, base.resolve("corpus").toString)
+    val audit = ParquetTable(spark, base.resolve("ledger").toString)
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val clean = "the quick brown fox jumps over the lazy dog again and again"
+    val banned = "the quick brown fox shares a banned phrase in the middle of it"
+    def docs(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
+    docs(Seq((1L, clean), (2L, banned), (3L, "too short")))
+      .write.parquet(srcDir + "/f1")
+    StreamingLift.curationStream(spark, srcDir + "/*", docs(Nil).schema,
+      dest, audit, "doc_id", "text", stop, ckpt,
+      blocklist = Seq("banned phrase")).awaitTermination()
+    assert(dest.read.select("doc_id").collect().map(_.getLong(0)).toSeq
+      === Seq(1L))
+    val r = audit.read.head()
+    // (in=3, lowq=1, blocklisted=1, batchdup=0, corpusdup=0, loaded=1)
+    assert((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+      r.getLong(5), r.getLong(6)) === ((3L, 1L, 1L, 0L, 0L, 1L)))
   }
 
   test("spanDedupStream maintains the window index and reports spans per batch") {
