@@ -673,6 +673,64 @@ object SketchAgg {
       copy(child = newChild)
   }
 
+  /** WEIGHTED moments build — `(x, w)` contributes `w` to n and
+    * `w·xᵏ` to each sum, exactly (BigInteger path whenever w ≠ 1; the
+    * allocation-free long fast path still serves w = 1 rows). The
+    * state is identical in type and semantics to
+    * [[MomentsSketchAgg]]'s, so it folds with the SAME
+    * [[MomentsMergeAgg]] and reads with the same report. The use is
+    * the q134 domain trick at sketch level: aggregate `GROUP BY g, v
+    * → count` first, then sketch the (v, count) DOMAIN — bit-identical
+    * to sketching the raw rows, with the input bounded by value
+    * cardinality instead of corpus size. Negative weights fail
+    * loudly; w = 0 and NULL x/w rows contribute nothing.
+    */
+  case class MomentsWSketchAgg(left: Expression, right: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[MomentsBuf]
+    with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+    override def createAggregationBuffer(): MomentsBuf = new MomentsBuf
+    override def update(buf: MomentsBuf, input: InternalRow): MomentsBuf = {
+      val xv = left.eval(input)
+      val wv = right.eval(input)
+      if (xv != null && wv != null) {
+        val w = wv.asInstanceOf[Long]
+        require(w >= 0L, s"moments weight must be >= 0, got $w")
+        val x = xv.asInstanceOf[Long]
+        if (w == 1L) momentsUpdate(buf, x)
+        else if (w > 0L) {
+          val bw = java.math.BigInteger.valueOf(w)
+          val b = java.math.BigInteger.valueOf(x)
+          val b2 = b.multiply(b)
+          buf.n = Math.addExact(buf.n, w)
+          buf.b1 = buf.b1.add(b.multiply(bw))
+          buf.b2 = buf.b2.add(b2.multiply(bw))
+          buf.b3 = buf.b3.add(b2.multiply(b).multiply(bw))
+          buf.b4 = buf.b4.add(b2.multiply(b2).multiply(bw))
+        }
+      }
+      buf
+    }
+    override def merge(b1: MomentsBuf, b2: MomentsBuf): MomentsBuf =
+      momentsMergeBuf(b1, b2)
+    override def eval(buf: MomentsBuf): Any = momentsEval(buf)
+    override def serialize(buf: MomentsBuf): Array[Byte] = momentsSerialize(buf)
+    override def deserialize(bytes: Array[Byte]): MomentsBuf =
+      momentsDeserialize(bytes)
+    override def dataType: DataType = momentsStateType
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+    override def prettyName: String = "moments_wsketch_agg"
+    override def withNewMutableAggBufferOffset(o: Int): MomentsWSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): MomentsWSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): MomentsWSketchAgg =
+      copy(left = newLeft, right = newRight)
+  }
+
   /** Fold STORED moments states (elementwise integer addition — the
     * merge is exact, so per-day/per-shard profiles combine into the
     * union's profile without touching the rows again).
@@ -832,6 +890,54 @@ object SketchAgg {
       copy(inputAggBufferOffset = o)
     override protected def withNewChildInternal(newChild: Expression): LogHistSketchAgg =
       copy(child = newChild)
+  }
+
+  /** WEIGHTED log-histogram build — `(x, w)` adds `w` to x's bucket.
+    * Same state type as [[LogHistSketchAgg]], so it folds with the
+    * same [[LogHistMergeAgg]] and reads with the same report; the
+    * domain-trick companion of [[MomentsWSketchAgg]] (sketch the
+    * `GROUP BY v → count` domain, bit-identical to the raw rows).
+    * Negative weights fail loudly; w = 0 and NULL rows are no-ops.
+    */
+  case class LogHistWSketchAgg(left: Expression, right: Expression,
+      mutableAggBufferOffset: Int = 0, inputAggBufferOffset: Int = 0)
+    extends TypedImperativeAggregate[Array[Long]]
+    with ImplicitCastInputTypes
+    with org.apache.spark.sql.catalyst.trees.BinaryLike[Expression] {
+    override def createAggregationBuffer(): Array[Long] =
+      new Array[Long](LogHistBuckets)
+    override def update(buf: Array[Long], input: InternalRow): Array[Long] = {
+      val xv = left.eval(input)
+      val wv = right.eval(input)
+      if (xv != null && wv != null) {
+        val w = wv.asInstanceOf[Long]
+        require(w >= 0L, s"loghist weight must be >= 0, got $w")
+        if (w > 0L)
+          buf(logHistBucket(xv.asInstanceOf[Long])) += w
+      }
+      buf
+    }
+    override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
+      var i = 0
+      while (i < LogHistBuckets) { b1(i) += b2(i); i += 1 }
+      b1
+    }
+    override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
+    override def serialize(buf: Array[Long]): Array[Byte] =
+      SketchAgg.longsToBytes(buf)
+    override def deserialize(bytes: Array[Byte]): Array[Long] =
+      SketchAgg.bytesToLongs(bytes)
+    override def dataType: DataType = ArrayType(LongType, containsNull = false)
+    override def nullable: Boolean = false
+    override def inputTypes: Seq[DataType] = Seq(LongType, LongType)
+    override def prettyName: String = "loghist_wsketch_agg"
+    override def withNewMutableAggBufferOffset(o: Int): LogHistWSketchAgg =
+      copy(mutableAggBufferOffset = o)
+    override def withNewInputAggBufferOffset(o: Int): LogHistWSketchAgg =
+      copy(inputAggBufferOffset = o)
+    override protected def withNewChildrenInternal(newLeft: Expression,
+        newRight: Expression): LogHistWSketchAgg =
+      copy(left = newLeft, right = newRight)
   }
 
   /** Fold stored log-histogram states (elementwise addition). */
@@ -1107,6 +1213,18 @@ object SketchAgg {
   def momentsReportOf(state: Column): Column =
     exprBridge.column(momentsReportExpr(ex(state)))
 
+  /** Weighted moments build over a (value, weight) pair — the domain
+    * trick: sketch `GROUP BY v → count` instead of raw rows.
+    */
+  def momentsSketchW(x: Column, w: Column): Column =
+    exprBridge.column(MomentsWSketchAgg(ex(x.cast("long")),
+      ex(w.cast("long"))).toAggregateExpression())
+
+  /** Weighted log-histogram build over a (value, weight) pair. */
+  def logHistSketchW(x: Column, w: Column): Column =
+    exprBridge.column(LogHistWSketchAgg(ex(x.cast("long")),
+      ex(w.cast("long"))).toAggregateExpression())
+
   /** `GROUP BY g` → one 1008-bucket log-histogram per group (input
     * casts to long; must be non-negative).
     */
@@ -1224,7 +1342,15 @@ object SketchAgg {
     "loghist_merge_agg" -> ((args: Seq[Expression]) =>
       LogHistMergeAgg(args.head)),
     "loghist_state_report" -> ((args: Seq[Expression]) =>
-      logHistReportExpr(args.head)))
+      logHistReportExpr(args.head)),
+    "moments_wsketch_agg" -> ((args: Seq[Expression]) => {
+      require(args.size == 2, "moments_wsketch_agg(x, w) needs (x, w)")
+      MomentsWSketchAgg(args.head, args(1))
+    }),
+    "loghist_wsketch_agg" -> ((args: Seq[Expression]) => {
+      require(args.size == 2, "loghist_wsketch_agg(x, w) needs (x, w)")
+      LogHistWSketchAgg(args.head, args(1))
+    }))
 
   /** Install [[sqlFunctions]] into an already-running session. */
   def registerSql(spark: org.apache.spark.sql.SparkSession): Unit =

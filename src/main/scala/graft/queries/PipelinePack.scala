@@ -3223,6 +3223,84 @@ object PipelinePack {
           AND ex.exact_p99 <= ${lhHi("q.b99")}) AS p99_ok
       FROM q JOIN ex USING (source)"""))
 
+  /** The weighted-build domain trick, hash-checked as an IDENTITY:
+    * per returnflag, the moments and log-histogram profiles of
+    * lineitem quantities are computed twice — once from the raw rows
+    * ([[graft.functions.SketchAgg.MomentsSketchAgg]] /
+    * [[graft.functions.SketchAgg.LogHistSketchAgg]]) and once from
+    * the pre-aggregated `GROUP BY (flag, qty) → count` DOMAIN through
+    * the weighted builds ([[graft.functions.SketchAgg
+    * .MomentsWSketchAgg]] / [[graft.functions.SketchAgg
+    * .LogHistWSketchAgg]]). The oracle computes ONE answer per flag
+    * and expects it under both path tags, so the hash gate enforces
+    * raw ≡ domain bit-for-bit. At 100 TB this is the profile shape to
+    * run: quantity-like columns have domain cardinality in the
+    * dozens, so the sketch input shrinks from corpus-sized to
+    * domain-sized before any state is built.
+    */
+  private val q211 = QueryDef(
+    "q211_weighted_domain_profile",
+    (s, dir) => {
+      import graft.functions.SketchAgg
+      val li = Tables.lineitem(s, dir).select(
+        col("l_returnflag").as("flag"),
+        col("l_quantity").cast("long").as("qty"))
+      def reported(states: org.apache.spark.sql.DataFrame, path: String) =
+        states.select(col("flag"), lit(path).as("path"),
+            SketchAgg.momentsReportOf(col("mst")).as("m"),
+            SketchAgg.logHistReportOf(col("hst")).as("h"))
+          .select(col("flag"), col("path"), col("m.n").as("n"),
+            col("m.mean").as("mean"), col("m.var_pop").as("var_pop"),
+            col("m.skew").as("skew"), col("m.kurt_excess").as("kurt_excess"),
+            col("m.cantelli_p99").as("cantelli_p99"),
+            col("h.p50_lo").as("p50_lo"), col("h.p50_hi").as("p50_hi"),
+            col("h.p99_lo").as("p99_lo"), col("h.p99_hi").as("p99_hi"))
+      val raw = li.groupBy(col("flag"))
+        .agg(SketchAgg.momentsSketch(col("qty")).as("mst"),
+          SketchAgg.logHistSketch(col("qty")).as("hst"))
+      val dom = li.groupBy(col("flag"), col("qty"))
+        .agg(count(lit(1)).as("w"))
+        .groupBy(col("flag"))
+        .agg(SketchAgg.momentsSketchW(col("qty"), col("w")).as("mst"),
+          SketchAgg.logHistSketchW(col("qty"), col("w")).as("hst"))
+      reported(raw, "raw").unionByName(reported(dom, "domain"))
+    },
+    Some(s"""WITH q AS (SELECT l_returnflag AS flag,
+          CAST(floor(l_quantity) AS BIGINT) AS x FROM lineitem),
+      s AS (SELECT flag, count(x) AS n, sum(x) AS s1, sum(x * x) AS s2,
+          sum(x * x * x) AS s3, sum(x * x * x * x) AS s4
+        FROM q GROUP BY flag),
+      p AS (SELECT flag, n, s1::DOUBLE / n::DOUBLE AS mean,
+          s2::DOUBLE / n::DOUBLE AS p2, s3::DOUBLE / n::DOUBLE AS p3,
+          s4::DOUBLE / n::DOUBLE AS p4 FROM s),
+      v AS (SELECT *, p2 - mean * mean AS var_pop FROM p),
+      m AS (SELECT flag, n::BIGINT AS n, mean, var_pop,
+          CASE WHEN var_pop <= 0 THEN 0.0 ELSE
+            (p3 - 3.0 * mean * p2 + 2.0 * mean * mean * mean)
+              / (var_pop * sqrt(var_pop)) END AS skew,
+          CASE WHEN var_pop <= 0 THEN 0.0 ELSE
+            (p4 - 4.0 * mean * p3 + 6.0 * mean * mean * p2
+              - 3.0 * mean * mean * mean * mean)
+              / (var_pop * var_pop) - 3.0 END AS kurt_excess,
+          CASE WHEN var_pop <= 0 THEN mean
+            ELSE mean + sqrt(var_pop * 99.0) END AS cantelli_p99
+        FROM v),
+      bk AS (SELECT flag, ${lhBucket("x")} AS b FROM q),
+      cnt AS (SELECT flag, b, count(*) AS c FROM bk GROUP BY flag, b),
+      cum AS (SELECT flag, b, c,
+          sum(c) OVER (PARTITION BY flag ORDER BY b) AS cumc,
+          sum(c) OVER (PARTITION BY flag) AS nn FROM cnt),
+      h AS (SELECT flag,
+          min(b) FILTER (WHERE cumc >= (nn * 50 + 99) // 100) AS b50,
+          min(b) FILTER (WHERE cumc >= (nn * 99 + 99) // 100) AS b99
+        FROM cum GROUP BY flag)
+      SELECT m.flag, t.path, m.n, m.mean, m.var_pop, m.skew,
+        m.kurt_excess, m.cantelli_p99,
+        ${lhLo("h.b50")}::BIGINT AS p50_lo, ${lhHi("h.b50")}::BIGINT AS p50_hi,
+        ${lhLo("h.b99")}::BIGINT AS p99_lo, ${lhHi("h.b99")}::BIGINT AS p99_hi
+      FROM m JOIN h USING (flag)
+      CROSS JOIN (VALUES ('raw'), ('domain')) t(path)"""))
+
   /** The curated blocklist shared by q207/q208 — mixed 2- and 3-word
     * phrases from the corpus vocabulary plus one that can never match
     * (the zero-fill row every per-phrase report must carry).
@@ -3549,5 +3627,5 @@ object PipelinePack {
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210)
+    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
 }

@@ -615,6 +615,57 @@ class SketchAggSpec extends AnyFunSuite {
     assert(n === 40L, "NULL inputs must be skipped")
   }
 
+  test("weighted builds == repeat-expansion exactly; zero/NULL no-ops; negative w loud") {
+    val pairs = Seq((3L, 1L), (7L, 4L), (50000L, 2L), (0L, 3L), (9L, 0L))
+    val expanded = pairs.flatMap { case (x, w) => Seq.fill(w.toInt)(x) }
+    val wdf = pairs.toDF("x", "w")
+    val mW = wdf.agg(SketchAgg.momentsSketchW(col("x"), col("w")).as("st"))
+      .head().getSeq[java.math.BigDecimal](0).map(BigDecimal(_))
+    val mR = expanded.toDF("x")
+      .agg(SketchAgg.momentsSketch(col("x")).as("st"))
+      .head().getSeq[java.math.BigDecimal](0).map(BigDecimal(_))
+    assert(mW === mR)
+    val hW = wdf.agg(SketchAgg.logHistSketchW(col("x"), col("w")).as("st"))
+      .head().getSeq[Long](0)
+    val hR = expanded.toDF("x")
+      .agg(SketchAgg.logHistSketch(col("x")).as("st")).head().getSeq[Long](0)
+    assert(hW === hR)
+    // NULL x or w rows contribute nothing
+    val withNulls = Seq((Some(5L), Some(2L)), (None, Some(9L)), (Some(4L), None))
+      .toDF("x", "w")
+    val n = withNulls.agg(SketchAgg.momentsSketchW(col("x"), col("w")).as("st"))
+      .select(SketchAgg.momentsReportOf(col("st")).as("r"))
+      .select("r.n").head().getLong(0)
+    assert(n === 2L)
+    // negative weight: loud failure, never a silent subtraction
+    val e = intercept[Exception] {
+      Seq((1L, -1L)).toDF("x", "w")
+        .agg(SketchAgg.logHistSketchW(col("x"), col("w"))).head()
+    }
+    def chain(t: Throwable): Seq[Throwable] =
+      t +: Option(t.getCause).toSeq.flatMap(chain)
+    assert(chain(e).map(t => String.valueOf(t.getMessage)).mkString("|")
+      .contains("must be >= 0"))
+  }
+
+  test("SQL surface: weighted builds fold with the unweighted merge aggregates") {
+    SketchAgg.registerSql(spark)
+    val pairs = Seq(("a", 3L, 2L), ("a", 8L, 1L), ("b", 40L, 5L))
+      .toDF("g", "x", "w")
+    pairs.createOrReplaceTempView("ska_w_t")
+    val merged = spark.sql(
+      """SELECT loghist_state_report(loghist_merge_agg(st)) AS r FROM (
+           SELECT g, loghist_wsketch_agg(x, w) AS st FROM ska_w_t GROUP BY g)""")
+      .select("r.n").head().getLong(0)
+    assert(merged === 8L)
+    val m = spark.sql(
+      """SELECT moments_state_report(moments_merge_agg(st)) AS r FROM (
+           SELECT g, moments_wsketch_agg(x, w) AS st FROM ska_w_t GROUP BY g)""")
+      .select("r.n", "r.mean").head()
+    assert(m.getLong(0) === 8L)
+    assert(m.getDouble(1) === (3.0 * 2 + 8.0 + 40.0 * 5) / 8.0)
+  }
+
   test("SQL surface: loghist aggregates and report run in spark.sql") {
     SketchAgg.registerSql(spark)
     val df = (1 to 300).map(i => (s"s${i % 3}", i.toLong * 7)).toDF("src", "x")
