@@ -1688,6 +1688,52 @@ object AnalyticsPack {
         count(*) AS n_combos, sum(n)::BIGINT AS n_rows
       FROM g GROUP BY 1"""))
 
+  /** t-closeness audit (ops.Privacy.tClosenessReport — q113's
+    * distribution-level companion): per (mktsegment, nation) combo,
+    * the ordered-domain earth-mover's distance between the combo's
+    * balance-band distribution and the global one, as an exact
+    * integer ppm (cross-multiplied masses in decimal(38,0), one
+    * integer division at the end — no float anywhere). The grid is
+    * combos × |domain| rows — bounded by construction, never
+    * corpus-sized (the PlanContractSpec boundedBnlj contract).
+    */
+  private val q212 = QueryDef(
+    "q212_t_closeness",
+    (s, dir) => graft.ops.Privacy.tClosenessReport(
+      Tables.customer(s, dir).select(
+        col("c_mktsegment"),
+        col("c_nationkey"),
+        floor(col("c_acctbal") / 1000.0).cast("long").as("bal_band")),
+      Seq("c_mktsegment", "c_nationkey"), "bal_band"),
+    Some("""WITH rows_ AS (SELECT c_mktsegment AS seg, c_nationkey AS nat,
+          floor(c_acctbal / 1000.0)::BIGINT AS v
+        FROM customer WHERE c_acctbal IS NOT NULL),
+      cell AS (SELECT seg, nat, v, count(*) AS c FROM rows_ GROUP BY 1, 2, 3),
+      dom AS (SELECT DISTINCT v FROM cell),
+      combos AS (SELECT seg, nat, sum(c) AS ng FROM cell GROUP BY 1, 2),
+      grid AS (SELECT combos.seg, combos.nat, combos.ng, dom.v,
+          coalesce(cell.c, 0) AS c
+        FROM combos CROSS JOIN dom
+        LEFT JOIN cell ON cell.seg = combos.seg AND cell.nat = combos.nat
+          AND cell.v = dom.v),
+      domcum AS (SELECT v, sum(cv) OVER (ORDER BY v) AS cum
+        FROM (SELECT v, sum(c) AS cv FROM cell GROUP BY v)),
+      tot AS (SELECT count(*) AS n FROM rows_),
+      nd AS (SELECT count(*) AS d FROM dom),
+      st AS (SELECT g.seg, g.nat, g.ng, g.v,
+          sum(g.c) OVER (PARTITION BY g.seg, g.nat ORDER BY g.v) AS cumg,
+          dc.cum,
+          row_number() OVER (PARTITION BY g.seg, g.nat ORDER BY g.v) AS rn
+        FROM grid g JOIN domcum dc USING (v)),
+      terms AS (SELECT seg, nat, ng,
+          abs(cumg * (SELECT n FROM tot) - cum * ng) AS term
+        FROM st WHERE rn < (SELECT d FROM nd))
+      SELECT seg AS c_mktsegment, nat AS c_nationkey,
+        min(ng)::BIGINT AS n_rows,
+        (sum(term) * 1000000 // (min(ng) * (SELECT n FROM tot)
+          * ((SELECT d FROM nd) - 1)))::BIGINT AS emd_ppm
+      FROM terms GROUP BY 1, 2"""))
+
   /** Per-source quota cap report — corpus balancing: each source keeps
     * at most its 10 highest-quality documents (n_chars as the quality
     * stand-in, the q104 contract) and the report shows what the cap
@@ -2851,5 +2897,5 @@ object AnalyticsPack {
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
     q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162,
     q164, q166, q167, q170, q171, q172, q173, q177, q180, q181, q182,
-    q188, q189, q190, q192)
+    q188, q189, q190, q192, q212)
 }

@@ -785,4 +785,30 @@ class Round7OpsSpec extends AnyFunSuite {
       "low" -> ((1L, 2L, 2L)),
       "diverse" -> ((1L, 4L, 3L))))
   }
+
+  // ------------------------------------------------------ t-closeness
+
+  test("tClosenessReport: exact integer EMD on a hand-checked example") {
+    // global: 6 rows, domain {1, 2}, cum(1) = 3, one EMD step.
+    //  A = [1,1]: |2·6 − 3·2| = 6 → 6 / (2·6·1) = 0.5   → 500000 ppm
+    //  B = [2,2]: |0·6 − 3·2| = 6 → 0.5                 → 500000 ppm
+    //  C = [1,2]: |1·6 − 3·2| = 0 → matches the global  → 0 ppm
+    val rows = Seq(
+      ("A", 1L), ("A", 1L),
+      ("B", 2L), ("B", 2L),
+      ("C", 1L), ("C", 2L)).toDF("qi", "sens")
+    val got = graft.ops.Privacy.tClosenessReport(rows, Seq("qi"), "sens")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2)))).toMap
+    assert(got === Map(
+      "A" -> ((2L, 500000L)),
+      "B" -> ((2L, 500000L)),
+      "C" -> ((2L, 0L))))
+    // a single-valued domain cannot define an EMD step
+    val e = intercept[IllegalArgumentException] {
+      Seq(("A", 1L), ("B", 1L)).toDF("qi", "sens")
+        .transform(d => graft.ops.Privacy.tClosenessReport(d, Seq("qi"), "sens"))
+    }
+    assert(e.getMessage.contains(">= 2 domain values"))
+  }
 }
