@@ -42,6 +42,25 @@ object Dedup {
     * are dropped — at corpus scale such a bucket would emit
     * O(bucket²) pairs and is never what dedup wants.
     */
+  /** (id, band_idx, band_key) rows of every document — the LSH index
+    * entries [[minhashCandidatePairs]] buckets on, exposed so an
+    * INCREMENTAL consumer (streaming near-dup, batch-vs-corpus probes)
+    * can persist them and probe new arrivals against history without
+    * re-signing the corpus. The signature comes from the compiled
+    * single-pass kernel; NULL texts contribute no rows.
+    */
+  def bandKeyRows(df: DataFrame, idCol: String, textCol: String,
+      shingleWords: Int = 3, bands: Int = 4,
+      rowsPerBand: Int = 4): DataFrame = {
+    val sig = df.select(
+      col(idCol),
+      graft.functions.Kernels.minhashSigOf(col(textCol),
+        bands * rowsPerBand, shingleWords).as("sig"))
+    sig.select(col(idCol).cast("long").as(idCol),
+      posexplode(lshBandKeys(col("sig"), bands, rowsPerBand))
+        .as(Seq("band_idx", "band_key")))
+  }
+
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
@@ -49,12 +68,8 @@ object Dedup {
     // compiled single-pass signature kernel (graft.functions.Kernels):
     // tokenize → shingle → hash → k permutations in one static call
     // inside WholeStageCodegen, bit-identical to the Column form.
-    val sig = df.select(
-      col(idCol),
-      graft.functions.Kernels.minhashSigOf(col(textCol), bands * rowsPerBand, shingleWords).as("sig"))
-    val bandRows = sig
-      .select(col(idCol).cast("long").as(idCol),
-        posexplode(lshBandKeys(col("sig"), bands, rowsPerBand)).as(Seq("band_idx", "band_key")))
+    val bandRows = bandKeyRows(df, idCol, textCol, shingleWords, bands,
+      rowsPerBand)
     // size-capped collect (bounded aggregation buffers even on a
     // degenerate bucket), then compiled pair expansion (ascending-id
     // i<j pairs).

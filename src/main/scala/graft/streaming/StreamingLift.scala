@@ -459,6 +459,83 @@ object StreamingLift {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** NEAR-dup detection as a continuous feed — the MinHash/LSH
+    * companion of [[spanDedupStream]]: per micro-batch,
+    *
+    *  1. within-batch candidate pairs via the batch-local banded
+    *     build ([[graft.ops.Dedup.minhashCandidatePairs]]);
+    *  2. batch-vs-CORPUS candidates by probing the batch's band keys
+    *     ([[graft.ops.Dedup.bandKeyRows]]) against the persisted
+    *     `index` of every band key ever seen — the corpus is never
+    *     re-signed; the probe joins the SMALL batch against the index
+    *     on (band_idx, band_key);
+    *  3. append both kinds to `pairsOut` tagged (batch_id,
+    *     pair_kind ∈ in_batch|vs_corpus), then fold the batch's keys
+    *     into the index.
+    *
+    * Degenerate bands (near-constant content) obey the maxBucket
+    * contract on BOTH paths: the in-batch build drops oversized
+    * buckets via its capped collect, and the corpus probe drops index
+    * keys whose bucket has grown past `maxBucket` (such a key would
+    * emit O(bucket) pairs per arriving doc and is never what dedup
+    * wants).
+    *
+    * Crash semantics follow the spanDedupStream convention: pairs
+    * append BEFORE the index publish and replay identically (keyed by
+    * batch_id for consumer dedup — at-least-once); the index publish
+    * carries the batch id as version-pinned metadata and a replayed
+    * batch is skipped, so the index is exactly-once. Batches must
+    * bring ids not already in the index (the ingest contract).
+    */
+  def nearDupStream(spark: SparkSession, srcPath: String,
+      schema: StructType, index: ParquetTable, pairsOut: ParquetTable,
+      idCol: String, textCol: String, checkpoint: String,
+      shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
+      maxBucket: Int = 10000,
+      availableNow: Boolean = true): StreamingQuery = {
+    import graft.ops.Dedup
+    val stream = spark.readStream.schema(schema).parquet(srcPath)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val applied = index.currentMeta.get(AppliedBatchKey).map(_.toLong)
+        if (!applied.exists(_ >= batchId)) {
+          val batch = batch0.localCheckpoint(true)
+          val keys = Dedup.bandKeyRows(batch, idCol, textCol,
+            shingleWords, bands, rowsPerBand).localCheckpoint(true)
+          val internal = Dedup.minhashCandidatePairs(batch, idCol,
+              textCol, shingleWords, bands, rowsPerBand, maxBucket)
+            .withColumn("pair_kind", lit("in_batch"))
+          val cross =
+            if (index.exists) {
+              val healthy = index.read
+                .withColumn("__bn", count(lit(1)).over(
+                  org.apache.spark.sql.expressions.Window
+                    .partitionBy(col("band_idx"), col("band_key"))))
+                .filter(col("__bn") <= maxBucket)
+                .drop("__bn")
+              healthy
+                .withColumnRenamed(idCol, "doc_a")
+                .join(keys.withColumnRenamed(idCol, "doc_b"),
+                  Seq("band_idx", "band_key"))
+                .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+                  greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+                .filter(col("doc_a") =!= col("doc_b"))
+                .distinct()
+                .withColumn("pair_kind", lit("vs_corpus"))
+            } else internal.limit(0)
+          pairsOut.append(internal.unionByName(cross)
+            .withColumn("batch_id", lit(batchId)))
+          val merged =
+            if (index.exists) index.read.unionByName(keys).distinct()
+            else keys.distinct()
+          index.overwrite(merged,
+            meta = Map(AppliedBatchKey -> batchId.toString))
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** Span-level exact-substring dedup as a CONTINUOUS feed: each
     * micro-batch reports its maximal repeated spans against
     * (everything seen so far ∪ the batch) via

@@ -652,6 +652,56 @@ class StreamingLiftSpec extends AnyFunSuite {
       r.getLong(5), r.getLong(6)) === ((3L, 1L, 1L, 0L, 0L, 1L)))
   }
 
+  test("nearDupStream: in-batch + vs-corpus candidates, exactly-once index") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    val base = Files.createTempDirectory("graft-nd-stream")
+    val srcDir = base.resolve("src").toString
+    val index = ParquetTable(spark, base.resolve("idx").toString)
+    val pairsOut = ParquetTable(spark, base.resolve("pairs").toString)
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "completely different words nothing shared with anything here now"
+    val b1 = docs(1L -> t1, 2L -> t1, 3L -> t2)
+    b1.write.parquet(srcDir + "/f1")
+    val schema = b1.schema
+    val ckpt = base.resolve("ckpt").toString
+
+    StreamingLift.nearDupStream(spark, srcDir + "/*", schema, index,
+      pairsOut, "doc_id", "text", ckpt).awaitTermination(60000)
+    def pairs() = pairsOut.read.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(pairs() === Set((1L, 2L, "in_batch", 0L)))
+    def keysOf(df: DataFrame) = Dedup.bandKeyRows(df, "doc_id", "text")
+      .distinct().collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    def indexSet() = index.read.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(indexSet() === keysOf(b1))
+
+    // batch 2: doc 4 re-crawls t1, doc 5 re-crawls t2 — both must pair
+    // against HISTORY without the corpus being re-signed
+    val b2 = docs(4L -> t1, 5L -> t2)
+    b2.write.parquet(srcDir + "/f2")
+    StreamingLift.nearDupStream(spark, srcDir + "/*", schema, index,
+      pairsOut, "doc_id", "text", ckpt).awaitTermination(60000)
+    assert(pairs() === Set(
+      (1L, 2L, "in_batch", 0L),
+      (1L, 4L, "vs_corpus", 1L), (2L, 4L, "vs_corpus", 1L),
+      (3L, 5L, "vs_corpus", 1L)))
+    val fullIndex = keysOf(b1.unionByName(b2))
+    assert(indexSet() === fullIndex)
+
+    // fresh checkpoint replays everything as batch 0: the index publish
+    // is skipped (exactly-once), pairs replay at-least-once by design
+    val ckpt2 = Files.createTempDirectory("graft-nd-ckpt2").toString
+    StreamingLift.nearDupStream(spark, srcDir + "/*", schema, index,
+      pairsOut, "doc_id", "text", ckpt2).awaitTermination(60000)
+    assert(indexSet() === fullIndex, "replay must not perturb the index")
+    assert(pairsOut.read.filter(col("pair_kind") === "in_batch").count() >= 1)
+  }
+
   test("spanDedupStream maintains the window index and reports spans per batch") {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("graft-span-stream")
