@@ -345,6 +345,79 @@ object StreamingLift {
       SketchAgg.logHistMerge(col("st")), checkpoint, availableNow)
   }
 
+  /** Ingest-time DRIFT MONITOR: per micro-batch and group, the total
+    * variation distance between the batch's value distribution and
+    * the maintained historical one, computed entirely from two
+    * 1008-bucket log-histogram states — `tvd_ppm = 10⁶ ·
+    * Σ_b |c_B(b)·n_H − c_H(b)·n_B| / (2·n_B·n_H)`, exact integer
+    * cross-multiplication (sound while n_B·n_H < 2⁶³ — beyond ~3·10⁹
+    * rows per side, pre-scale the counts), so the alert threshold
+    * compares deterministically. After scoring, the batch folds into
+    * the baseline (the [[logHistMaintainStream]] fold, same
+    * exactly-once applied-batch guard). Alert rows append BEFORE the
+    * publish: at-least-once, keyed by batch_id, bit-identical on
+    * replay — the ledger convention. A group first seen this batch
+    * has no baseline: its row carries NULL n_hist/tvd_ppm and
+    * alerted = false (new groups are an inventory event, not drift).
+    */
+  def histDriftStream(spark: SparkSession, srcPath: String,
+      schema: StructType, states: ParquetTable, alerts: ParquetTable,
+      groupCol: String, valueCol: String, checkpoint: String,
+      tvdAlertPpm: Long = 200000L,
+      availableNow: Boolean = true): StreamingQuery = {
+    import graft.functions.SketchAgg
+    val stream = spark.readStream.schema(schema).parquet(srcPath)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val applied = states.currentMeta.get(AppliedBatchKey).map(_.toLong)
+        if (!applied.exists(_ >= batchId)) {
+          val batchStates = batch.groupBy(col(groupCol))
+            .agg(SketchAgg.logHistSketch(col(valueCol)).as("st"))
+            .localCheckpoint(true)
+          def massOf(c: org.apache.spark.sql.Column) =
+            aggregate(c, lit(0L), (acc, x) => acc + x)
+          if (states.exists) {
+            val scored = batchStates.as("b")
+              .join(states.read.as("s").withColumnRenamed("st", "hst"),
+                Seq(groupCol), "left")
+              .withColumn("n_batch", massOf(col("st")))
+              .withColumn("n_hist",
+                when(col("hst").isNotNull, massOf(col("hst"))))
+              .withColumn("__num", when(col("hst").isNotNull,
+                aggregate(
+                  zip_with(col("st"), col("hst"), (a, b) =>
+                    abs(a * col("n_hist") - b * col("n_batch"))),
+                  lit(0L), (acc, x) => acc + x)))
+              .withColumn("tvd_ppm",
+                expr("CAST(__num * 1000000 DIV (2 * n_batch * n_hist) " +
+                  "AS BIGINT)"))
+              .withColumn("alerted",
+                coalesce(col("tvd_ppm") >= tvdAlertPpm, lit(false)))
+              .select(lit(batchId).as("batch_id"), col(groupCol),
+                col("n_batch"), col("n_hist"), col("tvd_ppm"),
+                col("alerted"))
+            alerts.append(scored)
+            states.overwrite(
+              states.read.unionByName(batchStates)
+                .groupBy(col(groupCol))
+                .agg(SketchAgg.logHistMerge(col("st")).as("st")),
+              meta = Map(AppliedBatchKey -> batchId.toString))
+          } else {
+            alerts.append(batchStates
+              .select(lit(batchId).as("batch_id"), col(groupCol),
+                massOf(col("st")).as("n_batch"),
+                lit(null).cast("long").as("n_hist"),
+                lit(null).cast("long").as("tvd_ppm"),
+                lit(false).as("alerted")))
+            states.overwrite(batchStates,
+              meta = Map(AppliedBatchKey -> batchId.toString))
+          }
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
   /** The shared mergeable-state fold: per micro-batch, build one
     * state per group from the new rows (`buildAgg`), union with the
     * persisted table, and fold colliding groups (`foldAgg`) — both

@@ -652,6 +652,46 @@ class StreamingLiftSpec extends AnyFunSuite {
       r.getLong(5), r.getLong(6)) === ((3L, 1L, 1L, 0L, 0L, 1L)))
   }
 
+  test("histDriftStream: exact integer TVD, zero on same-dist, full on disjoint") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-drift")
+    val srcDir = base.resolve("src").toString
+    val states = ParquetTable(spark, base.resolve("st").toString)
+    val alerts = ParquetTable(spark, base.resolve("al").toString)
+    val ckpt = base.resolve("ckpt").toString
+    def rows(vs: Seq[Long]): DataFrame =
+      vs.map(v => ("g", v)).toDF("src", "x")
+    val schema = rows(Nil).schema
+    def run(): Unit =
+      StreamingLift.histDriftStream(spark, srcDir + "/*", schema, states,
+        alerts, "src", "x", ckpt).awaitTermination(60000)
+    def alertRows() = alerts.read.collect().map(r => r.getLong(0) ->
+      ((r.getLong(2), if (r.isNullAt(4)) -1L else r.getLong(4),
+        r.getBoolean(5)))).toMap
+
+    rows(1L to 15L).write.parquet(srcDir + "/f1")
+    run()
+    assert(alertRows() === Map(0L -> ((15L, -1L, false))),
+      "first sight of a group: no baseline, no drift verdict")
+
+    // identical distribution → TVD is exactly 0
+    rows(1L to 15L).write.parquet(srcDir + "/f2")
+    run()
+    assert(alertRows()(1L) === ((15L, 0L, false)))
+
+    // fully disjoint buckets → TVD is exactly 1,000,000 ppm
+    rows((1L to 15L).map(_ + 100000L)).write.parquet(srcDir + "/f3")
+    run()
+    assert(alertRows()(2L) === ((15L, 1000000L, true)))
+
+    // the baseline folded every batch: total mass = 45
+    val mass = states.read
+      .select(org.apache.spark.sql.functions.aggregate(col("st"),
+        org.apache.spark.sql.functions.lit(0L), (a, x) => a + x).as("m"))
+      .head().getLong(0)
+    assert(mass === 45L)
+  }
+
   test("nearDupStream: in-batch + vs-corpus candidates, exactly-once index") {
     import org.apache.spark.sql.functions.col
     import graft.ops.Dedup
