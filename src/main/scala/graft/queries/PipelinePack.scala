@@ -3301,6 +3301,53 @@ object PipelinePack {
       FROM m JOIN h USING (flag)
       CROSS JOIN (VALUES ('raw'), ('domain')) t(path)"""))
 
+  /** Per-source distribution drift as exact integer total-variation
+    * distance over log-histogram states — the batch twin of
+    * [[graft.streaming.StreamingLift.histDriftStream]]'s scoring, so
+    * the bucket + TVD arithmetic is hash-checked end-to-end:
+    * `tvd_ppm = 10⁶ · Σ_b |c_S(b)·n − c(b)·n_S| / (2·n_S·n)` between
+    * each source's n_chars histogram and the corpus's. The global
+    * 1008-long state rides as a 1-row broadcast (the bounded-BNLJ
+    * contract, q95's 1-row-total shape); per-source work is a
+    * zip_with over two fixed arrays.
+    */
+  private val q213 = QueryDef(
+    "q213_hist_drift",
+    (s, dir) => {
+      import graft.functions.SketchAgg
+      val docs = Tables.documents(s, dir)
+      val per = docs.groupBy(col("source"))
+        .agg(SketchAgg.logHistSketch(col("n_chars")).as("st"))
+      val glob = docs.agg(SketchAgg.logHistSketch(col("n_chars")).as("gst"))
+      def massOf(c: org.apache.spark.sql.Column) =
+        aggregate(c, lit(0L), (acc, x) => acc + x)
+      per.join(broadcast(glob))
+        .withColumn("n_src", massOf(col("st")))
+        .withColumn("n_tot", massOf(col("gst")))
+        .withColumn("__num", aggregate(
+          zip_with(col("st"), col("gst"), (a, b) =>
+            abs(a * col("n_tot") - b * col("n_src"))),
+          lit(0L), (acc, x) => acc + x))
+        .select(col("source"), col("n_src"),
+          expr("CAST(__num * 1000000 DIV (2 * n_src * n_tot) AS BIGINT)")
+            .as("tvd_ppm"))
+    },
+    Some(s"""WITH bk AS (SELECT source, ${lhBucket("n_chars")} AS b
+          FROM documents),
+      cs AS (SELECT source, b, count(*) AS c FROM bk GROUP BY source, b),
+      cg AS (SELECT b, count(*) AS c FROM bk GROUP BY b),
+      ns AS (SELECT source, sum(c) AS n_src FROM cs GROUP BY source),
+      n AS (SELECT count(*) AS n_tot FROM documents),
+      grid AS (SELECT ns.source, ns.n_src, cg.b, cg.c AS c_tot,
+          coalesce(cs.c, 0) AS c_src
+        FROM ns CROSS JOIN cg
+        LEFT JOIN cs ON cs.source = ns.source AND cs.b = cg.b)
+      SELECT g.source, min(g.n_src)::BIGINT AS n_src,
+        (sum(abs(g.c_src * (SELECT n_tot FROM n)
+              - g.c_tot * g.n_src)) * 1000000
+          // (2 * min(g.n_src) * (SELECT n_tot FROM n)))::BIGINT AS tvd_ppm
+      FROM grid g GROUP BY g.source"""))
+
   /** The curated blocklist shared by q207/q208 — mixed 2- and 3-word
     * phrases from the corpus vocabulary plus one that can never match
     * (the zero-fill row every per-phrase report must carry).
@@ -3627,5 +3674,6 @@ object PipelinePack {
     q141, q143, q144, q147, q148, q149, q154, q157, q158, q160, q163,
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
-    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211)
+    q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
+    q213)
 }

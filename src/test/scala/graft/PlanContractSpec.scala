@@ -40,6 +40,7 @@ class PlanContractSpec extends AnyFunSuite {
     "q102_cooccurrence", // 1-row user-universe total for the lift denominator
     "q212_t_closeness", // combos × ordinal-domain grid + 1-row scalars —
                         // bounded by quasi/domain cardinality, never corpus
+    "q213_hist_drift",  // the 1-row global log-histogram state broadcast
     "q143_record_linkage", // 1-row corpus total for the rarity-weight scale
     "q148_chi2_tokens",    // 1-row corpus-total N for the χ² contingency
     "q152_interpolate",    // the q70-style calendar spine (groups × days)
