@@ -389,9 +389,13 @@ object StreamingLift {
                   zip_with(col("st"), col("hst"), (a, b) =>
                     abs(a * col("n_hist") - b * col("n_batch"))),
                   lit(0L), (acc, x) => acc + x)))
+              // guard the division: a group whose batch (or baseline)
+              // carries only NULL values has zero mass — no verdict,
+              // not a divide-by-zero stream crash (ANSI mode throws)
               .withColumn("tvd_ppm",
-                expr("CAST(__num * 1000000 DIV (2 * n_batch * n_hist) " +
-                  "AS BIGINT)"))
+                when(col("n_batch") > 0L && col("n_hist") > 0L,
+                  expr("CAST(__num * 1000000 DIV (2 * n_batch * n_hist) " +
+                    "AS BIGINT)")))
               .withColumn("alerted",
                 coalesce(col("tvd_ppm") >= tvdAlertPpm, lit(false)))
               .select(lit(batchId).as("batch_id"), col(groupCol),

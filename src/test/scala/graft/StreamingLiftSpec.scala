@@ -690,6 +690,13 @@ class StreamingLiftSpec extends AnyFunSuite {
         org.apache.spark.sql.functions.lit(0L), (a, x) => a + x).as("m"))
       .head().getLong(0)
     assert(mass === 45L)
+
+    // a batch whose group carries only NULL values has zero mass:
+    // no verdict (NULL tvd), never a divide-by-zero stream crash
+    Seq(("g", None: Option[Long])).toDF("src", "x")
+      .write.parquet(srcDir + "/f4")
+    run()
+    assert(alertRows()(3L) === ((0L, -1L, false)))
   }
 
   test("nearDupStream: in-batch + vs-corpus candidates, exactly-once index") {
