@@ -390,6 +390,37 @@ object TextClean {
       spanIndexCompact(merged, watermarkBatch))
   }
 
+  /** Callback-fed [[incrementalRepeatedSpansAged]] — the form the
+    * PARTITION-SCOPED streaming index path needs: the corpus index is
+    * not handed in whole but PROVIDED by `corpusFor`, which receives
+    * the batch's own aged index (wh, n_docs, last_batch — pinned, so
+    * the tokenize/hash lineage runs once) and returns the corpus rows
+    * relevant to it — e.g. a bucket-pruned, read-consolidated slice of
+    * a persisted index, which is sufficient because a window can only
+    * pair with corpus rows that share its digest, and those live in
+    * its digest's hash bucket. Returns (spans, batchIdx); merging,
+    * compaction, and the publish are the caller's (the split that lets
+    * [[graft.streaming.StreamingLift.spanDedupStream]] publish O(batch)
+    * deltas instead of rewriting the whole index).
+    */
+  def incrementalRepeatedSpansVia(batch: org.apache.spark.sql.DataFrame,
+      idCol: String, textCol: String, batchId: Long,
+      k: Int = 5, minDocs: Int = 2)(
+      corpusFor: org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame):
+      (org.apache.spark.sql.DataFrame, org.apache.spark.sql.DataFrame) = {
+    require(k > 0, s"window size must be positive: $k")
+    require(minDocs >= 2, s"minDocs below 2 would mark every window: $minDocs")
+    val base = tokenized(batch, idCol, textCol)
+    val wins = windowHashes(base, idCol, k)
+    val batchIdx = wins.groupBy(col("wh"))
+      .agg(countDistinct(col(idCol)).as("n_docs"))
+      .withColumn("last_batch", lit(batchId))
+      .localCheckpoint(true)
+    val merged = spanIndexMergeAged(Seq(corpusFor(batchIdx), batchIdx))
+    val dup = merged.filter(col("n_docs") >= minDocs).select(col("wh"))
+    (spanIslands(base, coveredPositions(wins, dup, idCol, k), idCol), batchIdx)
+  }
+
   /** Surgical benchmark decontamination — the counterpart of
     * [[dropRepeatedSpans]] against a REFERENCE corpus: every `k`-token
     * window of `df` whose content appears verbatim anywhere in `ref`

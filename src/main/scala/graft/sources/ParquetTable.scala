@@ -580,6 +580,77 @@ final case class ParquetTable(spark: SparkSession, path: String,
     overwrite(df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*))
   }
 
+  private val TableMetaFile = "_GRAFT_TABLEMETA"
+
+  /** TABLE-scoped metadata (root-level `_GRAFT_TABLEMETA`, spared by
+    * GC like the bucket-layout guard) — for state that must survive
+    * IN-PLACE mutations ([[append]]/[[overwriteBuckets]]), which never
+    * flip the version pointer and so can't carry version-pinned
+    * metadata. The streaming partition-scoped index publishes record
+    * their applied-batch watermark here. Same `key=value` line format
+    * and constraints as [[versionMeta]]. Single-writer (the engine's
+    * pid-lock model); the read-modify-write in [[putTableMeta]] is not
+    * concurrent-safe by design.
+    */
+  def tableMeta: Map[String, String] = {
+    val p = new Path(path, TableMetaFile)
+    if (!fs.exists(p)) Map.empty
+    else {
+      val in = fs.open(p)
+      val bytes =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      bytes.linesIterator.filter(l => l.nonEmpty && l.contains("="))
+        .map { line =>
+          val i = line.indexOf('=')
+          line.substring(0, i) -> line.substring(i + 1)
+        }.toMap
+    }
+  }
+
+  /** Merge `kv` into [[tableMeta]] (existing keys overwritten, others
+    * retained) — one small-file PUT, atomic on object stores.
+    */
+  def putTableMeta(kv: (String, String)*): Unit = {
+    val merged = tableMeta ++ kv
+    require(merged.forall { case (k, v) =>
+      !k.exists(c => c == '\n' || c == '\r') &&
+        !v.exists(c => c == '\n' || c == '\r') && !k.contains("=") },
+      s"meta keys must be '='/CR/LF-free and values CR/LF-free: $merged")
+    val out = fs.create(new Path(path, TableMetaFile), true)
+    try out.write(merged.toSeq.sorted.map { case (k, v) => s"$k=$v\n" }
+      .mkString.getBytes("UTF-8"))
+    finally out.close()
+  }
+
+  /** Parquet data files currently in one bucket's directory (0 when
+    * the bucket has never been written) — the signal an amortized
+    * compaction policy keys on: each streaming [[append]] adds files,
+    * so file count ≈ un-consolidated delta batches.
+    */
+  def bucketFileCount(id: Int): Int = {
+    require(isBucketed, s"$path is not a bucketed table")
+    val dir = new Path(dataDir, s"__bucket=$id")
+    if (!fs.exists(dir)) 0
+    else fs.listStatus(dir).count(_.getPath.getName.endsWith(".parquet"))
+  }
+
+  /** Remove the named buckets' directories entirely (partition-scoped
+    * delete — [[overwriteBuckets]] can't express "this bucket is now
+    * EMPTY": dynamic partition overwrite only rewrites partitions
+    * present in the frame). Used by index compaction when every row of
+    * a bucket is evicted.
+    */
+  def dropBuckets(ids: Seq[Int]): Unit = {
+    require(isBucketed, s"$path is not a bucketed table")
+    val d = dataDir
+    ids.foreach { b =>
+      val dir = new Path(d, s"__bucket=$b")
+      if (fs.exists(dir)) fs.delete(dir, true)
+    }
+    if (ids.nonEmpty) bumpMutationCount()
+  }
+
   /** Bucket ids present on disk. */
   def bucketIds: Seq[Int] = {
     require(isBucketed, s"$path is not a bucketed table")

@@ -560,22 +560,43 @@ object StreamingLift {
     * Crash semantics follow the spanDedupStream convention: pairs
     * append BEFORE the index publish and replay identically (keyed by
     * batch_id for consumer dedup — at-least-once); the index publish
-    * carries the batch id as version-pinned metadata and a replayed
-    * batch is skipped, so the index is exactly-once. Batches must
-    * bring ids not already in the index (the ingest contract).
+    * carries the batch id as metadata and a replayed batch is
+    * skipped, so the index is exactly-once. Batches must bring ids
+    * not already in the index (the ingest contract).
+    *
+    * TWO index layouts: a FLAT index is simple (full union +
+    * versioned overwrite per trigger) but O(index) per batch — fine
+    * for bounded corpora, a scale-killer on a continuous feed. Pass a
+    * hash-BUCKETED index (`ParquetTable(…, buckets = n,
+    * bucketKey = "band_key")`) for the O(batch) path: the probe scans
+    * only the buckets the batch's keys hash to, the publish is a
+    * file-additive append of the batch's keys (no existing file is
+    * ever rewritten), consolidation is amortized per touched bucket
+    * past `compactFileThreshold` files, and a band group that grows
+    * past `maxBucket` collapses to a tombstone at compaction — same
+    * reports as the flat path (spec-pinned), bounded state. A
+    * bucketed index must be managed by this stream from birth (no
+    * flat→bucketed migration), and `maxBucket`/layout must stay
+    * constant across invocations.
     */
   def nearDupStream(spark: SparkSession, srcPath: String,
       schema: StructType, index: ParquetTable, pairsOut: ParquetTable,
       idCol: String, textCol: String, checkpoint: String,
       shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       maxBucket: Int = 10000,
-      availableNow: Boolean = true): StreamingQuery = {
+      availableNow: Boolean = true,
+      compactFileThreshold: Int = 12): StreamingQuery = {
     import graft.ops.Dedup
+    if (index.isBucketed) require(index.bucketKey == "band_key",
+      s"a bucketed nearDup index must bucket on band_key (all rows of " +
+        s"a band group must share a bucket for the probe and the " +
+        s"overflow accounting to be complete): got '${index.bucketKey}'")
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val applied = index.currentMeta.get(AppliedBatchKey).map(_.toLong)
+        val applied = (if (index.isBucketed) index.tableMeta
+          else index.currentMeta).get(AppliedBatchKey).map(_.toLong)
         if (!applied.exists(_ >= batchId)) {
           val batch = batch0.localCheckpoint(true)
           val keys = Dedup.bandKeyRows(batch, idCol, textCol,
@@ -583,35 +604,133 @@ object StreamingLift {
           val internal = Dedup.minhashCandidatePairs(batch, idCol,
               textCol, shingleWords, bands, rowsPerBand, maxBucket)
             .withColumn("pair_kind", lit("in_batch"))
-          val cross =
-            if (index.exists) {
-              val healthy = index.read
-                .withColumn("__bn", count(lit(1)).over(
-                  org.apache.spark.sql.expressions.Window
-                    .partitionBy(col("band_idx"), col("band_key"))))
-                .filter(col("__bn") <= maxBucket)
-                .drop("__bn")
-              healthy
-                .withColumnRenamed(idCol, "doc_a")
-                .join(keys.withColumnRenamed(idCol, "doc_b"),
-                  Seq("band_idx", "band_key"))
-                .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-                  greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-                .filter(col("doc_a") =!= col("doc_b"))
-                .distinct()
-                .withColumn("pair_kind", lit("vs_corpus"))
-            } else internal.limit(0)
-          pairsOut.append(internal.unionByName(cross)
-            .withColumn("batch_id", lit(batchId)))
-          val merged =
-            if (index.exists) index.read.unionByName(keys).distinct()
-            else keys.distinct()
-          index.overwrite(merged,
-            meta = Map(AppliedBatchKey -> batchId.toString))
+          if (index.isBucketed) {
+            // PARTITION-SCOPED path (the 100 TB shape): the index is
+            // hash-bucketed on band_key, so
+            //  - the probe reads ONLY the buckets the batch's keys
+            //    hash to (partition-pruned scan) and consolidates on
+            //    read: distinct absorbs replayed appends, rows of the
+            //    batch's own crashed publish (src_batch == batchId)
+            //    are excluded so a replay probes the exact pre-batch
+            //    state, and a NULL doc id is an overflow TOMBSTONE —
+            //    the group is poisoned and never pairs again (the
+            //    same report the flat path's probe-time count filter
+            //    gives, with the storage reclaimed);
+            //  - the publish APPENDS the batch's keys into their
+            //    buckets — file-additive, O(batch): no existing file
+            //    is ever rewritten by a batch (a per-batch bucket
+            //    REWRITE would still be O(index): uniformly-hashed
+            //    keys touch nearly every bucket);
+            //  - consolidation is amortized: after the applied-batch
+            //    stamp (so a replayed batch can never see its own
+            //    rows consolidated), touched buckets past the file
+            //    threshold compact via [[compactNearDupIndex]].
+            val touched = keys.select(index.bucketExpr.cast("int").as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq.sorted
+            val cross =
+              if (index.exists) {
+                val live = index.readBuckets(touched)
+                  .filter(col("src_batch") =!= lit(batchId))
+                  .drop("src_batch").distinct()
+                val w = org.apache.spark.sql.expressions.Window
+                  .partitionBy(col("band_idx"), col("band_key"))
+                val healthy = live
+                  .withColumn("__tomb",
+                    max(when(col(idCol).isNull, 1).otherwise(0)).over(w))
+                  .withColumn("__bn", count(lit(1)).over(w))
+                  .filter(col("__tomb") === 0 && col("__bn") <= maxBucket)
+                  .drop("__tomb", "__bn")
+                healthy
+                  .withColumnRenamed(idCol, "doc_a")
+                  .join(keys.withColumnRenamed(idCol, "doc_b"),
+                    Seq("band_idx", "band_key"))
+                  .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+                    greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+                  .filter(col("doc_a") =!= col("doc_b"))
+                  .distinct()
+                  .withColumn("pair_kind", lit("vs_corpus"))
+              } else internal.limit(0)
+            pairsOut.append(internal.unionByName(cross)
+              .withColumn("batch_id", lit(batchId)))
+            index.append(keys.withColumn("src_batch", lit(batchId)))
+            index.putTableMeta(AppliedBatchKey -> batchId.toString)
+            compactNearDupIndex(index, idCol, maxBucket,
+              touched.filter(index.bucketFileCount(_) > compactFileThreshold))
+          } else {
+            // flat path (small/medium indexes): full union + versioned
+            // overwrite — simple and exactly-once, but O(index) per
+            // trigger; bucket the index for streaming at scale
+            val cross =
+              if (index.exists) {
+                val healthy = index.read
+                  .withColumn("__bn", count(lit(1)).over(
+                    org.apache.spark.sql.expressions.Window
+                      .partitionBy(col("band_idx"), col("band_key"))))
+                  .filter(col("__bn") <= maxBucket)
+                  .drop("__bn")
+                healthy
+                  .withColumnRenamed(idCol, "doc_a")
+                  .join(keys.withColumnRenamed(idCol, "doc_b"),
+                    Seq("band_idx", "band_key"))
+                  .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+                    greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+                  .filter(col("doc_a") =!= col("doc_b"))
+                  .distinct()
+                  .withColumn("pair_kind", lit("vs_corpus"))
+              } else internal.limit(0)
+            pairsOut.append(internal.unionByName(cross)
+              .withColumn("batch_id", lit(batchId)))
+            val merged =
+              if (index.exists) index.read.unionByName(keys).distinct()
+              else keys.distinct()
+            index.overwrite(merged,
+              meta = Map(AppliedBatchKey -> batchId.toString))
+          }
         }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** Consolidate the named buckets of a bucketed [[nearDupStream]]
+    * band-key index PARTITION-SCOPED: exact-duplicate delta rows
+    * (crashed-publish replays) fold via distinct, surviving rows
+    * re-stamp as consolidated (src_batch = -1), and any
+    * (band_idx, band_key) group past `maxBucket` docs — or already
+    * tombstoned — collapses to ONE tombstone row (NULL doc id). Such
+    * a group would emit O(bucket) pairs per arriving doc and is never
+    * what dedup wants: the flat path filters it at probe time forever
+    * while its rows keep accumulating; the tombstone gives the SAME
+    * report with the storage reclaimed and bounded. Runs inside the
+    * stream after the applied-batch stamp, or standalone between runs
+    * (single-writer, like every table mutation here).
+    */
+  def compactNearDupIndex(index: ParquetTable, idCol: String,
+      maxBucket: Int, bucketIds: Seq[Int]): Unit = {
+    if (bucketIds.isEmpty) return
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_key"))
+    val marked = index.readBuckets(bucketIds).drop("src_batch").distinct()
+      .withColumn("__tomb", max(when(col(idCol).isNull, 1).otherwise(0)).over(w))
+      .withColumn("__bn", count(lit(1)).over(w))
+    val healthy = marked
+      .filter(col("__tomb") === 0 && col("__bn") <= maxBucket)
+      .drop("__tomb", "__bn")
+    val tombs = marked.filter(col("__tomb") === 1 || col("__bn") > maxBucket)
+      .select(col("band_idx"), col("band_key")).distinct()
+      .withColumn(idCol, lit(null).cast("long"))
+      .select(healthy.columns.map(col): _*)
+    index.overwriteBuckets(
+      healthy.unionByName(tombs).withColumn("src_batch", lit(-1L)))
+  }
+
+  /** Logical (id, band_idx, band_key) content of a [[nearDupStream]]
+    * index regardless of layout: flat indexes read as-is; bucketed
+    * ones consolidate on read (distinct folds replayed appends) and
+    * exclude overflow tombstones.
+    */
+  def nearDupIndexView(index: ParquetTable, idCol: String): DataFrame =
+    if (!index.isBucketed) index.read
+    else index.read.drop("src_batch").distinct().filter(col(idCol).isNotNull)
 
   /** Span-level exact-substring dedup as a CONTINUOUS feed: each
     * micro-batch reports its maximal repeated spans against
@@ -652,13 +771,29 @@ object StreamingLift {
     * eviction contract, and reports for all retained windows are
     * bit-identical to the uncompacted stream's
     * (StreamingLiftSpec pins this across a compaction boundary).
+    *
+    * TWO index layouts, exactly as [[nearDupStream]]: flat (full
+    * merge + versioned overwrite — O(index) per trigger, for bounded
+    * corpora) or hash-bucketed on the window digest
+    * (`ParquetTable(…, buckets = n, bucketKey = "wh")`) for the
+    * O(batch) path — partition-pruned probe, file-additive delta
+    * append, amortized partition-scoped consolidation; see
+    * [[spanDedupStreamBucketed]]'s doc for the delta-row protocol.
+    * Reports are bit-identical between the layouts (spec-pinned).
     */
+  /** The metadata key [[spanDedupStream]] records its applied batch
+    * under (version-pinned for flat indexes, table-scoped for
+    * bucketed ones).
+    */
+  val SpanBatchKey = "span_batch_id"
+
   def spanDedupStream(spark: SparkSession, srcPath: String,
       schema: StructType, index: ParquetTable, spansOut: ParquetTable,
       idCol: String, textCol: String, checkpoint: String,
       k: Int = 5, minDocs: Int = 2,
       availableNow: Boolean = true,
-      compactAfterBatches: Long = Long.MaxValue): StreamingQuery = {
+      compactAfterBatches: Long = Long.MaxValue,
+      compactFileThreshold: Int = 12): StreamingQuery = {
     import graft.ops.TextClean
     require(checkpoint != null && checkpoint.nonEmpty,
       "spanDedupStream needs a durable checkpoint dir — a fresh one " +
@@ -666,12 +801,20 @@ object StreamingLift {
     require(compactAfterBatches >= 1,
       s"compactAfterBatches below 1 would prune the current batch's own " +
         s"singletons before they can ever pair: $compactAfterBatches")
+    if (index.isBucketed) require(index.bucketKey == "wh",
+      s"a bucketed span index must bucket on wh (a window can only pair " +
+        s"with corpus rows sharing its digest, so all rows of a digest " +
+        s"must share a bucket): got '${index.bucketKey}'")
+    if (index.isBucketed)
+      return spanDedupStreamBucketed(spark, srcPath, schema, index,
+        spansOut, idCol, textCol, checkpoint, k, minDocs, availableNow,
+        compactAfterBatches, compactFileThreshold)
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
         val seen = index.exists &&
-          index.currentMeta.get("span_batch_id").exists(_.toLong >= batchId)
+          index.currentMeta.get(SpanBatchKey).exists(_.toLong >= batchId)
         if (!seen) {
           val batch = batch0.localCheckpoint(true)
           val corpusIdx0 =
@@ -714,9 +857,142 @@ object StreamingLift {
           val pinnedIdx = merged.localCheckpoint(true)
           if (!pinnedSpans.isEmpty) spansOut.append(pinnedSpans)
           index.overwrite(pinnedIdx,
-            meta = Map("span_batch_id" -> batchId.toString))
+            meta = Map(SpanBatchKey -> batchId.toString))
         }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
+
+  /** The PARTITION-SCOPED [[spanDedupStream]] body (bucketed index —
+    * the 100 TB shape). The persisted index is hash-bucketed on the
+    * window digest and holds DELTA rows
+    * (wh, n_docs, last_batch, src_batch):
+    *
+    *  - the probe reads ONLY the buckets the batch's digests hash to
+    *    (partition-pruned — sufficient, because a window can only
+    *    pair with corpus rows sharing its digest) and consolidates on
+    *    read: distinct absorbs replayed appends, rows of this batch's
+    *    own crashed publish (src_batch == batchId) are excluded so a
+    *    replay probes the exact pre-batch state, counts fold per
+    *    digest, and the EAGER stream's previous-batch eviction
+    *    horizon is applied on read — so lazily-compacted buckets
+    *    report bit-identically to the flat stream's eagerly-compacted
+    *    index;
+    *  - the publish APPENDS the batch's delta rows — file-additive,
+    *    O(batch): no existing file is ever rewritten by a batch (a
+    *    per-batch bucket rewrite would still be O(index), since
+    *    uniformly-hashed digests touch nearly every bucket);
+    *  - replay is absorbed by ALGEBRA, not just the guard: a crashed
+    *    publish's re-append lands bit-identical rows (the delta is a
+    *    deterministic function of the batch) that every read path
+    *    distincts away, so exactly-once application holds even in the
+    *    crash window between the append and the meta stamp;
+    *  - consolidation is amortized: after the applied-batch stamp
+    *    (so a replayed batch can never see its own rows
+    *    consolidated), touched buckets past the file threshold fold
+    *    + evict via [[compactSpanIndex]]. Untouched buckets compact
+    *    lazily at their next touch — run [[compactSpanIndex]] over
+    *    [[ParquetTable.bucketIds]] as standalone maintenance to
+    *    reclaim them eagerly.
+    */
+  private def spanDedupStreamBucketed(spark: SparkSession, srcPath: String,
+      schema: StructType, index: ParquetTable, spansOut: ParquetTable,
+      idCol: String, textCol: String, checkpoint: String,
+      k: Int, minDocs: Int, availableNow: Boolean,
+      compactAfterBatches: Long, compactFileThreshold: Int): StreamingQuery = {
+    import graft.ops.TextClean
+    def watermarkOf(b: Long): Long =
+      if (compactAfterBatches == Long.MaxValue) Long.MinValue
+      else b - compactAfterBatches
+    val stream = spark.readStream.schema(schema).parquet(srcPath)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        val applied = index.tableMeta.get(SpanBatchKey).map(_.toLong)
+        if (!applied.exists(_ >= batchId)) {
+          val batch = batch0.localCheckpoint(true)
+          val prevWatermark = applied.map(watermarkOf).getOrElse(Long.MinValue)
+          var touched: Seq[Int] = Nil
+          val (spans, batchIdx) = TextClean.incrementalRepeatedSpansVia(
+              batch, idCol, textCol, batchId, k, minDocs) { bIdx =>
+            touched = bIdx.select(index.bucketExpr.cast("int").as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq.sorted
+            if (!index.exists)
+              spark.createDataFrame(
+                spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+                org.apache.spark.sql.types.StructType(Seq(
+                  org.apache.spark.sql.types.StructField("wh",
+                    org.apache.spark.sql.types.BinaryType),
+                  org.apache.spark.sql.types.StructField("n_docs",
+                    org.apache.spark.sql.types.LongType),
+                  org.apache.spark.sql.types.StructField("last_batch",
+                    org.apache.spark.sql.types.LongType))))
+            else
+              TextClean.spanIndexCompact(
+                index.readBuckets(touched)
+                  .filter(col("src_batch") =!= lit(batchId))
+                  .distinct()
+                  .groupBy(col("wh"))
+                  .agg(sum(col("n_docs")).as("n_docs"),
+                    max(col("last_batch")).as("last_batch")),
+                prevWatermark)
+          }
+          // spans pin BEFORE the publish (the read-modify-write hazard:
+          // they are computed against the pre-batch index state)
+          val pinnedSpans = spans.withColumn("batch_id", lit(batchId))
+            .localCheckpoint(true)
+          if (!pinnedSpans.isEmpty) spansOut.append(pinnedSpans)
+          index.append(batchIdx.withColumn("src_batch", lit(batchId)))
+          index.putTableMeta(SpanBatchKey -> batchId.toString)
+          compactSpanIndex(index, watermarkOf(batchId),
+            touched.filter(index.bucketFileCount(_) > compactFileThreshold))
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+  }
+
+  /** Consolidate the named buckets of a bucketed [[spanDedupStream]]
+    * window index PARTITION-SCOPED: delta rows fold per digest
+    * (distinct first — replayed appends are bit-identical and must
+    * count once), fold results re-stamp as consolidated
+    * (src_batch = -1), and singleton windows last seen at or before
+    * `watermarkBatch` evict ([[graft.ops.TextClean.spanIndexCompact]]).
+    * A bucket whose every row evicts is dropped outright (dynamic
+    * partition overwrite cannot express an emptied partition). Runs
+    * inside the stream after the applied-batch stamp, or standalone
+    * over [[ParquetTable.bucketIds]] as maintenance.
+    */
+  def compactSpanIndex(index: ParquetTable, watermarkBatch: Long,
+      bucketIds: Seq[Int]): Unit = {
+    if (bucketIds.isEmpty) return
+    import graft.ops.TextClean
+    val folded = TextClean.spanIndexCompact(
+        index.readBuckets(bucketIds).distinct()
+          .groupBy(col("wh"))
+          .agg(sum(col("n_docs")).as("n_docs"),
+            max(col("last_batch")).as("last_batch")),
+        watermarkBatch)
+      .withColumn("src_batch", lit(-1L))
+      .localCheckpoint(true)
+    val liveBuckets = folded
+      .select(index.bucketExpr.cast("int").as("b")).distinct()
+      .collect().map(_.getInt(0)).toSet
+    index.dropBuckets(bucketIds.filterNot(liveBuckets))
+    if (liveBuckets.nonEmpty) index.overwriteBuckets(folded)
+  }
+
+  /** Logical (wh, n_docs, last_batch) content of a [[spanDedupStream]]
+    * index regardless of layout (bucketed: consolidated on read).
+    * Lazily-compacted buckets may still HOLD out-of-horizon singletons
+    * the eager flat stream already pruned — they never affect reports
+    * (the probe applies the horizon on read); apply
+    * [[graft.ops.TextClean.spanIndexCompact]] to this view for the
+    * eager-equivalent state.
+    */
+  def spanIndexView(index: ParquetTable): DataFrame =
+    if (!index.isBucketed) index.read
+    else index.read.distinct()
+      .groupBy(col("wh"))
+      .agg(sum(col("n_docs")).as("n_docs"),
+        max(col("last_batch")).as("last_batch"))
 }

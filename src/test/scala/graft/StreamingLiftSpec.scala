@@ -872,4 +872,196 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(compactSingles.count() <
       full.index.read.filter(col("n_docs") === 1).count())
   }
+
+  /** All live parquet data files under `root`, relative path → size. */
+  private def parquetFiles(root: String): Map[String, Long] = {
+    import scala.jdk.CollectionConverters._
+    val base = java.nio.file.Paths.get(root)
+    if (!java.nio.file.Files.exists(base)) Map.empty
+    else {
+      val s = java.nio.file.Files.walk(base)
+      try s.iterator().asScala
+        .filter(_.toString.endsWith(".parquet"))
+        .map(p => base.relativize(p).toString -> java.nio.file.Files.size(p))
+        .toMap
+      finally s.close()
+    }
+  }
+
+  test("nearDupStream bucketed: reports identical to flat, publish appends only touched buckets") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-nd-bucketed")
+    val srcDir = base.resolve("src").toString
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "completely different words nothing shared with anything here now"
+    val batches = Seq(
+      docs(1L -> t1, 2L -> t1, 3L -> t2),
+      docs(4L -> t1, 5L -> t2),
+      docs(6L -> t1, 7L -> "yet another brand new unrelated document body text"))
+    val schema = batches.head.schema
+    case class S(tag: String, buckets: Int) {
+      val index = ParquetTable(spark, base.resolve(s"idx-$tag").toString,
+        buckets = buckets, bucketKey = "band_key")
+      val pairs = ParquetTable(spark, base.resolve(s"pairs-$tag").toString)
+      val ckpt = base.resolve(s"ckpt-$tag").toString
+      def run(ck: String = ckpt): Unit =
+        StreamingLift.nearDupStream(spark, srcDir + "/*", schema, index,
+          pairs, "doc_id", "text", ck).awaitTermination(60000)
+      def pairSet() = pairs.read.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+    }
+    val flat = S("flat", 0)
+    val buck = S("buck", 8)
+    assert(buck.index.isBucketed && !flat.index.isBucketed)
+
+    batches.zipWithIndex.foreach { case (b, i) =>
+      b.write.parquet(srcDir + s"/f$i")
+      val before = parquetFiles(buck.index.path)
+      flat.run(); buck.run()
+      // the two layouts report bit-identically, batch by batch
+      assert(buck.pairSet() === flat.pairSet(), s"pair divergence at batch $i")
+      // O(batch) publish: append-only — every pre-existing file of the
+      // bucketed index survives the batch untouched (same path + size),
+      // and new files land only in the buckets the batch's keys hash to
+      val after = parquetFiles(buck.index.path)
+      before.foreach { case (p, sz) =>
+        assert(after.get(p).contains(sz), s"batch $i rewrote index file $p")
+      }
+      val touched = graft.ops.Dedup.bandKeyRows(b, "doc_id", "text")
+        .select(pmod(hash(col("band_key")), lit(8)).as("b"))
+        .distinct().collect().map(_.getInt(0)).toSet
+      val newDirs = (after.keySet -- before.keySet).map(_.split("/").head)
+      assert(newDirs.nonEmpty &&
+        newDirs.forall(d => touched.contains(d.stripPrefix("__bucket=").toInt)),
+        s"batch $i wrote outside its touched buckets: $newDirs vs $touched")
+    }
+    // vs_corpus pairs actually flowed (doc 6 pairs with 1, 2, 4 history)
+    assert(buck.pairSet().exists(_._3 == "vs_corpus"))
+    // consolidated index content matches the flat index exactly
+    def keySet(df: DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    val flatKeys = keySet(flat.index.read)
+    assert(keySet(StreamingLift.nearDupIndexView(buck.index, "doc_id")) === flatKeys)
+    // fresh checkpoint replays everything as batch 0: the table-meta
+    // applied-batch guard skips the publish; view unchanged
+    buck.run(base.resolve("ckpt-replay").toString)
+    assert(keySet(StreamingLift.nearDupIndexView(buck.index, "doc_id")) === flatKeys)
+  }
+
+  test("nearDupStream bucketed: overflow band collapses to a tombstone, never pairs again") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-nd-tomb")
+    val srcDir = base.resolve("src").toString
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    val t = "omega psi chi phi upsilon tau sigma rho pi omicron"
+    val schema = docs().schema
+    case class S(tag: String, buckets: Int) {
+      val index = ParquetTable(spark, base.resolve(s"idx-$tag").toString,
+        buckets = buckets, bucketKey = "band_key")
+      val pairs = ParquetTable(spark, base.resolve(s"pairs-$tag").toString)
+      val ckpt = base.resolve(s"ckpt-$tag").toString
+      def run(): Unit =
+        StreamingLift.nearDupStream(spark, srcDir + "/*", schema, index,
+          pairs, "doc_id", "text", ckpt, maxBucket = 2,
+          compactFileThreshold = 0).awaitTermination(60000)
+    }
+    val flat = S("flat", 0)
+    val buck = S("buck", 4)
+    // batch 1: THREE copies of t — every band bucket is degenerate
+    // (3 > maxBucket = 2): no in-batch pairs on either path
+    docs(1L -> t, 2L -> t, 3L -> t).write.parquet(srcDir + "/f1")
+    flat.run(); buck.run()
+    assert(flat.pairs.read.isEmpty && buck.pairs.read.isEmpty)
+    // compaction (forced by threshold 0) collapsed each overflow band
+    // group to ONE tombstone row (NULL doc id) — state bounded, while
+    // the flat index keeps all 3 rows per group forever
+    val rows1 = buck.index.read.collect()
+    assert(rows1.nonEmpty && rows1.forall(_.isNullAt(0)))
+    val groups = rows1.map(r => (r.getInt(1), r.getString(2)))
+    assert(groups.distinct.length === groups.length,
+      "exactly one tombstone row per poisoned band group")
+    assert(StreamingLift.nearDupIndexView(buck.index, "doc_id").isEmpty)
+    // batch 2: a fourth copy — the poisoned bands must NOT pair on
+    // either path (flat: probe count 3 > maxBucket; bucketed: tombstone)
+    docs(4L -> t).write.parquet(srcDir + "/f2")
+    flat.run(); buck.run()
+    assert(flat.pairs.read.isEmpty && buck.pairs.read.isEmpty)
+    // ...and re-compaction folds doc 4's appended keys back into the
+    // tombstone: still one row per group
+    val rows2 = buck.index.read.collect()
+    assert(rows2.forall(_.isNullAt(0)) &&
+      rows2.map(r => (r.getInt(1), r.getString(2))).distinct.length === rows2.length)
+  }
+
+  test("spanDedupStream bucketed: spans identical to flat across horizons, append-only publish") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-span-bucketed")
+    val srcDir = base.resolve("src").toString
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    val b1 = docs(1L -> "alpha beta gamma delta shared",
+      2L -> "junk one singleton content xyz")
+    val b2 = docs(3L -> "pre alpha beta gamma delta post",
+      4L -> "other junk nobody repeats ever")
+    val b3 = docs(5L -> "again alpha beta gamma delta end",
+      6L -> "final junk also entirely unique")
+    val schema = b1.schema
+    case class S(tag: String, buckets: Int, horizon: Long) {
+      val index = ParquetTable(spark, base.resolve(s"idx-$tag").toString,
+        buckets = buckets, bucketKey = "wh")
+      val spans = ParquetTable(spark, base.resolve(s"spans-$tag").toString)
+      val ckpt = base.resolve(s"ckpt-$tag").toString
+      def run(ck: String = ckpt): Unit =
+        StreamingLift.spanDedupStream(spark, srcDir + "/*", schema, index,
+          spans, "doc_id", "text", ck, k = 3, minDocs = 2,
+          compactAfterBatches = horizon).awaitTermination(60000)
+      def spanSet() =
+        if (!spans.exists) Set.empty[(Long, Long, Long, String, Long)]
+        else spans.read
+          .select("doc_id", "span_start", "span_len", "span_text", "batch_id")
+          .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+            r.getString(3), r.getLong(4))).toSet
+    }
+    val flatFull = S("flat-full", 0, Long.MaxValue)
+    val buckFull = S("buck-full", 4, Long.MaxValue)
+    val flatComp = S("flat-comp", 0, 1L)
+    val buckComp = S("buck-comp", 4, 1L)
+    val all = Seq(flatFull, buckFull, flatComp, buckComp)
+    Seq(b1 -> "f1", b2 -> "f2", b3 -> "f3").foreach { case (b, f) =>
+      b.write.parquet(srcDir + "/" + f)
+      val before = parquetFiles(buckFull.index.path)
+      all.foreach(_.run())
+      // report equivalence, batch by batch, at BOTH horizons
+      assert(buckFull.spanSet() === flatFull.spanSet())
+      assert(buckComp.spanSet() === flatComp.spanSet())
+      // O(batch) publish: the unbounded bucketed stream (no compaction
+      // fires at default threshold) never rewrites an existing file
+      val after = parquetFiles(buckFull.index.path)
+      before.foreach { case (p, sz) =>
+        assert(after.get(p).contains(sz), s"span publish rewrote $p")
+      }
+    }
+    assert(buckFull.spanSet().nonEmpty)
+    // consolidated view of the bucketed index == the flat index, exactly
+    def idxMap(df: DataFrame) = df.collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(idxMap(StreamingLift.spanIndexView(buckFull.index)) ===
+      idxMap(flatFull.index.read))
+    // maintenance compaction over ALL buckets converges the lazily
+    // compacted index to the eager flat-compact state bit-for-bit
+    // (watermark of the last applied batch: id 2, horizon 1)
+    StreamingLift.compactSpanIndex(buckComp.index, watermarkBatch = 1L,
+      bucketIds = buckComp.index.bucketIds)
+    assert(idxMap(StreamingLift.spanIndexView(buckComp.index)) ===
+      idxMap(flatComp.index.read))
+    // fresh checkpoint replays everything as batch 0: the table-meta
+    // guard skips — spans and index unchanged
+    val spansBefore = buckFull.spanSet()
+    buckFull.run(base.resolve("ckpt-replay").toString)
+    assert(buckFull.spanSet() === spansBefore)
+    assert(idxMap(StreamingLift.spanIndexView(buckFull.index)) ===
+      idxMap(flatFull.index.read))
+  }
 }
