@@ -61,6 +61,37 @@ object Dedup {
         .as(Seq("band_idx", "band_key")))
   }
 
+  /** Batch-vs-corpus band-key PROBE — the vs_corpus arm of
+    * [[graft.streaming.StreamingLift.nearDupStream]], exposed as a
+    * batch operator so the streaming arithmetic is oracle-gated by a
+    * relational twin (q214): join the batch's band keys against the
+    * persisted index on (band_idx, band_key), skip index groups past
+    * `maxBucket` rows (a degenerate band would emit O(bucket) pairs
+    * per arriving doc) and tombstoned groups (NULL id — the bucketed
+    * stream's overflow poisoning), and emit distinct ascending
+    * (doc_a, doc_b) pairs. Scale shape: the batch side is the small
+    * probe; the group-size window and the join shuffle only
+    * fixed-width band keys, never text.
+    */
+  def bandIndexProbe(index: DataFrame, batchKeys: DataFrame,
+      idCol: String, maxBucket: Int = 10000): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("band_idx"), col("band_key"))
+    val healthy = index
+      .withColumn("__tomb", max(when(col(idCol).isNull, 1).otherwise(0)).over(w))
+      .withColumn("__bn", count(lit(1)).over(w))
+      .filter(col("__tomb") === 0 && col("__bn") <= maxBucket)
+      .drop("__tomb", "__bn")
+    healthy
+      .withColumnRenamed(idCol, "doc_a")
+      .join(batchKeys.withColumnRenamed(idCol, "doc_b"),
+        Seq("band_idx", "band_key"))
+      .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
+        greatest(col("doc_a"), col("doc_b")).as("doc_b"))
+      .filter(col("doc_a") =!= col("doc_b"))
+      .distinct()
+  }
+
   def minhashCandidatePairs(
       df: DataFrame, idCol: String, textCol: String,
       shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,

@@ -3348,6 +3348,47 @@ object PipelinePack {
           // (2 * min(g.n_src) * (SELECT n_tot FROM n)))::BIGINT AS tvd_ppm
       FROM grid g GROUP BY g.source"""))
 
+  /** Batch twin of the streaming band-index probe
+    * ([[graft.ops.Dedup.bandIndexProbe]] — the EXACT plan
+    * nearDupStream's vs_corpus arm runs per micro-batch): build the
+    * persisted band-key index relationally over the "corpus" (docs
+    * outside the batch slice) and replay one "batch"'s probe against
+    * it, INCLUDING the maxBucket drop (1 here, so bands with 2+
+    * corpus members are provably skipped on both engines at every
+    * test SF).
+    * This oracle-gates the arithmetic the stream applies to history:
+    * signature → banding → group-size gate → ascending distinct
+    * pairs. Scale shape: probe side is the small batch; shuffles key
+    * on fixed-width band digests only.
+    */
+  private val q214 = QueryDef(
+    "q214_band_probe",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val corpus = docs.filter(col("doc_id") % 5 =!= 0)
+      val batch = docs.filter(col("doc_id") % 5 === 0)
+      Dedup.bandIndexProbe(
+        Dedup.bandKeyRows(corpus, "doc_id", "text"),
+        Dedup.bandKeyRows(batch, "doc_id", "text"),
+        "doc_id", maxBucket = 1)
+    },
+    Some(s"""WITH sh AS (SELECT doc_id, $sqlShingles AS s FROM documents),
+      sig AS (SELECT doc_id, list_transform(range(0, 16),
+        h -> list_min(list_transform(
+          list_transform(s, x -> ${sqlHex60("x")} % 1073741789),
+          v -> (((h * 2654435761) % 1073741789 + 1) * v
+                + (h * 40503 + 12345) % 1073741789) % 1073741789))) AS sig FROM sh),
+      bands AS (SELECT doc_id, b, md5(array_to_string(sig[b*4+1:b*4+4], '|')) AS bk
+        FROM sig CROSS JOIN range(0, 4) AS t(b)),
+      corpus AS (SELECT * FROM bands WHERE doc_id % 5 <> 0),
+      batch AS (SELECT * FROM bands WHERE doc_id % 5 = 0),
+      sz AS (SELECT b, bk, count(*) AS c FROM corpus GROUP BY b, bk)
+      SELECT DISTINCT least(x.doc_id, y.doc_id) AS doc_a,
+        greatest(x.doc_id, y.doc_id) AS doc_b
+      FROM corpus x JOIN batch y ON x.b = y.b AND x.bk = y.bk
+      JOIN sz ON sz.b = x.b AND sz.bk = x.bk
+      WHERE sz.c <= 1 AND x.doc_id <> y.doc_id"""))
+
   /** The curated blocklist shared by q207/q208 — mixed 2- and 3-word
     * phrases from the corpus vocabulary plus one that can never match
     * (the zero-fill row every per-phrase report must carry).
@@ -3675,5 +3716,5 @@ object PipelinePack {
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-    q213)
+    q213, q214)
 }

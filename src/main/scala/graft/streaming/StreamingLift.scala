@@ -632,22 +632,7 @@ object StreamingLift {
                 val live = index.readBuckets(touched)
                   .filter(col("src_batch") =!= lit(batchId))
                   .drop("src_batch").distinct()
-                val w = org.apache.spark.sql.expressions.Window
-                  .partitionBy(col("band_idx"), col("band_key"))
-                val healthy = live
-                  .withColumn("__tomb",
-                    max(when(col(idCol).isNull, 1).otherwise(0)).over(w))
-                  .withColumn("__bn", count(lit(1)).over(w))
-                  .filter(col("__tomb") === 0 && col("__bn") <= maxBucket)
-                  .drop("__tomb", "__bn")
-                healthy
-                  .withColumnRenamed(idCol, "doc_a")
-                  .join(keys.withColumnRenamed(idCol, "doc_b"),
-                    Seq("band_idx", "band_key"))
-                  .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-                    greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-                  .filter(col("doc_a") =!= col("doc_b"))
-                  .distinct()
+                Dedup.bandIndexProbe(live, keys, idCol, maxBucket)
                   .withColumn("pair_kind", lit("vs_corpus"))
               } else internal.limit(0)
             pairsOut.append(internal.unionByName(cross)
@@ -661,23 +646,10 @@ object StreamingLift {
             // overwrite — simple and exactly-once, but O(index) per
             // trigger; bucket the index for streaming at scale
             val cross =
-              if (index.exists) {
-                val healthy = index.read
-                  .withColumn("__bn", count(lit(1)).over(
-                    org.apache.spark.sql.expressions.Window
-                      .partitionBy(col("band_idx"), col("band_key"))))
-                  .filter(col("__bn") <= maxBucket)
-                  .drop("__bn")
-                healthy
-                  .withColumnRenamed(idCol, "doc_a")
-                  .join(keys.withColumnRenamed(idCol, "doc_b"),
-                    Seq("band_idx", "band_key"))
-                  .select(least(col("doc_a"), col("doc_b")).as("doc_a"),
-                    greatest(col("doc_a"), col("doc_b")).as("doc_b"))
-                  .filter(col("doc_a") =!= col("doc_b"))
-                  .distinct()
+              if (index.exists)
+                Dedup.bandIndexProbe(index.read, keys, idCol, maxBucket)
                   .withColumn("pair_kind", lit("vs_corpus"))
-              } else internal.limit(0)
+              else internal.limit(0)
             pairsOut.append(internal.unionByName(cross)
               .withColumn("batch_id", lit(batchId)))
             val merged =

@@ -995,6 +995,39 @@ class StreamingLiftSpec extends AnyFunSuite {
       rows2.map(r => (r.getInt(1), r.getString(2))).distinct.length === rows2.length)
   }
 
+  test("bandIndexProbe batch twin == the stream's vs_corpus pairs (q214's contract)") {
+    import org.apache.spark.sql.functions.col
+    import graft.ops.Dedup
+    val base = Files.createTempDirectory("graft-nd-twin")
+    val srcDir = base.resolve("src").toString
+    val index = ParquetTable(spark, base.resolve("idx").toString,
+      buckets = 8, bucketKey = "band_key")
+    val pairsOut = ParquetTable(spark, base.resolve("pairs").toString)
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "completely different words nothing shared with anything here now"
+    val b1 = docs(1L -> t1, 2L -> t1, 3L -> t2)
+    val b2 = docs(4L -> t1, 5L -> t2)
+    val schema = b1.schema
+    val ckpt = base.resolve("ckpt").toString
+    Seq(b1 -> "f1", b2 -> "f2").foreach { case (b, f) =>
+      b.write.parquet(srcDir + "/" + f)
+      StreamingLift.nearDupStream(spark, srcDir + "/*", schema, index,
+        pairsOut, "doc_id", "text", ckpt).awaitTermination(60000)
+    }
+    val streamed = pairsOut.read
+      .filter(col("pair_kind") === "vs_corpus" && col("batch_id") === 1L)
+      .select("doc_a", "doc_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the batch operator replays the same probe relationally: corpus
+    // index from batch 1, probe keys from batch 2 — pair-for-pair equal
+    val twin = Dedup.bandIndexProbe(
+        Dedup.bandKeyRows(b1, "doc_id", "text"),
+        Dedup.bandKeyRows(b2, "doc_id", "text"), "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(streamed === twin && twin.nonEmpty)
+  }
+
   test("spanDedupStream bucketed: spans identical to flat across horizons, append-only publish") {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("graft-span-bucketed")
