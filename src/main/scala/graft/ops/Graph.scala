@@ -20,24 +20,40 @@ import graft.util.Pin.PinOps
   * nothing extra.
   */
 final class GraphFrameLite private (val edges: DataFrame,
-    srcCol: String, dstCol: String) {
+    srcCol: String, dstCol: String)
+    extends graft.util.SessionCache.PinnedArtifact {
   import graft.util.Pin.PinOps
+
+  private val pins = new java.util.concurrent.CopyOnWriteArrayList[DataFrame]()
+  private def pin(df: DataFrame): DataFrame = {
+    val c = df.cutLineage
+    pins.add(c)
+    c
+  }
 
   /** Canonical undirected (u < v) edge set, pinned once. */
   lazy val canonical: DataFrame =
-    Graph.canonUndirected(edges, srcCol, dstCol).cutLineage
+    pin(Graph.canonUndirected(edges, srcCol, dstCol))
 
   /** Both orientations of [[canonical]] — the message-passing edge
     * list, pinned once. */
   lazy val symmetric: DataFrame =
-    canonical.unionAll(
-      canonical.select(col("v").as("u"), col("u").as("v"))).cutLineage
+    pin(canonical.unionAll(
+      canonical.select(col("v").as("u"), col("u").as("v"))))
 
   /** (node, degree) of [[canonical]], pinned once. */
-  lazy val degrees: DataFrame = Graph.undirectedDegrees(canonical).cutLineage
+  lazy val degrees: DataFrame = pin(Graph.undirectedDegrees(canonical))
 
   /** Every endpoint node, derived from the pinned degree table. */
   def nodes: DataFrame = degrees.select(col("node"))
+
+  /** The cuts forced so far — [[graft.util.SessionCache]]'s byte
+    * accounting and release hook (never forces an unbuilt lazy).
+    */
+  def pinnedFrames: Seq[DataFrame] = {
+    import scala.jdk.CollectionConverters._
+    pins.asScala.toSeq
+  }
 }
 
 object GraphFrameLite {

@@ -1,6 +1,8 @@
 package graft.util
 
-import org.apache.spark.sql.SparkSession
+import java.util.concurrent.atomic.AtomicLong
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session-scoped memo for pinned prework — the shared mechanism
   * behind [[graft.ops.GraphFrameLite.cached]],
@@ -17,22 +19,55 @@ import org.apache.spark.sql.SparkSession
   * source data — that is what makes serving it to a later query
   * correct. Callers pin what they build (`Pin.cut`) so reuse reads
   * materialized blocks instead of replaying lineage.
+  *
+  * '''Memory governance.''' Pinned prework competes with shuffle and
+  * execution memory, so residency is a CONTRACT here, not a
+  * convention:
+  *
+  *  - every build logs its measured pinned bytes and the cache's
+  *    running total ([[residency]] re-measures live at any time —
+  *    local-checkpoint blocks from the storage manager, reliable
+  *    checkpoints from their files);
+  *  - [[release]]/[[releaseAll]] retire an entry's blocks through
+  *    [[Pin.retire]] (values expose their cuts either by BEING a
+  *    pinned DataFrame or via [[SessionCache.PinnedArtifact]]);
+  *  - an optional byte budget (`spark.graft.sessionCache.maxBytes`,
+  *    session conf) turns the log into a policy: when a build pushes
+  *    the total past the budget, the least-recently-USED other
+  *    entries are evicted (released) until it fits; if the new
+  *    artifact ALONE exceeds the budget it is REFUSED — returned to
+  *    the caller unmanaged and not retained, so the next lookup
+  *    rebuilds rather than silently squatting on executor memory.
+  *    Eviction assumes the read-through discipline every caller here
+  *    follows: artifacts are re-obtained via [[cached]] per use, not
+  *    held across queries.
   */
 object SessionCache {
+
+  /** Implemented by cached values that are not themselves DataFrames
+    * but own pinned cuts (e.g. [[graft.ops.GraphFrameLite]]'s lazy
+    * canonical/symmetric/degree frames): exposes the cuts forced SO
+    * FAR, for byte accounting and release. Must never force an
+    * unbuilt lazy member.
+    */
+  trait PinnedArtifact { def pinnedFrames: Seq[DataFrame] }
+
   /** Lazy cell so the EXPENSIVE build runs at most once even when two
-    * threads race the first access: TrieMap.getOrElseUpdate may
-    * evaluate its default twice, but a losing un-forced Cell is a
+    * threads race the first access: a losing un-forced Cell is a
     * discarded closure — nothing was computed or pinned — while the
     * winning cell's `lazy val` synchronizes every reader onto one
     * build (racing an eager value here would leak the loser's pinned
     * blocks for the app lifetime).
     */
   private final class Cell(build: () => AnyRef) {
-    lazy val value: AnyRef = build()
+    @volatile var built = false
+    @volatile var lastUsed = 0L
+    lazy val value: AnyRef = { val v = build(); built = true; v }
   }
 
   private val cache =
     scala.collection.concurrent.TrieMap[(String, String), Cell]()
+  private val ticks = new AtomicLong()
 
   /** `spark.graft.sessionCache=off` (session conf) bypasses every
     * cached wrapper: callers fall back to their RAW un-pinned form.
@@ -43,10 +78,128 @@ object SessionCache {
   def enabled(spark: SparkSession): Boolean =
     spark.conf.get("spark.graft.sessionCache", "on") != "off"
 
+  /** Session conf holding the optional pinned-bytes budget. */
+  val MaxBytesKey = "spark.graft.sessionCache.maxBytes"
+
   def cached[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
     val appId = spark.sparkContext.applicationId
     cache.keys.iterator.filter(_._1 != appId).foreach(cache.remove)
-    cache.getOrElseUpdate((appId, key), new Cell(() => build))
-      .value.asInstanceOf[T]
+    val k = (appId, key)
+    cache.get(k) match {
+      case Some(c) =>
+        c.lastUsed = ticks.incrementAndGet()
+        c.value.asInstanceOf[T]
+      case None =>
+        val cell = new Cell(() => build)
+        cell.lastUsed = ticks.incrementAndGet()
+        val winner = cache.putIfAbsent(k, cell).getOrElse(cell)
+        val v = winner.value.asInstanceOf[T]
+        if (winner eq cell) govern(spark, k, cell)
+        v
+    }
   }
+
+  /** Live pinned bytes per key for the CURRENT context (unbuilt cells
+    * report nothing; values without measurable pins report 0).
+    */
+  def residency(spark: SparkSession): Map[String, Long] = {
+    val appId = spark.sparkContext.applicationId
+    cache.toSeq.collect {
+      case ((a, key), cell) if a == appId && cell.built =>
+        key -> bytesOf(spark, cell.value)
+    }.toMap
+  }
+
+  /** Retire one entry's pinned blocks ([[Pin.retire]]) and forget it;
+    * false when no such entry. The caller declares the artifact dead —
+    * no live frame may still read it (the [[Pin.retire]] contract).
+    */
+  def release(spark: SparkSession, key: String): Boolean = synchronized {
+    val k = (spark.sparkContext.applicationId, key)
+    cache.get(k) match {
+      case Some(cell) => releaseEntry(spark, k, cell); true
+      case None => false
+    }
+  }
+
+  /** [[release]] every entry of the current context. */
+  def releaseAll(spark: SparkSession): Unit = synchronized {
+    val appId = spark.sparkContext.applicationId
+    cache.toSeq.foreach { case (k, cell) =>
+      if (k._1 == appId) releaseEntry(spark, k, cell)
+    }
+  }
+
+  /** Measured pinned bytes of the entry, then remove + retire it. */
+  private def releaseEntry(spark: SparkSession, k: (String, String),
+      cell: Cell): Long = {
+    cache.remove(k)
+    if (!cell.built) 0L
+    else {
+      val b = bytesOf(spark, cell.value)
+      cell.value match {
+        case df: DataFrame => Pin.retire(df)
+        case a: PinnedArtifact => a.pinnedFrames.foreach(Pin.retire)
+        case _ => () // plain driver-side value: GC reclaims it
+      }
+      b
+    }
+  }
+
+  /** Post-build accounting + budget policy (see class doc). */
+  private def govern(spark: SparkSession, k: (String, String),
+      cell: Cell): Unit = synchronized {
+    val own = bytesOf(spark, cell.value)
+    val others = cache.toSeq
+      .filter { case (ok, _) => ok._1 == k._1 && ok != k }
+    val total = own + others.map { case (_, c) =>
+      if (c.built) bytesOf(spark, c.value) else 0L }.sum
+    System.err.println(s"[graft] sessionCache +'${k._2}': ~$own bytes " +
+      s"pinned (total ~$total across ${others.size + 1} entries)")
+    spark.conf.getOption(MaxBytesKey).map(_.toLong).foreach { budget =>
+      var t = total
+      for ((ok, oc) <- others.sortBy(_._2.lastUsed) if t > budget) {
+        val freed = releaseEntry(spark, ok, oc)
+        t -= freed
+        System.err.println(s"[graft] sessionCache evicted '${ok._2}' " +
+          s"(~$freed bytes) for the $budget-byte budget")
+      }
+      if (t > budget) {
+        // the new artifact alone exceeds the budget: refuse to RETAIN
+        // it. The value is still returned (the caller holds it and may
+        // Pin.retire it), but the cache will not squat on its blocks —
+        // the next lookup rebuilds.
+        cache.remove(k)
+        System.err.println(s"[graft] sessionCache REFUSED '${k._2}': " +
+          s"~$own bytes exceeds the $budget-byte budget alone; returned " +
+          "unmanaged, not retained")
+      }
+    }
+  }
+
+  /** Live pinned bytes of a cached value: a cut DataFrame's blocks
+    * from the storage manager (or its reliable-checkpoint files), a
+    * [[PinnedArtifact]]'s forced cuts summed, anything else via the
+    * driver-side size estimator.
+    */
+  private def bytesOf(spark: SparkSession, v: AnyRef): Long = v match {
+    case df: DataFrame => frameBytes(spark, df)
+    case a: PinnedArtifact => a.pinnedFrames.map(frameBytes(spark, _)).sum
+    case other => org.apache.spark.util.SizeEstimator.estimate(other)
+  }
+
+  private def frameBytes(spark: SparkSession, df: DataFrame): Long =
+    df.queryExecution.analyzed match {
+      case l: org.apache.spark.sql.execution.LogicalRDD =>
+        val id = l.rdd.id
+        spark.sparkContext.getRDDStorageInfo.find(_.id == id)
+          .map(i => i.memSize + i.diskSize)
+          .orElse(l.rdd.getCheckpointFile.map { p =>
+            val path = new org.apache.hadoop.fs.Path(p)
+            path.getFileSystem(spark.sparkContext.hadoopConfiguration)
+              .getContentSummary(path).getLength
+          })
+          .getOrElse(0L)
+      case _ => 0L // derived or never-cut frame: no blocks of its own
+    }
 }
