@@ -581,7 +581,23 @@ object SketchAgg {
   private val MOMENTS_FAST_X = 40000L
   private val MOMENTS_FLUSH_AT = 6000000000000000000L
 
+  /** Largest |x| whose x⁴ fits decimal(38,0) (⌊10^9.5⌋): a single
+    * bigger input (epoch-nano/micro timestamps are the classic one)
+    * guarantees the aggregation would run to completion and only then
+    * die in an opaque Decimal ArithmeticException at eval time — fail
+    * fast at the input instead, naming the bound.
+    */
+  private[graft] val MOMENTS_MAX_X = 3162277660L
+
+  private def momentsCheckX(x: Long): Unit =
+    if (x > MOMENTS_MAX_X || x < -MOMENTS_MAX_X)
+      throw new IllegalArgumentException(
+        s"moments sketch input $x exceeds ±$MOMENTS_MAX_X (its 4th power " +
+          "overflows the decimal(38,0) state — epoch-nano/micro " +
+          "timestamp? pre-scale the column to coarser units)")
+
   private def momentsUpdate(buf: MomentsBuf, x: Long): Unit = {
+    momentsCheckX(x)
     buf.n += 1L
     if (x > -MOMENTS_FAST_X && x < MOMENTS_FAST_X) {
       val x2 = x * x
@@ -605,10 +621,22 @@ object SketchAgg {
     a
   }
 
+  /** 10^38 − 1: the largest magnitude decimal(38,0) holds. */
+  private val DEC38_MAX = new java.math.BigInteger("9" * 38)
+
   private def momentsEval(buf: MomentsBuf): GenericArrayData = {
     buf.flush()
-    def d(b: java.math.BigInteger) =
+    def d(b: java.math.BigInteger) = {
+      // per-input magnitude is bounded (momentsCheckX), but enough
+      // large values can still push a SUM past 38 digits — report it
+      // as what it is instead of an opaque Decimal ArithmeticException
+      if (b.abs.compareTo(DEC38_MAX) > 0)
+        throw new ArithmeticException(
+          s"moments power sum $b overflows the decimal(38,0) state " +
+            "(too many large inputs) — pre-scale the column to " +
+            "coarser units")
       Decimal(scala.math.BigDecimal(new java.math.BigDecimal(b)), 38, 0)
+    }
     new GenericArrayData(Array[Any](
       d(java.math.BigInteger.valueOf(buf.n)),
       d(buf.b1), d(buf.b2), d(buf.b3), d(buf.b4)))
@@ -700,6 +728,7 @@ object SketchAgg {
         val x = xv.asInstanceOf[Long]
         if (w == 1L) momentsUpdate(buf, x)
         else if (w > 0L) {
+          momentsCheckX(x)
           val bw = java.math.BigInteger.valueOf(w)
           val b = java.math.BigInteger.valueOf(x)
           val b2 = b.multiply(b)
@@ -828,7 +857,10 @@ object SketchAgg {
     var i = 0
     while (i < LogHistBuckets) {
       val c = state.getLong(i)
-      if (c > 0L) { n += c; maxB = i }
+      // addExact: the weighted build accepts arbitrary long weights, so
+      // total mass CAN exceed 2⁶³ — fail loudly, never report quantile
+      // brackets computed from a silently wrapped total
+      if (c > 0L) { n = Math.addExact(n, c); maxB = i }
       i += 1
     }
     if (n == 0L)
@@ -847,7 +879,11 @@ object SketchAgg {
     out(0) = n
     var oi = 1
     Array(50L, 90L, 99L).foreach { p =>
-      val r = (n * p + 99L) / 100L
+      // ⌈n·p/100⌉ without the n·p product (n up to ~9.2e18 would wrap
+      // at p ≥ 2 long before n itself overflows): split n = 100q + s,
+      // then ⌈(100q + s)·p/100⌉ = q·p + ⌈s·p/100⌉ exactly, with
+      // q·p ≤ (2⁶³/100)·99 < 2⁶³ and s·p ≤ 99·99
+      val r = (n / 100L) * p + ((n % 100L) * p + 99L) / 100L
       val (lo, hi) = logHistBounds(bucketAtRank(r))
       out(oi) = lo; out(oi + 1) = hi; oi += 2
     }
@@ -912,14 +948,16 @@ object SketchAgg {
       if (xv != null && wv != null) {
         val w = wv.asInstanceOf[Long]
         require(w >= 0L, s"loghist weight must be >= 0, got $w")
-        if (w > 0L)
-          buf(logHistBucket(xv.asInstanceOf[Long])) += w
+        if (w > 0L) {
+          val b = logHistBucket(xv.asInstanceOf[Long])
+          buf(b) = Math.addExact(buf(b), w) // arbitrary weights: no silent wrap
+        }
       }
       buf
     }
     override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < LogHistBuckets) { b1(i) += b2(i); i += 1 }
+      while (i < LogHistBuckets) { b1(i) = Math.addExact(b1(i), b2(i)); i += 1 }
       b1
     }
     override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)
@@ -955,13 +993,17 @@ object SketchAgg {
           s"loghist state has ${st.numElements()} buckets, " +
             s"expected $LogHistBuckets")
         var i = 0
-        while (i < LogHistBuckets) { buf(i) += st.getLong(i); i += 1 }
+        // addExact: folded states may carry weighted-build mass, so a
+        // combined counter CAN exceed 2⁶³ — fail loudly, not wrap
+        while (i < LogHistBuckets) {
+          buf(i) = Math.addExact(buf(i), st.getLong(i)); i += 1
+        }
       }
       buf
     }
     override def merge(b1: Array[Long], b2: Array[Long]): Array[Long] = {
       var i = 0
-      while (i < LogHistBuckets) { b1(i) += b2(i); i += 1 }
+      while (i < LogHistBuckets) { b1(i) = Math.addExact(b1(i), b2(i)); i += 1 }
       b1
     }
     override def eval(buf: Array[Long]): Any = new GenericArrayData(buf)

@@ -3321,15 +3321,21 @@ object PipelinePack {
       val glob = docs.agg(SketchAgg.logHistSketch(col("n_chars")).as("gst"))
       def massOf(c: org.apache.spark.sql.Column) =
         aggregate(c, lit(0L), (acc, x) => acc + x)
+      // decimal(38,0) cross-multiplication, same as histDriftStream's
+      // (the stream this query twins): long would wrap at
+      // n_src·n_tot ≥ 2⁶³
+      val dec = org.apache.spark.sql.types.DecimalType(38, 0)
       per.join(broadcast(glob))
         .withColumn("n_src", massOf(col("st")))
         .withColumn("n_tot", massOf(col("gst")))
         .withColumn("__num", aggregate(
           zip_with(col("st"), col("gst"), (a, b) =>
-            abs(a * col("n_tot") - b * col("n_src"))),
-          lit(0L), (acc, x) => acc + x))
+            abs(a.cast(dec) * col("n_tot").cast(dec)
+              - b.cast(dec) * col("n_src").cast(dec))),
+          lit(0L).cast(dec), (acc, x) => acc + x))
         .select(col("source"), col("n_src"),
-          expr("CAST(__num * 1000000 DIV (2 * n_src * n_tot) AS BIGINT)")
+          expr("CAST(__num * 1000000 DIV (2 * CAST(n_src AS DECIMAL(38,0)) " +
+            "* CAST(n_tot AS DECIMAL(38,0))) AS BIGINT)")
             .as("tvd_ppm"))
     },
     Some(s"""WITH bk AS (SELECT source, ${lhBucket("n_chars")} AS b

@@ -231,6 +231,9 @@ object StreamingLift {
     */
   val AppliedBatchKey = "graft.stream.applied.batch"
 
+  /** Exact-integer arithmetic wide enough for count cross-products. */
+  private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
+
   /** Streaming IVM: watch `srcPath` for CDC change files (the
     * [[graft.ops.Cdc.changeSet]] shape — key, change, before, after)
     * and fold each micro-batch into a materialized per-key COUNT/SUM
@@ -350,9 +353,10 @@ object StreamingLift {
     * the maintained historical one, computed entirely from two
     * 1008-bucket log-histogram states — `tvd_ppm = 10⁶ ·
     * Σ_b |c_B(b)·n_H − c_H(b)·n_B| / (2·n_B·n_H)`, exact integer
-    * cross-multiplication (sound while n_B·n_H < 2⁶³ — beyond ~3·10⁹
-    * rows per side, pre-scale the counts), so the alert threshold
-    * compares deterministically. After scoring, the batch folds into
+    * cross-multiplication in decimal(38,0) (sound while
+    * 2·n_B·n_H·10⁶ < 10³⁸, i.e. ~10¹⁶ rows per side — and the
+    * log-histogram state itself fails loudly at 2⁶³ total mass long
+    * before that), so the alert threshold compares deterministically. After scoring, the batch folds into
     * the baseline (the [[logHistMaintainStream]] fold, same
     * exactly-once applied-batch guard). Alert rows append BEFORE the
     * publish: at-least-once, keyed by batch_id, bit-identical on
@@ -384,18 +388,23 @@ object StreamingLift {
               .withColumn("n_batch", massOf(col("st")))
               .withColumn("n_hist",
                 when(col("hst").isNotNull, massOf(col("hst"))))
+              // decimal(38,0) cross-multiplication: the long form
+              // wraps silently at n_batch·n_hist ≥ 2⁶³ (~3e9 rows per
+              // side) in non-ANSI mode — wrong tvd_ppm, missed alerts
               .withColumn("__num", when(col("hst").isNotNull,
                 aggregate(
                   zip_with(col("st"), col("hst"), (a, b) =>
-                    abs(a * col("n_hist") - b * col("n_batch"))),
-                  lit(0L), (acc, x) => acc + x)))
+                    abs(a.cast(Dec38) * col("n_hist").cast(Dec38)
+                      - b.cast(Dec38) * col("n_batch").cast(Dec38))),
+                  lit(0L).cast(Dec38), (acc, x) => acc + x)))
               // guard the division: a group whose batch (or baseline)
               // carries only NULL values has zero mass — no verdict,
               // not a divide-by-zero stream crash (ANSI mode throws)
               .withColumn("tvd_ppm",
                 when(col("n_batch") > 0L && col("n_hist") > 0L,
-                  expr("CAST(__num * 1000000 DIV (2 * n_batch * n_hist) " +
-                    "AS BIGINT)")))
+                  expr("CAST(__num * 1000000 DIV " +
+                    "(2 * CAST(n_batch AS DECIMAL(38,0)) " +
+                    "* CAST(n_hist AS DECIMAL(38,0))) AS BIGINT)")))
               .withColumn("alerted",
                 coalesce(col("tvd_ppm") >= tvdAlertPpm, lit(false)))
               .select(lit(batchId).as("batch_id"), col(groupCol),

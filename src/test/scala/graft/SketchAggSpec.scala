@@ -684,4 +684,76 @@ class SketchAggSpec extends AnyFunSuite {
         "FROM ska_lh_states").select("r.n").head()
     assert(rep.getLong(0) === 300L)
   }
+
+  private def causeChain(t: Throwable): String =
+    Iterator.iterate(t)(_.getCause).takeWhile(_ != null).take(10)
+      .map(e => String.valueOf(e.getMessage)).mkString(" | ")
+
+  test("moments input guard: |x| past the decimal(38,0) bound fails fast") {
+    // boundary value itself is fine (its 4th power still fits 38 digits)
+    Seq(SketchAgg.MOMENTS_MAX_X).toDF("x")
+      .agg(SketchAgg.momentsSketch(col("x"))).head()
+    // one past: fail at the INPUT, naming the bound -- not an opaque
+    // Decimal ArithmeticException at eval time (epoch-nano timestamps)
+    val e1 = intercept[Exception] {
+      Seq(SketchAgg.MOMENTS_MAX_X + 1L).toDF("x")
+        .agg(SketchAgg.momentsSketch(col("x"))).head()
+    }
+    assert(causeChain(e1).contains("3162277660"))
+    // the weighted build guards the same bound
+    val e2 = intercept[Exception] {
+      Seq((SketchAgg.MOMENTS_MAX_X + 1L, 5L)).toDF("x", "w")
+        .agg(SketchAgg.momentsSketchW(col("x"), col("w"))).head()
+    }
+    assert(causeChain(e2).contains("3162277660"))
+  }
+
+  test("moments eval overflow is reported loudly, not as an opaque Decimal error") {
+    // each input passes the per-row bound, but two of them push the
+    // power sum past 10^38 -- the eval guard names the condition
+    val big = 3000000000L // x^4 = 8.1e37; two rows -> 1.62e38
+    val e = intercept[Exception] {
+      Seq(big, big).toDF("x").agg(SketchAgg.momentsSketch(col("x"))).head()
+    }
+    assert(causeChain(e).contains("overflows the decimal(38,0) state"))
+  }
+
+  test("logHistSummary quantile ranks are exact at near-2^63 weighted mass") {
+    import org.apache.spark.sql.catalyst.util.GenericArrayData
+    val heavy = SketchAgg.logHistBucket(12345L)
+    val light = SketchAgg.logHistBucket(7L)
+    val arr = new Array[Long](SketchAgg.LogHistBuckets)
+    arr(heavy) = 9200000000000000000L - 100L
+    arr(light) = 100L
+    val out = SketchAgg.logHistSummary(new GenericArrayData(arr))
+    assert(out.getLong(0) === 9200000000000000000L)
+    // with the old n*p+99 product these ranks wrapped NEGATIVE and the
+    // brackets collapsed to the lowest occupied bucket
+    Seq(1, 3, 5).foreach { i => // p50, p90, p99 lo-offsets
+      assert(out.getLong(i) <= 12345L && 12345L <= out.getLong(i + 1),
+        s"quantile bracket at offset $i missed the heavy bucket: " +
+          s"[${out.getLong(i)}, ${out.getLong(i + 1)}]")
+    }
+    // total mass past 2^63 fails loudly instead of wrapping
+    val over = new Array[Long](SketchAgg.LogHistBuckets)
+    over(heavy) = 6000000000000000000L
+    over(light) = 6000000000000000000L
+    intercept[ArithmeticException](
+      SketchAgg.logHistSummary(new GenericArrayData(over)))
+  }
+
+  test("weighted loghist build and merge fail loudly on counter overflow") {
+    val e = intercept[Exception] {
+      Seq((5L, Long.MaxValue), (5L, 2L)).toDF("x", "w")
+        .agg(SketchAgg.logHistSketchW(col("x"), col("w"))).head()
+    }
+    assert(causeChain(e).toLowerCase.contains("overflow"))
+    val e2 = intercept[Exception] {
+      Seq((5L, Long.MaxValue, "a"), (5L, 2L, "b")).toDF("x", "w", "g")
+        .groupBy(col("g"))
+        .agg(SketchAgg.logHistSketchW(col("x"), col("w")).as("st"))
+        .agg(SketchAgg.logHistMerge(col("st")).as("st")).head()
+    }
+    assert(causeChain(e2).toLowerCase.contains("overflow"))
+  }
 }

@@ -699,6 +699,39 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(alertRows()(3L) === ((0L, -1L, false)))
   }
 
+  test("histDriftStream: TVD stays exact past the long cross-multiplication range") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-drift-big")
+    val srcDir = base.resolve("src").toString
+    val states = ParquetTable(spark, base.resolve("st").toString)
+    val alerts = ParquetTable(spark, base.resolve("al").toString)
+    val ckpt = base.resolve("ckpt").toString
+    // seed the baseline with weighted mass 4e18 at value 1: every
+    // c·n cross-product with a batch now exceeds 2^63, where the old
+    // LongType zip_with wrapped silently into wrong tvd_ppm
+    val H = 4000000000000000000L
+    states.overwrite(Seq(("g", 1L, H)).toDF("src", "x", "w")
+      .groupBy(col("src"))
+      .agg(graft.functions.SketchAgg.logHistSketchW(col("x"), col("w")).as("st")))
+    val schema = Seq(("g", 1L)).toDF("src", "x").schema
+    def run(): Unit =
+      StreamingLift.histDriftStream(spark, srcDir + "/*", schema, states,
+        alerts, "src", "x", ckpt).awaitTermination(60000)
+    // batch 1: same bucket as the entire baseline → TVD exactly 0
+    Seq(("g", 1L), ("g", 1L), ("g", 1L)).toDF("src", "x")
+      .write.parquet(srcDir + "/f1")
+    run()
+    val r1 = alerts.read.filter(col("batch_id") === 0L).head()
+    assert(r1.getLong(2) === 3L && r1.getLong(3) === H)
+    assert(r1.getLong(4) === 0L && !r1.getBoolean(5))
+    // batch 2: fully disjoint bucket → TVD exactly 1,000,000 ppm
+    Seq(("g", 1000000L)).toDF("src", "x").write.parquet(srcDir + "/f2")
+    run()
+    val r2 = alerts.read.filter(col("batch_id") === 1L).head()
+    assert(r2.getLong(3) === H + 3L)
+    assert(r2.getLong(4) === 1000000L && r2.getBoolean(5))
+  }
+
   test("nearDupStream: in-batch + vs-corpus candidates, exactly-once index") {
     import org.apache.spark.sql.functions.col
     import graft.ops.Dedup
