@@ -500,6 +500,17 @@ object StreamingLift {
       checkpoint: String, availableNow: Boolean = true,
       blocklist: Seq[String] = Nil): StreamingQuery = {
     import graft.ops.{Dedup, QualityRules}
+    // heal a pre-widening ledger (6 columns, no n_blocklisted) BEFORE
+    // the first append: plain parquet appends must not mix schemas in
+    // one un-merged directory — non-bucketed reads would resolve a
+    // mixed ledger to whichever file's footer schema inference picks.
+    // The blocklist gate did not exist when those rows were written,
+    // so n_blocklisted = 0 is their true count, not a fabrication.
+    if (audit.exists && !audit.read.columns.contains("n_blocklisted"))
+      audit.overwrite(audit.read
+        .withColumn("n_blocklisted", lit(0L))
+        .select("batch_id", "n_input", "n_low_quality", "n_blocklisted",
+          "n_dup_in_batch", "n_dup_in_corpus", "n_loaded"))
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)

@@ -699,6 +699,38 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(alertRows()(3L) === ((0L, -1L, false)))
   }
 
+  test("curationStream heals a pre-widening 6-column audit ledger before appending") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-cur-legacy")
+    val srcDir = base.resolve("src").toString
+    val dest = ParquetTable(spark, base.resolve("dest").toString)
+    val audit = ParquetTable(spark, base.resolve("audit").toString)
+    // a ledger written before the blocklist gate existed: 6 columns
+    audit.append(Seq((-1L, 5L, 2L, 1L, 0L, 2L))
+      .toDF("batch_id", "n_input", "n_low_quality",
+        "n_dup_in_batch", "n_dup_in_corpus", "n_loaded"))
+    assert(!audit.read.columns.contains("n_blocklisted"))
+    val good = "useful sentence with the stopwords and plenty of " +
+      "varied readable words to pass every gopher gate easily " * 3
+    val b = Seq((1L, good)).toDF("doc_id", "text")
+    b.write.parquet(srcDir + "/f1")
+    StreamingLift.curationStream(spark, srcDir + "/*", b.schema, dest,
+      audit, "doc_id", "text", Seq("the", "and", "of", "to", "with"),
+      base.resolve("ckpt").toString, blocklist = Seq("never matches"))
+      .awaitTermination(60000)
+    // one coherent 7-column schema, no mixed-footer directory
+    val rows = audit.read
+      .select("batch_id", "n_input", "n_blocklisted", "n_loaded")
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(rows(-1L) === ((5L, 0L, 2L)),
+      "legacy row migrated with its true zero blocklist count")
+    assert(rows(0L)._1 === 1L)
+    assert(audit.read.columns.toSeq === Seq("batch_id", "n_input",
+      "n_low_quality", "n_blocklisted", "n_dup_in_batch",
+      "n_dup_in_corpus", "n_loaded"))
+  }
+
   test("histDriftStream: TVD stays exact past the long cross-multiplication range") {
     import org.apache.spark.sql.functions.col
     val base = Files.createTempDirectory("graft-drift-big")
