@@ -113,19 +113,20 @@ final case class AggView(
     * unless `from` matches the view's applied version, so a replayed
     * or skipped feed segment can never double-apply or gap the view.
     */
-  def refreshWith(changes: DataFrame, from: String, to: String): RefreshResult =
-    view.currentMeta.get(AppliedKey) match {
-      case Some(applied) if applied == from && from < to =>
-        // `to` is a freshly published base version: mutation count 0
-        // at publish; later in-place appends are caught by refresh()
-        view.overwrite(Cdc.applyDelta(view.read, changes, groupKey, sumCols),
-          meta = Map(AppliedKey -> to, AppliedMutsKey -> "0"))
-        RefreshResult("delta", from = Some(from), to = to)
-      case other =>
-        // `other` IS the applied version just read — no second pointer
-        // round-trip (which could also disagree with the branch taken)
-        RefreshResult("stale", from = other, to = other.getOrElse(""))
-    }
+  def refreshWith(changes: DataFrame, from: String, to: String): RefreshResult = {
+    // `to` is a freshly published base version: mutation count 0 at
+    // publish; later in-place appends are caught by refresh()
+    val outcome = guardedPublish(view, AppliedKey, to,
+      admit = m => m.contains(from) && from < to,
+      extraMeta = Map(AppliedMutsKey -> "0"))(
+      Cdc.applyDelta(view.read, changes, groupKey, sumCols))
+    if (outcome.published) RefreshResult("delta", from = Some(from), to = to)
+    // sawMarker IS the applied version the guard read — no second
+    // pointer round-trip (which could also disagree with the branch
+    // taken)
+    else RefreshResult("stale", from = outcome.sawMarker,
+      to = outcome.sawMarker.getOrElse(""))
+  }
 }
 
 /** The non-distributive sibling of [[AggView]]: the snapshot is
@@ -178,6 +179,45 @@ final case class RefreshView(view: ParquetTable, groupKey: String)(
 object AggView {
   val AppliedKey = "graft.aggview.applied"
   val AppliedMutsKey = "graft.aggview.applied_muts"
+
+  /** What [[guardedPublish]] did: whether the fold was published, and
+    * the applied marker the guard READ (one read — callers must not
+    * re-read the pointer to report, it could disagree with the branch
+    * taken).
+    */
+  final case class PublishOutcome(published: Boolean, sawMarker: Option[String])
+
+  /** The ONE exactly-once guarded fold-publish that every maintained
+    * snapshot goes through — [[AggView.refreshWith]] (batch CDC view,
+    * version-name markers) and the streaming maintain folds
+    * ([[graft.streaming.StreamingLift]]'s maintainAggStream /
+    * sketch-state maintain streams / drift baseline, batch-id
+    * markers): read the snapshot's applied marker under `markerKey`;
+    * if `admit(marker)` rejects it the publish is REFUSED — the fold
+    * is never evaluated, nothing is written; otherwise `next`
+    * evaluates and publishes with the marker (and `extraMeta`)
+    * recorded version-pinned, atomically with the data it describes.
+    * Replay and refusal semantics live HERE, once.
+    *
+    * `next` is by-name deliberately: side effects that must precede
+    * the publish but follow the admit decision (e.g. a drift stream's
+    * alert-ledger append) run inside it. The bucketed streaming
+    * indexes (nearDup/span) are the one maintained surface NOT routed
+    * here: their publish is a file-additive in-place append guarded
+    * by table-scoped metadata and absorbed by read-side algebra, not
+    * a versioned overwrite — see their docs.
+    */
+  def guardedPublish(snapshot: ParquetTable, markerKey: String,
+      marker: String, admit: Option[String] => Boolean,
+      extraMeta: Map[String, String] = Map.empty)(
+      next: => DataFrame): PublishOutcome = {
+    val applied = snapshot.currentMeta.get(markerKey)
+    if (!admit(applied)) PublishOutcome(published = false, applied)
+    else {
+      snapshot.overwrite(next, meta = extraMeta + (markerKey -> marker))
+      PublishOutcome(published = true, applied)
+    }
+  }
 
   private[sources] def baseVersion(base: ParquetTable): String =
     base.liveVersion.getOrElse(throw new IllegalStateException(

@@ -234,6 +234,14 @@ object StreamingLift {
   /** Exact-integer arithmetic wide enough for count cross-products. */
   private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
 
+  /** The micro-batch admit rule every versioned maintain fold passes
+    * to [[graft.sources.AggView.guardedPublish]]: a marker at or past
+    * `batchId` means this batch already published (foreachBatch
+    * replay) — refuse.
+    */
+  private def admitBatch(batchId: Long): Option[String] => Boolean =
+    m => !m.map(_.toLong).exists(_ >= batchId)
+
   /** Streaming IVM: watch `srcPath` for CDC change files (the
     * [[graft.ops.Cdc.changeSet]] shape — key, change, before, after)
     * and fold each micro-batch into a materialized per-key COUNT/SUM
@@ -266,11 +274,10 @@ object StreamingLift {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val applied = snapshot.currentMeta.get(AppliedBatchKey).map(_.toLong)
-        if (!applied.exists(_ >= batchId))
-          snapshot.overwrite(
-            graft.ops.Cdc.applyDelta(snapshot.read, batch, groupKey, sumCols),
-            meta = Map(AppliedBatchKey -> batchId.toString))
+        graft.sources.AggView.guardedPublish(snapshot, AppliedBatchKey,
+          batchId.toString, admitBatch(batchId))(
+          graft.ops.Cdc.applyDelta(snapshot.read, batch, groupKey, sumCols))
+        (): Unit
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
@@ -374,8 +381,8 @@ object StreamingLift {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val applied = states.currentMeta.get(AppliedBatchKey).map(_.toLong)
-        if (!applied.exists(_ >= batchId)) {
+        graft.sources.AggView.guardedPublish(states, AppliedBatchKey,
+          batchId.toString, admitBatch(batchId)) {
           val batchStates = batch.groupBy(col(groupCol))
             .agg(SketchAgg.logHistSketch(col(valueCol)).as("st"))
             .localCheckpoint(true)
@@ -410,12 +417,13 @@ object StreamingLift {
               .select(lit(batchId).as("batch_id"), col(groupCol),
                 col("n_batch"), col("n_hist"), col("tvd_ppm"),
                 col("alerted"))
+            // ledger lands BEFORE the publish (at-least-once, keyed by
+            // batch_id) — inside the guarded fold so a refused replay
+            // never re-appends either
             alerts.append(scored)
-            states.overwrite(
-              states.read.unionByName(batchStates)
-                .groupBy(col(groupCol))
-                .agg(SketchAgg.logHistMerge(col("st")).as("st")),
-              meta = Map(AppliedBatchKey -> batchId.toString))
+            states.read.unionByName(batchStates)
+              .groupBy(col(groupCol))
+              .agg(SketchAgg.logHistMerge(col("st")).as("st"))
           } else {
             alerts.append(batchStates
               .select(lit(batchId).as("batch_id"), col(groupCol),
@@ -423,10 +431,10 @@ object StreamingLift {
                 lit(null).cast("long").as("n_hist"),
                 lit(null).cast("long").as("tvd_ppm"),
                 lit(false).as("alerted")))
-            states.overwrite(batchStates,
-              meta = Map(AppliedBatchKey -> batchId.toString))
+            batchStates
           }
         }
+        (): Unit
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
@@ -445,18 +453,16 @@ object StreamingLift {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val applied = states.currentMeta.get(AppliedBatchKey).map(_.toLong)
-        if (!applied.exists(_ >= batchId)) {
+        graft.sources.AggView.guardedPublish(states, AppliedBatchKey,
+          batchId.toString, admitBatch(batchId)) {
           val batchStates = batch.groupBy(col(groupCol))
             .agg(buildAgg.as("st"))
-          val next =
-            if (states.exists)
-              states.read.unionByName(batchStates)
-                .groupBy(col(groupCol)).agg(foldAgg.as("st"))
-            else batchStates
-          states.overwrite(next,
-            meta = Map(AppliedBatchKey -> batchId.toString))
+          if (states.exists)
+            states.read.unionByName(batchStates)
+              .groupBy(col(groupCol)).agg(foldAgg.as("st"))
+          else batchStates
         }
+        (): Unit
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
@@ -615,16 +621,19 @@ object StreamingLift {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val applied = (if (index.isBucketed) index.tableMeta
-          else index.currentMeta).get(AppliedBatchKey).map(_.toLong)
-        if (!applied.exists(_ >= batchId)) {
+        def prep(): (DataFrame, DataFrame) = {
           val batch = batch0.localCheckpoint(true)
           val keys = Dedup.bandKeyRows(batch, idCol, textCol,
             shingleWords, bands, rowsPerBand).localCheckpoint(true)
           val internal = Dedup.minhashCandidatePairs(batch, idCol,
               textCol, shingleWords, bands, rowsPerBand, maxBucket)
             .withColumn("pair_kind", lit("in_batch"))
-          if (index.isBucketed) {
+          (keys, internal)
+        }
+        if (index.isBucketed) {
+          val applied = index.tableMeta.get(AppliedBatchKey).map(_.toLong)
+          if (!applied.exists(_ >= batchId)) {
+            val (keys, internal) = prep()
             // PARTITION-SCOPED path (the 100 TB shape): the index is
             // hash-bucketed on band_key, so
             //  - the probe reads ONLY the buckets the batch's keys
@@ -661,23 +670,30 @@ object StreamingLift {
             index.putTableMeta(AppliedBatchKey -> batchId.toString)
             compactNearDupIndex(index, idCol, maxBucket,
               touched.filter(index.bucketFileCount(_) > compactFileThreshold))
-          } else {
-            // flat path (small/medium indexes): full union + versioned
-            // overwrite — simple and exactly-once, but O(index) per
-            // trigger; bucket the index for streaming at scale
+          }
+        } else {
+          // flat path (small/medium indexes): full union + versioned
+          // overwrite through the ONE guarded fold-publish
+          // (AggView.guardedPublish) — simple and exactly-once, but
+          // O(index) per trigger; bucket the index for streaming at
+          // scale
+          graft.sources.AggView.guardedPublish(index, AppliedBatchKey,
+            batchId.toString, admitBatch(batchId)) {
+            val (keys, internal) = prep()
             val cross =
               if (index.exists)
                 Dedup.bandIndexProbe(index.read, keys, idCol, maxBucket)
                   .withColumn("pair_kind", lit("vs_corpus"))
               else internal.limit(0)
+            // pairs land BEFORE the publish (at-least-once, keyed by
+            // batch_id) — inside the guarded fold so a refused replay
+            // never re-appends either
             pairsOut.append(internal.unionByName(cross)
               .withColumn("batch_id", lit(batchId)))
-            val merged =
-              if (index.exists) index.read.unionByName(keys).distinct()
-              else keys.distinct()
-            index.overwrite(merged,
-              meta = Map(AppliedBatchKey -> batchId.toString))
+            if (index.exists) index.read.unionByName(keys).distinct()
+            else keys.distinct()
           }
+          (): Unit
         }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
@@ -805,9 +821,11 @@ object StreamingLift {
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
       .foreachBatch { (batch0: DataFrame, batchId: Long) =>
-        val seen = index.exists &&
-          index.currentMeta.get(SpanBatchKey).exists(_.toLong >= batchId)
-        if (!seen) {
+        // the ONE guarded fold-publish (AggView.guardedPublish): a
+        // replayed batch whose id the live index already covers is
+        // refused before anything is computed or appended
+        graft.sources.AggView.guardedPublish(index, SpanBatchKey,
+          batchId.toString, admitBatch(batchId)) {
           val batch = batch0.localCheckpoint(true)
           val corpusIdx0 =
             if (index.exists) index.read
@@ -847,10 +865,13 @@ object StreamingLift {
             .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
             .localCheckpoint(true)
           val pinnedIdx = merged.localCheckpoint(true)
+          // spans land BEFORE the publish (at-least-once, keyed by
+          // batch_id) — inside the guarded fold so a refused replay
+          // never re-appends either
           if (!pinnedSpans.isEmpty) spansOut.append(pinnedSpans)
-          index.overwrite(pinnedIdx,
-            meta = Map(SpanBatchKey -> batchId.toString))
+          pinnedIdx
         }
+        (): Unit
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }

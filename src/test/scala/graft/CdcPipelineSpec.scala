@@ -401,4 +401,63 @@ class CdcPipelineSpec extends AnyFunSuite {
       .map(r => r.getLong(0) -> r.getString(1)).toMap
     assert(d === Map(1L -> "delete", 2L -> "update", 3L -> "insert"))
   }
+
+  test("streamed maintain == AggView refresh on the same feed (one guarded-publish contract)") {
+    import graft.sources.{AggView, ParquetTable}
+    import graft.streaming.StreamingLift
+    val dir = Files.createTempDirectory("graft-ivm-unify")
+    def rows(kvs: Seq[(Long, String, Double)]) = kvs.toDF("k", "g", "v")
+    val s0 = rows(Seq((1L, "a", 10.0), (2L, "b", 5.0), (3L, "a", 1.0)))
+    val s1 = rows(Seq((1L, "a", 11.0), (3L, "b", 2.0))) // upd, del, move
+    val s2 = rows(Seq((1L, "a", 11.0), (3L, "b", 2.0), (4L, "c", 7.0)))
+
+    // batch surface: versioned base + AggView delta refresh
+    val baseT = ParquetTable(spark, dir.resolve("base").toString)
+    val view = AggView(ParquetTable(spark, dir.resolve("view").toString),
+      "g", Seq("v"))
+    baseT.overwrite(s0)
+    view.build(baseT)
+
+    // streaming surface: the SAME feed as CDC change files, folded by
+    // maintainAggStream into a snapshot seeded identically
+    val snap = ParquetTable(spark, dir.resolve("snap").toString)
+    snap.overwrite(view.view.read)
+    val srcDir = dir.resolve("src").toString
+    val ckpt = dir.resolve("ckpt").toString
+    val chSchema = Cdc.changeSet(s0, s1, "k").schema
+    def stream(ck: String = ckpt): Unit =
+      StreamingLift.maintainAggStream(spark, srcDir + "/*", chSchema,
+        snap, "g", Seq("v"), ck).awaitTermination(60000)
+    def viewRows(t: ParquetTable) = t.read.orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq
+
+    // step 1: both surfaces advance on changeSet(s0, s1)
+    Cdc.changeSet(s0, s1, "k").write.parquet(srcDir + "/c1")
+    stream()
+    baseT.overwrite(s1)
+    val v1 = baseT.liveVersion.get
+    assert(view.refresh(baseT, "k").mode === "delta")
+    assert(viewRows(snap) === viewRows(view.view))
+
+    // step 2
+    Cdc.changeSet(s1, s2, "k").write.parquet(srcDir + "/c2")
+    stream()
+    baseT.overwrite(s2)
+    val v2 = baseT.liveVersion.get
+    assert(view.refresh(baseT, "k").mode === "delta")
+    assert(viewRows(snap) === viewRows(view.view))
+    assert(viewRows(snap) === agg(s2).orderBy("g").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2))).toSeq)
+
+    // replay refusal comes from the SAME guard on both surfaces
+    // (AggView.guardedPublish): a fresh checkpoint re-delivers every
+    // change file -- refused; re-applying the stored feed segment the
+    // view already covers -- stale, no write
+    val before = viewRows(snap)
+    stream(dir.resolve("ckpt2").toString)
+    assert(viewRows(snap) === before, "stream replay refused")
+    val again = view.refreshWith(Cdc.changeSet(s1, s2, "k"), from = v1, to = v2)
+    assert(again.mode === "stale" && viewRows(view.view) === before,
+      "view replay refused")
+  }
 }
