@@ -43,7 +43,9 @@ object Bench {
     * again. Guaranteed: result.length <= 1980.
     */
   def renderLine(results: Seq[(String, Double)], errNames: Seq[String],
-      sfDir: String, runs: Int = 1): String = {
+      sfDir: String, runs: Int = 1,
+      loadavgs: Seq[String] = Nil,
+      dispersion: Seq[Dispersion] = Nil): String = {
     // Times are rounded to milliseconds, locale-independently — a SIZE
     // contract, not cosmetics (~1 ms of false precision is far below
     // the local[n] noise floor).
@@ -55,9 +57,21 @@ object Bench {
     // cannot itself overflow the window; n_errs always carries the
     // true count (stderr has the full list + exception messages).
     val errsJson = errNames.take(12).map("\"" + _ + "\"").mkString("[", ",", "]")
+    // contamination evidence rides IN the artifact (r12 gap: the
+    // DISPERSION/loadavg stderr lines could scroll out of the driver's
+    // bounded capture): per-pass 1/5/15 loadavg, and the dispersion
+    // verdicts compactly (short names, med/best only — raw passes stay
+    // in renderFull and stderr). Both capped so a pathological run
+    // cannot overflow the window; n_dispersion carries the true count.
+    val loadJson = loadavgs.take(8).map("\"" + _ + "\"").mkString("[", ",", "]")
+    val dispJson = dispersion.take(8).map { d =>
+      s"""{"q":"${d.name.takeWhile(_ != '_')}","med":${rounded(d.median, 2)},""" +
+        s""""best":${rounded(d.best, 2)}}"""
+    }.mkString("[", ",", "]")
     val head =
       s"""{"metric":"total","value":${rounded(total, 3)},"unit":"sec","n_queries":${results.size},""" +
-        s""""mean_query_sec":${rounded(mean, 3)},"runs":$runs,"n_errs":${errNames.size},"errs":$errsJson"""
+        s""""mean_query_sec":${rounded(mean, 3)},"runs":$runs,"n_errs":${errNames.size},"errs":$errsJson,""" +
+        s""""n_dispersion":${dispersion.size},"dispersion":$dispJson,"loadavg":$loadJson"""
     def render(scale: Int, shortKeys: Boolean): String = {
       val qs = results.map { case (k, v) =>
         val key = if (shortKeys) k.takeWhile(_ != '_') else k
@@ -82,19 +96,36 @@ object Bench {
       .find(_.length <= 1980).getOrElse(fallback.take(1980))
   }
 
+  /** One dispersion verdict: a query whose cross-pass MEDIAN is >3×
+    * its BEST pass in the same JVM — the plan didn't change between
+    * passes, so the spread can only be ambient box load (SCALE.md
+    * "bench-window contamination", r11). Carried in the JSON artifact
+    * so the evidence cannot scroll out of a bounded stderr capture.
+    */
+  final case class Dispersion(name: String, median: Double, best: Double,
+      raws: Seq[Double])
+
   /** Full-precision full-name form for SPARK_GRAFT_BENCH_OUT — no size
     * budget applies to a file. */
   def renderFull(results: Seq[(String, Double)], errNames: Seq[String],
-      sfDir: String, runs: Int = 1): String = {
+      sfDir: String, runs: Int = 1,
+      loadavgs: Seq[String] = Nil,
+      dispersion: Seq[Dispersion] = Nil): String = {
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
     val mean = if (results.isEmpty) 0.0 else total / results.size
     val errsJson = errNames.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val loadJson = loadavgs.map("\"" + _ + "\"").mkString("[", ",", "]")
+    val dispJson = dispersion.map { d =>
+      s"""{"q":"${d.name}","med":${r3(d.median)},"best":${r3(d.best)},""" +
+        s""""raws":${d.raws.map(r3).mkString("[", ",", "]")}}"""
+    }.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""mean_query_sec":${r3(mean)},"runs":$runs,"n_errs":${errNames.size},"errs":$errsJson,""" +
+      s""""n_dispersion":${dispersion.size},"dispersion":$dispJson,"loadavg":$loadJson,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
   }
 
@@ -180,15 +211,20 @@ object Bench {
           }
           name -> (System.nanoTime() - t0) / 1e9
         }
+        // 1/5/15 load AS OF the pass's end — recorded into the JSON
+        // artifact (not just stderr), so a contaminated window carries
+        // its own evidence
+        val la = loadAvg.split(" ").take(3).mkString(" ")
         if (runs > 1)
-          System.err.println(s"pass $p loadavg=[$loadAvg]: " + r.map { case (k, v) =>
+          System.err.println(s"pass $p loadavg=[$la]: " + r.map { case (k, v) =>
             f"$k=$v%.3f" }.mkString(" "))
-        (r, errs.toSeq)
+        (r, errs.toSeq, la)
       }
     }
     val results = medians(passes.map(_._1))
     // a query that failed in ANY pass is an error (its timing is junk)
     val errNames = passes.flatMap(_._2).distinct
+    val loadavgs = passes.map(_._3)
 
     // Bench-robustness guard (SCALE.md "bench-window contamination",
     // r11): a median more than 3x the BEST pass of the same query in
@@ -199,24 +235,28 @@ object Bench {
     // this line makes that failure mode self-diagnosing in the
     // artifact's stderr instead of requiring a judge re-measure.
     val rawsByName = passes.flatMap(_._1).groupBy(_._1)
-    results.foreach { case (name, med) =>
+    val dispersion = results.flatMap { case (name, med) =>
       val raws = rawsByName(name).map(_._2)
       val best = raws.min
-      if (best > 0.05 && med > 3 * best && med - best > 0.5)
+      if (best > 0.05 && med > 3 * best && med - best > 0.5) {
         System.err.println(
           f"bench: DISPERSION $name median=$med%.3f best=$best%.3f raws=[" +
             raws.map(v => f"$v%.3f").mkString(",") +
             "] — median is likely box-load contamination, not plan " +
             "cost; trust the best pass and cross-check the per-pass " +
             "loadavg lines above (load DURING each pass, not now)")
+        Some(Dispersion(name, med, best, raws))
+      } else None
     }
 
     // report the pass count that actually ran (budget may skip some)
     val ranPasses = passes.size
-    val line = renderLine(results, errNames, sfDir, ranPasses)
+    val line = renderLine(results, errNames, sfDir, ranPasses, loadavgs,
+      dispersion)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
-        renderFull(results, errNames, sfDir, ranPasses) + "\n")
+        renderFull(results, errNames, sfDir, ranPasses, loadavgs,
+          dispersion) + "\n")
     }
     spark.stop() // stop BEFORE printing so no stray log line follows the JSON
     println(line)

@@ -88,6 +88,33 @@ class BenchContractSpec extends AnyFunSpec with Matchers {
       line should include(""""n_queries":0""")
       line.length should be <= 1980
     }
+
+    it("carries the contamination evidence: per-pass loadavg + dispersion verdicts") {
+      val disp = Seq(Bench.Dispersion("q40_rollup", 13.62, 1.1,
+        Seq(1.1, 13.62, 14.0)))
+      val la = Seq("0.52 0.61 0.55", "5.10 3.20 1.80", "0.60 0.70 0.60")
+      val line = Bench.renderLine(fakeResults(20), Nil, sf, runs = 3,
+        loadavgs = la, dispersion = disp)
+      line should include(""""n_dispersion":1""")
+      line should include(""""dispersion":[{"q":"q40","med":13.62,"best":1.10}]""")
+      line should include(""""loadavg":["0.52 0.61 0.55","5.10 3.20 1.80","0.60 0.70 0.60"]""")
+      // and the clean case stays compact + well-formed
+      val clean = Bench.renderLine(fakeResults(20), Nil, sf, runs = 3,
+        loadavgs = la)
+      clean should include(""""n_dispersion":0""")
+      clean should include(""""dispersion":[]""")
+    }
+
+    it("dispersion/loadavg are capped so a pathological run still fits the window") {
+      val disp = (1 to 300).map(i =>
+        Bench.Dispersion(s"q${i}_some_longish_query_name", 9.99, 0.5,
+          Seq(0.5, 9.99, 10.0)))
+      val la = (1 to 300).map(_ => "12.34 11.00 10.55")
+      val line = Bench.renderLine(fakeResults(300), Nil, sf, runs = 300,
+        loadavgs = la, dispersion = disp)
+      line.length should be <= 1980
+      line should include(""""n_dispersion":300""")
+    }
   }
 
   describe("Bench.renderFull") {
@@ -99,6 +126,16 @@ class BenchContractSpec extends AnyFunSpec with Matchers {
       }
       full should include(""""n_errs":20""")
       full should include(""""q20_x"""")
+    }
+
+    it("carries uncapped dispersion with raw passes and full names") {
+      val disp = Seq(Bench.Dispersion("q40_rollup", 13.62, 1.1,
+        Seq(1.1, 13.62, 14.0)))
+      val full = Bench.renderFull(fakeResults(5), Nil, sf, runs = 3,
+        loadavgs = Seq("0.5 0.6 0.5"), dispersion = disp)
+      full should include(""""dispersion":[{"q":"q40_rollup","med":13.620,""")
+      full should include(""""raws":[1.100,13.620,14.000]""")
+      full should include(""""loadavg":["0.5 0.6 0.5"]""")
     }
   }
 
