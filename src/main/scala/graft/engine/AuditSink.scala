@@ -41,6 +41,37 @@ final class AuditSink(spark: SparkSession) {
     if (drained.nonEmpty) table.append(toDf(drained))
   }
 
+  /** Land drift-monitor verdicts in the O6 audit shape — the bridge
+    * between [[graft.streaming.StreamingLift.histDriftStream]]'s
+    * alerts table (batch_id, group, n_batch, n_hist, tvd_ppm,
+    * alerted) and the book's audit stream (the reference's convention
+    * of one event table carrying every operational signal,
+    * `books/etl/book.js:13-15`): one `drift:alert` (or `drift:ok`)
+    * event per alert row, name = the drifting group, data = the exact
+    * integers the verdict was computed from. The collect is bounded
+    * by construction — one row per (micro-batch, group), driver-side
+    * metadata like every other audit event. Returns the number of
+    * events recorded.
+    */
+  def recordDrift(alerts: DataFrame, groupCol: String,
+      onlyAlerted: Boolean = true): Int = {
+    val rows = alerts
+      .filter(if (onlyAlerted) col("alerted") else lit(true))
+      .select(col("batch_id"), col(groupCol).cast("string"),
+        col("n_batch"), col("n_hist"), col("tvd_ppm"), col("alerted"))
+      .collect()
+    rows.foreach { r =>
+      events.add(StateEvent(
+        if (r.getBoolean(5)) "drift:alert" else "drift:ok",
+        System.currentTimeMillis(), r.getString(1), 0L,
+        Map("batchId" -> r.getLong(0).toString,
+          "n_batch" -> r.getLong(2).toString,
+          "n_hist" -> (if (r.isNullAt(3)) "" else r.getLong(3).toString),
+          "tvd_ppm" -> (if (r.isNullAt(4)) "" else r.getLong(4).toString))))
+    }
+    rows.length
+  }
+
   /** Mirror Structured Streaming progress into the SAME audit shape
     * the batch books emit (the reference logs per-chapter progress the
     * same way, `lib/book.js:250-258`): one `streamProgress` event per

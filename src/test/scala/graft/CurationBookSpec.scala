@@ -55,6 +55,58 @@ class CurationBookSpec extends AnyFunSuite {
     assert(!all0.contains("kept"))
   }
 
+  test("book ingest with drift monitoring lands alerts in the audit stream (O6)") {
+    import graft.sources.ParquetTable
+    import graft.streaming.StreamingLift
+    val base = Files.createTempDirectory("curation-drift")
+    val registry = new ConnectionRegistry(spark)
+    val dest = registry.build("file", "dest",
+      Map("path" -> base.resolve("dest").toString)).asInstanceOf[FileConnection]
+    val srcDir = base.resolve("incoming").toString
+    val states = ParquetTable(spark, base.resolve("drift-states").toString)
+    val alerts = ParquetTable(spark, base.resolve("drift-alerts").toString)
+    val ckpt = base.resolve("ckpt").toString
+    def stats(vs: Seq[Long]) = vs.map(v => ("web", v)).toDF("source", "n_chars")
+    val schema = stats(Nil).schema
+
+    val book = new Book("curation-monitored")
+    val audit = new AuditSink(spark).attach(book)
+    // day 1 establishes the baseline; day 2 arrives in a disjoint
+    // length regime — the monitor must alert, and the alert must land
+    // in the SAME audit table as the book lifecycle events (the
+    // reference's one-event-stream convention, books/etl/book.js:13-15)
+    stats(1L to 20L).write.parquet(srcDir + "/day1")
+    val day1 = book.addChapter(100, "ingest_day1")
+    day1.addPage("drift_monitored_ingest_day1") {
+      StreamingLift.histDriftStream(spark, srcDir + "/*", schema, states,
+        alerts, "source", "n_chars", ckpt).awaitTermination(60000)
+    }
+    val day2 = book.addChapter(200, "ingest_day2")
+    day2.addPage("drift_monitored_ingest_day2") {
+      stats((1L to 20L).map(_ + 100000L)).write.parquet(srcDir + "/day2")
+      StreamingLift.histDriftStream(spark, srcDir + "/*", schema, states,
+        alerts, "source", "n_chars", ckpt).awaitTermination(60000)
+    }
+    val monitor = book.addChapter(300, "drift_audit")
+    monitor.addPage("record_drift") {
+      book.data("n_drift") = audit.recordDrift(alerts.read, "source")
+    }
+    book.run()
+    audit.flush(dest.table("empujar"))
+
+    val events = dest.getAll("empujar")
+      .select("state", "name", "data").collect()
+    val drift = events.filter(_.getString(0) == "drift:alert")
+    assert(drift.length === 1 && drift.head.getString(1) === "web")
+    // fully disjoint regimes → exactly 1,000,000 ppm, carried verbatim
+    assert(drift.head.getString(2).contains("\"tvd_ppm\": \"1000000\""))
+    assert(book.data("n_drift") === 1)
+    // the drift events coexist with the normal lifecycle shape
+    assert(events.count(_.getString(0) == "book:end") === 1)
+    assert(events.count(_.getString(0) == "book:error") === 0)
+    assert(events.count(_.getString(0) == "chapter:end") === 3)
+  }
+
   test("curation book: ingest → quality gate → dedup → mixture → shards, audited") {
     val destRoot = Files.createTempDirectory("curation_dest").toString
     val registry = new ConnectionRegistry(spark)
