@@ -134,4 +134,67 @@ object Retrieval {
       .orderBy(col("score_q").desc, col(idCol))
       .limit(k)
   }
+
+  /** The log₂ rank-discount table nDCG needs, as INTEGER literals
+    * `⌊2²⁰ / log₂(1+r)⌋` computed ONCE in driver Scala — the same
+    * numbers are interpolated verbatim into the oracle SQL, so no
+    * runtime `log` (whose last ulp differs across libm builds) ever
+    * enters either plan. Public so the query pack can embed the
+    * identical table.
+    */
+  def ndcgDiscounts(k: Int): Seq[(Int, Long)] =
+    (1 to k).map(r =>
+      r -> math.floor(1048576.0 / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Graded-relevance nDCG@k of a retrieval ranking against a label
+    * table — the eval-harness step a training-data pipeline runs on
+    * every retrieval/rerank change. `ranking` is scored candidates
+    * (idCol, scoreCol — e.g. [[bm25Rank]]'s output); `labels` holds
+    * (idCol, relCol ≥ 1) for every RELEVANT doc in the corpus
+    * (unlabeled docs count 0). Ranks assign by (score DESC, id ASC);
+    * gains are `rel · ⌊2²⁰/log₂(1+r)⌋` integer products; the ideal
+    * ranking takes the corpus's top-k labels — so
+    * `ndcg_ppm = ⌊10⁶ · DCG / IDCG⌋` is one integer division of two
+    * long sums, bit-comparable cross-engine (NULL when nothing is
+    * relevant anywhere).
+    *
+    * Scale shape: the only window runs over ≤ k already-ranked rows
+    * (the ranking arrives top-k'd; the ideal side is
+    * TakeOrderedAndProject over the label table, never a corpus
+    * sort); the label join probes k rows; the final assembly is a
+    * 1-row × 1-row broadcast join.
+    *
+    * Output: one row (n_ranked, dcg_q, idcg_q, ndcg_ppm).
+    */
+  def ndcgAt(ranking: DataFrame, idCol: String, scoreCol: String,
+      labels: DataFrame, relCol: String, k: Int): DataFrame = {
+    require(k >= 1 && k <= 1000, s"need 1 <= k <= 1000: $k")
+    val disc = ndcgDiscounts(k)
+    val discMap = map(disc.flatMap { case (r, d) =>
+      Seq(lit(r), lit(d)) }: _*)
+    val byScore = org.apache.spark.sql.expressions.Window
+      .orderBy(col(scoreCol).desc, col(idCol))
+    val ranked = ranking
+      .orderBy(col(scoreCol).desc, col(idCol)).limit(k)
+      .withColumn("__r", row_number().over(byScore))
+    val dcgRow = ranked
+      .join(labels.select(col(idCol), col(relCol).cast("long").as("__rel")),
+        Seq(idCol), "left")
+      .agg(count(lit(1)).as("n_ranked"),
+        sum(coalesce(col("__rel"), lit(0L)) *
+          element_at(discMap, col("__r"))).as("dcg_q"))
+    val byRel = org.apache.spark.sql.expressions.Window
+      .orderBy(col("__rel").desc, col(idCol))
+    val idcgRow = labels
+      .select(col(idCol), col(relCol).cast("long").as("__rel"))
+      .filter(col("__rel") > 0L)
+      .orderBy(col("__rel").desc, col(idCol)).limit(k)
+      .withColumn("__r", row_number().over(byRel))
+      .agg(coalesce(sum(col("__rel") * element_at(discMap, col("__r"))),
+        lit(0L)).as("idcg_q"))
+    dcgRow.join(broadcast(idcgRow))
+      .select(col("n_ranked"), col("dcg_q"), col("idcg_q"),
+        when(col("idcg_q") > 0L,
+          expr("dcg_q * 1000000 DIV idcg_q")).as("ndcg_ppm"))
+  }
 }

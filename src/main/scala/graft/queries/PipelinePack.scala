@@ -4,7 +4,7 @@ import org.apache.spark.sql.functions._
 import graft.QueryDef
 import graft.sources.Tables
 import graft.functions.{Kernels, TextKernels}
-import graft.ops.{Dedup, Multimodal, Similarity, TextClean}
+import graft.ops.{Dedup, Multimodal, Retrieval, Similarity, TextClean}
 
 /** [EXT] LLM-data-pipeline operator queries over the `documents` and
   * `embeddings` tables (SURVEY.md §7.1 step 6; north-star extension
@@ -3395,6 +3395,68 @@ object PipelinePack {
       JOIN sz ON sz.b = x.b AND sz.bk = x.bk
       WHERE sz.c <= 1 AND x.doc_id <> y.doc_id"""))
 
+  /** Retrieval EVALUATION — graded nDCG@20 of the q154 BM25 ranking
+    * against term-coverage relevance labels
+    * ([[graft.ops.Retrieval.ndcgAt]]): rel(doc) = distinct query
+    * terms present; gains are integer `rel · ⌊2²⁰/log₂(1+r)⌋`
+    * products with the discount table computed ONCE in driver Scala
+    * and interpolated verbatim into both plans (no runtime log);
+    * `ndcg_ppm = ⌊10⁶·DCG/IDCG⌋` — one integer division of two long
+    * sums. The eval-harness step every retrieval/rerank change is
+    * judged by. Scale shape: ranks window over ≤ 20 rows, the ideal
+    * side is TakeOrderedAndProject over the label table, assembly a
+    * 1-row broadcast join.
+    */
+  private val q215 = QueryDef(
+    "q215_ndcg",
+    (s, dir) => {
+      val docs = Tables.documents(s, dir)
+      val terms = Seq("spark", "table", "hash")
+      val ranking = Retrieval.bm25Rank(docs, "doc_id", "text", terms, k = 20)
+      val labels = docs.select(col("doc_id"),
+        size(array_intersect(graft.functions.TextKernels.tokens(col("text")),
+          array(terms.map(lit): _*))).cast("long").as("rel"))
+        .filter(col("rel") > 0)
+      Retrieval.ndcgAt(ranking, "doc_id", "score_q", labels, "rel", k = 20)
+    },
+    Some {
+      val disc = Retrieval.ndcgDiscounts(20)
+        .map { case (r, d) => s"($r, $d)" }.mkString(", ")
+      s"""WITH tok AS (SELECT doc_id AS id, unnest(string_split(text, ' ')) AS w
+          FROM documents),
+        dl AS (SELECT id, count(*)::HUGEINT AS dl FROM tok GROUP BY id),
+        tot AS (SELECT count(*)::HUGEINT AS n_docs, sum(dl)::HUGEINT AS t_tokens
+          FROM dl),
+        qt AS (SELECT id, w FROM tok WHERE w IN ('spark', 'table', 'hash')),
+        dfq AS (SELECT w, count(DISTINCT id)::HUGEINT AS df FROM qt GROUP BY w),
+        tf AS (SELECT id, w, count(*)::HUGEINT AS tf FROM qt GROUP BY id, w),
+        c AS (SELECT tf.id,
+            ((1048576::HUGEINT * (2 * (n_docs - df) + 1) // (2 * df + 1))
+             * (1048576::HUGEINT * 22 * t_tokens * tf
+                // (10::HUGEINT * t_tokens * tf + 3 * t_tokens
+                    + 9::HUGEINT * dl.dl * n_docs))
+             // 1048576) AS c
+          FROM tf JOIN dfq USING (w) JOIN dl ON dl.id = tf.id CROSS JOIN tot),
+        rank20 AS (SELECT id, sum(c)::BIGINT AS score_q FROM c GROUP BY id
+          ORDER BY score_q DESC, id LIMIT 20),
+        ranked AS (SELECT id, row_number() OVER (ORDER BY score_q DESC, id) AS r
+          FROM rank20),
+        rel AS (SELECT id, count(DISTINCT w)::BIGINT AS rel FROM qt GROUP BY id),
+        disc(r, d) AS (VALUES $disc),
+        dcg AS (SELECT count(*)::BIGINT AS n_ranked,
+            sum(coalesce(rel.rel, 0) * disc.d)::BIGINT AS dcg_q
+          FROM ranked JOIN disc USING (r) LEFT JOIN rel USING (id)),
+        ideal AS (SELECT rel, row_number() OVER (ORDER BY rel DESC, id) AS r
+          FROM (SELECT id, rel FROM rel WHERE rel > 0
+                ORDER BY rel DESC, id LIMIT 20)),
+        idcg AS (SELECT coalesce(sum(ideal.rel * disc.d), 0)::BIGINT AS idcg_q
+          FROM ideal JOIN disc USING (r))
+        SELECT n_ranked, dcg_q, idcg_q,
+          CASE WHEN idcg_q > 0 THEN dcg_q * 1000000 // idcg_q END::BIGINT
+            AS ndcg_ppm
+        FROM dcg CROSS JOIN idcg"""
+    })
+
   /** The curated blocklist shared by q207/q208 — mixed 2- and 3-word
     * phrases from the corpus vocabulary plus one that can never match
     * (the zero-fill row every per-phrase report must carry).
@@ -3722,5 +3784,5 @@ object PipelinePack {
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-    q213, q214)
+    q213, q214, q215)
 }

@@ -1176,4 +1176,32 @@ class PipelineSpec extends AnyFunSuite {
     assert(!(star eq s1))
     assert(star.collect().map(r => (r.getLong(0), r.getLong(1))).toSet === rawSurv)
   }
+
+  test("Retrieval.ndcgAt: hand-folded graded nDCG, missing labels are zero-gain") {
+    import graft.ops.Retrieval
+    val ranking = Seq((1L, 30L), (2L, 20L), (3L, 10L))
+      .toDF("doc_id", "score_q")
+    // doc 1 unlabeled (gain 0); doc 4 relevant but NOT retrieved -- it
+    // still raises the ideal bar through IDCG
+    val labels = Seq((2L, 2L), (3L, 1L), (4L, 3L)).toDF("doc_id", "rel")
+    val d = Retrieval.ndcgDiscounts(3).map(_._2)
+    val dcg = 2L * d(1) + 1L * d(2)
+    val idcg = 3L * d(0) + 2L * d(1) + 1L * d(2)
+    val row = Retrieval.ndcgAt(ranking, "doc_id", "score_q",
+      labels, "rel", k = 3).head()
+    assert((row.getLong(0), row.getLong(1), row.getLong(2), row.getLong(3)) ===
+      ((3L, dcg, idcg, dcg * 1000000L / idcg)))
+    // nothing relevant anywhere: IDCG = 0 and the verdict is NULL, not
+    // a crash or a fabricated 0
+    val none = Retrieval.ndcgAt(ranking, "doc_id", "score_q",
+      labels.limit(0), "rel", k = 3).head()
+    assert(none.getLong(2) === 0L && none.isNullAt(3))
+    // a ranking longer than k is cut at k before any gain counts
+    val longRank = Seq((1L, 40L), (2L, 30L), (3L, 20L), (4L, 10L))
+      .toDF("doc_id", "score_q")
+    val cut = Retrieval.ndcgAt(longRank, "doc_id", "score_q",
+      labels, "rel", k = 2).head()
+    assert(cut.getLong(0) === 2L && cut.getLong(1) === 2L * d(1),
+      "doc 3/4 gains must not count at k = 2")
+  }
 }
