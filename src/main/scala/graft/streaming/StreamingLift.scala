@@ -666,7 +666,14 @@ object StreamingLift {
               } else internal.limit(0)
             pairsOut.append(internal.unionByName(cross)
               .withColumn("batch_id", lit(batchId)))
-            index.append(keys.withColumn("src_batch", lit(batchId)))
+            // ONE file per touched bucket per batch: without the
+            // delta-sized repartition, every batch partition writes its
+            // own file into every bucket it touches (partitions ×
+            // buckets files), and the probe's planning cost is
+            // O(files) — an O(batch) shuffle of the delta buys a flat
+            // file count
+            index.append(keys.withColumn("src_batch", lit(batchId))
+              .repartition(index.buckets, index.bucketExpr))
             index.putTableMeta(AppliedBatchKey -> batchId.toString)
             compactNearDupIndex(index, idCol, maxBucket,
               touched.filter(index.bucketFileCount(_) > compactFileThreshold))
@@ -728,7 +735,8 @@ object StreamingLift {
       .withColumn(idCol, lit(null).cast("long"))
       .select(healthy.columns.map(col): _*)
     index.overwriteBuckets(
-      healthy.unionByName(tombs).withColumn("src_batch", lit(-1L)))
+      healthy.unionByName(tombs).withColumn("src_batch", lit(-1L))
+        .repartition(index.buckets, index.bucketExpr)) // 1 file/bucket
   }
 
   /** Logical (id, band_idx, band_key) content of a [[nearDupStream]]
@@ -955,7 +963,9 @@ object StreamingLift {
           val pinnedSpans = spans.withColumn("batch_id", lit(batchId))
             .localCheckpoint(true)
           if (!pinnedSpans.isEmpty) spansOut.append(pinnedSpans)
-          index.append(batchIdx.withColumn("src_batch", lit(batchId)))
+          // one file per touched bucket per batch (see nearDupStream)
+          index.append(batchIdx.withColumn("src_batch", lit(batchId))
+            .repartition(index.buckets, index.bucketExpr))
           index.putTableMeta(SpanBatchKey -> batchId.toString)
           compactSpanIndex(index, watermarkOf(batchId),
             touched.filter(index.bucketFileCount(_) > compactFileThreshold))
@@ -991,7 +1001,9 @@ object StreamingLift {
       .select(index.bucketExpr.cast("int").as("b")).distinct()
       .collect().map(_.getInt(0)).toSet
     index.dropBuckets(bucketIds.filterNot(liveBuckets))
-    if (liveBuckets.nonEmpty) index.overwriteBuckets(folded)
+    if (liveBuckets.nonEmpty)
+      index.overwriteBuckets(
+        folded.repartition(index.buckets, index.bucketExpr)) // 1 file/bucket
   }
 
   /** Logical (wh, n_docs, last_batch) content of a [[spanDedupStream]]
