@@ -106,6 +106,68 @@ object Quantize {
     *
     * Output: (idCol, p, energy_q).
     */
+
+  /** Dominant principal direction by INTEGER-QUANTIZED power
+    * iteration — the PCA step embedding pipelines run before
+    * whitening/ABS scoring, kept cross-engine exact: coordinates
+    * quantize to `⌊x·2²⁰⌋` longs once; each round computes
+    * `s_i = Σ_j xq_ij·v_j` map-side (long — bounded by dims·2⁴⁴),
+    * folds `w_j = Σ_i xq_ij·s_i` as decimal(38,0) in ONE dims-group
+    * aggregation, and renormalizes on the driver with pure BigInteger
+    * arithmetic: `v'_j = sign(w_j)·(|w_j|·2²⁰ div max|w|)` — floor of
+    * a non-negative quotient, so DuckDB's floor division and Scala's
+    * truncating division agree bit-for-bit and the oracle can replay
+    * the rounds UNROLLED with no literals.
+    *
+    * Scale shape: per round one corpus map pass + one aggregation
+    * with `dims` groups; the driver state is `dims` longs (the q146
+    * pagerank discipline — the loop variable is a literal vector,
+    * never a collected table). Start vector is all-2²⁰ (deterministic;
+    * callers whose data is exactly orthogonal to it would see m = 0 —
+    * refused loudly, not divided by).
+    *
+    * Output: (j, v_q) — the quantized direction, `max|v_q| = 2²⁰`.
+    */
+  def powerIteration(embs: DataFrame, idCol: String, vecCol: String,
+      dims: Int, rounds: Int = 3): DataFrame = {
+    require(dims >= 1, s"need dims >= 1: $dims")
+    require(rounds >= 1 && rounds <= 8, s"need 1 <= rounds <= 8: $rounds")
+    val dec = "decimal(38,0)"
+    val base = embs.filter(size(col(vecCol)) === dims)
+      .select(transform(col(vecCol), x =>
+        floor(x.cast("double") * lit(1048576L)).cast("long")).as("xq"))
+    var v: Array[java.math.BigInteger] =
+      Array.fill(dims)(java.math.BigInteger.valueOf(1048576L))
+    for (_ <- 1 to rounds) {
+      val vLit = array(v.map(b => lit(b.longValueExact())): _*)
+      val w = base
+        .withColumn("s", aggregate(
+          zip_with(col("xq"), vLit, (a, b) => a * b),
+          lit(0L), (acc, x) => acc + x))
+        .select(posexplode(col("xq")).as(Seq("j", "x")), col("s"))
+        .groupBy(col("j"))
+        .agg(sum(expr(s"CAST(x AS $dec) * CAST(s AS $dec)")).as("w"))
+        .collect().map(r => r.getInt(0) ->
+          r.getDecimal(1).toBigInteger).toMap
+      val m = (0 until dims).map(j =>
+        w.getOrElse(j, java.math.BigInteger.ZERO).abs).max
+      require(m.signum > 0,
+        "power iteration degenerated: every component of A'Av is zero " +
+          "(empty input, or data exactly orthogonal to the start vector)")
+      v = (0 until dims).map { j =>
+        val wj = w.getOrElse(j, java.math.BigInteger.ZERO)
+        val q = wj.abs.multiply(java.math.BigInteger.valueOf(1048576L))
+          .divide(m)
+        if (wj.signum < 0) q.negate else q
+      }.toArray
+    }
+    val spark = embs.sparkSession
+    import spark.implicits._
+    v.zipWithIndex
+      .map { case (b, j) => (j.toLong, b.longValueExact()) }.toSeq
+      .toDF("j", "v_q")
+  }
+
   def prefixEnergyAudit(embs: DataFrame, idCol: String, vecCol: String,
       prefixes: Seq[Int]): DataFrame = {
     require(prefixes.nonEmpty && prefixes.forall(_ >= 1),

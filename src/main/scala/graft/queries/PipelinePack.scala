@@ -3457,6 +3457,49 @@ object PipelinePack {
         FROM dcg CROSS JOIN idcg"""
     })
 
+
+  /** Dominant principal direction of the embedding corpus by
+    * integer-quantized POWER ITERATION
+    * ([[graft.ops.Quantize.powerIteration]]) — the PCA step embedding
+    * pipelines run before whitening / anisotropy scoring. Three
+    * rounds; per round ONE corpus map pass (the `s_i = x·v` dot rides
+    * map-side as a long fold) + one 64-group decimal(38,0)
+    * aggregation; the driver state is 64 longs renormalized in pure
+    * BigInteger (`sign·(|w|·2²⁰ div max|w|)` — floor of a nonnegative
+    * quotient, identical under DuckDB's floor division and Scala's
+    * truncating division). The oracle replays the rounds UNROLLED and
+    * fully relationally — no literals cross engines, both must agree
+    * because every step is exact integer arithmetic.
+    */
+  private val q216 = QueryDef(
+    "q216_power_iteration",
+    (s, dir) => graft.ops.Quantize.powerIteration(
+      Tables.embeddings(s, dir), "vec_id", "embedding", dims = 64,
+      rounds = 3),
+    Some {
+      def round(n: Int, prev: String) =
+        s"""s$n AS (SELECT id, sum(xq * v)::HUGEINT AS s
+            FROM u JOIN $prev USING (j) GROUP BY id),
+          w$n AS (SELECT j, sum(xq * s)::HUGEINT AS w
+            FROM u JOIN s$n USING (id) GROUP BY j),
+          m$n AS (SELECT max(abs(w)) AS m FROM w$n),
+          v$n AS (SELECT j, (CASE WHEN w < 0 THEN -1::HUGEINT
+                ELSE 1::HUGEINT END)
+              * ((abs(w) * 1048576) // m) AS v FROM w$n, m$n)"""
+      s"""WITH u AS (SELECT vec_id AS id, (i - 1)::BIGINT AS j,
+            CAST(floor(CAST(embedding[i] AS DOUBLE) * 1048576)
+              AS HUGEINT) AS xq
+          FROM embeddings,
+            LATERAL (SELECT unnest(generate_series(1, 64)) AS i) t
+          WHERE len(embedding) = 64),
+        v0(j, v) AS (SELECT j::BIGINT, 1048576::HUGEINT
+          FROM range(0, 64) t(j)),
+        ${round(1, "v0")},
+        ${round(2, "v1")},
+        ${round(3, "v2")}
+        SELECT j::BIGINT AS j, v::BIGINT AS v_q FROM v3 ORDER BY j"""
+    })
+
   /** The curated blocklist shared by q207/q208 — mixed 2- and 3-word
     * phrases from the corpus vocabulary plus one that can never match
     * (the zero-fill row every per-phrase report must carry).
@@ -3784,5 +3827,5 @@ object PipelinePack {
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-    q213, q214, q215)
+    q213, q214, q215, q216)
 }

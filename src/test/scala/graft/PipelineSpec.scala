@@ -1204,4 +1204,44 @@ class PipelineSpec extends AnyFunSuite {
     assert(cut.getLong(0) === 2L && cut.getLong(1) === 2L * d(1),
       "doc 3/4 gains must not count at k = 2")
   }
+
+  test("Quantize.powerIteration matches a BigInt replay and finds the dominant axis") {
+    import graft.ops.Quantize
+    import java.math.BigInteger
+    // rows (3, 1), (3, -1): A'A = [[18, 0], [0, 2]] -- dominant axis x
+    val embs = Seq((1L, Seq(3.0f, 1.0f)), (2L, Seq(3.0f, -1.0f)))
+      .toDF("vec_id", "embedding")
+    val got = Quantize.powerIteration(embs, "vec_id", "embedding",
+        dims = 2, rounds = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // independent replay of the exact recurrence in BigInt
+    val m = BigInteger.valueOf(1048576L)
+    val xq = Seq(Seq(3L, 1L), Seq(3L, -1L))
+      .map(_.map(c => BigInteger.valueOf(c).multiply(m)))
+    var v = Array(m, m)
+    for (_ <- 1 to 3) {
+      val sArr = xq.map(row =>
+        row.zip(v).map { case (a, b) => a.multiply(b) }
+          .reduce(_ add _))
+      val w = (0 until 2).map(j =>
+        xq.zip(sArr).map { case (row, sv) => row(j).multiply(sv) }
+          .reduce(_ add _))
+      val mx = w.map(_.abs).max
+      v = w.map { wj =>
+        val q = wj.abs.multiply(m).divide(mx)
+        if (wj.signum < 0) q.negate else q
+      }.toArray
+    }
+    assert(got === Map(0L -> v(0).longValueExact(),
+      1L -> v(1).longValueExact()))
+    // the dominant axis carries the full 2^20 magnitude; the weak axis
+    // decays round over round
+    assert(got(0L) === 1048576L && math.abs(got(1L)) < 20000L)
+    // degenerate input (no rows) is refused loudly
+    val e = intercept[Exception] {
+      Quantize.powerIteration(embs.limit(0), "vec_id", "embedding",
+        dims = 2, rounds = 1).collect()
+    }
+    assert(String.valueOf(e.getMessage).contains("degenerated"))
+  }
 }
