@@ -1093,6 +1093,91 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(streamed === twin && twin.nonEmpty)
   }
 
+  test("bucketed crash window: an appended-but-unstamped delta replays bit-identically") {
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextClean}
+    val base = Files.createTempDirectory("graft-crash-window")
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b1 = docs(1L -> t1, 2L -> t1,
+      3L -> "completely different words nothing shared with anything here now")
+    val b2 = docs(4L -> t1, 5L -> "pre alpha beta gamma delta post tail")
+    val schema = b1.schema
+
+    // ---- nearDupStream: control (clean run) vs crashed publish -----
+    case class ND(tag: String, poison: Boolean) {
+      val index = ParquetTable(spark, base.resolve(s"nd-idx-$tag").toString,
+        buckets = 8, bucketKey = "band_key")
+      val pairs = ParquetTable(spark, base.resolve(s"nd-pairs-$tag").toString)
+      val src = base.resolve(s"nd-src-$tag").toString
+      val ckpt = base.resolve(s"nd-ckpt-$tag").toString
+      def run(): Unit =
+        StreamingLift.nearDupStream(spark, src + "/*", schema, index,
+          pairs, "doc_id", "text", ckpt).awaitTermination(60000)
+      def go(): Unit = {
+        b1.write.parquet(src + "/f1"); run()
+        if (poison)
+          // simulate the crash: batch 1's delta APPENDED, the meta
+          // stamp never written (meta still says batch 0) — the replay
+          // must probe the exact pre-batch state and absorb the
+          // re-append
+          index.append(Dedup.bandKeyRows(b2, "doc_id", "text")
+            .withColumn("src_batch", lit(1L))
+            .repartition(8, index.bucketExpr))
+        b2.write.parquet(src + "/f2"); run()
+      }
+      def pairSet() = pairs.read.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+    }
+    val clean = ND("clean", poison = false)
+    val crashed = ND("crash", poison = true)
+    clean.go(); crashed.go()
+    assert(crashed.pairSet() === clean.pairSet(),
+      "replayed pairs must match a never-crashed run")
+    def keySet(t: ParquetTable) =
+      StreamingLift.nearDupIndexView(t, "doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(keySet(crashed.index) === keySet(clean.index),
+      "the re-appended delta must consolidate away on read")
+
+    // ---- spanDedupStream: same protocol ----------------------------
+    case class SP(tag: String, poison: Boolean) {
+      val index = ParquetTable(spark, base.resolve(s"sp-idx-$tag").toString,
+        buckets = 4, bucketKey = "wh")
+      val spans = ParquetTable(spark, base.resolve(s"sp-spans-$tag").toString)
+      val src = base.resolve(s"sp-src-$tag").toString
+      val ckpt = base.resolve(s"sp-ckpt-$tag").toString
+      def run(): Unit =
+        StreamingLift.spanDedupStream(spark, src + "/*", schema, index,
+          spans, "doc_id", "text", ckpt, k = 3, minDocs = 2)
+          .awaitTermination(60000)
+      def go(): Unit = {
+        b1.write.parquet(src + "/f1"); run()
+        if (poison)
+          index.append(TextClean.spanIndexAged(b2, "doc_id", "text",
+              batchId = 1L, k = 3)
+            .withColumn("src_batch", lit(1L))
+            .repartition(4, index.bucketExpr))
+        b2.write.parquet(src + "/f2"); run()
+      }
+      def spanSet() = spans.read
+        .select("doc_id", "span_start", "span_len", "span_text", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4))).toSet
+    }
+    val spClean = SP("clean", poison = false)
+    val spCrash = SP("crash", poison = true)
+    spClean.go(); spCrash.go()
+    assert(spCrash.spanSet() === spClean.spanSet() && spClean.spanSet().nonEmpty,
+      "replayed spans must match a never-crashed run")
+    def idxMap(t: ParquetTable) = StreamingLift.spanIndexView(t).collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(idxMap(spCrash.index) === idxMap(spClean.index),
+      "counts must fold the crashed delta exactly once")
+  }
+
   test("spanDedupStream bucketed: spans identical to flat across horizons, append-only publish") {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("graft-span-bucketed")
