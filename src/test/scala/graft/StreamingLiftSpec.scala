@@ -1246,5 +1246,34 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(buckFull.spanSet() === spansBefore)
     assert(idxMap(StreamingLift.spanIndexView(buckFull.index)) ===
       idxMap(flatFull.index.read))
+
+    // AUTO-compaction (threshold 0 → every touched bucket consolidates
+    // each trigger): reports still identical to the flat compacting
+    // stream, and the index is ALREADY at the eager state — no
+    // maintenance pass needed
+    val eagerSrc = base.resolve("src-eager").toString
+    val eagerIdx = ParquetTable(spark, base.resolve("idx-eager").toString,
+      buckets = 4, bucketKey = "wh")
+    val eagerSpans = ParquetTable(spark, base.resolve("spans-eager").toString)
+    val eagerCkpt = base.resolve("ckpt-eager").toString
+    Seq(b1 -> "f1", b2 -> "f2", b3 -> "f3").foreach { case (b, f) =>
+      b.write.parquet(eagerSrc + "/" + f)
+      StreamingLift.spanDedupStream(spark, eagerSrc + "/*", schema,
+        eagerIdx, eagerSpans, "doc_id", "text", eagerCkpt,
+        k = 3, minDocs = 2, compactAfterBatches = 1L,
+        compactFileThreshold = 0).awaitTermination(60000)
+    }
+    def spanSetOf(t: ParquetTable) = t.read
+      .select("doc_id", "span_start", "span_len", "span_text", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(spanSetOf(eagerSpans) === flatComp.spanSet())
+    // auto-compaction is still PARTITION-scoped (touched buckets only):
+    // a batch-1 singleton in a bucket batch 2 never touched survives on
+    // disk until its next touch — the horizon-filtered view (what the
+    // probe reads) is the eager-equivalent comparison
+    assert(idxMap(graft.ops.TextClean.spanIndexCompact(
+        StreamingLift.spanIndexView(eagerIdx), watermarkBatch = 1L)) ===
+      idxMap(flatComp.index.read))
   }
 }
