@@ -158,4 +158,44 @@ object TimeSeries {
         when(col("n_points") >= 2, -col("m.nt")).as("cp_t"),
         when(col("n_points") >= 2, col("m.a")).as("max_abs_cusum_xn"))
   }
+
+  /** Seasonal-naive FORECAST EVALUATION (MASE — mean absolute scaled
+    * error) per series: how much better the season-lag forecast
+    * `ŷ_t = y_{t−season}` is than the one-step naive baseline, as
+    * `mase_ppm = ⌊10⁶ · (Σ|y_t−y_{t−season}|/n_season)
+    *                  / (Σ|y_t−y_{t−1}|/n_one)⌋`
+    * — exact integers end to end (counts, absolute differences, one
+    * decimal(38,0) cross-multiplied division; < 10⁶ means the
+    * seasonal forecast beats the naive scale — seasonality is real).
+    * The forecast-eval gate a pipeline runs before trusting a
+    * seasonal model or a seasonality-aware sampler.
+    *
+    * Defined over OBSERVED-point pairs: t pairs with t−lag when both
+    * exist (two self-EQUI-joins on (series, t−lag) — never a range
+    * join; per-series domains are the day domain, so both joins and
+    * the #series-row report are exchange-light at any corpus size).
+    * A constant series (zero naive scale) gets a NULL verdict, not a
+    * division crash.
+    */
+  def seasonalNaiveMase(df: org.apache.spark.sql.DataFrame,
+      seriesCol: String, tCol: String, valueCol: String,
+      season: Int = 7): org.apache.spark.sql.DataFrame = {
+    require(season >= 2, s"season below 2 IS the naive baseline: $season")
+    val d = df.select(col(seriesCol).as("series"),
+      col(tCol).cast("long").as("t"), col(valueCol).cast("long").as("x"))
+    def lagged(lag: Int, sName: String, nName: String) =
+      d.as("a").join(d.as("b"),
+          col("a.series") === col("b.series") &&
+            col("b.t") === col("a.t") - lag)
+        .groupBy(col("a.series").as("series"))
+        .agg(sum(abs(col("a.x") - col("b.x"))).as(sName),
+          count(lit(1)).as(nName))
+    lagged(season, "s_season", "n_season")
+      .join(lagged(1, "s_one", "n_one"), Seq("series"))
+      .select(col("series"), col("n_season"), col("n_one"),
+        when(col("s_one") > 0L && col("n_season") > 0L,
+          expr("CAST(CAST(s_season AS DECIMAL(38,0)) * 1000000 * n_one " +
+            "DIV (CAST(s_one AS DECIMAL(38,0)) * n_season) AS BIGINT)"))
+          .as("mase_ppm"))
+  }
 }

@@ -2890,6 +2890,38 @@ object AnalyticsPack {
       FROM ex CROSS JOIN es"""
     })
 
+  /** Seasonal-naive MASE forecast evaluation per event type
+    * ([[graft.ops.TimeSeries.seasonalNaiveMase]]) over the daily
+    * volume series: is the weekly-lag forecast better than the
+    * one-step naive scale? Exact integers end to end; < 10⁶ ppm means
+    * weekly seasonality is real — the gate before trusting a seasonal
+    * model or sampler. Two self-equi-joins on (type, day−lag), both
+    * on the day domain.
+    */
+  private val q217 = QueryDef(
+    "q217_mase",
+    (s, dir) => {
+      val daily = Tables.events(s, dir)
+        .groupBy(col("event_type"),
+          expr("unix_micros(cast(ts as timestamp_ltz)) div 86400000000").as("day"))
+        .agg(count(lit(1)).as("x"))
+      graft.ops.TimeSeries.seasonalNaiveMase(daily, "event_type", "day", "x")
+        .withColumnRenamed("series", "event_type")
+    },
+    Some("""WITH d AS (SELECT event_type, epoch_us(ts) // 86400000000 AS day,
+          count(*) AS x
+        FROM events GROUP BY 1, 2),
+      l7 AS (SELECT a.event_type, sum(abs(a.x - b.x)) AS s7, count(*) AS n7
+        FROM d a JOIN d b ON b.event_type = a.event_type
+          AND b.day = a.day - 7 GROUP BY 1),
+      l1 AS (SELECT a.event_type, sum(abs(a.x - b.x)) AS s1, count(*) AS n1
+        FROM d a JOIN d b ON b.event_type = a.event_type
+          AND b.day = a.day - 1 GROUP BY 1)
+      SELECT l7.event_type, n7::BIGINT AS n_season, n1::BIGINT AS n_one,
+        CASE WHEN s1 > 0 AND n7 > 0
+          THEN s7 * 1000000 * n1 // (s1 * n7) END::BIGINT AS mase_ppm
+      FROM l7 JOIN l1 USING (event_type)"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
@@ -2897,5 +2929,5 @@ object AnalyticsPack {
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
     q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162,
     q164, q166, q167, q170, q171, q172, q173, q177, q180, q181, q182,
-    q188, q189, q190, q192, q212)
+    q188, q189, q190, q192, q212, q217)
 }

@@ -777,4 +777,29 @@ class AnalyticsSpec extends AnyFunSuite {
     // c: even n=4 -> lower median 2; devs {1,0,1,8} -> MAD 1; 8 > 3
     assert(out("c") === ((4L, 2L, 1L, 1L)))
   }
+
+  test("TimeSeries.seasonalNaiveMase: hand cases -- perfect season, constant, gaps") {
+    import graft.ops.TimeSeries
+    // perfectly 2-periodic: the season-2 forecast is exact (mase 0),
+    // while the naive scale is large
+    val periodic = Seq(0L, 1L, 2L, 3L, 4L, 5L).map(t =>
+      ("a", t, if (t % 2 == 0) 1L else 5L)).toDF("g", "t", "x")
+    val r1 = TimeSeries.seasonalNaiveMase(periodic, "g", "t", "x",
+      season = 2).head()
+    assert((r1.getLong(1), r1.getLong(2), r1.getLong(3)) === ((4L, 5L, 0L)))
+    // constant series: zero naive scale -> NULL verdict, no crash
+    val const = Seq(0L, 1L, 2L, 3L).map(t => ("c", t, 7L))
+      .toDF("g", "t", "x")
+    val r2 = TimeSeries.seasonalNaiveMase(const, "g", "t", "x",
+      season = 2).head()
+    assert(r2.isNullAt(3) && r2.getLong(1) === 2L)
+    // observed-pairs rule: a missing day pairs with nothing
+    val gappy = Seq(("g2", 0L, 10L), ("g2", 1L, 20L), ("g2", 3L, 40L))
+      .toDF("g", "t", "x")
+    val r3 = TimeSeries.seasonalNaiveMase(gappy, "g", "t", "x",
+      season = 2).head()
+    // season pairs: (3,1) -> |40-20| = 20, n = 1; naive: (1,0) -> 10, n = 1
+    assert((r3.getLong(1), r3.getLong(2), r3.getLong(3)) ===
+      ((1L, 1L, 2000000L)))
+  }
 }
