@@ -1276,4 +1276,43 @@ class StreamingLiftSpec extends AnyFunSuite {
         StreamingLift.spanIndexView(eagerIdx), watermarkBatch = 1L)) ===
       idxMap(flatComp.index.read))
   }
+
+  test("bandIndexProbe == brute-force reference over seeded random inputs") {
+    import graft.ops.Dedup
+    val rnd = new scala.util.Random(20260815L)
+    for (case_ <- 1 to 5) {
+      val maxBucket = 1 + rnd.nextInt(3)
+      // index rows: (id, band_idx, band_key), some groups tombstoned
+      val nGroups = 4 + rnd.nextInt(4)
+      val groups = (0 until nGroups).map(g => (g % 2, s"bk$g"))
+      val index0 = groups.flatMap { case (bi, bk) =>
+        val n = 1 + rnd.nextInt(5)
+        val tomb = rnd.nextInt(6) == 0
+        val live = (1 to n).map(i =>
+          (Option(100L * bi + i * 7L + bk.hashCode.abs % 13), bi, bk))
+        if (tomb) live :+ ((None: Option[Long], bi, bk)) else live
+      }
+      val batch0 = groups.filter(_ => rnd.nextBoolean()).flatMap {
+        case (bi, bk) => (1 to 1 + rnd.nextInt(2)).map(i =>
+          (1000L + rnd.nextInt(50), bi, bk))
+      }
+      if (batch0.nonEmpty) {
+        val index = index0.toDF("doc_id", "band_idx", "band_key")
+        val batch = batch0.toDF("doc_id", "band_idx", "band_key")
+        val got = Dedup.bandIndexProbe(index, batch, "doc_id", maxBucket)
+          .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+        // brute force: pair batch keys against index groups that are
+        // neither tombstoned nor larger than maxBucket
+        val byGroup = index0.groupBy(t => (t._2, t._3))
+        val want = (for {
+          (id2, bi, bk) <- batch0
+          rows = byGroup.getOrElse((bi, bk), Nil)
+          if rows.lengthCompare(maxBucket) <= 0 && rows.forall(_._1.isDefined)
+          (Some(id1), _, _) <- rows
+          if id1 != id2
+        } yield (math.min(id1, id2), math.max(id1, id2))).toSet
+        assert(got === want, s"case $case_ (maxBucket=$maxBucket)")
+      }
+    }
+  }
 }
