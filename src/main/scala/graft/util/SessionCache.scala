@@ -32,15 +32,28 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *    [[Pin.retire]] (values expose their cuts either by BEING a
   *    pinned DataFrame or via [[SessionCache.PinnedArtifact]]);
   *  - an optional byte budget (`spark.graft.sessionCache.maxBytes`,
-  *    session conf) turns the log into a policy: when a build pushes
-  *    the total past the budget, the least-recently-USED other
-  *    entries are evicted (released) until it fits; if the new
-  *    artifact ALONE exceeds the budget it is REFUSED — returned to
-  *    the caller unmanaged and not retained, so the next lookup
-  *    rebuilds rather than silently squatting on executor memory.
-  *    Eviction assumes the read-through discipline every caller here
-  *    follows: artifacts are re-obtained via [[cached]] per use, not
-  *    held across queries.
+  *    session conf) turns the log into a policy: if the new artifact
+  *    ALONE exceeds the budget it is REFUSED up front — returned to
+  *    the caller unmanaged and not retained (so the next lookup
+  *    rebuilds rather than silently squatting on executor memory) and
+  *    NO other entry is touched; otherwise the least-recently-USED
+  *    other entries are evicted (released) until the total fits.
+  *
+  * '''Eviction vs in-flight queries.''' An evicted entry's
+  * `localCheckpoint` blocks are unpersisted ([[Pin.retire]]), and a
+  * local-checkpointed RDD cannot recompute lost blocks — so evicting
+  * a frame another thread obtained moments ago and is still reading
+  * would fail that thread's job mid-action. Eviction therefore
+  * SKIPS any entry obtained within the grace window
+  * (`spark.graft.sessionCache.graceMs`, default 30000): every
+  * [[cached]] access — hit or build — stamps the entry's wall clock,
+  * so a frame a concurrent page just obtained is never pulled out
+  * from under it. The budget may consequently be exceeded
+  * transiently (logged loudly) until grace lapses; the residual
+  * contract is the read-through discipline every caller here
+  * follows — artifacts are re-obtained via [[cached]] per use, and a
+  * single use must complete within the grace window, or the frame
+  * may lose blocks mid-job and the query must retry via [[cached]].
   */
 object SessionCache {
 
@@ -62,6 +75,7 @@ object SessionCache {
   private final class Cell(build: () => AnyRef) {
     @volatile var built = false
     @volatile var lastUsed = 0L
+    @volatile var lastUsedNanos = 0L // wall clock of last access, for grace
     lazy val value: AnyRef = { val v = build(); built = true; v }
   }
 
@@ -81,6 +95,11 @@ object SessionCache {
   /** Session conf holding the optional pinned-bytes budget. */
   val MaxBytesKey = "spark.graft.sessionCache.maxBytes"
 
+  /** Session conf: eviction grace window in milliseconds — an entry
+    * accessed within it is never evicted for budget (class doc).
+    */
+  val GraceMsKey = "spark.graft.sessionCache.graceMs"
+
   def cached[T <: AnyRef](spark: SparkSession, key: String)(build: => T): T = {
     val appId = spark.sparkContext.applicationId
     cache.keys.iterator.filter(_._1 != appId).foreach(cache.remove)
@@ -88,11 +107,14 @@ object SessionCache {
     cache.get(k) match {
       case Some(c) =>
         c.lastUsed = ticks.incrementAndGet()
+        c.lastUsedNanos = System.nanoTime()
         c.value.asInstanceOf[T]
       case None =>
         val cell = new Cell(() => build)
         cell.lastUsed = ticks.incrementAndGet()
+        cell.lastUsedNanos = System.nanoTime()
         val winner = cache.putIfAbsent(k, cell).getOrElse(cell)
+        winner.lastUsedNanos = System.nanoTime()
         val v = winner.value.asInstanceOf[T]
         if (winner eq cell) govern(spark, k, cell)
         v
@@ -157,22 +179,42 @@ object SessionCache {
     System.err.println(s"[graft] sessionCache +'${k._2}': ~$own bytes " +
       s"pinned (total ~$total across ${others.size + 1} entries)")
     spark.conf.getOption(MaxBytesKey).map(_.toLong).foreach { budget =>
-      var t = total
-      for ((ok, oc) <- others.sortBy(_._2.lastUsed) if t > budget) {
-        val freed = releaseEntry(spark, ok, oc)
-        t -= freed
-        System.err.println(s"[graft] sessionCache evicted '${ok._2}' " +
-          s"(~$freed bytes) for the $budget-byte budget")
-      }
-      if (t > budget) {
-        // the new artifact alone exceeds the budget: refuse to RETAIN
-        // it. The value is still returned (the caller holds it and may
-        // Pin.retire it), but the cache will not squat on its blocks —
-        // the next lookup rebuilds.
+      if (own > budget) {
+        // the new artifact ALONE exceeds the budget: refuse to RETAIN
+        // it — up front, without evicting anything else (flushing the
+        // warm cache could not make it fit anyway). The value is still
+        // returned (the caller holds it and may Pin.retire it), but
+        // the cache will not squat on its blocks — the next lookup
+        // rebuilds.
         cache.remove(k)
         System.err.println(s"[graft] sessionCache REFUSED '${k._2}': " +
           s"~$own bytes exceeds the $budget-byte budget alone; returned " +
           "unmanaged, not retained")
+      } else {
+        val graceNanos =
+          spark.conf.get(GraceMsKey, "30000").toLong * 1000000L
+        val now = System.nanoTime()
+        var t = total
+        for ((ok, oc) <- others.sortBy(_._2.lastUsed) if t > budget) {
+          if (now - oc.lastUsedNanos < graceNanos) {
+            // obtained within the grace window: a concurrent query may
+            // be mid-action on its localCheckpoint blocks — never pull
+            // them out from under it (class doc).
+            System.err.println(s"[graft] sessionCache kept '${ok._2}' " +
+              "despite budget pressure: accessed within the " +
+              s"grace window (${graceNanos / 1000000L} ms)")
+          } else {
+            val freed = releaseEntry(spark, ok, oc)
+            t -= freed
+            System.err.println(s"[graft] sessionCache evicted '${ok._2}' " +
+              s"(~$freed bytes) for the $budget-byte budget")
+          }
+        }
+        if (t > budget) {
+          System.err.println(s"[graft] sessionCache OVER BUDGET: ~$t " +
+            s"bytes pinned vs $budget allowed — grace-protected entries " +
+            "kept; pressure resolves when their grace lapses")
+        }
       }
     }
   }

@@ -759,6 +759,27 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(run(pts.coalesce(1)) === expected)
   }
 
+  test("Skyline.frontier2D: anti-correlated input trips the loud size guard " +
+      "before the single-partition global sort") {
+    import graft.ops.Skyline
+    // perfect x/y trade-off: every point is on the frontier, so the
+    // local prune passes everything through — the exact hazard the
+    // guard names
+    val anti = spark.range(500).selectExpr("id AS x", "(500 - id) AS y")
+    val ex = intercept[Exception] {
+      Skyline.frontier2D(anti, "x", "y", maxGlobalRows = 100L).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    val msg = messages(ex).mkString("\n")
+    assert(msg.contains("maxGlobalRows"), s"guard message missing: $msg")
+    assert(msg.contains("Anti-correlated"), s"hazard not named: $msg")
+    // same input under a sufficient limit: exact frontier = all points
+    assert(Skyline.frontier2D(anti, "x", "y", maxGlobalRows = 500L)
+      .count() === 500L)
+  }
+
   test("Robust.medianMadOutliers: exact lower medians, MAD, integer outlier cut") {
     import graft.ops.Robust
     val df = Seq(

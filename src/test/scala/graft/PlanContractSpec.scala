@@ -38,6 +38,8 @@ class PlanContractSpec extends AnyFunSuite {
     "q101_ann_recall", // the q83 query batch + queries × centroids probe
                        // ranking — both sides IVF-contract small
     "q102_cooccurrence", // 1-row user-universe total for the lift denominator
+    "q133_skyline", // 1-row survivor-count tripwire (assert_true guard)
+                    // broadcast into the global frontier pass
     "q212_t_closeness", // combos × ordinal-domain grid + 1-row scalars —
                         // bounded by quasi/domain cardinality, never corpus
     "q213_hist_drift",  // the 1-row global log-histogram state broadcast

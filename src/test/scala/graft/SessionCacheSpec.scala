@@ -15,6 +15,17 @@ import graft.util.SessionCache
   * fix: TrieMap.getOrElseUpdate may evaluate its default more than
   * once, but only the winning cell's build may ever run.
   */
+/** Executor-side gate for the grace-window test: lives at top level so
+  * the task closure resolves it statically instead of capturing the
+  * (non-serializable) test instance. local[n] only — one JVM.
+  */
+object GraceGate {
+  @volatile var latch: java.util.concurrent.CountDownLatch = _
+  val slowPartition: Iterator[Long] => Iterator[Long] = { it =>
+    latch.countDown(); Thread.sleep(300); it
+  }
+}
+
 class SessionCacheSpec extends AnyFunSuite {
   import TestSpark._
 
@@ -105,24 +116,80 @@ class SessionCacheSpec extends AnyFunSuite {
     val bytesA = SessionCache.residency(spark)(kA)
     assert(bytesA > 0L)
     // budget fits ~1.5 same-sized entries: adding B must evict A (the
-    // least recently used), keep B, and A must rebuild on re-request
+    // least recently used), keep B, and A must rebuild on re-request.
+    // graceMs=0 so eviction is deterministic here (A was accessed
+    // milliseconds ago; the in-flight grace guard has its own test).
     spark.conf.set(SessionCache.MaxBytesKey, (bytesA * 3 / 2).toString)
+    spark.conf.set(SessionCache.GraceMsKey, "0")
     try {
       get(kB)
       assert(!SessionCache.residency(spark).contains(kA), "A evicted")
       assert(SessionCache.residency(spark).contains(kB), "B retained")
       get(kA)
       assert(builds.get() === 3, "evicted A rebuilt")
-      // an artifact that ALONE exceeds the budget is refused: returned
-      // but not retained, so every lookup rebuilds
+      // an artifact that ALONE exceeds the budget is refused UP FRONT:
+      // returned but not retained (every lookup rebuilds) — and the
+      // refusal must NOT collaterally flush the entries that fit
       spark.conf.set(SessionCache.MaxBytesKey, "1")
+      val warmBefore = SessionCache.residency(spark).keySet
       get(kC); get(kC)
       assert(builds.get() === 5, "refused entry is never retained")
       assert(!SessionCache.residency(spark).contains(kC))
+      assert(SessionCache.residency(spark).keySet === warmBefore,
+        "refusing an oversized artifact must not evict the warm cache " +
+          "(eviction could never make it fit)")
     } finally {
       spark.conf.unset(SessionCache.MaxBytesKey)
+      spark.conf.unset(SessionCache.GraceMsKey)
       SessionCache.releaseAll(spark)
       assert(SessionCache.residency(spark).isEmpty)
+    }
+  }
+
+  test("grace window: budget eviction never severs a frame a concurrent " +
+      "query just obtained") {
+    import org.apache.spark.sql.DataFrame
+    val tag = System.nanoTime()
+    def pinned(key: String): DataFrame =
+      SessionCache.cached[DataFrame](spark, key) {
+        spark.range(20000).toDF("n").localCheckpoint(true)
+      }
+    val kA = s"spec-grace-a-$tag"; val kB = s"spec-grace-b-$tag"
+    val dfA = pinned(kA)
+    val bytesA = SessionCache.residency(spark)(kA)
+    // budget admits only ~one entry; a 60 s grace covers the whole test
+    spark.conf.set(SessionCache.MaxBytesKey, (bytesA * 3 / 2).toString)
+    spark.conf.set(SessionCache.GraceMsKey, "60000")
+    val pool = Executors.newFixedThreadPool(2)
+    GraceGate.latch = new CountDownLatch(1)
+    try {
+      // thread 1: a slow action over A — each partition sleeps, so the
+      // job is mid-flight while thread 2 applies budget pressure (the
+      // gate lives in a top-level object so the task closure captures
+      // nothing non-serializable)
+      val slowCount = pool.submit(new java.util.concurrent.Callable[Long] {
+        def call(): Long = {
+          val df = pinned(kA)
+          import spark.implicits._
+          df.as[Long].mapPartitions(GraceGate.slowPartition).count()
+        }
+      })
+      GraceGate.latch.await(30, TimeUnit.SECONDS)
+      // thread 2 (this one): building B pushes the total past budget;
+      // A is within grace so it must be KEPT, not evicted — otherwise
+      // thread 1's localCheckpointed RDD loses blocks mid-job
+      pinned(kB)
+      assert(SessionCache.residency(spark).contains(kA),
+        "grace-protected entry survived budget pressure")
+      assert(slowCount.get(60, TimeUnit.SECONDS) === 20000L,
+        "in-flight query over the pinned frame completed")
+      // sanity: dfA itself still readable (blocks intact)
+      assert(dfA.count() === 20000L)
+    } finally {
+      pool.shutdownNow()
+      spark.conf.unset(SessionCache.MaxBytesKey)
+      spark.conf.unset(SessionCache.GraceMsKey)
+      SessionCache.releaseAll(spark)
     }
   }
 
