@@ -386,8 +386,20 @@ object StreamingLift {
           val batchStates = batch.groupBy(col(groupCol))
             .agg(SketchAgg.logHistSketch(col(valueCol)).as("st"))
             .localCheckpoint(true)
-          def massOf(c: org.apache.spark.sql.Column) =
-            aggregate(c, lit(0L), (acc, x) => acc + x)
+          // total mass across the 1008 buckets. The sketch's addExact
+          // bounds each PER-BUCKET counter at 2⁶³, not their sum — a
+          // plain long fold here would wrap silently (wrong tvd_ppm,
+          // missed alerts). Fold in decimal(38,0) (cannot overflow:
+          // 1008·2⁶³ < 10²⁵) and fail LOUDLY if the total itself no
+          // longer fits the ledger's bigint column.
+          def massOf(c: org.apache.spark.sql.Column) = {
+            def dec = aggregate(c, lit(0L).cast(Dec38), (acc, x) => acc + x)
+            when(assert_true(dec <= lit(Long.MaxValue).cast(Dec38),
+              lit("histDriftStream: cross-bucket total mass exceeds " +
+                "Long.MaxValue — the drift ledger's bigint mass columns " +
+                "cannot represent this baseline; re-shard the group")).isNull,
+              dec.cast("long"))
+          }
           if (states.exists) {
             val scored = batchStates.as("b")
               .join(states.read.as("s").withColumnRenamed("st", "hst"),
@@ -718,13 +730,29 @@ object StreamingLift {
     * report with the storage reclaimed and bounded. Runs inside the
     * stream after the applied-batch stamp, or standalone between runs
     * (single-writer, like every table mutation here).
+    *
+    * CRASH-WINDOW guard: rows whose `src_batch` exceeds the
+    * applied-batch watermark in the table meta were appended by a
+    * publish that crashed before its stamp — the replay's
+    * `src_batch =!= batchId` exclusion depends on that stamp
+    * SURVIVING, so consolidating them to src_batch = -1 would fold
+    * the crashed batch's keys into the corpus the replay probes
+    * (spurious vs_corpus pairs for in-batch duplicates). Such rows
+    * are carried through verbatim (distinct only — bit-identical
+    * multi-crash re-appends collapse) and consolidate at the first
+    * compaction after their batch's stamp lands.
     */
   def compactNearDupIndex(index: ParquetTable, idCol: String,
       maxBucket: Int, bucketIds: Seq[Int]): Unit = {
     if (bucketIds.isEmpty) return
+    val applied = index.tableMeta.get(AppliedBatchKey)
+      .map(_.toLong).getOrElse(-1L)
+    val raw = index.readBuckets(bucketIds)
+    val pending = raw.filter(col("src_batch") > applied).distinct()
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("band_idx"), col("band_key"))
-    val marked = index.readBuckets(bucketIds).drop("src_batch").distinct()
+    val marked = raw.filter(col("src_batch") <= applied)
+      .drop("src_batch").distinct()
       .withColumn("__tomb", max(when(col(idCol).isNull, 1).otherwise(0)).over(w))
       .withColumn("__bn", count(lit(1)).over(w))
     val healthy = marked
@@ -736,6 +764,7 @@ object StreamingLift {
       .select(healthy.columns.map(col): _*)
     index.overwriteBuckets(
       healthy.unionByName(tombs).withColumn("src_batch", lit(-1L))
+        .unionByName(pending)
         .repartition(index.buckets, index.bucketExpr)) // 1 file/bucket
   }
 
@@ -747,6 +776,12 @@ object StreamingLift {
   def nearDupIndexView(index: ParquetTable, idCol: String): DataFrame =
     if (!index.isBucketed) index.read
     else index.read.drop("src_batch").distinct().filter(col(idCol).isNotNull)
+
+  /** The metadata key [[spanDedupStream]] records its applied batch
+    * under (version-pinned for flat indexes, table-scoped for
+    * bucketed ones).
+    */
+  val SpanBatchKey = "span_batch_id"
 
   /** Span-level exact-substring dedup as a CONTINUOUS feed: each
     * micro-batch reports its maximal repeated spans against
@@ -797,12 +832,6 @@ object StreamingLift {
     * [[spanDedupStreamBucketed]]'s doc for the delta-row protocol.
     * Reports are bit-identical between the layouts (spec-pinned).
     */
-  /** The metadata key [[spanDedupStream]] records its applied batch
-    * under (version-pinned for flat indexes, table-scoped for
-    * bucketed ones).
-    */
-  val SpanBatchKey = "span_batch_id"
-
   def spanDedupStream(spark: SparkSession, srcPath: String,
       schema: StructType, index: ParquetTable, spansOut: ParquetTable,
       idCol: String, textCol: String, checkpoint: String,
@@ -984,18 +1013,32 @@ object StreamingLift {
     * partition overwrite cannot express an emptied partition). Runs
     * inside the stream after the applied-batch stamp, or standalone
     * over [[ParquetTable.bucketIds]] as maintenance.
+    *
+    * CRASH-WINDOW guard (same as [[compactNearDupIndex]]): rows whose
+    * `src_batch` exceeds the applied watermark in the table meta
+    * belong to a publish that crashed before its stamp. Folding them
+    * to src_batch = -1 would defeat the replay's
+    * `src_batch =!= batchId` exclusion — the probe would fold the
+    * batch's own windows into the corpus and the re-append would
+    * double-count n_docs. They are carried through verbatim (distinct
+    * only) and consolidate once their batch's stamp lands.
     */
   def compactSpanIndex(index: ParquetTable, watermarkBatch: Long,
       bucketIds: Seq[Int]): Unit = {
     if (bucketIds.isEmpty) return
     import graft.ops.TextClean
+    val applied = index.tableMeta.get(SpanBatchKey)
+      .map(_.toLong).getOrElse(-1L)
+    val raw = index.readBuckets(bucketIds)
+    val pending = raw.filter(col("src_batch") > applied).distinct()
     val folded = TextClean.spanIndexCompact(
-        index.readBuckets(bucketIds).distinct()
+        raw.filter(col("src_batch") <= applied).distinct()
           .groupBy(col("wh"))
           .agg(sum(col("n_docs")).as("n_docs"),
             max(col("last_batch")).as("last_batch")),
         watermarkBatch)
       .withColumn("src_batch", lit(-1L))
+      .unionByName(pending)
       .localCheckpoint(true)
     val liveBuckets = folded
       .select(index.bucketExpr.cast("int").as("b")).distinct()

@@ -764,6 +764,37 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(r2.getLong(4) === 1000000L && r2.getBoolean(5))
   }
 
+  test("histDriftStream: cross-bucket total mass past 2^63 fails loudly") {
+    import org.apache.spark.sql.functions.col
+    val base = Files.createTempDirectory("graft-drift-overflow")
+    val srcDir = base.resolve("src").toString
+    val states = ParquetTable(spark, base.resolve("st").toString)
+    val alerts = ParquetTable(spark, base.resolve("al").toString)
+    val ckpt = base.resolve("ckpt").toString
+    // two DISJOINT buckets each holding ~6.9e18 — every per-bucket
+    // counter respects the sketch's addExact bound, but their SUM
+    // exceeds Long.MaxValue: a plain long fold would wrap n_hist
+    // silently (wrong tvd_ppm, missed alerts); the guard must fail
+    // LOUDLY instead
+    val W = 6000000000000000000L
+    states.overwrite(Seq(("g", 1L, W), ("g", 1000000L, W))
+      .toDF("src", "x", "w")
+      .groupBy(col("src"))
+      .agg(graft.functions.SketchAgg.logHistSketchW(col("x"), col("w")).as("st")))
+    val schema = Seq(("g", 1L)).toDF("src", "x").schema
+    Seq(("g", 1L)).toDF("src", "x").write.parquet(srcDir + "/f1")
+    val ex = intercept[Exception] {
+      StreamingLift.histDriftStream(spark, srcDir + "/*", schema, states,
+        alerts, "src", "x", ckpt).awaitTermination(60000)
+    }
+    def messages(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(e => Option(e.getMessage).toSeq ++
+        messages(e.getCause))
+    val msg = messages(ex).mkString("\n")
+    assert(msg.contains("cross-bucket total mass"),
+      s"overflowing total mass must fail loudly, got: $msg")
+  }
+
   test("nearDupStream: in-batch + vs-corpus candidates, exactly-once index") {
     import org.apache.spark.sql.functions.col
     import graft.ops.Dedup
@@ -1176,6 +1207,105 @@ class StreamingLiftSpec extends AnyFunSuite {
       .toMap
     assert(idxMap(spCrash.index) === idxMap(spClean.index),
       "counts must fold the crashed delta exactly once")
+  }
+
+  test("standalone compaction inside a crash window must not consolidate " +
+      "the unstamped delta") {
+    // the maintenance hazard: a publish APPENDED its delta
+    // (src_batch = N) and crashed before the meta stamp; standalone
+    // compaction 'between runs' would fold those rows to src_batch = -1,
+    // and the replay's src_batch =!= N exclusion would then probe the
+    // batch's own windows as corpus (spurious vs_corpus pairs,
+    // double-counted n_docs). The compactors' watermark guard carries
+    // unstamped rows through verbatim instead.
+    import org.apache.spark.sql.functions._
+    import graft.ops.{Dedup, TextClean}
+    val base = Files.createTempDirectory("graft-crash-compact")
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b1 = docs(1L -> t1, 2L -> t1,
+      3L -> "completely different words nothing shared with anything here now")
+    val b2 = docs(4L -> t1, 5L -> "pre alpha beta gamma delta post tail")
+    val schema = b1.schema
+
+    // ---- nearDupStream ---------------------------------------------
+    case class ND(tag: String, poison: Boolean) {
+      val index = ParquetTable(spark, base.resolve(s"nd-idx-$tag").toString,
+        buckets = 8, bucketKey = "band_key")
+      val pairs = ParquetTable(spark, base.resolve(s"nd-pairs-$tag").toString)
+      val src = base.resolve(s"nd-src-$tag").toString
+      val ckpt = base.resolve(s"nd-ckpt-$tag").toString
+      def run(): Unit =
+        StreamingLift.nearDupStream(spark, src + "/*", schema, index,
+          pairs, "doc_id", "text", ckpt).awaitTermination(60000)
+      def go(): Unit = {
+        b1.write.parquet(src + "/f1"); run()
+        if (poison) {
+          index.append(Dedup.bandKeyRows(b2, "doc_id", "text")
+            .withColumn("src_batch", lit(1L))
+            .repartition(8, index.bucketExpr))
+          // maintenance runs in the window, over EVERY bucket
+          StreamingLift.compactNearDupIndex(index, "doc_id",
+            maxBucket = 10000, bucketIds = index.bucketIds)
+          assert(index.read.filter(col("src_batch") === 1L).count() > 0,
+            "the unstamped delta must survive compaction un-consolidated")
+        }
+        b2.write.parquet(src + "/f2"); run()
+      }
+      def pairSet() = pairs.read.collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+        .toSet
+    }
+    val clean = ND("clean", poison = false)
+    val crashed = ND("crash", poison = true)
+    clean.go(); crashed.go()
+    assert(crashed.pairSet() === clean.pairSet(),
+      "pairs after a mid-window compaction must match a never-crashed run")
+    def keySet(t: ParquetTable) =
+      StreamingLift.nearDupIndexView(t, "doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(keySet(crashed.index) === keySet(clean.index))
+
+    // ---- spanDedupStream -------------------------------------------
+    case class SP(tag: String, poison: Boolean) {
+      val index = ParquetTable(spark, base.resolve(s"sp-idx-$tag").toString,
+        buckets = 4, bucketKey = "wh")
+      val spans = ParquetTable(spark, base.resolve(s"sp-spans-$tag").toString)
+      val src = base.resolve(s"sp-src-$tag").toString
+      val ckpt = base.resolve(s"sp-ckpt-$tag").toString
+      def run(): Unit =
+        StreamingLift.spanDedupStream(spark, src + "/*", schema, index,
+          spans, "doc_id", "text", ckpt, k = 3, minDocs = 2)
+          .awaitTermination(60000)
+      def go(): Unit = {
+        b1.write.parquet(src + "/f1"); run()
+        if (poison) {
+          index.append(TextClean.spanIndexAged(b2, "doc_id", "text",
+              batchId = 1L, k = 3)
+            .withColumn("src_batch", lit(1L))
+            .repartition(4, index.bucketExpr))
+          StreamingLift.compactSpanIndex(index,
+            watermarkBatch = Long.MinValue, bucketIds = index.bucketIds)
+          assert(index.read.filter(col("src_batch") === 1L).count() > 0,
+            "the unstamped delta must survive compaction un-consolidated")
+        }
+        b2.write.parquet(src + "/f2"); run()
+      }
+      def spanSet() = spans.read
+        .select("doc_id", "span_start", "span_len", "span_text", "batch_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+          r.getString(3), r.getLong(4))).toSet
+    }
+    val spClean = SP("clean", poison = false)
+    val spCrash = SP("crash", poison = true)
+    spClean.go(); spCrash.go()
+    assert(spCrash.spanSet() === spClean.spanSet() && spClean.spanSet().nonEmpty,
+      "spans after a mid-window compaction must match a never-crashed run")
+    def idxMap(t: ParquetTable) = StreamingLift.spanIndexView(t).collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(idxMap(spCrash.index) === idxMap(spClean.index),
+      "counts must fold the crashed delta exactly once despite compaction")
   }
 
   test("spanDedupStream bucketed: spans identical to flat across horizons, append-only publish") {
