@@ -72,6 +72,20 @@ final class AuditSink(spark: SparkSession) {
     rows.length
   }
 
+  /** [[recordDrift]] reading the alerts TABLE through the
+    * exactly-once view ([[graft.streaming.StreamingLift.pairsView]]):
+    * the raw table is at-least-once (a crash-window replay re-appends
+    * bit-identical batch_id-keyed rows), and recording it raw would
+    * emit duplicate drift events into the audit stream.
+    */
+  def recordDrift(alerts: ParquetTable, groupCol: String,
+      onlyAlerted: Boolean): Int =
+    recordDrift(graft.streaming.StreamingLift.pairsView(alerts),
+      groupCol, onlyAlerted)
+
+  def recordDrift(alerts: ParquetTable, groupCol: String): Int =
+    recordDrift(alerts, groupCol, onlyAlerted = true)
+
   /** Mirror Structured Streaming progress into the SAME audit shape
     * the batch books emit (the reference logs per-chapter progress the
     * same way, `lib/book.js:250-258`): one `streamProgress` event per

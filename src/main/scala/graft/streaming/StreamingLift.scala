@@ -367,7 +367,9 @@ object StreamingLift {
     * the baseline (the [[logHistMaintainStream]] fold, same
     * exactly-once applied-batch guard). Alert rows append BEFORE the
     * publish: at-least-once, keyed by batch_id, bit-identical on
-    * replay — the ledger convention. A group first seen this batch
+    * replay — the ledger convention; read through [[pairsView]] (or
+    * [[graft.engine.AuditSink.recordDrift]]'s table overload) for the
+    * exactly-once set. A group first seen this batch
     * has no baseline: its row carries NULL n_hist/tvd_ppm and
     * alerted = false (new groups are an inventory event, not drift).
     */
@@ -509,8 +511,8 @@ object StreamingLift {
     * The DATA path is exactly-once under replay (id upsert + content
     * anti-join are both idempotent); the ledger is at-least-once (a
     * replayed batch re-appends its row with the same batch_id and a
-    * zero loaded count — dedup on batch_id at read if exactness
-    * matters there).
+    * zero loaded count) — read it through [[ledgerView]] for the
+    * exactly-once row per batch.
     */
   def curationStream(spark: SparkSession, srcPath: String,
       schema: StructType, dest: ParquetTable, audit: ParquetTable,
@@ -574,6 +576,43 @@ object StreamingLift {
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
   }
 
+  /** Exactly-once reading of a BIT-IDENTICAL at-least-once side output
+    * ([[nearDupStream]] pairs, [[spanDedupStream]] spans,
+    * [[histDriftStream]] alerts): those rows append BEFORE each
+    * stream's index/state publish, so a crash in the window replays
+    * the batch and re-appends its rows — but bit-identically by
+    * construction (each row is a deterministic function of the batch
+    * against the unchanged pre-publish state), keyed by batch_id.
+    * `distinct` is therefore the exactly-once view; consumers read
+    * through this instead of each reimplementing the dedup.
+    */
+  def pairsView(out: ParquetTable): DataFrame = out.read.distinct()
+
+  /** Exactly-once view of a [[curationStream]] audit ledger — the
+    * consumer-side half of its at-least-once contract. A replayed
+    * batch re-appends its batch_id row NOT bit-identically: the data
+    * path already landed, so the replay observes the batch's own docs
+    * as corpus duplicates (n_loaded = 0, n_dup_in_corpus absorbing
+    * what the original row counted as loaded). The gate counts
+    * (n_input, n_low_quality, n_blocklisted, n_dup_in_batch) are
+    * deterministic functions of the batch and identical across
+    * replays, so per batch_id the FIRST (truthful) row is
+    * reconstructed exactly: min(n_dup_in_corpus) / max(n_loaded),
+    * the replay-invariant value for the rest. Assumes one checkpoint
+    * lineage (batch ids are only comparable within a checkpoint — the
+    * documented stream contract). A crash between the data publish
+    * and the ledger append leaves only the replay's zero-loaded row:
+    * the truthful account of what that append observed.
+    */
+  def ledgerView(audit: ParquetTable): DataFrame =
+    audit.read.groupBy(col("batch_id")).agg(
+      max(col("n_input")).as("n_input"),
+      max(col("n_low_quality")).as("n_low_quality"),
+      max(col("n_blocklisted")).as("n_blocklisted"),
+      max(col("n_dup_in_batch")).as("n_dup_in_batch"),
+      min(col("n_dup_in_corpus")).as("n_dup_in_corpus"),
+      max(col("n_loaded")).as("n_loaded"))
+
   /** NEAR-dup detection as a continuous feed — the MinHash/LSH
     * companion of [[spanDedupStream]]: per micro-batch,
     *
@@ -597,7 +636,8 @@ object StreamingLift {
     *
     * Crash semantics follow the spanDedupStream convention: pairs
     * append BEFORE the index publish and replay identically (keyed by
-    * batch_id for consumer dedup — at-least-once); the index publish
+    * batch_id — at-least-once; read through [[pairsView]] for the
+    * exactly-once set); the index publish
     * carries the batch id as metadata and a replayed batch is
     * skipped, so the index is exactly-once. Batches must bring ids
     * not already in the index (the ingest contract).
@@ -804,9 +844,9 @@ object StreamingLift {
     * inflate n_docs and fabricate duplicate spans). Span rows append
     * BEFORE the index publish and replay identically (the index they
     * derive from is unchanged until the publish), so spansOut is
-    * at-least-once with bit-identical duplicates, keyed by batch_id
-    * for trivial consumer dedup — the curationStream ledger
-    * convention.
+    * at-least-once with bit-identical duplicates, keyed by batch_id —
+    * read through [[pairsView]] for the exactly-once set (the
+    * curationStream ledger convention).
     *
     * State growth: the index is AGED ((wh, n_docs, last_batch)) and,
     * when `compactAfterBatches` is finite, compacted per micro-batch

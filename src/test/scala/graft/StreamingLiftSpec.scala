@@ -629,6 +629,91 @@ class StreamingLiftSpec extends AnyFunSuite {
       === Seq(1L, 11L))
   }
 
+  test("side-output views: crash-window replays collapse to the exactly-once " +
+      "set while raw output shows the duplicates") {
+    import org.apache.spark.sql.functions.col
+    val srcDir = Files.createTempDirectory("graft-view-src").toString
+    val ckpt = Files.createTempDirectory("graft-view-ckpt").toString
+    val base = Files.createTempDirectory("graft-view-dst")
+    val dest = ParquetTable(spark, base.resolve("corpus").toString)
+    val audit = ParquetTable(spark, base.resolve("ledger").toString)
+    val stop = Seq("the", "a", "of", "and", "to", "in")
+    val good1 = "the quick brown fox jumps over the lazy dog again and again"
+    val good2 = "a different corpus document with the usual stopwords in it and more"
+    def docs(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
+    val schema = docs(Nil).schema
+    def run(at: String): Unit = StreamingLift.curationStream(spark,
+      srcDir + "/*", schema, dest, audit, "doc_id", "text", stop, at)
+      .awaitTermination()
+
+    docs(Seq((1L, good1))).write.parquet(srcDir + "/f1"); run(ckpt)
+    docs(Seq((10L, good1), (11L, good2))).write.parquet(srcDir + "/f2")
+    run(ckpt)
+    // inject the crash: the driver died between batch 1's ledger append
+    // and its checkpoint commit. Simulated as a RESTART: clone the
+    // checkpoint minus commits/1 to a fresh path (Spark 4 caches the
+    // commit log per checkpoint path, so in-place deletion on a live
+    // session reads as concurrent modification, not a crash) — the
+    // clone replays batch 1 under the SAME batch id
+    val ckpt2 = Files.createTempDirectory("graft-view-ckpt2").toString
+    val srcRoot = java.nio.file.Paths.get(ckpt)
+    java.nio.file.Files.walk(srcRoot).forEach { p =>
+      val t = java.nio.file.Paths.get(ckpt2).resolve(srcRoot.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    assert(new java.io.File(ckpt2 + "/commits/1").delete(),
+      "commit file for batch 1 must exist to be deleted")
+    // the local ChecksumFileSystem's shadow file would otherwise make
+    // the replay's commit write fail as FileAlreadyExists
+    new java.io.File(ckpt2 + "/commits/.1.crc").delete()
+    run(ckpt2)
+    // data path exactly-once: the replay loaded nothing new
+    assert(dest.read.select("doc_id").collect().map(_.getLong(0)).sorted
+      === Seq(1L, 11L))
+    // RAW ledger is at-least-once: two rows for batch 1 — the original
+    // (loaded=1, corpus-dup=1) and the replay (loaded=0, corpus-dup=2,
+    // having observed its own docs already in the corpus)
+    val raw = audit.read.filter(col("batch_id") === 1L).collect()
+      .map(r => (r.getLong(5), r.getLong(6))).toSet
+    assert(raw === Set((1L, 1L), (2L, 0L)),
+      s"raw ledger must show the non-identical replay row, got $raw")
+    // ledgerView reconstructs the truthful original row per batch
+    val view = StreamingLift.ledgerView(audit).collect().map(r =>
+      r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
+    assert(view.size === 2)
+    assert(view(0L) === ((1L, 0L, 0L, 0L, 0L, 1L)))
+    assert(view(1L) === ((2L, 0L, 0L, 0L, 1L, 1L)),
+      "view must reconstruct batch 1's original (loaded=1) row")
+
+    // pairsView: bit-identical replayed side-output rows collapse. A
+    // nearDup/span/drift replay re-appends rows identical by
+    // construction (computed against the unchanged pre-publish index);
+    // injecting a copy of an existing batch's rows is exactly that.
+    val pairs = ParquetTable(spark, base.resolve("pairs").toString)
+    import spark.implicits._
+    val rows = Seq((1L, 2L, "in_batch", 0L), (1L, 4L, "vs_corpus", 1L))
+      .toDF("doc_a", "doc_b", "pair_kind", "batch_id")
+    pairs.append(rows)
+    pairs.append(rows.filter(col("batch_id") === 1L)) // the replay
+    assert(pairs.read.count() === 3L, "raw output keeps the duplicate")
+    assert(StreamingLift.pairsView(pairs).count() === 2L,
+      "the view is the exactly-once set")
+
+    // recordDrift's table overload reads through the view: one event
+    // per alert, not per appended copy
+    val alerts = ParquetTable(spark, base.resolve("alerts").toString)
+    val alertRows = Seq((0L, "g", 5L, 5L, 900000L, true))
+      .toDF("batch_id", "src", "n_batch", "n_hist", "tvd_ppm", "alerted")
+    alerts.append(alertRows); alerts.append(alertRows) // replayed copy
+    val sink = new graft.engine.AuditSink(spark)
+    assert(sink.recordDrift(alerts, "src") === 1,
+      "table-overload recordDrift must collapse the replayed alert row")
+  }
+
   test("curationStream blocklist gate drops banned docs and ledgers them") {
     val srcDir = Files.createTempDirectory("graft-curb-src").toString
     val ckpt = Files.createTempDirectory("graft-curb-ckpt").toString
