@@ -653,9 +653,9 @@ object StreamingLift {
     * past `compactFileThreshold` files, and a band group that grows
     * past `maxBucket` collapses to a tombstone at compaction — same
     * reports as the flat path (spec-pinned), bounded state. A
-    * bucketed index must be managed by this stream from birth (no
-    * flat→bucketed migration), and `maxBucket`/layout must stay
-    * constant across invocations.
+    * bucketed index is either managed by this stream from birth or
+    * born from a flat one via [[migrateIndex]]; `maxBucket`/layout
+    * must stay constant across invocations.
     */
   def nearDupStream(spark: SparkSession, srcPath: String,
       schema: StructType, index: ParquetTable, pairsOut: ParquetTable,
@@ -816,6 +816,60 @@ object StreamingLift {
   def nearDupIndexView(index: ParquetTable, idCol: String): DataFrame =
     if (!index.isBucketed) index.read
     else index.read.drop("src_batch").distinct().filter(col(idCol).isNotNull)
+
+  /** Migrate a FLAT [[nearDupStream]] or [[spanDedupStream]] index
+    * into a fresh hash-BUCKETED one — the escape hatch for a feed
+    * whose flat index outgrew the small-index mode (O(index) rewrite
+    * per trigger): without it the only path to the O(batch) layout
+    * was rebuilding the index from raw text.
+    *
+    * The target's bucket key names the index kind (the same rule the
+    * streams enforce): `band_key` → nearDup, `wh` → span. Every row
+    * lands pre-consolidated (src_batch = -1, one file per bucket),
+    * and the flat index's version-pinned applied-batch watermark is
+    * carried into the target's TABLE-scoped metadata — so resuming
+    * the stream on the SAME checkpoint against the bucketed table is
+    * exactly-once: a replayed batch at or below the watermark is
+    * refused, the next batch probes the identical logical state the
+    * flat index held, and pair/span reports continue bit-identically
+    * (spec-pinned).
+    *
+    * Ordering: the watermark lands BEFORE the data, and the target
+    * must not exist — a crash mid-append leaves a target that
+    * [[ParquetTable.exists]] reports, which this require rejects;
+    * `drop()` the partial target and re-run (the flat source is never
+    * mutated). Single-writer, stream stopped — like every maintenance
+    * op here. Returns the migrated watermark.
+    */
+  def migrateIndex(flat: ParquetTable, bucketed: ParquetTable): Long = {
+    require(!flat.isBucketed, s"source index ${flat.path} must be flat")
+    require(bucketed.isBucketed,
+      s"target index ${bucketed.path} must be bucketed")
+    require(flat.exists, s"source index ${flat.path} has no published data")
+    require(!bucketed.exists,
+      s"target index ${bucketed.path} already has data — migration " +
+        "births the bucketed index; after a crashed attempt, drop() the " +
+        "target and re-run")
+    val metaKey = bucketed.bucketKey match {
+      case "band_key" => AppliedBatchKey // nearDup band-key index
+      case "wh"       => SpanBatchKey    // span window-digest index
+      case other => throw new IllegalArgumentException(
+        s"unrecognized index bucket key '$other': nearDup indexes " +
+          "bucket on band_key, span indexes on wh")
+    }
+    val applied = flat.currentMeta.getOrElse(metaKey,
+      throw new IllegalStateException(
+        s"source index ${flat.path} carries no '$metaKey' applied-batch " +
+          "metadata — not a stream-managed flat index"))
+    val rows = flat.read
+    require(rows.columns.contains(bucketed.bucketKey),
+      s"source index schema (${rows.columns.mkString(", ")}) has no " +
+        s"'${bucketed.bucketKey}' column — wrong index kind for this target")
+    bucketed.putTableMeta(metaKey -> applied)
+    bucketed.append(rows.withColumn("src_batch", lit(-1L))
+      .repartition(bucketed.buckets, bucketed.bucketExpr)) // 1 file/bucket
+    applied.toLong
+  }
 
   /** The metadata key [[spanDedupStream]] records its applied batch
     * under (version-pinned for flat indexes, table-scoped for

@@ -1393,6 +1393,130 @@ class StreamingLiftSpec extends AnyFunSuite {
       "counts must fold the crashed delta exactly once despite compaction")
   }
 
+  test("migrateIndex: flat→bucketed reports stay bit-identical and the " +
+      "stream resumes exactly-once on the same checkpoint") {
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-migrate")
+    def docs(rows: (Long, String)*): DataFrame = rows.toDF("doc_id", "text")
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val b1 = docs(1L -> t1,
+      2L -> "completely different words nothing shared with anything here now")
+    val b2 = docs(4L -> t1,
+      5L -> "yet another unrelated document body with its own vocabulary set")
+    val b3 = docs(6L -> t1, 7L -> t1,
+      8L -> "final filler document sharing nothing with the earlier feed")
+    val schema = b1.schema
+    def cloneCkptWithout(ckpt: String, commit: Long): String = {
+      val to = Files.createTempDirectory("graft-migrate-ck").toString
+      val root = java.nio.file.Paths.get(ckpt)
+      java.nio.file.Files.walk(root).forEach { p =>
+        val t = java.nio.file.Paths.get(to).resolve(root.relativize(p))
+        if (java.nio.file.Files.isDirectory(p))
+          java.nio.file.Files.createDirectories(t)
+        else java.nio.file.Files.copy(p, t,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+      }
+      assert(new java.io.File(s"$to/commits/$commit").delete())
+      new java.io.File(s"$to/commits/.$commit.crc").delete()
+      to
+    }
+
+    // ---- nearDupStream ---------------------------------------------
+    // control: bucketed from birth, all three batches
+    val cIdx = ParquetTable(spark, base.resolve("nd-c-idx").toString,
+      buckets = 8, bucketKey = "band_key")
+    val cPairs = ParquetTable(spark, base.resolve("nd-c-pairs").toString)
+    val cSrc = base.resolve("nd-c-src").toString
+    val cCkpt = base.resolve("nd-c-ckpt").toString
+    def runNd(idx: ParquetTable, pairs: ParquetTable, src: String,
+        ckpt: String): Unit =
+      StreamingLift.nearDupStream(spark, src + "/*", schema, idx, pairs,
+        "doc_id", "text", ckpt).awaitTermination(60000)
+    b1.write.parquet(cSrc + "/f1"); runNd(cIdx, cPairs, cSrc, cCkpt)
+    b2.write.parquet(cSrc + "/f2"); runNd(cIdx, cPairs, cSrc, cCkpt)
+    b3.write.parquet(cSrc + "/f3"); runNd(cIdx, cPairs, cSrc, cCkpt)
+    // migrated: flat for batches 0-1, then flat→bucketed, then batch 2
+    val flat = ParquetTable(spark, base.resolve("nd-m-flat").toString)
+    val mPairs = ParquetTable(spark, base.resolve("nd-m-pairs").toString)
+    val mSrc = base.resolve("nd-m-src").toString
+    val mCkpt = base.resolve("nd-m-ckpt").toString
+    b1.write.parquet(mSrc + "/f1"); runNd(flat, mPairs, mSrc, mCkpt)
+    b2.write.parquet(mSrc + "/f2"); runNd(flat, mPairs, mSrc, mCkpt)
+    val mIdx = ParquetTable(spark, base.resolve("nd-m-bucketed").toString,
+      buckets = 8, bucketKey = "band_key")
+    assert(StreamingLift.migrateIndex(flat, mIdx) === 1L,
+      "migration must carry the flat index's applied-batch watermark")
+    // exactly-once across the boundary: a crash replay of PRE-migration
+    // batch 1 against the bucketed index must be refused by the
+    // migrated watermark — nothing appended, no pairs re-emitted
+    val replayCkpt = cloneCkptWithout(mCkpt, 1L)
+    val pairsBefore = mPairs.read.count()
+    runNd(mIdx, mPairs, mSrc, replayCkpt)
+    assert(mPairs.read.count() === pairsBefore,
+      "replayed pre-migration batch must not re-emit pairs")
+    assert(mIdx.read.filter(col("src_batch") === 1L).count() === 0L,
+      "replayed pre-migration batch must not re-append its delta")
+    // resume: batch 2 probes the migrated state
+    b3.write.parquet(mSrc + "/f3"); runNd(mIdx, mPairs, mSrc, replayCkpt)
+    def pairSet(t: ParquetTable) = t.read.collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2), r.getLong(3)))
+      .toSet
+    assert(pairSet(mPairs) === pairSet(cPairs) && pairSet(cPairs).exists(
+        p => p._3 == "vs_corpus" && p._4 == 2L),
+      "pair reports must be bit-identical across the migration boundary")
+    def keySet(t: ParquetTable) =
+      StreamingLift.nearDupIndexView(t, "doc_id").collect()
+        .map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+    assert(keySet(mIdx) === keySet(cIdx),
+      "index content must be layout-independent after migration")
+
+    // ---- spanDedupStream -------------------------------------------
+    val sCIdx = ParquetTable(spark, base.resolve("sp-c-idx").toString,
+      buckets = 4, bucketKey = "wh")
+    val sCSpans = ParquetTable(spark, base.resolve("sp-c-spans").toString)
+    val sCSrc = base.resolve("sp-c-src").toString
+    val sCCkpt = base.resolve("sp-c-ckpt").toString
+    def runSp(idx: ParquetTable, spans: ParquetTable, src: String,
+        ckpt: String): Unit =
+      StreamingLift.spanDedupStream(spark, src + "/*", schema, idx, spans,
+        "doc_id", "text", ckpt, k = 3, minDocs = 2).awaitTermination(60000)
+    b1.write.parquet(sCSrc + "/f1"); runSp(sCIdx, sCSpans, sCSrc, sCCkpt)
+    b2.write.parquet(sCSrc + "/f2"); runSp(sCIdx, sCSpans, sCSrc, sCCkpt)
+    b3.write.parquet(sCSrc + "/f3"); runSp(sCIdx, sCSpans, sCSrc, sCCkpt)
+    val sFlat = ParquetTable(spark, base.resolve("sp-m-flat").toString)
+    val sMSpans = ParquetTable(spark, base.resolve("sp-m-spans").toString)
+    val sMSrc = base.resolve("sp-m-src").toString
+    val sMCkpt = base.resolve("sp-m-ckpt").toString
+    b1.write.parquet(sMSrc + "/f1"); runSp(sFlat, sMSpans, sMSrc, sMCkpt)
+    b2.write.parquet(sMSrc + "/f2"); runSp(sFlat, sMSpans, sMSrc, sMCkpt)
+    val sMIdx = ParquetTable(spark, base.resolve("sp-m-bucketed").toString,
+      buckets = 4, bucketKey = "wh")
+    assert(StreamingLift.migrateIndex(sFlat, sMIdx) === 1L)
+    b3.write.parquet(sMSrc + "/f3"); runSp(sMIdx, sMSpans, sMSrc, sMCkpt)
+    def spanSet(t: ParquetTable) = t.read
+      .select("doc_id", "span_start", "span_len", "span_text", "batch_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getString(3), r.getLong(4))).toSet
+    assert(spanSet(sMSpans) === spanSet(sCSpans) &&
+      spanSet(sCSpans).exists(_._5 == 2L),
+      "span reports must be bit-identical across the migration boundary")
+    def idxMap(t: ParquetTable) = StreamingLift.spanIndexView(t).collect()
+      .map(r => r.getAs[Array[Byte]](0).toSeq -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(idxMap(sMIdx) === idxMap(sCIdx),
+      "span index content must be layout-independent after migration")
+
+    // guard-rails: wrong kind, existing target, non-stream-managed source
+    val wrongKind = ParquetTable(spark, base.resolve("wrong").toString,
+      buckets = 4, bucketKey = "doc_id")
+    assertThrows[IllegalArgumentException] {
+      StreamingLift.migrateIndex(flat, wrongKind)
+    }
+    assertThrows[IllegalArgumentException] { // require -> IAE
+      StreamingLift.migrateIndex(flat, mIdx) // target already exists
+    }
+  }
+
   test("spanDedupStream bucketed: spans identical to flat across horizons, append-only publish") {
     import org.apache.spark.sql.functions._
     val base = Files.createTempDirectory("graft-span-bucketed")
