@@ -45,7 +45,8 @@ object Bench {
   def renderLine(results: Seq[(String, Double)], errNames: Seq[String],
       sfDir: String, runs: Int = 1,
       loadavgs: Seq[String] = Nil,
-      dispersion: Seq[Dispersion] = Nil): String = {
+      dispersion: Seq[Dispersion] = Nil,
+      shapes: Seq[(String, Shape)] = Nil): String = {
     // Times are rounded to milliseconds, locale-independently — a SIZE
     // contract, not cosmetics (~1 ms of false precision is far below
     // the local[n] noise floor).
@@ -71,7 +72,8 @@ object Bench {
     val head =
       s"""{"metric":"total","value":${rounded(total, 3)},"unit":"sec","n_queries":${results.size},""" +
         s""""mean_query_sec":${rounded(mean, 3)},"runs":$runs,"n_errs":${errNames.size},"errs":$errsJson,""" +
-        s""""n_dispersion":${dispersion.size},"dispersion":$dispJson,"loadavg":$loadJson"""
+        s""""n_dispersion":${dispersion.size},"dispersion":$dispJson,"loadavg":$loadJson,""" +
+        shapeSummaryJson(shapes)
     def render(scale: Int, shortKeys: Boolean): String = {
       val qs = results.map { case (k, v) =>
         val key = if (shortKeys) k.takeWhile(_ != '_') else k
@@ -105,12 +107,49 @@ object Bench {
   final case class Dispersion(name: String, median: Double, best: Double,
       raws: Seq[Double])
 
+  /** One query's plan-shape counts ([[PlanAudit.shapeOf]]): shuffle
+    * exchanges, broadcasts, scans, codegen spans. Folded into the
+    * bench artifact so a shape regression (a new shuffle, a lost
+    * broadcast) diffs round-over-round in the JSON itself instead of
+    * needing a separate audit run.
+    */
+  final case class Shape(exch: Int, bc: Int, scan: Int, cg: Int)
+
+  /** Totals + fingerprint of the per-query shape map for the bounded
+    * stdout line (a 217-entry map cannot fit the ~2000-char window):
+    * the totals catch aggregate drift, and the 8-hex fingerprint —
+    * md5 over the sorted canonical per-query encoding — flips on ANY
+    * per-query change, so a regression that nets out in the totals
+    * (one query +1 shuffle, another −1) is still visible. The full
+    * per-query map rides in [[renderFull]]'s file artifact.
+    */
+  def shapeSummaryJson(shapes: Seq[(String, Shape)]): String =
+    if (shapes.isEmpty) """"shapes":{}"""
+    else {
+      val e = shapes.map(_._2.exch).sum
+      val b = shapes.map(_._2.bc).sum
+      val s = shapes.map(_._2.scan).sum
+      val c = shapes.map(_._2.cg).sum
+      s""""shapes":{"exch":$e,"bc":$b,"scan":$s,"cg":$c,"fp":"${shapeFp(shapes)}"}"""
+    }
+
+  /** 8-hex md5 of the sorted canonical per-query shape encoding. */
+  def shapeFp(shapes: Seq[(String, Shape)]): String = {
+    val canonical = shapes.sortBy(_._1).map { case (n, sp) =>
+      s"$n=${sp.exch}.${sp.bc}.${sp.scan}.${sp.cg}"
+    }.mkString("\n")
+    java.security.MessageDigest.getInstance("MD5")
+      .digest(canonical.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString.take(8)
+  }
+
   /** Full-precision full-name form for SPARK_GRAFT_BENCH_OUT — no size
     * budget applies to a file. */
   def renderFull(results: Seq[(String, Double)], errNames: Seq[String],
       sfDir: String, runs: Int = 1,
       loadavgs: Seq[String] = Nil,
-      dispersion: Seq[Dispersion] = Nil): String = {
+      dispersion: Seq[Dispersion] = Nil,
+      shapes: Seq[(String, Shape)] = Nil): String = {
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
@@ -123,9 +162,15 @@ object Bench {
     }.mkString("[", ",", "]")
     val qs = results.map { case (k, v) => "\"" + k + "\":" + r3(v) }
       .mkString("{", ",", "}")
+    // the FULL per-query shape map (the file artifact has no size
+    // budget) plus the same totals/fingerprint the stdout line carries
+    val shapesJson = shapes.map { case (n, sp) =>
+      s""""$n":{"exch":${sp.exch},"bc":${sp.bc},"scan":${sp.scan},"cg":${sp.cg}}"""
+    }.mkString("{", ",", "}")
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""mean_query_sec":${r3(mean)},"runs":$runs,"n_errs":${errNames.size},"errs":$errsJson,""" +
       s""""n_dispersion":${dispersion.size},"dispersion":$dispJson,"loadavg":$loadJson,""" +
+      shapeSummaryJson(shapes) + s""","shapes_by_query":$shapesJson,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
   }
 
@@ -177,7 +222,16 @@ object Bench {
       SparkEntry.queries(name)(spark, sfDir)
         .write.mode("overwrite").format("noop").save()
 
-    names.foreach { n => try run(n) catch { case _: Throwable => () } } // warm-up
+    // warm-up pass (untimed) — failures are LOGGED, not swallowed: a
+    // query failing only here (stale-state interaction, first-touch
+    // issue) would otherwise leave no trace, since the timed passes
+    // only catch persistent failures
+    names.foreach { n =>
+      try run(n) catch { case e: Throwable =>
+        System.err.println(s"bench: WARM-UP $n FAILED: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(200)}")
+      }
+    }
     // SPARK_GRAFT_BENCH_RUNS: timed passes in the same JVM, every pass
     // logged to stderr, the JSON reporting per-query MEDIANS — this
     // separates plan-cost drift from local[n] scheduling noise
@@ -249,14 +303,34 @@ object Bench {
       } else None
     }
 
+    // plan-shape audit (r13 task 6): per-query {exchanges, broadcasts,
+    // scans, codegen spans} into the artifact so shape regressions
+    // diff round-over-round. Computed AFTER the timed passes (planning
+    // only, nothing executes) on a sibling session with AQE off — the
+    // static declared topology is what's scale-invariant and diffable;
+    // AQE wraps executed stages in opaque nodes that hide codegen ids.
+    val auditSession = spark.newSession()
+    auditSession.conf.set("spark.sql.adaptive.enabled", "false")
+    val shapes = names.flatMap { n =>
+      try {
+        val (e, b, s, c) =
+          PlanAudit.shapeOf(SparkEntry.queries(n)(auditSession, sfDir))
+        Some(n -> Shape(e, b, s, c))
+      } catch { case ex: Throwable =>
+        System.err.println(s"bench: shape audit $n FAILED: " +
+          s"${ex.getClass.getSimpleName}")
+        None
+      }
+    }
+
     // report the pass count that actually ran (budget may skip some)
     val ranPasses = passes.size
     val line = renderLine(results, errNames, sfDir, ranPasses, loadavgs,
-      dispersion)
+      dispersion, shapes)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         renderFull(results, errNames, sfDir, ranPasses, loadavgs,
-          dispersion) + "\n")
+          dispersion, shapes) + "\n")
     }
     spark.stop() // stop BEFORE printing so no stray log line follows the JSON
     println(line)

@@ -13,6 +13,24 @@ import org.apache.spark.sql.SparkSession
   * declared topology).
   */
 object PlanAudit {
+
+  /** Shape counts of a query's executed plan —
+    * (shuffles, broadcasts, scans, codegen spans): the numbers this
+    * audit prints and [[Bench]] folds into its JSON artifact so shape
+    * regressions diff round-over-round. Reads the plan only; never
+    * executes the frame.
+    */
+  def shapeOf(df: org.apache.spark.sql.DataFrame): (Int, Int, Int, Int) = {
+    val plan = df.queryExecution.executedPlan.toString
+    def n(p: String) = p.r.findAllIn(plan).length
+    val bc = n("BroadcastExchange")
+    val cg = "codegen id : (\\d+)".r.findAllMatchIn(
+      df.queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
+      .map(_.group(1)).toSet.size
+    (n("Exchange") - bc, bc, n("Scan parquet|FileScan"), cg)
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder().master("local[4]")
@@ -35,16 +53,11 @@ object PlanAudit {
       df.write.mode("overwrite").format("noop").save() // finalize AQE
       // node counts from the simple final plan (each node once);
       // codegen span ids from the formatted detail blocks
-      val plan = df.queryExecution.executedPlan.toString
-      def n(p: String) = p.r.findAllIn(plan).length
-      val bc = n("BroadcastExchange")
-      val codegenSpans = "codegen id : (\\d+)".r.findAllMatchIn(
-        df.queryExecution.explainString(
-          org.apache.spark.sql.execution.ExplainMode.fromString("formatted")))
-        .map(_.group(1)).toSet.size
-      println(f"$q%-24s shuffles=${n("Exchange") - bc} broadcasts=$bc " +
-        f"scans=${n("Scan parquet|FileScan")} codegen=$codegenSpans " +
-        f"sorts=${n("\\bSort \\[")}")
+      val (sh, bc, scans, cg) = shapeOf(df)
+      val sorts = "\\bSort \\[".r
+        .findAllIn(df.queryExecution.executedPlan.toString).length
+      println(f"$q%-24s shuffles=$sh broadcasts=$bc " +
+        f"scans=$scans codegen=$cg sorts=$sorts")
     }
     spark.stop()
   }

@@ -105,6 +105,29 @@ class BenchContractSpec extends AnyFunSpec with Matchers {
       clean should include(""""dispersion":[]""")
     }
 
+    it("carries plan-shape totals + fingerprint, still fitting the window") {
+      val shapes = (1 to 217).map(i =>
+        (s"q${i}_some_longish_query_name", Bench.Shape(2, 1, 3, 4)))
+      val line = Bench.renderLine(fakeResults(217), Nil, sf, shapes = shapes)
+      line.length should be <= 1980
+      line should include(
+        s""""shapes":{"exch":${217 * 2},"bc":217,"scan":${217 * 3},"cg":${217 * 4},"fp":"""")
+      // no shapes -> explicit empty object, not a missing key
+      Bench.renderLine(fakeResults(5), Nil, sf) should include(""""shapes":{}""")
+    }
+
+    it("the shape fingerprint flips on a per-query change even when totals net out") {
+      val base = Seq(("qa", Bench.Shape(2, 1, 3, 4)), ("qb", Bench.Shape(1, 1, 2, 2)))
+      // qa gains a shuffle, qb loses one: totals identical, map different
+      val drift = Seq(("qa", Bench.Shape(3, 1, 3, 4)), ("qb", Bench.Shape(0, 1, 2, 2)))
+      Bench.shapeFp(base) should not be Bench.shapeFp(drift)
+      // order-independent: the fingerprint canonicalizes by name
+      Bench.shapeFp(base.reverse) shouldBe Bench.shapeFp(base)
+      val l1 = Bench.renderLine(fakeResults(2), Nil, sf, shapes = base)
+      val l2 = Bench.renderLine(fakeResults(2), Nil, sf, shapes = drift)
+      l1 should not be l2
+    }
+
     it("dispersion/loadavg are capped so a pathological run still fits the window") {
       val disp = (1 to 300).map(i =>
         Bench.Dispersion(s"q${i}_some_longish_query_name", 9.99, 0.5,
@@ -136,6 +159,16 @@ class BenchContractSpec extends AnyFunSpec with Matchers {
       full should include(""""dispersion":[{"q":"q40_rollup","med":13.620,""")
       full should include(""""raws":[1.100,13.620,14.000]""")
       full should include(""""loadavg":["0.5 0.6 0.5"]""")
+    }
+
+    it("carries the full per-query shape map plus the same totals/fingerprint") {
+      val shapes = Seq(("qa_x", Bench.Shape(2, 1, 3, 4)),
+        ("qb_y", Bench.Shape(1, 0, 2, 2)))
+      val full = Bench.renderFull(fakeResults(2), Nil, sf, shapes = shapes)
+      full should include(
+        """"shapes_by_query":{"qa_x":{"exch":2,"bc":1,"scan":3,"cg":4},"qb_y":{"exch":1,"bc":0,"scan":2,"cg":2}}""")
+      full should include(
+        s""""shapes":{"exch":3,"bc":1,"scan":5,"cg":6,"fp":"${Bench.shapeFp(shapes)}"}""")
     }
   }
 
