@@ -1,0 +1,225 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scale probe: synthesize an ~N× dataset from an existing
+  * scale factor by ID-OFFSET REPLICATION, then measure the top-cost
+  * queries at both sizes and compare time ratios + plan shapes — the
+  * measured half of the 100 TB story (SCALE.md), where the plan-shape
+  * audit is the analytical half.
+  *
+  * Replication model (one `explode(sequence)` pass per table — no
+  * N-way union of scans):
+  *
+  *  - each replica i offsets every KEY column by i × its key family's
+  *    offset (the owning dimension's max+1), applied consistently
+  *    across tables — so replica i is a self-contained, referentially
+  *    intact shard with exactly the source's key/value distributions
+  *    (how TPC-H itself scales);
+  *  - text columns are SALTED per replica (token t → `t_i`, replica 0
+  *    verbatim): each replica is an independent corpus shard with
+  *    identical internal statistics — duplicate rates, shingle/span
+  *    structure, posting-list shapes are preserved within a replica
+  *    while replicas never cross-match. Naive un-salted replication
+  *    would make every doc a 10-way near-duplicate and blow dedup
+  *    OUTPUT quadratically — a property of that degenerate data, not
+  *    of the plans being probed;
+  *  - fixed dimensions (region, nation) copy verbatim, as at any real
+  *    scale factor.
+  *
+  * Usage (the driver does not run this; it feeds SCALE.md):
+  * {{{
+  *   sbt "runMain graft.ScaleProbe /root/testdata/sf0.1 /tmp/graft_sf1 10"
+  * }}}
+  */
+object ScaleProbe {
+
+  /** Replicate `df` `times`× in one scan: key columns in `keyOffsets`
+    * shift by `replica × offset` (cast back to their source type),
+    * columns in `saltTokens` get per-token `_i` suffixes on replicas
+    * i ≥ 1, everything else copies verbatim.
+    */
+  def replicate(df: DataFrame, times: Int, keyOffsets: Map[String, Long],
+      saltTokens: Seq[String] = Nil): DataFrame = {
+    require(times >= 1, s"times must be >= 1: $times")
+    val withRep = df.withColumn("__rep",
+      explode(sequence(lit(0L), lit((times - 1).toLong))))
+    val out: Seq[Column] = df.schema.fields.toSeq.map { f =>
+      val c = col(f.name)
+      if (keyOffsets.contains(f.name))
+        (c + col("__rep") * keyOffsets(f.name)).cast(f.dataType).as(f.name)
+      else if (saltTokens.contains(f.name))
+        when(col("__rep") === 0L, c).otherwise(
+          array_join(transform(split(c, " "),
+            t => concat(t, lit("_"), col("__rep").cast("string"))), " ")
+        ).as(f.name)
+      else c.as(f.name)
+    }
+    withRep.select(out: _*)
+  }
+
+  /** Write the `times`× dataset under `outDir` (same `<name>.parquet`
+    * layout the [[graft.sources.Tables]] loaders read). Key-family
+    * offsets come from the owning dimension's max key, so foreign keys
+    * stay inside their replica's dimension range.
+    */
+  def synthesize(spark: SparkSession, srcDir: String, outDir: String,
+      times: Int): Unit = {
+    import graft.sources.Tables
+    def mx(table: String, key: String): Long =
+      Tables.load(spark, srcDir, table)
+        .agg(max(col(key))).head.getLong(0) + 1
+    val cust = mx("customer", "c_custkey")
+    val ord = mx("orders", "o_orderkey")
+    val part = mx("part", "p_partkey")
+    val supp = mx("supplier", "s_suppkey")
+    val event = mx("events", "event_id")
+    val user = mx("events", "user_id")
+    val doc = mx("documents", "doc_id")
+    val vec = mx("embeddings", "vec_id")
+    def write(name: String, df: DataFrame): Unit = {
+      df.write.mode("overwrite").parquet(s"$outDir/$name.parquet")
+      System.err.println(s"[scale-probe] wrote $name x$times")
+    }
+    // fixed dimensions: verbatim, as at any scale factor
+    write("region", Tables.load(spark, srcDir, "region"))
+    write("nation", Tables.load(spark, srcDir, "nation"))
+    write("customer", replicate(Tables.load(spark, srcDir, "customer"),
+      times, Map("c_custkey" -> cust)))
+    write("supplier", replicate(Tables.load(spark, srcDir, "supplier"),
+      times, Map("s_suppkey" -> supp)))
+    write("part", replicate(Tables.load(spark, srcDir, "part"),
+      times, Map("p_partkey" -> part)))
+    write("orders", replicate(Tables.load(spark, srcDir, "orders"),
+      times, Map("o_orderkey" -> ord, "o_custkey" -> cust)))
+    write("lineitem", replicate(Tables.load(spark, srcDir, "lineitem"),
+      times, Map("l_orderkey" -> ord, "l_partkey" -> part,
+        "l_suppkey" -> supp)))
+    // events.ts rides as Long nanos (the nanosAsLong session conf);
+    // user offset makes each replica an independent user population
+    write("events", replicate(Tables.load(spark, srcDir, "events"),
+      times, Map("event_id" -> event, "user_id" -> user)))
+    // n_chars is recomputed AFTER salting so the metadata column stays
+    // true to the text it describes (salting lengthens tokens)
+    write("documents", replicate(Tables.load(spark, srcDir, "documents"),
+      times, Map("doc_id" -> doc), saltTokens = Seq("text"))
+      .withColumn("n_chars", length(col("text")).cast("long")))
+    write("embeddings", replicate(Tables.load(spark, srcDir, "embeddings"),
+      times, Map("vec_id" -> vec)))
+  }
+
+  /** The default probe set: the top-cost queries of the last benched
+    * round (BENCH artifact order).
+    */
+  val DefaultQueries: Seq[String] = Seq(
+    "q139_prefix_join", "q134_mad_outliers", "q201_bloom_decontam",
+    "q144_hybrid_retrieval", "q194_repeated_spans", "q198_incremental_spans",
+    "q72_peak_concurrency", "q94_span_dedup", "q124_knn_graph",
+    "q142_corr_matrix", "q195_boilerplate_catalog", "q73_pagerank_step",
+    "q151_interval_join", "q192_join_size_est", "q91_source_overlap",
+    "q188_ks_drift")
+
+  /** Median over `passes` timed runs of one query at one SF dir. */
+  private def timeQuery(spark: SparkSession, name: String, dir: String,
+      passes: Int): Double = {
+    def once(): Double = {
+      val t0 = System.nanoTime()
+      SparkEntry.queries(name)(spark, dir)
+        .write.mode("overwrite").format("noop").save()
+      (System.nanoTime() - t0) / 1e9
+    }
+    once() // untimed warm-up (footers, codegen cache)
+    val raw = (1 to passes).map(_ => once()).sorted
+    if (raw.size % 2 == 1) raw(raw.size / 2)
+    else (raw(raw.size / 2 - 1) + raw(raw.size / 2)) / 2.0
+  }
+
+  /** One bucketed [[graft.streaming.StreamingLift.nearDupStream]]
+    * trigger against an index built over `dir`'s documents: returns
+    * (corpus rows, trigger seconds, index bytes written by the batch).
+    * The O(batch) claim says both numbers stay ~flat as the corpus
+    * grows 10×.
+    */
+  def nearDupWindowProbe(spark: SparkSession, dir: String,
+      scratch: String, batchDocs: Int = 100): (Long, Double, Long) = {
+    import graft.sources.{ParquetTable, Tables}
+    import graft.streaming.StreamingLift
+    import graft.ops.Dedup
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val index = ParquetTable(spark, s"$scratch/idx", buckets = 64,
+      bucketKey = "band_key")
+    val pairs = ParquetTable(spark, s"$scratch/pairs")
+    // birth the index directly from the corpus signatures (what a
+    // stream that ingested the whole corpus would hold), consolidated
+    index.putTableMeta(StreamingLift.AppliedBatchKey -> "-1")
+    index.append(Dedup.bandKeyRows(docs, "doc_id", "text")
+      .withColumn("src_batch", lit(-1L))
+      .repartition(index.buckets, index.bucketExpr))
+    val before = index.sizeBytes
+    // the batch: batchDocs re-crawled docs under fresh ids (realistic
+    // probe work — every one pairs vs the corpus)
+    val batch = docs.orderBy(col("doc_id")).limit(batchDocs)
+      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+    batch.write.parquet(s"$scratch/src/f1")
+    val t0 = System.nanoTime()
+    StreamingLift.nearDupStream(spark, s"$scratch/src/*", batch.schema,
+      index, pairs, "doc_id", "text", s"$scratch/ckpt")
+      .awaitTermination(600000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (nDocs, sec, index.sizeBytes - before)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
+    val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
+    val times = args.lift(2).map(_.toInt).getOrElse(10)
+    val passes = args.lift(3).map(_.toInt).getOrElse(2)
+    val queries = if (args.length > 4) args.drop(4).toSeq else DefaultQueries
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val marker = new java.io.File(s"$outDir/_SYNTH_DONE_x$times")
+    if (!marker.exists()) {
+      System.err.println(s"[scale-probe] synthesizing ${times}x of $srcDir -> $outDir")
+      synthesize(spark, srcDir, outDir, times)
+      marker.getParentFile.mkdirs(); marker.createNewFile(): Unit
+    } else System.err.println(s"[scale-probe] reusing synthesized $outDir")
+
+    // shapes audited on an AQE-off sibling session (the static
+    // declared topology — what must NOT change with data size)
+    val audit = spark.newSession()
+    audit.conf.set("spark.sql.adaptive.enabled", "false")
+    println(f"${"query"}%-26s ${"src_s"}%8s ${"big_s"}%8s ${"ratio"}%7s  shapes(src|big)")
+    val rows = queries.map { q =>
+      val sSrc = PlanAudit.shapeOf(SparkEntry.queries(q)(audit, srcDir))
+      val sBig = PlanAudit.shapeOf(SparkEntry.queries(q)(audit, outDir))
+      val tSrc = timeQuery(spark, q, srcDir, passes)
+      val tBig = timeQuery(spark, q, outDir, passes)
+      val ratio = tBig / tSrc
+      println(f"$q%-26s $tSrc%8.3f $tBig%8.3f $ratio%7.2f  $sSrc|$sBig" +
+        (if (sSrc != sBig) "  SHAPE-CHANGED" else ""))
+      (q, tSrc, tBig, ratio, sSrc == sBig)
+    }
+    // streaming probe at both sizes: trigger cost must be O(batch)
+    val scratchA = java.nio.file.Files.createTempDirectory("graft-ndp-src").toString
+    val scratchB = java.nio.file.Files.createTempDirectory("graft-ndp-big").toString
+    val (nA, tA, bA) = nearDupWindowProbe(spark, srcDir, scratchA)
+    val (nB, tB, bB) = nearDupWindowProbe(spark, outDir, scratchB)
+    println(f"nearDupStream trigger: corpus=$nA%d docs -> $tA%.2f s, $bA%d B appended")
+    println(f"nearDupStream trigger: corpus=$nB%d docs -> $tB%.2f s, $bB%d B appended")
+    println(f"nearDupStream trigger ratio: time ${tB / tA}%.2f, bytes ${bB.toDouble / bA}%.2f (corpus grew ${nB.toDouble / nA}%.1fx)")
+    val worst = rows.maxBy(_._4)
+    println(f"worst query ratio: ${worst._1} ${worst._4}%.2f; shapes equal: ${rows.forall(_._5)}")
+    spark.stop()
+    sys.exit(0)
+  }
+}
