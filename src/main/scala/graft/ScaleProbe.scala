@@ -178,9 +178,13 @@ object ScaleProbe {
     val passes = args.lift(3).map(_.toInt).getOrElse(2)
     val queries = if (args.length > 4) args.drop(4).toSeq else DefaultQueries
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // diagnosis knob: re-probe a query under a different initial
+    // shuffle-partition count (AQE still coalesces; this raises the
+    // ceiling) to separate partition-sizing effects from plan cost
+    val shuffle = sys.env.getOrElse("SPARK_GRAFT_SHUFFLE", cpus)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shuffle)
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -208,6 +212,38 @@ object ScaleProbe {
       println(f"$q%-26s $tSrc%8.3f $tBig%8.3f $ratio%7.2f  $sSrc|$sBig" +
         (if (sSrc != sBig) "  SHAPE-CHANGED" else ""))
       (q, tSrc, tBig, ratio, sSrc == sBig)
+    }
+    // output-cardinality diagnosis: a wall-clock ratio above the data
+    // ratio can be environment (one box, shared disk/memory bus) or a
+    // quadratic intermediate — the OUTPUT row ratio separates them
+    sys.env.get("SPARK_GRAFT_PROBE_COUNT").foreach { q =>
+      val a = SparkEntry.queries(q)(spark, srcDir).count()
+      val b = SparkEntry.queries(q)(spark, outDir).count()
+      println(f"$q rows: src=$a big=$b ratio ${b.toDouble / a}%.2f")
+    }
+    // cells-scale-with-N experiment: the q124 probe pins 8 centroids
+    // (its oracle needs determinism), making cell-local pair work
+    // quadratic at fixed cells. The scale-correct IVF configuration
+    // grows the cell count with the corpus (constant per-cell
+    // population); this measures that configuration directly.
+    sys.env.get("SPARK_GRAFT_PROBE_KNN_CENTS").map(_.toInt).foreach { n0 =>
+      def knn(dir: String, nc: Int): Double = {
+        val e = graft.sources.Tables.embeddings(spark, dir)
+        val cents = e.filter(col("vec_id") < nc)
+          .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+        val t0 = System.nanoTime()
+        graft.ops.Similarity.knnGraph(e, "vec_id", "embedding", cents, k = 5)
+          .write.mode("overwrite").format("noop").save()
+        (System.nanoTime() - t0) / 1e9
+      }
+      knn(srcDir, n0) // warm-up
+      val a = math.min(knn(srcDir, n0), knn(srcDir, n0))
+      val b = math.min(knn(outDir, n0 * times), knn(outDir, n0 * times))
+      println(f"knnGraph cells-scale-with-N: src(cells=$n0)=$a%.2f s, " +
+        f"big(cells=${n0 * times})=$b%.2f s, ratio ${b / a}%.2f (data ${times}x)")
+    }
+    if (sys.env.get("SPARK_GRAFT_PROBE_STREAM").contains("off")) {
+      spark.stop(); sys.exit(0)
     }
     // streaming probe at both sizes: trigger cost must be O(batch)
     val scratchA = java.nio.file.Files.createTempDirectory("graft-ndp-src").toString

@@ -2922,6 +2922,69 @@ object AnalyticsPack {
           THEN s7 * 1000000 * n1 // (s1 * n7) END::BIGINT AS mase_ppm
       FROM l7 JOIN l1 USING (event_type)"""))
 
+  /** Scale-probe replication audit ([[graft.ScaleProbe.replicate]]):
+    * the generator behind the empirical 10× measurement (SCALE.md)
+    * must itself be correct, or the probe measures fabricated data.
+    * Replicate `part` 3× with the key offset and report per-replica
+    * row count, distinct-key count, exact key sum, and size mass —
+    * the oracle replays the replication as a relational cross join,
+    * so any drift in the offset arithmetic or a dropped/duplicated
+    * replica hash-mismatches. Keys are 0-based, so
+    * replica = key div offset.
+    */
+  private val q218 = QueryDef(
+    "q218_scale_replicate",
+    (s, dir) => {
+      val base = Tables.part(s, dir)
+        .select(col("p_partkey"), col("p_size").cast("long").as("sz"))
+      graft.ScaleProbe.replicate(base, 3, Map("p_partkey" -> 100000L))
+        .withColumn("rep", expr("p_partkey div 100000"))
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_rows"),
+          countDistinct(col("p_partkey")).as("n_keys"),
+          sum(col("p_partkey")).as("sum_key"),
+          sum(col("sz")).as("sum_size"))
+    },
+    Some("""WITH r AS (SELECT unnest(range(0, 3)) AS rep),
+      x AS (SELECT rep, p_partkey + rep * 100000 AS k, p_size::BIGINT AS sz
+        FROM part CROSS JOIN r)
+      SELECT rep::BIGINT AS rep, count(*)::BIGINT AS n_rows,
+        count(DISTINCT k)::BIGINT AS n_keys, sum(k)::BIGINT AS sum_key,
+        sum(sz)::BIGINT AS sum_size
+      FROM x GROUP BY 1"""))
+
+  /** Scale-probe text-salt audit (the [[graft.ScaleProbe.replicate]]
+    * `saltTokens` path): per-replica token salting must keep replica 0
+    * verbatim, keep every replica's duplicate structure identical to
+    * the source, and never produce cross-replica matches — the
+    * property that makes the 10× dedup measurements honest (un-salted
+    * replication probes degenerate 10-way-duplicate data, not the
+    * plans). The oracle replays the salt as replace(' ' → '_i ') + a
+    * trailing '_i', which is exactly token-suffixing; per-replica
+    * distinct-text counts and total text mass then pin the semantics.
+    */
+  private val q219 = QueryDef(
+    "q219_scale_salt",
+    (s, dir) => {
+      val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
+      graft.ScaleProbe.replicate(base, 3, Map("doc_id" -> 1000000L),
+          saltTokens = Seq("text"))
+        .withColumn("rep", expr("doc_id div 1000000"))
+        .groupBy(col("rep"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("text")).as("n_texts"),
+          sum(length(col("text")).cast("long")).as("text_mass"))
+    },
+    Some("""WITH r AS (SELECT unnest(range(0, 3)) AS rep),
+      x AS (SELECT rep,
+          CASE WHEN rep = 0 THEN text
+            ELSE replace(text, ' ', '_' || rep || ' ') || '_' || rep END AS t
+        FROM documents CROSS JOIN r)
+      SELECT rep::BIGINT AS rep, count(*)::BIGINT AS n_docs,
+        count(DISTINCT t)::BIGINT AS n_texts,
+        sum(length(t))::BIGINT AS text_mass
+      FROM x GROUP BY 1"""))
+
   val all: Seq[QueryDef] = Seq(q39, q40, q41, q42, q43, q44, q45, q46,
     q47, q48, q49, q50, q53, q57, q58, q59, q60, q61, q62, q65, q67, q68,
     q70, q71, q72, q73, q74, q75, q76, q77, q78, q80, q81, q82, q84, q87,
@@ -2929,5 +2992,5 @@ object AnalyticsPack {
     q108, q109, q110, q111, q113, q114, q127, q133, q134, q135, q142,
     q145, q146, q150, q151, q152, q153, q155, q156, q159, q161, q162,
     q164, q166, q167, q170, q171, q172, q173, q177, q180, q181, q182,
-    q188, q189, q190, q192, q212, q217)
+    q188, q189, q190, q192, q212, q217, q218, q219)
 }
