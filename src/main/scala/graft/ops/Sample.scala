@@ -221,4 +221,38 @@ object Sample {
         (col("w").cast("double") / col("total_w").cast("double")).as("share"),
         col("quota"))
   }
+
+  /** Leakage-safe train/validation/test split: the split is a pure
+    * function of the dedup CLUSTER key (`clusterCol` — e.g. the
+    * near-dup survivor's keep_id), never of the row — so
+    * near-duplicates can never straddle splits, which is the
+    * train/test contamination channel group-wise splitting exists to
+    * close (a per-document split leaks every duplicated passage from
+    * train into test). Deterministic and engine-portable like every
+    * sampler here: bucket = hex60(salt ‖ cluster) mod `den`, split i
+    * = first cumulative cut the bucket falls under (`cuts` are
+    * strictly increasing numerators over `den`; buckets ≥ the last
+    * cut land in split `cuts.size`). Entirely map-side — no shuffle,
+    * no RNG; adds a `split` column.
+    *
+    * Example: `cuts = Seq(900, 950), den = 1000` → split 0 (train)
+    * holds ~90% of CLUSTERS, split 1 (valid) ~5%, split 2 (test) ~5%
+    * — proportions are over clusters, not documents, by design: a
+    * giant near-dup cluster belongs wholly to one side.
+    */
+  def leakageSafeSplit(df: DataFrame, clusterCol: String,
+      cuts: Seq[Int], den: Int = 1000,
+      salt: String = "split"): DataFrame = {
+    require(cuts.nonEmpty, "need at least one cut point")
+    require(cuts == cuts.sorted && cuts.distinct == cuts,
+      s"cuts must be strictly increasing: $cuts")
+    require(cuts.head > 0 && cuts.last < den,
+      s"cuts must lie strictly inside (0, $den): $cuts")
+    val bucket = TextKernels.hex60(
+      concat(lit(salt), col(clusterCol).cast("string"))) % den
+    val split = cuts.zipWithIndex.foldRight(lit(cuts.size.toLong): Column) {
+      case ((cut, i), rest) => when(bucket < cut, lit(i.toLong)).otherwise(rest)
+    }
+    df.withColumn("split", split)
+  }
 }

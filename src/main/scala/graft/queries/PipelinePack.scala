@@ -3818,6 +3818,50 @@ object PipelinePack {
       FROM lab GROUP BY stage"""
     })
 
+  /** Leakage-safe train/valid/test split over the near-dup CLUSTERS
+    * ([[graft.ops.Sample.leakageSafeSplit]]): the split key is the
+    * q32 survivor's keep_id, so near-duplicates never straddle splits
+    * — the train/test contamination channel a per-document split
+    * leaks through. Report: per split, docs / distinct clusters /
+    * char mass, plus the leakage invariant itself (clusters spanning
+    * >1 split — 0 by construction, and the oracle RE-DERIVES it from
+    * the data, so a hash-of-the-wrong-column regression
+    * hash-mismatches instead of passing silently). The 1-row
+    * invariant frame broadcasts (bounded by construction).
+    */
+  private val q220 = QueryDef(
+    "q220_leakage_split",
+    (s, dir) => {
+      val tagged = graft.ops.Sample.leakageSafeSplit(
+        Tables.documents(s, dir).join(docSurvivorsCached(s, dir), Seq("doc_id")),
+        "keep_id", cuts = Seq(900, 950), den = 1000)
+      val leaky = tagged.groupBy(col("keep_id"))
+        .agg(countDistinct(col("split")).as("__ns"))
+        .filter(col("__ns") > 1)
+        .agg(count(lit(1)).as("n_leaky_clusters"))
+      tagged.groupBy(col("split"))
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("keep_id")).as("n_clusters"),
+          sum(col("n_chars")).as("chars"))
+        .crossJoin(broadcast(leaky))
+    },
+    Some(s"""WITH $sqlSurvivorCtes,
+      t AS (SELECT d.doc_id, d.n_chars, s.keep_id,
+          CASE WHEN ${sqlHex60("'split' || s.keep_id")} % 1000 < 900 THEN 0
+               WHEN ${sqlHex60("'split' || s.keep_id")} % 1000 < 950 THEN 1
+               ELSE 2 END AS split
+        FROM documents d JOIN surv s USING (doc_id)),
+      leaky AS (SELECT count(*) AS n_leaky FROM (
+        SELECT keep_id FROM t GROUP BY keep_id
+        HAVING count(DISTINCT split) > 1)),
+      agg AS (SELECT split, count(*) AS n_docs,
+          count(DISTINCT keep_id) AS n_clusters, sum(n_chars) AS chars
+        FROM t GROUP BY split)
+      SELECT split::BIGINT AS split, n_docs::BIGINT AS n_docs,
+        n_clusters::BIGINT AS n_clusters, chars::BIGINT AS chars,
+        n_leaky::BIGINT AS n_leaky_clusters
+      FROM agg CROSS JOIN leaky"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
@@ -3827,5 +3871,5 @@ object PipelinePack {
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-    q213, q214, q215, q216)
+    q213, q214, q215, q216, q220)
 }

@@ -863,6 +863,47 @@ class PipelineSpec extends AnyFunSuite {
     assert(qSmall > 50L) // vs 10 under proportional allocation
   }
 
+  // ---- leakage-safe splits ------------------------------------------
+
+  test("Sample.leakageSafeSplit: cluster-functional, deterministic, " +
+      "cut-point semantics, guard-rails") {
+    import graft.ops.Sample
+    // 200 docs in 50 clusters of 4 — every doc of a cluster must land
+    // in the SAME split (the leakage invariant)
+    val docs = (0L until 200L).map(i => (i, i / 4)).toDF("doc_id", "cl")
+    val out = Sample.leakageSafeSplit(docs, "cl", cuts = Seq(600, 800),
+      den = 1000).collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2)))
+    assert(out.length === 200)
+    val byCluster = out.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    assert(byCluster.values.forall(_.size === 1),
+      "every cluster maps to exactly one split")
+    // deterministic across invocations and partitionings
+    val again = Sample.leakageSafeSplit(docs.repartition(7), "cl",
+      cuts = Seq(600, 800), den = 1000).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out.forall { case (id, _, sp) => again(id) === sp })
+    // cut semantics: split ids are exactly {0, 1, 2} over 50 clusters
+    // at 60/20/20 expected — all three must be populated
+    val splits = out.map(_._3).toSet
+    assert(splits === Set(0L, 1L, 2L))
+    // the split matches the documented bucket rule exactly
+    val h = out.map { case (_, cl, sp) =>
+      val md5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(s"split$cl".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      val bucket = java.lang.Long.parseLong(md5.take(15), 16) % 1000
+      sp === (if (bucket < 600) 0L else if (bucket < 800) 1L else 2L)
+    }
+    assert(h.forall(identity), "split must equal hex60(salt||cl) mod den vs cuts")
+    intercept[IllegalArgumentException] {
+      Sample.leakageSafeSplit(docs, "cl", cuts = Seq(800, 600))
+    }
+    intercept[IllegalArgumentException] {
+      Sample.leakageSafeSplit(docs, "cl", cuts = Seq(1000))
+    }
+  }
+
   // ---- product quantization ----------------------------------------
 
   test("Similarity.pqCodes: codebook vectors encode to themselves with zero error") {

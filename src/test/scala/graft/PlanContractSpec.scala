@@ -60,8 +60,10 @@ class PlanContractSpec extends AnyFunSuite {
     "q192_join_size_est",  // two 1-row folds (exact size, sketch min)
                            // cross-joined into the single report row
     "q204_kmv_source_overlap", // per-source sketch-state table joined
-    "q215_ndcg") // 1-row DCG × 1-row IDCG final-report assembly, plus
+    "q215_ndcg", // 1-row DCG × 1-row IDCG final-report assembly, plus
                  // the q154 BM25 corpus totals underneath
+    "q220_leakage_split") // 1-row leakage-invariant frame broadcast
+                          // into the per-split report
                                // to itself — rows = #sources, each a
                                // fixed ≤k-long array (q83 bounded rule)
 
