@@ -2929,16 +2929,20 @@ object AnalyticsPack {
     * row count, distinct-key count, exact key sum, and size mass —
     * the oracle replays the replication as a relational cross join,
     * so any drift in the offset arithmetic or a dropped/duplicated
-    * replica hash-mismatches. Keys are 0-based, so
-    * replica = key div offset.
+    * replica hash-mismatches. Keys are 0-based and the offset (10¹²)
+    * dominates any key the corpus can hold — the rep derivation
+    * `key div offset` must stay valid on REPLICATED inputs too (the
+    * scale probe's own synthesized dirs; a 10⁵ offset collided with
+    * sf1's key range and failed exactly this audit there), and key
+    * sums stay well under 2⁶³ (≤ rows · 3 · 10¹²).
     */
   private val q218 = QueryDef(
     "q218_scale_replicate",
     (s, dir) => {
       val base = Tables.part(s, dir)
         .select(col("p_partkey"), col("p_size").cast("long").as("sz"))
-      graft.ScaleProbe.replicate(base, 3, Map("p_partkey" -> 100000L))
-        .withColumn("rep", expr("p_partkey div 100000"))
+      graft.ScaleProbe.replicate(base, 3, Map("p_partkey" -> 1000000000000L))
+        .withColumn("rep", expr("p_partkey div 1000000000000"))
         .groupBy(col("rep"))
         .agg(count(lit(1)).as("n_rows"),
           countDistinct(col("p_partkey")).as("n_keys"),
@@ -2946,7 +2950,8 @@ object AnalyticsPack {
           sum(col("sz")).as("sum_size"))
     },
     Some("""WITH r AS (SELECT unnest(range(0, 3)) AS rep),
-      x AS (SELECT rep, p_partkey + rep * 100000 AS k, p_size::BIGINT AS sz
+      x AS (SELECT rep, p_partkey + rep * 1000000000000 AS k,
+          p_size::BIGINT AS sz
         FROM part CROSS JOIN r)
       SELECT rep::BIGINT AS rep, count(*)::BIGINT AS n_rows,
         count(DISTINCT k)::BIGINT AS n_keys, sum(k)::BIGINT AS sum_key,
@@ -2967,9 +2972,9 @@ object AnalyticsPack {
     "q219_scale_salt",
     (s, dir) => {
       val base = Tables.documents(s, dir).select(col("doc_id"), col("text"))
-      graft.ScaleProbe.replicate(base, 3, Map("doc_id" -> 1000000L),
+      graft.ScaleProbe.replicate(base, 3, Map("doc_id" -> 1000000000000L),
           saltTokens = Seq("text"))
-        .withColumn("rep", expr("doc_id div 1000000"))
+        .withColumn("rep", expr("doc_id div 1000000000000"))
         .groupBy(col("rep"))
         .agg(count(lit(1)).as("n_docs"),
           countDistinct(col("text")).as("n_texts"),
