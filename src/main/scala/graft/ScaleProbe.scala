@@ -148,6 +148,10 @@ object ScaleProbe {
     import graft.ops.Dedup
     val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
     val nDocs = docs.count()
+    // batch ids must not collide with the index's (the nearDupStream
+    // ingest contract) — derive the offset from the probed corpus's
+    // own key range, not a constant a big-enough corpus would cross
+    val idOffset = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
     val index = ParquetTable(spark, s"$scratch/idx", buckets = 64,
       bucketKey = "band_key")
     val pairs = ParquetTable(spark, s"$scratch/pairs")
@@ -161,7 +165,7 @@ object ScaleProbe {
     // the batch: batchDocs re-crawled docs under fresh ids (realistic
     // probe work — every one pairs vs the corpus)
     val batch = docs.orderBy(col("doc_id")).limit(batchDocs)
-      .withColumn("doc_id", col("doc_id") + lit(10000000L))
+      .withColumn("doc_id", col("doc_id") + lit(idOffset))
     batch.write.parquet(s"$scratch/src/f1")
     val t0 = System.nanoTime()
     StreamingLift.nearDupStream(spark, s"$scratch/src/*", batch.schema,
@@ -197,6 +201,10 @@ object ScaleProbe {
       synthesize(spark, srcDir, outDir, times)
       marker.getParentFile.mkdirs(); marker.createNewFile(): Unit
     } else System.err.println(s"[scale-probe] reusing synthesized $outDir")
+    // "synth-only": produce the dataset and stop — the mode the
+    // full-suite correctness-at-scale gate uses (synthesize here, then
+    // run graft.Verify + tools/check.py over the result)
+    if (queries == Seq("synth-only")) { spark.stop(); sys.exit(0) }
 
     // shapes audited on an AQE-off sibling session (the static
     // declared topology — what must NOT change with data size)

@@ -73,6 +73,15 @@ object Skyline {
     // never receive an over-limit input. The filter REFERENCES __n, so
     // column pruning cannot fold the assertion away; the 1-row
     // broadcast join is bounded by construction.
+    // COST: the guard aggregate is a SECOND evaluation of the
+    // survivors subtree (distinct + local-prune window) — Catalyst
+    // reuses the distinct's exchange across the two readers, but the
+    // window recomputes, so frontier2D pays roughly 2× the local-prune
+    // cost even when the guard passes. Accepted: the subtree is one
+    // map-side window over the deduplicated domain, and the
+    // alternative (an eager count or a localCheckpoint pin) would
+    // trade a lazy single-action plan for a second action/
+    // materialization that breaks callers composing this frame lazily.
     val guard = survivors.agg(count(lit(1)).as("__n"))
       .filter(assert_true(col("__n") <= maxGlobalRows,
         concat(lit("Skyline.frontier2D: "), col("__n"),

@@ -2933,8 +2933,13 @@ object AnalyticsPack {
     * dominates any key the corpus can hold — the rep derivation
     * `key div offset` must stay valid on REPLICATED inputs too (the
     * scale probe's own synthesized dirs; a 10⁵ offset collided with
-    * sf1's key range and failed exactly this audit there), and key
-    * sums stay well under 2⁶³ (≤ rows · 3 · 10¹²).
+    * sf1's key range and failed exactly this audit there). The key
+    * sum fits bigint only WHILE rows · 2 · 10¹² < 2⁶³, i.e. part
+    * under ~4.6M rows per replica (sf ≲ 15, covering every driver SF
+    * and probe size); past that Spark's non-ANSI sum would wrap where
+    * DuckDB raises — the gate fails LOUDLY rather than pass wrongly,
+    * and the audit should then sum replica-relative keys
+    * (p_partkey % 10¹²) instead.
     */
   private val q218 = QueryDef(
     "q218_scale_replicate",

@@ -47,8 +47,12 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * SKIPS any entry obtained within the grace window
   * (`spark.graft.sessionCache.graceMs`, default 30000): every
   * [[cached]] access — hit or build — stamps the entry's wall clock,
-  * so a frame a concurrent page just obtained is never pulled out
-  * from under it. The budget may consequently be exceeded
+  * so a frame a concurrent page just obtained is not pulled out
+  * from under it while its grace holds — a NARROWING of the
+  * check-then-act race, not an elimination (the action runs outside
+  * the cache's monitor, so an action slower than the grace window
+  * can still lose blocks and must retry; see govern()'s eviction
+  * loop). The budget may consequently be exceeded
   * transiently (logged loudly) until grace lapses; the residual
   * contract is the read-through discipline every caller here
   * follows — artifacts are re-obtained via [[cached]] per use, and a
@@ -198,8 +202,16 @@ object SessionCache {
         for ((ok, oc) <- others.sortBy(_._2.lastUsed) if t > budget) {
           if (now - oc.lastUsedNanos < graceNanos) {
             // obtained within the grace window: a concurrent query may
-            // be mid-action on its localCheckpoint blocks — never pull
-            // them out from under it (class doc).
+            // be mid-action on its localCheckpoint blocks — don't pull
+            // them out from under it (class doc). RESIDUAL RACE, by
+            // design: the stamp is read here, the action runs OUTSIDE
+            // this monitor — a query that obtained the entry can still
+            // be mid-action when its grace lapses at a later govern()
+            // pass (or can obtain it between this read and the release
+            // below). The grace window NARROWS the hazard to
+            // actions slower than graceMs, it does not close it; a
+            // query that loses its blocks recomputes from lineage
+            // (correctness is never at stake — only the wasted work).
             System.err.println(s"[graft] sessionCache kept '${ok._2}' " +
               "despite budget pressure: accessed within the " +
               s"grace window (${graceNanos / 1000000L} ms)")

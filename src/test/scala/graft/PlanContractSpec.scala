@@ -60,12 +60,12 @@ class PlanContractSpec extends AnyFunSuite {
     "q192_join_size_est",  // two 1-row folds (exact size, sketch min)
                            // cross-joined into the single report row
     "q204_kmv_source_overlap", // per-source sketch-state table joined
+                               // to itself — rows = #sources, each a
+                               // fixed ≤k-long array (q83 bounded rule)
     "q215_ndcg", // 1-row DCG × 1-row IDCG final-report assembly, plus
                  // the q154 BM25 corpus totals underneath
     "q220_leakage_split") // 1-row leakage-invariant frame broadcast
                           // into the per-split report
-                               // to itself — rows = #sources, each a
-                               // fixed ≤k-long array (q83 bounded rule)
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {
