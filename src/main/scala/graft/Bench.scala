@@ -46,7 +46,9 @@ object Bench {
       sfDir: String, runs: Int = 1,
       loadavgs: Seq[String] = Nil,
       dispersion: Seq[Dispersion] = Nil,
-      shapes: Seq[(String, Shape)] = Nil): String = {
+      shapes: Seq[(String, Shape)] = Nil,
+      anchors: (Seq[Double], Seq[Double]) = (Nil, Nil),
+      window: Option[WindowCompare] = None): String = {
     // Times are rounded to milliseconds, locale-independently — a SIZE
     // contract, not cosmetics (~1 ms of false precision is far below
     // the local[n] noise floor).
@@ -73,6 +75,7 @@ object Bench {
       s"""{"metric":"total","value":${rounded(total, 3)},"unit":"sec","n_queries":${results.size},""" +
         s""""mean_query_sec":${rounded(mean, 3)},"runs":$runs,"n_errs":${errNames.size},"errs":$errsJson,""" +
         s""""n_dispersion":${dispersion.size},"dispersion":$dispJson,"loadavg":$loadJson,""" +
+        anchorJson(anchors, 2) + "," + windowJson(window, 2) + "," +
         shapeSummaryJson(shapes)
     def render(scale: Int, shortKeys: Boolean): String = {
       val qs = results.map { case (k, v) =>
@@ -107,6 +110,179 @@ object Bench {
   final case class Dispersion(name: String, median: Double, best: Double,
       raws: Seq[Double])
 
+  /** Fixed-work CPU-bound calibration anchor: `iters` xorshift64 steps
+    * on one thread, returning wall seconds. The WORK never changes, so
+    * its time is a pure function of the box's available CPU — a window
+    * where the anchor runs 1.4× slow is a window where every query
+    * runs ~1.4× slow for reasons that have nothing to do with plans.
+    * This is the in-artifact evidence the within-run dispersion check
+    * cannot provide: a UNIFORMLY slow window inflates every pass
+    * equally (zero dispersion, benign-looking loadavg when the
+    * contention is cgroup/IO-level), and only a constant-work
+    * reference exposes it (r14: the driver's 200.86 s window vs the
+    * same HEAD's clean 134.96 s, n_dispersion = 0).
+    */
+  def anchorOnce(iters: Long = 400000000L): Double = {
+    val t0 = System.nanoTime()
+    var x = 0x9E3779B97F4A7C15L
+    var acc = 0L
+    var n = 0L
+    while (n < iters) {
+      x ^= x << 13; x ^= x >>> 7; x ^= x << 17
+      acc += x
+      n += 1
+    }
+    anchorBlackhole = acc // defeat dead-code elimination
+    (System.nanoTime() - t0) / 1e9
+  }
+  @volatile private var anchorBlackhole = 0L
+
+  /** The anchor's multi-threaded form: `threads` concurrent fixed-work
+    * loops, wall seconds until ALL join. On an idle box this tracks the
+    * single-thread time (each thread owns a core); CPU oversubscription
+    * that a one-thread anchor cannot see (other tenants on the box's
+    * other cores) stretches it.
+    */
+  def anchorMtOnce(threads: Int, itersPerThread: Long = 200000000L): Double = {
+    val t0 = System.nanoTime()
+    val ts = (1 to threads).map { _ =>
+      val t = new Thread(() => { anchorOnce(itersPerThread); () })
+      t.setDaemon(true); t.start(); t
+    }
+    ts.foreach(_.join())
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** The round-over-round window comparison (r14 verdict task 2): the
+    * prior artifact's per-query medians vs this run's, on the shared
+    * query set. A near-UNIFORM shift with an UNCHANGED plan-shape
+    * fingerprint cannot be plan cost — the plans are byte-identical —
+    * so it is ambient window contamination; the anchor ratio (fixed
+    * work then vs now) corroborates independently of any query.
+    */
+  final case class WindowCompare(prevSource: String, nShared: Int,
+      medianRatio: Double, fracSameDir: Double, fpMatch: Option[Boolean],
+      anchorRatio: Option[Double], verdict: String)
+
+  /** Pure verdict over (prev, cur) per-query seconds keyed by the
+    * short `qNN` name (the driver's partial "top" maps carry short
+    * keys). Queries under 50 ms in the prior round are excluded —
+    * their ratios are scheduling noise. Verdicts:
+    *
+    *  - `ambient_contamination_confirmed_by_anchor` — uniform ≥1.25×
+    *    slowdown, fingerprint unchanged, anchor ≥1.15× slower: the box
+    *    itself is measurably slower on constant work.
+    *  - `uniform_slowdown_suspect_ambient` — uniform ≥1.25× slowdown
+    *    with the fingerprint unchanged (no anchor corroboration
+    *    available, e.g. the prior artifact predates anchors).
+    *  - `slowdown_with_plan_change` — ≥1.25× slowdown but the
+    *    fingerprint moved: plans differ, so a real regression is on
+    *    the table — diff `shapes_by_query` before blaming the window.
+    *  - `uniform_speedup` — the mirror image (a prior CONTAMINATED
+    *    round makes this round look faster than it is).
+    *  - `clean` — nothing uniform to explain.
+    *
+    * None when fewer than 10 comparable queries are shared (no basis).
+    */
+  def windowVerdict(prev: Map[String, Double], cur: Map[String, Double],
+      prevFp: Option[String], curFp: Option[String],
+      prevAnchor: Option[Double], curAnchor: Option[Double],
+      prevSource: String): Option[WindowCompare] = {
+    val shared = prev.keySet.intersect(cur.keySet).toSeq
+      .filter(n => prev(n) >= 0.05)
+    if (shared.size < 10) return None
+    val ratios = shared.map(n => cur(n) / math.max(prev(n), 1e-9)).sorted
+    val med =
+      if (ratios.size % 2 == 1) ratios(ratios.size / 2)
+      else (ratios(ratios.size / 2 - 1) + ratios(ratios.size / 2)) / 2.0
+    val up = ratios.count(_ > 1.0)
+    val fracSameDir = math.max(up, ratios.size - up).toDouble / ratios.size
+    val fpMatch = for { a <- prevFp; b <- curFp } yield a == b
+    val anchorRatio =
+      for { a <- prevAnchor; b <- curAnchor } yield b / math.max(a, 1e-9)
+    val verdict =
+      if (med >= 1.25 && fracSameDir >= 0.8) {
+        if (fpMatch.contains(false)) "slowdown_with_plan_change"
+        else if (anchorRatio.exists(_ >= 1.15))
+          "ambient_contamination_confirmed_by_anchor"
+        else "uniform_slowdown_suspect_ambient"
+      } else if (med <= 0.8 && fracSameDir >= 0.8) "uniform_speedup"
+      else "clean"
+    Some(WindowCompare(prevSource, shared.size, med, fracSameDir, fpMatch,
+      anchorRatio, verdict))
+  }
+
+  /** Scale-factor token ("sf0.1") out of an sf-dir path or an
+    * artifact's sf field — the guard that keeps the window comparison
+    * from pricing an sf0.001 dev run against an sf0.1 round artifact
+    * (every ratio would read as a bogus uniform shift).
+    */
+  def sfToken(s: String): Option[String] =
+    "sf[0-9.]*[0-9]".r.findAllIn(s).toSeq.lastOption
+
+  /** Per-query seconds + shape fingerprint + anchor median out of a
+    * prior round's bench artifact — either the builder's full render
+    * (top-level `queries`) or the driver's wrapper (`parsed.queries`,
+    * or the partial `parsed.top` when the stdout line degraded).
+    * Query keys canonicalize to the short `qNN` form. Tolerant by
+    * contract: any malformed/missing piece degrades to None/empty —
+    * an unreadable prior artifact must never fail the bench.
+    */
+  def loadPrevArtifact(path: String): (Map[String, Double], Option[String], Option[Double]) =
+    scala.util.Try {
+      val root = graft.util.Json
+        .parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+        .asInstanceOf[Map[String, Any]]
+      val doc = root.get("parsed") match {
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        case _                  => root
+      }
+      def numMap(key: String): Option[Map[String, Double]] =
+        doc.get(key).collect { case m: Map[_, _] =>
+          m.asInstanceOf[Map[String, Any]]
+            .collect { case (k, v: Double) => k.takeWhile(_ != '_') -> v }
+        }.filter(_.nonEmpty)
+      val qs = numMap("queries").orElse(numMap("top")).getOrElse(Map.empty)
+      val fp = doc.get("shapes")
+        .collect { case m: Map[_, _] =>
+          m.asInstanceOf[Map[String, Any]].get("fp") }
+        .flatten.collect { case s: String => s }
+      val anchor = doc.get("anchor")
+        .collect { case m: Map[_, _] =>
+          m.asInstanceOf[Map[String, Any]].get("st") }
+        .flatten
+        .collect { case v: Vector[_] =>
+          val xs = v.collect { case d: Double => d }.sorted
+          if (xs.isEmpty) None
+          else if (xs.size % 2 == 1) Some(xs(xs.size / 2))
+          else Some((xs(xs.size / 2 - 1) + xs(xs.size / 2)) / 2.0)
+        }.flatten
+      (qs, fp, anchor)
+    }.getOrElse((Map.empty, None, None))
+
+  /** The prior artifact's scale-factor token (both artifact forms:
+    * the render's `"sf":"<dir>"` string, the driver wrapper's
+    * `"sf":0.1` number), None when unreadable.
+    */
+  def prevSf(path: String): Option[String] =
+    scala.util.Try {
+      val root = graft.util.Json
+        .parse(java.nio.file.Files.readString(java.nio.file.Paths.get(path)))
+        .asInstanceOf[Map[String, Any]]
+      val doc = root.get("parsed") match {
+        case Some(m: Map[_, _]) => m.asInstanceOf[Map[String, Any]]
+        case _                  => root
+      }
+      doc.get("sf").orElse(root.get("sf")) match {
+        case Some(s: String) => sfToken(s)
+        case Some(d: Double) =>
+          Some("sf" + (if (d == d.toLong) d.toLong.toString
+                       else java.math.BigDecimal.valueOf(d)
+                         .stripTrailingZeros.toPlainString))
+        case _ => None
+      }
+    }.toOption.flatten
+
   /** One query's plan-shape counts ([[PlanAudit.shapeOf]]): shuffle
     * exchanges, broadcasts, scans, codegen spans. Folded into the
     * bench artifact so a shape regression (a new shuffle, a lost
@@ -114,6 +290,33 @@ object Bench {
     * needing a separate audit run.
     */
   final case class Shape(exch: Int, bc: Int, scan: Int, cg: Int)
+
+  private def roundedAt(v: Double, scale: Int): String =
+    BigDecimal(v).setScale(scale, BigDecimal.RoundingMode.HALF_UP).toString
+
+  /** Per-pass calibration anchor timings (st = one thread, mt =
+    * concurrent), capped at 8 per list so a many-pass run cannot
+    * overflow the bounded stdout window.
+    */
+  def anchorJson(anchors: (Seq[Double], Seq[Double]), scale: Int): String = {
+    def arr(xs: Seq[Double]) =
+      xs.take(8).map(roundedAt(_, scale)).mkString("[", ",", "]")
+    s""""anchor":{"st":${arr(anchors._1)},"mt":${arr(anchors._2)}}"""
+  }
+
+  /** The round-over-round window verdict, null when no prior artifact
+    * yielded a comparable query set.
+    */
+  def windowJson(w: Option[WindowCompare], scale: Int): String = w match {
+    case None => """"window":null"""
+    case Some(c) =>
+      val fp = c.fpMatch.map(_.toString).getOrElse("null")
+      val ar = c.anchorRatio.map(roundedAt(_, scale)).getOrElse("null")
+      s""""window":{"prev":"${c.prevSource}","n_shared":${c.nShared},""" +
+        s""""median_ratio":${roundedAt(c.medianRatio, scale)},""" +
+        s""""frac_same_dir":${roundedAt(c.fracSameDir, scale)},""" +
+        s""""fp_match":$fp,"anchor_ratio":$ar,"verdict":"${c.verdict}"}"""
+  }
 
   /** Totals + fingerprint of the per-query shape map for the bounded
     * stdout line (a 217-entry map cannot fit the ~2000-char window):
@@ -149,7 +352,9 @@ object Bench {
       sfDir: String, runs: Int = 1,
       loadavgs: Seq[String] = Nil,
       dispersion: Seq[Dispersion] = Nil,
-      shapes: Seq[(String, Shape)] = Nil): String = {
+      shapes: Seq[(String, Shape)] = Nil,
+      anchors: (Seq[Double], Seq[Double]) = (Nil, Nil),
+      window: Option[WindowCompare] = None): String = {
     def r3(v: Double): String =
       BigDecimal(v).setScale(3, BigDecimal.RoundingMode.HALF_UP).toString
     val total = results.map(_._2).sum
@@ -170,6 +375,7 @@ object Bench {
     s"""{"metric":"total","value":${r3(total)},"unit":"sec","n_queries":${results.size},""" +
       s""""mean_query_sec":${r3(mean)},"runs":$runs,"n_errs":${errNames.size},"errs":$errsJson,""" +
       s""""n_dispersion":${dispersion.size},"dispersion":$dispJson,"loadavg":$loadJson,""" +
+      anchorJson(anchors, 3) + "," + windowJson(window, 3) + "," +
       shapeSummaryJson(shapes) + s""","shapes_by_query":$shapesJson,""" +
       s""""queries":$qs,"sf":"$sfDir"}"""
   }
@@ -250,12 +456,25 @@ object Bench {
     // sit far under the default.
     val budgetSec = scala.util.Try(
       sys.env.getOrElse("SPARK_GRAFT_BENCH_BUDGET", "1800").toLong).getOrElse(1800L)
+    // calibration anchors (r14 verdict task 2): fixed CPU-bound work
+    // timed before each pass — constant work is the only reference a
+    // UNIFORMLY slow window cannot hide from. One warm-up for JIT.
+    anchorOnce(40000000L)
+    val anchorThreads = math.min(
+      scala.util.Try(cpus.toInt).getOrElse(4), 16)
+    val anchorsSt = scala.collection.mutable.ArrayBuffer.empty[Double]
+    val anchorsMt = scala.collection.mutable.ArrayBuffer.empty[Double]
     val tPasses = System.nanoTime()
     val passes = (1 to runs).flatMap { p =>
       if (p > 1 && (System.nanoTime() - tPasses) / 1e9 > budgetSec) {
         System.err.println(s"bench: skipping pass $p — elapsed budget ${budgetSec}s spent")
         None
       } else Some {
+        val aSt = anchorOnce()
+        val aMt = anchorMtOnce(anchorThreads)
+        anchorsSt += aSt; anchorsMt += aMt
+        System.err.println(
+          f"bench: pass $p anchors st=$aSt%.3f s mt($anchorThreads)=$aMt%.3f s")
         val errs = scala.collection.mutable.ArrayBuffer.empty[String]
         val r = names.map { name =>
           val t0 = System.nanoTime()
@@ -323,14 +542,60 @@ object Bench {
       }
     }
 
+    // round-over-round window comparison (r14 verdict task 2): default
+    // prev = the newest BENCH_r*.json in the working directory (the
+    // driver's own artifact trail), so the driver's runs self-diagnose
+    // with zero configuration; SPARK_GRAFT_BENCH_PREV overrides the
+    // path, "off" disables. A missing/unreadable artifact degrades to
+    // window:null — never an error.
+    val prevPath: Option[String] = sys.env.get("SPARK_GRAFT_BENCH_PREV") match {
+      case Some("off") => None
+      case Some(p)     => Some(p)
+      case None =>
+        val re = "BENCH_r(\\d+)\\.json".r
+        scala.util.Try(new java.io.File(".").listFiles.toSeq).getOrElse(Nil)
+          .flatMap(f => f.getName match {
+            case re(n) => Some((n.toInt, f.getPath))
+            case _     => None
+          }).sortBy(-_._1).headOption.map(_._2)
+    }
+    def medOf(xs: Seq[Double]): Option[Double] = {
+      val s = xs.sorted
+      if (s.isEmpty) None
+      else if (s.size % 2 == 1) Some(s(s.size / 2))
+      else Some((s(s.size / 2 - 1) + s(s.size / 2)) / 2.0)
+    }
+    val curShort = results
+      .map { case (n, v) => n.takeWhile(_ != '_') -> v }.toMap
+    val curFp = if (shapes.isEmpty) None else Some(shapeFp(shapes))
+    val window = prevPath.flatMap { p =>
+      val (prevSfTok, curSfTok) = (prevSf(p), sfToken(sfDir))
+      if (prevSfTok.isDefined && curSfTok.isDefined && prevSfTok != curSfTok) {
+        System.err.println(s"bench: window comparison skipped — prev " +
+          s"artifact $p is ${prevSfTok.get}, this run is ${curSfTok.get}")
+        None
+      } else {
+        val (prevQs, prevFp, prevAnchor) = loadPrevArtifact(p)
+        windowVerdict(prevQs, curShort, prevFp, curFp, prevAnchor,
+          medOf(anchorsSt.toSeq), new java.io.File(p).getName)
+      }
+    }
+    window.filter(_.verdict != "clean").foreach { w =>
+      System.err.println(f"bench: WINDOW ${w.verdict} vs ${w.prevSource}: " +
+        f"median per-query ratio ${w.medianRatio}%.2f over ${w.nShared} " +
+        f"shared queries (${w.fracSameDir * 100}%.0f%% one direction), " +
+        s"fp_match=${w.fpMatch.getOrElse("n/a")}, " +
+        s"anchor_ratio=${w.anchorRatio.map(r => f"$r%.2f").getOrElse("n/a")}")
+    }
+    val anchors = (anchorsSt.toSeq, anchorsMt.toSeq)
     // report the pass count that actually ran (budget may skip some)
     val ranPasses = passes.size
     val line = renderLine(results, errNames, sfDir, ranPasses, loadavgs,
-      dispersion, shapes)
+      dispersion, shapes, anchors, window)
     sys.env.get("SPARK_GRAFT_BENCH_OUT").foreach { p =>
       java.nio.file.Files.writeString(java.nio.file.Paths.get(p),
         renderFull(results, errNames, sfDir, ranPasses, loadavgs,
-          dispersion, shapes) + "\n")
+          dispersion, shapes, anchors, window) + "\n")
     }
     spark.stop() // stop BEFORE printing so no stray log line follows the JSON
     println(line)
