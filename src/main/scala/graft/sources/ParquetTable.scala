@@ -329,6 +329,7 @@ final case class ParquetTable(spark: SparkSession, path: String,
     */
   def compact(targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     require(exists, s"$path does not exist")
+    TableLease.withLease(this, "compact") {
     if (isBucketed) {
       // partition-scoped: rewrite ONLY buckets whose file count exceeds
       // what their size warrants; untouched buckets keep their files.
@@ -355,6 +356,7 @@ final case class ParquetTable(spark: SparkSession, path: String,
     } else {
       val nFiles = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
       overwrite(read.repartition(nFiles))
+    }
     }
   }
 
@@ -467,7 +469,7 @@ final case class ParquetTable(spark: SparkSession, path: String,
     * with an explicit [[publishVersion]] of the version rolled back
     * from.
     */
-  def rollback(): Unit = {
+  def rollback(): Unit = TableLease.withLease(this, "rollback") {
     val live = currentVersion.getOrElse(
       sys.error(s"$path has no published version to roll back from"))
     val candidates = versions.filter(_ < live)
@@ -482,11 +484,12 @@ final case class ParquetTable(spark: SparkSession, path: String,
     * complete version, so the caller vouches for the target's
     * contents.
     */
-  def publishVersion(version: String): Unit = {
-    require(versions.contains(version),
-      s"version $version not on disk (have: ${versions.mkString(", ")})")
-    VersionedLayout.publish(fs, path, version)
-  }
+  def publishVersion(version: String): Unit =
+    TableLease.withLease(this, "publishVersion") {
+      require(versions.contains(version),
+        s"version $version not on disk (have: ${versions.mkString(", ")})")
+      VersionedLayout.publish(fs, path, version)
+    }
 
   /** Cluster the table on `sortCols` (the OPTIMIZE-style maintenance
     * rewrite): the table is range-partitioned into
@@ -518,10 +521,12 @@ final case class ParquetTable(spark: SparkSession, path: String,
       targetFileBytes: Long = 128L * 1024 * 1024): Unit = {
     require(sortCols.nonEmpty, "optimizeLayout needs at least one sort column")
     require(exists, s"$path does not exist")
-    val n = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
-    val cols = sortCols.map(col)
-    val keys = if (isBucketed) bucketExpr +: cols else cols
-    overwrite(read.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*))
+    TableLease.withLease(this, "optimizeLayout") {
+      val n = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
+      val cols = sortCols.map(col)
+      val keys = if (isBucketed) bucketExpr +: cols else cols
+      overwrite(read.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*))
+    }
   }
 
   /** Z-ORDER the table on 2–4 columns (the multi-dimensional OPTIMIZE
@@ -550,10 +555,11 @@ final case class ParquetTable(spark: SparkSession, path: String,
     require(zCols.size >= 2 && zCols.size <= 4,
       s"z-order wants 2-4 columns, got ${zCols.size}")
     require(exists, s"$path does not exist")
+    TableLease.withLease(this, "optimizeLayoutZOrder") {
     val bitsPer = math.min(16, 63 / zCols.size)
     val maxCode = (1L << bitsPer) - 1L
     val df = read
-    if (df.isEmpty) return // nothing to lay out; keep the snapshot as-is
+    if (!df.isEmpty) { // empty: nothing to lay out; keep the snapshot as-is
     // exact per-column min/max — one scan, one row to the driver
     val aggs = zCols.flatMap(c => Seq(
       functions.min(functions.col(c).cast("double")).as(s"__mn_$c"),
@@ -578,6 +584,8 @@ final case class ParquetTable(spark: SparkSession, path: String,
     val n = math.max(1, math.ceil(sizeBytes.toDouble / targetFileBytes).toInt)
     val keys = if (isBucketed) Seq(bucketExpr, z) else Seq(z)
     overwrite(df.repartitionByRange(n, keys: _*).sortWithinPartitions(keys: _*))
+    }
+    }
   }
 
   private val TableMetaFile = "_GRAFT_TABLEMETA"

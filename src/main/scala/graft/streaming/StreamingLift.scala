@@ -6,7 +6,7 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
 import org.apache.spark.sql.types.StructType
 
 import graft.ops.TableOps
-import graft.sources.ParquetTable
+import graft.sources.{ParquetTable, TableLease}
 
 /** [EXT] Structured Streaming lift of the batch-incremental protocol
   * (SURVEY.md §2.8): the reference's watermark → filtered scan →
@@ -33,6 +33,7 @@ object StreamingLift {
   def upsertStream(spark: SparkSession, srcPath: String, schema: StructType,
       dest: ParquetTable, key: String, tsCol: String,
       checkpoint: String, availableNow: Boolean = true): StreamingQuery = {
+    leasedStart("upsertStream", Seq(dest)) { _ =>
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -41,6 +42,7 @@ object StreamingLift {
           orderBy = Seq(tsCol))
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    }
   }
 
   /** Exactly-once-per-key event stream (streaming A4): emit the FIRST
@@ -234,6 +236,90 @@ object StreamingLift {
   /** Exact-integer arithmetic wide enough for count cross-products. */
   private val Dec38 = org.apache.spark.sql.types.DecimalType(38, 0)
 
+  /** Name of the lineage-id file persisted INSIDE a stream's
+    * checkpoint directory (see [[lineageOf]]).
+    */
+  val LineageFile = "_GRAFT_LINEAGE"
+
+  /** The checkpoint-lineage identity stamped onto batch-keyed side
+    * outputs (pairs, spans, alerts, curation ledger rows). Batch ids
+    * are only comparable WITHIN one checkpoint lineage: a side-output
+    * table fed by two checkpoints holds two independent batch-id
+    * sequences, and grouping on batch_id alone would silently merge
+    * unrelated batches ([[ledgerView]] would fold two different
+    * streams' batch 0 into one row). The id lives in a small file
+    * inside the checkpoint dir itself — generated once at the first
+    * stream start, read ever after — so the identity follows the
+    * checkpoint (any spelling of the same dir resolves to the same
+    * id; a fresh checkpoint, which IS a new lineage because it
+    * replays the feed from zero, gets a fresh id).
+    */
+  def lineageOf(spark: SparkSession, checkpoint: String): String = {
+    val p = new org.apache.hadoop.fs.Path(checkpoint, LineageFile)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readId(): Option[String] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        val s = try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim
+        finally in.close()
+        if (s.nonEmpty) Some(s) else None
+      }
+    readId().getOrElse {
+      val id = java.util.UUID.randomUUID().toString.replace("-", "").take(16)
+      try {
+        val out = fs.create(p, false) // create-if-absent: one winner
+        try out.write(id.getBytes("UTF-8")) finally out.close()
+      } catch { case _: java.io.IOException => () } // racing creator won
+      readId().getOrElse(id)
+    }
+  }
+
+  /** Acquire single-writer leases on every table the stream mutates,
+    * run `start` (lazily, so pre-start healing happens under the
+    * lease), and bind each lease's aliveness to the started query —
+    * the next acquirer then distinguishes "live stream → refuse"
+    * from "terminated → reclaim" deterministically, with no listener
+    * races. Leases deliberately outlive the query (like
+    * [[graft.engine.PidLock]]'s inert pid file): reclamation is the
+    * next acquirer's job.
+    */
+  private def leasedStart(owner: String, tables: Seq[ParquetTable])(
+      start: Seq[TableLease] => StreamingQuery): StreamingQuery = {
+    val acquired = scala.collection.mutable.ArrayBuffer.empty[TableLease]
+    try {
+      tables.foreach(t => acquired += TableLease.acquire(t, owner))
+      val q = start(acquired.toSeq)
+      acquired.foreach(l => TableLease.bind(l, () => q.isActive))
+      q
+    } catch {
+      case e: Throwable => acquired.foreach(_.release()); throw e
+    }
+  }
+
+  /** Run a maintenance op's critical section: under the caller's
+    * already-held lease when one is passed (the in-stream call sites —
+    * a second same-process acquire is a refusal, not re-entrancy), or
+    * self-leased for standalone use.
+    */
+  private def maintained[A](table: ParquetTable, owner: String,
+      lease: Option[TableLease])(f: => A): A = lease match {
+    case Some(l) =>
+      require(l.covers(table),
+        s"caller-held lease does not cover ${table.path}")
+      f
+    case None => TableLease.withLease(table, owner)(f)
+  }
+
+  /** Pre-lineage side-output tables carry no `lineage` column; heal
+    * once with the empty lineage (their true identity: one unnamed
+    * checkpoint) before appending rows that carry one — plain parquet
+    * appends must not mix schemas in one un-merged directory.
+    */
+  private def healLineage(out: ParquetTable): Unit =
+    if (out.exists && !out.read.columns.contains("lineage"))
+      out.overwrite(out.read.withColumn("lineage", lit("")))
+
   /** The micro-batch admit rule every versioned maintain fold passes
     * to [[graft.sources.AggView.guardedPublish]]: a marker at or past
     * `batchId` means this batch already published (foreachBatch
@@ -270,6 +356,7 @@ object StreamingLift {
       changeSchema: StructType, snapshot: ParquetTable, groupKey: String,
       sumCols: Seq[String], checkpoint: String,
       availableNow: Boolean = true): StreamingQuery = {
+    leasedStart("maintainAggStream", Seq(snapshot)) { _ =>
     val stream = spark.readStream.schema(changeSchema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -280,6 +367,7 @@ object StreamingLift {
         (): Unit
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    }
   }
 
   /** Incremental per-group DISTINCT-COUNT maintenance via mergeable
@@ -379,6 +467,9 @@ object StreamingLift {
       tvdAlertPpm: Long = 200000L,
       availableNow: Boolean = true): StreamingQuery = {
     import graft.functions.SketchAgg
+    val lineage = lineageOf(spark, checkpoint)
+    leasedStart("histDriftStream", Seq(states, alerts)) { _ =>
+    healLineage(alerts)
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -430,7 +521,7 @@ object StreamingLift {
                 coalesce(col("tvd_ppm") >= tvdAlertPpm, lit(false)))
               .select(lit(batchId).as("batch_id"), col(groupCol),
                 col("n_batch"), col("n_hist"), col("tvd_ppm"),
-                col("alerted"))
+                col("alerted"), lit(lineage).as("lineage"))
             // ledger lands BEFORE the publish (at-least-once, keyed by
             // batch_id) — inside the guarded fold so a refused replay
             // never re-appends either
@@ -444,13 +535,14 @@ object StreamingLift {
                 massOf(col("st")).as("n_batch"),
                 lit(null).cast("long").as("n_hist"),
                 lit(null).cast("long").as("tvd_ppm"),
-                lit(false).as("alerted")))
+                lit(false).as("alerted"), lit(lineage).as("lineage")))
             batchStates
           }
         }
         (): Unit
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    }
   }
 
   /** The shared mergeable-state fold: per micro-batch, build one
@@ -463,6 +555,7 @@ object StreamingLift {
       schema: StructType, states: ParquetTable, groupCol: String,
       buildAgg: org.apache.spark.sql.Column, foldAgg: org.apache.spark.sql.Column, checkpoint: String,
       availableNow: Boolean): StreamingQuery = {
+    leasedStart("mergeMaintainStream", Seq(states)) { _ =>
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -479,6 +572,7 @@ object StreamingLift {
         (): Unit
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    }
   }
 
   /** Streaming CURATION ingest — the [EXT] pipeline (quality gate →
@@ -520,6 +614,8 @@ object StreamingLift {
       checkpoint: String, availableNow: Boolean = true,
       blocklist: Seq[String] = Nil): StreamingQuery = {
     import graft.ops.{Dedup, QualityRules}
+    val lineage = lineageOf(spark, checkpoint)
+    leasedStart("curationStream", Seq(dest, audit)) { _ =>
     // heal a pre-widening ledger (6 columns, no n_blocklisted) BEFORE
     // the first append: plain parquet appends must not mix schemas in
     // one un-merged directory — non-bucketed reads would resolve a
@@ -531,6 +627,7 @@ object StreamingLift {
         .withColumn("n_blocklisted", lit(0L))
         .select("batch_id", "n_input", "n_low_quality", "n_blocklisted",
           "n_dup_in_batch", "n_dup_in_corpus", "n_loaded"))
+    healLineage(audit)
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -571,10 +668,19 @@ object StreamingLift {
         audit.append(Seq((batchId, nIn, nIn - nGated, nGated - nCleared,
             nCleared - nBatchDeduped, nBatchDeduped - nFresh, nFresh))
           .toDF("batch_id", "n_input", "n_low_quality", "n_blocklisted",
-            "n_dup_in_batch", "n_dup_in_corpus", "n_loaded"))
+            "n_dup_in_batch", "n_dup_in_corpus", "n_loaded")
+          .withColumn("lineage", lit(lineage)))
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    }
   }
+
+  /** Table-meta key prefix recording, per checkpoint lineage, the
+    * highest batch id whose side-output rows have been consolidated
+    * (deduped once and rewritten) by [[consolidateSideOutput]] — the
+    * stamp [[pairsView]] reads to skip re-distincting settled history.
+    */
+  val SideDedupedPrefix = "graft.stream.sideout.deduped."
 
   /** Exactly-once reading of a BIT-IDENTICAL at-least-once side output
     * ([[nearDupStream]] pairs, [[spanDedupStream]] spans,
@@ -582,11 +688,75 @@ object StreamingLift {
     * stream's index/state publish, so a crash in the window replays
     * the batch and re-appends its rows — but bit-identically by
     * construction (each row is a deterministic function of the batch
-    * against the unchanged pre-publish state), keyed by batch_id.
-    * `distinct` is therefore the exactly-once view; consumers read
-    * through this instead of each reimplementing the dedup.
+    * against the unchanged pre-publish state), keyed by
+    * (lineage, batch_id). `distinct` is therefore the exactly-once
+    * view; consumers read through this instead of each reimplementing
+    * the dedup.
+    *
+    * A naive full-table `distinct` is O(history) per read — every
+    * consumer call re-shuffles the entire accumulated output to
+    * absorb a crash window that can only affect the TAIL (batches at
+    * or below a lineage's applied watermark are final: a replay of a
+    * stamped batch is refused by the index guard and never re-appends
+    * — see the [[consolidateSideOutput]] invariant). So when the
+    * table carries consolidation stamps, rows at or below their
+    * lineage's stamp pass through VERBATIM (already deduped on disk —
+    * a scan, no exchange) and only the unstamped tail pays the
+    * distinct.
     */
-  def pairsView(out: ParquetTable): DataFrame = out.read.distinct()
+  def pairsView(out: ParquetTable): DataFrame = {
+    val stamps: Map[String, Long] = out.tableMeta.collect {
+      case (k, v) if k.startsWith(SideDedupedPrefix) =>
+        k.stripPrefix(SideDedupedPrefix) -> v.toLong
+    }
+    val df = out.read
+    if (stamps.isEmpty) df.distinct()
+    else {
+      val lin =
+        if (df.columns.contains("lineage")) col("lineage") else lit("")
+      val stampOf = stamps.foldLeft(lit(-1L)) { case (acc, (l, w)) =>
+        when(lin === lit(l), lit(w)).otherwise(acc)
+      }
+      df.filter(col("batch_id") <= stampOf)
+        .unionByName(df.filter(col("batch_id") > stampOf).distinct())
+    }
+  }
+
+  /** Dedup a side output's SETTLED history once, on disk, so
+    * [[pairsView]] stops paying a full-table shuffle per read: rows of
+    * lineage `lineage` with batch_id ≤ `appliedBatch` (the owning
+    * index's applied watermark — batches at or below it can never
+    * re-append, their replays are refused) are `distinct`ed and
+    * rewritten; everything else — other lineages, the already-stamped
+    * prefix, and crash-window rows ABOVE the watermark (their batch
+    * may still replay and re-append) — is carried verbatim. The stamp
+    * lands AFTER the versioned overwrite: a crash between them leaves
+    * deduped rows the view harmlessly re-distincts.
+    *
+    * Runs in-stream on the `consolidatePairsEvery` cadence (under the
+    * stream's own lease, serial with its appends) or standalone
+    * between runs (self-leased — a live stream's lease refuses it).
+    * NOTE [[ParquetTable.rollback]] on a side output invalidates its
+    * stamps (the rolled-back data predates the consolidation the
+    * stamp describes): clear `graft.stream.sideout.deduped.*` keys
+    * after a rollback.
+    */
+  def consolidateSideOutput(out: ParquetTable, lineage: String,
+      appliedBatch: Long, lease: Option[TableLease] = None): Unit =
+    maintained(out, "consolidateSideOutput", lease) {
+      val key = SideDedupedPrefix + lineage
+      val already = out.tableMeta.get(key).map(_.toLong).getOrElse(-1L)
+      if (out.exists && appliedBatch > already) {
+        val df = out.read
+        val lin =
+          if (df.columns.contains("lineage")) col("lineage") else lit("")
+        val mine = lin === lit(lineage) &&
+          col("batch_id") > lit(already) &&
+          col("batch_id") <= lit(appliedBatch)
+        out.overwrite(df.filter(!mine).unionByName(df.filter(mine).distinct()))
+        out.putTableMeta(key -> appliedBatch.toString)
+      }
+    }
 
   /** Exactly-once view of a [[curationStream]] audit ledger — the
     * consumer-side half of its at-least-once contract. A replayed
@@ -598,20 +768,29 @@ object StreamingLift {
     * deterministic functions of the batch and identical across
     * replays, so per batch_id the FIRST (truthful) row is
     * reconstructed exactly: min(n_dup_in_corpus) / max(n_loaded),
-    * the replay-invariant value for the rest. Assumes one checkpoint
-    * lineage (batch ids are only comparable within a checkpoint — the
-    * documented stream contract). A crash between the data publish
-    * and the ledger append leaves only the replay's zero-loaded row:
-    * the truthful account of what that append observed.
+    * the replay-invariant value for the rest. Batch ids are only
+    * comparable within a checkpoint lineage, so the ledger groups on
+    * (lineage, batch_id) — a table fed by two checkpoints keeps the
+    * two batch-id sequences structurally apart instead of silently
+    * merging unrelated batches (pre-lineage ledgers, no `lineage`
+    * column, group on batch_id alone as before). A crash between the
+    * data publish and the ledger append leaves only the replay's
+    * zero-loaded row: the truthful account of what that append
+    * observed.
     */
-  def ledgerView(audit: ParquetTable): DataFrame =
-    audit.read.groupBy(col("batch_id")).agg(
+  def ledgerView(audit: ParquetTable): DataFrame = {
+    val df = audit.read
+    val keys =
+      if (df.columns.contains("lineage")) Seq(col("lineage"), col("batch_id"))
+      else Seq(col("batch_id"))
+    df.groupBy(keys: _*).agg(
       max(col("n_input")).as("n_input"),
       max(col("n_low_quality")).as("n_low_quality"),
       max(col("n_blocklisted")).as("n_blocklisted"),
       max(col("n_dup_in_batch")).as("n_dup_in_batch"),
       min(col("n_dup_in_corpus")).as("n_dup_in_corpus"),
       max(col("n_loaded")).as("n_loaded"))
+  }
 
   /** NEAR-dup detection as a continuous feed — the MinHash/LSH
     * companion of [[spanDedupStream]]: per micro-batch,
@@ -663,12 +842,17 @@ object StreamingLift {
       shingleWords: Int = 3, bands: Int = 4, rowsPerBand: Int = 4,
       maxBucket: Int = 10000,
       availableNow: Boolean = true,
-      compactFileThreshold: Int = 12): StreamingQuery = {
+      compactFileThreshold: Int = 12,
+      consolidatePairsEvery: Int = 0): StreamingQuery = {
     import graft.ops.Dedup
     if (index.isBucketed) require(index.bucketKey == "band_key",
       s"a bucketed nearDup index must bucket on band_key (all rows of " +
         s"a band group must share a bucket for the probe and the " +
         s"overflow accounting to be complete): got '${index.bucketKey}'")
+    val lineage = lineageOf(spark, checkpoint)
+    leasedStart("nearDupStream", Seq(index, pairsOut)) { leases =>
+    val (indexLease, pairsLease) = (leases.head, leases(1))
+    healLineage(pairsOut)
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -717,7 +901,8 @@ object StreamingLift {
                   .withColumn("pair_kind", lit("vs_corpus"))
               } else internal.limit(0)
             pairsOut.append(internal.unionByName(cross)
-              .withColumn("batch_id", lit(batchId)))
+              .withColumn("batch_id", lit(batchId))
+              .withColumn("lineage", lit(lineage)))
             // ONE file per touched bucket per batch: without the
             // delta-sized repartition, every batch partition writes its
             // own file into every bucket it touches (partitions ×
@@ -728,7 +913,12 @@ object StreamingLift {
               .repartition(index.buckets, index.bucketExpr))
             index.putTableMeta(AppliedBatchKey -> batchId.toString)
             compactNearDupIndex(index, idCol, maxBucket,
-              touched.filter(index.bucketFileCount(_) > compactFileThreshold))
+              touched.filter(index.bucketFileCount(_) > compactFileThreshold),
+              lease = Some(indexLease))
+            if (consolidatePairsEvery > 0 &&
+                (batchId + 1) % consolidatePairsEvery == 0)
+              consolidateSideOutput(pairsOut, lineage, batchId,
+                lease = Some(pairsLease))
           }
         } else {
           // flat path (small/medium indexes): full union + versioned
@@ -736,8 +926,8 @@ object StreamingLift {
           // (AggView.guardedPublish) — simple and exactly-once, but
           // O(index) per trigger; bucket the index for streaming at
           // scale
-          graft.sources.AggView.guardedPublish(index, AppliedBatchKey,
-            batchId.toString, admitBatch(batchId)) {
+          val outcome = graft.sources.AggView.guardedPublish(index,
+            AppliedBatchKey, batchId.toString, admitBatch(batchId)) {
             val (keys, internal) = prep()
             val cross =
               if (index.exists)
@@ -748,14 +938,20 @@ object StreamingLift {
             // batch_id) — inside the guarded fold so a refused replay
             // never re-appends either
             pairsOut.append(internal.unionByName(cross)
-              .withColumn("batch_id", lit(batchId)))
+              .withColumn("batch_id", lit(batchId))
+              .withColumn("lineage", lit(lineage)))
             if (index.exists) index.read.unionByName(keys).distinct()
             else keys.distinct()
           }
+          if (outcome.published && consolidatePairsEvery > 0 &&
+              (batchId + 1) % consolidatePairsEvery == 0)
+            consolidateSideOutput(pairsOut, lineage, batchId,
+              lease = Some(pairsLease))
           (): Unit
         }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    }
   }
 
   /** Consolidate the named buckets of a bucketed [[nearDupStream]]
@@ -783,8 +979,10 @@ object StreamingLift {
     * compaction after their batch's stamp lands.
     */
   def compactNearDupIndex(index: ParquetTable, idCol: String,
-      maxBucket: Int, bucketIds: Seq[Int]): Unit = {
+      maxBucket: Int, bucketIds: Seq[Int],
+      lease: Option[TableLease] = None): Unit = {
     if (bucketIds.isEmpty) return
+    maintained(index, "compactNearDupIndex", lease) {
     val applied = index.tableMeta.get(AppliedBatchKey)
       .map(_.toLong).getOrElse(-1L)
     val raw = index.readBuckets(bucketIds)
@@ -806,6 +1004,7 @@ object StreamingLift {
       healthy.unionByName(tombs).withColumn("src_batch", lit(-1L))
         .unionByName(pending)
         .repartition(index.buckets, index.bucketExpr)) // 1 file/bucket
+    }
   }
 
   /** Logical (id, band_idx, band_key) content of a [[nearDupStream]]
@@ -841,7 +1040,11 @@ object StreamingLift {
     * mutated). Single-writer, stream stopped — like every maintenance
     * op here. Returns the migrated watermark.
     */
-  def migrateIndex(flat: ParquetTable, bucketed: ParquetTable): Long = {
+  def migrateIndex(flat: ParquetTable, bucketed: ParquetTable): Long =
+    // both ends leased: the flat source must not be fed by a live
+    // stream mid-copy, and the bucketed target must not be born twice
+    TableLease.withLease(flat, "migrateIndex") {
+    TableLease.withLease(bucketed, "migrateIndex") {
     require(!flat.isBucketed, s"source index ${flat.path} must be flat")
     require(bucketed.isBucketed,
       s"target index ${bucketed.path} must be bucketed")
@@ -869,7 +1072,7 @@ object StreamingLift {
     bucketed.append(rows.withColumn("src_batch", lit(-1L))
       .repartition(bucketed.buckets, bucketed.bucketExpr)) // 1 file/bucket
     applied.toLong
-  }
+    } }
 
   /** The metadata key [[spanDedupStream]] records its applied batch
     * under (version-pinned for flat indexes, table-scoped for
@@ -932,7 +1135,8 @@ object StreamingLift {
       k: Int = 5, minDocs: Int = 2,
       availableNow: Boolean = true,
       compactAfterBatches: Long = Long.MaxValue,
-      compactFileThreshold: Int = 12): StreamingQuery = {
+      compactFileThreshold: Int = 12,
+      consolidateSpansEvery: Int = 0): StreamingQuery = {
     import graft.ops.TextClean
     require(checkpoint != null && checkpoint.nonEmpty,
       "spanDedupStream needs a durable checkpoint dir — a fresh one " +
@@ -947,7 +1151,11 @@ object StreamingLift {
     if (index.isBucketed)
       return spanDedupStreamBucketed(spark, srcPath, schema, index,
         spansOut, idCol, textCol, checkpoint, k, minDocs, availableNow,
-        compactAfterBatches, compactFileThreshold)
+        compactAfterBatches, compactFileThreshold, consolidateSpansEvery)
+    val lineage = lineageOf(spark, checkpoint)
+    leasedStart("spanDedupStream", Seq(index, spansOut)) { leases =>
+    val spansLease = leases(1)
+    healLineage(spansOut)
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -955,8 +1163,8 @@ object StreamingLift {
         // the ONE guarded fold-publish (AggView.guardedPublish): a
         // replayed batch whose id the live index already covers is
         // refused before anything is computed or appended
-        graft.sources.AggView.guardedPublish(index, SpanBatchKey,
-          batchId.toString, admitBatch(batchId)) {
+        val outcome = graft.sources.AggView.guardedPublish(index,
+          SpanBatchKey, batchId.toString, admitBatch(batchId)) {
           val batch = batch0.localCheckpoint(true)
           val corpusIdx0 =
             if (index.exists) index.read
@@ -994,6 +1202,7 @@ object StreamingLift {
           // spans were computed from (the read-modify-write hazard)
           val pinnedSpans = spans
             .withColumn("batch_id", org.apache.spark.sql.functions.lit(batchId))
+            .withColumn("lineage", org.apache.spark.sql.functions.lit(lineage))
             .localCheckpoint(true)
           val pinnedIdx = merged.localCheckpoint(true)
           // spans land BEFORE the publish (at-least-once, keyed by
@@ -1002,9 +1211,14 @@ object StreamingLift {
           if (!pinnedSpans.isEmpty) spansOut.append(pinnedSpans)
           pinnedIdx
         }
+        if (outcome.published && consolidateSpansEvery > 0 &&
+            (batchId + 1) % consolidateSpansEvery == 0)
+          consolidateSideOutput(spansOut, lineage, batchId,
+            lease = Some(spansLease))
         (): Unit
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    }
   }
 
   /** The PARTITION-SCOPED [[spanDedupStream]] body (bucketed index —
@@ -1043,11 +1257,16 @@ object StreamingLift {
       schema: StructType, index: ParquetTable, spansOut: ParquetTable,
       idCol: String, textCol: String, checkpoint: String,
       k: Int, minDocs: Int, availableNow: Boolean,
-      compactAfterBatches: Long, compactFileThreshold: Int): StreamingQuery = {
+      compactAfterBatches: Long, compactFileThreshold: Int,
+      consolidateSpansEvery: Int): StreamingQuery = {
     import graft.ops.TextClean
     def watermarkOf(b: Long): Long =
       if (compactAfterBatches == Long.MaxValue) Long.MinValue
       else b - compactAfterBatches
+    val lineage = lineageOf(spark, checkpoint)
+    leasedStart("spanDedupStream", Seq(index, spansOut)) { leases =>
+    val (indexLease, spansLease) = (leases.head, leases(1))
+    healLineage(spansOut)
     val stream = spark.readStream.schema(schema).parquet(srcPath)
     val writer = stream.writeStream
       .option("checkpointLocation", checkpoint)
@@ -1084,6 +1303,7 @@ object StreamingLift {
           // spans pin BEFORE the publish (the read-modify-write hazard:
           // they are computed against the pre-batch index state)
           val pinnedSpans = spans.withColumn("batch_id", lit(batchId))
+            .withColumn("lineage", lit(lineage))
             .localCheckpoint(true)
           if (!pinnedSpans.isEmpty) spansOut.append(pinnedSpans)
           // one file per touched bucket per batch (see nearDupStream)
@@ -1091,10 +1311,16 @@ object StreamingLift {
             .repartition(index.buckets, index.bucketExpr))
           index.putTableMeta(SpanBatchKey -> batchId.toString)
           compactSpanIndex(index, watermarkOf(batchId),
-            touched.filter(index.bucketFileCount(_) > compactFileThreshold))
+            touched.filter(index.bucketFileCount(_) > compactFileThreshold),
+            lease = Some(indexLease))
+          if (consolidateSpansEvery > 0 &&
+              (batchId + 1) % consolidateSpansEvery == 0)
+            consolidateSideOutput(spansOut, lineage, batchId,
+              lease = Some(spansLease))
         }
       }
     (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    }
   }
 
   /** Consolidate the named buckets of a bucketed [[spanDedupStream]]
@@ -1118,8 +1344,9 @@ object StreamingLift {
     * only) and consolidate once their batch's stamp lands.
     */
   def compactSpanIndex(index: ParquetTable, watermarkBatch: Long,
-      bucketIds: Seq[Int]): Unit = {
+      bucketIds: Seq[Int], lease: Option[TableLease] = None): Unit = {
     if (bucketIds.isEmpty) return
+    maintained(index, "compactSpanIndex", lease) {
     import graft.ops.TextClean
     val applied = index.tableMeta.get(SpanBatchKey)
       .map(_.toLong).getOrElse(-1L)
@@ -1141,6 +1368,7 @@ object StreamingLift {
     if (liveBuckets.nonEmpty)
       index.overwriteBuckets(
         folded.repartition(index.buckets, index.bucketExpr)) // 1 file/bucket
+    }
   }
 
   /** Logical (wh, n_docs, last_batch) content of a [[spanDedupStream]]

@@ -680,8 +680,17 @@ class StreamingLiftSpec extends AnyFunSuite {
       .map(r => (r.getLong(5), r.getLong(6))).toSet
     assert(raw === Set((1L, 1L), (2L, 0L)),
       s"raw ledger must show the non-identical replay row, got $raw")
-    // ledgerView reconstructs the truthful original row per batch
-    val view = StreamingLift.ledgerView(audit).collect().map(r =>
+    // ledgerView reconstructs the truthful original row per batch —
+    // grouped on (lineage, batch_id); the crash clone copied the
+    // checkpoint's _GRAFT_LINEAGE, so the replay folds with the
+    // original instead of forking a new lineage
+    assert(StreamingLift.ledgerView(audit).select("lineage")
+      .distinct().count() === 1L,
+      "a cloned checkpoint must carry the SAME lineage id")
+    val view = StreamingLift.ledgerView(audit)
+      .select("batch_id", "n_input", "n_low_quality", "n_blocklisted",
+        "n_dup_in_batch", "n_dup_in_corpus", "n_loaded")
+      .collect().map(r =>
       r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3),
         r.getLong(4), r.getLong(5), r.getLong(6)))).toMap
     assert(view.size === 2)
@@ -813,7 +822,13 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(rows(0L)._1 === 1L)
     assert(audit.read.columns.toSeq === Seq("batch_id", "n_input",
       "n_low_quality", "n_blocklisted", "n_dup_in_batch",
-      "n_dup_in_corpus", "n_loaded"))
+      "n_dup_in_corpus", "n_loaded", "lineage"))
+    // the legacy row healed with the empty lineage; the new row
+    // carries the checkpoint's
+    assert(audit.read.filter(col("batch_id") === -1L)
+      .head().getAs[String]("lineage") === "")
+    assert(audit.read.filter(col("batch_id") === 0L)
+      .head().getAs[String]("lineage").nonEmpty)
   }
 
   test("histDriftStream: TVD stays exact past the long cross-multiplication range") {
