@@ -175,6 +175,90 @@ object ScaleProbe {
     (nDocs, sec, index.sizeBytes - before)
   }
 
+  /** One bucketed [[graft.streaming.StreamingLift.spanDedupStream]]
+    * trigger against a window-digest index birthed over `dir`'s
+    * documents: returns (corpus rows, trigger seconds, index bytes
+    * appended by the batch). The O(batch) claim says both stay ~flat
+    * as the corpus grows 10× — the probe reads only the buckets the
+    * batch's digests hash to, and the publish is file-additive.
+    */
+  def spanWindowProbe(spark: SparkSession, dir: String,
+      scratch: String, batchDocs: Int = 100): (Long, Double, Long) = {
+    import graft.sources.{ParquetTable, Tables}
+    import graft.streaming.StreamingLift
+    import graft.ops.TextClean
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val idOffset = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val index = ParquetTable(spark, s"$scratch/idx", buckets = 64,
+      bucketKey = "wh")
+    val spans = ParquetTable(spark, s"$scratch/spans")
+    // birth the index from the corpus's window digests (what a stream
+    // that ingested the whole corpus would hold), consolidated
+    index.putTableMeta(StreamingLift.SpanBatchKey -> "-1")
+    index.append(TextClean.spanIndexAged(docs, "doc_id", "text",
+        batchId = -1L)
+      .withColumn("src_batch", lit(-1L))
+      .repartition(index.buckets, index.bucketExpr))
+    val before = index.sizeBytes
+    // the batch: re-crawled docs under fresh ids — every window
+    // collides with the corpus, the worst-case probe fan-in
+    val batch = docs.orderBy(col("doc_id")).limit(batchDocs)
+      .withColumn("doc_id", col("doc_id") + lit(idOffset))
+    batch.write.parquet(s"$scratch/src/f1")
+    val t0 = System.nanoTime()
+    StreamingLift.spanDedupStream(spark, s"$scratch/src/*", batch.schema,
+      index, spans, "doc_id", "text", s"$scratch/ckpt")
+      .awaitTermination(600000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (nDocs, sec, index.sizeBytes - before)
+  }
+
+  /** One [[graft.streaming.StreamingLift.curationStream]] trigger
+    * (quality gate → blocklist → exact dedup → corpus-hash anti-join →
+    * bucketed upsert + ledger) against a corpus loaded from `dir`'s
+    * documents: returns (corpus rows, trigger seconds, ledger row).
+    * The batch is half re-crawled duplicates (exercising the
+    * corpus-hash probe) and half fresh content (exercising the
+    * bucketed upsert). The corpus-hash anti-join scans ONE thin
+    * column of the corpus — O(corpus) in principle, footer-pruned to
+    * a few MB per million docs in practice; the trigger ratio
+    * measures how much of that reaches wall-clock.
+    */
+  def curationWindowProbe(spark: SparkSession, dir: String,
+      scratch: String, batchDocs: Int = 100): (Long, Double, (Long, Long)) = {
+    import graft.sources.{ParquetTable, Tables}
+    import graft.streaming.StreamingLift
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val idOffset = docs.agg(max(col("doc_id"))).head.getLong(0) + 1L
+    val dest = ParquetTable(spark, s"$scratch/corpus", buckets = 64,
+      bucketKey = "doc_id")
+    val audit = ParquetTable(spark, s"$scratch/ledger")
+    // birth the corpus as a curation load would have left it: content
+    // hash persisted as the thin probe column
+    dest.append(docs.withColumn("__content_hash", md5(col("text")))
+      .repartition(dest.buckets, dest.bucketExpr))
+    // half duplicates (fresh ids, corpus text), half genuinely new
+    val half = batchDocs / 2
+    val dups = docs.orderBy(col("doc_id")).limit(half)
+      .withColumn("doc_id", col("doc_id") + lit(idOffset))
+    val fresh = docs.orderBy(col("doc_id")).limit(batchDocs - half)
+      .withColumn("doc_id", col("doc_id") + lit(idOffset + batchDocs))
+      .withColumn("text", concat(col("text"), lit(" probe salt phrase")))
+    dups.unionByName(fresh).write.parquet(s"$scratch/src/f1")
+    val t0 = System.nanoTime()
+    StreamingLift.curationStream(spark, s"$scratch/src/*", dups.schema,
+      dest, audit, "doc_id", "text",
+      stopwords = Seq("the", "a", "of", "and", "to", "in"),
+      checkpoint = s"$scratch/ckpt")
+      .awaitTermination(600000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    val r = StreamingLift.ledgerView(audit)
+      .select(col("n_dup_in_corpus"), col("n_loaded")).head
+    (nDocs, sec, (r.getLong(0), r.getLong(1)))
+  }
+
   def main(args: Array[String]): Unit = {
     val srcDir = args.lift(0).getOrElse("/root/testdata/sf0.1")
     val outDir = args.lift(1).getOrElse("/tmp/graft_sf1")
@@ -206,12 +290,16 @@ object ScaleProbe {
     // run graft.Verify + tools/check.py over the result)
     if (queries == Seq("synth-only")) { spark.stop(); sys.exit(0) }
 
+    // "probes-only": skip query timing, go straight to the stream
+    // probes (SPARK_GRAFT_PROBE_STREAM selects which)
+    val probesOnly = queries == Seq("probes-only")
     // shapes audited on an AQE-off sibling session (the static
     // declared topology — what must NOT change with data size)
     val audit = spark.newSession()
     audit.conf.set("spark.sql.adaptive.enabled", "false")
-    println(f"${"query"}%-26s ${"src_s"}%8s ${"big_s"}%8s ${"ratio"}%7s  shapes(src|big)")
-    val rows = queries.map { q =>
+    if (!probesOnly)
+      println(f"${"query"}%-26s ${"src_s"}%8s ${"big_s"}%8s ${"ratio"}%7s  shapes(src|big)")
+    val rows = (if (probesOnly) Nil else queries).map { q =>
       val sSrc = PlanAudit.shapeOf(SparkEntry.queries(q)(audit, srcDir))
       val sBig = PlanAudit.shapeOf(SparkEntry.queries(q)(audit, outDir))
       val tSrc = timeQuery(spark, q, srcDir, passes)
@@ -250,19 +338,41 @@ object ScaleProbe {
       println(f"knnGraph cells-scale-with-N: src(cells=$n0)=$a%.2f s, " +
         f"big(cells=${n0 * times})=$b%.2f s, ratio ${b / a}%.2f (data ${times}x)")
     }
-    if (sys.env.get("SPARK_GRAFT_PROBE_STREAM").contains("off")) {
-      spark.stop(); sys.exit(0)
+    // streaming probes at both sizes: trigger cost must be O(batch).
+    // SPARK_GRAFT_PROBE_STREAM: "off" skips, unset = neardup (the r14
+    // default), or a csv of neardup,span,curation
+    val streamProbes = sys.env.get("SPARK_GRAFT_PROBE_STREAM") match {
+      case Some("off") => Nil
+      case Some(csv)   => csv.split(",").map(_.trim).toSeq
+      case None        => Seq("neardup")
     }
-    // streaming probe at both sizes: trigger cost must be O(batch)
-    val scratchA = java.nio.file.Files.createTempDirectory("graft-ndp-src").toString
-    val scratchB = java.nio.file.Files.createTempDirectory("graft-ndp-big").toString
-    val (nA, tA, bA) = nearDupWindowProbe(spark, srcDir, scratchA)
-    val (nB, tB, bB) = nearDupWindowProbe(spark, outDir, scratchB)
-    println(f"nearDupStream trigger: corpus=$nA%d docs -> $tA%.2f s, $bA%d B appended")
-    println(f"nearDupStream trigger: corpus=$nB%d docs -> $tB%.2f s, $bB%d B appended")
-    println(f"nearDupStream trigger ratio: time ${tB / tA}%.2f, bytes ${bB.toDouble / bA}%.2f (corpus grew ${nB.toDouble / nA}%.1fx)")
-    val worst = rows.maxBy(_._4)
-    println(f"worst query ratio: ${worst._1} ${worst._4}%.2f; shapes equal: ${rows.forall(_._5)}")
+    def scratch(tag: String): String =
+      java.nio.file.Files.createTempDirectory(s"graft-$tag").toString
+    if (streamProbes.contains("neardup")) {
+      val (nA, tA, bA) = nearDupWindowProbe(spark, srcDir, scratch("ndp-src"))
+      val (nB, tB, bB) = nearDupWindowProbe(spark, outDir, scratch("ndp-big"))
+      println(f"nearDupStream trigger: corpus=$nA%d docs -> $tA%.2f s, $bA%d B appended")
+      println(f"nearDupStream trigger: corpus=$nB%d docs -> $tB%.2f s, $bB%d B appended")
+      println(f"nearDupStream trigger ratio: time ${tB / tA}%.2f, bytes ${bB.toDouble / bA}%.2f (corpus grew ${nB.toDouble / nA}%.1fx)")
+    }
+    if (streamProbes.contains("span")) {
+      val (nA, tA, bA) = spanWindowProbe(spark, srcDir, scratch("spp-src"))
+      val (nB, tB, bB) = spanWindowProbe(spark, outDir, scratch("spp-big"))
+      println(f"spanDedupStream trigger: corpus=$nA%d docs -> $tA%.2f s, $bA%d B appended")
+      println(f"spanDedupStream trigger: corpus=$nB%d docs -> $tB%.2f s, $bB%d B appended")
+      println(f"spanDedupStream trigger ratio: time ${tB / tA}%.2f, bytes ${bB.toDouble / bA}%.2f (corpus grew ${nB.toDouble / nA}%.1fx)")
+    }
+    if (streamProbes.contains("curation")) {
+      val (nA, tA, (dA, lA)) = curationWindowProbe(spark, srcDir, scratch("cup-src"))
+      val (nB, tB, (dB, lB)) = curationWindowProbe(spark, outDir, scratch("cup-big"))
+      println(f"curationStream trigger: corpus=$nA%d docs -> $tA%.2f s (dups=$dA loaded=$lA)")
+      println(f"curationStream trigger: corpus=$nB%d docs -> $tB%.2f s (dups=$dB loaded=$lB)")
+      println(f"curationStream trigger ratio: time ${tB / tA}%.2f (corpus grew ${nB.toDouble / nA}%.1fx)")
+    }
+    if (rows.nonEmpty) {
+      val worst = rows.maxBy(_._4)
+      println(f"worst query ratio: ${worst._1} ${worst._4}%.2f; shapes equal: ${rows.forall(_._5)}")
+    }
     spark.stop()
     sys.exit(0)
   }
