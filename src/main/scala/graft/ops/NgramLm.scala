@@ -42,6 +42,76 @@ object NgramLm {
       count(lit(1)).over(Window.partitionBy("w2", "w3")).cast("long"))
   }
 
+  /** ADJACENT-bigram collocation strength — the phrase-detection pass
+    * (word2vec-style "new_york" merging) run before tokenizer
+    * training: for every bigram (w1, w2) with `c_ab ≥ minCount`,
+    * `lift_ppm = ⌊10⁶ · c_ab · N / (c_a · c_b)⌋` where `c_a`/`c_b` are
+    * the POSITIONAL marginals (w1 as a bigram's first word, w2 as a
+    * second word) and N the corpus bigram count — so lift =
+    * p(ab)/(p(a·)·p(·b)) over one consistent distribution, computed as
+    * ONE exact integer division (no `log`, whose last-ulp rounding
+    * differs across libm builds; lift ranks pairs identically to PMI).
+    * Distinct from [[graft.ops.TfIdf.pmiPairs]], which scores
+    * DOCUMENT-level co-occurrence: this is sequence adjacency.
+    *
+    * Shape at scale: explode → count keyed on the bigram; marginals
+    * are window sums over the already-aggregated distinct-bigram rows
+    * (bounded by |vocab|², never the token stream); N rides in on a
+    * broadcast 1-row cross join. The decimal(38,0) widening keeps
+    * 10⁶·c_ab·N exact to N ≈ 10¹⁶ bigrams (~400 PB of text).
+    */
+  def bigramLift(df: DataFrame, textCol: String,
+      minCount: Long = 5L): DataFrame = {
+    val toks = graft.functions.TextKernels.tokens(col(textCol))
+    val bi = df.select(toks.as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        """transform(sequence(1, size(toks) - 1),
+             i -> struct(toks[i - 1] AS w1, toks[i] AS w2))""")).as("b"))
+      .groupBy(col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("c_ab"))
+    val tot = bi.agg(sum(col("c_ab")).as("n_bi"))
+    bi.withColumn("c_a",
+        sum(col("c_ab")).over(Window.partitionBy("w1")).cast("long"))
+      .withColumn("c_b",
+        sum(col("c_ab")).over(Window.partitionBy("w2")).cast("long"))
+      .filter(col("c_ab") >= minCount)
+      .crossJoin(broadcast(tot))
+      .withColumn("lift_ppm", expr(
+        """CAST((1000000 * CAST(c_ab AS DECIMAL(38,0)) * n_bi)
+             DIV (CAST(c_a AS DECIMAL(38,0)) * c_b) AS BIGINT)"""))
+      .select(col("w1"), col("w2"), col("c_ab"), col("c_a"), col("c_b"),
+        col("lift_ppm"))
+  }
+
+  /** Vocabulary-growth curve (the Heaps'-law audit a corpus owner
+    * reads before sizing a tokenizer): new distinct words per
+    * `bucketSize`-doc ingest bucket and the running vocabulary size.
+    * Computed from FIRST OCCURRENCES — each word contributes one row
+    * at `min(doc id)` — so there is no running-distinct state: one
+    * shuffle keyed on the word (the same key distinct vocabulary
+    * needs), then a bucket aggregation bounded by #buckets and a
+    * cumulative window over those few rows. A naive cumulative
+    * COUNT(DISTINCT) over doc prefixes would re-scan the token stream
+    * per checkpoint.
+    */
+  def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
+      bucketSize: Long = 100L): DataFrame = {
+    require(bucketSize > 0, s"bucketSize must be positive: $bucketSize")
+    val toks = graft.functions.TextKernels.tokens(col(textCol))
+    val firstSeen = df.select(col(idCol).as("__doc"), explode(toks).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy(col("w")).agg(min(col("__doc")).as("first_doc"))
+    firstSeen
+      .groupBy(expr(s"first_doc DIV $bucketSize").as("bucket"))
+      .agg(count(lit(1)).as("n_new_words"))
+      .withColumn("cum_vocab",
+        sum(col("n_new_words")).over(
+          Window.orderBy(col("bucket"))
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast("long"))
+  }
+
   /** Per-document LM score — the perplexity-filter analogue a
     * pretraining pipeline runs to rank documents by how "model-like"
     * their text is, with every statistic integer-exact so the score is

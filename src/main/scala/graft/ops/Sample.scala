@@ -255,4 +255,46 @@ object Sample {
     }
     df.withColumn("split", split)
   }
+
+  /** Contamination audit over a [[leakageSafeSplit]]-tagged corpus:
+    * how many of the TEST split's distinct word n-grams also occur in
+    * the TRAIN split — the overlap an eval owner measures before
+    * trusting held-out numbers (near-dup-safe splitting removes
+    * document-level leakage; common n-grams still straddle, and this
+    * quantifies how much). One row:
+    * (n_test_grams, n_contaminated, contamination_ppm), the ratio an
+    * exact integer division.
+    *
+    * Shape at scale: the standard decontamination explode — n-grams
+    * hash to fixed-width 60-bit keys, distinct per (gram, split)
+    * map-side-combines before the one shuffle keyed on the gram, and
+    * the per-gram presence fold is two booleans; no doc×doc term
+    * anywhere. (q112/q201 run the same shape against an external
+    * benchmark; this audits the split against itself.)
+    */
+  def splitContamination(tagged: DataFrame, textCol: String,
+      trainSplit: Long, testSplit: Long, n: Int = 8): DataFrame = {
+    require(n >= 1, s"n-gram order must be positive: $n")
+    require(trainSplit != testSplit, "train and test must differ")
+    val toks = TextKernels.tokens(col(textCol))
+    val grams = tagged
+      .filter(col("split").isin(trainSplit, testSplit))
+      .select(col("split"), toks.as("toks"))
+      .filter(size(col("toks")) >= n)
+      .select(col("split"), explode(expr(
+        s"""transform(sequence(1, size(toks) - ${n - 1}),
+              i -> array_join(slice(toks, i, $n), ' '))""")).as("g"))
+      .select(col("split"), TextKernels.hex60(col("g")).as("gh"))
+      .distinct()
+    grams.groupBy(col("gh"))
+      .agg(max(when(col("split") === trainSplit, 1).otherwise(0)).as("in_train"),
+        max(when(col("split") === testSplit, 1).otherwise(0)).as("in_test"))
+      .agg(sum(col("in_test")).cast("long").as("n_test_grams"),
+        sum(col("in_train") * col("in_test")).cast("long").as("n_contaminated"))
+      .withColumn("contamination_ppm", expr(
+        """CASE WHEN n_test_grams > 0
+             THEN CAST((1000000 * CAST(n_contaminated AS DECIMAL(38,0)))
+               DIV CAST(n_test_grams AS DECIMAL(38,0)) AS BIGINT)
+             ELSE CAST(0 AS BIGINT) END"""))
+  }
 }

@@ -3862,6 +3862,83 @@ object PipelinePack {
         n_leaky::BIGINT AS n_leaky_clusters
       FROM agg CROSS JOIN leaky"""))
 
+  /** Adjacent-bigram collocation lift (NgramLm.bigramLift): the
+    * phrase-detection pass before tokenizer training — positional
+    * marginals, one exact integer division per pair (see the op doc;
+    * distinct from the DOC-level co-occurrence PMI of q149's family).
+    */
+  private val q221 = QueryDef(
+    "q221_collocations",
+    (s, dir) => graft.ops.NgramLm.bigramLift(
+      Tables.documents(s, dir), "text", minCount = 5L),
+    Some(s"""WITH t AS (SELECT $T AS toks FROM documents WHERE len($T) >= 2),
+      bi AS (SELECT toks[i] AS w1, toks[i+1] AS w2
+        FROM (SELECT toks, unnest(range(1, len(toks))) AS i FROM t)),
+      c AS (SELECT w1, w2, count(*) AS c_ab FROM bi GROUP BY 1, 2),
+      m AS (SELECT *, sum(c_ab) OVER (PARTITION BY w1) AS c_a,
+          sum(c_ab) OVER (PARTITION BY w2) AS c_b FROM c),
+      n AS (SELECT sum(c_ab)::HUGEINT AS n_bi FROM c)
+      SELECT w1, w2, c_ab::BIGINT AS c_ab, c_a::BIGINT AS c_a,
+        c_b::BIGINT AS c_b,
+        ((1000000::HUGEINT * c_ab * n_bi)
+          // (c_a::HUGEINT * c_b))::BIGINT AS lift_ppm
+      FROM m CROSS JOIN n WHERE c_ab >= 5"""))
+
+  /** Vocabulary-growth curve (NgramLm.vocabGrowth): new words + running
+    * vocabulary per ingest bucket (per-doc granularity here — the
+    * synthetic corpus has a compact vocabulary), from first occurrences —
+    * one word-keyed shuffle, no running distinct (op doc).
+    */
+  private val q222 = QueryDef(
+    "q222_vocab_growth",
+    (s, dir) => graft.ops.NgramLm.vocabGrowth(
+      Tables.documents(s, dir), "doc_id", "text", bucketSize = 1L),
+    Some(s"""WITH w AS (SELECT min(doc_id) AS first_doc
+        FROM (SELECT doc_id, unnest($T) AS w FROM documents)
+        WHERE w <> '' GROUP BY w),
+      b AS (SELECT first_doc // 1 AS bucket, count(*) AS n_new_words
+        FROM w GROUP BY 1)
+      SELECT bucket::BIGINT AS bucket, n_new_words::BIGINT AS n_new_words,
+        (sum(n_new_words) OVER (ORDER BY bucket))::BIGINT AS cum_vocab
+      FROM b"""))
+
+  /** Train/test 8-gram contamination over the q220 leakage-safe split
+    * (Sample.splitContamination): document-level leakage is zero by
+    * construction; this measures what still straddles at n-gram
+    * granularity — the audit an eval owner reads.
+    */
+  private val q223 = QueryDef(
+    "q223_split_contamination",
+    (s, dir) => {
+      val tagged = graft.ops.Sample.leakageSafeSplit(
+        Tables.documents(s, dir).join(docSurvivorsCached(s, dir), Seq("doc_id")),
+        "keep_id", cuts = Seq(900, 950), den = 1000)
+      graft.ops.Sample.splitContamination(tagged, "text",
+        trainSplit = 0L, testSplit = 2L, n = 8)
+    },
+    Some(s"""WITH $sqlSurvivorCtes,
+      t AS (SELECT d.text,
+          CASE WHEN ${sqlHex60("'split' || s.keep_id")} % 1000 < 900 THEN 0
+               WHEN ${sqlHex60("'split' || s.keep_id")} % 1000 < 950 THEN 1
+               ELSE 2 END AS split
+        FROM documents d JOIN surv s USING (doc_id)),
+      tk AS (SELECT split, $T AS toks FROM t
+        WHERE split IN (0, 2) AND len($T) >= 8),
+      g AS (SELECT DISTINCT split,
+          ${sqlHex60("array_to_string(toks[i:i+7], ' ')")} AS gh
+        FROM (SELECT split, toks, unnest(range(1, len(toks) - 6)) AS i
+          FROM tk)),
+      p AS (SELECT gh,
+          max(CASE WHEN split = 0 THEN 1 ELSE 0 END) AS in_train,
+          max(CASE WHEN split = 2 THEN 1 ELSE 0 END) AS in_test
+        FROM g GROUP BY gh)
+      SELECT sum(in_test)::BIGINT AS n_test_grams,
+        sum(in_train * in_test)::BIGINT AS n_contaminated,
+        (CASE WHEN sum(in_test) > 0
+           THEN (1000000::HUGEINT * sum(in_train * in_test)) // sum(in_test)
+           ELSE 0 END)::BIGINT AS contamination_ppm
+      FROM p"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
@@ -3871,5 +3948,5 @@ object PipelinePack {
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-    q213, q214, q215, q216, q220)
+    q213, q214, q215, q216, q220, q221, q222, q223)
 }

@@ -1285,4 +1285,53 @@ class PipelineSpec extends AnyFunSuite {
     }
     assert(String.valueOf(e.getMessage).contains("degenerated"))
   }
+
+  // ---- r15: collocations, vocab growth, split contamination ---------
+
+  test("NgramLm.bigramLift: positional marginals and exact integer lift") {
+    import graft.ops.NgramLm
+    val docs = Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text")
+    val out = NgramLm.bigramLift(docs, "text", minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+    // bigrams: (a,b) x3, (b,a) x1, (b,c) x1 -> N = 5
+    // marginals: first-position a=3 b=2; second-position b=3 a=1 c=1
+    assert(out(("a", "b")) === ((3L, 3L, 3L, 1666666L))) // 1e6*3*5/(3*3)
+    assert(out(("b", "a")) === ((1L, 2L, 1L, 2500000L))) // 1e6*1*5/(2*1)
+    assert(out(("b", "c")) === ((1L, 2L, 1L, 2500000L)))
+    // minCount prunes, marginals stay whole-corpus
+    val pruned = NgramLm.bigramLift(docs, "text", minCount = 2L).collect()
+    assert(pruned.map(r => (r.getString(0), r.getString(1))).toSet
+      === Set(("a", "b")))
+  }
+
+  test("NgramLm.vocabGrowth: first-occurrence buckets and running vocabulary") {
+    import graft.ops.NgramLm
+    val docs = Seq((0L, "a b"), (1L, "b c"), (5L, "d"))
+      .toDF("doc_id", "text")
+    val out = NgramLm.vocabGrowth(docs, "doc_id", "text", bucketSize = 2L)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    // first occurrences: a@0 b@0 c@1 d@5 -> bucket 0 holds {a,b,c},
+    // bucket 2 holds {d}; the cumulative curve carries across the gap
+    assert(out === Map(0L -> ((3L, 3L)), 2L -> ((1L, 4L))))
+  }
+
+  test("Sample.splitContamination: distinct test grams vs train, exact ppm") {
+    import graft.ops.Sample
+    val tagged = Seq(
+      (0L, "w1 w2 w3 w4 w5 w6 w7 w8 x9"), // train: grams w1..w8, w2..x9
+      (2L, "w1 w2 w3 w4 w5 w6 w7 w8"),    // test: 1 gram, contaminated
+      (2L, "u1 u2 u3 u4 u5 u6 u7 u8"),    // test: 1 gram, clean
+      (2L, "s1 s2 s3 s4 s5 s6 s7"),       // test: too short, no gram
+      (1L, "w1 w2 w3 w4 w5 w6 w7 w8"))    // valid split: ignored
+      .toDF("split", "text")
+    val r = Sample.splitContamination(tagged, "text",
+      trainSplit = 0L, testSplit = 2L, n = 8).head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2))
+      === ((2L, 1L, 500000L)))
+    intercept[IllegalArgumentException] {
+      Sample.splitContamination(tagged, "text", 0L, 0L)
+    }
+  }
 }

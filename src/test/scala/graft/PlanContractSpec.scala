@@ -64,8 +64,10 @@ class PlanContractSpec extends AnyFunSuite {
                                // fixed ≤k-long array (q83 bounded rule)
     "q215_ndcg", // 1-row DCG × 1-row IDCG final-report assembly, plus
                  // the q154 BM25 corpus totals underneath
-    "q220_leakage_split") // 1-row leakage-invariant frame broadcast
+    "q220_leakage_split", // 1-row leakage-invariant frame broadcast
                           // into the per-split report
+    "q221_collocations")  // 1-row corpus bigram total N for the lift
+                          // denominator (q169 rule)
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {
