@@ -761,4 +761,42 @@ object Dedup {
         (col("inter").cast("double") /
           (col("sum_sizes") - col("inter")).cast("double")).as("jaccard"))
   }
+
+  /** Dedup-aware effective dataset size per class: weight every
+    * document 1/|its near-dup cluster| (soft dedup — keep duplicates
+    * but down-weight them so a 1000-copy boilerplate page contributes
+    * one document's worth of gradient) and report, per `classCol`:
+    * document count, clusters touched, the summed weight in exact ppm
+    * (`⌊10⁶/cluster size⌋` per doc), and the mean per-doc weight
+    * (`effective_ppm` — 10⁶ means the class is duplicate-free). The
+    * number a mixture owner compares against raw counts before
+    * weighting sources.
+    *
+    * Cluster sizes are counted over the WHOLE corpus, so a cluster
+    * straddling classes down-weights all of its members — the same
+    * rule leakage-safe splitting applies: the cluster, not the row, is
+    * the unit.
+    *
+    * Shape at scale: one aggregation per cluster key (two longs a
+    * row), one join back keyed on that same cluster key (AQE
+    * broadcasts the size table when small; co-partitioned otherwise),
+    * then the per-class rollup with a single count-distinct — never a
+    * second pass over text. All weights integer ppm: sums are
+    * order-independent on every engine.
+    *
+    * @param tagged document rows already carrying a cluster key
+    *   (e.g. [[nearDupSurvivors]]' keep_id joined on)
+    */
+  def effectiveSize(tagged: DataFrame, clusterCol: String,
+      classCol: String): DataFrame = {
+    val sizes = tagged.groupBy(col(clusterCol))
+      .agg(count(lit(1)).as("__csize"))
+    tagged.join(sizes, Seq(clusterCol))
+      .withColumn("__w_ppm", expr("1000000L DIV __csize"))
+      .groupBy(col(classCol))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col(clusterCol)).as("n_clusters"),
+        sum(col("__w_ppm")).cast("long").as("sum_weight_ppm"))
+      .withColumn("effective_ppm", expr("sum_weight_ppm DIV n_docs"))
+  }
 }

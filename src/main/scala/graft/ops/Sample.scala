@@ -297,4 +297,75 @@ object Sample {
                DIV CAST(n_test_grams AS DECIMAL(38,0)) AS BIGINT)
              ELSE CAST(0 AS BIGINT) END"""))
   }
+
+  /** Proportionally allocated stratified sample: split `budget` rows
+    * across strata ∝ stratum size with exact largest-remainder
+    * apportionment (quotas sum to EXACTLY the budget — the q119 rule,
+    * here at α=1), then take each stratum's quota as the rows with the
+    * SMALLEST salted id hashes — deterministic bottom-k, the same
+    * frozen-uniform draw as [[stratifiedByHash]] but with a per-stratum
+    * k the data decides. The eval-set builder's sampler: proportions
+    * match the corpus, membership is a pure function of the data.
+    *
+    * Output: one row per sampled id —
+    * (`stratumCol`, `idCol`, rank 1..quota in hash order, n_rows,
+    * quota).
+    *
+    * Shape at scale: selection is the bounded min-k heap partial
+    * aggregate ([[graft.functions.TopKHeap.minK]]) sized at the LARGEST
+    * stratum quota — each map task pre-reduces every stratum to
+    * ≤ max-quota candidates, so the exchange carries
+    * max-quota × strata × partitions slim (hash, id) pairs and a hot
+    * stratum never window-sorts its full row set on one reducer;
+    * per-stratum trims to the exact quota happen on the exploded
+    * ≤ budget-row result against the broadcast |strata|-row quota
+    * table. The two driver-side values (max quota; the quota table is
+    * joined, not collected) are 1-row/bounded aggregates — the
+    * accepted collect class.
+    *
+    * `idCol` must cast losslessly to long and be unique within its
+    * stratum (the heap selects (60-bit hash, id) long pairs).
+    */
+  def proportionalSample(df: DataFrame, stratumCol: String, idCol: String,
+      budget: Long, salt: String = "psample"): DataFrame = {
+    require(budget > 0 && budget <= Int.MaxValue,
+      s"budget must be in (0, 2^31): $budget")
+    val counts = df.groupBy(col(stratumCol))
+      .agg(count(lit(1)).as("n_rows"))
+    val all = Window.partitionBy()
+    val byRem = Window.partitionBy()
+      .orderBy(col("rem").desc, col(stratumCol).asc)
+    // exact largest-remainder apportionment in decimal(38,0) — the
+    // n_rows × budget product can pass 2^63 at corpus scale
+    val quotas = counts
+      .withColumn("total", sum(col("n_rows")).over(all))
+      .withColumn("base",
+        expr(s"CAST((CAST(n_rows AS DECIMAL(38,0)) * ${budget}L) div total AS BIGINT)"))
+      .withColumn("rem",
+        expr(s"CAST((CAST(n_rows AS DECIMAL(38,0)) * ${budget}L) % total AS BIGINT)"))
+      .withColumn("deficit", lit(budget) - sum(col("base")).over(all))
+      .withColumn("quota",
+        col("base") + when(row_number().over(byRem) <= col("deficit"), 1L)
+          .otherwise(0L))
+      .select(col(stratumCol), col("n_rows"), col("quota"))
+    val maxQRow = quotas.agg(max(col("quota"))).head
+    // empty input: no strata, no quotas — an empty result in the
+    // output schema (budget > 0 otherwise forces max quota ≥ 1)
+    if (maxQRow.isNullAt(0))
+      return df.select(col(stratumCol), col(idCol).cast("long").as(idCol),
+        lit(0L).as("rank"), lit(0L).as("n_rows"), lit(0L).as("quota"))
+        .filter(lit(false))
+    val maxQ = maxQRow.getLong(0)
+    val h = TextKernels.hex60(concat(lit(salt), col(idCol).cast("string")))
+    df.select(col(stratumCol), h.as("__h"), col(idCol).cast("long").as("__id"))
+      .groupBy(col(stratumCol))
+      .agg(graft.functions.TopKHeap.minK(
+        col("__h"), col("__id"), maxQ.toInt).as("__sel"))
+      .select(col(stratumCol), posexplode(col("__sel")).as(Seq("__i", "__t")))
+      .join(broadcast(quotas), Seq(stratumCol))
+      .filter(col("__i") < col("quota"))
+      .select(col(stratumCol), col("__t.id").as(idCol),
+        (col("__i") + 1).cast("long").as("rank"),
+        col("n_rows"), col("quota"))
+  }
 }

@@ -142,4 +142,53 @@ object ShardExport {
       .groupBy(col("from_shard"), col("to_shard"))
       .agg(count(lit(1)).as("n_ids"))
   }
+
+  /** Concat-and-chunk sequence-packing audit: lay every document's
+    * tokens end-to-end in ascending `idCol` order and cut the line
+    * into fixed `chunkTokens`-long training sequences (the GPT-style
+    * pack — no padding between documents, a document may straddle a
+    * cut). Returns one row per chunk:
+    * (chunk, n_docs overlapping it, n_starting in it, starts_mid_doc
+    * 0/1 — whether its first token continues a straddling document,
+    * n_tokens filled — `chunkTokens` everywhere but the final chunk).
+    * The trainer reads this before committing a context length: the
+    * straddle rate IS the fraction of attention windows that open
+    * mid-document.
+    *
+    * Shape at scale: the global token offset is [[Sweep.runningSum]]'s
+    * distributed two-phase prefix sum (never a one-partition sort);
+    * each document then fans out map-side to only the chunks it
+    * overlaps (⌈len/chunkTokens⌉ + 1 rows — bounded by the document's
+    * own length), and the one shuffle is the per-chunk aggregation on
+    * the dense chunk id. Token counts are whitespace-token integers,
+    * so every engine derives identical cuts.
+    *
+    * `idCol` must be UNIQUE and cast losslessly to long (it is the
+    * position on the line — duplicate ids would collapse into one
+    * combined document, see [[Sweep.runningSum]]).
+    */
+  def packChunks(df: DataFrame, idCol: String, textCol: String,
+      chunkTokens: Long = 1024L): DataFrame = {
+    require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
+    val counts = df
+      .filter(col(idCol).isNotNull && col(textCol).isNotNull)
+      .select(col(idCol).cast("long").as("t"),
+        size(TextKernels.tokens(col(textCol))).cast("long").as("ntok"))
+    val run = Sweep.runningSum(counts, "t", "ntok")
+    run
+      .withColumn("start", col("running") - col("d"))
+      .withColumn("c0", expr(s"start DIV ${chunkTokens}L"))
+      .withColumn("c1", expr(s"(running - 1) DIV ${chunkTokens}L"))
+      .select(col("start"), col("running"), col("c0"),
+        explode(expr("sequence(c0, c1)")).as("chunk"))
+      .groupBy(col("chunk"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("chunk") === col("c0"), 1L).otherwise(0L))
+          .as("n_starting"),
+        max(when(col("chunk") > col("c0"), 1L).otherwise(0L))
+          .as("starts_mid_doc"),
+        sum(least(col("running"), (col("chunk") + 1) * chunkTokens) -
+          greatest(col("start"), col("chunk") * chunkTokens))
+          .as("n_tokens"))
+  }
 }

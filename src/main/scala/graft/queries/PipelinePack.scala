@@ -3939,6 +3939,82 @@ object PipelinePack {
            ELSE 0 END)::BIGINT AS contamination_ppm
       FROM p"""))
 
+  /** Concat-and-chunk sequence packing (ShardExport.packChunks): cut
+    * the token line into 512-token training sequences and report each
+    * chunk's doc overlap / straddle / fill — the distributed prefix
+    * sum (Sweep.runningSum) plus one chunk-keyed aggregation; the
+    * per-doc fan-out is bounded by the doc's own length.
+    */
+  private val q224 = QueryDef(
+    "q224_pack_chunks",
+    (s, dir) => graft.ops.ShardExport.packChunks(
+      Tables.documents(s, dir), "doc_id", "text", chunkTokens = 512L),
+    Some(s"""WITH d AS (SELECT doc_id, len($T)::BIGINT AS ntok
+        FROM documents WHERE doc_id IS NOT NULL AND text IS NOT NULL),
+      r AS (SELECT doc_id, ntok,
+          (sum(ntok) OVER (ORDER BY doc_id))::BIGINT AS running FROM d),
+      e AS (SELECT running - ntok AS start, running,
+          (running - ntok) // 512 AS c0, (running - 1) // 512 AS c1
+        FROM r),
+      x AS (SELECT start, running, c0,
+          unnest(range(c0, c1 + 1)) AS chunk FROM e)
+      SELECT chunk::BIGINT AS chunk, count(*)::BIGINT AS n_docs,
+        sum(CASE WHEN chunk = c0 THEN 1 ELSE 0 END)::BIGINT AS n_starting,
+        max(CASE WHEN chunk > c0 THEN 1 ELSE 0 END)::BIGINT
+          AS starts_mid_doc,
+        sum(least(running, (chunk + 1) * 512)
+          - greatest(start, chunk * 512))::BIGINT AS n_tokens
+      FROM x GROUP BY chunk"""))
+
+  /** Dedup-aware effective dataset size per source
+    * (Dedup.effectiveSize over the q32 survivor clusters): each doc
+    * weighted ⌊10⁶/cluster size⌋ ppm — soft dedup's answer to "how
+    * much UNIQUE data does each source really contribute".
+    */
+  private val q225 = QueryDef(
+    "q225_effective_size",
+    (s, dir) => graft.ops.Dedup.effectiveSize(
+      Tables.documents(s, dir).join(docSurvivorsCached(s, dir), Seq("doc_id")),
+      "keep_id", "source"),
+    Some(s"""WITH $sqlSurvivorCtes,
+      sz AS (SELECT keep_id, count(*) AS csize FROM surv GROUP BY keep_id),
+      j AS (SELECT d.source, s.keep_id, 1000000 // sz.csize AS w_ppm
+        FROM documents d JOIN surv s USING (doc_id)
+        JOIN sz ON s.keep_id = sz.keep_id)
+      SELECT source, count(*)::BIGINT AS n_docs,
+        count(DISTINCT keep_id)::BIGINT AS n_clusters,
+        sum(w_ppm)::BIGINT AS sum_weight_ppm,
+        (sum(w_ppm) // count(*))::BIGINT AS effective_ppm
+      FROM j GROUP BY source"""))
+
+  /** Proportionally allocated deterministic sample
+    * (Sample.proportionalSample): largest-remainder quotas ∝ source
+    * size, membership = each source's smallest salted id hashes via
+    * the bounded min-k heap — no per-stratum window over raw rows.
+    */
+  private val q226 = QueryDef(
+    "q226_proportional_sample",
+    (s, dir) => graft.ops.Sample.proportionalSample(
+      Tables.documents(s, dir), "source", "doc_id", budget = 30L),
+    Some(s"""WITH c AS (SELECT source, count(*) AS n_rows FROM documents
+          GROUP BY source),
+      t AS (SELECT *, sum(n_rows) OVER () AS total FROM c),
+      b AS (SELECT *, (n_rows::HUGEINT * 30) // total AS base,
+          (n_rows::HUGEINT * 30) % total AS rem FROM t),
+      q AS (SELECT *, 30 - sum(base) OVER () AS deficit,
+          row_number() OVER (ORDER BY rem DESC, source ASC) AS rk FROM b),
+      qq AS (SELECT source, n_rows,
+          base + CASE WHEN rk <= deficit THEN 1 ELSE 0 END AS quota FROM q),
+      h AS (SELECT source, doc_id,
+          ${sqlHex60("'psample' || doc_id::VARCHAR")} AS h FROM documents),
+      r AS (SELECT h.source, h.doc_id, qq.n_rows, qq.quota,
+          row_number() OVER (PARTITION BY h.source
+            ORDER BY h.h ASC, h.doc_id ASC) AS rank
+        FROM h JOIN qq USING (source))
+      SELECT source, doc_id, rank::BIGINT AS rank,
+        n_rows::BIGINT AS n_rows, quota::BIGINT AS quota
+      FROM r WHERE rank <= quota"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
@@ -3948,5 +4024,5 @@ object PipelinePack {
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-    q213, q214, q215, q216, q220, q221, q222, q223)
+    q213, q214, q215, q216, q220, q221, q222, q223, q224, q225, q226)
 }

@@ -1334,4 +1334,70 @@ class PipelineSpec extends AnyFunSuite {
       Sample.splitContamination(tagged, "text", 0L, 0L)
     }
   }
+
+  // ---- r15: packing, effective size, proportional sampling ----------
+
+  test("ShardExport.packChunks: straddles, fills, and the final short chunk") {
+    import graft.ops.ShardExport
+    // token line: doc1=3, doc2=4, doc3=2 -> cuts at 4: [0,4) [4,8) [8,9)
+    val docs = Seq((1L, "a b c"), (2L, "d e f g"), (3L, "h i"))
+      .toDF("doc_id", "text")
+    val out = ShardExport.packChunks(docs, "doc_id", "text", chunkTokens = 4L)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    // chunk 0: doc1 whole + doc2's first token (both START here)
+    // chunk 1: doc2's tail (straddle) + doc3's first token
+    // chunk 2: doc3's last token — 1-token final fill
+    assert(out === Map(
+      0L -> ((2L, 2L, 0L, 4L)),
+      1L -> ((2L, 1L, 1L, 4L)),
+      2L -> ((1L, 0L, 1L, 1L))))
+    // fills cover the line exactly: sum(n_tokens) = total tokens
+    assert(out.values.map(_._4).sum === 9L)
+  }
+
+  test("Dedup.effectiveSize: whole-corpus cluster weights per class") {
+    // cluster 10 spans both sources with 4 members -> each doc 250000;
+    // clusters 20/30 are singletons
+    val tagged = Seq(
+      ("s1", 10L), ("s1", 10L), ("s1", 20L),
+      ("s2", 10L), ("s2", 10L), ("s2", 30L))
+      .toDF("source", "keep_id")
+    val out = Dedup.effectiveSize(tagged, "keep_id", "source")
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(out === Map(
+      "s1" -> ((3L, 2L, 1500000L, 500000L)),
+      "s2" -> ((3L, 2L, 1500000L, 500000L))))
+  }
+
+  test("Sample.proportionalSample: exact quotas, hash-order ranks, determinism") {
+    import graft.ops.Sample
+    val rows = (1L to 30L).map(i => (if (i <= 20) "big" else "small", i))
+    val df = rows.toDF("source", "doc_id")
+    val out = Sample.proportionalSample(df, "source", "doc_id", budget = 9L)
+      .collect()
+    // largest remainder of 9 over (20, 10): big 6, small 3 — sums to 9
+    val bySrc = out.groupBy(_.getString(0))
+    assert(bySrc("big").length === 6 && bySrc("small").length === 3)
+    assert(out.forall(r => r.getLong(2) >= 1L && r.getLong(2) <= r.getLong(4)))
+    // membership is the bottom of the salted hash order — engine-free
+    // reference: recompute hex60 and take each stratum's smallest
+    val h = df.select(col("source"), col("doc_id"),
+      TextKernels.hex60(concat(lit("psample"), col("doc_id").cast("string")))
+        .as("h")).collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    val expect = h.groupBy(_._1).toSeq.flatMap { case (s, rs) =>
+      val q = if (s == "big") 6 else 3
+      rs.sortBy(r => (r._3, r._2)).take(q).map(_._2).toSeq
+    }.toSet
+    assert(out.map(_.getLong(1)).toSet === expect)
+    // a quota past the stratum's row count (over-budget apportionment)
+    // keeps the whole stratum, never pads
+    val all = Sample.proportionalSample(df, "source", "doc_id", budget = 40L)
+      .collect()
+    assert(all.length === 30)
+    // empty input: empty result in the output schema
+    assert(Sample.proportionalSample(df.filter(lit(false)), "source",
+      "doc_id", budget = 5L).collect().isEmpty)
+  }
 }
