@@ -1385,4 +1385,179 @@ object StreamingLift {
       .groupBy(col("wh"))
       .agg(sum(col("n_docs")).as("n_docs"),
         max(col("last_batch")).as("last_batch"))
+
+  // ---- streaming vocabulary tracker ---------------------------------
+
+  /** Streaming vocabulary tracker — the streaming lift of the q222
+    * vocabulary-growth audit: maintain a first-occurrence word index
+    * across an ingest feed and append ONE ledger row per micro-batch —
+    * (batch_id, n_docs, n_tokens, n_distinct_words, n_new_words,
+    * lineage) — the new-word (OOV) rate a tokenizer owner watches on a
+    * live feed: a rising rate means the frozen vocabulary is drifting
+    * away from what the corpus now contains, and the batch ledger is
+    * the same curve q222 computes over ingest history, emitted as the
+    * history happens instead of recomputed from it.
+    *
+    * The [[nearDupStream]] contract family, one table lighter (the
+    * ledger rides the index's admission stamp):
+    *  - FLAT index (small/medium vocabularies): full union + versioned
+    *    overwrite through the one guarded fold-publish
+    *    ([[graft.sources.AggView.guardedPublish]]) — exactly-once, but
+    *    O(|vocab|) per trigger;
+    *  - BUCKETED index (bucket on `wh`): the probe reads ONLY the
+    *    buckets the batch's word hashes land in (partition-pruned, and
+    *    a natural-language batch touches ~every bucket only when it is
+    *    itself vocabulary-sized); the publish APPENDS the batch's new
+    *    words — file-additive, O(batch); touched buckets past
+    *    `compactFileThreshold` files compact via
+    *    [[compactVocabIndex]]. A replayed batch is refused by the
+    *    applied-batch stamp; a CRASHED publish's replay probes the
+    *    exact pre-batch state (its own `src_batch` rows are excluded
+    *    on read), so the re-appended ledger row is BIT-IDENTICAL —
+    *    at-least-once keyed on (lineage, batch_id), exactly-once
+    *    through [[vocabLedgerView]].
+    *
+    * A word is a non-empty whitespace token (the q222 rule); n_tokens
+    * counts ALL whitespace tokens including empties (the raw
+    * tokenizer-input volume). Index rows are (wh = hex60(word) — the
+    * bucket key, word, src_batch); novelty joins on the word STRING,
+    * so a 60-bit hash collision can never lose a word.
+    */
+  def vocabTrackStream(spark: SparkSession, srcPath: String,
+      schema: StructType, index: ParquetTable, ledgerOut: ParquetTable,
+      textCol: String, checkpoint: String,
+      availableNow: Boolean = true,
+      compactFileThreshold: Int = 12): StreamingQuery = {
+    import graft.functions.TextKernels
+    if (index.isBucketed) require(index.bucketKey == "wh",
+      s"a bucketed vocab index must bucket on wh (the word hash — the " +
+        s"probe prunes to the batch's hash buckets): got '${index.bucketKey}'")
+    val lineage = lineageOf(spark, checkpoint)
+    leasedStart("vocabTrackStream", Seq(index, ledgerOut)) { leases =>
+    val indexLease = leases.head
+    healLineage(ledgerOut)
+    val stream = spark.readStream.schema(schema).parquet(srcPath)
+    val writer = stream.writeStream
+      .option("checkpointLocation", checkpoint)
+      .foreachBatch { (batch0: DataFrame, batchId: Long) =>
+        // pin the batch once: volume stats and the word set otherwise
+        // re-read the batch files per consumer
+        def prep(): (DataFrame, Long, Long) = {
+          val batch = batch0.localCheckpoint(true)
+          val toks = TextKernels.tokens(col(textCol))
+          val vol = batch.agg(count(lit(1)).as("n"),
+            coalesce(sum(size(toks).cast("long")), lit(0L)).as("t")).head
+          val words = batch.select(explode(toks).as("word"))
+            .filter(col("word") =!= "").distinct()
+            .select(TextKernels.hex60(col("word")).as("wh"), col("word"))
+            .localCheckpoint(true)
+          (words, vol.getLong(0), vol.getLong(1))
+        }
+        def ledgerRow(nDocs: Long, nToks: Long, nWords: Long,
+            nNew: Long): DataFrame = {
+          import spark.implicits._
+          Seq((batchId, nDocs, nToks, nWords, nNew))
+            .toDF("batch_id", "n_docs", "n_tokens", "n_distinct_words",
+              "n_new_words")
+            .withColumn("lineage", lit(lineage))
+        }
+        if (index.isBucketed) {
+          val applied = index.tableMeta.get(AppliedBatchKey).map(_.toLong)
+          if (!applied.exists(_ >= batchId)) {
+            val (words, nDocs, nToks) = prep()
+            val nWords = words.count()
+            val touched = words.select(index.bucketExpr.cast("int").as("b"))
+              .distinct().collect().map(_.getInt(0)).toSeq.sorted
+            val novel = (if (index.exists)
+              words.join(index.readBuckets(touched)
+                  .filter(col("src_batch") =!= lit(batchId))
+                  .select(col("word")).distinct(),
+                Seq("word"), "left_anti")
+            else words).localCheckpoint(true)
+            // ledger lands BEFORE the publish (at-least-once, keyed by
+            // (lineage, batch_id); bit-identical on a crash replay —
+            // the probe above excluded this batch's own crashed rows)
+            ledgerOut.append(ledgerRow(nDocs, nToks, nWords, novel.count()))
+            // one file per touched bucket per batch (see nearDupStream)
+            index.append(novel.select(col("wh"), col("word"))
+              .withColumn("src_batch", lit(batchId))
+              .repartition(index.buckets, index.bucketExpr))
+            index.putTableMeta(AppliedBatchKey -> batchId.toString)
+            compactVocabIndex(index,
+              touched.filter(index.bucketFileCount(_) > compactFileThreshold),
+              lease = Some(indexLease))
+          }
+        } else {
+          graft.sources.AggView.guardedPublish(index, AppliedBatchKey,
+            batchId.toString, admitBatch(batchId)) {
+            val (words, nDocs, nToks) = prep()
+            val novel = (if (index.exists)
+              words.join(index.read.select(col("word")).distinct(),
+                Seq("word"), "left_anti")
+            else words).localCheckpoint(true)
+            ledgerOut.append(ledgerRow(nDocs, nToks, words.count(),
+              novel.count()))
+            if (index.exists) index.read.unionByName(novel).distinct()
+            else novel.distinct()
+          }
+          (): Unit
+        }
+      }
+    (if (availableNow) writer.trigger(Trigger.AvailableNow()) else writer).start()
+    }
+  }
+
+  /** Consolidate the named buckets of a bucketed [[vocabTrackStream]]
+    * word index PARTITION-SCOPED: settled rows (src_batch at or below
+    * the applied watermark) fold to one row per word re-stamped
+    * src_batch = -1; crash-window rows (src_batch ABOVE the watermark
+    * — appended by a publish that crashed before its stamp) carry
+    * through verbatim apart from the bit-identical-replay distinct,
+    * exactly the [[compactNearDupIndex]] guard: folding them would
+    * defeat the replay's `src_batch =!= batchId` exclusion and the
+    * replay would see its own crashed words as corpus (n_new_words
+    * would drop — a WRONG ledger row, not just a storage artifact).
+    * Runs inside the stream after the stamp, or standalone between
+    * runs under the table lease.
+    */
+  def compactVocabIndex(index: ParquetTable, bucketIds: Seq[Int],
+      lease: Option[TableLease] = None): Unit = {
+    if (bucketIds.isEmpty) return
+    maintained(index, "compactVocabIndex", lease) {
+      val applied = index.tableMeta.get(AppliedBatchKey)
+        .map(_.toLong).getOrElse(-1L)
+      val raw = index.readBuckets(bucketIds)
+      val folded = raw.filter(col("src_batch") <= applied)
+        .select(col("wh"), col("word")).distinct()
+        .withColumn("src_batch", lit(-1L))
+        .unionByName(raw.filter(col("src_batch") > applied).distinct())
+        .localCheckpoint(true)
+      index.overwriteBuckets(
+        folded.repartition(index.buckets, index.bucketExpr)) // 1 file/bucket
+    }
+  }
+
+  /** The distinct words of a [[vocabTrackStream]] index regardless of
+    * layout: (wh, word) — bucketed appends consolidate on read
+    * (crashed-publish replays re-append bit-identically).
+    */
+  def vocabIndexView(index: ParquetTable): DataFrame =
+    index.read.select(col("wh"), col("word")).distinct()
+
+  /** Exactly-once reading of the [[vocabTrackStream]] ledger: rows
+    * append BEFORE the index publish and re-append bit-identically on
+    * a crash replay (the probe excludes the crashed batch's own rows),
+    * keyed by (lineage, batch_id) — `distinct` is the exactly-once
+    * view. The running vocabulary size is the per-lineage prefix sum
+    * of n_new_words, computed here over the ledger's few rows rather
+    * than stored (a vocab_after column would need an O(index) count
+    * per trigger — the one thing an O(batch) trigger must not do).
+    */
+  def vocabLedgerView(ledger: ParquetTable): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    ledger.read.distinct()
+      .withColumn("cum_vocab", sum(col("n_new_words")).over(
+        Window.partitionBy(col("lineage")).orderBy(col("batch_id"))
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
 }

@@ -25,7 +25,10 @@ class PartitionInvarianceSpec extends AnyFunSuite {
     "q188_ks_drift",        // distributed prefix sums, argmax struct
     "q19_jaccard_pairs",    // inverted-index pair expansion
     "q194_repeated_spans",  // gaps-and-islands over covered positions
-    "q195_boilerplate_catalog") // deterministic top-k over span texts
+    "q195_boilerplate_catalog", // deterministic top-k over span texts
+    "q224_pack_chunks",     // distributed prefix sum + chunk fan-out
+    "q225_effective_size",  // whole-corpus cluster sizes, integer ppm
+    "q226_proportional_sample") // largest remainder + bounded min-k heap
 
   private def rows(df: org.apache.spark.sql.DataFrame): Seq[String] =
     df.collect().map(_.toString).sorted.toSeq

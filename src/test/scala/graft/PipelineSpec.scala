@@ -1400,4 +1400,68 @@ class PipelineSpec extends AnyFunSuite {
     assert(Sample.proportionalSample(df.filter(lit(false)), "source",
       "doc_id", budget = 5L).collect().isEmpty)
   }
+
+  test("packChunks matches a sequential reference on seeded random corpora") {
+    import graft.ops.ShardExport
+    val rnd = new scala.util.Random(20260816L)
+    for (case_ <- 1 to 5) {
+      val l = 1 + rnd.nextInt(12)
+      val docs = (1 to 1 + rnd.nextInt(25)).map { i =>
+        (i.toLong, Seq.fill(1 + rnd.nextInt(20))("w").mkString(" "))
+      }
+      val got = ShardExport.packChunks(docs.toDF("doc_id", "text"),
+        "doc_id", "text", chunkTokens = l.toLong)
+        .collect().map(r => (r.getLong(0),
+          (r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      // sequential reference: walk the token line doc by doc
+      var pos = 0L
+      val per = scala.collection.mutable.Map
+        .empty[Long, (Long, Long, Long, Long)]
+      for ((_, text) <- docs) {
+        val n = text.split(" ", -1).length.toLong
+        val (start, end) = (pos, pos + n); pos = end
+        for (c <- start / l to (end - 1) / l) {
+          val (d, s, m, t) = per.getOrElse(c, (0L, 0L, 0L, 0L))
+          per(c) = (d + 1, s + (if (c == start / l) 1 else 0),
+            math.max(m, if (c > start / l) 1L else 0L),
+            t + math.min(end, (c + 1) * l) - math.max(start, c * l))
+        }
+      }
+      assert(got === per.toMap, s"case $case_ (chunkTokens=$l)")
+    }
+  }
+
+  test("proportionalSample matches the sort-take reference on seeded strata") {
+    import graft.ops.Sample
+    import java.security.MessageDigest
+    def hex60(s: String): Long = java.lang.Long.parseLong(
+      MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+        .take(8).map("%02x".format(_)).mkString.substring(0, 15), 16)
+    val rnd = new scala.util.Random(42L)
+    for (case_ <- 1 to 4) {
+      val rows = (1 to 10 + rnd.nextInt(60)).map { i =>
+        (s"s${rnd.nextInt(4)}", i.toLong)
+      }
+      val budget = 1L + rnd.nextInt(30)
+      val got = Sample.proportionalSample(rows.toDF("source", "doc_id"),
+        "source", "doc_id", budget)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSet
+      // reference: exact largest-remainder quotas, then per-stratum
+      // sort by (hash, id), take quota
+      val counts = rows.groupBy(_._1).view.mapValues(_.size.toLong).toMap
+      val total = rows.size.toLong
+      val base = counts.view.mapValues(n => n * budget / total).toMap
+      val deficit = budget - base.values.sum
+      val order = counts.keys.toSeq
+        .sortBy(s => (-(counts(s) * budget % total), s))
+      val quota = base ++ order.take(deficit.toInt)
+        .map(s => s -> (base(s) + 1)).toMap
+      val want = rows.groupBy(_._1).toSeq.flatMap { case (s, rs) =>
+        rs.map(r => (s, r._2, hex60("psample" + r._2)))
+          .sortBy(r => (r._3, r._2)).take(quota(s).toInt)
+          .map(r => (r._1, r._2))
+      }.toSet
+      assert(got === want, s"case $case_ (budget=$budget)")
+    }
+  }
 }

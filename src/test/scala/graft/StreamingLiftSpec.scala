@@ -1669,4 +1669,118 @@ class StreamingLiftSpec extends AnyFunSuite {
       }
     }
   }
+
+  // ---- streaming vocabulary tracker ----------------------------------
+
+  test("vocabTrackStream: per-batch OOV ledger, flat and bucketed agree, " +
+      "replay under a fresh checkpoint refused") {
+    def docs(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
+    val schema = docs(Nil).schema
+    def drive(bucketed: Boolean): (ParquetTable, ParquetTable) = {
+      val tag = if (bucketed) "b" else "f"
+      val srcDir = Files.createTempDirectory(s"graft-voc$tag-src").toString
+      val ckpt = Files.createTempDirectory(s"graft-voc$tag-ckpt").toString
+      val base = Files.createTempDirectory(s"graft-voc$tag-dst")
+      val index =
+        if (bucketed) ParquetTable(spark, base.resolve("idx").toString,
+          buckets = 8, bucketKey = "wh")
+        else ParquetTable(spark, base.resolve("idx").toString)
+      val ledger = ParquetTable(spark, base.resolve("led").toString)
+      docs(Seq((1L, "a b c"), (2L, "b c d"))).write.parquet(srcDir + "/f1")
+      StreamingLift.vocabTrackStream(spark, srcDir + "/*", schema, index,
+        ledger, "text", ckpt).awaitTermination()
+      docs(Seq((3L, "c d e"))).write.parquet(srcDir + "/f2")
+      StreamingLift.vocabTrackStream(spark, srcDir + "/*", schema, index,
+        ledger, "text", ckpt).awaitTermination()
+      // replay the same files under a FRESH checkpoint: batch ids
+      // restart at 0, the applied stamp refuses both — nothing lands
+      val ckpt2 = Files.createTempDirectory(s"graft-voc$tag-ckpt2").toString
+      StreamingLift.vocabTrackStream(spark, srcDir + "/*", schema, index,
+        ledger, "text", ckpt2).awaitTermination()
+      (index, ledger)
+    }
+    for (bucketed <- Seq(false, true)) {
+      val (index, ledger) = drive(bucketed)
+      val rows = StreamingLift.vocabLedgerView(ledger)
+        .select("batch_id", "n_docs", "n_tokens", "n_distinct_words",
+          "n_new_words", "cum_vocab")
+        .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getLong(5)))).toMap
+      assert(rows === Map(
+        0L -> ((2L, 6L, 4L, 4L, 4L)),   // a b c d all new
+        1L -> ((1L, 3L, 3L, 1L, 5L))),  // only e is new
+        s"bucketed=$bucketed")
+      assert(StreamingLift.vocabIndexView(index)
+        .select("word").collect().map(_.getString(0)).sorted.toSeq
+        === Seq("a", "b", "c", "d", "e"), s"bucketed=$bucketed")
+      // the fresh-checkpoint replay appended no third/fourth raw row
+      assert(ledger.read.count() === 2L, s"bucketed=$bucketed")
+    }
+  }
+
+  test("vocabTrackStream: crash-window replay re-appends a BIT-IDENTICAL " +
+      "ledger row; views and compaction stay exact") {
+    import org.apache.spark.sql.functions.col
+    def docs(rows: Seq[(Long, String)]): DataFrame = rows.toDF("doc_id", "text")
+    val schema = docs(Nil).schema
+    val srcDir = Files.createTempDirectory("graft-vocc-src").toString
+    val ckpt = Files.createTempDirectory("graft-vocc-ckpt").toString
+    val base = Files.createTempDirectory("graft-vocc-dst")
+    val index = ParquetTable(spark, base.resolve("idx").toString,
+      buckets = 8, bucketKey = "wh")
+    val ledger = ParquetTable(spark, base.resolve("led").toString)
+    def run(at: String): Unit = StreamingLift.vocabTrackStream(spark,
+      srcDir + "/*", schema, index, ledger, "text", at).awaitTermination()
+
+    docs(Seq((1L, "a b c"), (2L, "b c d"))).write.parquet(srcDir + "/f1")
+    run(ckpt)
+    docs(Seq((3L, "c d e"))).write.parquet(srcDir + "/f2")
+    run(ckpt)
+    // inject the crash WINDOW: batch 1's ledger row landed but neither
+    // its index stamp nor its checkpoint commit did — roll the stamp
+    // back and clone the checkpoint minus commits/1 (+ its .crc shadow)
+    index.putTableMeta(StreamingLift.AppliedBatchKey -> "0")
+    val ckpt2 = Files.createTempDirectory("graft-vocc-ckpt2").toString
+    val srcRoot = java.nio.file.Paths.get(ckpt)
+    java.nio.file.Files.walk(srcRoot).forEach { p =>
+      val t = java.nio.file.Paths.get(ckpt2).resolve(srcRoot.relativize(p))
+      if (java.nio.file.Files.isDirectory(p))
+        java.nio.file.Files.createDirectories(t)
+      else java.nio.file.Files.copy(p, t,
+        java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+    }
+    assert(new java.io.File(ckpt2 + "/commits/1").delete())
+    new java.io.File(ckpt2 + "/commits/.1.crc").delete()
+    run(ckpt2)
+    // raw ledger is at-least-once: TWO rows for batch 1 — and because
+    // the replay's probe excluded the crashed publish's own src_batch
+    // rows, they are bit-identical (same n_new_words)
+    val raw = ledger.read.filter(col("batch_id") === 1L)
+      .select("n_new_words").collect().map(_.getLong(0)).toSeq
+    assert(raw === Seq(1L, 1L), s"got $raw")
+    // the views stay exactly-once and exact
+    assert(StreamingLift.vocabLedgerView(ledger).count() === 2L)
+    assert(StreamingLift.vocabIndexView(index).count() === 5L)
+    assert(index.tableMeta(StreamingLift.AppliedBatchKey) === "1")
+    // crash-window carve-out: with the stamp rolled back to 0, batch
+    // 1's word ("e", src_batch above the watermark) is carried
+    // verbatim — folding it would make a replay see its own crashed
+    // publish as corpus; the bit-identical re-append still collapses
+    index.putTableMeta(StreamingLift.AppliedBatchKey -> "0")
+    StreamingLift.compactVocabIndex(index, index.bucketIds)
+    assert(index.read.filter(col("src_batch") === 1L).count() === 1L,
+      "the crashed-window word must survive compaction verbatim, once")
+    assert(StreamingLift.vocabIndexView(index).count() === 5L)
+    // with the stamp restored, compaction folds everything to one row
+    // per word, one file per bucket, views unchanged
+    index.putTableMeta(StreamingLift.AppliedBatchKey -> "1")
+    StreamingLift.compactVocabIndex(index, index.bucketIds)
+    assert(StreamingLift.vocabIndexView(index)
+      .select("word").collect().map(_.getString(0)).sorted.toSeq
+      === Seq("a", "b", "c", "d", "e"))
+    assert(index.read.count() === 5L,
+      "compaction must fold replay duplicates to one row per word")
+    assert(index.read.filter(col("src_batch") =!= -1L).count() === 0L)
+    assert(index.bucketIds.forall(index.bucketFileCount(_) === 1))
+  }
 }
