@@ -214,6 +214,44 @@ object ScaleProbe {
     (nDocs, sec, index.sizeBytes - before)
   }
 
+  /** One bucketed [[graft.streaming.StreamingLift.vocabTrackStream]]
+    * trigger against a word index birthed over `dir`'s vocabulary:
+    * returns (corpus rows, trigger seconds, index bytes appended by
+    * the batch). The batch is re-crawled corpus docs, so nearly every
+    * word is already indexed — the probe measures the anti-join
+    * against the grown vocabulary, which must stay O(batch) via the
+    * bucket-pruned read.
+    */
+  def vocabWindowProbe(spark: SparkSession, dir: String,
+      scratch: String, batchDocs: Int = 100): (Long, Double, Long) = {
+    import graft.sources.{ParquetTable, Tables}
+    import graft.streaming.StreamingLift
+    import graft.functions.TextKernels
+    val docs = Tables.documents(spark, dir).select(col("doc_id"), col("text"))
+    val nDocs = docs.count()
+    val index = ParquetTable(spark, s"$scratch/idx", buckets = 64,
+      bucketKey = "wh")
+    val ledger = ParquetTable(spark, s"$scratch/ledger")
+    // birth the index from the corpus's distinct words (what a stream
+    // that ingested the whole corpus would hold), consolidated
+    index.putTableMeta(StreamingLift.AppliedBatchKey -> "-1")
+    index.append(docs
+      .select(explode(TextKernels.tokens(col("text"))).as("word"))
+      .filter(col("word") =!= "").distinct()
+      .select(TextKernels.hex60(col("word")).as("wh"), col("word"))
+      .withColumn("src_batch", lit(-1L))
+      .repartition(index.buckets, index.bucketExpr))
+    val before = index.sizeBytes
+    val batch = docs.orderBy(col("doc_id")).limit(batchDocs)
+    batch.write.parquet(s"$scratch/src/f1")
+    val t0 = System.nanoTime()
+    StreamingLift.vocabTrackStream(spark, s"$scratch/src/*", batch.schema,
+      index, ledger, "text", s"$scratch/ckpt")
+      .awaitTermination(600000)
+    val sec = (System.nanoTime() - t0) / 1e9
+    (nDocs, sec, index.sizeBytes - before)
+  }
+
   /** One [[graft.streaming.StreamingLift.curationStream]] trigger
     * (quality gate → blocklist → exact dedup → corpus-hash anti-join →
     * bucketed upsert + ledger) against a corpus loaded from `dir`'s
@@ -361,6 +399,13 @@ object ScaleProbe {
       println(f"spanDedupStream trigger: corpus=$nA%d docs -> $tA%.2f s, $bA%d B appended")
       println(f"spanDedupStream trigger: corpus=$nB%d docs -> $tB%.2f s, $bB%d B appended")
       println(f"spanDedupStream trigger ratio: time ${tB / tA}%.2f, bytes ${bB.toDouble / bA}%.2f (corpus grew ${nB.toDouble / nA}%.1fx)")
+    }
+    if (streamProbes.contains("vocab")) {
+      val (nA, tA, bA) = vocabWindowProbe(spark, srcDir, scratch("vop-src"))
+      val (nB, tB, bB) = vocabWindowProbe(spark, outDir, scratch("vop-big"))
+      println(f"vocabTrackStream trigger: corpus=$nA%d docs -> $tA%.2f s, $bA%d B appended")
+      println(f"vocabTrackStream trigger: corpus=$nB%d docs -> $tB%.2f s, $bB%d B appended")
+      println(f"vocabTrackStream trigger ratio: time ${tB / tA}%.2f, bytes ${bB.toDouble / bA}%.2f (corpus grew ${nB.toDouble / nA}%.1fx)")
     }
     if (streamProbes.contains("curation")) {
       val (nA, tA, (dA, lA)) = curationWindowProbe(spark, srcDir, scratch("cup-src"))
