@@ -282,6 +282,40 @@ object NgramLm {
     bpeCoreCached(df, key, textCol, merges)._2
       .groupBy(col("sym")).agg(sum(col("wc")).as("n_occ"))
 
+  /** Tokenizer FERTILITY audit: apply the `merges`-round BPE
+    * segmentation to the corpus and report, per `classCol`, the word
+    * count, the subword-token count, and fertility — subword tokens
+    * per word in exact integer ppm (10⁶ = every word is one token).
+    * The number a tokenizer owner compares across sources/languages
+    * before freezing a vocabulary: a high-fertility source pays more
+    * context budget per word and trains on more fragmented units.
+    *
+    * Shape at scale: the trainer's final symbol table is already
+    * per-distinct-word; segment counts reduce it to (word,
+    * n_subwords) — bounded by |vocab|, AQE-broadcastable — and the
+    * corpus side pre-reduces to (class, word, n_occ) before the one
+    * word-keyed join, so no per-occurrence row ever crosses a
+    * shuffle with text attached. Fertility divides exact longs
+    * through decimal(38,0).
+    */
+  def bpeFertility(df: DataFrame, key: String, classCol: String,
+      textCol: String, merges: Int): DataFrame = {
+    val segs = bpeCoreCached(df, key, textCol, merges)._2
+      .groupBy(col("w")).agg(max(col("pos")).cast("long").as("n_subwords"))
+    val toks = graft.functions.TextKernels.tokens(col(textCol))
+    df.select(col(classCol), explode(toks).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col(classCol), col("w")).agg(count(lit(1)).as("n_occ"))
+      .join(segs, Seq("w"))
+      .groupBy(col(classCol))
+      .agg(sum(col("n_occ")).cast("long").as("n_words"),
+        sum(col("n_occ") * col("n_subwords")).cast("long")
+          .as("n_subword_tokens"))
+      .withColumn("fertility_ppm", expr(
+        """CAST((1000000 * CAST(n_subword_tokens AS DECIMAL(38,0)))
+             DIV n_words AS BIGINT)"""))
+  }
+
   /** One [[bpeCore]] run per (SparkContext, key) — the returned final
     * symbol table is already lineage-cut by the loop, and the merge
     * rows are a driver-side Seq, so the pair is safe to serve across

@@ -4015,6 +4015,58 @@ object PipelinePack {
         n_rows::BIGINT AS n_rows, quota::BIGINT AS quota
       FROM r WHERE rank <= quota"""))
 
+  /** Tokenizer fertility per source (NgramLm.bpeFertility): the
+    * q187-trained 3-round BPE segmentation applied back to the corpus
+    * — subword tokens per word in exact ppm, the context-budget
+    * number a tokenizer owner reads per source before freezing a
+    * vocabulary. The oracle replays the q187/q191 unrolled trajectory
+    * and joins its final per-word segment counts onto the pre-reduced
+    * (source, word) occurrence table.
+    */
+  private val q227 = QueryDef(
+    "q227_bpe_fertility",
+    (s, dir) => graft.ops.NgramLm.bpeFertility(
+      Tables.documents(s, dir), s"docs:$dir", "source", "text", merges = 3),
+    Some {
+      val steps = (1 to 3).map { r =>
+        s"""p$r AS (SELECT w, wc, pos, sym,
+           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s${r - 1}),
+         b$r AS (SELECT sym AS l, nxt AS rr FROM p$r
+           WHERE nxt IS NOT NULL GROUP BY sym, nxt
+           ORDER BY sum(wc) DESC, l ASC, rr ASC LIMIT 1),
+         mk$r AS (SELECT p.*, CASE WHEN p.sym = b.l AND p.nxt = b.rr
+             THEN 1 ELSE 0 END AS mark
+           FROM p$r p CROSS JOIN b$r b),
+         il$r AS (SELECT *, CASE WHEN mark = 1 THEN pos - row_number()
+             OVER (PARTITION BY w, mark ORDER BY pos) END AS grp FROM mk$r),
+         kp$r AS (SELECT *, CASE WHEN mark = 1 AND row_number()
+             OVER (PARTITION BY w, grp ORDER BY pos) % 2 = 1
+             THEN 1 ELSE 0 END AS keep FROM il$r),
+         f$r AS (SELECT w, wc, pos,
+           CASE WHEN keep = 1 THEN sym || nxt ELSE sym END AS sym
+           FROM kp$r QUALIFY coalesce(lag(keep)
+             OVER (PARTITION BY w ORDER BY pos), 0) = 0),
+         s$r AS (SELECT w, wc,
+           row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
+           FROM f$r)"""
+      }.mkString(",\n      ")
+      s"""WITH wt AS (SELECT w, count(*) AS wc FROM
+        (SELECT unnest($T) AS w FROM documents)
+        WHERE length(w) >= 1 GROUP BY w),
+      s0 AS (SELECT w, wc, pos, substring(w, pos, 1) AS sym FROM
+        (SELECT w, wc, unnest(range(1, length(w) + 1)) AS pos FROM wt)),
+      $steps,
+      seg AS (SELECT w, max(pos)::BIGINT AS n_sub FROM s3 GROUP BY w),
+      occ AS (SELECT source, w, count(*) AS n_occ FROM
+          (SELECT source, unnest($T) AS w FROM documents)
+        WHERE length(w) >= 1 GROUP BY source, w)
+      SELECT source, sum(n_occ)::BIGINT AS n_words,
+        sum(n_occ * n_sub)::BIGINT AS n_subword_tokens,
+        ((1000000::HUGEINT * sum(n_occ * n_sub)) // sum(n_occ))::BIGINT
+          AS fertility_ppm
+      FROM occ JOIN seg USING (w) GROUP BY source"""
+    })
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
@@ -4024,5 +4076,6 @@ object PipelinePack {
     q165, q168, q169, q174, q175, q176, q178, q179, q183, q184,
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
-    q213, q214, q215, q216, q220, q221, q222, q223, q224, q225, q226)
+    q213, q214, q215, q216, q220, q221, q222, q223, q224, q225, q226,
+    q227)
 }

@@ -81,4 +81,18 @@ class BpeTrainSpec extends AnyFunSuite {
     assert(trainRows(NgramLm.bpeTrainCached(docs, "bpe-spec", "text", 1)) ===
       trainRows(NgramLm.bpeTrain(docs, "text", 1)))
   }
+
+  test("bpeFertility: per-class subword-per-word ppm from the trained segmentation") {
+    // after 3 merges on fast×2/faster (one corpus-wide training):
+    // "fast" → 1 subword, "faster" → fast|e|r = 3 subwords
+    val docs = Seq(("s1", "fast fast"), ("s2", "fast faster"))
+      .toDF("source", "text")
+    val got = NgramLm.bpeFertility(docs, "bpe-fert-spec", "source", "text",
+      merges = 3)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got === Map(
+      "s1" -> ((2L, 2L, 1000000L)),   // two 1-subword words
+      "s2" -> ((2L, 4L, 2000000L))))  // fast(1) + faster(3) over 2 words
+  }
 }
