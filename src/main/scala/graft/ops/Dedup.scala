@@ -780,9 +780,11 @@ object Dedup {
     * Shape at scale: one aggregation per cluster key (two longs a
     * row), one join back keyed on that same cluster key (AQE
     * broadcasts the size table when small; co-partitioned otherwise),
-    * then the per-class rollup with a single count-distinct — never a
-    * second pass over text. All weights integer ppm: sums are
-    * order-independent on every engine.
+    * then two STACKED hash aggregations — (class, cluster) pre-reduce,
+    * class rollup — so the distinct-cluster count needs no
+    * mixed-distinct Expand (which would double the map-side row
+    * stream; the q48 rule) and never a second pass over text. All
+    * weights integer ppm: sums are order-independent on every engine.
     *
     * @param tagged document rows already carrying a cluster key
     *   (e.g. [[nearDupSurvivors]]' keep_id joined on)
@@ -792,11 +794,16 @@ object Dedup {
     val sizes = tagged.groupBy(col(clusterCol))
       .agg(count(lit(1)).as("__csize"))
     tagged.join(sizes, Seq(clusterCol))
-      .withColumn("__w_ppm", expr("1000000L DIV __csize"))
+      // (class, cluster) pre-reduce: __w_ppm is constant within the
+      // group (it derives from the cluster's corpus-wide size), so
+      // max() is a deterministic carry, not a choice
+      .groupBy(col(classCol), col(clusterCol))
+      .agg(count(lit(1)).as("__n"),
+        max(expr("1000000L DIV __csize")).as("__w"))
       .groupBy(col(classCol))
-      .agg(count(lit(1)).as("n_docs"),
-        countDistinct(col(clusterCol)).as("n_clusters"),
-        sum(col("__w_ppm")).cast("long").as("sum_weight_ppm"))
+      .agg(sum(col("__n")).cast("long").as("n_docs"),
+        count(lit(1)).as("n_clusters"),
+        sum(col("__n") * col("__w")).cast("long").as("sum_weight_ppm"))
       .withColumn("effective_ppm", expr("sum_weight_ppm DIV n_docs"))
   }
 }

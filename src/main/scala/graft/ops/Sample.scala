@@ -325,6 +325,12 @@ object Sample {
     *
     * `idCol` must cast losslessly to long and be unique within its
     * stratum (the heap selects (60-bit hash, id) long pairs).
+    *
+    * COST: `df` scans twice — once for the stratum counts (the eager
+    * max-quota action executes that aggregation a second time, on the
+    * |strata|-row frame) and once for the heap pass. Both extra
+    * executions are count-only; callers sampling expensive lineage
+    * should pin it first.
     */
   def proportionalSample(df: DataFrame, stratumCol: String, idCol: String,
       budget: Long, salt: String = "psample"): DataFrame = {

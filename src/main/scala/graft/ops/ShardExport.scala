@@ -166,6 +166,12 @@ object ShardExport {
     * `idCol` must be UNIQUE and cast losslessly to long (it is the
     * position on the line — duplicate ids would collapse into one
     * combined document, see [[Sweep.runningSum]]).
+    *
+    * COST: [[Sweep.runningSum]] reads its load-balance bounds off a
+    * min/max action when none are passed, so the (id, token-count)
+    * projection executes twice — once for the bounds, once in the
+    * plan. Both are slim two-long scans; callers packing expensive
+    * lineage should materialize the counts first.
     */
   def packChunks(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Long = 1024L): DataFrame = {
