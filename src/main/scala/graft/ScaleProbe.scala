@@ -35,6 +35,19 @@ import org.apache.spark.sql.functions._
   */
 object ScaleProbe {
 
+  /** awaitTermination with the boolean ASSERTED: a trigger that blows
+    * the 10-minute cap must fail the probe loudly — silently reporting
+    * a capped 600 s run with bytes measured mid-flight would corrupt
+    * the O(batch) ratio the probe exists to demonstrate.
+    */
+  implicit final class ProbeQueryOps(
+      private val q: org.apache.spark.sql.streaming.StreamingQuery) {
+    def awaitOrFail(what: String): Unit =
+      require(q.awaitTermination(600000),
+        s"$what trigger still running after 600 s — a hung trigger " +
+          "fails the probe instead of reporting a capped time")
+  }
+
   /** Replicate `df` `times`× in one scan: key columns in `keyOffsets`
     * shift by `replica × offset` (cast back to their source type),
     * columns in `saltTokens` get per-token `_i` suffixes on replicas
@@ -170,7 +183,7 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     StreamingLift.nearDupStream(spark, s"$scratch/src/*", batch.schema,
       index, pairs, "doc_id", "text", s"$scratch/ckpt")
-      .awaitTermination(600000)
+      .awaitOrFail("nearDupStream")
     val sec = (System.nanoTime() - t0) / 1e9
     (nDocs, sec, index.sizeBytes - before)
   }
@@ -209,7 +222,7 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     StreamingLift.spanDedupStream(spark, s"$scratch/src/*", batch.schema,
       index, spans, "doc_id", "text", s"$scratch/ckpt")
-      .awaitTermination(600000)
+      .awaitOrFail("spanDedupStream")
     val sec = (System.nanoTime() - t0) / 1e9
     (nDocs, sec, index.sizeBytes - before)
   }
@@ -247,7 +260,7 @@ object ScaleProbe {
     val t0 = System.nanoTime()
     StreamingLift.vocabTrackStream(spark, s"$scratch/src/*", batch.schema,
       index, ledger, "text", s"$scratch/ckpt")
-      .awaitTermination(600000)
+      .awaitOrFail("vocabTrackStream")
     val sec = (System.nanoTime() - t0) / 1e9
     (nDocs, sec, index.sizeBytes - before)
   }
@@ -290,7 +303,7 @@ object ScaleProbe {
       dest, audit, "doc_id", "text",
       stopwords = Seq("the", "a", "of", "and", "to", "in"),
       checkpoint = s"$scratch/ckpt")
-      .awaitTermination(600000)
+      .awaitOrFail("curationStream")
     val sec = (System.nanoTime() - t0) / 1e9
     val r = StreamingLift.ledgerView(audit)
       .select(col("n_dup_in_corpus"), col("n_loaded")).head

@@ -886,6 +886,100 @@ object Kernels {
     new GenericArrayData(Array(total, distinct))
   }
 
+  /** Viterbi segmentation for the unigram-LM tokenizer trainer
+    * ([[graft.ops.NgramLm.unigramTrain]]): DP over codepoint positions
+    * choosing, among segmentations of `word` built from the supplied
+    * candidate pieces, the one with (1) fewest pieces, then
+    * (2) greatest total piece count, then (3) lexicographically least
+    * piece sequence (binary UTF-8 order — both engines' default
+    * collation). Integer-exact throughout: no log-probabilities, so
+    * the winner is the same on any engine (the quantized-LM
+    * discipline), and the DuckDB oracle replays the identical DP as
+    * unrolled per-position CTEs.
+    *
+    * `packed(k)` = 1-based codepoint start × 8 + piece length (≤ 7);
+    * `cnts(k)` = that piece's current count. Edges are the word's OWN
+    * candidate substrings (≤ len × maxPiece of them), so the kernel is
+    * O(len × maxPiece) per word with no global state — pure map-side.
+    * Throws if some prefix is uncoverable: the trainer keeps every
+    * single character in the vocabulary precisely so this cannot
+    * happen.
+    */
+  def unigramDp(word: UTF8String, packed: ArrayData, cnts: ArrayData): ArrayData = {
+    val s = word.toString
+    // codepoint index -> UTF-16 offset: substring parity with both
+    // engines' CHARACTER-based substring on non-BMP input
+    val L = s.codePointCount(0, s.length)
+    val off = new Array[Int](L + 1)
+    var ci = 0
+    var ui = 0
+    while (ci < L) { off(ci) = ui; ui = s.offsetByCodePoints(ui, 1); ci += 1 }
+    off(L) = s.length
+    val nE = packed.numElements()
+    // bucket candidate edges by END position (intrusive linked lists)
+    val headByEnd = Array.fill(L + 1)(-1)
+    val nextEdge = new Array[Int](nE)
+    var k = 0
+    while (k < nE) {
+      val p = packed.getLong(k)
+      val start = (p >> 3).toInt
+      val plen = (p & 7L).toInt
+      val end = start + plen - 1
+      if (start >= 1 && plen >= 1 && end <= L) {
+        nextEdge(k) = headByEnd(end); headByEnd(end) = k
+      } else nextEdge(k) = -2 // out-of-range candidate: unreachable
+      k += 1
+    }
+    val bestNp = Array.fill(L + 1)(Int.MaxValue)
+    val bestSc = new Array[Long](L + 1)
+    val bestPath = new Array[Array[UTF8String]](L + 1)
+    bestNp(0) = 0
+    bestPath(0) = Array.empty
+    var i = 1
+    while (i <= L) {
+      var e = headByEnd(i)
+      while (e >= 0) {
+        val p = packed.getLong(e)
+        val start = (p >> 3).toInt
+        val plen = (p & 7L).toInt
+        val j = start - 1
+        if (bestNp(j) != Int.MaxValue) {
+          val np = bestNp(j) + 1
+          val sc = bestSc(j) + cnts.getLong(e)
+          var piece: UTF8String = null
+          var take = np < bestNp(i) || (np == bestNp(i) && sc > bestSc(i))
+          if (!take && np == bestNp(i) && sc == bestSc(i)) {
+            // exact tie on (pieces, count): whole-path lexicographic
+            // tie-break, element-wise binary UTF-8 (paths same length)
+            piece = UTF8String.fromString(s.substring(off(j), off(j + plen)))
+            val inc = bestPath(i)
+            var t = 0
+            var cmp = 0
+            while (cmp == 0 && t < np) {
+              val c = if (t < np - 1) bestPath(j)(t) else piece
+              cmp = c.compareTo(inc(t)); t += 1
+            }
+            take = cmp < 0
+          }
+          if (take) {
+            if (piece == null)
+              piece = UTF8String.fromString(s.substring(off(j), off(j + plen)))
+            bestNp(i) = np
+            bestSc(i) = sc
+            bestPath(i) = bestPath(j) :+ piece
+          }
+        }
+        e = nextEdge(e)
+      }
+      if (bestNp(i) == Int.MaxValue)
+        throw new IllegalStateException(
+          s"unigramDp: no candidate piece covers position $i of '$s' — " +
+            "the trainer must keep every single character in the vocabulary")
+      i += 1
+    }
+    new GenericArrayData(bestPath(L).asInstanceOf[Array[Any]])
+  }
+
   private def expr(c: Column) = exprBridge.expression(c)
 
   /** [total_hits, phrases_hit] of a phrase list — one compiled
@@ -901,6 +995,16 @@ object Kernels {
         expr(org.apache.spark.sql.functions.lit(phrases.mkString("\n")))),
       Seq(StringType, StringType)))
   }
+
+  /** Unigram-LM Viterbi segmentation of a word from its candidate
+    * piece edges (see [[unigramDp]]).
+    */
+  def unigramDpOf(w: Column, packed: Column, cnts: Column): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, ArrayType(StringType, containsNull = false),
+      "unigramDp",
+      Seq(expr(w), expr(packed), expr(cnts)),
+      Seq(StringType, ArrayType(LongType), ArrayType(LongType))))
 
   /** MinHash signature straight from text — compiled single pass. */
   def minhashSigOf(text: Column, numHashes: Int, shingleWords: Int): Column =

@@ -90,8 +90,10 @@ object NgramLm {
     * Computed from FIRST OCCURRENCES — each word contributes one row
     * at `min(doc id)` — so there is no running-distinct state: one
     * shuffle keyed on the word (the same key distinct vocabulary
-    * needs), then a bucket aggregation bounded by #buckets and a
-    * cumulative window over those few rows. A naive cumulative
+    * needs), then a bucket aggregation bounded by #buckets and
+    * [[Sweep.runningSum]]'s distributed prefix sum over those rows
+    * (never a one-partition ORDER BY window — at fine bucket sizes
+    * the bucket count approaches |vocab|). A naive cumulative
     * COUNT(DISTINCT) over doc prefixes would re-scan the token stream
     * per checkpoint.
     */
@@ -102,14 +104,17 @@ object NgramLm {
     val firstSeen = df.select(col(idCol).as("__doc"), explode(toks).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(min(col("__doc")).as("first_doc"))
-    firstSeen
+    val perBucket = firstSeen
       .groupBy(expr(s"first_doc DIV $bucketSize").as("bucket"))
       .agg(count(lit(1)).as("n_new_words"))
-      .withColumn("cum_vocab",
-        sum(col("n_new_words")).over(
-          Window.orderBy(col("bucket"))
-            .rowsBetween(Window.unboundedPreceding, Window.currentRow))
-          .cast("long"))
+    // cumulative vocabulary via the distributed two-phase prefix sum:
+    // the rows here are bounded by min(#buckets, |vocab|) — at
+    // bucketSize = 1 that is |vocab|-ish, enough to make a bare
+    // `sum over (order by bucket)` a one-partition funnel (the q72
+    // discipline; q132 solves the same audit the same way)
+    Sweep.runningSum(perBucket, "bucket", "n_new_words")
+      .select(col("t").as("bucket"), col("d").as("n_new_words"),
+        col("running").as("cum_vocab"))
   }
 
   /** Per-document LM score — the perplexity-filter analogue a
@@ -384,4 +389,148 @@ object NgramLm {
     }
     (out.toSeq, syms)
   }
+
+  /** Unigram-LM tokenizer trainer — the SentencePiece-family
+    * alternative to [[bpeTrain]] (Kudo 2018's unigram model, hard-EM
+    * form): trained subword vocabulary as (piece, n_occ) where n_occ
+    * is the piece's corpus-weighted usage under the final
+    * segmentation.
+    *
+    * Algorithm (all counting integer-exact — no log-probabilities, so
+    * every engine derives the identical vocabulary, the same
+    * discipline as the quantized LM scorer):
+    *
+    *   1. SEED: every ≤ `maxPiece`-char substring of the distinct-word
+    *      table, counted corpus-weighted (overlapping occurrences each
+    *      count);
+    *   2. E-step: Viterbi-segment each distinct word under the current
+    *      counts ([[graft.functions.Kernels.unigramDp]] — fewest
+    *      pieces, then greatest total count, then lexicographically
+    *      least sequence);
+    *   3. M-step: re-estimate counts as corpus-weighted piece USAGE in
+    *      that segmentation;
+    *   4. PRUNE: keep the `vocabSize` most-used pieces
+    *      (usage desc, piece asc) plus every single character
+    *      (coverage — a word can always be spelled out);
+    *   5. final E-step under the pruned vocabulary.
+    *
+    * Shape at scale: the whole trainer runs on the DISTINCT-WORD table
+    * (one corpus pass builds it, the q187 discipline). Each E-step is
+    * one piece-keyed shuffle join (substring candidates ⋈ counts) plus
+    * one word-keyed aggregation whose per-word edge list is bounded by
+    * len × maxPiece — the Viterbi DP itself is a compiled map-side
+    * kernel per distinct word, never a per-position driver loop. The
+    * prune is a TakeOrderedAndProject top-V (bounded by `vocabSize`),
+    * not a global sort.
+    */
+  def unigramTrain(df: DataFrame, key: String, textCol: String,
+      vocabSize: Int, maxPiece: Int = 4): DataFrame =
+    unigramCoreCached(df, key, textCol, vocabSize, maxPiece)
+      .select(col("wc"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).cast("long").as("n_occ"))
+
+  /** Per-class fertility of the [[unigramTrain]] segmentation —
+    * subword tokens per word in exact ppm, the [[bpeFertility]] audit
+    * under the unigram vocabulary (same pre-reduced (class, word)
+    * occurrence join, same decimal-exact division).
+    */
+  def unigramFertility(df: DataFrame, key: String, classCol: String,
+      textCol: String, vocabSize: Int, maxPiece: Int = 4): DataFrame = {
+    val segs = unigramCoreCached(df, key, textCol, vocabSize, maxPiece)
+      .select(col("w"), size(col("pieces")).cast("long").as("n_subwords"))
+    val toks = graft.functions.TextKernels.tokens(col(textCol))
+    df.select(col(classCol), explode(toks).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col(classCol), col("w")).agg(count(lit(1)).as("n_occ"))
+      .join(segs, Seq("w"))
+      .groupBy(col(classCol))
+      .agg(sum(col("n_occ")).cast("long").as("n_words"),
+        sum(col("n_occ") * col("n_subwords")).cast("long")
+          .as("n_subword_tokens"))
+      .withColumn("fertility_ppm", expr(
+        """CAST((1000000 * CAST(n_subword_tokens AS DECIMAL(38,0)))
+             DIV n_words AS BIGINT)"""))
+  }
+
+  /** BPE vs unigram fertility, side by side per class — the
+    * tokenizer-selection report: which trainer fragments each source
+    * less at the same budget. Joins [[bpeFertility]] and
+    * [[unigramFertility]] on the class key; `delta_ppm` > 0 means BPE
+    * fragments more (unigram wins that source).
+    */
+  def tokenizerFertilityCompare(df: DataFrame, key: String,
+      classCol: String, textCol: String, merges: Int, vocabSize: Int,
+      maxPiece: Int = 4): DataFrame = {
+    val b = bpeFertility(df, key, classCol, textCol, merges)
+      .select(col(classCol), col("n_words"),
+        col("n_subword_tokens").as("bpe_tokens"),
+        col("fertility_ppm").as("bpe_fertility_ppm"))
+    val u = unigramFertility(df, key, classCol, textCol, vocabSize, maxPiece)
+      .select(col(classCol),
+        col("n_subword_tokens").as("uni_tokens"),
+        col("fertility_ppm").as("uni_fertility_ppm"))
+    b.join(u, Seq(classCol))
+      .withColumn("delta_ppm",
+        (col("bpe_fertility_ppm") - col("uni_fertility_ppm")).cast("long"))
+  }
+
+  /** One [[unigramCore]] run per (SparkContext, key+params) — the
+    * final segmentation is lineage-cut, safe to serve across queries.
+    */
+  private def unigramCoreCached(df: DataFrame, key: String,
+      textCol: String, vocabSize: Int, maxPiece: Int): DataFrame =
+    if (!graft.util.SessionCache.enabled(df.sparkSession))
+      unigramCore(df, textCol, vocabSize, maxPiece)
+    else graft.util.SessionCache.cached(df.sparkSession,
+      s"unigram:$key:$textCol:$vocabSize:$maxPiece")(
+      unigramCore(df, textCol, vocabSize, maxPiece))
+
+  /** Shared trainer body: the final segmentation (w, wc, pieces). */
+  private def unigramCore(df: DataFrame, textCol: String, vocabSize: Int,
+      maxPiece: Int): DataFrame = {
+    require(vocabSize >= 1, s"vocabSize must be positive: $vocabSize")
+    require(maxPiece >= 1 && maxPiece <= 7,
+      s"need 1 <= maxPiece <= 7 (the DP packs length in 3 bits): $maxPiece")
+    import graft.util.Pin.PinOps
+    val toks = graft.functions.TextKernels.tokens(col(textCol))
+    val words = df.select(explode(toks).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col("w")).agg(count(lit(1)).as("wc"))
+    // every (start, plen<=maxPiece) substring of every distinct word —
+    // bounded by |vocab| x len x maxPiece rows; pinned: reused by the
+    // seed count, both E-step joins, and the single-char universe
+    val subs = words
+      .withColumn("start", explode(sequence(lit(1), length(col("w")))))
+      .withColumn("plen", explode(sequence(lit(1),
+        least(lit(maxPiece), length(col("w")) - col("start") + 1))))
+      .withColumn("piece", expr("substring(w, start, plen)"))
+      .cutLineage
+    val seed = subs.groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+    val seg1 = dpSegment(subs.join(seed, Seq("piece")))
+    val usage = seg1.select(col("wc"), explode(col("pieces")).as("piece"))
+      .groupBy(col("piece")).agg(sum(col("wc")).as("cnt"))
+    // prune: top-V by usage — TakeOrderedAndProject, per-partition
+    // top-V then a V-bounded driver merge, never a global sort
+    val topV = usage.orderBy(col("cnt").desc, col("piece").asc)
+      .limit(vocabSize)
+    val chars = subs.filter(col("plen") === 1).select(col("piece")).distinct()
+      .join(usage, Seq("piece"), "left")
+      .select(col("piece"), coalesce(col("cnt"), lit(0L)).as("cnt"))
+    val kept = topV.unionByName(chars).distinct()
+    dpSegment(subs.join(kept, Seq("piece"))).cutLineage
+  }
+
+  /** One E-step: per distinct word, fold its candidate edges into the
+    * (≤ len × maxPiece)-element arrays the compiled Viterbi kernel
+    * takes, map-side. `edges` = (w, wc, start, plen, piece, cnt).
+    */
+  private def dpSegment(edges: DataFrame): DataFrame =
+    edges.groupBy(col("w"), col("wc"))
+      .agg(collect_list(struct(col("start"), col("plen"), col("cnt")))
+        .as("es"))
+      .select(col("w"), col("wc"),
+        graft.functions.Kernels.unigramDpOf(col("w"),
+          transform(col("es"),
+            e => e("start").cast("long") * 8 + e("plen").cast("long")),
+          transform(col("es"), e => e("cnt").cast("long"))).as("pieces"))
 }

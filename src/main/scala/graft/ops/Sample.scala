@@ -4,6 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.TextKernels
+import graft.util.Pin.PinOps
 
 /** [EXT] Deterministic sampling for training-data curation.
   *
@@ -203,8 +204,10 @@ object Sample {
       .agg(count(lit(1)).as("n_docs"))
       .withColumn("w", floor(sqrt(col("n_docs").cast("double")) * (1L << 20)))
     val all = Window.partitionBy()
+    // NULLS LAST: match the ANSI/DuckDB collation on the tie-break
+    // (Spark's bare asc is nulls-first) — see proportionalSample
     val byRem = Window.partitionBy()
-      .orderBy(col("rem").desc, col(classCol).asc)
+      .orderBy(col("rem").desc, col(classCol).asc_nulls_last)
     counts
       .withColumn("total_w", sum(col("w")).over(all))
       // w·budget in DECIMAL(38,0): both factors can be ~1e11 at corpus
@@ -326,11 +329,10 @@ object Sample {
     * `idCol` must cast losslessly to long and be unique within its
     * stratum (the heap selects (60-bit hash, id) long pairs).
     *
-    * COST: `df` scans twice — once for the stratum counts (the eager
-    * max-quota action executes that aggregation a second time, on the
-    * |strata|-row frame) and once for the heap pass. Both extra
-    * executions are count-only; callers sampling expensive lineage
-    * should pin it first.
+    * The source scans exactly twice — once for the stratum counts
+    * (the |strata|-row quota frame is [[graft.util.Pin.cut]] before
+    * the max-quota action, so neither that action nor the broadcast
+    * join re-executes the counting scan) and once for the heap pass.
     */
   def proportionalSample(df: DataFrame, stratumCol: String, idCol: String,
       budget: Long, salt: String = "psample"): DataFrame = {
@@ -339,8 +341,12 @@ object Sample {
     val counts = df.groupBy(col(stratumCol))
       .agg(count(lit(1)).as("n_rows"))
     val all = Window.partitionBy()
+    // NULLS LAST on the stratum tie-break: Spark's bare asc sorts
+    // nulls first while the ANSI/DuckDB `ORDER BY ... ASC` the oracle
+    // runs places them last — with a null stratum key tied on
+    // remainder the +1 quota would land on a different stratum
     val byRem = Window.partitionBy()
-      .orderBy(col("rem").desc, col(stratumCol).asc)
+      .orderBy(col("rem").desc, col(stratumCol).asc_nulls_last)
     // exact largest-remainder apportionment in decimal(38,0) — the
     // n_rows × budget product can pass 2^63 at corpus scale
     val quotas = counts
@@ -354,6 +360,11 @@ object Sample {
         col("base") + when(row_number().over(byRem) <= col("deficit"), 1L)
           .otherwise(0L))
       .select(col(stratumCol), col("n_rows"), col("quota"))
+      // pin the |strata|-row quota frame: the max action below and the
+      // broadcast join both read it, and without the cut each would
+      // re-execute the source counting scan (cheap to pin at any
+      // scale — two longs per stratum)
+      .cutLineage
     val maxQRow = quotas.agg(max(col("quota"))).head
     // empty input: no strata, no quotas — an empty result in the
     // output schema (budget > 0 otherwise forces max quota ≥ 1)

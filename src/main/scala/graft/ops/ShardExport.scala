@@ -167,19 +167,20 @@ object ShardExport {
     * position on the line — duplicate ids would collapse into one
     * combined document, see [[Sweep.runningSum]]).
     *
-    * COST: [[Sweep.runningSum]] reads its load-balance bounds off a
-    * min/max action when none are passed, so the (id, token-count)
-    * projection executes twice — once for the bounds, once in the
-    * plan. Both are slim two-long scans; callers packing expensive
-    * lineage should materialize the counts first.
+    * The source scans exactly once: the (id, token-count) projection
+    * is [[graft.util.Pin.cut]] before [[Sweep.runningSum]], so the
+    * bounds min/max action and the prefix-sum plan both read the
+    * pinned two-long frame instead of re-executing the text scan.
     */
   def packChunks(df: DataFrame, idCol: String, textCol: String,
       chunkTokens: Long = 1024L): DataFrame = {
     require(chunkTokens > 0, s"chunkTokens must be positive: $chunkTokens")
-    val counts = df
+    // pin the two-long counts frame: runningSum's bounds action and
+    // the prefix-sum plan otherwise each re-execute the text scan
+    val counts = graft.util.Pin.cut(df
       .filter(col(idCol).isNotNull && col(textCol).isNotNull)
       .select(col(idCol).cast("long").as("t"),
-        size(TextKernels.tokens(col(textCol))).cast("long").as("ntok"))
+        size(TextKernels.tokens(col(textCol))).cast("long").as("ntok")))
     val run = Sweep.runningSum(counts, "t", "ntok")
     run
       .withColumn("start", col("running") - col("d"))

@@ -64,12 +64,20 @@ object Sweep {
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val perCell = byT.withColumn("cell", cell)
       .withColumn("within", sum(col("d")).over(within))
-    // bucket totals: ≤ `buckets` rows — the single-partition window is
-    // over this tiny frame, never the data
+    // bucket totals: ≤ `buckets` rows — the one-partition window runs
+    // over this tiny frame, never the data. The partition key is a
+    // constant-by-value expression (pmod(cell, 1) ≡ 0) rather than a
+    // bare orderBy: semantically the same single partition but
+    // DECLARED, so WindowExec's "No Partition Defined" warning stays
+    // reserved for accidental O(data) funnels instead of firing on
+    // this bounded reduction. (A literal lit(0) does not survive —
+    // AQE's logical re-optimization strips foldable partition keys
+    // and the warning returns.)
     val offsets = perCell.groupBy(col("cell")).agg(sum(col("d")).as("cell_total"))
       .withColumn("offset",
         coalesce(sum(col("cell_total")).over(
-          Window.orderBy(col("cell"))
+          Window.partitionBy(pmod(col("cell"), lit(1)))
+            .orderBy(col("cell"))
             .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
       .select(col("cell"), col("offset"))
     perCell.join(broadcast(offsets), Seq("cell"))

@@ -3684,7 +3684,8 @@ object PipelinePack {
     * weighted symbol totals come back. The oracle unrolls the three
     * rounds — pair windows, 1-row argmax CTEs, island/keep/lag
     * filtering, re-numbering — and must reproduce the identical
-    * trajectory.
+    * trajectory. (Oracle-side precondition: the corpus must admit all
+    * three rounds — see q227's PRECONDITION note.)
     */
   private val q187 = QueryDef(
     "q187_bpe_train",
@@ -4022,6 +4023,15 @@ object PipelinePack {
     * vocabulary. The oracle replays the q187/q191 unrolled trajectory
     * and joins its final per-word segment counts onto the pre-reduced
     * (source, word) occurrence table.
+    *
+    * PRECONDITION (shared with q187/q191, a property of the unrolled
+    * ORACLE, not of the operator): the corpus must admit ≥ 3 merge
+    * rounds — the oracle's per-round `CROSS JOIN b$r` against the
+    * 1-row argmax CTE empties the whole symbol table when a round has
+    * no adjacent pair left (an all-single-char corpus), while the
+    * Scala trainer's loop exits early keeping the last valid
+    * segmentation. Every test corpus satisfies it by construction;
+    * degenerate corpora diverge oracle-side only.
     */
   private val q227 = QueryDef(
     "q227_bpe_fertility",
@@ -4067,6 +4077,137 @@ object PipelinePack {
       FROM occ JOIN seg USING (w) GROUP BY source"""
     })
 
+  /** Unrolled unigram-LM trainer CTEs (q228/q229): replays
+    * [[graft.ops.NgramLm.unigramTrain]] relationally — seed substring
+    * counts, `dpLen` unrolled Viterbi DP positions per E-step, usage
+    * M-step, top-V ∪ single-char prune, final E-step; ends in `u2seg`
+    * (w, wc, np, path). PRECONDITION (the q187/q227 unroll rule, an
+    * oracle-side property): corpus max word length ≤ `dpLen` — a
+    * longer word runs off the unrolled positions and drops from the
+    * oracle while the Scala kernel segments it (every test corpus,
+    * including the 10×/30× salted synths, stays ≤ 11 chars).
+    */
+  private def sqlUnigramCtes(vocabSize: Int, dpLen: Int = 16): String = {
+    def dp(p: String, edges: String): String = {
+      val steps = (1 to dpLen).map { i =>
+        s"""${p}c$i AS (SELECT d.w, d.wc, $i AS pos, d.np + 1 AS np,
+           d.sc + e.cnt AS sc, list_append(d.path, e.piece) AS path
+         FROM ${p}a${i - 1} d JOIN $edges e
+           ON e.w = d.w AND e.start = d.pos + 1 AND e.start + e.plen - 1 = $i),
+       ${p}d$i AS (SELECT w, wc, pos, np, sc, path FROM ${p}c$i
+         QUALIFY row_number() OVER (PARTITION BY w
+           ORDER BY np ASC, sc DESC, path ASC) = 1),
+       ${p}a$i AS MATERIALIZED (
+         SELECT * FROM ${p}a${i - 1} UNION ALL SELECT * FROM ${p}d$i)"""
+      }.mkString(",\n      ")
+      s"""${p}a0 AS MATERIALIZED (SELECT w, wc, 0 AS pos, 0 AS np, 0::HUGEINT AS sc,
+          CAST([] AS VARCHAR[]) AS path FROM uwt),
+        $steps,
+        ${p}seg AS (SELECT w, wc, np, path FROM ${p}a$dpLen
+          WHERE pos = length(w))"""
+    }
+    s"""uwt AS MATERIALIZED (SELECT w, count(*)::BIGINT AS wc FROM
+        (SELECT unnest($T) AS w FROM documents)
+        WHERE length(w) >= 1 GROUP BY w),
+      usub AS MATERIALIZED (SELECT w, wc, start, plen, substring(w, start, plen) AS piece
+        FROM (SELECT w, wc, unnest(range(1, length(w) + 1)) AS start FROM uwt)
+        CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS plen)
+        WHERE start + plen - 1 <= length(w)),
+      useed AS (SELECT piece, sum(wc)::BIGINT AS cnt FROM usub GROUP BY piece),
+      ue1 AS MATERIALIZED (SELECT s.w, s.start, s.plen, s.piece, d.cnt
+        FROM usub s JOIN useed d USING (piece)),
+      ${dp("u1", "ue1")},
+      uusage AS (SELECT piece, sum(wc)::BIGINT AS cnt
+        FROM (SELECT wc, unnest(path) AS piece FROM u1seg) GROUP BY piece),
+      ukeep AS (
+        SELECT piece, cnt FROM (SELECT piece, cnt,
+            row_number() OVER (ORDER BY cnt DESC, piece ASC) AS rk
+          FROM uusage) WHERE rk <= $vocabSize
+        UNION
+        SELECT c.piece, coalesce(u.cnt, 0)::BIGINT AS cnt FROM
+          (SELECT DISTINCT piece FROM usub WHERE plen = 1) c
+          LEFT JOIN uusage u USING (piece)),
+      ue2 AS MATERIALIZED (SELECT s.w, s.start, s.plen, s.piece, k.cnt
+        FROM usub s JOIN ukeep k USING (piece)),
+      ${dp("u2", "ue2")}"""
+  }
+
+  /** Unigram-LM tokenizer trainer (NgramLm.unigramTrain): hard-EM —
+    * seed substring counts, Viterbi E-step (fewest pieces, then
+    * greatest total count, then lexicographically least sequence —
+    * integer-exact, no log-probs), usage M-step, prune to the 24
+    * most-used pieces ∪ all single chars, final E-step. Output: the
+    * trained vocabulary with corpus-weighted usage, the q191 analogue.
+    */
+  private val q228 = QueryDef(
+    "q228_unigram_train",
+    (s, dir) => graft.ops.NgramLm.unigramTrain(
+      Tables.documents(s, dir), s"docs:$dir", "text", vocabSize = 24),
+    Some(s"""WITH ${sqlUnigramCtes(24)}
+      SELECT piece, sum(wc)::BIGINT AS n_occ
+      FROM (SELECT wc, unnest(path) AS piece FROM u2seg) GROUP BY piece"""))
+
+  /** BPE vs unigram fertility per source
+    * (NgramLm.tokenizerFertilityCompare): the tokenizer-selection
+    * report — both trainers' subword-per-word ppm side by side on the
+    * identical corpus; delta_ppm > 0 means BPE fragments that source
+    * more. The oracle replays BOTH unrolled trajectories (q227's
+    * 3-round BPE + the q228 unigram DP) in one statement.
+    */
+  private val q229 = QueryDef(
+    "q229_tokenizer_compare",
+    (s, dir) => graft.ops.NgramLm.tokenizerFertilityCompare(
+      Tables.documents(s, dir), s"docs:$dir", "source", "text",
+      merges = 3, vocabSize = 24),
+    Some {
+      val steps = (1 to 3).map { r =>
+        s"""p$r AS (SELECT w, wc, pos, sym,
+           lead(sym) OVER (PARTITION BY w ORDER BY pos) AS nxt FROM s${r - 1}),
+         b$r AS (SELECT sym AS l, nxt AS rr FROM p$r
+           WHERE nxt IS NOT NULL GROUP BY sym, nxt
+           ORDER BY sum(wc) DESC, l ASC, rr ASC LIMIT 1),
+         mk$r AS (SELECT p.*, CASE WHEN p.sym = b.l AND p.nxt = b.rr
+             THEN 1 ELSE 0 END AS mark
+           FROM p$r p CROSS JOIN b$r b),
+         il$r AS (SELECT *, CASE WHEN mark = 1 THEN pos - row_number()
+             OVER (PARTITION BY w, mark ORDER BY pos) END AS grp FROM mk$r),
+         kp$r AS (SELECT *, CASE WHEN mark = 1 AND row_number()
+             OVER (PARTITION BY w, grp ORDER BY pos) % 2 = 1
+             THEN 1 ELSE 0 END AS keep FROM il$r),
+         f$r AS (SELECT w, wc, pos,
+           CASE WHEN keep = 1 THEN sym || nxt ELSE sym END AS sym
+           FROM kp$r QUALIFY coalesce(lag(keep)
+             OVER (PARTITION BY w ORDER BY pos), 0) = 0),
+         s$r AS (SELECT w, wc,
+           row_number() OVER (PARTITION BY w ORDER BY pos) AS pos, sym
+           FROM f$r)"""
+      }.mkString(",\n      ")
+      s"""WITH wt AS (SELECT w, count(*) AS wc FROM
+        (SELECT unnest($T) AS w FROM documents)
+        WHERE length(w) >= 1 GROUP BY w),
+      s0 AS (SELECT w, wc, pos, substring(w, pos, 1) AS sym FROM
+        (SELECT w, wc, unnest(range(1, length(w) + 1)) AS pos FROM wt)),
+      $steps,
+      bseg AS (SELECT w, max(pos)::BIGINT AS n_sub FROM s3 GROUP BY w),
+      occ AS (SELECT source, w, count(*) AS n_occ FROM
+          (SELECT source, unnest($T) AS w FROM documents)
+        WHERE length(w) >= 1 GROUP BY source, w),
+      bf AS (SELECT source, sum(n_occ)::BIGINT AS n_words,
+          sum(n_occ * n_sub)::BIGINT AS bpe_tokens,
+          ((1000000::HUGEINT * sum(n_occ * n_sub)) // sum(n_occ))::BIGINT
+            AS bpe_fertility_ppm
+        FROM occ JOIN bseg USING (w) GROUP BY source),
+      ${sqlUnigramCtes(24)},
+      uf AS (SELECT source, sum(n_occ * np)::BIGINT AS uni_tokens,
+          ((1000000::HUGEINT * sum(n_occ * np)) // sum(n_occ))::BIGINT
+            AS uni_fertility_ppm
+        FROM occ JOIN (SELECT w, np FROM u2seg) USING (w) GROUP BY source)
+      SELECT bf.source, n_words, bpe_tokens, bpe_fertility_ppm,
+        uni_tokens, uni_fertility_ppm,
+        (bpe_fertility_ppm - uni_fertility_ppm)::BIGINT AS delta_ppm
+      FROM bf JOIN uf USING (source)"""
+    })
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
@@ -4077,5 +4218,5 @@ object PipelinePack {
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
     q213, q214, q215, q216, q220, q221, q222, q223, q224, q225, q226,
-    q227)
+    q227, q228, q229)
 }

@@ -1016,14 +1016,21 @@ object StreamingLift {
     if (!index.isBucketed) index.read
     else index.read.drop("src_batch").distinct().filter(col(idCol).isNotNull)
 
-  /** Migrate a FLAT [[nearDupStream]] or [[spanDedupStream]] index
-    * into a fresh hash-BUCKETED one — the escape hatch for a feed
-    * whose flat index outgrew the small-index mode (O(index) rewrite
-    * per trigger): without it the only path to the O(batch) layout
-    * was rebuilding the index from raw text.
+  /** Migrate a FLAT [[nearDupStream]], [[spanDedupStream]] or
+    * [[vocabTrackStream]] index into a fresh hash-BUCKETED one — the
+    * escape hatch for a feed whose flat index outgrew the small-index
+    * mode (O(index) rewrite per trigger): without it the only path to
+    * the O(batch) layout was rebuilding the index from raw text.
     *
-    * The target's bucket key names the index kind (the same rule the
-    * streams enforce): `band_key` → nearDup, `wh` → span. Every row
+    * The watermark to carry is dispatched on which applied-batch meta
+    * key the FLAT index itself holds — NOT inferred from the target's
+    * bucket key, because the bucket key alone is ambiguous: span and
+    * vocab indexes both bucket on `wh` while stamping different keys
+    * ([[SpanBatchKey]] vs [[AppliedBatchKey]]). The target's bucket
+    * key only constrains which keys are admissible (`band_key` →
+    * nearDup's [[AppliedBatchKey]]; `wh` → span's [[SpanBatchKey]] or
+    * vocab's [[AppliedBatchKey]]), and the schema check below rejects
+    * a kind mismatch the keys cannot see. Every row
     * lands pre-consolidated (src_batch = -1, one file per bucket),
     * and the flat index's version-pinned applied-batch watermark is
     * carried into the target's TABLE-scoped metadata — so resuming
@@ -1053,17 +1060,26 @@ object StreamingLift {
       s"target index ${bucketed.path} already has data — migration " +
         "births the bucketed index; after a crashed attempt, drop() the " +
         "target and re-run")
-    val metaKey = bucketed.bucketKey match {
-      case "band_key" => AppliedBatchKey // nearDup band-key index
-      case "wh"       => SpanBatchKey    // span window-digest index
+    val admissible = bucketed.bucketKey match {
+      case "band_key" => Seq(AppliedBatchKey)              // nearDup
+      case "wh"       => Seq(SpanBatchKey, AppliedBatchKey) // span | vocab
       case other => throw new IllegalArgumentException(
         s"unrecognized index bucket key '$other': nearDup indexes " +
-          "bucket on band_key, span indexes on wh")
+          "bucket on band_key, span and vocab indexes on wh")
     }
-    val applied = flat.currentMeta.getOrElse(metaKey,
-      throw new IllegalStateException(
-        s"source index ${flat.path} carries no '$metaKey' applied-batch " +
-          "metadata — not a stream-managed flat index"))
+    val carried = admissible.filter(flat.currentMeta.contains)
+    val metaKey = carried match {
+      case Seq(k) => k
+      case Seq() => throw new IllegalStateException(
+        s"source index ${flat.path} carries none of " +
+          s"${admissible.mkString("'", "'/'", "'")} applied-batch " +
+          "metadata — not a stream-managed flat index")
+      case _ => throw new IllegalStateException(
+        s"source index ${flat.path} carries MORE than one applied-batch " +
+          s"key (${carried.mkString(", ")}) — ambiguous index kind; a " +
+          "stream-managed flat index stamps exactly one")
+    }
+    val applied = flat.currentMeta(metaKey)
     val rows = flat.read
     require(rows.columns.contains(bucketed.bucketKey),
       s"source index schema (${rows.columns.mkString(", ")}) has no " +

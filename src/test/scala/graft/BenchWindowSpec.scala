@@ -141,6 +141,21 @@ class BenchWindowSpec extends AnyFunSpec with Matchers {
       anchor shouldBe None
       java.nio.file.Files.delete(p)
     }
+    it("reads the anchor out of the driver wrapper form (the BENCH_r15 " +
+        "shape — the first prior artifact that carries one)") {
+      val wrapper =
+        """{"n": 15, "rc": 0, "sf": 0.1, "parsed": {"metric": "total",
+          |"anchor": {"st": [0.85, 0.89, 0.86], "mt": [0.48, 0.49, 0.47]},
+          |"shapes": {"exch": 7, "fp": "b98b6fa2"},
+          |"top": {"q139": 4.06, "q134": 2.75}}}""".stripMargin
+      val p = java.nio.file.Files.createTempFile("bench", ".json")
+      java.nio.file.Files.writeString(p, wrapper)
+      val (qs, fp, anchor) = Bench.loadPrevArtifact(p.toString)
+      qs shouldBe Map("q139" -> 4.06, "q134" -> 2.75)
+      fp shouldBe Some("b98b6fa2")
+      anchor shouldBe Some(0.86) // median of parsed.anchor.st
+      java.nio.file.Files.delete(p)
+    }
     it("degrades to empty on unreadable/malformed artifacts") {
       Bench.loadPrevArtifact("/nonexistent/x.json") shouldBe
         ((Map.empty, None, None))

@@ -1521,6 +1521,53 @@ class StreamingLiftSpec extends AnyFunSuite {
     assert(idxMap(sMIdx) === idxMap(sCIdx),
       "span index content must be layout-independent after migration")
 
+    // ---- vocabTrackStream (buckets on wh like span, but stamps
+    // AppliedBatchKey — the r15 dispatch gap: keying the watermark on
+    // the target's bucket key alone left a flat vocab index stuck flat)
+    val vCIdx = ParquetTable(spark, base.resolve("vo-c-idx").toString,
+      buckets = 4, bucketKey = "wh")
+    val vCLed = ParquetTable(spark, base.resolve("vo-c-led").toString)
+    val vCSrc = base.resolve("vo-c-src").toString
+    val vCCkpt = base.resolve("vo-c-ckpt").toString
+    def runVo(idx: ParquetTable, led: ParquetTable, src: String,
+        ckpt: String): Unit =
+      StreamingLift.vocabTrackStream(spark, src + "/*", schema, idx, led,
+        "text", ckpt).awaitTermination(60000)
+    b1.write.parquet(vCSrc + "/f1"); runVo(vCIdx, vCLed, vCSrc, vCCkpt)
+    b2.write.parquet(vCSrc + "/f2"); runVo(vCIdx, vCLed, vCSrc, vCCkpt)
+    b3.write.parquet(vCSrc + "/f3"); runVo(vCIdx, vCLed, vCSrc, vCCkpt)
+    val vFlat = ParquetTable(spark, base.resolve("vo-m-flat").toString)
+    val vMLed = ParquetTable(spark, base.resolve("vo-m-led").toString)
+    val vMSrc = base.resolve("vo-m-src").toString
+    val vMCkpt = base.resolve("vo-m-ckpt").toString
+    b1.write.parquet(vMSrc + "/f1"); runVo(vFlat, vMLed, vMSrc, vMCkpt)
+    b2.write.parquet(vMSrc + "/f2"); runVo(vFlat, vMLed, vMSrc, vMCkpt)
+    val vMIdx = ParquetTable(spark, base.resolve("vo-m-bucketed").toString,
+      buckets = 4, bucketKey = "wh")
+    assert(StreamingLift.migrateIndex(vFlat, vMIdx) === 1L,
+      "vocab migration must carry the flat index's applied watermark")
+    // pre-migration replay refused by the migrated watermark: no ledger
+    // row re-appended, no index delta under the replayed batch id
+    val vReplayCkpt = cloneCkptWithout(vMCkpt, 1L)
+    val ledBefore = vMLed.read.count()
+    runVo(vMIdx, vMLed, vMSrc, vReplayCkpt)
+    assert(vMLed.read.count() === ledBefore,
+      "replayed pre-migration vocab batch must not re-append its ledger row")
+    assert(vMIdx.read.filter(col("src_batch") === 1L).count() === 0L,
+      "replayed pre-migration vocab batch must not re-append its words")
+    b3.write.parquet(vMSrc + "/f3"); runVo(vMIdx, vMLed, vMSrc, vReplayCkpt)
+    def wordSet(t: ParquetTable) = StreamingLift.vocabIndexView(t)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(wordSet(vMIdx) === wordSet(vCIdx) && wordSet(vCIdx).nonEmpty,
+      "vocab index content must be layout-independent after migration")
+    def ledSet(t: ParquetTable) = StreamingLift.vocabLedgerView(t)
+      .select("batch_id", "n_docs", "n_tokens", "n_distinct_words",
+        "n_new_words", "cum_vocab")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5))).toSet
+    assert(ledSet(vMLed) === ledSet(vCLed) && ledSet(vCLed).exists(_._1 == 2L),
+      "vocab ledger rows must be bit-identical across the migration boundary")
+
     // guard-rails: wrong kind, existing target, non-stream-managed source
     val wrongKind = ParquetTable(spark, base.resolve("wrong").toString,
       buckets = 4, bucketKey = "doc_id")
@@ -1529,6 +1576,14 @@ class StreamingLiftSpec extends AnyFunSuite {
     }
     assertThrows[IllegalArgumentException] { // require -> IAE
       StreamingLift.migrateIndex(flat, mIdx) // target already exists
+    }
+    // a never-stream-managed flat table (no applied-batch key at all)
+    val plain = ParquetTable(spark, base.resolve("plain-flat").toString)
+    plain.append(Seq((42L, "word")).toDF("wh", "word"))
+    val plainTarget = ParquetTable(spark, base.resolve("plain-bkt").toString,
+      buckets = 4, bucketKey = "wh")
+    assertThrows[IllegalStateException] {
+      StreamingLift.migrateIndex(plain, plainTarget)
     }
   }
 
