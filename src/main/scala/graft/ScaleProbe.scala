@@ -265,6 +265,90 @@ object ScaleProbe {
     (nDocs, sec, index.sizeBytes - before)
   }
 
+  /** One mergeable-state maintenance trigger
+    * ([[graft.streaming.StreamingLift.sketchMaintainStream]] /
+    * [[graft.streaming.StreamingLift.momentsMaintainStream]] /
+    * [[graft.streaming.StreamingLift.logHistMaintainStream]] — the
+    * shared [[graft.streaming.StreamingLift]] fold, selected by
+    * `kind` ∈ sketch|moments|loghist) against a states table birthed
+    * over `dir`'s documents (grouped by `source`, the fixed-domain
+    * key the batch queries also sketch): returns (corpus rows,
+    * trigger seconds, states bytes after the fold). The fold is
+    * O(batch + #groups × state) — #groups is a domain constant — so
+    * both numbers must stay ~flat as the corpus grows 10×.
+    */
+  def maintainWindowProbe(spark: SparkSession, dir: String,
+      scratch: String, kind: String, batchDocs: Int = 500): (Long, Double, Long) = {
+    import graft.sources.{ParquetTable, Tables}
+    import graft.streaming.StreamingLift
+    import graft.functions.SketchAgg
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("text"), col("n_chars"))
+    val nDocs = docs.count()
+    val states = ParquetTable(spark, s"$scratch/states")
+    // birth the states as a stream that ingested the corpus would
+    // have left them (the folds are proven ≡ one-pass in the spec)
+    val birth = kind match {
+      case "sketch" => docs.groupBy(col("source"))
+        .agg(SketchAgg.kmvSketch(col("text"), 64).as("st"))
+      case "moments" => docs.groupBy(col("source"))
+        .agg(SketchAgg.momentsSketch(col("n_chars")).as("st"))
+      case "loghist" => docs.groupBy(col("source"))
+        .agg(SketchAgg.logHistSketch(col("n_chars")).as("st"))
+      case other => throw new IllegalArgumentException(
+        s"kind must be sketch|moments|loghist: '$other'")
+    }
+    states.overwrite(birth, meta = Map(StreamingLift.AppliedBatchKey -> "-1"))
+    val before = states.sizeBytes
+    val batch = docs.orderBy(col("doc_id")).limit(batchDocs)
+    batch.write.parquet(s"$scratch/src/f1")
+    val t0 = System.nanoTime()
+    (kind match {
+      case "sketch" => StreamingLift.sketchMaintainStream(spark,
+        s"$scratch/src/*", batch.schema, states, "source", "text",
+        s"$scratch/ckpt", k = 64)
+      case "moments" => StreamingLift.momentsMaintainStream(spark,
+        s"$scratch/src/*", batch.schema, states, "source", "n_chars",
+        s"$scratch/ckpt")
+      case _ => StreamingLift.logHistMaintainStream(spark,
+        s"$scratch/src/*", batch.schema, states, "source", "n_chars",
+        s"$scratch/ckpt")
+    }).awaitOrFail(s"${kind}MaintainStream")
+    val sec = (System.nanoTime() - t0) / 1e9
+    (nDocs, sec, math.max(states.sizeBytes, before))
+  }
+
+  /** One [[graft.streaming.StreamingLift.histDriftStream]] trigger
+    * against a baseline birthed over `dir`'s documents: returns
+    * (corpus rows, trigger seconds, (alert rows, groups alerted)).
+    * Scoring reads two 1008-counter states per group and the fold is
+    * the logHist maintenance fold — O(batch + #groups × 1008), so the
+    * trigger must stay ~flat as the corpus grows 10×.
+    */
+  def histDriftWindowProbe(spark: SparkSession, dir: String,
+      scratch: String, batchDocs: Int = 500): (Long, Double, (Long, Long)) = {
+    import graft.sources.{ParquetTable, Tables}
+    import graft.streaming.StreamingLift
+    import graft.functions.SketchAgg
+    val docs = Tables.documents(spark, dir)
+      .select(col("doc_id"), col("source"), col("n_chars"))
+    val nDocs = docs.count()
+    val states = ParquetTable(spark, s"$scratch/states")
+    val alerts = ParquetTable(spark, s"$scratch/alerts")
+    states.overwrite(docs.groupBy(col("source"))
+        .agg(SketchAgg.logHistSketch(col("n_chars")).as("st")),
+      meta = Map(StreamingLift.AppliedBatchKey -> "-1"))
+    val batch = docs.orderBy(col("doc_id")).limit(batchDocs)
+    batch.write.parquet(s"$scratch/src/f1")
+    val t0 = System.nanoTime()
+    StreamingLift.histDriftStream(spark, s"$scratch/src/*", batch.schema,
+      states, alerts, "source", "n_chars", s"$scratch/ckpt")
+      .awaitOrFail("histDriftStream")
+    val sec = (System.nanoTime() - t0) / 1e9
+    val a = alerts.read
+    (nDocs, sec, (a.count(), a.filter(col("alerted")).count()))
+  }
+
   /** One [[graft.streaming.StreamingLift.curationStream]] trigger
     * (quality gate → blocklist → exact dedup → corpus-hash anti-join →
     * bucketed upsert + ledger) against a corpus loaded from `dir`'s
@@ -419,6 +503,21 @@ object ScaleProbe {
       println(f"vocabTrackStream trigger: corpus=$nA%d docs -> $tA%.2f s, $bA%d B appended")
       println(f"vocabTrackStream trigger: corpus=$nB%d docs -> $tB%.2f s, $bB%d B appended")
       println(f"vocabTrackStream trigger ratio: time ${tB / tA}%.2f, bytes ${bB.toDouble / bA}%.2f (corpus grew ${nB.toDouble / nA}%.1fx)")
+    }
+    for (kind <- Seq("sketch", "moments", "loghist")
+        if streamProbes.contains(kind)) {
+      val (nA, tA, bA) = maintainWindowProbe(spark, srcDir, scratch(s"$kind-src"), kind)
+      val (nB, tB, bB) = maintainWindowProbe(spark, outDir, scratch(s"$kind-big"), kind)
+      println(f"${kind}MaintainStream trigger: corpus=$nA%d docs -> $tA%.2f s, states $bA%d B")
+      println(f"${kind}MaintainStream trigger: corpus=$nB%d docs -> $tB%.2f s, states $bB%d B")
+      println(f"${kind}MaintainStream trigger ratio: time ${tB / tA}%.2f, state bytes ${bB.toDouble / bA}%.2f (corpus grew ${nB.toDouble / nA}%.1fx)")
+    }
+    if (streamProbes.contains("histdrift")) {
+      val (nA, tA, (rA, aA)) = histDriftWindowProbe(spark, srcDir, scratch("hdp-src"))
+      val (nB, tB, (rB, aB)) = histDriftWindowProbe(spark, outDir, scratch("hdp-big"))
+      println(f"histDriftStream trigger: corpus=$nA%d docs -> $tA%.2f s (alert rows=$rA alerted=$aA)")
+      println(f"histDriftStream trigger: corpus=$nB%d docs -> $tB%.2f s (alert rows=$rB alerted=$aB)")
+      println(f"histDriftStream trigger ratio: time ${tB / tA}%.2f (corpus grew ${nB.toDouble / nA}%.1fx)")
     }
     if (streamProbes.contains("curation")) {
       val (nA, tA, (dA, lA)) = curationWindowProbe(spark, srcDir, scratch("cup-src"))

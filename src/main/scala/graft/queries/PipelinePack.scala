@@ -1711,19 +1711,25 @@ object PipelinePack {
     * both query set and candidate set, so nothing broadcasts — both
     * sides shuffle once on the map-side-assigned cell_id, pairs stay
     * cell-local, and the per-query top-k is the bounded-heap partial
-    * aggregate. Centroids = first 8 vectors (deterministic for the
-    * oracle), k=5.
+    * aggregate. Centroids = the first `max(8, N/250)` vectors
+    * (deterministic for the oracle, and cells GROW WITH THE CORPUS —
+    * constant ~250-vector cell population, so cell-local pair work is
+    * O(N), never quadratic-at-fixed-cells; at the driver SFs this is
+    * exactly the former 8-cell pin, at the 10×/30× synths 80/240
+    * cells). k=5. The 1-row count is the sanctioned scalar class.
     */
   private val q124 = QueryDef(
     "q124_knn_graph",
     (s, dir) => {
       val e = Tables.embeddings(s, dir)
-      val cents = e.filter(col("vec_id") < 8)
+      val cells = math.max(8L, e.count() / 250L)
+      val cents = e.filter(col("vec_id") < cells)
         .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
       Similarity.knnGraph(e, "vec_id", "embedding", cents, k = 5)
     },
     Some(s"""WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec
-        FROM embeddings WHERE vec_id < 8),
+        FROM embeddings
+        WHERE vec_id < (SELECT greatest(8, count(*) // 250) FROM embeddings)),
       asg AS (SELECT vec_id, embedding, cell_id FROM (
         SELECT e.vec_id, e.embedding, c.cell_id,
           row_number() OVER (PARTITION BY e.vec_id
