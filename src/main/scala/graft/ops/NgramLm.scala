@@ -474,6 +474,38 @@ object NgramLm {
         (col("bpe_fertility_ppm") - col("uni_fertility_ppm")).cast("long"))
   }
 
+  /** Single-character-fallback coverage of the [[unigramTrain]]
+    * segmentation, per class — the OOV-pressure audit a tokenizer
+    * owner reads next after fertility: of all subword tokens the
+    * segmentation emits for a class, what fraction (exact ppm) are
+    * single characters. A high fallback share means the trained
+    * multi-char pieces don't cover that source and its text trains as
+    * near-character-level — the signal to grow `vocabSize` or re-seed
+    * before freezing. Same pre-reduced (class, word) occurrence join
+    * as [[bpeFertility]]; the per-word char-token count is a bounded
+    * array filter on the cached segmentation.
+    */
+  def unigramCoverage(df: DataFrame, key: String, classCol: String,
+      textCol: String, vocabSize: Int, maxPiece: Int = 4): DataFrame = {
+    val segs = unigramCoreCached(df, key, textCol, vocabSize, maxPiece)
+      .select(col("w"), size(col("pieces")).cast("long").as("n_subwords"),
+        size(filter(col("pieces"), p => length(p) === 1)).cast("long")
+          .as("n_char_subwords"))
+    val toks = graft.functions.TextKernels.tokens(col(textCol))
+    df.select(col(classCol), explode(toks).as("w"))
+      .filter(length(col("w")) >= 1)
+      .groupBy(col(classCol), col("w")).agg(count(lit(1)).as("n_occ"))
+      .join(segs, Seq("w"))
+      .groupBy(col(classCol))
+      .agg(sum(col("n_occ") * col("n_subwords")).cast("long")
+          .as("n_subword_tokens"),
+        sum(col("n_occ") * col("n_char_subwords")).cast("long")
+          .as("n_char_tokens"))
+      .withColumn("char_fallback_ppm", expr(
+        """CAST((1000000 * CAST(n_char_tokens AS DECIMAL(38,0)))
+             DIV n_subword_tokens AS BIGINT)"""))
+  }
+
   /** One [[unigramCore]] run per (SparkContext, key+params) — the
     * final segmentation is lineage-cut, safe to serve across queries.
     */

@@ -4214,6 +4214,29 @@ object PipelinePack {
       FROM bf JOIN uf USING (source)"""
     })
 
+  /** Unigram-segmentation char-fallback coverage per source
+    * (NgramLm.unigramCoverage): of the subword tokens the q228-trained
+    * segmentation emits, the exact-ppm share that are single-character
+    * fallbacks — the OOV-pressure audit read next after q229's
+    * fertility before freezing a vocabulary.
+    */
+  private val q230 = QueryDef(
+    "q230_unigram_coverage",
+    (s, dir) => graft.ops.NgramLm.unigramCoverage(
+      Tables.documents(s, dir), s"docs:$dir", "source", "text",
+      vocabSize = 24),
+    Some(s"""WITH ${sqlUnigramCtes(24)},
+      useg AS (SELECT w, np,
+          len(list_filter(path, p -> length(p) = 1)) AS nc FROM u2seg),
+      occ AS (SELECT source, w, count(*) AS n_occ FROM
+          (SELECT source, unnest($T) AS w FROM documents)
+        WHERE length(w) >= 1 GROUP BY source, w)
+      SELECT source, sum(n_occ * np)::BIGINT AS n_subword_tokens,
+        sum(n_occ * nc)::BIGINT AS n_char_tokens,
+        ((1000000::HUGEINT * sum(n_occ * nc)) // sum(n_occ * np))::BIGINT
+          AS char_fallback_ppm
+      FROM occ JOIN useg USING (w) GROUP BY source"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
@@ -4224,5 +4247,5 @@ object PipelinePack {
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
     q213, q214, q215, q216, q220, q221, q222, q223, q224, q225, q226,
-    q227, q228, q229)
+    q227, q228, q229, q230)
 }

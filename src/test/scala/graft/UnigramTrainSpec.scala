@@ -93,6 +93,18 @@ class UnigramTrainSpec extends AnyFunSuite {
     assert(row.getAs[Long]("n_words") === 4L)
   }
 
+  test("unigramCoverage: exact char-fallback ppm on the hand corpus") {
+    // 'ab ab cd', V=1: ab -> [ab] (no char tokens), cd -> [c, d]
+    // (2 char tokens). 4 subword tokens total -> 500000 ppm fallback.
+    val r = graft.ops.NgramLm.unigramCoverage(
+      docs("ab ab cd"), key = "spec4", "source", "text", vocabSize = 1)
+      .collect()
+    assert(r.length === 1)
+    assert(r(0).getAs[Long]("n_subword_tokens") === 4L)
+    assert(r(0).getAs[Long]("n_char_tokens") === 2L)
+    assert(r(0).getAs[Long]("char_fallback_ppm") === 500000L)
+  }
+
   test("trainer invariants at sf0.001: coverage, single-char safety net, " +
       "token-count consistency") {
     val d = graft.sources.Tables.documents(spark, sf)
