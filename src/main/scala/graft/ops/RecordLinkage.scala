@@ -66,8 +66,16 @@ object RecordLinkage {
     val agree = fieldCols.map(f =>
       when(col(s"${f}_a").isNotNull && col(s"${f}_a") === col(s"${f}_b"),
         col(s"__w_${f}_a")).otherwise(lit(0L)))
-    pairs
+    // the pair set is NEVER safely broadcastable: it explodes out of
+    // one row per block, so the static size estimate (a handful of
+    // rows) undersells the true cardinality by the square of the
+    // block size — at 30x corpus the planner happily "broadcast" 2.8
+    // GiB of pairs before these hints pinned both joins to sort-merge
+    // (the shuffle lands on the join key SMJ needs anyway; spill-safe
+    // at any block size)
+    pairs.hint("merge")
       .join(side("a"), Seq("id_a"))
+      .hint("merge")
       .join(side("b"), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         agree.map(w => when(w > 0, 1L).otherwise(0L)).reduce(_ + _).as("n_agree"),
