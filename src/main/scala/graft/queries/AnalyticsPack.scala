@@ -930,9 +930,13 @@ object AnalyticsPack {
   /** Per-priority price trend (least-squares slope of order totals
     * over order day): every sum — n, Σx, Σy, Σxy, Σx² — accumulates
     * EXACTLY (longs and decimal(38,0): day indexes × cent-quantized
-    * totals), so the only floating-point step is the final one-shot
-    * division of two exactly-agreed integers — the regression analogue
-    * of the pack's integer-mass rule. One shuffle, partial map-side.
+    * totals), and the slope itself reports as exact integer
+    * MICRO-cents/day via truncating integral division (both engines
+    * truncate toward zero) — the regression analogue of the pack's
+    * integer-mass rule, with NO float step at all: a final double
+    * division looked exact until the 30× gate, where the integer mass
+    * passed 2⁵³ and the two engines' int→double conversions diverged
+    * by one ulp. One shuffle, partial map-side.
     */
   private val q82 = QueryDef(
     "q82_trend",
@@ -949,9 +953,9 @@ object AnalyticsPack {
           sum(col("x") * col("y")).as("sxy"),
           sum(col("x") * col("x")).as("sxx"))
         .select(col("priority"), col("n").cast("long").as("n_orders"),
-          ((col("n") * col("sxy") - col("sx") * col("sy")).cast("double") /
-            (col("n") * col("sxx") - col("sx") * col("sx")).cast("double"))
-            .as("slope_cents_per_day"))
+          expr("""CAST((1000000 * (n * sxy - sx * sy))
+                    DIV (n * sxx - sx * sx) AS BIGINT)""")
+            .as("slope_ucents_per_day"))
     },
     Some("""WITH q AS (SELECT o_orderpriority AS priority,
           (epoch_us(o_orderdate) // 86400000000)::HUGEINT AS x,
@@ -962,8 +966,8 @@ object AnalyticsPack {
           sum(x * y)::HUGEINT AS sxy, sum(x * x)::HUGEINT AS sxx
         FROM q GROUP BY priority)
       SELECT priority, n::BIGINT AS n_orders,
-        (n * sxy - sx * sy)::DOUBLE / (n * sxx - sx * sx)::DOUBLE
-          AS slope_cents_per_day
+        ((1000000::HUGEINT * (n * sxy - sx * sy))
+          // (n * sxx - sx * sx))::BIGINT AS slope_ucents_per_day
       FROM agg"""))
 
   /** Customer-concentration index per order priority (Herfindahl):
