@@ -100,13 +100,19 @@ object NgramLm {
   def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
       bucketSize: Long = 100L): DataFrame = {
     require(bucketSize > 0, s"bucketSize must be positive: $bucketSize")
+    import graft.util.Pin.PinOps
     val toks = graft.functions.TextKernels.tokens(col(textCol))
     val firstSeen = df.select(col(idCol).as("__doc"), explode(toks).as("w"))
       .filter(col("w") =!= "")
       .groupBy(col("w")).agg(min(col("__doc")).as("first_doc"))
+    // pin before the prefix sum: runningSum's internal bounds action
+    // would otherwise execute the tokenize/explode lineage once for
+    // min/max and the returned plan a second time — a double corpus
+    // scan for a frame bounded by min(#buckets, |vocab|) rows
     val perBucket = firstSeen
       .groupBy(expr(s"first_doc DIV $bucketSize").as("bucket"))
       .agg(count(lit(1)).as("n_new_words"))
+      .cutLineage
     // cumulative vocabulary via the distributed two-phase prefix sum:
     // the rows here are bounded by min(#buckets, |vocab|) — at
     // bucketSize = 1 that is |vocab|-ish, enough to make a bare
@@ -505,6 +511,29 @@ object NgramLm {
         """CAST((1000000 * CAST(n_char_tokens AS DECIMAL(38,0)))
              DIV n_subword_tokens AS BIGINT)"""))
   }
+
+  /** 1-row loud-fail guard for an unrolled oracle twin's `maxLen`
+    * precondition (the q228–q230 dpLen rule): returns a single int
+    * column `__glz` that is 0 when every distinct corpus word is at
+    * most `maxLen` chars and RAISES (with the offending length in the
+    * message) otherwise — the Spark-side mirror of the DuckDB
+    * `error(...)` CTE, so a corpus that violates the unroll bound
+    * fails BOTH engines loudly instead of surfacing as an opaque hash
+    * mismatch. Derived from the same cached segmentation frame the
+    * unigram queries read (every corpus word is a row there), so it
+    * adds no corpus scan; callers cross-join the 1-row frame and fold
+    * `__glz` into an integer output column so column pruning cannot
+    * silently drop the check.
+    */
+  def unigramLenGuard(df: DataFrame, key: String, textCol: String,
+      vocabSize: Int, maxLen: Int, maxPiece: Int = 4): DataFrame =
+    unigramCoreCached(df, key, textCol, vocabSize, maxPiece)
+      .agg(max(length(col("w"))).as("__maxw"))
+      .select(when(col("__maxw") > maxLen, raise_error(concat(
+          lit("unigram oracle precondition violated: max word length "),
+          col("__maxw").cast("string"),
+          lit(s" > unrolled dpLen $maxLen"))))
+        .otherwise(lit(0)).as("__glz"))
 
   /** One [[unigramCore]] run per (SparkContext, key+params) — the
     * final segmentation is lineage-cut, safe to serve across queries.

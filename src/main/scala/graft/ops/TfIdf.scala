@@ -63,17 +63,24 @@ object TfIdf {
     * dimensions of most docs are untouched anyway — the output is the
     * sparse form).
     *
-    * Output: (idCol, dim, weight), dim in [0, dims).
+    * Output: (idCol, carry…, dim, weight), dim in [0, dims).
+    *
+    * `carry`: extra doc-functional columns (a split flag, a class
+    * label) to ride through the aggregation — they join the group key,
+    * which is sound exactly when each is a function of `idCol`
+    * (otherwise a doc's vector splits across carry values). Lets a
+    * caller like [[Dsir]] partition the feature mass by a flag without
+    * a second doc-keyed join back onto the (doc, dim) rows.
     */
   def hashedBow(docs: DataFrame, idCol: String, textCol: String,
-      dims: Int = 32): DataFrame = {
+      dims: Int = 32, carry: Seq[String] = Nil): DataFrame = {
     require(dims >= 2, s"dims must be >= 2: $dims")
-    docs.select(col(idCol),
-        explode(TextKernels.tokens(col(textCol))).as("tok"))
-      .select(col(idCol), TextKernels.hex60(col("tok")).as("h"))
-      .select(col(idCol), (col("h") % dims).as("dim"),
-        when(expr(s"(h div $dims) % 2") === 0, 1L).otherwise(-1L).as("sgn"))
-      .groupBy(col(idCol), col("dim"))
+    val keep = col(idCol) +: carry.map(col)
+    docs.select(keep :+ explode(TextKernels.tokens(col(textCol))).as("tok"): _*)
+      .select(keep :+ TextKernels.hex60(col("tok")).as("h"): _*)
+      .select(keep ++ Seq((col("h") % dims).as("dim"),
+        when(expr(s"(h div $dims) % 2") === 0, 1L).otherwise(-1L).as("sgn")): _*)
+      .groupBy(keep :+ col("dim"): _*)
       .agg(sum(col("sgn")).as("weight"))
       .filter(col("weight") =!= 0L)
   }

@@ -936,7 +936,12 @@ object AnalyticsPack {
     * integer-mass rule, with NO float step at all: a final double
     * division looked exact until the 30× gate, where the integer mass
     * passed 2⁵³ and the two engines' int→double conversions diverged
-    * by one ulp. One shuffle, partial map-side.
+    * by one ulp. One shuffle, partial map-side. A degenerate group
+    * with zero day-variance (one order, or all orders on one day) has
+    * no defined slope: both sides NULL it symmetrically (Spark
+    * non-ANSI DIV would return NULL anyway, but DuckDB `//` raises
+    * Division by zero — the NULLIF keeps the engines agreeing instead
+    * of one erroring).
     */
   private val q82 = QueryDef(
     "q82_trend",
@@ -954,7 +959,7 @@ object AnalyticsPack {
           sum(col("x") * col("x")).as("sxx"))
         .select(col("priority"), col("n").cast("long").as("n_orders"),
           expr("""CAST((1000000 * (n * sxy - sx * sy))
-                    DIV (n * sxx - sx * sx) AS BIGINT)""")
+                    DIV nullif(n * sxx - sx * sx, 0) AS BIGINT)""")
             .as("slope_ucents_per_day"))
     },
     Some("""WITH q AS (SELECT o_orderpriority AS priority,
@@ -967,7 +972,7 @@ object AnalyticsPack {
         FROM q GROUP BY priority)
       SELECT priority, n::BIGINT AS n_orders,
         ((1000000::HUGEINT * (n * sxy - sx * sy))
-          // (n * sxx - sx * sx))::BIGINT AS slope_ucents_per_day
+          // NULLIF(n * sxx - sx * sx, 0))::BIGINT AS slope_ucents_per_day
       FROM agg"""))
 
   /** Customer-concentration index per order priority (Herfindahl):

@@ -4091,7 +4091,12 @@ object PipelinePack {
     * oracle-side property): corpus max word length ≤ `dpLen` — a
     * longer word runs off the unrolled positions and drops from the
     * oracle while the Scala kernel segments it (every test corpus,
-    * including the 10×/30× salted synths, stays ≤ 11 chars).
+    * including the 10×/30× salted synths, stays ≤ 11 chars). The
+    * precondition is ENFORCED, not merely pinned: the `uwt` CTE
+    * carries a DuckDB `error(...)` guard that fails the oracle loudly
+    * with the offending length the moment a corpus word exceeds
+    * `dpLen`, instead of surfacing as an opaque hash mismatch
+    * (`UnigramOracleGuardSpec` replays the guard on an overlong word).
     */
   private def sqlUnigramCtes(vocabSize: Int, dpLen: Int = 16): String = {
     def dp(p: String, edges: String): String = {
@@ -4112,9 +4117,15 @@ object PipelinePack {
         ${p}seg AS (SELECT w, wc, np, path FROM ${p}a$dpLen
           WHERE pos = length(w))"""
     }
-    s"""uwt AS MATERIALIZED (SELECT w, count(*)::BIGINT AS wc FROM
+    s"""uraw AS MATERIALIZED (SELECT w, count(*)::BIGINT AS wc FROM
         (SELECT unnest($T) AS w FROM documents)
         WHERE length(w) >= 1 GROUP BY w),
+      uglen AS (SELECT CASE WHEN max(length(w)) > $dpLen
+          THEN error('unigram oracle precondition violated: max word length '
+            || max(length(w)) || ' > unrolled dpLen $dpLen')
+          ELSE 0 END AS zero FROM uraw),
+      uwt AS MATERIALIZED (SELECT w, (wc + g.zero)::BIGINT AS wc
+        FROM uraw CROSS JOIN uglen g),
       usub AS MATERIALIZED (SELECT w, wc, start, plen, substring(w, start, plen) AS piece
         FROM (SELECT w, wc, unnest(range(1, length(w) + 1)) AS start FROM uwt)
         CROSS JOIN (SELECT unnest([1, 2, 3, 4]) AS plen)
@@ -4138,6 +4149,18 @@ object PipelinePack {
       ${dp("u2", "ue2")}"""
   }
 
+  /** Spark-side mirror of the `uglen` oracle guard: the 1-row
+    * loud-fail frame q228–q230 cross-join so the dpLen = 16 unroll
+    * precondition fails BOTH engines with a pointed message instead
+    * of an opaque hash mismatch (shares the cached segmentation —
+    * zero extra corpus scans).
+    */
+  private def unigramGuard(s: org.apache.spark.sql.SparkSession,
+      dir: String) =
+    graft.ops.NgramLm.unigramLenGuard(
+      Tables.documents(s, dir), s"docs:$dir", "text",
+      vocabSize = 24, maxLen = 16)
+
   /** Unigram-LM tokenizer trainer (NgramLm.unigramTrain): hard-EM —
     * seed substring counts, Viterbi E-step (fewest pieces, then
     * greatest total count, then lexicographically least sequence —
@@ -4148,7 +4171,10 @@ object PipelinePack {
   private val q228 = QueryDef(
     "q228_unigram_train",
     (s, dir) => graft.ops.NgramLm.unigramTrain(
-      Tables.documents(s, dir), s"docs:$dir", "text", vocabSize = 24),
+      Tables.documents(s, dir), s"docs:$dir", "text", vocabSize = 24)
+      .crossJoin(broadcast(unigramGuard(s, dir)))
+      .withColumn("n_occ", (col("n_occ") + col("__glz")).cast("long"))
+      .drop("__glz"),
     Some(s"""WITH ${sqlUnigramCtes(24)}
       SELECT piece, sum(wc)::BIGINT AS n_occ
       FROM (SELECT wc, unnest(path) AS piece FROM u2seg) GROUP BY piece"""))
@@ -4164,7 +4190,10 @@ object PipelinePack {
     "q229_tokenizer_compare",
     (s, dir) => graft.ops.NgramLm.tokenizerFertilityCompare(
       Tables.documents(s, dir), s"docs:$dir", "source", "text",
-      merges = 3, vocabSize = 24),
+      merges = 3, vocabSize = 24)
+      .crossJoin(broadcast(unigramGuard(s, dir)))
+      .withColumn("n_words", (col("n_words") + col("__glz")).cast("long"))
+      .drop("__glz"),
     Some {
       val steps = (1 to 3).map { r =>
         s"""p$r AS (SELECT w, wc, pos, sym,
@@ -4224,7 +4253,11 @@ object PipelinePack {
     "q230_unigram_coverage",
     (s, dir) => graft.ops.NgramLm.unigramCoverage(
       Tables.documents(s, dir), s"docs:$dir", "source", "text",
-      vocabSize = 24),
+      vocabSize = 24)
+      .crossJoin(broadcast(unigramGuard(s, dir)))
+      .withColumn("n_subword_tokens",
+        (col("n_subword_tokens") + col("__glz")).cast("long"))
+      .drop("__glz"),
     Some(s"""WITH ${sqlUnigramCtes(24)},
       useg AS (SELECT w, np,
           len(list_filter(path, p -> length(p) = 1)) AS nc FROM u2seg),
@@ -4237,6 +4270,53 @@ object PipelinePack {
           AS char_fallback_ppm
       FROM occ JOIN useg USING (w) GROUP BY source"""))
 
+  /** DSIR-style importance resampling (ops.Dsir.resample): raw-pool
+    * documents weighted by how target-like (source src0) their hashed
+    * bag-of-words mass is under target-vs-raw add-one bucket models —
+    * per-dim likelihood ratios quantized to ⌊2²⁰·ratio⌋ integers
+    * (saturating at 2⁴⁰, the q169 no-log rule), a doc's weight the
+    * feature-mass-weighted mean ratio — then k=100 PPS hits via the
+    * RNG-free distributed-prefix-sum systematic draw (q76's machinery).
+    * The curation pipeline's domain-matching step after quality + dedup.
+    */
+  private val q231 = QueryDef(
+    "q231_dsir_resample",
+    (s, dir) => graft.ops.Dsir.resample(
+      Tables.documents(s, dir), "doc_id", "text",
+      isTarget = col("source") === "src0", k = 100, dims = 32),
+    Some(s"""WITH tok AS (SELECT doc_id,
+          coalesce(source = 'src0', false) AS tgt, unnest($T) AS tok
+        FROM documents),
+      hh AS (SELECT doc_id, tgt, ${sqlHex60("tok")} AS h FROM tok),
+      sgn AS (SELECT doc_id, tgt, h % 32 AS dim,
+          CASE WHEN (h // 32) % 2 = 0 THEN 1 ELSE -1 END AS sgn FROM hh),
+      bow AS MATERIALIZED (SELECT doc_id, tgt, dim,
+          abs(sum(sgn))::HUGEINT AS n
+        FROM sgn GROUP BY doc_id, tgt, dim HAVING sum(sgn) <> 0),
+      model AS (SELECT dim,
+          sum(CASE WHEN tgt THEN n ELSE 0 END)::HUGEINT AS c_t,
+          sum(CASE WHEN NOT tgt THEN n ELSE 0 END)::HUGEINT AS c_r
+        FROM bow GROUP BY dim),
+      tot AS (SELECT sum(c_t)::HUGEINT AS n_t, sum(c_r)::HUGEINT AS n_r
+        FROM model),
+      qd AS (SELECT dim,
+          least((1048576::HUGEINT * (c_t + 1) * (n_r + 32))
+              // ((c_r + 1) * (n_t + 32)),
+            1099511627776::HUGEINT) AS q
+        FROM model CROSS JOIN tot),
+      wts AS (SELECT doc_id, (sum(n * q) // sum(n))::BIGINT AS w
+        FROM bow JOIN qd USING (dim) WHERE NOT tgt GROUP BY doc_id),
+      pos AS (SELECT doc_id, w FROM wts WHERE w > 0),
+      cum AS (SELECT doc_id, w,
+          (sum(w) OVER (ORDER BY doc_id))::BIGINT AS running FROM pos),
+      st AS (SELECT greatest(max(running) // 100, 1) AS step FROM cum)
+      SELECT doc_id, w,
+        least(running // step, 100) - least((running - w) // step, 100)
+          AS n_hits
+      FROM cum CROSS JOIN st
+      WHERE least(running // step, 100)
+        - least((running - w) // step, 100) > 0"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
@@ -4247,5 +4327,5 @@ object PipelinePack {
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
     q213, q214, q215, q216, q220, q221, q222, q223, q224, q225, q226,
-    q227, q228, q229, q230)
+    q227, q228, q229, q230, q231)
 }

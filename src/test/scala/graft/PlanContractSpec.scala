@@ -66,8 +66,11 @@ class PlanContractSpec extends AnyFunSuite {
                  // the q154 BM25 corpus totals underneath
     "q220_leakage_split", // 1-row leakage-invariant frame broadcast
                           // into the per-split report
-    "q221_collocations")  // 1-row corpus bigram total N for the lift
+    "q221_collocations",  // 1-row corpus bigram total N for the lift
                           // denominator (q169 rule)
+    "q228_unigram_train",     // 1-row dpLen oracle-precondition guard
+    "q229_tokenizer_compare", // frame (raise_error tripwire, the q133
+    "q230_unigram_coverage")  // rule) broadcast into the final report
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {

@@ -68,6 +68,36 @@ class UnigramTrainSpec extends AnyFunSuite {
     assert(vocab === Map("ab" -> 2L, "c" -> 1L, "d" -> 1L))
   }
 
+  test("unigramLenGuard: overlong word fails loudly with the length " +
+      "in the message (the dpLen oracle-precondition mirror)") {
+    // 17-char word > maxLen 16 — the cross-joined guard must RAISE
+    // with a pointed message, never diverge silently into a hash
+    // mismatch (the exact failure mode the DuckDB uglen CTE guards)
+    val g = graft.ops.NgramLm.unigramLenGuard(
+      docs("ab abcdefghijklmnopq"), key = "specGuardBad", "text",
+      vocabSize = 1, maxLen = 16)
+    val wired = docs("ab abcdefghijklmnopq")
+      .groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .crossJoin(broadcast(g))
+      .select((col("n") + col("__glz")).as("n"))
+    val e = intercept[Exception] { wired.collect() }
+    def rootMsg(t: Throwable): String = {
+      val m = Option(t.getMessage).getOrElse("")
+      if (m.contains("precondition violated")) m
+      else if (t.getCause != null) rootMsg(t.getCause) else m
+    }
+    val msg = rootMsg(e)
+    assert(msg.contains("unigram oracle precondition violated"), msg)
+    assert(msg.contains("17"), msg) // the offending length is named
+  }
+
+  test("unigramLenGuard: in-bound corpus contributes exactly zero") {
+    val g = graft.ops.NgramLm.unigramLenGuard(
+      docs("ab ab cd"), key = "specGuardOk", "text",
+      vocabSize = 1, maxLen = 16)
+    assert(g.collect().map(_.getInt(0)).toList === List(0))
+  }
+
   test("unigramFertility: exact ppm on the same corpus") {
     // n_words = 3 (ab, ab, cd); subword tokens = 2*1 + 1*2 = 4
     val r = graft.ops.NgramLm.unigramFertility(
