@@ -385,4 +385,123 @@ object Sample {
         (col("__i") + 1).cast("long").as("rank"),
         col("n_rows"), col("quota"))
   }
+
+  /** Epoch-capped mixture allocation: the data-mixture table a
+    * pretraining run is configured from (reference semantics: the
+    * published up/down-sampling-with-epoch-caps recipe — give each
+    * source its target share of the token budget, but never ask a
+    * source for more than `maxEpochsPpm`/10⁶ passes over what it has;
+    * budget a capped source can't absorb flows to the uncapped ones
+    * in proportion to their shares).
+    *
+    * The redistribution is solved in CLOSED FORM, not iteratively:
+    * sort sources by cap/share ascending — the capped set is always a
+    * prefix of that order — and a source is capped iff
+    * `cap·(S − preShare) ≤ share·(B − preCap)` held at every point up
+    * to and including it (a running-AND window), where preCap/preShare
+    * are prefix sums over the sorted predecessors. Uncapped sources
+    * then split the residual budget by exact largest-remainder
+    * apportionment (the [[proportionalSample]] rule), so allocations
+    * sum to EXACTLY `min(budget, Σ cap)`. The sort key is
+    * ⌊cap·10¹²/share⌋: with shares bounded by 10⁶ ppm, two distinct
+    * true ratios differ by ≥ 10⁻¹², so the scaled floors order
+    * exactly as the rationals do; equal ratios tie-break on the class
+    * name. The largest-remainder +1 can never breach a cap: an
+    * uncapped source has share·B′/S′ < cap strictly, so
+    * ⌊share·B′/S′⌋ + 1 ≤ cap.
+    *
+    * All arithmetic runs in DECIMAL(38,0) — cap×S products pass 2⁶³
+    * at 100 TB token counts — and every step is integer-exact, so
+    * both engines derive the identical table.
+    *
+    * Classes absent from `sharesPpm` (or with share 0) take no part
+    * in the water-fill and report alloc 0; shares implicitly
+    * renormalize over the classes PRESENT in the data (S = Σ share of
+    * observed classes).
+    *
+    * Shape at scale: ONE corpus pass aggregates per-class weights;
+    * everything after runs on the pinned |classes|-row frame
+    * (windows over it are the bounded-frame class, same as
+    * [[proportionalSample]]'s quota table).
+    *
+    * Output: (classCol, avail, share_ppm, cap, capped, alloc,
+    * epochs_ppm) — epochs_ppm = ⌊alloc·10⁶/avail⌋, null when the
+    * class has no mass or takes no part (share 0).
+    */
+  def mixtureAllocate(df: DataFrame, classCol: String, weight: Column,
+      sharesPpm: Map[String, Long], budget: Long,
+      maxEpochsPpm: Long): DataFrame = {
+    require(budget > 0, s"budget must be positive: $budget")
+    require(maxEpochsPpm > 0, s"maxEpochsPpm must be positive: $maxEpochsPpm")
+    require(sharesPpm.values.forall(s => s >= 0 && s <= 1000000L),
+      "shares are ppm in [0, 1e6]")
+    val M = 1000000L
+    val shareExpr = sharesPpm.foldLeft(lit(0L)) { case (acc, (cls, p)) =>
+      when(col(classCol) === lit(cls), lit(p)).otherwise(acc)
+    }
+    // the one corpus pass; the |classes|-row result is pinned so the
+    // participant/zero split below never re-reads the source
+    val counts = df.groupBy(col(classCol))
+      .agg(sum(weight).cast("long").as("avail"))
+      .withColumn("share_ppm", shareExpr)
+      .withColumn("cap", expr(
+        s"CAST((CAST(avail AS DECIMAL(38,0)) * ${maxEpochsPpm}L) div ${M}L AS BIGINT)"))
+      .cutLineage
+    val zeros = counts.filter(col("share_ppm") <= 0L)
+      .select(col(classCol), col("avail"), col("share_ppm"), col("cap"),
+        lit(false).as("capped"), lit(0L).as("alloc"),
+        lit(null).cast("long").as("epochs_ppm"))
+    val parts = counts.filter(col("share_ppm") > 0L)
+      .withColumn("rkey", expr(
+        "CAST(CAST(cap AS DECIMAL(38,0)) * 1000000000000 div share_ppm AS DECIMAL(38,0))"))
+    // the windows run over the pinned |classes|-row frame, never the
+    // corpus; the partition key is a constant-by-value non-foldable
+    // expression (pmod(share_ppm, 1) ≡ 0 — share_ppm > 0 here) so the
+    // single partition is DECLARED and WindowExec's "No Partition
+    // Defined" warning stays reserved for accidental O(data) funnels
+    // (the Sweep rule)
+    val onePart = pmod(col("share_ppm"), lit(1))
+    val byRatio = Window.partitionBy(onePart)
+      .orderBy(col("rkey").asc, col(classCol).asc_nulls_last)
+    val pre = byRatio.rowsBetween(Window.unboundedPreceding, -1)
+    val upto = byRatio.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val all = Window.partitionBy(onePart)
+    val leveled = parts
+      .withColumn("pre_cap", coalesce(sum(col("cap")).over(pre), lit(0L)))
+      .withColumn("pre_share", coalesce(sum(col("share_ppm")).over(pre), lit(0L)))
+      .withColumn("s_all", sum(col("share_ppm")).over(all))
+      .withColumn("cond", expr(
+        s"""CAST(cap AS DECIMAL(38,0)) * (s_all - pre_share)
+            <= CAST(share_ppm AS DECIMAL(38,0)) * (${budget}L - pre_cap)"""))
+      .withColumn("capped",
+        min(when(col("cond"), 1L).otherwise(0L)).over(upto) === 1L)
+    val byRem = Window.partitionBy(onePart)
+      .orderBy(col("rem").desc, col(classCol).asc_nulls_last)
+    val alloced = leveled
+      .withColumn("b_res",
+        lit(budget) - coalesce(
+          sum(when(col("capped"), col("cap"))).over(all), lit(0L)))
+      .withColumn("s_res",
+        col("s_all") - coalesce(
+          sum(when(col("capped"), col("share_ppm"))).over(all), lit(0L)))
+      .withColumn("base", when(col("capped") || col("s_res") <= 0L, lit(0L))
+        .otherwise(expr(
+          "CAST((CAST(share_ppm AS DECIMAL(38,0)) * b_res) div s_res AS BIGINT)")))
+      .withColumn("rem", when(col("capped") || col("s_res") <= 0L, lit(-1L))
+        .otherwise(expr(
+          "CAST((CAST(share_ppm AS DECIMAL(38,0)) * b_res) % s_res AS BIGINT)")))
+      .withColumn("deficit",
+        col("b_res") - coalesce(
+          sum(when(!col("capped"), col("base"))).over(all), lit(0L)))
+      .withColumn("alloc", when(col("capped"), col("cap"))
+        .otherwise(col("base") +
+          when(row_number().over(byRem) <= col("deficit") && col("rem") >= 0L,
+            1L).otherwise(0L)))
+      .select(col(classCol), col("avail"), col("share_ppm"), col("cap"),
+        col("capped"), col("alloc"),
+        when(col("avail") > 0L, expr(
+          s"CAST((CAST(alloc AS DECIMAL(38,0)) * ${M}L) div avail AS BIGINT)"))
+          .otherwise(lit(null).cast("long")).as("epochs_ppm"))
+    alloced.unionByName(zeros)
+  }
 }

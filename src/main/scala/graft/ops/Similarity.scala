@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import graft.functions.VectorKernels._
 
@@ -602,5 +603,68 @@ object Similarity {
       seed.map(r => r.getSeq[Any](1).slice(s * sub, (s + 1) * sub)
         .map(toDouble).toArray)
     }
+  }
+
+  /** D4-style two-stage embedding prune (the published
+    * SemDeDup-then-prototype recipe — Abbas et al. 2023 drop
+    * near-duplicates inside embedding clusters, Tirumala et al. 2023
+    * additionally drop the most PROTOTYPICAL cluster members, the
+    * templated near-boilerplate closest to the centroid): every vector
+    * gets a per-row verdict instead of silently disappearing, so the
+    * curation run can audit exactly why each document left the pool.
+    *
+    * Stage 1 (dup): inside its cell, a vector is a duplicate iff some
+    * SMALLER-id cell-mate has ⌊10⁶·cos⌋ ≥ `dupPpm` — the one-pass
+    * anti-chain rule (the earlier doc survives regardless of its own
+    * verdict), deterministic under any partitioning.
+    * Stage 2 (proto): among stage-1 survivors, the
+    * ⌊protoPpm·n_surv/10⁶⌋ members MOST similar to their own centroid
+    * (ties to the smallest id) are dropped as prototypes.
+    *
+    * Shape at scale: both sides take their cell map-side (literal
+    * centroid fold, zero shuffle), the pair stage co-partitions on
+    * `cell_id` exactly like [[knnGraph]] — cell-local pairs, never a
+    * corpus crossJoin; size the centroid count with the corpus
+    * (cells ∝ N keeps |cell|² bounded, the q124 rule). The verdict
+    * join is one id-keyed semi/left join against the ≤ corpus-sized
+    * dup-id set, and the proto rank is ONE window pass (dups sort
+    * after survivors inside their cell, so the survivor rank needs no
+    * second scan or union).
+    *
+    * Output: (cell_id, idCol, status ∈ kept|dup|proto, ccos) — ccos
+    * the cosine to the own centroid, null for a zero-norm vector.
+    */
+  def d4Prune(df: DataFrame, idCol: String, vecCol: String,
+      centroids: DataFrame, dupPpm: Long, protoPpm: Long): DataFrame = {
+    require(protoPpm >= 0 && protoPpm <= 1000000L,
+      s"protoPpm is ppm in [0, 1e6]: $protoPpm")
+    val best = bestCell(vecCol, centroids)
+    val a = df.select(col(idCol).cast("long").as("__id"), col(vecCol).as("__v"),
+      best.getField("ccos").as("ccos"), (-best.getField("neg")).as("cell_id"))
+    val b = df.select(col(idCol).cast("long").as("__bid"),
+      col(vecCol).as("__bv"), (-best.getField("neg")).as("cell_id"))
+    val dups = a.select(col("cell_id"), col("__id"), col("__v"))
+      .join(b, Seq("cell_id"))
+      .filter(col("__id") < col("__bid"))
+      .filter(floor(safeCosine(col("__v"), col("__bv")) * 1000000L)
+        .cast("long") >= dupPpm)
+      .select(col("__bid").as("__dup")).distinct()
+    val marked = a.drop("__v")
+      .join(dups, col("__id") === col("__dup"), "left")
+      .withColumn("is_dup", col("__dup").isNotNull)
+    val w = Window.partitionBy(col("cell_id"))
+      .orderBy(col("is_dup").asc, col("ccos").desc, col("__id").asc)
+    val cell = Window.partitionBy(col("cell_id"))
+    marked
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n_surv",
+        sum(when(!col("is_dup"), 1L).otherwise(0L)).over(cell))
+      .withColumn("status", when(col("is_dup"), lit("dup"))
+        .when(col("rk") <= expr(s"(n_surv * ${protoPpm}L) div 1000000L"),
+          lit("proto"))
+        .otherwise(lit("kept")))
+      .select(col("cell_id"), col("__id").as(idCol), col("status"),
+        when(col("ccos") === lit(Double.NegativeInfinity),
+          lit(null).cast("double")).otherwise(col("ccos")).as("ccos"))
   }
 }

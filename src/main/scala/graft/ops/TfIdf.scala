@@ -122,4 +122,58 @@ object TfIdf {
       .filter(col("pmi_q") >= minPmiQ)
       .select(col("token_a"), col("token_b"), col("support"), col("pmi_q"))
   }
+
+  /** Cluster distinctive-term report — the c-TF-IDF idea (class-based
+    * TF-IDF over document clusters, Grootendorst's BERTopic labeling
+    * step; public formula) with the log dropped for the monotone
+    * quantized RATIO the q66/q126 rule uses everywhere:
+    * `lift_ppm = ⌊10⁶ · (c_ct/N_c) / (c_t/N)⌋` — how much more often
+    * term t occurs inside cluster c than in the corpus at large. The
+    * top-k lift terms per cluster are the human-readable label a
+    * curation run prints next to each embedding cluster before
+    * deciding what to keep, prune, or up-sample.
+    *
+    * `assign` is any (idCol, cell_id) frame — [[graft.ops.Similarity]]
+    * cell assignments, a near-dup cluster key, a language bucket — so
+    * the report composes with every clustering the engine produces.
+    *
+    * Shape at scale: docs ⋈ assign is one id-keyed equi-join BEFORE
+    * tokenization (only assigned docs tokenize), then ONE (cell, term)
+    * aggregation; cluster totals broadcast back (|clusters| rows),
+    * term totals join on the term key (vocabulary-sized, partitioned),
+    * the grand total is a 1-row broadcast, and the final top-k is a
+    * per-cluster window over the ≤ |clusters|×|vocab| aggregated rows
+    * — never over corpus rows. All counts are exact integers; the
+    * lift divides once in DECIMAL(38,0) (c_ct·N passes 2⁶³ at 100 TB).
+    *
+    * Output: (cell_id, term, n_ct, n_c, n_t, lift_ppm, rank) — terms
+    * with n_ct ≥ minCount, rank 1..k per cluster by (lift desc, term
+    * asc).
+    */
+  def clusterKeywords(docs: DataFrame, idCol: String, textCol: String,
+      assign: DataFrame, k: Int = 5, minCount: Long = 2): DataFrame = {
+    require(k >= 1, s"k must be >= 1: $k")
+    val ct = docs.join(assign, idCol)
+      .select(col("cell_id"),
+        explode(TextKernels.tokens(col(textCol))).as("term"))
+      .filter(col("term") =!= "")
+      .groupBy(col("cell_id"), col("term"))
+      .agg(count(lit(1)).as("n_ct"))
+    val cTot = ct.groupBy(col("cell_id")).agg(sum(col("n_ct")).as("n_c"))
+    val tTot = ct.groupBy(col("term")).agg(sum(col("n_ct")).as("n_t"))
+    val nAll = ct.agg(sum(col("n_ct")).as("n_all"))
+    val w = Window.partitionBy(col("cell_id"))
+      .orderBy(col("lift_ppm").desc, col("term").asc)
+    ct.filter(col("n_ct") >= minCount)
+      .join(broadcast(cTot), Seq("cell_id"))
+      .join(tTot, Seq("term"))
+      .crossJoin(broadcast(nAll))
+      .withColumn("lift_ppm", expr(
+        """CAST((CAST(1000000 AS DECIMAL(38,0)) * n_ct * n_all)
+           div (CAST(n_c AS DECIMAL(38,0)) * n_t) AS BIGINT)"""))
+      .withColumn("rank", row_number().over(w).cast("long"))
+      .filter(col("rank") <= k)
+      .select(col("cell_id"), col("term"), col("n_ct"), col("n_c"),
+        col("n_t"), col("lift_ppm"), col("rank"))
+  }
 }

@@ -4317,6 +4317,176 @@ object PipelinePack {
       WHERE least(running // step, 100)
         - least((running - w) // step, 100) > 0"""))
 
+  /** Epoch-capped mixture allocation (Sample.mixtureAllocate): the
+    * pretraining data-mixture table — per-language token budgets from
+    * target shares with a 1.5-epoch cap per source, the capped
+    * sources' unabsorbed budget flowing to the uncapped ones by the
+    * CLOSED-FORM water-fill (capped set = a prefix of cap/share
+    * order, found by one running-AND window; residual split by exact
+    * largest remainder). One corpus pass for the per-class token
+    * sums; everything else on the pinned |classes|-row frame. 'de'
+    * is deliberately absent from the share map — the share-0 path
+    * reports alloc 0 with a null epochs figure.
+    */
+  private val q232 = QueryDef(
+    "q232_mixture_allocate",
+    (s, dir) => graft.ops.Sample.mixtureAllocate(
+      Tables.documents(s, dir), "lang",
+      size(TextKernels.tokens(col("text"))).cast("long"),
+      sharesPpm = Map("en" -> 350000L, "zh" -> 300000L,
+        "es" -> 250000L, "fr" -> 100000L),
+      budget = 30000L, maxEpochsPpm = 1500000L),
+    Some(s"""WITH w AS (SELECT lang, sum(len($T))::BIGINT AS avail
+        FROM documents GROUP BY lang),
+      sh AS (SELECT * FROM (VALUES ('en', 350000), ('zh', 300000),
+          ('es', 250000), ('fr', 100000)) AS t(lang, share_ppm)),
+      c AS (SELECT w.lang, avail,
+          coalesce(sh.share_ppm, 0)::BIGINT AS share_ppm,
+          ((avail::HUGEINT * 1500000) // 1000000)::BIGINT AS cap
+        FROM w LEFT JOIN sh USING (lang)),
+      p AS (SELECT *, cap::HUGEINT * 1000000000000 // share_ppm AS rkey
+        FROM c WHERE share_ppm > 0),
+      lv AS (SELECT *,
+          coalesce(sum(cap) OVER pre, 0)::BIGINT AS pre_cap,
+          coalesce(sum(share_ppm) OVER pre, 0)::BIGINT AS pre_share,
+          sum(share_ppm) OVER ()::BIGINT AS s_all
+        FROM p WINDOW pre AS (ORDER BY rkey ASC, lang ASC NULLS LAST
+          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+      cp AS (SELECT *,
+          min(CASE WHEN cap::HUGEINT * (s_all - pre_share)
+                <= share_ppm::HUGEINT * (30000 - pre_cap)
+              THEN 1 ELSE 0 END)
+            OVER (ORDER BY rkey ASC, lang ASC NULLS LAST
+              ROWS UNBOUNDED PRECEDING) = 1 AS capped
+        FROM lv),
+      rs AS (SELECT *,
+          (30000 - coalesce(sum(CASE WHEN capped THEN cap END) OVER (), 0))::BIGINT
+            AS b_res,
+          (s_all - coalesce(sum(CASE WHEN capped THEN share_ppm END) OVER (), 0))::BIGINT
+            AS s_res
+        FROM cp),
+      bs AS (SELECT *,
+          CASE WHEN capped OR s_res <= 0 THEN 0
+            ELSE ((share_ppm::HUGEINT * b_res) // s_res)::BIGINT END AS base,
+          CASE WHEN capped OR s_res <= 0 THEN -1
+            ELSE ((share_ppm::HUGEINT * b_res) % s_res)::BIGINT END AS rem
+        FROM rs),
+      al AS (SELECT *,
+          (b_res - coalesce(sum(CASE WHEN NOT capped THEN base END) OVER (), 0))::BIGINT
+            AS deficit,
+          row_number() OVER (ORDER BY rem DESC, lang ASC NULLS LAST) AS rn
+        FROM bs),
+      fin AS (SELECT lang, avail, share_ppm, cap, capped,
+          CASE WHEN capped THEN cap ELSE base
+            + CASE WHEN rn <= deficit AND rem >= 0 THEN 1 ELSE 0 END END AS alloc
+        FROM al)
+      SELECT lang, avail, share_ppm, cap, capped, alloc,
+        CASE WHEN avail > 0
+          THEN ((alloc::HUGEINT * 1000000) // avail)::BIGINT END AS epochs_ppm
+      FROM fin
+      UNION ALL
+      SELECT lang, avail, share_ppm, cap, false AS capped,
+        0::BIGINT AS alloc, NULL::BIGINT AS epochs_ppm
+      FROM c WHERE share_ppm <= 0"""))
+
+  /** Cluster distinctive-term report (TfIdf.clusterKeywords over the
+    * q69-contract embedding cells): c-TF-IDF-style integer lift
+    * ⌊10⁶·(c_ct/N_c)/(c_t/N)⌋, top-5 terms per cell with n_ct ≥ 2 —
+    * the human-readable cluster label a curation run prints before
+    * deciding what each embedding cluster is. Documents link to
+    * cells by doc_id = vec_id (inner — docs without a vector simply
+    * don't vote); assignment replays exactly on both engines because
+    * the centroids are the first 8 vectors.
+    */
+  private val q233 = QueryDef(
+    "q233_cluster_keywords",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cents = e.filter(col("vec_id") < 8)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+      val assign = Similarity.assignCells(e, "embedding", cents)
+        .select(col("vec_id").as("doc_id"), col("cell_id"))
+      graft.ops.TfIdf.clusterKeywords(
+        Tables.documents(s, dir), "doc_id", "text", assign,
+        k = 5, minCount = 2)
+    },
+    Some(s"""WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+        FROM embeddings WHERE vec_id < 8),
+      asg AS (SELECT vec_id, cell_id FROM (
+        SELECT e.vec_id, c.cell_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY coalesce(${sqlCos("e.embedding", "c.cvec")},
+              '-infinity'::DOUBLE) DESC, c.cell_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+      tok AS (SELECT a.cell_id, unnest($T) AS term
+        FROM documents d JOIN asg a ON d.doc_id = a.vec_id),
+      ct AS (SELECT cell_id, term, count(*)::BIGINT AS n_ct
+        FROM tok WHERE term <> '' GROUP BY cell_id, term),
+      ctot AS (SELECT cell_id, sum(n_ct)::BIGINT AS n_c FROM ct GROUP BY cell_id),
+      ttot AS (SELECT term, sum(n_ct)::BIGINT AS n_t FROM ct GROUP BY term),
+      tot AS (SELECT sum(n_ct)::HUGEINT AS n_all FROM ct),
+      sc AS (SELECT ct.cell_id, ct.term, n_ct, n_c, n_t,
+          ((1000000::HUGEINT * n_ct * n_all)
+            // (n_c::HUGEINT * n_t))::BIGINT AS lift_ppm
+        FROM ct JOIN ctot USING (cell_id) JOIN ttot USING (term)
+          CROSS JOIN tot
+        WHERE n_ct >= 2),
+      rk AS (SELECT *, row_number() OVER (PARTITION BY cell_id
+          ORDER BY lift_ppm DESC, term ASC) AS rank FROM sc)
+      SELECT cell_id, term, n_ct, n_c, n_t, lift_ppm, rank::BIGINT AS rank
+      FROM rk WHERE rank <= 5"""))
+
+  /** D4-style two-stage embedding prune (Similarity.d4Prune): per-row
+    * verdicts — 'dup' (a smaller-id cell-mate within ⌊10⁶·cos⌋ ≥
+    * 700000), 'proto' (top 20% of survivors closest to the own
+    * centroid), 'kept'. Cells scale with the corpus (max(8, N/250),
+    * the q124 rule) so the cell-local pair stage stays O(N) at any
+    * size; the oracle replays assignment, the anti-chain dup rule,
+    * and the one-window survivor rank relationally.
+    */
+  private val q234 = QueryDef(
+    "q234_d4_prune",
+    (s, dir) => {
+      val e = Tables.embeddings(s, dir)
+      val cells = math.max(8L, e.count() / 250L)
+      val cents = e.filter(col("vec_id") < cells)
+        .select(col("vec_id").as("cell_id"), col("embedding").as("cvec"))
+      Similarity.d4Prune(e, "vec_id", "embedding", cents,
+        dupPpm = 700000L, protoPpm = 200000L)
+    },
+    Some(s"""WITH cents AS (SELECT vec_id AS cell_id, embedding AS cvec
+        FROM embeddings
+        WHERE vec_id < (SELECT greatest(8, count(*) // 250) FROM embeddings)),
+      asg AS (SELECT vec_id, embedding, ccos, cell_id FROM (
+        SELECT e.vec_id, e.embedding,
+          coalesce(${sqlCos("e.embedding", "c.cvec")},
+            '-infinity'::DOUBLE) AS ccos,
+          c.cell_id,
+          row_number() OVER (PARTITION BY e.vec_id
+            ORDER BY coalesce(${sqlCos("e.embedding", "c.cvec")},
+              '-infinity'::DOUBLE) DESC, c.cell_id ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c) WHERE rk = 1),
+      dups AS (SELECT DISTINCT b.vec_id
+        FROM asg a JOIN asg b USING (cell_id)
+        WHERE a.vec_id < b.vec_id
+          AND floor(${sqlCos("a.embedding", "b.embedding")} * 1000000)::BIGINT
+            >= 700000),
+      m AS (SELECT g.cell_id, g.vec_id, g.ccos,
+          (d.vec_id IS NOT NULL) AS is_dup
+        FROM asg g LEFT JOIN dups d ON g.vec_id = d.vec_id),
+      w AS (SELECT *,
+          row_number() OVER (PARTITION BY cell_id
+            ORDER BY is_dup ASC, ccos DESC, vec_id ASC) AS rk,
+          sum(CASE WHEN NOT is_dup THEN 1 ELSE 0 END)
+            OVER (PARTITION BY cell_id) AS n_surv
+        FROM m)
+      SELECT cell_id, vec_id,
+        CASE WHEN is_dup THEN 'dup'
+          WHEN rk <= (n_surv * 200000) // 1000000 THEN 'proto'
+          ELSE 'kept' END AS status,
+        CASE WHEN ccos = '-infinity'::DOUBLE THEN NULL ELSE ccos END AS ccos
+      FROM w"""))
+
   val all: Seq[QueryDef] = Seq(q17, q18, q19, q20, q21, q22, q23, q24,
     q25, q26, q27, q32, q33, q34, q37, q38, q52, q54, q55, q56, q63, q64,
     q66, q69, q79, q83, q85, q86, q90, q91, q94, q98, q101, q103, q105,
@@ -4327,5 +4497,5 @@ object PipelinePack {
     q185, q186, q187, q191, q193, q194, q195, q196, q197, q198, q199, q200,
     q201, q202, q203, q204, q205, q206, q207, q208, q209, q210, q211,
     q213, q214, q215, q216, q220, q221, q222, q223, q224, q225, q226,
-    q227, q228, q229, q230, q231)
+    q227, q228, q229, q230, q231, q232, q233, q234)
 }

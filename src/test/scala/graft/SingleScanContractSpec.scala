@@ -63,4 +63,20 @@ class SingleScanContractSpec extends AnyFunSuite {
     val filled = out.agg(sum(col("n_tokens"))).head.getLong(0)
     assert(filled === totTok)
   }
+
+  test("mixtureAllocate plans zero source FileScans " +
+      "(the water-fill runs entirely on the pinned per-class frame)") {
+    val df = spark.read.parquet(srcPath)
+    val out = graft.ops.Sample.mixtureAllocate(df, "source",
+      size(graft.functions.TextKernels.tokens(col("text"))).cast("long"),
+      Map("s0" -> 500000L, "s1" -> 300000L, "s2" -> 200000L),
+      budget = 100L, maxEpochsPpm = 2000000L)
+    assert(fileScans(out) === 0,
+      "expected the per-class weight scan to happen once inside the " +
+        "Pin.cut, not in the result plan (the participant/zero split " +
+        "reads the counts frame twice):\n" +
+        out.queryExecution.executedPlan.toString)
+    // and the table stays budget-consistent: Σ alloc ≤ budget
+    assert(out.agg(sum(col("alloc"))).head.getLong(0) <= 100L)
+  }
 }
