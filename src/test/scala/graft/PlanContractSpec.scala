@@ -70,7 +70,9 @@ class PlanContractSpec extends AnyFunSuite {
                           // denominator (q169 rule)
     "q228_unigram_train",     // 1-row dpLen oracle-precondition guard
     "q229_tokenizer_compare", // frame (raise_error tripwire, the q133
-    "q230_unigram_coverage")  // rule) broadcast into the final report
+    "q230_unigram_coverage",  // rule) broadcast into the final report
+    "q233_cluster_keywords")  // 1-row corpus token total N for the
+                              // lift denominator (q66/q169 rule)
 
   for (name <- SparkEntry.queries.keys.toSeq.sorted) {
     test(s"$name declares no cartesian product") {
