@@ -31,11 +31,18 @@ object Corpus {
   def vocabGrowth(df: DataFrame, idCol: String, textCol: String,
       checkpoints: Int = 10): DataFrame = {
     require(checkpoints >= 1, s"need positive checkpoints: $checkpoints")
+    // ONE scalar job carries the doc count (needed as a literal for
+    // the checkpoint thresholds) AND the sweep's cell bounds — the
+    // former separate df.count() plus in-sweep bounds pass paid two
+    // jobs for scalars one cheap raw-column aggregate yields together
+    val s0 = df.agg(count(lit(1)), min(col(idCol).cast("long")),
+      max(col(idCol).cast("long"))).head()
+    val n = s0.getLong(0)
+    val bounds = if (n == 0L) None else Some((s0.getLong(1), s0.getLong(2)))
     val ranks = Sweep.runningSum(
       df.select(col(idCol).cast("long").as("t"), lit(1L).as("one")),
-      "t", "one")
+      "t", "one", bounds = bounds)
       .select(col("t"), col("running").as("rk"))
-    val n = df.count()
     val firstRank = df
       .select(col(idCol).cast("long").as("t"), col(textCol).as("text"))
       .join(ranks, Seq("t"))

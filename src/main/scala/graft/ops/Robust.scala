@@ -34,21 +34,36 @@ object Robust {
     */
   def medianMadOutliers(df: DataFrame, groupCol: String, vCol: String,
       k: Int = 3): DataFrame = {
-    val rows = df.select(col(groupCol), col(vCol).cast("long").as("__v"))
+    // ONE raw scan: aggregate to the (group, value) domain immediately
+    // — every later stage (median, deviations, MAD, the outlier
+    // report) is a pure function of the (g, v, count) table, so
+    // re-touching raw rows (the former 3-scan, 2-raw-join shape)
+    // bought nothing. The domain subtree recurs in several branches of
+    // ONE plan, so exchange reuse computes it once — no checkpoint
+    // needed. At 100 TB the domain is bounded by per-group value
+    // cardinality while raw rows are the corpus.
+    val per = df.select(col(groupCol), col(vCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
-    val med = weightedLowerMedian(rows, groupCol, "__v").as("median_v")
-    val withMed = rows
+      .groupBy(col(groupCol), col("__v"))
+      .agg(count(lit(1)).as("__n"))
+    val med = domainLowerMedian(per, groupCol, "__v").as("median_v")
+    val devDom = per
       .join(broadcast(med.toDF(groupCol, "median_v")), Seq(groupCol))
-      .withColumn("__dev", abs(col("__v") - col("median_v")))
-    val mad = weightedLowerMedian(withMed, groupCol, "__dev").as("mad_v")
-    withMed
+      .groupBy(col(groupCol), col("median_v"),
+        abs(col("__v") - col("median_v")).as("__dev"))
+      .agg(sum(col("__n")).as("__n"))
+    val mad = domainLowerMedian(
+      devDom.select(col(groupCol), col("__dev"), col("__n")),
+      groupCol, "__dev").as("mad_v")
+    devDom
       .join(broadcast(mad.toDF(groupCol, "mad_v")), Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(
-        count(lit(1)).as("n_rows"),
+        sum(col("__n")).as("n_rows"),
         min(col("median_v")).as("median_v"),
         min(col("mad_v")).as("mad_v"),
-        count(when(col("__dev") > col("mad_v") * k, lit(1))).as("n_outliers"))
+        coalesce(sum(when(col("__dev") > col("mad_v") * k, col("__n"))),
+          lit(0L)).as("n_outliers"))
   }
 
   /** Winsorization report: per group, the exact lower p-th / (1−p)-th
@@ -59,10 +74,14 @@ object Robust {
     * winsorize: how many rows each tail clips and how much mass the
     * clipped sum moves.
     *
-    * Shape: one (group, value)-domain aggregation, two windows over
-    * the DOMAIN rows (bounded by per-group value cardinality, never
-    * raw rows), bounds ride back on a |groups|-row broadcast, and the
-    * report is one aggregation over the raw rows. All integers.
+    * Shape: ONE raw scan into the pinned (group, value) domain, two
+    * windows over the DOMAIN rows (bounded by per-group value
+    * cardinality, never raw rows), bounds ride back on a |groups|-row
+    * broadcast, and the report is one aggregation over the SAME
+    * pinned domain — counts weight by the domain multiplicity, sums
+    * weight by `v·n` (per-term magnitude ≤ the group's Σ|v|, the same
+    * long-capacity contract the raw-row sum already required). All
+    * integers.
     *
     * Output: (groupCol, n_rows, lo, hi, n_below, n_above, sum_raw,
     * sum_clipped).
@@ -71,9 +90,9 @@ object Robust {
       pctNum: Long = 5, pctDen: Long = 100): DataFrame = {
     require(pctNum >= 0 && 2 * pctNum < pctDen,
       s"need 0 <= p < 1/2: $pctNum/$pctDen")
-    val rows = df.select(col(groupCol), col(vCol).cast("long").as("__v"))
+    val per = df.select(col(groupCol), col(vCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
-    val per = rows.groupBy(col(groupCol), col("__v"))
+      .groupBy(col(groupCol), col("__v"))
       .agg(count(lit(1)).as("__n"))
     val cumW = Window.partitionBy(col(groupCol)).orderBy(col("__v"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
@@ -89,32 +108,32 @@ object Robust {
         min(when(col("__cum") * pctDen >= col("__tot") * (pctDen - pctNum),
           col("__v"))).as("hi"))
     val clip = least(greatest(col("__v"), col("lo")), col("hi"))
-    rows
+    per
       .join(broadcast(bounds), Seq(groupCol))
       .groupBy(col(groupCol))
       .agg(
-        count(lit(1)).as("n_rows"),
+        sum(col("__n")).as("n_rows"),
         min(col("lo")).as("lo"), min(col("hi")).as("hi"),
-        count(when(col("__v") < col("lo"), lit(1))).as("n_below"),
-        count(when(col("__v") > col("hi"), lit(1))).as("n_above"),
-        sum(col("__v")).as("sum_raw"),
-        sum(clip).as("sum_clipped"))
+        coalesce(sum(when(col("__v") < col("lo"), col("__n"))), lit(0L))
+          .as("n_below"),
+        coalesce(sum(when(col("__v") > col("hi"), col("__n"))), lit(0L))
+          .as("n_above"),
+        sum(col("__v") * col("__n")).as("sum_raw"),
+        sum(clip * col("__n")).as("sum_clipped"))
   }
 
-  /** Lower median of `vCol` per `groupCol` over the aggregated value
-    * domain: the smallest v whose cumulative count reaches half the
-    * group (2·cum ≥ n picks the ⌈n/2⌉-th element). Output:
-    * (groupCol, median).
+  /** Lower median of `vCol` per `groupCol` over an ALREADY-AGGREGATED
+    * value domain carrying multiplicities in `__n`: the smallest v
+    * whose cumulative count reaches half the group (2·cum ≥ n picks
+    * the ⌈n/2⌉-th element). Output: (groupCol, median).
     */
-  private def weightedLowerMedian(df: DataFrame, groupCol: String,
+  private def domainLowerMedian(dom: DataFrame, groupCol: String,
       vCol: String): DataFrame = {
-    val per = df.groupBy(col(groupCol), col(vCol))
-      .agg(count(lit(1)).as("__n"))
     val cumW = Window.partitionBy(col(groupCol)).orderBy(col(vCol))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val totW = Window.partitionBy(col(groupCol))
       .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    per
+    dom
       .withColumn("__cum", sum(col("__n")).over(cumW))
       .withColumn("__tot", sum(col("__n")).over(totW))
       .filter(col("__cum") * 2 >= col("__tot"))

@@ -33,13 +33,33 @@ object Stats {
     val pairs = for {
       i <- cols.indices; j <- (i + 1) until cols.size
     } yield (cols(i), cols(j))
+    // Per-row values are LONGS (the decimal(18,4)·scale → decimal(38,0)
+    // rounding is unchanged, the integral result then casts to long
+    // exactly) and every per-row square/cross product multiplies in
+    // 64-bit — the former decimal(38,0) per-row multiplies ran through
+    // BigDecimal, ~10 heap-allocating multiplies per row on the
+    // corpus's hot path. Only the SUMS accumulate as decimal(38,0):
+    // the row-count factor is what passes 2⁶³ at 100 TB, the per-row
+    // product never does as long as |v·scale| ≤ 3 037 000 499
+    // (⌊√(2⁶³−1)⌋). That bound is data-dependent, so it is ENFORCED,
+    // not assumed: the same single pass aggregates max(|v|) per column
+    // and the final projection raises a loud error if any column
+    // exceeds it — a violating corpus fails visibly instead of
+    // wrapping silently.
+    val longSafe = 3037000499L
     val ints = cols.map(c =>
-      (col(c).cast("decimal(18,4)") * scale).cast("decimal(38,0)").as(c))
+      (col(c).cast("decimal(18,4)") * scale).cast("decimal(38,0)")
+        .cast("long").as(c))
+    val dec = "decimal(38,0)"
     val aggs: Seq[Column] =
-      Seq(count(lit(1)).cast("decimal(38,0)").as("n")) ++
-        cols.map(c => sum(col(c)).as(s"s_$c")) ++
-        cols.map(c => sum(col(c) * col(c)).as(s"ss_$c")) ++
-        pairs.map { case (a, b) => sum(col(a) * col(b)).as(s"sp_${a}__$b") }
+      Seq(count(lit(1)).cast(dec).as("n")) ++
+        cols.map(c => sum(col(c).cast(dec)).as(s"s_$c")) ++
+        cols.map(c => sum((col(c) * col(c)).cast(dec)).as(s"ss_$c")) ++
+        pairs.map { case (a, b) =>
+          sum((col(a) * col(b)).cast(dec)).as(s"sp_${a}__$b") } ++
+        cols.map(c => max(abs(col(c))).as(s"mx_$c"))
+    val guard = cols.map(c => coalesce(col(s"mx_$c"), lit(0L)))
+      .reduce(greatest(_, _))
     def varTerm(c: String): Column =
       (col("n") * col(s"ss_$c") - col(s"s_$c") * col(s"s_$c")).cast("double")
     val pairRows = pairs.map { case (a, b) =>
@@ -49,7 +69,12 @@ object Stats {
     }
     df.select(ints: _*)
       .agg(aggs.head, aggs.tail: _*)
-      .select(col("n").cast("long").as("__n"),
+      .select(
+        when(guard > longSafe, raise_error(concat(
+            lit("corrMatrix: |scaled value| exceeds the 64-bit product " +
+              "bound 3037000499: max |v| = "),
+            guard.cast("string"))).cast("long"))
+          .otherwise(col("n").cast("long")).as("__n"),
         explode(array(pairRows: _*)).as("p"))
       .select(col("p.x").as("x"), col("p.y").as("y"),
         col("__n").as("n"), col("p.corr").as("corr"))
@@ -77,9 +102,13 @@ object Stats {
     val rows = df.select(col(idCol), col(valueCol).cast("long").as("__v"))
       .filter(col("__v").isNotNull)
     val dom = rows.groupBy(col("__v")).agg(count(lit(1)).as("__n"))
+    // the rank table and the total BOTH derive from the (v, n) domain
+    // (deduplicated in-plan by exchange reuse) — the former
+    // rows.agg(count) total was a third full scan of the value column
+    // for a number the domain already holds
     val ranks = Sweep.runningSum(dom, "__v", "__n")
       .select(col("t").as("__v"), (col("running") - col("d") + 1).as("__rank"))
-    val n = rows.agg(count(lit(1)).as("__total"))
+    val n = dom.agg(sum(col("__n")).as("__total"))
     rows
       .join(ranks, Seq("__v"))
       .crossJoin(broadcast(n))
@@ -112,15 +141,21 @@ object Stats {
   def ksStatistic(df: DataFrame, classCol: String, valueCol: String,
       classA: String, classB: String): DataFrame = {
     require(classA != classB, s"need two distinct classes: $classA")
-    val counts = graft.util.Pin.cut(df
+    // no pin: the (v, ca, cb) domain subtree recurs in the sweep, its
+    // in-plan bounds subqueries, and the totals — all branches of ONE
+    // plan, deduplicated by exchange reuse
+    val counts = df
       .filter(col(classCol).isin(classA, classB) && col(valueCol).isNotNull)
       .groupBy(col(valueCol).cast("long").as("v"))
       .agg(sum(when(col(classCol) === classA, 1L).otherwise(0L)).as("ca"),
-        sum(when(col(classCol) === classB, 1L).otherwise(0L)).as("cb")))
-    val cum = Sweep.runningSum(counts, "v", "ca")
-      .select(col("t").as("v"), col("running").as("cuma"))
-      .join(Sweep.runningSum(counts, "v", "cb")
-        .select(col("t").as("v"), col("running").as("cumb")), Seq("v"))
+        sum(when(col(classCol) === classB, 1L).otherwise(0L)).as("cb"))
+    // ONE multi-column sweep: both cumulative series come out of the
+    // same domain aggregation/window/offset pass already aligned on v
+    // — the former two-sweep-plus-join form paid ~2x the exchanges
+    // plus a re-alignment shuffle for the identical rows
+    val cum = Sweep.runningSums(counts, "v", Seq("ca", "cb"))
+      .select(col("t").as("v"), col("running_ca").as("cuma"),
+        col("running_cb").as("cumb"))
     val totals = counts.agg(sum(col("ca")).as("n_a"), sum(col("cb")).as("n_b"))
     val dec = "decimal(38,0)"
     cum.crossJoin(broadcast(totals))

@@ -41,29 +41,77 @@ object Sweep {
     * `bounds`: optional covering (lo, hi) range for `tCol`. The result
     * is EXACT for any bounds — cells are just group keys — only load
     * balance depends on them; pass bounds read off a cheap raw-column
-    * scan when `points` itself is expensive lineage, so the bounds job
-    * does not execute that lineage a second time.
+    * scan when you have one. When no bounds are given, min/max ride
+    * IN-PLAN as scalar subqueries over the (t, d) pre-aggregate (see
+    * [[runningSums]]), so the input lineage executes exactly once
+    * either way.
     */
   def runningSum(points: DataFrame, tCol: String, dCol: String,
+      buckets: Int = 1024, bounds: Option[(Long, Long)] = None): DataFrame =
+    runningSums(points, tCol, Seq(dCol), buckets, bounds)
+      .withColumnRenamed(s"d_$dCol", "d")
+      .withColumnRenamed(s"running_$dCol", "running")
+
+  /** The k-column form of [[runningSum]]: ONE domain aggregation, ONE
+    * within-cell window and ONE offsets broadcast computing the global
+    * prefix sum of EVERY column in `dCols` simultaneously — callers
+    * that need two cumulative series over the same axis (e.g. a
+    * two-sample CDF) previously paid two full sweeps plus a join to
+    * re-align them; this is one sweep and no join.
+    *
+    * Output: one row per distinct t — (t, d_<c>…, running_<c>…).
+    *
+    * When `bounds` is absent, the cell bounds ride IN-PLAN as two
+    * uncorrelated scalar subqueries over the (t, d…) pre-aggregate
+    * (the q201 bloom-state shape) instead of the former eager driver
+    * min/max probe: the probe was a SEPARATE action that executed the
+    * full input lineage once at construction time while the returned
+    * plan executed it again — the double-execution the single-scan
+    * contract (packChunks, proportionalSample, vocabGrowth) bans,
+    * here closed for EVERY caller at the source. In-plan, the
+    * subqueries' domain aggregate is the SAME exchange subtree the
+    * sweep itself shuffles, so exchange reuse computes it once and no
+    * extra action, checkpoint, or pass over caller lineage exists at
+    * any scale.
+    */
+  def runningSums(points: DataFrame, tCol: String, dCols: Seq[String],
       buckets: Int = 1024, bounds: Option[(Long, Long)] = None): DataFrame = {
+    require(dCols.nonEmpty, "need at least one delta column")
     // null t has no position on the line and null d no contribution —
     // drop both up front (a null-t group would otherwise leak into the
     // cell offsets while the offset join silently dropped its row)
     val byT = points
-      .filter(col(tCol).isNotNull && col(dCol).isNotNull)
+      .filter(col(tCol).isNotNull && dCols.map(col(_).isNotNull).reduce(_ && _))
       .groupBy(col(tCol).cast("long").as("t"))
-      .agg(sum(col(dCol).cast("long")).as("d"))
-    val (lo, hi) = bounds.getOrElse {
-      val b = byT.agg(min(col("t")), max(col("t"))).head()
-      if (b.isNullAt(0)) return byT.withColumn("running", lit(0L))
-      (b.getLong(0), b.getLong(1))
+      .agg(sum(col(dCols.head).cast("long")).as(s"d_${dCols.head}"),
+        dCols.tail.map(c => sum(col(c).cast("long")).as(s"d_$c")): _*)
+    def scalarOf(agg: DataFrame): org.apache.spark.sql.Column =
+      org.apache.spark.sql.graft.expr.column(
+        org.apache.spark.sql.catalyst.expressions.ScalarSubquery(
+          agg.queryExecution.analyzed))
+    // (lo, width) as Columns: literals when the caller supplied
+    // bounds, in-plan scalars otherwise. Cell assignment is integer
+    // division of non-negative offsets — any consistent mapping is
+    // exact (cells are just group keys), bounds only steer balance.
+    val (loC, widthC) = bounds match {
+      case Some((lo, hi)) =>
+        (lit(lo), lit(math.max(1L, (hi - lo) / buckets + 1)))
+      case None =>
+        val lo = scalarOf(byT.agg(min(col("t")).as("__lo")))
+        val hi = scalarOf(byT.agg(max(col("t")).as("__hi")))
+        // exact integer (hi−lo) div buckets — Column `/` on longs is
+        // double division, wrong past 2⁵³
+        val span = org.apache.spark.sql.graft.expr.column(
+          new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+            org.apache.spark.sql.graft.expr.expression(hi - lo),
+            org.apache.spark.sql.graft.expr.expression(lit(buckets.toLong))))
+        (lo, greatest(lit(1L), span + lit(1L)))
     }
-    val width = math.max(1L, (hi - lo) / buckets + 1)
-    val cell = ((col("t") - lit(lo)) / lit(width)).cast("long")
+    val cell = ((col("t") - loC) / widthC).cast("long")
     val within = Window.partitionBy(col("cell")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val perCell = byT.withColumn("cell", cell)
-      .withColumn("within", sum(col("d")).over(within))
+    val perCell = dCols.foldLeft(byT.withColumn("cell", cell))((df, c) =>
+      df.withColumn(s"within_$c", sum(col(s"d_$c")).over(within)))
     // bucket totals: ≤ `buckets` rows — the one-partition window runs
     // over this tiny frame, never the data. The partition key is a
     // constant-by-value expression (pmod(cell, 1) ≡ 0) rather than a
@@ -73,15 +121,21 @@ object Sweep {
     // this bounded reduction. (A literal lit(0) does not survive —
     // AQE's logical re-optimization strips foldable partition keys
     // and the warning returns.)
-    val offsets = perCell.groupBy(col("cell")).agg(sum(col("d")).as("cell_total"))
-      .withColumn("offset",
-        coalesce(sum(col("cell_total")).over(
-          Window.partitionBy(pmod(col("cell"), lit(1)))
-            .orderBy(col("cell"))
-            .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
-      .select(col("cell"), col("offset"))
+    val offW = Window.partitionBy(pmod(col("cell"), lit(1)))
+      .orderBy(col("cell"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = dCols.foldLeft(
+        perCell.groupBy(col("cell"))
+          .agg(sum(col(s"d_${dCols.head}")).as(s"ct_${dCols.head}"),
+            dCols.tail.map(c => sum(col(s"d_$c")).as(s"ct_$c")): _*))(
+        (df, c) => df.withColumn(s"offset_$c",
+          coalesce(sum(col(s"ct_$c")).over(offW), lit(0L))))
+      .select(col("cell") +: dCols.map(c => col(s"offset_$c")): _*)
     perCell.join(broadcast(offsets), Seq("cell"))
-      .select(col("t"), col("d"), (col("offset") + col("within")).as("running"))
+      .select(col("t") +:
+        (dCols.map(c => col(s"d_$c")) ++
+          dCols.map(c =>
+            (col(s"offset_$c") + col(s"within_$c")).as(s"running_$c"))): _*)
   }
 
   /** Peak of the running sum and the earliest `t` reaching it — e.g.

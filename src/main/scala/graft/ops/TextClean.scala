@@ -229,6 +229,23 @@ object TextClean {
       dupCoveredPositions(windowHashes(base, idCol, k), idCol, k, minDocs), idCol)
   }
 
+  /** Session-cached [[repeatedSpanIntervals]] — the maximal-repeated-
+    * span table is the shared substrate of the span reports (the
+    * per-span report and the boilerplate catalog rollup); one
+    * windows+islands pass per (SparkContext, key) serves all of them,
+    * pinned and output-bounded (spans over duplicated content only).
+    * Same purity contract as [[graft.ops.Dedup.pairIntersectionsCached]];
+    * honors the `spark.graft.sessionCache=off` sweep switch.
+    */
+  def repeatedSpanIntervalsCached(df: org.apache.spark.sql.DataFrame,
+      key: String, idCol: String, textCol: String, k: Int = 5,
+      minDocs: Int = 2): org.apache.spark.sql.DataFrame =
+    if (!graft.util.SessionCache.enabled(df.sparkSession))
+      repeatedSpanIntervals(df, idCol, textCol, k, minDocs)
+    else graft.util.SessionCache.cached(df.sparkSession,
+      s"spans-intervals:$key:$idCol:$textCol:$k:$minDocs")(
+      graft.util.Pin.cut(repeatedSpanIntervals(df, idCol, textCol, k, minDocs)))
+
   /** Merge covered (doc, pos) marks into maximal intervals with the
     * span text — the gaps-and-islands closer shared by
     * [[repeatedSpanIntervals]] and [[incrementalRepeatedSpans]].

@@ -1291,8 +1291,12 @@ object PipelinePack {
     */
   private val q194 = QueryDef(
     "q194_repeated_spans",
-    (s, dir) => TextClean.repeatedSpanIntervals(
-      Tables.documents(s, dir), "doc_id", "text", k = 3, minDocs = 2),
+    // session-cached substrate: q194 and q195 share one windows+islands
+    // pass (TextClean.repeatedSpanIntervalsCached — the
+    // pairIntersectionsCached discipline applied to the span family)
+    (s, dir) => TextClean.repeatedSpanIntervalsCached(
+      Tables.documents(s, dir), s"docs:$dir", "doc_id", "text",
+      k = 3, minDocs = 2),
     Some(s"""WITH base AS (SELECT doc_id, $T AS toks FROM documents),
       winpos AS (SELECT doc_id, toks,
           unnest(range(1, greatest(len(toks) - 2, 0) + 1)) AS pos
@@ -1325,8 +1329,9 @@ object PipelinePack {
     */
   private val q195 = QueryDef(
     "q195_boilerplate_catalog",
-    (s, dir) => TextClean.repeatedSpanIntervals(
-        Tables.documents(s, dir), "doc_id", "text", k = 3, minDocs = 2)
+    (s, dir) => TextClean.repeatedSpanIntervalsCached(
+        Tables.documents(s, dir), s"docs:$dir", "doc_id", "text",
+        k = 3, minDocs = 2)
       .groupBy(col("span_text"))
       .agg(countDistinct(col("doc_id")).as("n_docs"),
         count(lit(1)).as("n_spans"),
@@ -2764,17 +2769,23 @@ object PipelinePack {
         .select(col("doc_id"), col("source"), col("w"))
         .withColumn("hit",
           graft.functions.SketchAgg.bloomContainsOf(bfState, col("w"), m, k))
-      // exact pass over bloom-hit candidates ONLY (no false negatives
-      // ⇒ identical to the full exact join)
-      val confirmed = probed.filter(col("hit"))
-        .join(benchW, Seq("w"), "left_semi")
-        .groupBy(col("source")).agg(count(lit(1)).as("exact"))
-      probed.groupBy(col("source"))
+      // window count, bloom hits AND exact hits in ONE pass over the
+      // probe stream: the former separate exact-confirm aggregation
+      // (filter hit → semi-join → groupBy) re-executed the whole
+      // tokenize/window/probe lineage a second time — two corpus
+      // passes for three counters. Exact membership rides the same
+      // pass as a broadcast left join against the pinned bench-window
+      // set (benchmark-sized): `w ∈ benchW ⇒ hit` (a bloom filter has
+      // no false negatives), so count(non-null mark) equals the old
+      // hit-filtered semi-join count exactly.
+      probed
+        .join(broadcast(benchW.withColumn("__bw", lit(1L))), Seq("w"), "left")
+        .groupBy(col("source"))
         .agg(count(lit(1)).as("n_windows"),
-          count(when(col("hit"), 1)).as("bloom_hits"))
-        .join(confirmed, Seq("source"), "left")
+          count(when(col("hit"), 1)).as("bloom_hits"),
+          count(col("__bw")).as("exact_hits"))
         .select(col("source"), col("n_windows"), col("bloom_hits"),
-          coalesce(col("exact"), lit(0L)).as("exact_hits"))
+          col("exact_hits"))
     },
     Some(s"""WITH base AS (SELECT doc_id, source,
           ${sqlHex60("doc_id::VARCHAR")} % 10 < 2 AS is_bench,
