@@ -798,6 +798,12 @@ object Kernels {
   private final class PhraseAutomaton(phraseArr: Array[Array[String]]) {
     private val phrases = phraseArr.map(_.toSeq).distinct.map(_.toArray)
     val nPhrases: Int = phrases.length
+    // original list position -> distinct phrase id (duplicates collapse
+    // in the trie; per-ORIGINAL-index reports re-expand through this)
+    private val origIds: Array[Int] = {
+      val idx = phrases.zipWithIndex.map { case (p, i) => (p.toSeq, i) }.toMap
+      phraseArr.map(p => idx(p.toSeq))
+    }
     private val children =
       scala.collection.mutable.ArrayBuffer(newNode())
     private val ownEnds =
@@ -848,6 +854,23 @@ object Kernels {
       }
       0
     }
+    /** Per-phrase occurrence counts in ORIGINAL list order (overlaps
+      * counted, duplicates in the list report their shared count) —
+      * one pass, same match semantics as [[scan]].
+      */
+    def scanPer(toks: Array[String]): Array[Long] = {
+      val per = new Array[Long](nPhrases)
+      var node = 0
+      var i = 0
+      while (i < toks.length) {
+        node = step(node, toks(i))
+        val out = outputs(node)
+        var j = 0
+        while (j < out.length) { per(out(j)) += 1L; j += 1 }
+        i += 1
+      }
+      origIds.map(per)
+    }
     /** (total occurrences, distinct phrases present) in one pass. */
     def scan(toks: Array[String]): (Long, Long) = {
       var node = 0
@@ -884,6 +907,19 @@ object Kernels {
       p => new PhraseAutomaton(p.split("\n", -1).map(_.split(" ", -1))))
     val (total, distinct) = a.scan(tokenize(text))
     new GenericArrayData(Array(total, distinct))
+  }
+
+  /** Per-phrase occurrence counts of the '\n'-packed list in `text`,
+    * in ORIGINAL list order — the [[phraseScan]] automaton reporting a
+    * count per entry instead of two totals, so per-phrase rollups
+    * ([[graft.ops.TextClean.phraseCounts]]) run the compiled
+    * O(tokens + matches) pass instead of materializing and
+    * membership-testing every token window.
+    */
+  def phraseScanPer(text: UTF8String, packed: UTF8String): ArrayData = {
+    val a = phraseAutomata.computeIfAbsent(packed.toString,
+      p => new PhraseAutomaton(p.split("\n", -1).map(_.split(" ", -1))))
+    new GenericArrayData(a.scanPer(tokenize(text)))
   }
 
   /** Viterbi segmentation for the unigram-LM tokenizer trainer
@@ -991,6 +1027,21 @@ object Kernels {
       "phrases must be non-blank and newline-free")
     exprBridge.column(StaticInvoke(
       Kernels.getClass, ArrayType(LongType, containsNull = false), "phraseScan",
+      Seq(expr(text),
+        expr(org.apache.spark.sql.functions.lit(phrases.mkString("\n")))),
+      Seq(StringType, StringType)))
+  }
+
+  /** Per-phrase occurrence counts in original list order — one
+    * compiled Aho–Corasick pass (see [[phraseScanPer]]).
+    */
+  def phraseScanPerOf(text: Column, phrases: Seq[String]): Column = {
+    require(phrases.nonEmpty, "empty blocklist")
+    require(phrases.forall(p => p.trim.nonEmpty && !p.contains("\n")),
+      "phrases must be non-blank and newline-free")
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, ArrayType(LongType, containsNull = false),
+      "phraseScanPer",
       Seq(expr(text),
         expr(org.apache.spark.sql.functions.lit(phrases.mkString("\n")))),
       Seq(StringType, StringType)))

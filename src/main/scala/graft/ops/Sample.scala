@@ -279,15 +279,22 @@ object Sample {
       trainSplit: Long, testSplit: Long, n: Int = 8): DataFrame = {
     require(n >= 1, s"n-gram order must be positive: $n")
     require(trainSplit != testSplit, "train and test must differ")
+    // compiled single-pass n-gram digests: Kernels.shingleHashes60
+    // emits each doc's DISTINCT window hex60s in one pass (already
+    // per-doc deduped, so the distinct shuffle receives fewer rows),
+    // where the former HOF form allocated a window string per token
+    // position and hashed it as a separate expression. Same global
+    // (split, gh) set: the kernel hashes the identical
+    // space-joined token windows. Docs shorter than n tokens emit
+    // nothing (the kernel's whole-text fallback row is gated off).
     val toks = TextKernels.tokens(col(textCol))
     val grams = tagged
       .filter(col("split").isin(trainSplit, testSplit))
-      .select(col("split"), toks.as("toks"))
-      .filter(size(col("toks")) >= n)
-      .select(col("split"), explode(expr(
-        s"""transform(sequence(1, size(toks) - ${n - 1}),
-              i -> array_join(slice(toks, i, $n), ' '))""")).as("g"))
-      .select(col("split"), TextKernels.hex60(col("g")).as("gh"))
+      .select(col("split"),
+        when(size(toks) >= n,
+          graft.functions.Kernels.shingleHashes60Of(col(textCol), n))
+          .otherwise(array().cast("array<long>")).as("gs"))
+      .select(col("split"), explode(col("gs")).as("gh"))
       .distinct()
     grams.groupBy(col("gh"))
       .agg(max(when(col("split") === trainSplit, 1).otherwise(0)).as("in_train"),

@@ -590,33 +590,31 @@ object TextClean {
       .drop("_pb_s")
 
   /** Per-phrase totals over the corpus: (phrase, n_docs, n_hits),
-    * zero rows included for list entries that never match. The
-    * explode happens AFTER the membership filter, so the generated
-    * stream carries matching windows only — at 100 TB the shuffle is
-    * bounded by actual blocklist traffic, not the corpus's window
-    * count, and the zero-fill join touches #phrases rows.
+    * zero rows included for list entries that never match. The corpus
+    * pass is the compiled token-level Aho–Corasick kernel
+    * ([[graft.functions.Kernels.phraseScanPer]]) — O(tokens + matches)
+    * per document regardless of list size, where the former
+    * window-membership form materialized every token window of every
+    * phrase length and membership-tested each against the list
+    * (O(windows × list) plus a window-string allocation per token).
+    * Match semantics are identical (exact token n-grams, overlaps
+    * counted); only per-doc matched entries explode, so at 100 TB the
+    * shuffle stays bounded by actual blocklist traffic, and the
+    * zero-fill join touches #phrases rows.
     */
   def phraseCounts(df: org.apache.spark.sql.DataFrame, idCol: String,
       textCol: String, phrases: Seq[String]): org.apache.spark.sql.DataFrame = {
-    val litAll = lit(phrases.toArray)
-    val lens = phrases.map(_.split(" ").length).distinct.sorted
-    val toks = graft.functions.TextKernels.tokens(col(textCol))
-    val winsPerLen = lens.map { l =>
-      when(size(col("_pb_toks")) >= l,
-        transform(sequence(lit(1), size(col("_pb_toks")) - (l - 1)),
-          i => concat_ws(" ", slice(col("_pb_toks"), i, lit(l)))))
-        .otherwise(array().cast("array<string>"))
-    }
-    val wins =
-      if (winsPerLen.size == 1) winsPerLen.head else concat(winsPerLen: _*)
-    val matched = df.withColumn("_pb_toks", toks)
+    val matched = df
       .select(col(idCol),
-        explode(filter(wins, w => array_contains(litAll, w))).as("phrase"))
-      .groupBy(col("phrase"))
+        graft.functions.Kernels.phraseScanPerOf(col(textCol), phrases).as("_pc"))
+      .select(col(idCol), posexplode(col("_pc")).as(Seq("_idx", "_cnt")))
+      .filter(col("_cnt") > 0)
+      .groupBy(col("_idx"))
       .agg(countDistinct(col(idCol)).as("n_docs"),
-        count(lit(1)).as("n_hits"))
+        sum(col("_cnt")).as("n_hits"))
     import df.sparkSession.implicits._
-    phrases.toDF("phrase").join(matched, Seq("phrase"), "left")
+    phrases.zipWithIndex.toDF("phrase", "_idx")
+      .join(matched, Seq("_idx"), "left")
       .select(col("phrase"),
         coalesce(col("n_docs"), lit(0L)).as("n_docs"),
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))

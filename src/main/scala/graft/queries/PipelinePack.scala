@@ -3853,14 +3853,24 @@ object PipelinePack {
       val tagged = graft.ops.Sample.leakageSafeSplit(
         Tables.documents(s, dir).join(docSurvivorsCached(s, dir), Seq("doc_id")),
         "keep_id", cuts = Seq(900, 950), den = 1000)
-      val leaky = tagged.groupBy(col("keep_id"))
-        .agg(countDistinct(col("split")).as("__ns"))
+      // ONE corpus pass: pre-reduce to the (cluster, split) domain —
+      // both the per-split report and the leaky-cluster count are
+      // functions of it. The domain frame is PINNED because column
+      // pruning specializes the two readers' aggregates (the leaky
+      // branch drops __ch), so exchange reuse alone cannot dedupe
+      // them — the former shape re-ran the documents ⋈ survivors join
+      // per aggregation.
+      val g1 = graft.util.Pin.cut(
+        tagged.groupBy(col("keep_id"), col("split"))
+          .agg(count(lit(1)).as("__nd"), sum(col("n_chars")).as("__ch")))
+      val leaky = g1.groupBy(col("keep_id"))
+        .agg(count(lit(1)).as("__ns"))
         .filter(col("__ns") > 1)
         .agg(count(lit(1)).as("n_leaky_clusters"))
-      tagged.groupBy(col("split"))
-        .agg(count(lit(1)).as("n_docs"),
-          countDistinct(col("keep_id")).as("n_clusters"),
-          sum(col("n_chars")).as("chars"))
+      g1.groupBy(col("split"))
+        .agg(sum(col("__nd")).as("n_docs"),
+          count(lit(1)).as("n_clusters"),
+          sum(col("__ch")).as("chars"))
         .crossJoin(broadcast(leaky))
     },
     Some(s"""WITH $sqlSurvivorCtes,

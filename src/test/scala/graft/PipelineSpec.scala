@@ -231,6 +231,24 @@ class PipelineSpec extends AnyFunSuite {
     assert(out("q q") === ((0L, 0L)), "never-matching phrase zero-fills")
   }
 
+  test("phraseCounts: compiled per-phrase pass — duplicates, NULL text, mixed lengths") {
+    import graft.ops.TextClean
+    val d = Seq((1L, Some("a a a b c")), (2L, Some("x b c y a")),
+      (3L, Some("b")), (4L, None: Option[String]))
+      .toDF("doc_id", "text")
+    // duplicate entries report the shared count; 1- and 3-token
+    // phrases exercise the multi-length automaton; NULL/short docs
+    // contribute nothing
+    val out = TextClean.phraseCounts(d, "doc_id", "text",
+      Seq("a a", "a a", "a b c", "b")).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(out.count(_ == (("a a", 1L, 2L))) === 2,
+      "both duplicate rows carry doc 1's two overlapping hits")
+    assert(out.contains(("a b c", 1L, 1L)))
+    assert(out.contains(("b", 3L, 3L)), "docs 1-3 each contain token 'b'")
+    assert(out.size === 4)
+  }
+
   test("tokenChunks: stride windows with overlap, short tail, min one chunk") {
     import graft.ops.TextClean
     val words = (1 to 10).map(i => s"w$i").mkString(" ")
