@@ -688,9 +688,6 @@ object Dedup {
     val sets = ids.select(col("__id"),
       graft.functions.Kernels.shingleHashes60Of(col("__text"), shingleWords).as("s"))
       .filter(size(col("s")) > 0)
-    // global rarity statistic: df per shingle hash
-    val freq = sets.select(explode(col("s")).as("g"))
-      .groupBy(col("g")).agg(count(lit(1)).as("df"))
     // re-sort each doc's set rarest-first and keep the prefix; the
     // collect is the doc's own shingle set (bounded by doc length),
     // prefix length p = n - ceil(t*n) + 1 in exact integer math
@@ -701,6 +698,17 @@ object Dedup {
     // (smaller pos ⇒ larger upper bound; saturated sizes skip the
     // positional filter entirely) — never drops a J ≥ t pair.
     val Pk = 32767
+    // global rarity statistic: df per shingle hash. Deliberately a
+    // groupBy + join-back (NOT a window count over the exploded
+    // stream): the join lets AQE broadcast the df table when it fits
+    // and fall back to sort-merge when it does not, while the window
+    // form forces the full posting-stream sort at every scale —
+    // measured 0.5 s slower at sf0.1. The price is that the shingle
+    // kernel runs over the corpus twice (the aggregate subtree and the
+    // probe side project differently, so exchange reuse cannot dedupe
+    // them); the kernel pass is ~0.3 s at sf0.1, cheaper than the sort.
+    val freq = sets.select(explode(col("s")).as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
     val prefixes = sets
       .select(col("__id"), size(col("s")).as("n"), explode(col("s")).as("g"))
       .join(freq, Seq("g"))
@@ -743,7 +751,14 @@ object Dedup {
       .filter(col("na") >= Pk || col("nb") >= Pk ||
         col("__npref") + least(col("na") - 1 - col("__mpa"),
           col("nb") - 1 - col("__mpb")) >= alpha)
-    // exact verification for candidate-touched docs only
+    // exact verification for candidate-touched docs only. Deliberately
+    // UNPINNED: the candidate pipeline's final exchange is reused by
+    // all three consumers (the touched-doc set and both verification
+    // joins), so the pipeline executes once as-is; pinning cands/feats
+    // was measured 1.0 s SLOWER at sf0.1 (two eager checkpoint jobs
+    // against work exchange reuse already deduplicates). The
+    // touched-doc kernel pass does run once per join side — bounded by
+    // candidate-touched docs, not the corpus.
     val touched = cands.select(col("doc_a").as("__id"))
       .unionByName(cands.select(col("doc_b").as("__id"))).distinct()
     val feats = ids.join(touched, Seq("__id"), "left_semi")

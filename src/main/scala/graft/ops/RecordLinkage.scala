@@ -49,9 +49,16 @@ object RecordLinkage {
           .withColumn(s"__w_$f",
             expr(s"(1048576 * __N) div `__c_$f`")) // null value -> null weight
     }
-    val sides = weighted.select(
+    // pinned: the weighted row table has THREE consumers (the block
+    // pair generator and both verification sides), and the a/b sides
+    // alias their columns, so exchange reuse cannot dedupe them — the
+    // unpinned shape re-ran the scan + totals + per-field frequency
+    // joins once per consumer (7 source scans in the static plan).
+    // The pin is a slim (id, block, value, weight)-per-field frame —
+    // one narrow row per record, spill-safe storage.
+    val sides = graft.util.Pin.cut(weighted.select(
       (Seq(col("__id"), col("__blk")) ++
-        fieldCols.flatMap(f => Seq(col(f), col(s"__w_$f")))): _*)
+        fieldCols.flatMap(f => Seq(col(f), col(s"__w_$f")))): _*))
     val pairs = sides
       .filter(col("__blk").isNotNull)
       .groupBy(col("__blk"))

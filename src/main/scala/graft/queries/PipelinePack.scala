@@ -2642,16 +2642,21 @@ object PipelinePack {
         TextClean.spanIndexAged(
           docs.filter(pmod(col("doc_id"), lit(3L)) === b),
           "doc_id", "text", batchId = b, k = 3)))
-      val stats = idx.groupBy(col("last_batch"))
+      // ONE aggregation prices the compaction: n_retained counts the
+      // rows spanIndexCompact(watermark=1) keeps (n_docs >= 2 OR
+      // last_batch > watermark — SpanIndexSpec pins that predicate),
+      // folded into the same pass as the other counters. The former
+      // separate compact→aggregate→left-join leg re-ran the aged-index
+      // aggregation a second time and paid a join to re-align rows the
+      // first pass already held.
+      idx.groupBy(col("last_batch"))
         .agg(count(lit(1)).as("n_windows"),
           count(when(col("n_docs") >= 2, 1)).as("n_dup"),
-          count(when(col("n_docs") === 1, 1)).as("n_singleton"))
-      val retained = TextClean.spanIndexCompact(idx, watermarkBatch = 1L)
-        .groupBy(col("last_batch")).agg(count(lit(1)).as("n_retained"))
-      stats.join(retained, Seq("last_batch"), "left")
+          count(when(col("n_docs") === 1, 1)).as("n_singleton"),
+          count(when(col("n_docs") >= 2 || col("last_batch") > 1L, 1))
+            .as("n_retained"))
         .select(col("last_batch"), col("n_windows"), col("n_dup"),
-          col("n_singleton"),
-          coalesce(col("n_retained"), lit(0L)).as("n_retained"))
+          col("n_singleton"), col("n_retained"))
     },
     Some(s"""WITH base AS (SELECT doc_id, $T AS toks FROM documents),
       win AS (SELECT doc_id,
