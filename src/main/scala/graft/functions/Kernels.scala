@@ -389,6 +389,74 @@ object Kernels {
     new GenericArrayData(out.toArray)
   }
 
+  /** Both hybrid-retrieval signal feature sets of a document in ONE
+    * tokenize pass: the distinct `shingleWords`-gram 60-bit hashes
+    * (exactly [[shingleHashes60]]'s set, g non-null / w null) followed
+    * by the distinct tokens (exactly array_distinct(split)'s set,
+    * g null / w non-null). One row per feature; exactly one of (g, w)
+    * is set, so a (coalesce(g,−1), coalesce(w,'')) pair is a collision-
+    * free equi-join key across kinds (hex60 is non-negative, tokens of
+    * a space-split are never compared against the empty sentinel from
+    * the other kind). Replaces two separate kernel scans of the corpus
+    * (shingles + tokens) with one.
+    */
+  def hybridFeatures(text: UTF8String, shingleWords: Int): ArrayData = {
+    val toks = tokenize(text)
+    val nShingles = math.max(toks.length - shingleWords + 1, 1)
+    val sh = new java.util.LinkedHashSet[String](nShingles * 2)
+    var i = 0
+    while (i < nShingles) {
+      val end = math.min(i + shingleWords, toks.length)
+      sh.add(toks.slice(i, end).mkString(" "))
+      i += 1
+    }
+    val tw = new java.util.LinkedHashSet[String](toks.length * 2)
+    i = 0
+    while (i < toks.length) { tw.add(toks(i)); i += 1 }
+    val out = new Array[AnyRef](sh.size + tw.size)
+    var j = 0
+    val it = sh.iterator()
+    while (it.hasNext) {
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](hex60(it.next().getBytes("UTF-8")), null))
+      j += 1
+    }
+    val it2 = tw.iterator()
+    while (it2.hasNext) {
+      out(j) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](null, UTF8String.fromString(it2.next())))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  /** Intersection size of two SORTED-ascending distinct long arrays —
+    * one two-pointer pass per pair, zero allocation. The
+    * `size(array_intersect(a, b))` form this replaces builds a hash
+    * set of one side and MATERIALIZES the intersection array per
+    * candidate pair just to take its length — pairs outnumber
+    * documents in every verify stage, so the per-pair constant is the
+    * corpus-scale hot loop. Callers sort each side once per DOCUMENT
+    * (array_sort at the feature build); the two-pointer pass then
+    * counts equal elements — identical to array_intersect's distinct
+    * semantics because the inputs are distinct sets.
+    */
+  def sortedIntersectCount(a: ArrayData, b: ArrayData): Long = {
+    val na = a.numElements()
+    val nb = b.numElements()
+    var i = 0
+    var j = 0
+    var c = 0L
+    while (i < na && j < nb) {
+      val x = a.getLong(i)
+      val y = b.getLong(j)
+      if (x < y) i += 1
+      else if (y < x) j += 1
+      else { c += 1L; i += 1; j += 1 }
+    }
+    c
+  }
+
   // ---- pair-expansion kernels ---------------------------------------
 
   /** All i<j pairs of a bucket's ids, ordered pairs of the ascending id
@@ -1064,6 +1132,28 @@ object Kernels {
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(numHashes)),
         expr(org.apache.spark.sql.functions.lit(shingleWords))),
       Seq(StringType, IntegerType, IntegerType)))
+
+  /** Fused hybrid-retrieval feature rows straight from text (see
+    * [[hybridFeatures]]).
+    */
+  def hybridFeaturesOf(text: Column, shingleWords: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass,
+      ArrayType(StructType(Seq(
+        StructField("g", LongType, nullable = true),
+        StructField("w", StringType, nullable = true))), containsNull = false),
+      "hybridFeatures",
+      Seq(expr(text), expr(org.apache.spark.sql.functions.lit(shingleWords))),
+      Seq(StringType, IntegerType)))
+
+  /** Two-pointer intersection count of sorted distinct long arrays
+    * (see [[sortedIntersectCount]]).
+    */
+  def sortedIntersectCountOf(a: Column, b: Column): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass, LongType, "sortedIntersectCount",
+      Seq(expr(a), expr(b)),
+      Seq(ArrayType(LongType), ArrayType(LongType))))
 
   def shingleHashes60Of(text: Column, shingleWords: Int): Column =
     exprBridge.column(StaticInvoke(

@@ -38,7 +38,12 @@ object Corpus {
     val s0 = df.agg(count(lit(1)), min(col(idCol).cast("long")),
       max(col(idCol).cast("long"))).head()
     val n = s0.getLong(0)
-    val bounds = if (n == 0L) None else Some((s0.getLong(1), s0.getLong(2)))
+    // rows may exist with every idCol value null (n > 0, min/max both
+    // null) — fall back to boundsless like the empty case instead of
+    // NPE-ing on getLong
+    val bounds =
+      if (n == 0L || s0.isNullAt(1)) None
+      else Some((s0.getLong(1), s0.getLong(2)))
     val ranks = Sweep.runningSum(
       df.select(col(idCol).cast("long").as("t"), lit(1L).as("one")),
       "t", "one", bounds = bounds)

@@ -170,7 +170,11 @@ object Dedup {
       .join(touched, Seq("__fid"), "left_semi")
       .select(col("__fid"),
         graft.functions.Kernels.minhashSigOf(col(textCol), k, shingleWords).as("__sig"),
-        graft.functions.Kernels.shingleHashes60Of(col(textCol), shingleWords).as("__sh"))
+        // sorted once per touched doc → per-pair two-pointer verify
+        // (the q139 verify-kernel pattern; exact-jaccard semantics
+        // unchanged, the sets are distinct)
+        array_sort(graft.functions.Kernels.shingleHashes60Of(
+          col(textCol), shingleWords)).as("__sh"))
       .cutLineage
     pairs
       .join(feats.select(col("__fid").as("doc_a"), col("__sig").as("sig_a"),
@@ -181,7 +185,8 @@ object Dedup {
         aggregate(zip_with(col("sig_a"), col("sig_b"),
             (x, y) => when(x === y, lit(1L)).otherwise(lit(0L))),
           lit(0L), (acc, v) => acc + v).as("n_match"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        graft.functions.Kernels.sortedIntersectCountOf(
+          col("sh_a"), col("sh_b")).as("inter"),
         (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sum_sizes"))
       .select(col("doc_a"), col("doc_b"),
         (col("n_match").cast("double") / k).as("est_jaccard"),
@@ -761,14 +766,22 @@ object Dedup {
     // candidate-touched docs, not the corpus.
     val touched = cands.select(col("doc_a").as("__id"))
       .unionByName(cands.select(col("doc_b").as("__id"))).distinct()
+    // shingle sets sorted ONCE per touched document so the per-PAIR
+    // verification below is a zero-allocation two-pointer count
+    // (Kernels.sortedIntersectCount) instead of a hash-set build +
+    // intersection-array materialization per candidate pair — the
+    // verify stage is the query's profiled hot spot and pairs
+    // outnumber touched docs
     val feats = ids.join(touched, Seq("__id"), "left_semi")
       .select(col("__id"),
-        graft.functions.Kernels.shingleHashes60Of(col("__text"), shingleWords).as("sh"))
+        array_sort(graft.functions.Kernels.shingleHashes60Of(
+          col("__text"), shingleWords)).as("sh"))
     cands
       .join(feats.select(col("__id").as("doc_a"), col("sh").as("sh_a")), Seq("doc_a"))
       .join(feats.select(col("__id").as("doc_b"), col("sh").as("sh_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"),
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("long").as("inter"),
+        graft.functions.Kernels.sortedIntersectCountOf(
+          col("sh_a"), col("sh_b")).as("inter"),
         (size(col("sh_a")) + size(col("sh_b"))).cast("long").as("sum_sizes"))
       .filter(col("inter") * thresholdDen >=
         (col("sum_sizes") - col("inter")) * thresholdNum)

@@ -144,14 +144,59 @@ object LangId {
     * pass [[profilesCached]] output so the corpus profile build isn't
     * replayed when the profile report and the confusion matrix run in
     * the same session.
+    *
+    * The matrix only needs each document's ARGMIN language, never the
+    * distances, so when `docTopM <= topK` the (doc × language) spine
+    * [[classify]] materializes is provably unnecessary and this runs a
+    * reduced shape: dist(doc, lang) = m_doc·topK + Σ_matched
+    * (|drank − rank| − topK), and m_doc·topK is constant per doc, so
+    * the (dist asc, lang asc) argmin equals the (adj asc, lang asc)
+    * argmin over the MATCHED (doc, lang) pairs — with docTopM ≤ topK
+    * every matched term's adjustment is strictly negative
+    * (|drank − rank| ≤ topK − 1 < topK), so any matched language
+    * strictly beats every unmatched one (adj = 0) and ties resolve
+    * identically. Docs with no matched gram (including gram-less docs)
+    * tie all languages and take the lexicographically first language —
+    * exactly [[classify]]'s tie-break (LangIdSpec pins the
+    * equivalence row-for-row against the classify-based shape). The
+    * reduced shape runs ONE kernel pass over the corpus instead of
+    * two, drops the distinct-id scan and the doc×lang crossJoin, and
+    * its joins stay bounded by matched pairs. docTopM > topK (where a
+    * matched adjustment can be positive) falls back to the classify
+    * path.
     */
   def confusionWith(df: DataFrame, idCol: String, textCol: String,
       langCol: String, profiles: DataFrame, n: Int = 3, topK: Int = 50,
       docTopM: Int = 20): DataFrame = {
-    val pred = classify(df, idCol, textCol, profiles, n, topK, docTopM)
-    df.select(col(idCol).cast("string").as(idCol), col(langCol).as("lang"))
-      .join(pred.select(col(idCol), col("pred_lang")), Seq(idCol))
-      .groupBy(col("lang"), col("pred_lang"))
+    if (docTopM > topK) {
+      val pred = classify(df, idCol, textCol, profiles, n, topK, docTopM)
+      return df
+        .select(col(idCol).cast("string").as(idCol), col(langCol).as("lang"))
+        .join(pred.select(col(idCol), col("pred_lang")), Seq(idCol))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }
+    val docProf = df
+      .select(col(idCol).cast("string").as("__id"),
+        explode(graft.functions.Kernels.topCharGramsOf(
+          col(textCol), n, docTopM)).as("g"))
+      .select(col("__id"), col("g.gram").as("gram"), col("g.drank").as("drank"))
+    val best = docProf
+      .join(profiles.select(col("lang"), col("gram"), col("rank")), Seq("gram"))
+      .groupBy(col("__id"), col("lang"))
+      .agg(sum(abs(col("drank") - col("rank")) - lit(topK.toLong)).as("__adj"))
+      .groupBy(col("__id"))
+      .agg(min(struct(col("__adj"), col("lang"))).as("b"))
+      .select(col("__id"), col("b.lang").as("pred_lang"))
+    // empty profiles ⇒ no languages ⇒ empty matrix, as the classify
+    // path's empty crossJoin spine produced
+    val firstLang = profiles.agg(min(col("lang")).as("__fl"))
+      .filter(col("__fl").isNotNull)
+    df.select(col(idCol).cast("string").as("__id"), col(langCol).as("lang"))
+      .join(best, Seq("__id"), "left")
+      .crossJoin(broadcast(firstLang))
+      .groupBy(col("lang"),
+        coalesce(col("pred_lang"), col("__fl")).as("pred_lang"))
       .agg(count(lit(1)).as("n_docs"))
   }
 }

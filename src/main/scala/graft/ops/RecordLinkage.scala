@@ -34,7 +34,7 @@ object RecordLinkage {
     */
   def scorePairs(df: DataFrame, idCol: String, blockCol: String,
       fieldCols: Seq[String], minScore: Long = 1,
-      maxBlock: Int = 10000): DataFrame = {
+      maxBlock: Int = 10000, cacheKey: Option[String] = None): DataFrame = {
     require(fieldCols.nonEmpty, "need at least one scoring field")
     val rows = df.select(
       (Seq(col(idCol).cast("long").as("__id"), col(blockCol).as("__blk")) ++
@@ -55,10 +55,24 @@ object RecordLinkage {
     // unpinned shape re-ran the scan + totals + per-field frequency
     // joins once per consumer (7 source scans in the static plan).
     // The pin is a slim (id, block, value, weight)-per-field frame —
-    // one narrow row per record, spill-safe storage.
-    val sides = graft.util.Pin.cut(weighted.select(
+    // one narrow row per record, spill-safe storage. With `cacheKey`
+    // the pin routes through SessionCache (build-once per session,
+    // releasable), closing the per-invocation hazard of a bare
+    // eager cut: a construction-time job per call and, in
+    // reliable-checkpoint mode, one un-retired checkpoint copy per
+    // call for the app lifetime. Callers whose `df` is a pure
+    // function of the key should pass one; keyless callers keep the
+    // direct cut and own its lifecycle.
+    val sidesRaw = weighted.select(
       (Seq(col("__id"), col("__blk")) ++
-        fieldCols.flatMap(f => Seq(col(f), col(s"__w_$f")))): _*))
+        fieldCols.flatMap(f => Seq(col(f), col(s"__w_$f")))): _*)
+    val sides = cacheKey match {
+      case Some(key) if graft.util.SessionCache.enabled(df.sparkSession) =>
+        graft.util.SessionCache.cached(df.sparkSession,
+          s"rl-weighted:$key:$idCol:$blockCol:${fieldCols.mkString(",")}")(
+          graft.util.Pin.cut(sidesRaw))
+      case _ => graft.util.Pin.cut(sidesRaw)
+    }
     val pairs = sides
       .filter(col("__blk").isNotNull)
       .groupBy(col("__blk"))

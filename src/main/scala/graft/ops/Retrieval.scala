@@ -50,24 +50,49 @@ object Retrieval {
       shingleWords: Int = 3): DataFrame = {
     require(k >= 1 && rrfK >= 1, s"need positive k/rrfK: $k/$rrfK")
     val docs = df.select(col(idCol).cast("long").as("__id"), col(textCol).as("__text"))
-    // signal A: distinct shingle intersection with the query doc
-    val sh = docs.select(col("__id"),
-      explode(graft.functions.Kernels.shingleHashes60Of(
-        col("__text"), shingleWords)).as("__g"))
-    val qsh = sh.filter(col("__id") === queryId).select(col("__g"))
-    val sigA = sh.filter(col("__id") =!= queryId)
-      .join(broadcast(qsh), Seq("__g"))
-      .groupBy(col("__id")).agg(count(lit(1)).as("inter"))
-    // signal B: rarity-weighted distinct-token overlap
-    val tok = docs.select(col("__id"),
-      explode(array_distinct(graft.functions.TextKernels.tokens(col("__text"))))
-        .as("__w"))
-    val dfreq = tok.groupBy(col("__w")).agg(count(lit(1)).as("__c"))
-    val qtok = tok.filter(col("__id") === queryId).select(col("__w"))
-    val sigB = tok.filter(col("__id") =!= queryId)
-      .join(broadcast(qtok), Seq("__w"))
-      .join(dfreq, Seq("__w"))
-      .groupBy(col("__id")).agg(sum(expr("1048576 div __c")).as("rare"))
+    // BOTH signals ride ONE fused feature stream (Kernels
+    // .hybridFeatures: the doc's distinct shingle hashes AND distinct
+    // tokens from one tokenize pass, one row per feature, exactly one
+    // of (g, w) set) — the former shape ran a shingle kernel scan for
+    // signal A and a separate token scan for signal B's probe, plus a
+    // second groupBy(id) exchange. The (coalesce(g,−1), coalesce(w,''))
+    // pair is a collision-free cross-kind equi-key, so the query doc's
+    // features broadcast once and BOTH probes are the same map-side
+    // hash join; one aggregation then carries the shingle-intersection
+    // count and the rarity sum together, and the two rank legs read it
+    // through the reused exchange.
+    val feat = docs.select(col("__id"),
+        explode(graft.functions.Kernels.hybridFeaturesOf(
+          col("__text"), shingleWords)).as("f"))
+      .select(col("__id"), col("f.g").as("__g"), col("f.w").as("__w"),
+        coalesce(col("f.g"), lit(-1L)).as("__gk"),
+        coalesce(col("f.w"), lit("")).as("__wk"))
+    val qf = feat.filter(col("__id") === queryId)
+      .select(col("__gk"), col("__wk"))
+    // token document frequency still needs its own corpus pass (it
+    // counts ALL docs per token, not just probe matches); its exchange
+    // carries map-side partial counts, never rows
+    val dfreq = docs.select(explode(array_distinct(
+        graft.functions.TextKernels.tokens(col("__text")))).as("__w"))
+      .groupBy(col("__w")).agg(count(lit(1)).as("__c"))
+    // PINNED: the fused per-doc signal table has four consumers (each
+    // rank leg's count-and-join pair), and they prune DIFFERENT
+    // aggregate columns (inter vs rare) — column pruning specializes
+    // the partial aggregate per branch, so exchange reuse cannot
+    // dedupe them and the whole probe pass would execute once per leg
+    // (verified in the static plan: 2 probe scans unpinned). The pin
+    // is three longs per MATCHED doc — narrower than the q143
+    // weighted-rows pin precedent — and spill-safe.
+    val fused = graft.util.Pin.cut(feat.filter(col("__id") =!= queryId)
+      .join(broadcast(qf), Seq("__gk", "__wk"))
+      .join(dfreq, Seq("__w"), "left")
+      .groupBy(col("__id"))
+      .agg(count(col("__g")).as("__inter"),
+        sum(when(col("__w").isNotNull, expr("1048576 div __c"))).as("__rare")))
+    val sigA = fused.filter(col("__inter") > 0)
+      .select(col("__id"), col("__inter").as("inter"))
+    val sigB = fused.filter(col("__rare").isNotNull)
+      .select(col("__id"), col("__rare").as("rare"))
     val ra = descRank(sigA, "__id", "inter")
       .select(col("__id"), col("__rank").as("__ra"))
     val rb = descRank(sigB, "__id", "rare")

@@ -26,6 +26,23 @@ object Stats {
     * corr = (n·Σxy − Σx·Σy) / (√(n·Σx² − (Σx)²) · √(n·Σy² − (Σy)²)),
     * every Σ an exact scaled-integer sum. Degenerate (zero-variance)
     * columns yield NULL (0/0), identically on both engines.
+    *
+    * '''Domain contract.''' Per-row products multiply in 64-bit, so
+    * the operator REQUIRES |value·scale| ≤ 3 037 000 499 (⌊√(2⁶³−1)⌋ —
+    * the largest magnitude whose square fits a long; ~$30 M at cents
+    * scale). The bound is enforced: the same single pass aggregates
+    * max|v| per column and a violating corpus fails LOUDLY
+    * (raise_error) rather than wrapping — a narrowing of the former
+    * all-decimal form, which answered (slowly) at any magnitude;
+    * callers needing magnitudes beyond the bound must pre-scale.
+    * Known gap, shared with the SQL oracle and predating the bound: a
+    * value whose decimal(18,4) cast itself overflows (|v| ≥ 10¹⁴)
+    * becomes NULL before the guard, silently shrinking that column's
+    * Σ while `n` still counts the row — NULL-bearing inputs and
+    * ≥10¹⁴ magnitudes are outside this operator's contract (both
+    * engines compute the same mismatched-n number, so the parity
+    * contract still holds; StatsSpec documents the bound's
+    * rationale).
     */
   def corrMatrix(df: DataFrame, cols: Seq[String], scale: Int = 100): DataFrame = {
     require(cols.size >= 2, s"need >= 2 columns: $cols")
@@ -44,8 +61,10 @@ object Stats {
     // (⌊√(2⁶³−1)⌋). That bound is data-dependent, so it is ENFORCED,
     // not assumed: the same single pass aggregates max(|v|) per column
     // and the final projection raises a loud error if any column
-    // exceeds it — a violating corpus fails visibly instead of
-    // wrapping silently.
+    // exceeds it. The guard sees what the long cast sees: a value
+    // whose decimal(18,4) cast already overflowed is NULL here (and in
+    // the sums) while count(1) still counts its row — the scaladoc's
+    // documented contract gap, not a silent wrap of the products.
     val longSafe = 3037000499L
     val ints = cols.map(c =>
       (col(c).cast("decimal(18,4)") * scale).cast("decimal(38,0)")

@@ -107,7 +107,14 @@ object Sweep {
             org.apache.spark.sql.graft.expr.expression(lit(buckets.toLong))))
         (lo, greatest(lit(1L), span + lit(1L)))
     }
-    val cell = ((col("t") - loC) / widthC).cast("long")
+    // IntegralDivide, same as the span computation above: Column `/`
+    // is double division, whose rounding past 2⁵³ deviates from the
+    // integer bucket math the rationale describes (it stays monotone —
+    // cells are group keys — but the two expressions should agree)
+    val cell = org.apache.spark.sql.graft.expr.column(
+      new org.apache.spark.sql.catalyst.expressions.IntegralDivide(
+        org.apache.spark.sql.graft.expr.expression(col("t") - loC),
+        org.apache.spark.sql.graft.expr.expression(widthC.cast("long"))))
     val within = Window.partitionBy(col("cell")).orderBy(col("t"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val perCell = dCols.foldLeft(byT.withColumn("cell", cell))((df, c) =>

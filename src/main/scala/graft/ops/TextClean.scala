@@ -341,7 +341,16 @@ object TextClean {
     */
   def spanIndexCompact(index: org.apache.spark.sql.DataFrame,
       watermarkBatch: Long): org.apache.spark.sql.DataFrame =
-    index.filter(col("n_docs") >= 2 || col("last_batch") > lit(watermarkBatch))
+    index.filter(spanIndexKeepCond(watermarkBatch))
+
+  /** The retention predicate [[spanIndexCompact]] applies, as a
+    * Column — exposed so a report PRICING a compaction (q199's
+    * n_retained) uses the same expression as the real prune instead
+    * of a hand-copied inline duplicate that could silently
+    * desynchronize.
+    */
+  def spanIndexKeepCond(watermarkBatch: Long): org.apache.spark.sql.Column =
+    col("n_docs") >= 2 || col("last_batch") > lit(watermarkBatch)
 
   /** [EXT] INCREMENTAL exact-substring dedup: the maximal repeated
     * spans OF A NEW BATCH against (corpus ∪ batch), given only the
@@ -620,25 +629,35 @@ object TextClean {
         coalesce(col("n_hits"), lit(0L)).as("n_hits"))
   }
 
-  /** Rebuild each document from the tokens NOT in `covered`: anti-join
-    * the token stream, then one per-doc reassembly whose buffer is
-    * bounded by document length. Documents losing every token come
-    * back as the empty string with n_removed = n_tok.
+  /** Rebuild each document from the tokens NOT in `covered`: ONE pass
+    * over the token stream — an OUTER posexplode (so zero-token
+    * documents keep their row), a left join against the covered marks,
+    * and a single per-doc aggregation producing the total, the kept
+    * count and the reassembly together. The former shape paid a second
+    * tokenize scan for n_tok = size(toks) plus a re-alignment join of
+    * it against the anti-joined rebuild — corpus-sized work both, for
+    * numbers the one aggregation already holds (the covered side and
+    * the reassembly shuffle are unchanged). Documents losing every
+    * token come back as the empty string with n_removed = n_tok; the
+    * per-doc reassembly buffer stays bounded by document length.
     */
   private def rebuildWithout(base: org.apache.spark.sql.DataFrame,
       covered: org.apache.spark.sql.DataFrame, idCol: String) = {
-    val tokpos = base
-      .select(col(idCol), posexplode(col("toks")).as(Seq("p0", "token")))
-      .select(col(idCol), (col("p0") + 1).as("pos"), col("token"))
-    val rebuilt = tokpos.join(covered, Seq(idCol, "pos"), "left_anti")
+    base
+      .select(col(idCol), col("toks").isNull.as("__nt"),
+        posexplode_outer(col("toks")).as(Seq("p0", "token")))
+      .select(col(idCol), col("__nt"), (col("p0") + 1).as("pos"), col("token"))
+      .join(covered.withColumn("__cov", lit(1)), Seq(idCol, "pos"), "left")
       .groupBy(col(idCol))
-      .agg(count(lit(1)).as("n_kept"),
-        expr("array_join(transform(array_sort(collect_list(struct(pos, token))), " +
+      // NULL toks (null text) reproduce the former size(toks) = NULL
+      // exactly: n_tok and n_removed come back NULL, clean_text ""
+      .agg(when(max(col("__nt")), lit(null).cast("long"))
+          .otherwise(count(col("token"))).as("n_tok"),
+        count(when(col("__cov").isNull, col("token"))).as("n_kept"),
+        expr("array_join(transform(array_sort(collect_list(" +
+          "CASE WHEN __cov IS NULL THEN struct(pos, token) END)), " +
           "x -> x.token), ' ')").as("clean_text"))
-    base.select(col(idCol), size(col("toks")).cast("long").as("n_tok"))
-      .join(rebuilt, Seq(idCol), "left")
       .select(col(idCol), col("n_tok"),
-        (col("n_tok") - coalesce(col("n_kept"), lit(0L))).as("n_removed"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        (col("n_tok") - col("n_kept")).as("n_removed"), col("clean_text"))
   }
 }

@@ -248,6 +248,30 @@ class AnalyticsSpec extends AnyFunSuite {
     assert(out(("a", "b"))._2 > 0.9, "strongly correlated pair")
   }
 
+  test("corrMatrix domain bound: rationale exact, violations fail loudly") {
+    // the bound is exactly the largest |scaled value| whose square
+    // fits a signed 64-bit long — floor(sqrt(2^63 - 1)): the per-row
+    // products multiply in 64-bit, only the sums go decimal(38,0)
+    val b = 3037000499L
+    assert(BigInt(b) * BigInt(b) <= BigInt(Long.MaxValue))
+    assert(BigInt(b + 1) * BigInt(b + 1) > BigInt(Long.MaxValue))
+    // a corpus past the bound (|v·scale| = 4e9 at scale=100) fails
+    // LOUDLY, never wraps: under ANSI (the session default) the 64-bit
+    // square itself raises ARITHMETIC_OVERFLOW at the corrMatrix
+    // multiply; with ANSI off the wrap is silent and the max|v| guard
+    // raises the documented bound error instead — both paths named so
+    // the contract holds in either mode
+    val hot = Seq((40000000.0, 1.0), (1.0, 2.0), (2.0, 3.0)).toDF("a", "b")
+    val e = intercept[Exception] {
+      graft.ops.Stats.corrMatrix(hot, Seq("a", "b"), scale = 100).collect()
+    }
+    def messages(t: Throwable): Seq[String] =
+      if (t == null) Nil else String.valueOf(t.getMessage) +: messages(t.getCause)
+    assert(messages(e).exists(m =>
+      m.contains("3037000499") || m.contains("ARITHMETIC_OVERFLOW")),
+      messages(e).mkString(" | "))
+  }
+
   test("HeavyHitters.exact equals brute-force groupBy across random workloads") {
     val rnd = new scala.util.Random(7) // seeded: deterministic test
     for (trial <- 1 to 3) {

@@ -120,6 +120,39 @@ class KernelParitySpec extends AnyFunSuite {
     assert(fast.length === 3 + 1)
   }
 
+  test("hybridFeatures == shingle-hash set + distinct-token set, one row each") {
+    val d = Seq((1L, "the cat and the hat sat"), (2L, ""), (3L, "one two"),
+      (4L, "a b a b a")).toDF("i", "t")
+    val f = d.select(col("i"),
+      explode(Kernels.hybridFeaturesOf(col("t"), 3)).as("f"))
+    // exactly one of (g, w) per row
+    assert(f.filter(col("f.g").isNotNull === col("f.w").isNotNull).count() === 0)
+    def pairs(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getLong(0), r.get(1).toString)).toSet
+    assert(pairs(f.filter(col("f.g").isNotNull).select(col("i"), col("f.g"))) ===
+      pairs(d.select(col("i"),
+        explode(Kernels.shingleHashes60Of(col("t"), 3)).as("g"))))
+    assert(pairs(f.filter(col("f.w").isNotNull).select(col("i"), col("f.w"))) ===
+      pairs(d.select(col("i"),
+        explode(array_distinct(split(col("t"), " "))).as("w"))))
+  }
+
+  test("sortedIntersectCount parity with size(array_intersect) on sorted sets") {
+    val pairs = Seq(
+      (Seq(1L, 3L, 5L, 9L), Seq(2L, 3L, 9L, 11L)),   // partial overlap
+      (Seq(1L, 2L, 3L), Seq(1L, 2L, 3L)),            // identical
+      (Seq(1L, 2L), Seq(5L, 6L, 7L)),                // disjoint
+      (Seq.empty[Long], Seq(1L, 2L)),                // one empty
+      (Seq.empty[Long], Seq.empty[Long]))            // both empty
+      .toDF("a", "b")
+    val got = pairs.select(
+      Kernels.sortedIntersectCountOf(col("a"), col("b")).as("c"),
+      size(array_intersect(col("a"), col("b"))).cast("long").as("ref"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    got.foreach { case (c, ref) => assert(c === ref) }
+    assert(got.map(_._1).toSeq === Seq(2L, 3L, 0L, 0L, 0L))
+  }
+
   test("sortedPairsWithSizes sorts jointly by id and keeps payload aligned") {
     val df = Seq((Seq(30L, 10L, 20L), Seq(3, 1, 2))).toDF("ids", "ns")
     val rows = df.select(explode(Kernels.sortedPairsWithSizesOf(col("ids"), col("ns"))).as("p"))

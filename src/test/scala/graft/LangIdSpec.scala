@@ -82,6 +82,34 @@ class LangIdSpec extends AnyFunSuite {
     assert(row.getLong(3) === 0L)
   }
 
+  test("confusionWith argmin decomposition == classify-based matrix (docTopM <= topK)") {
+    // the reduced shape confusionWith runs when docTopM <= topK must
+    // reproduce the classify-spine matrix row-for-row on a corpus
+    // exercising every branch: clean docs, a mixed doc, a no-gram doc
+    val messy = Seq(
+      (1L, "aa", "the cat and the hat sat on the mat the cat"),
+      (2L, "aa", "the hat and the cat and the mat sat"),
+      (3L, "bb", "zzz qqq zzz qqq zzz kkk zzz qqq"),
+      (4L, "bb", "qqq zzz kkk qqq zzz qqq kkk"),
+      (5L, "aa", "the cat zzz qqq the hat zzz qqq"),
+      (6L, "bb", "ab"),
+      (7L, "aa", "uvw xyz uvw xyz uvw xyz"))
+      .toDF("doc_id", "lang", "text")
+    val prof = LangId.charNgramProfiles(messy, "text", "lang", n = 3, topK = 20)
+    val viaClassify = {
+      val pred = LangId.classify(messy, "doc_id", "text", prof,
+        n = 3, topK = 20, docTopM = 10)
+      messy.select(col("doc_id").cast("string").as("doc_id"), col("lang"))
+        .join(pred.select(col("doc_id"), col("pred_lang")), Seq("doc_id"))
+        .groupBy(col("lang"), col("pred_lang"))
+        .agg(count(lit(1)).as("n_docs"))
+    }
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).sorted.toSeq
+    assert(rows(LangId.confusionWith(messy, "doc_id", "text", "lang", prof,
+      n = 3, topK = 20, docTopM = 10)) === rows(viaClassify))
+  }
+
   test("profilesCached serves the uncached frame row-for-row, built once") {
     // the GraphFrameLiteSpec convention: cached ≡ raw, and the second
     // call with the same key returns the SAME pinned frame (reference

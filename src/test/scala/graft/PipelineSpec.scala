@@ -787,6 +787,23 @@ class PipelineSpec extends AnyFunSuite {
     assert(out(3L) === ((2L, 0L, "too short")))
   }
 
+  test("dropRepeatedSpans: null text keeps the size(null) contract") {
+    // the one-pass rebuild must reproduce the former two-scan shape's
+    // null semantics exactly: size(split(NULL)) is NULL, so a null-text
+    // doc reports NULL n_tok / NULL n_removed / empty clean_text
+    val d = Seq((1L, null: String),
+      (2L, "one two three four five"),
+      (3L, "one two three four five")).toDF("doc_id", "text")
+    val out = graft.ops.TextClean
+      .dropRepeatedSpans(d, "doc_id", "text", k = 5, minDocs = 2)
+      .collect().map(r => r.getLong(0) ->
+        ((if (r.isNullAt(1)) -1L else r.getLong(1),
+          if (r.isNullAt(2)) -1L else r.getLong(2), r.getString(3)))).toMap
+    assert(out(1L) === ((-1L, -1L, "")))
+    assert(out(2L) === ((5L, 5L, "")))
+    assert(out(3L) === ((5L, 5L, "")))
+  }
+
   // ---- quality rule battery ----------------------------------------
 
   test("QualityRules.gopherRules: verdicts are exact integer cross-multiplications") {
