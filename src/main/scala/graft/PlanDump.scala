@@ -29,6 +29,12 @@ object PlanDump {
       .config("spark.ui.enabled", "false")
       .appName("graft-plan-dump").getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    // SPARK_GRAFT_PLANDUMP_NOCACHE=1: dump the RAW (uncached, unpinned-
+    // where-switchable) topology — session-cached substrates otherwise
+    // appear as a bare pinned-RDD read, hiding the build plan the
+    // optimization evidence needs
+    if (sys.env.get("SPARK_GRAFT_PLANDUMP_NOCACHE").contains("1"))
+      spark.conf.set("spark.graft.sessionCache", "off")
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(outDir))
     for (q <- names) {
       val df = SparkEntry.queries(q)(spark, sfDir)

@@ -541,6 +541,46 @@ object Kernels {
     * Output: array of (gram, drank) structs, empty when the text holds
     * fewer than n code points.
     */
+  /** Per-document character n-gram COUNTS — the pre-reduced form of
+    * the profile build's gram explode: one (gram, count) row per
+    * DISTINCT gram of the document instead of one row per character
+    * position. The corpus-wide (lang, gram) aggregation then sums the
+    * per-doc counts, shrinking the explode stream by the document's
+    * average gram multiplicity while computing the identical totals.
+    * Gram extraction slides over CODE POINTS, exactly like
+    * [[topCharGrams]] and SQL `substring` (LangIdSpec pins parity with
+    * the charGrams explode). Empty for texts under n code points.
+    */
+  def charGramCounts(text: UTF8String, n: Int): ArrayData = {
+    val s = text.toString
+    val cp = s.codePointCount(0, s.length)
+    if (cp < n) return new GenericArrayData(Array.empty[AnyRef])
+    val off = new Array[Int](cp + 1)
+    var i = 0
+    var u = 0
+    while (i < cp) { off(i) = u; u = s.offsetByCodePoints(u, 1); i += 1 }
+    off(cp) = u
+    val slots = cp - n + 1
+    val counts = new java.util.HashMap[String, java.lang.Long](
+      math.min(slots * 2L, 1L << 20).toInt)
+    i = 0
+    while (i < slots) {
+      counts.merge(s.substring(off(i), off(i + n)), 1L,
+        (a: java.lang.Long, b: java.lang.Long) => a + b)
+      i += 1
+    }
+    val out = new Array[AnyRef](counts.size)
+    val it = counts.entrySet().iterator()
+    i = 0
+    while (it.hasNext) {
+      val e = it.next()
+      out(i) = new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+        Array[Any](UTF8String.fromString(e.getKey), e.getValue.longValue()))
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
   def topCharGrams(text: UTF8String, n: Int, topM: Int): ArrayData = {
     val s = text.toString
     val cp = s.codePointCount(0, s.length)
@@ -1132,6 +1172,19 @@ object Kernels {
       Seq(expr(text), expr(org.apache.spark.sql.functions.lit(numHashes)),
         expr(org.apache.spark.sql.functions.lit(shingleWords))),
       Seq(StringType, IntegerType, IntegerType)))
+
+  /** Per-doc character n-gram counts straight from text (see
+    * [[charGramCounts]]).
+    */
+  def charGramCountsOf(text: Column, n: Int): Column =
+    exprBridge.column(StaticInvoke(
+      Kernels.getClass,
+      ArrayType(StructType(Seq(
+        StructField("gram", StringType, nullable = false),
+        StructField("c", LongType, nullable = false))), containsNull = false),
+      "charGramCounts",
+      Seq(expr(text), expr(org.apache.spark.sql.functions.lit(n))),
+      Seq(StringType, IntegerType)))
 
   /** Fused hybrid-retrieval feature rows straight from text (see
     * [[hybridFeatures]]).

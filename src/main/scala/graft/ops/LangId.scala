@@ -59,9 +59,6 @@ object LangId {
         i => text.substr(i, lit(n))))
       .otherwise(array().cast("array<string>"))
 
-  private def gramCol(textCol: String, n: Int): Column =
-    charGrams(col(textCol), n)
-
   /** Per-language rank profile: (lang, gram, rank), rank 1..topK by
     * (count desc, gram asc). The window partition is the language's
     * distinct-gram set — bounded by the character-set n-gram domain.
@@ -70,9 +67,17 @@ object LangId {
       n: Int = 3, topK: Int = 50): DataFrame = {
     require(n >= 1, s"need n >= 1: $n")
     require(topK >= 1, s"need topK >= 1: $topK")
+    // per-doc gram counts pre-reduced in the compiled kernel: the
+    // explode emits one row per DISTINCT gram of each document (the
+    // corpus aggregation sums the per-doc counts) instead of one row
+    // per character position — identical totals, a multiplicity-factor
+    // fewer rows built, hashed and partially aggregated
     val counts = df
-      .select(col(langCol).as("lang"), explode(gramCol(textCol, n)).as("gram"))
-      .groupBy(col("lang"), col("gram")).agg(count(lit(1)).as("cnt"))
+      .select(col(langCol).as("lang"),
+        explode(graft.functions.Kernels.charGramCountsOf(
+          col(textCol), n)).as("g"))
+      .groupBy(col("lang"), col("g.gram").as("gram"))
+      .agg(sum(col("g.c")).as("cnt"))
     val w = Window.partitionBy(col("lang"))
       .orderBy(col("cnt").desc, col("gram").asc)
     counts.withColumn("rank", row_number().over(w).cast("long"))

@@ -40,6 +40,20 @@ object RecordLinkage {
       (Seq(col(idCol).cast("long").as("__id"), col(blockCol).as("__blk")) ++
         fieldCols.map(f => col(f).cast("string").as(f))): _*)
     val tot = rows.agg(count(lit(1)).as("__N"))
+    // DEAD END, analyzed (r18): melting the per-field frequency legs
+    // into one exploded (field, value) pass does NOT reduce bytes —
+    // under columnar pruning each per-field freq scan reads ONLY its
+    // field's column, so k pruned scans and one all-field scan read
+    // the same column bytes, while the melt adds a ×k explode and its
+    // (field, value) exchange carries the same domain-sized partial
+    // counts the k per-field exchanges carry. Worse, the per-field
+    // consumers filter the melted aggregate on its grouping column,
+    // which Catalyst pushes BELOW the aggregate, specializing each
+    // branch's subtree and defeating exchange reuse (the q220/q144
+    // pruning lesson) — forcing a pin whose only job is to undo the
+    // melt. What the melt would save is (k−1) scan-job overheads, sub-
+    // second at any scale that matters. Keep the per-field pruned
+    // scans.
     // row-side weight vector: each field value joins its frequency once
     val weighted = fieldCols.foldLeft(rows.crossJoin(broadcast(tot))) {
       (acc, f) =>

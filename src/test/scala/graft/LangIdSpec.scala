@@ -82,6 +82,25 @@ class LangIdSpec extends AnyFunSuite {
     assert(row.getLong(3) === 0L)
   }
 
+  test("charGramCounts kernel == charGrams explode, counted (incl. surrogates)") {
+    // the profile build's pre-reduced kernel must reproduce the
+    // exploded per-occurrence counts exactly, including code-point
+    // (not UTF-16) gram sliding and the short-text guard
+    val d = Seq((1L, "abab"), (2L, "ab"), (3L, ""), (4L, null: String),
+      (5L, "a😀b😀"), (6L, "the cat sat"))
+      .toDF("i", "t")
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2))).toSet
+    val viaKernel = pairs(d.select(col("i"),
+        explode(graft.functions.Kernels.charGramCountsOf(col("t"), 3)).as("g"))
+      .select(col("i"), col("g.gram"), col("g.c")))
+    val viaExplode = pairs(d.select(col("i"),
+        explode(LangId.charGrams(col("t"), 3)).as("gram"))
+      .groupBy(col("i"), col("gram")).agg(count(lit(1)).as("c")))
+    assert(viaKernel === viaExplode)
+    assert(viaKernel.exists(_._1 === 5L), "surrogate-pair text must produce grams")
+  }
+
   test("confusionWith argmin decomposition == classify-based matrix (docTopM <= topK)") {
     // the reduced shape confusionWith runs when docTopM <= topK must
     // reproduce the classify-spine matrix row-for-row on a corpus
